@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import Q._
+
+/** Hash-aggregation surface: grouped aggregates, distinct, rollup/cube,
+  * percentiles, collected sets, HAVING, approximate distinct.
+  *
+  * Scale notes: every query here is a single hash-aggregate over the fact
+  * table — partial (map-side) aggregation + one shuffle on the grouping
+  * keys; no driver-side collection. Cardinality of all grouping keys is
+  * tiny relative to input, so the shuffle moves only the partial maps.
+  */
+object Aggregates {
+
+  val all: Seq[QDef] = Seq(
+
+    // TPC-H Q1-style pricing summary — the flagship: scan, pushed filter,
+    // partial+final hash agg, sort.
+    QDef("q1_pricing_summary",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        val l = lineitem(s, d)
+        l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        ${sqlDavg("l_quantity")} AS avg_qty,
+        ${sqlDavg("l_extendedprice")} AS avg_price,
+        ${sqlDavg("l_discount")} AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    QDef("q_agg_count_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("uniq_parts"),
+          countDistinct(col("l_suppkey")).as("uniq_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("uniq_ps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS uniq_parts,
+        count(DISTINCT l_suppkey) AS uniq_supps,
+        count(DISTINCT (l_partkey, l_suppkey)) AS uniq_ps,
+        count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Statistical aggregates; stddev/corr are iterative-merge algorithms in
+    // both engines — round to absorb ulp-level drift (values are O(1e4)).
+    QDef("q_agg_stats",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus")),
+      Some("""SELECT l_linestatus,
+        round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        min(l_extendedprice) AS min_price,
+        max(l_extendedprice) AS max_price,
+        count(*) AS n
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    QDef("q_agg_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rf"), col("ls")),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        coalesce(l_linestatus, 'ALL') AS ls,
+        ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    QDef("q_agg_cube",
+      (s, d) => lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_price"), col("n"))
+        .orderBy(col("rf"), col("ls")),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        coalesce(l_linestatus, 'ALL') AS ls,
+        ${sqlDsum("l_extendedprice")} AS sum_price, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // Exact interpolated percentiles (both engines: linear interpolation on
+    // the sorted set — identical arithmetic on identical doubles).
+    QDef("q_agg_percentile",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QDef("q_agg_collect_set",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        count(DISTINCT o_orderstatus) AS n_statuses
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // HAVING: per-supplier totals filtered on the aggregate.
+    QDef("q_agg_having",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n"))
+        .filter(col("total_qty") > 1000.0)
+        .orderBy(col("l_suppkey")),
+      Some(s"""SELECT l_suppkey, ${sqlDsum("l_quantity")} AS total_qty, count(*) AS n
+        FROM lineitem GROUP BY l_suppkey
+        HAVING ${sqlDsum("l_quantity")} > 1000.0
+        ORDER BY l_suppkey""")),
+
+    QDef("q_distinct",
+      (s, d) => lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus
+        FROM lineitem ORDER BY l_returnflag, l_linestatus""")),
+
+    // Conditional aggregation (sum/count over CASE).
+    QDef("q_agg_conditional",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          dsum(when(col("o_totalprice") > 200000.0, col("o_totalprice")).otherwise(lit(0.0))).as("big_total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        ${sqlDsum("CASE WHEN o_totalprice > 200000.0 THEN o_totalprice ELSE 0.0 END")} AS big_total,
+        count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // HyperLogLog++ approximate distinct — no exact oracle by construction;
+    // rows-only check here, tolerance-vs-exact asserted in ScalaTest.
+    QDef("q_agg_approx_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+      None)
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import Q._
+
+/** Batch-mode equivalents of the Structured Streaming operators (the same
+  * logic runs as a streaming query in graft.streaming — identical plans,
+  * `readStream` instead of `read`). These give the streaming semantics a
+  * DuckDB oracle: tumbling/sliding/session windows, dedup, stream-static
+  * join.
+  *
+  * Window starts are emitted as epoch seconds (BIGINT) — engine-neutral.
+  */
+object EventWindows {
+
+  val all: Seq[QDef] = Seq(
+
+    // Tumbling 1-day event-time window.
+    QDef("q_tumbling_daily",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start_s"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start_s"), col("event_type")),
+      Some(s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) AS BIGINT) AS win_start_s,
+        event_type, count(*) AS n, ${sqlDsum("value")} AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""")),
+
+    // Sliding window: 1-day length, 12-hour slide → each event lands in
+    // exactly two windows. Oracle reconstructs the two window starts per
+    // event arithmetically (windows align to the epoch, as Spark's do).
+    QDef("q_sliding_12h",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start_s"),
+          col("n"), col("total_value"))
+        .orderBy(col("win_start_s")),
+      Some(s"""SELECT win_start_s, count(*) AS n, ${sqlDsum("value")} AS total_value
+        FROM (
+          SELECT ((epoch_us(ts) // 1000000) // 43200 - k) * 43200 AS win_start_s, value
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        GROUP BY win_start_s ORDER BY win_start_s""")),
+
+    // Session window, 1-hour gap, per user. Session semantics: an event at
+    // t joins the session iff t < last_ts + gap (Spark's session_window);
+    // the oracle reproduces this with a gaps-and-islands window.
+    QDef("q_session_window_1h",
+      (s, d) => events(s, d)
+        .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start_s"),
+          col("n"), col("total_value"))
+        .orderBy(col("user_id"), col("sess_start_s")),
+      Some(s"""WITH flagged AS (
+          SELECT user_id, ts, value,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 1 HOUR OR
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts, value,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM flagged)
+        SELECT user_id,
+          epoch_us(min(ts)) // 1000000 AS sess_start_s,
+          count(*) AS n, ${sqlDsum("value")} AS total_value
+        FROM sessions GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_start_s""")),
+
+    // Deterministic dedup: first event per (user_id, event_type) by event
+    // time — the batch equivalent of withWatermark + dropDuplicates.
+    QDef("q_events_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("first_ts_us"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, epoch_us(ts) AS first_ts_us
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS rn FROM events)
+        WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // Stream-static join shape: events (stream side) joined to the static
+    // customer dim (broadcast at scale).
+    QDef("q_stream_static_join",
+      (s, d) => events(s, d)
+        .join(broadcast(customer(s, d)), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("c_mktsegment"), col("event_type")),
+      Some(s"""SELECT c_mktsegment, event_type, count(*) AS n,
+        ${sqlDsum("value")} AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+        ORDER BY c_mktsegment, event_type"""))
+  )
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import Q._
+
+/** Join surface: broadcast/shuffle equi-joins, all outer variants,
+  * semi/anti, range (non-equi), theta self-join, cross, as-of, and a
+  * 6-table star join.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer)
+  * are broadcast — no shuffle of the fact table for those joins. The
+  * fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  * aggregate on the same key where possible. AQE handles skew at runtime.
+  */
+object Joins {
+
+  val all: Seq[QDef] = Seq(
+
+    // Broadcast hash join: fact ⋈ small dim, no fact shuffle for the join.
+    QDef("q_join_broadcast",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand")),
+      Some(s"""SELECT p_brand,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue, count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Sort-merge join between the two big tables (hinted; at scale both
+    // sides shuffle-sort on orderkey once).
+    QDef("q_join_shuffle",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority, count(*) AS n_lines,
+        count(DISTINCT o_orderkey) AS n_orders,
+        ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q3-style: 3-way join, grouped revenue, top 10. Revenue is an
+    // exact decimal sum, so DESC ordering is deterministic cross-engine.
+    QDef("q3_shipping_priority",
+      (s, d) => customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some(s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        o_orderpriority,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5-style 6-table star join; dims broadcast, one fact shuffle.
+    QDef("q5_local_supplier",
+      (s, d) => {
+        val c = customer(s, d); val o = orders(s, d); val l = lineitem(s, d)
+        val su = supplier(s, d); val n = nation(s, d); val r = region(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA"
+            && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        count(*) AS n_lines
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // Left outer + aggregate: customers keep their row even with no orders.
+    QDef("q_join_left_outer",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey")),
+      Some(s"""SELECT c_custkey, c_mktsegment,
+        count(o_orderkey) AS n_orders,
+        coalesce(${sqlDsum("o_totalprice")}, 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""")),
+
+    // Full outer join with nulls on both sides; explicit NULLS FIRST to
+    // pin cross-engine sort order of null keys.
+    QDef("q_join_full_outer",
+      (s, d) => customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+        .join(orders(s, d).filter(col("o_totalprice") > 280000.0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey")),
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+        FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                         WHERE o_totalprice > 280000.0) o
+        ON c_custkey = o_custkey
+        ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""")),
+
+    // Left semi: orders having at least one heavy line (EXISTS).
+    QDef("q_join_semi",
+      (s, d) => orders(s, d)
+        .join(lineitem(s, d).filter(col("l_quantity") >= 49.0),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(500),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        ORDER BY o_orderkey LIMIT 500""")),
+
+    // Left anti: customers with no high-value orders (NOT EXISTS).
+    QDef("q_join_anti",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 250000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+        FROM customer WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+        ORDER BY c_custkey""")),
+
+    // Equi + range predicate: lines shipped more than 60 days after the
+    // order date. The equi key keeps this a hash/merge join with the range
+    // clause as a post-join filter — no BNLJ at scale.
+    QDef("q_join_range",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late"), dsum(col("l_quantity")).as("late_qty"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority, count(*) AS n_late,
+        ${sqlDsum("l_quantity")} AS late_qty
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Pure theta self-join (inequality only) on the small supplier dim.
+    QDef("q_join_theta_self",
+      (s, d) => {
+        val a = supplier(s, d).select(col("s_suppkey").as("a_key"),
+          col("s_acctbal").as("a_bal"), col("s_nationkey").as("a_nat"))
+        val b = supplier(s, d).select(col("s_suppkey").as("b_key"),
+          col("s_acctbal").as("b_bal"), col("s_nationkey").as("b_nat"))
+        a.join(b, col("a_bal") < col("b_bal") && col("a_nat") =!= col("b_nat"))
+          .select(col("a_key"), col("b_key"),
+            round(col("b_bal") - col("a_bal"), 2).as("bal_gap"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+        round(b.s_acctbal - a.s_acctbal, 2) AS bal_gap
+        FROM supplier a JOIN supplier b
+          ON a.s_acctbal < b.s_acctbal AND a.s_nationkey <> b.s_nationkey
+        ORDER BY a_key, b_key""")),
+
+    QDef("q_join_cross",
+      (s, d) => region(s, d).crossJoin(nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name""")),
+
+    // As-of join: each purchase event paired with that user's most recent
+    // click strictly before it. Spark: ranked join (window over the match
+    // set); DuckDB: native ASOF JOIN. At scale the join is equi on user_id
+    // + time-bucketed; here the per-user match set is small.
+    QDef("q_join_asof",
+      (s, d) => {
+        val e = events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("value").as("c_value"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("p_id")).orderBy(col("c_ts").desc)
+        p.join(c, col("user_id") === col("c_user") && col("c_ts") < col("p_ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("p_id"), col("user_id"),
+            unix_micros(col("p_ts")).as("p_us"),
+            unix_micros(col("c_ts")).as("click_us"),
+            round(col("c_value"), 4).as("click_value"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+        epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS click_us,
+        round(c.value, 4) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+        ORDER BY p_id"""))
+  )
+}

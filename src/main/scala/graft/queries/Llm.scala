@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.tables.Tables._
+import Q._
+
+/** LLM-training-data-pipeline operators over `documents` and `embeddings`:
+  * exact & near dedup (MinHash-LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed cosine), and text analysis (quality
+  * scoring, token counting, TF/DF statistics).
+  *
+  * Scale design: everything pair-wise is blocked — MinHash bands, SimHash
+  * prefixes, or metadata keys (source) — so candidate generation is an
+  * equi-join on a bucket key (one shuffle), never an unblocked cross join.
+  * Exact-SQL-expressible ops carry a DuckDB oracle; the hash-based ones
+  * (engine-specific hash functions) are property-tested in ScalaTest
+  * against brute-force ground truth instead.
+  */
+object Llm {
+
+  /** Non-empty whitespace tokens of `text` (codegen'd HOFs, no UDF). */
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+  private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Cosine similarity of two float-array columns, computed in double via
+    * codegen'd higher-order functions (no UDF, no custom expression needed).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+  private def cosineSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  val all: Seq[QDef] = Seq(
+
+    // ---- Deduplication -------------------------------------------------
+
+    // Exact dedup by content hash: canonical keeper (min doc_id) per text.
+    QDef("q_dedup_exact",
+      (s, d) => documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("text_md5")),
+      Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY text_md5""")),
+
+    // Dedup statistics per language: total vs distinct content.
+    QDef("q_dedup_stats",
+      (s, d) => documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_uniq"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dups"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n_docs,
+        count(DISTINCT text) AS n_uniq,
+        count(*) - count(DISTINCT text) AS n_dups
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // N-gram (token 3-shingle) Jaccard near-dup: top-20 most similar pairs
+    // within each source block. Candidate pairs come from an equi-join on
+    // shared shingles (one shuffle), never a cross join.
+    QDef("q_jaccard_pairs",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+        val shingles = docs
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(transform(
+              sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))).as("sh"))
+        val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val pairs = shingles.as("a")
+          .join(shingles.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") === col("b.source")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+          .select(col("id_a"), col("id_b"),
+            round(col("inter").cast("double") /
+              (col("sa.sz") + col("sb.sz") - col("inter")), 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some("""WITH shingles AS (
+          SELECT doc_id, source, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM (SELECT doc_id, source,
+                  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 20""")),
+
+    // MinHash + LSH near-dup candidates over token 3-shingles (unigrams are
+    // useless here: the corpus vocabulary is tiny, so every doc shares most
+    // tokens — shingles discriminate). 32 permutations via xxhash64 with
+    // per-permutation seeds, banded 8×4 → bucket equi-join. Engine hash ≠
+    // DuckDB hash, so no SQL oracle; LlmSpec verifies candidate recall
+    // against brute-force shingle-Jaccard ground truth.
+    QDef("q_minhash_lsh",
+      (s, d) => {
+        val nPerm = 32; val bands = 8; val rows = nPerm / bands
+        val docs = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))).as("tok"))
+        // minhash signature: per permutation p, min over tokens of
+        // xxhash64(tok, seed=p)
+        val minCols = (0 until nPerm).map(p =>
+          min(xxhash64(col("tok"), lit(p))).as(s"h$p"))
+        val sig = docs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        // band key = hash of the band's row minima
+        val bandCols = (0 until bands).map { b =>
+          val hs = (0 until rows).map(r => col(s"h${b * rows + r}"))
+          struct(lit(b).as("band"), xxhash64(hs: _*).as("sig")).as(s"band$b")
+        }
+        val buckets = sig.select(col("doc_id") +: bandCols: _*)
+          .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
+        buckets.as("a").join(buckets.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // SimHash document fingerprint: 64-bit majority-vote over token hash
+    // bits; near-dups have small Hamming distance. Engine-hash-specific →
+    // property-tested, no SQL oracle.
+    QDef("q_simhash",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        val bitCols = (0 until 64).map { i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"b$i")
+        }
+        val agg = docs.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        val fp = (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+        agg.select(col("doc_id"), fp.as("simhash64"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- Similarity search --------------------------------------------
+
+    // Brute-force cosine top-k: 10 query vectors × all candidates. Exact
+    // baseline for ANN; ranking on round(sim,6) with id tiebreak keeps
+    // cross-engine order stable.
+    QDef("q_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim_r").desc, col("c_id"))
+        q.join(c, col("q_id") =!= col("c_id"))
+          .withColumn("sim_r", round(cosine(col("q_emb"), col("c_emb")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("c_id"), col("sim_r"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""SELECT q_id, rn, c_id, sim_r FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            round(${cosineSql("q.embedding", "c.embedding")}, 6) AS sim_r,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(${cosineSql("q.embedding", "c.embedding")}, 6) DESC,
+                       c.vec_id) AS INT) AS rn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+          JOIN embeddings c ON q.vec_id <> c.vec_id)
+        WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // Label-blocked near-neighbor self-join: the scale path — candidates
+    // only within the same label block (equi-join), top-3 per vector.
+    QDef("q_cosine_blocked",
+      (s, d) => {
+        val e = embeddings(s, d).filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+        val w = Window.partitionBy(col("a_id"))
+          .orderBy(col("sim_r").desc, col("b_id"))
+        a.join(b, Seq("label"))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("sim_r", round(cosine(col("a_emb"), col("b_emb")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("a_id"), col("rn"), col("b_id"), col("label").cast("long").as("label"), col("sim_r"))
+          .orderBy(col("a_id"), col("rn"))
+      },
+      Some(s"""SELECT a_id, rn, b_id, label, sim_r FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            CAST(a.label AS BIGINT) AS label,
+            round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim_r,
+            CAST(row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY round(${cosineSql("a.embedding", "b.embedding")}, 6) DESC,
+                       b.vec_id) AS INT) AS rn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 200) a
+          JOIN (SELECT * FROM embeddings WHERE vec_id < 200) b
+            ON a.label = b.label AND a.vec_id <> b.vec_id)
+        WHERE rn <= 3 ORDER BY a_id, rn""")),
+
+    // Per-label embedding statistics (norms in exact-ish double, rounded).
+    QDef("q_embed_stats",
+      (s, d) => embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(davg(col("norm")), 6).as("avg_norm"),
+          round(min(col("norm")), 6).as("min_norm"),
+          round(max(col("norm")), 6).as("max_norm"))
+        .orderBy(col("label")),
+      Some(s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+        round(${sqlDavg("norm")}, 6) AS avg_norm,
+        round(min(norm), 6) AS min_norm,
+        round(max(norm), 6) AS max_norm
+        FROM (SELECT label, sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+              FROM embeddings)
+        GROUP BY label ORDER BY label""")),
+
+    // ---- Text analysis -------------------------------------------------
+
+    // Corpus statistics per (lang, source).
+    QDef("q_text_stats",
+      (s, d) => documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          davg(col("n_chars").cast("double")).as("avg_chars"),
+          sum(col("n_toks")).as("total_toks"))
+        .orderBy(col("lang"), col("source")),
+      Some(s"""SELECT lang, source, count(*) AS n_docs,
+        ${sqlDavg("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+        CAST(sum(len($tokensSql)) AS BIGINT) AS total_toks
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // Document frequency + IDF of the most common tokens.
+    QDef("q_token_df_idf",
+      (s, d) => {
+        val docs = documents(s, d)
+        // corpus size as a broadcast 1-row join, not a driver-side action
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n))
+          .select(col("tok"), col("df"),
+            round(log(col("n_docs") / col("df")), 6).as("idf"))
+          .orderBy(col("df").desc, col("tok"))
+          .limit(30)
+      },
+      Some(s"""WITH dt AS (
+          SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok FROM documents),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        SELECT tok, count(*) AS df,
+          round(ln(n.n_docs / count(*)), 6) AS idf
+        FROM dt, n GROUP BY tok, n.n_docs
+        ORDER BY df DESC, tok LIMIT 30""")),
+
+    // Per-document quality score: type-token ratio, mean token length,
+    // and a bounded length factor — the classic cheap quality heuristics.
+    QDef("q_quality_score",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"),
+          aggregate(tokens(col("text")), lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+        .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+          round(col("n_uniq").cast("double") / col("n_toks"), 6).as("ttr"),
+          round(col("tok_chars").cast("double") / col("n_toks"), 6).as("avg_tok_len"),
+          round(col("n_uniq").cast("double") / col("n_toks") * lit(0.5) +
+            least(lit(1.0), col("n_toks").cast("double") / 100.0) * lit(0.5), 6).as("quality"))
+        .orderBy(col("doc_id"))
+        .limit(600),
+      Some(s"""SELECT doc_id,
+        CAST(len($tokensSql) AS BIGINT) AS n_toks,
+        CAST(len(list_distinct($tokensSql)) AS BIGINT) AS n_uniq,
+        round(CAST(len(list_distinct($tokensSql)) AS DOUBLE) / len($tokensSql), 6) AS ttr,
+        round(CAST(list_sum(list_transform($tokensSql, t -> len(t))) AS DOUBLE)
+          / len($tokensSql), 6) AS avg_tok_len,
+        round(CAST(len(list_distinct($tokensSql)) AS DOUBLE) / len($tokensSql) * 0.5 +
+          least(1.0, CAST(len($tokensSql) AS DOUBLE) / 100.0) * 0.5, 6) AS quality
+        FROM documents ORDER BY doc_id LIMIT 600""")),
+
+    // BPE-ish token counting: regex word/punctuation pieces vs whitespace.
+    QDef("q_token_counts",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ws_toks"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("word_toks"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("punct_chars"))
+        .orderBy(col("doc_id"))
+        .limit(600),
+      Some(s"""SELECT doc_id,
+        CAST(len($tokensSql) AS BIGINT) AS ws_toks,
+        CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_toks,
+        CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars
+        FROM documents ORDER BY doc_id LIMIT 600""")),
+
+    // Language ID via per-language token profiles mined from the corpus
+    // itself (char-free n-gram heuristic): each doc votes with its tokens'
+    // majority language. Self-referential → no SQL oracle; accuracy
+    // asserted in LlmSpec.
+    QDef("q_lang_id",
+      (s, d) => {
+        val docs = documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        // token → most frequent language for it (profile)
+        val profile = tok.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("n"))
+        val wP = Window.partitionBy(col("tok")).orderBy(col("n").desc, col("lang"))
+        val tokLang = profile.withColumn("rn", row_number().over(wP))
+          .filter(col("rn") === 1)
+          .select(col("tok"), col("lang").as("tok_lang"))
+        // doc → majority vote of token languages
+        val votes = tok.select(col("doc_id"), col("lang"), col("tok"))
+          .join(tokLang, "tok")
+          .groupBy(col("doc_id"), col("lang"), col("tok_lang"))
+          .agg(count(lit(1)).as("votes"))
+        val wV = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("tok_lang"))
+        votes.withColumn("rn", row_number().over(wV))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            col("tok_lang").as("pred_lang"),
+            (col("lang") === col("tok_lang")).cast("long").as("correct"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // Rolling-hash (Rabin-Karp style) document fingerprint over chars —
+    // deterministic pure-Spark expression chain; golden-tested in LlmSpec.
+    QDef("q_doc_fingerprint",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
+            lit(0L),
+            (acc, c) => pmod(acc * 31 + c, lit(1000000007L))).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      None),
+
+    // Multimodal manifest: opaque binary payload + typed metadata struct.
+    // The decode/feature-extract path lives in graft.multimodal (stubbed
+    // codecs, real Spark plumbing); this query checks the schema + sizes.
+    QDef("q_multimodal_manifest",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("payload_bytes"),
+          col("meta.lang").as("lang"),
+          col("meta.n_chars").as("n_chars"))
+        .orderBy(col("doc_id"))
+        .limit(600),
+      Some("""SELECT doc_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
+        lang, n_chars
+        FROM documents ORDER BY doc_id LIMIT 600"""))
+  )
+}

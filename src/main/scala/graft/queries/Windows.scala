@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.tables.Tables._
+import Q._
+
+/** Window-function surface: ranking, top-k per group, lag/lead, running and
+  * sliding frames, ntile/percent_rank/cume_dist, first/last/nth value.
+  *
+  * Every window ORDER BY includes a unique tiebreaker (o_orderkey), so
+  * results are total-ordered and deterministic cross-engine. Running sums
+  * use the exact-decimal trick from [[Q]]. At scale each window is one
+  * shuffle on partitionBy keys; no global single-partition windows except
+  * q_window_ntile (explicitly global, small output).
+  */
+object Windows {
+
+  private val dec = DecimalType(30, 6)
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rnk"), col("drnk"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(rank() OVER w AS INT) AS rnk,
+            CAST(dense_rank() OVER w AS INT) AS drnk,
+            CAST(row_number() OVER w AS INT) AS rn
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE rn <= 5 ORDER BY o_custkey, rn""")),
+
+    QDef("q_window_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("c_mktsegment"), col("rn"))
+      },
+      Some("""SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    QDef("q_window_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od"),
+            col("o_totalprice"),
+            round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+            round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+            round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta"))
+          .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+          .limit(600)
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+          o_totalprice,
+          round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+          round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+          round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, od, o_orderkey LIMIT 600""")),
+
+    // Running (cumulative) sum/count — exact decimal accumulation.
+    QDef("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("run_total"),
+            count(lit(1)).over(w).as("run_n"))
+          .orderBy(col("o_custkey"), col("run_n"))
+          .limit(600)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS run_total,
+          count(*) OVER w AS run_n
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, run_n LIMIT 600""")),
+
+    // Sliding frame: 3-row moving average as exact sum / count.
+    QDef("q_window_sliding_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice").cast(dec)).over(w).cast("double") /
+              count(lit(1)).over(w), 4).as("mov_avg3"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+          .limit(600)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                / count(*) OVER w, 4) AS mov_avg3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey LIMIT 600""")),
+
+    // Global ranking distribution functions (single partition by design —
+    // output bounded; at scale use bucketed percent_rank via agg instead).
+    QDef("q_window_ntile",
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d).filter(col("o_totalprice") > 250000.0)
+          .select(col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+          CAST(ntile(4) OVER w AS INT) AS quartile,
+          round(percent_rank() OVER w, 6) AS pr,
+          round(cume_dist() OVER w, 6) AS cd
+        FROM orders WHERE o_totalprice > 250000.0
+        WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey""")),
+
+    QDef("q_window_first_last",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(wFull).as("first_price"),
+            last(col("o_totalprice")).over(wFull).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+          .limit(600)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          first_value(o_totalprice) OVER w AS first_price,
+          last_value(o_totalprice) OVER w AS last_price,
+          nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey LIMIT 600"""))
+  )
+}
