@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives over a (id, text) corpus:
+  * MinHash+LSH candidate generation and 64-bit SimHash fingerprints.
+  * Pure DataFrame transforms (codegen'd hash/HOF expressions, no UDFs),
+  * reusable from the declared queries and from tests with synthetic
+  * corpora.
+  *
+  * Scale design: candidates come from an equi-join on (band, signature)
+  * bucket keys — one shuffle proportional to corpus size, never O(n²).
+  * Probability a pair with Jaccard j collides in ≥1 of b bands of r rows:
+  * 1-(1-j^r)^b (b=8, r=4: j=0.8 → 0.986, j=0.3 → 0.063).
+  */
+object TextDedup {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** Distinct token k-shingles (k consecutive tokens joined by space). */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(-1))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Exploded (id, shingle) pairs; drops docs with fewer than k tokens. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("sid"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("sid").as(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("sh"))
+
+  /** MinHash signature + banded LSH candidate pairs (id_a < id_b).
+    * nPerm permutations simulated as xxhash64(shingle, seed=p); bands of
+    * nPerm/bands rows hashed into a bucket key.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, nPerm: Int = 32, bands: Int = 8): DataFrame = {
+    require(nPerm % bands == 0, "bands must divide nPerm")
+    val rows = nPerm / bands
+    val pairs = shingleTable(docs, idCol, textCol, shingleK)
+    val minCols = (0 until nPerm).map(p =>
+      min(xxhash64(col("sh"), lit(p))).as(s"h$p"))
+    val sig = pairs.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig")).as(s"band$b")
+    }
+    val buckets = sig.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol),
+        explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact pairwise shingle-Jaccard ≥ threshold via shingle equi-join —
+    * the ground truth MinHash approximates (O(pairs-sharing-a-shingle),
+    * use blocked/minhash variants at scale). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleK)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sizes.as("sb"), col("id_b") === col(s"sb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: majority vote of each token-hash bit. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    agg.select(col(idCol), fp.as("simhash64"))
+  }
+
+  /** Hamming distance between two simhash64 columns (bit_count of XOR). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -125,52 +125,33 @@ object Llm {
     // DuckDB hash, so no SQL oracle; LlmSpec verifies candidate recall
     // against brute-force shingle-Jaccard ground truth.
     QDef("q_minhash_lsh",
-      (s, d) => {
-        val nPerm = 32; val bands = 8; val rows = nPerm / bands
-        val docs = documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), explode(array_distinct(transform(
-            sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))).as("tok"))
-        // minhash signature: per permutation p, min over tokens of
-        // xxhash64(tok, seed=p)
-        val minCols = (0 until nPerm).map(p =>
-          min(xxhash64(col("tok"), lit(p))).as(s"h$p"))
-        val sig = docs.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-        // band key = hash of the band's row minima
-        val bandCols = (0 until bands).map { b =>
-          val hs = (0 until rows).map(r => col(s"h${b * rows + r}"))
-          struct(lit(b).as("band"), xxhash64(hs: _*).as("sig")).as(s"band$b")
-        }
-        val buckets = sig.select(col("doc_id") +: bandCols: _*)
-          .select(col("doc_id"), explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
-        buckets.as("a").join(buckets.as("b"),
-            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, d) => graft.llm.TextDedup
+        .minhashCandidates(documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b")),
       None),
 
     // SimHash document fingerprint: 64-bit majority-vote over token hash
     // bits; near-dups have small Hamming distance. Engine-hash-specific →
     // property-tested, no SQL oracle.
     QDef("q_simhash",
+      (s, d) => graft.llm.TextDedup
+        .simhash(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      None),
+
+    // Multimodal decode pipeline: binary payloads + metadata → per-asset
+    // features via a per-partition codec (stubbed byte decoder, real Spark
+    // plumbing — see graft.multimodal). Rows-only; determinism + shapes in
+    // MultimodalSpec.
+    QDef("q_multimodal_decode",
       (s, d) => {
-        val docs = documents(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-        val bitCols = (0 until 64).map { i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)).as(s"b$i")
-        }
-        val agg = docs.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        val fp = (0 until 64).map(i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-        agg.select(col("doc_id"), fp.as("simhash64"))
-          .orderBy(col("doc_id"))
+        val assets = graft.multimodal.Multimodal.manifest(s, d)
+        graft.multimodal.Multimodal
+          .decodeAll(assets, new graft.multimodal.Multimodal.StubCodec)
+          .toDF()
+          .select(col("asset_id"), col("kind"), col("n_bytes"), col("checksum"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+          .orderBy(col("asset_id"))
       },
       None),
 

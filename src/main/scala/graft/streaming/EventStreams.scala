@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event stream: the streaming
+  * twins of graft.queries.EventWindows (same logic, `readStream` input),
+  * plus watermark-governed late-data handling, streaming dedup, and
+  * custom per-key state. All transforms take a DataFrame so tests can
+  * drive them from MemoryStream and production from any source
+  * (file/rate/kinesis-shaped).
+  *
+  * Scale notes: state stores are keyed by (window/key) — partitioned by
+  * the shuffle on the grouping key; watermarks bound state size; append
+  * mode emits finalized windows only.
+  */
+object EventStreams {
+
+  /** Tumbling 1-day count/sum with a 1-hour watermark (append-safe). */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Sliding 1-day/12-hour window. */
+  def sliding12h(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+
+  /** Session windows (1-hour gap) per user. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"), col("n"),
+        col("total_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Stream-static enrichment join (static side broadcast at scale). */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        col("c_mktsegment"))
+
+  // ---- Custom state: running per-user counters (the streaming analog of
+  // the reference's threaded record count, `KinesisWriter.scala:184-194`).
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserCounter(user_id: Long, n_events: Long, total_value: Double)
+
+  /** flatMapGroupsWithState: emits an updated running counter per user on
+    * every micro-batch containing that user's events. */
+  def runningCounters(events: Dataset[EventRow]): Dataset[UserCounter] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserCounter]) => {
+          val prev = state.getOption.getOrElse(UserCounter(userId, 0L, 0.0))
+          var n = prev.n_events; var v = prev.total_value
+          rows.foreach { r => n += 1; v += r.value }
+          val next = UserCounter(userId, n, v)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+}

@@ -1,0 +1,99 @@
+package graft.kinesis
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+import scala.math.Ordering.Implicits.seqOrdering
+
+/** At-least-once sink semantics against the in-memory transport:
+  * delivery, rebuild-retry with re-routing, bounded back-off, shard
+  * spread, and the distributed DataFrame path.
+  */
+class SinkSpec extends AnyFunSuite {
+
+  private def payloads(n: Int, size: Int = 200): Seq[Array[Byte]] =
+    (0 until n).map(i => s"payload-$i-${"x" * size}".getBytes("UTF-8"))
+
+  private def receivedPayloads(k: InMemoryKinesis): Seq[Seq[Byte]] =
+    k.received.values.asScala.toSeq.flatMap(_.asScala).map { wire =>
+      AggRecordCodec.decode(wire).records.map(_.data.toSeq)
+    }.flatten
+
+  private val cfg = KinesisSinkSemantics.Config(
+    streamName = "t", backoffMillis = 1, maxAggSize = 20000, maxLastSize = 2000)
+
+  test("clean path: every payload delivered exactly once, count correct") {
+    val k = new InMemoryKinesis(numShards = 4)
+    val ehks = ShardModel.explicitHashKeys("t", k)
+    val in = payloads(500)
+    val n = KinesisSinkSemantics.writePartition(in.iterator, k, ehks, cfg)
+    assert(n == 500)
+    assert(receivedPayloads(k).sorted == in.map(_.toSeq).sorted)
+  }
+
+  test("shard listing paginates and midpoints land inside each range") {
+    val k = new InMemoryKinesis(numShards = 5)
+    val shards = ShardModel.allShards("t", k)
+    assert(shards.size == 5)
+    val ehks = ShardModel.explicitHashKeys("t", k)
+    assert(ehks.length == 5)
+    ehks.zip(shards).foreach { case (e, s) =>
+      val v = new java.math.BigInteger(e)
+      assert(v.compareTo(new java.math.BigInteger(s.startingHashKey)) >= 0)
+      assert(v.compareTo(new java.math.BigInteger(s.endingHashKey)) <= 0)
+    }
+  }
+
+  test("injected failures: rebuild-retry still delivers everything") {
+    val k = new InMemoryKinesis(numShards = 4, failEvery = 3)
+    val ehks = ShardModel.explicitHashKeys("t", k)
+    val in = payloads(800)
+    val n = KinesisSinkSemantics.writePartition(in.iterator, k, ehks, cfg)
+    assert(n == 800)
+    // every payload arrives exactly once: a failed PutRecords delivers
+    // nothing, the rebuilt aggregate carries the full shadow batch
+    assert(receivedPayloads(k).sorted == in.map(_.toSeq).sorted)
+  }
+
+  test("permanent failure: bounded retries then gives up (no reference infinite loop)") {
+    val alwaysFail = new PutRecordsTransport {
+      override def putRecords(s: String, e: Seq[PutEntry]): PutResult =
+        PutResult(e.size, Seq.empty)
+    }
+    val router = new ShardModel.Router(Array("1", "2"), 1L)
+    val b = new AggRecordCodec.Builder
+    assert(b.add("a", Some("1"), Array[Byte](1, 2)))
+    val batch = PackedBatch(b.clearAndGet().get, IndexedSeq(Array[Byte](1, 2)), "1")
+    val ex = intercept[IllegalStateException] {
+      KinesisSinkSemantics.sendWithRetry(batch, alwaysFail, router,
+        cfg.copy(maxRetries = 3))
+    }
+    assert(ex.getMessage.contains("after 3 retries"))
+  }
+
+  test("router spreads batches across shards") {
+    val ehks = ShardModel.evenRanges(8).map { case (lo, hi) =>
+      lo.add(hi.subtract(lo).divide(java.math.BigInteger.TWO)).toString
+    }.toArray
+    val distinctFirstDraws = (0 until 16)
+      .map(pid => new ShardModel.Router(ehks, 42L + pid).next()).distinct
+    assert(distinctFirstDraws.size >= 4,
+      "adjacent-seed routers must not all pick the same shard")
+    val r = new ShardModel.Router(ehks, 42L)
+    val spread = (0 until 200).map(_ => r.next()).distinct
+    assert(spread.size == 8)
+  }
+
+  test("distributed DataFrame write: all rows delivered via mapPartitions") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val k = new InMemoryKinesis(numShards = 4)
+    val df = (0 until 2000).map(i => s"row-$i").toDF("s")
+      .select(org.apache.spark.sql.functions.col("s").cast("binary").as("payload"))
+      .repartition(6)
+    val n = KinesisSinkSemantics.write(df, "payload", k, k,
+      cfg.copy(streamName = "dist"))
+    assert(n == 2000)
+    assert(receivedPayloads(k).size == 2000)
+    assert(k.received.keySet.asScala.size >= 2, "expect multiple shards hit")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** MinHash-LSH recall vs brute-force Jaccard ground truth, SimHash
+  * locality, shingle construction — on a synthetic corpus with planted
+  * near-duplicates. */
+class TextDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic corpus: 40 base docs of 60 tokens from a 500-word
+  // vocabulary + planted near-dups (2 token edits ⇒ shingle-jaccard ≈ .85)
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 500).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = (0 until 10).map { i =>
+      val (id, text) = base(i)
+      val toks = text.split(" ")
+      toks(5) = "edited"; toks(40) = "tokens"
+      (100L + id, toks.mkString(" "))
+    }
+    val exactDups = Seq((200L, base(20)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("shingles: k consecutive tokens, distinct") {
+    val got = Seq(("a b c d e", 1)).toDF("text", "x")
+      .select(TextDedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("exact jaccard ground truth finds the planted near-dups") {
+    val pairs = TextDedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSeq
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet + ((20L, 200L))
+    assert(planted.subsetOf(pairs.map(p => (p._1, p._2)).toSet))
+  }
+
+  test("minhash-LSH candidates achieve full recall on jaccard ≥ 0.8 pairs") {
+    val truth = TextDedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val cands = TextDedup.minhashCandidates(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(cands),
+      s"missed: ${truth -- cands}")
+    // and not a trivial all-pairs blowup on a random corpus
+    assert(cands.size < 51 * 50 / 4)
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated") {
+    val fp = TextDedup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(20L) == fp(200L)) // exact dup
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    val nearDist = (0 until 10).map(i => ham(i.toLong, 100L + i))
+    val farDist = (0 until 10).map(i => ham(i.toLong, (i + 15).toLong))
+    assert(nearDist.max < 16, s"near-dup hamming too high: $nearDist")
+    assert(nearDist.sum < farDist.sum,
+      s"near $nearDist should beat far $farDist")
+  }
+
+  test("declared corpus queries run: lang-id beats chance, fingerprints stable") {
+    val langAcc = graft.SparkEntry.queries("q_lang_id")(spark, TestSpark.sf0001)
+      .agg(avg(col("correct"))).as[Double].head()
+    assert(langAcc > 0.3, s"lang-id accuracy $langAcc not above chance (0.2)")
+    val fp1 = graft.SparkEntry.queries("q_doc_fingerprint")(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().toSeq
+    val fp2 = graft.SparkEntry.queries("q_doc_fingerprint")(spark, TestSpark.sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(fp1 == fp2 && fp1.size == 500)
+  }
+}

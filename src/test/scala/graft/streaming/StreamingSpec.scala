@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.streaming.EventStreams.EventRow
+
+/** Deterministic replay tests for the Structured Streaming operators
+  * (SURVEY §5.2.4): event-time windows, watermark late-data drop,
+  * streaming dedup, custom state, and the foreachBatch Kinesis sink.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(day: Int, hour: Int = 0, min: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$min%02d:00")
+
+  private def row(id: Long, t: Timestamp, user: Long = 1L,
+      typ: String = "click", v: Double = 1.0): EventRow =
+    EventRow(id, t, user, typ, v)
+
+  private def runQuery(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode, adds: Seq[() => Unit]): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try adds.foreach { add => add(); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window aggregates by event-time day") {
+    import spark.implicits._
+    val mem = MemoryStream[EventRow](spark)
+    val out = runQuery(
+      EventStreams.tumblingDaily(mem.toDF()), "t_tumble", OutputMode.Complete,
+      Seq(() => mem.addData(
+        row(1, ts(1, 1)), row(2, ts(1, 5), v = 2.0), row(3, ts(2, 3), v = 5.0))))
+    val got = out.select(date_format(col("win_start"), "yyyy-MM-dd").as("d"),
+        col("n"), col("total_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("2024-01-01", 2L, 3.0), ("2024-01-02", 1L, 5.0)))
+  }
+
+  test("watermark drops events later than 1 hour behind the max") {
+    import spark.implicits._
+    val mem = MemoryStream[EventRow](spark)
+    val agg = EventStreams.tumblingDaily(mem.toDF())
+    val out = runQuery(agg, "t_late", OutputMode.Append, Seq(
+      () => mem.addData(row(1, ts(1, 2)), row(2, ts(1, 10))),
+      // advance watermark far past day 1's window end
+      () => mem.addData(row(3, ts(5, 12))),
+      // this day-1 event is now > 1h late: must be dropped
+      () => mem.addData(row(4, ts(1, 4), v = 100.0))))
+    val day1 = out.filter(date_format(col("win_start"), "yyyy-MM-dd") === "2024-01-01")
+      .select(col("n"), col("total_value")).as[(Long, Double)].collect().toSeq
+    assert(day1 == Seq((2L, 2.0)), s"late event leaked into $day1")
+  }
+
+  test("session windows split on 1-hour gaps per user") {
+    import spark.implicits._
+    val mem = MemoryStream[EventRow](spark)
+    val out = runQuery(
+      EventStreams.sessionize(mem.toDF()), "t_sess", OutputMode.Complete,
+      Seq(() => mem.addData(
+        row(1, ts(1, 1, 0)), row(2, ts(1, 1, 30)), // session A (gap < 1h)
+        row(3, ts(1, 3, 0)),                       // session B (1.5h gap)
+        row(4, ts(1, 1, 10), user = 2L))))         // other user
+    val got = out.select(col("user_id"), col("n")).as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L)).sorted)
+  }
+
+  test("streaming dedup keeps first occurrence of event_id") {
+    import spark.implicits._
+    val mem = MemoryStream[EventRow](spark)
+    val out = runQuery(
+      EventStreams.dedup(mem.toDF()), "t_dedup", OutputMode.Append, Seq(
+        () => mem.addData(row(1, ts(1, 1)), row(2, ts(1, 2))),
+        () => mem.addData(row(1, ts(1, 1)), row(3, ts(1, 3)))))
+    assert(out.select(col("event_id")).as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(out.count() == 3)
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counters across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[EventRow](spark)
+    val out = runQuery(
+      EventStreams.runningCounters(mem.toDS()).toDF(), "t_state", OutputMode.Update,
+      Seq(
+        () => mem.addData(row(1, ts(1), user = 1, v = 2.0), row(2, ts(1), user = 2, v = 3.0)),
+        () => mem.addData(row(3, ts(2), user = 1, v = 5.0))))
+    // last emitted state per user
+    val last = out.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("total_value")).as("v"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(last == Set((1L, 2L, 7.0), (2L, 1L, 3.0)))
+  }
+
+  test("stream-static join enriches events with the customer dim") {
+    import spark.implicits._
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[EventRow](spark)
+    val out = runQuery(
+      EventStreams.enrich(mem.toDF(), customers), "t_enrich", OutputMode.Append,
+      Seq(() => mem.addData(row(1, ts(1), user = 1), row(2, ts(1), user = 2),
+        row(3, ts(1), user = 9))))
+    val got = out.select(col("event_id"), col("c_mktsegment"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "BUILDING"), (2L, "MACHINERY"))) // user 9 has no dim row
+  }
+
+  test("foreachBatch drives the Kinesis-semantics sink from a stream") {
+    import spark.implicits._
+    import graft.kinesis._
+    val k = new InMemoryKinesis(numShards = 2)
+    val cfg = KinesisSinkSemantics.Config("stream-sink", backoffMillis = 1,
+      maxAggSize = 5000, maxLastSize = 500)
+    val mem = MemoryStream[String](spark)
+    val q = mem.toDF().select(col("value").cast("binary").as("payload"))
+      .writeStream
+      .foreachBatch(KinesisSinkSemantics.foreachBatch("payload", k, k, cfg))
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      mem.addData((0 until 300).map(i => s"msg-$i"): _*)
+      q.processAllAvailable()
+      mem.addData((300 until 400).map(i => s"msg-$i"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val delivered = k.received.values.asScala.flatMap(_.asScala)
+      .flatMap(w => AggRecordCodec.decode(w).records.map(r => new String(r.data, "UTF-8")))
+      .toSet
+    assert(delivered == (0 until 400).map(i => s"msg-$i").toSet)
+  }
+}
