@@ -25,9 +25,10 @@ object Llm {
     filter(split(c, " "), t => t =!= "")
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
-  /** Cosine similarity of two float-array columns, computed in double via
-    * codegen'd higher-order functions (no UDF, no custom expression needed).
-    */
+  /** Cosine similarity via higher-order functions — the reference
+    * formulation the native expression is checked against (LlmSpec).
+    * Queries use [[graft.functions.VectorFunctions.vec_cosine]], a custom
+    * codegen'd Catalyst expression with identical arithmetic (§4.2). */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -169,7 +170,8 @@ object Llm {
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("sim_r").desc, col("c_id"))
         q.join(c, col("q_id") =!= col("c_id"))
-          .withColumn("sim_r", round(cosine(col("q_emb"), col("c_emb")), 6))
+          .withColumn("sim_r", round(
+            graft.functions.VectorFunctions.vec_cosine(col("q_emb"), col("c_emb")), 6))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("rn"), col("c_id"), col("sim_r"))
@@ -196,7 +198,8 @@ object Llm {
           .orderBy(col("sim_r").desc, col("b_id"))
         a.join(b, Seq("label"))
           .filter(col("a_id") =!= col("b_id"))
-          .withColumn("sim_r", round(cosine(col("a_emb"), col("b_emb")), 6))
+          .withColumn("sim_r", round(
+            graft.functions.VectorFunctions.vec_cosine(col("a_emb"), col("b_emb")), 6))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("a_id"), col("rn"), col("b_id"), col("label").cast("long").as("label"), col("sim_r"))

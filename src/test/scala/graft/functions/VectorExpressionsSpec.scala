@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The native codegen'd expressions must match the HOF formulation
+  * bit-for-bit (same sequential double accumulation), in both codegen and
+  * interpreted paths, and register for SQL use. */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hofCosine = graft.queries.Llm.cosine _
+
+  private lazy val pairs = {
+    val e = graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
+    e.select(col("vec_id").as("a_id"), col("embedding").as("a")).limit(40)
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")).limit(40))
+  }
+
+  test("vec_cosine equals the HOF cosine bit-for-bit") {
+    val diff = pairs
+      .select(VectorFunctions.vec_cosine(col("a"), col("b")).as("native"),
+        hofCosine(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("vec_dot equals the HOF dot bit-for-bit") {
+    val hofDot = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val diff = pairs
+      .select(VectorFunctions.vec_dot(col("a"), col("b")).as("native"),
+        hofDot.as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("interpreted path matches codegen (eval directly)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Literal.create(ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f)), ArrayType(FloatType))
+    val b = Literal.create(ArrayData.toArrayData(Array(4.0f, 5.0f, 6.0f)), ArrayType(FloatType))
+    assert(DotProduct(a, b).eval(null) == (4.0 + 10.0 + 18.0))
+    val cos = CosineSimilarity(a, b).eval(null).asInstanceOf[Double]
+    assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-15)
+  }
+
+  test("SQL registration: vec_cosine usable from spark.sql") {
+    VectorFunctions.register(spark)
+    graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
+      .limit(10).createOrReplaceTempView("emb_test")
+    val n = spark.sql(
+      """SELECT a.vec_id, vec_cosine(a.embedding, b.embedding) AS c,
+         vec_dot(a.embedding, b.embedding) AS d
+         FROM emb_test a JOIN emb_test b ON a.vec_id < b.vec_id""").count()
+    assert(n == 45)
+  }
+}
