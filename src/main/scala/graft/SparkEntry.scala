@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, grouped by module. */
   val defs: Seq[QDef] =
     Aggregates.all ++ Scalars.all ++ Joins.all ++ Windows.all ++
-      SetOps.all ++ EventWindows.all ++ Llm.all ++ KinesisQueries.all
+      SetOps.all ++ EventWindows.all ++ Llm.all ++ KinesisQueries.all ++
+      Extras.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import Q._
+
+/** Second-wave surface: map functions, SQL-parser entry points (scalar /
+  * IN subqueries, grouping sets), pivot, posexplode, numeric RANGE frames.
+  * The spark.sql queries register per-call temp views (cheap: catalog
+  * metadata only) and exercise the parser→analyzer path end-to-end.
+  */
+object Extras {
+
+  private def viewed(s: org.apache.spark.sql.SparkSession, d: String,
+      names: String*): Unit =
+    names.foreach(n => table(s, d, n).createOrReplaceTempView(n))
+
+  val all: Seq[QDef] = Seq(
+
+    QDef("q_map_funs",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+            lit("user"), col("user_id").cast("string")).as("m"))
+        .select(col("event_id"),
+          map_keys(col("m")).as("keys"),
+          map_values(col("m")).as("vals"),
+          element_at(col("m"), "type").as("type_val"),
+          element_at(col("m"), "user").as("user_val"))
+        .orderBy(col("event_id"))
+        .limit(400),
+      Some("""SELECT event_id, map_keys(m) AS keys, map_values(m) AS vals,
+        m['type'][1] AS type_val, m['user'][1] AS user_val
+        FROM (SELECT event_id,
+                map(['type','user'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+              FROM events)
+        ORDER BY event_id LIMIT 400""")),
+
+    // TPC-H Q6-style revenue-change: the SQL-parser path (spark.sql over
+    // temp views) with an exact single-row decimal aggregate.
+    QDef("q_sql_q6_forecast",
+      (s, d) => {
+        viewed(s, d, "lineitem")
+        s.sql(s"""SELECT ${sqlDsumSpark("l_extendedprice * l_discount")} AS revenue,
+          count(*) AS n
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_discount BETWEEN 0.05 AND 0.07
+            AND l_quantity < 24.0""")
+      },
+      Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue,
+        count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24.0""")),
+
+    QDef("q_agg_grouping_sets",
+      (s, d) => {
+        viewed(s, d, "lineitem")
+        s.sql(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          coalesce(l_linestatus, 'ALL') AS ls,
+          ${sqlDsumSpark("l_quantity")} AS sum_qty, count(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY rf, ls""")
+      },
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        coalesce(l_linestatus, 'ALL') AS ls,
+        ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY rf, ls""")),
+
+    // Scalar subquery: orders at more than twice the global average price.
+    QDef("q_scalar_subquery",
+      (s, d) => {
+        viewed(s, d, "orders")
+        s.sql("""SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+          ORDER BY o_orderkey LIMIT 300""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey LIMIT 300""")),
+
+    // IN-subquery (plans as a left-semi join).
+    QDef("q_in_subquery",
+      (s, d) => {
+        viewed(s, d, "orders", "customer")
+        s.sql("""SELECT o_orderkey, o_custkey
+          FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'MACHINERY')
+            AND o_totalprice > 200000.0
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'MACHINERY')
+          AND o_totalprice > 200000.0
+        ORDER BY o_orderkey""")),
+
+    // Pivot: per-user event-type counts as columns.
+    QDef("q_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = events(s, d).groupBy(col("user_id"))
+          .pivot("event_type", types).agg(count(lit(1)))
+        p.select(col("user_id") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+        coalesce("click", 0) AS click, coalesce("error", 0) AS error,
+        coalesce("purchase", 0) AS purchase, coalesce("signup", 0) AS signup,
+        coalesce("view", 0) AS view
+        FROM (SELECT user_id, event_type FROM events)
+        PIVOT (count(*) FOR event_type IN ('click','error','purchase','signup','view'))
+        ORDER BY user_id""")),
+
+    // posexplode: tokens with their 0-based position.
+    QDef("q_posexplode",
+      (s, d) => documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), " "), t => t =!= "")))
+        .withColumnRenamed("pos", "tok_pos").withColumnRenamed("col", "tok")
+        .select(col("doc_id"), col("tok_pos").cast("long").as("tok_pos"), col("tok"))
+        .orderBy(col("doc_id"), col("tok_pos")),
+      Some("""SELECT doc_id,
+        unnest(range(0, len(toks))) AS tok_pos,
+        unnest(toks) AS tok
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < 20)
+        ORDER BY doc_id, tok_pos""")),
+
+    // Numeric RANGE frame: count + exact sum of orders within 20000 of the
+    // current price, per customer.
+    QDef("q_window_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-20000L, 0L)
+        orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_near"))
+          .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+          .limit(600)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+            RANGE BETWEEN 20000 PRECEDING AND CURRENT ROW) AS n_near
+        FROM orders
+        ORDER BY o_custkey, o_totalprice, o_orderkey LIMIT 600"""))
+  )
+
+  /** Spark-SQL-dialect spelling of Q.sqlDsum (CAST…DECIMAL(30,6) sum). */
+  private def sqlDsumSpark(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+}
