@@ -164,4 +164,54 @@ object Extras {
   /** Spark-SQL-dialect spelling of Q.sqlDsum (CAST…DECIMAL(30,6) sum). */
   private def sqlDsumSpark(e: String): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+
+  val all2: Seq[QDef] = Seq(
+
+    // Custom typed Aggregator (udaf): PutRecords-call estimate per
+    // supplier from serialized row sizes, 1MB budget.
+    QDef("q_custom_agg_batches",
+      (s, d) => lineitem(s, d)
+        .select(col("l_suppkey"),
+          length(concat_ws("|", col("l_orderkey"), col("l_partkey"),
+            col("l_quantity"), col("l_extendedprice"))).cast("long").as("sz"))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          graft.functions.BatchCountAggregator
+            .batch_count(col("sz"), 1000000L).as("n_batches"),
+          sum(col("sz")).as("total_bytes"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_suppkey")),
+      Some("""SELECT l_suppkey,
+        greatest(1, CAST(ceil(CAST(sum(sz) AS DOUBLE) / 1000000.0) AS BIGINT)) AS n_batches,
+        CAST(sum(sz) AS BIGINT) AS total_bytes, count(*) AS n_rows
+        FROM (SELECT l_suppkey,
+                length(concat_ws('|', l_orderkey, l_partkey, l_quantity,
+                                 l_extendedprice)) AS sz
+              FROM lineitem)
+        GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
+    // Null-safe semantics: <=> (IS NOT DISTINCT FROM), nvl/nvl2, nulls in
+    // aggregates vs counts.
+    QDef("q_null_handling",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("st"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"),
+          (col("st") <=> lit("F")).cast("long").as("eq_f"),
+          (col("st") <=> lit(null)).cast("long").as("is_null"),
+          coalesce(col("st"), lit("PENDING")).as("st_filled"),
+          when(col("st").isNull, round(col("o_totalprice"), 0))
+            .otherwise(lit(null)).as("pending_price"))
+        .orderBy(col("o_orderkey"))
+        .limit(500),
+      Some("""SELECT o_orderkey,
+        CAST(st IS NOT DISTINCT FROM 'F' AS BIGINT) AS eq_f,
+        CAST(st IS NOT DISTINCT FROM NULL AS BIGINT) AS is_null,
+        coalesce(st, 'PENDING') AS st_filled,
+        CASE WHEN st IS NULL THEN round(o_totalprice, 0) END AS pending_price
+        FROM (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
+              FROM orders)
+        ORDER BY o_orderkey LIMIT 500"""))
+  )
 }
