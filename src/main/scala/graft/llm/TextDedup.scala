@@ -81,8 +81,17 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per document: majority vote of each token-hash bit. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash per document: majority vote of each token-hash bit —
+    * a pure projection via the codegen'd [[graft.functions.SimHash64]]
+    * expression (no explode, no shuffle: map-only at any scale). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.SimHash64.simhash64(tokens(col(textCol))).as("simhash64"))
+
+  /** The relational formulation of [[simhash]] (explode → xxhash64 →
+    * 64 bit-sums → pack). Kept as the differential-testing oracle for the
+    * expression; identical output, one shuffle more expensive. */
+  def simhashRelational(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
     val bitCols = (0 until 64).map { i =>

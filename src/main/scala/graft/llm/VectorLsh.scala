@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+
+/** Approximate nearest-neighbor search over an embedding column via
+  * random-hyperplane (sign) LSH — the scale path next to the brute-force
+  * baseline: candidates come from an equi-join on bucket keys, so cost is
+  * O(rows·tables + collisions), never O(n²).
+  *
+  * Hyperplanes are deterministic (seeded Gaussian), embedded as literal
+  * arrays; the b sign bits of x·plane_j form the bucket id. For unit-ish
+  * vectors, P(same bit) = 1 − θ/π per plane, so cosine-close vectors
+  * collide with high probability; `tables` independent bucketings raise
+  * recall exponentially.
+  */
+object VectorLsh {
+
+  /** Deterministic Gaussian hyperplanes: tables × bits × dim. */
+  private def planes(dim: Int, bits: Int, tables: Int, seed: Long): Seq[Seq[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  /** (id, table, bucket) rows: one bucket id per hash table. */
+  def buckets(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, bits, tables, seed)
+    val bucketCols = ps.zipWithIndex.map { case (tablePlanes, t) =>
+      val bucket = tablePlanes.zipWithIndex.map { case (p, j) =>
+        val lp = lit(p) // literal array<float>
+        when(vec_dot(col(vecCol), lp) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+      struct(lit(t).as("t"), bucket.as("b")).as(s"bk$t")
+    }
+    vecs.select(col(idCol) +: bucketCols: _*)
+      .select(col(idCol), explode(array(ps.indices.map(t => col(s"bk$t")): _*)).as("bk"))
+  }
+
+  /** Top-k approximate cosine neighbors per query vector. Exact cosine is
+    * evaluated only on bucket-colliding candidate pairs. */
+  def topkApprox(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val b = buckets(vecs, idCol, vecCol, dim, bits, tables, seed)
+    val cands = b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("q_id"), col(s"b.$idCol").as("c_id"))
+      .distinct()
+    val v = vecs.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    cands
+      .join(v.select(col(idCol).as("q_id"), col(vecCol).as("qv")), "q_id")
+      .join(v.select(col(idCol).as("c_id"), col(vecCol).as("cv")), "c_id")
+      .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
+  }
+}

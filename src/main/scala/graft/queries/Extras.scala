@@ -190,6 +190,21 @@ object Extras {
               FROM lineitem)
         GROUP BY l_suppkey ORDER BY l_suppkey""")),
 
+    // Unpivot (melt): wide metric columns → long (metric, value) rows.
+    QDef("q_unpivot",
+      (s, d) => part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "metric", "val")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some("""SELECT p_partkey, metric, val FROM (
+          SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+                 p_retailprice AS retailprice FROM part)
+        UNPIVOT (val FOR metric IN (size, retailprice))
+        ORDER BY p_partkey, metric""")),
+
     // Null-safe semantics: <=> (IS NOT DISTINCT FROM), nvl/nvl2, nulls in
     // aggregates vs counts.
     QDef("q_null_handling",

@@ -217,6 +217,15 @@ object Llm {
             ON a.label = b.label AND a.vec_id <> b.vec_id)
         WHERE rn <= 3 ORDER BY a_id, rn""")),
 
+    // Random-hyperplane LSH ANN — the similarity-search scale path:
+    // bucket equi-join candidates, exact cosine only on collisions.
+    // Recall vs the brute-force baseline asserted in VectorLshSpec.
+    QDef("q_cosine_lsh",
+      (s, d) => graft.llm.VectorLsh
+        .topkApprox(embeddings(s, d), "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rn")),
+      None),
+
     // Per-label embedding statistics (norms in exact-ish double, rounded).
     QDef("q_embed_stats",
       (s, d) => embeddings(s, d)

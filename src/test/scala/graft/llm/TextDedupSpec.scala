@@ -56,6 +56,14 @@ class TextDedupSpec extends AnyFunSuite {
     assert(cands.size < 51 * 50 / 4)
   }
 
+  test("simhash expression matches the relational formulation exactly") {
+    val a = TextDedup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val b = TextDedup.simhashRelational(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("simhash: identical docs equal; near-dups closer than unrelated") {
     val fp = TextDedup.simhash(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.VectorFunctions.vec_cosine
+
+/** Random-hyperplane LSH: recall of true top-1 neighbors vs brute force
+  * on the real embeddings table. */
+class VectorLshSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Note: the synthetic embeddings are unclustered, so a "true NN" is only
+  // cosine ≈ 0.3 away — per-plane agreement ≈ 0.6. Short hashes + several
+  // tables are the right operating point for that regime (at 0.8+ cosine,
+  // longer hashes work: p_bit ≈ 0.9).
+  test("ANN top-5 finds most true top-1 neighbors (recall ≥ 0.5)") {
+    val e = graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(col("vec_id") < 200).cache()
+    // brute-force true nearest neighbor per vector
+    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val b = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val truth = a.join(b, col("q_id") =!= col("c_id"))
+      .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("true_nn"))
+    val approx = VectorLsh.topkApprox(e, "vec_id", "embedding", k = 5,
+        bits = 4, tables = 8)
+      .select(col("q_id"), col("c_id"))
+    val hits = truth.join(approx,
+      truth("q_id") === approx("q_id") && col("true_nn") === col("c_id"))
+    val recall = hits.count().toDouble / truth.count()
+    assert(recall >= 0.5, s"ANN recall $recall too low")
+  }
+
+  test("bucket join produces far fewer candidate pairs than n²") {
+    val e = graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
+    val n = e.count()
+    val cands = VectorLsh.buckets(e, "vec_id", "embedding").as("a")
+      .join(VectorLsh.buckets(e, "vec_id", "embedding").as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    assert(cands < n * n / 8, s"$cands candidates of ${n * n} possible")
+  }
+}
