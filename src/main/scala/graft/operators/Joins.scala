@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable distributed join operators beyond the built-in join types:
+  * as-of joins and salt-based skew mitigation.
+  */
+object Joins {
+
+  /** As-of join: for each left row (identified by the unique `leftId`),
+    * the single right row with the largest `rightTime` ≤ (or <, when
+    * `strict`) `leftTime` within the same `keys` group — composed from an
+    * equi-join + ranked window (SURVEY §7.2: built-ins express this; no
+    * custom SparkPlan needed). `tolerance` optionally bounds how far back
+    * a match may reach, which also bounds the per-key match set at scale.
+    *
+    * Scale: both the join and the window shuffle on the same key space;
+    * `tieBreak` must totally order the right side for determinism.
+    */
+  def asof(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftId: Column, leftTime: Column, rightTime: Column, tieBreak: Column,
+      strict: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame = {
+    val timeCond = if (strict) rightTime < leftTime else rightTime <= leftTime
+    val cond = keys.map(k => left(k) === right(k))
+      .reduceOption(_ && _).map(_ && timeCond).getOrElse(timeCond)
+    val condTol = tolerance.map(t => cond && rightTime >= leftTime - t).getOrElse(cond)
+    val w = Window.partitionBy(leftId).orderBy(rightTime.desc, tieBreak)
+    left.join(right, condTol, "inner")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Skew-mitigating equi-join: scatter each left row to one of `salt`
+    * sub-keys and replicate every right row to all of them, so a hot key
+    * spreads over `salt` reduce partitions instead of hot-spotting one.
+    * Result is identical to `left.join(right, key)` (inner). Use for
+    * deterministic layout control where AQE skew handling can't reach
+    * (e.g. a skewed aggregate feeding a non-AQE stage).
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+      salt: Int = 8): DataFrame = {
+    require(salt > 1, "salt must spread keys")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** as-of correctness vs a hand-computed answer; salted join equivalence
+  * to the plain join; bucketed join planning without a shuffle. */
+class JoinsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof picks the latest right row before each left row") {
+    val quotes = Seq( // (sym, t, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("sym", "qt", "px")
+    val trades = Seq( // (id, sym, t)
+      (1L, "A", 25L), (2L, "A", 30L), (3L, "B", 14L), (4L, "B", 99L))
+      .toDF("id", "sym", "tt")
+    val keyed = Joins.asof(trades, quotes, Seq("sym"), col("id"), col("tt"),
+        col("qt"), col("px"))
+      .select(col("id"), col("px")).as[(Long, Double)].collect().toMap
+    assert(keyed == Map(1L -> 2.0, 2L -> 2.0, 4L -> 9.0)) // id 3: no quote < 14
+  }
+
+  test("asof tolerance bounds the lookback") {
+    val quotes = Seq(("A", 10L, 1.0), ("A", 90L, 9.0)).toDF("sym", "qt", "px")
+    val trades = Seq((1L, "A", 100L), (2L, "A", 50L)).toDF("id", "sym", "tt")
+    val got = Joins.asof(trades, quotes, Seq("sym"), col("id"), col("tt"),
+        col("qt"), col("px"), tolerance = Some(lit(20L)))
+      .select(col("id"), col("px")).as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 9.0)) // trade 2's only quote is 40 ticks back
+  }
+
+  test("salted join returns exactly the plain join's rows under skew") {
+    val skewedLeft = (0 until 5000).map(i =>
+      (if (i % 10 == 0) 1L else i.toLong % 97, i.toLong)).toDF("k", "v")
+    val right = (0L until 97L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = skewedLeft.join(right, "k")
+      .select(col("v"), col("name")).as[(Long, String)].collect().sorted.toSeq
+    val salted = Joins.saltedEquiJoin(skewedLeft, right, "k")
+      .select(col("v"), col("name")).as[(Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with zero Exchange") {
+    import graft.tables.{Bucketing, Tables}
+    val l = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(l, "b_lineitem", "l_orderkey", 8)
+    Bucketing.writeBucketed(o, "b_orders", "l_orderkey", 8)
+    val joined = Bucketing.bucketedJoin(spark, "b_lineitem", "b_orders", "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+    assert(joined.count() == l.join(o, "l_orderkey").count())
+  }
+}
