@@ -6,16 +6,18 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * functions into any session via
+  * functions and planner strategy into any session via
   * `spark.sql.extensions=graft.GraftExtensions` (or
-  * `.withExtensions(new GraftExtensions)`), so `vec_dot`/`vec_cosine`
-  * resolve in plain SQL on clusters that load the library jar.
-  * (No optimizer rules are injected — SURVEY §4.2: Catalyst's existing
-  * rules cover this engine's surface; this is the hook where a blocking
-  * rewrite for unblocked similarity joins would land if ever needed.)
+  * `.withExtensions(new GraftExtensions)`): `vec_dot`/`vec_cosine` for
+  * SQL, and the AsOfJoin strategy so the native as-of plan node resolves
+  * on clusters that load the library jar. (No optimizer rules — SURVEY
+  * §4.2: Catalyst's existing rules cover the declarative surface; this
+  * is the hook where a blocking rewrite for unblocked similarity joins
+  * would land if ever needed.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -35,6 +35,39 @@ object Joins {
       .drop("__rn")
   }
 
+  /** As-of join on the native plan node ([[graft.plans.AsOfJoinExec]]):
+    * same semantics as [[asof]] but executed as a co-partitioned sorted
+    * merge — O(n+m) per partition, one buffered right row of state, no
+    * pair materialization and no window exchange. Inner semantics
+    * (unmatched left rows drop); output = left columns ++ right columns.
+    * Time columns must be non-null TimestampType/LongType.
+    */
+  def asofNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      strict: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias the right side so a self-join gets fresh attribute ids —
+    // DeduplicateRelations doesn't visit custom logical nodes.
+    val rPlan = right
+      .select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val plan = graft.plans.AsOfJoin(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), strict)
+    // drop the right-side key duplicates (standard as-of output shape)
+    val keep = lPlan.output ++ rPlan.output.filterNot(a => keys.contains(a.name))
+    org.apache.spark.sql.GraftBridge.ofRows(spark, plan)
+      .select(keep.map(a =>
+        org.apache.spark.sql.GraftBridge.toColumn(a)).toIndexedSeq: _*)
+  }
+
   /** Skew-mitigating equi-join: scatter each left row to one of `salt`
     * sub-keys and replicate every right row to all of them, so a hot key
     * spreads over `salt` reduce partitions instead of hot-spotting one.

@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** As-of join as a first-class plan node (SURVEY §7.2 extension path (c)):
+  * for every left row, the latest right row with `rightTime` < (or ≤)
+  * `leftTime` in the same key group.
+  *
+  * The composed formulation (equi-join on keys + row_number window)
+  * materializes EVERY (left, right-before-it) pair before ranking —
+  * O(n·m) per key group in shuffle and state. This operator instead
+  * demands both children hash-clustered on the keys and sorted by
+  * (keys, time), then performs a single forward merge per partition:
+  * O(n+m) work, O(1) state (one buffered right row), no window exchange.
+  * At 100 TB that is the difference between a quadratic-in-group-size
+  * shuffle and two co-partitioned sorted scans.
+  */
+final case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    strict: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
+    copy(left = l, right = r)
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    strict: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val lOut = left.output; val rOut = right.output
+    val isStrict = strict
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys.map(BindReferences.bindReference(_, lOut)))
+      val rKeyProj = UnsafeProjection.create(rKeys.map(BindReferences.bindReference(_, rOut)))
+      val lTimeBound = BindReferences.bindReference(lTime, lOut)
+      val rTimeBound = BindReferences.bindReference(rTime, rOut)
+      val keyTypes = lKeys.map(_.dataType)
+      val keyOrd: Ordering[InternalRow] =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(keyTypes)
+      def timeOf(e: Expression, row: InternalRow): Long =
+        e.eval(row).asInstanceOf[Long]
+
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private var rHead: InternalRow = _
+        private var rHeadKey: InternalRow = _
+        private var lastValid: InternalRow = _   // latest right row ≤/< current left time
+        private var lastValidKey: InternalRow = _
+        private var nextOut: InternalRow = _
+
+        private def advanceRight(): Unit = {
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            rHead = r.copy()          // unsafe rows are reused by the child
+            rHeadKey = rKeyProj(rHead).copy()
+          } else { rHead = null; rHeadKey = null }
+        }
+        advanceRight()
+
+        private def computeNext(): Unit = {
+          while (nextOut == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            val lt = timeOf(lTimeBound, l)
+            // skip right groups with smaller keys (their candidates die)
+            while (rHead != null && keyOrd.compare(rHeadKey, lk) < 0) {
+              lastValid = null; lastValidKey = null
+              advanceRight()
+            }
+            // consume all right rows in this key group that are before lt
+            while (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 && {
+                val rt = timeOf(rTimeBound, rHead)
+                if (isStrict) rt < lt else rt <= lt
+              }) {
+              lastValid = rHead
+              lastValidKey = rHeadKey
+              advanceRight()
+            }
+            if (lastValid != null && lastValidKey != null &&
+                keyOrd.compare(lastValidKey, lk) == 0) {
+              nextOut = joined(l, lastValid)
+            } // else: no match → inner semantics drop the left row
+          }
+        }
+
+        override def hasNext: Boolean = { computeNext(); nextOut != null }
+        override def next(): InternalRow = {
+          computeNext()
+          val out = nextOut; nextOut = null
+          if (out == null) throw new NoSuchElementException
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+}
+
+/** Planner strategy: AsOfJoin logical → AsOfJoinExec physical. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
+    case _ => Nil
+  }
+}

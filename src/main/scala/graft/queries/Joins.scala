@@ -235,6 +235,31 @@ object Joins {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts > c.ts
+        ORDER BY p_id""")),
+
+    // Same as-of semantics on the native plan node (AsOfJoinExec sorted
+    // merge — SURVEY §7.2 extension path (c)); checked against DuckDB's
+    // native ASOF JOIN.
+    QDef("q_join_asof_native",
+      (s, d) => {
+        val e = events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+        graft.operators.Joins.asofNative(p, c, Seq("user_id"), "p_ts", "c_ts")
+          .select(col("p_id"), col("user_id"),
+            unix_micros(col("p_ts")).as("p_us"),
+            unix_micros(col("c_ts")).as("click_us"),
+            round(col("c_value"), 4).as("click_value"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+        epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS click_us,
+        round(c.value, 4) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
         ORDER BY p_id"""))
   )
 }
