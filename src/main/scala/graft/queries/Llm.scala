@@ -217,6 +217,32 @@ object Llm {
             ON a.label = b.label AND a.vec_id <> b.vec_id)
         WHERE rn <= 3 ORDER BY a_id, rn""")),
 
+    // Embedding-cosine near-duplicate sets: label-blocked pairs above a
+    // similarity threshold, canonical keeper = min vec_id. The embedding
+    // analog of q_dedup_exact (same blocked-equi-join scale shape as
+    // q_cosine_blocked; swap in LSH buckets for unlabeled corpora).
+    QDef("q_dedup_embedding",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim_r", round(
+            graft.functions.VectorFunctions.vec_cosine(col("va"), col("vb")), 6))
+          .filter(col("sim_r") >= 0.3)
+          .select(col("id_a").as("keep_id"), col("id_b").as("dup_id"),
+            col("label").cast("long").as("label"), col("sim_r"))
+          .orderBy(col("keep_id"), col("dup_id"))
+      },
+      Some(s"""SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+        CAST(a.label AS BIGINT) AS label,
+        round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim_r
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3
+        ORDER BY keep_id, dup_id""")),
+
     // Random-hyperplane LSH ANN — the similarity-search scale path:
     // bucket equi-join candidates, exact cosine only on collisions.
     // Recall vs the brute-force baseline asserted in VectorLshSpec.

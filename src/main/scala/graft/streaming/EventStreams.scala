@@ -76,4 +76,33 @@ object EventStreams {
           Iterator.single(next)
         })
   }
+
+  /** Same running counters on the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed ValueState on the RocksDB store) — the
+    * forward-looking arbitrary-state path: evolvable state schema,
+    * timers, and per-state TTL where the classic API has one opaque
+    * value per key. */
+  class CounterProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserCounter] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserCounter] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserCounter]("counter",
+        org.apache.spark.sql.Encoders.product[UserCounter], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCounter] = {
+      val prev = Option(state.get()).getOrElse(UserCounter(key, 0L, 0.0))
+      var n = prev.n_events; var v = prev.total_value
+      rows.foreach { r => n += 1; v += r.value }
+      val next = UserCounter(key, n, v)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningCountersTws(events: Dataset[EventRow]): Dataset[UserCounter] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new CounterProcessor, TimeMode.None(), OutputMode.Update)
+  }
 }

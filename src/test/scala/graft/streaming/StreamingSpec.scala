@@ -99,6 +99,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Set((1L, 2L, 7.0), (2L, 1L, 3.0)))
   }
 
+  test("transformWithState (StatefulProcessor + RocksDB) keeps running counters") {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventRow](spark)
+    val df = EventStreams.runningCountersTws(mem.toDS()).toDF()
+    val q = df.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("t_tws")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_chk").toString)
+      .start()
+    try {
+      mem.addData(row(1, ts(1), user = 1, v = 2.0), row(2, ts(1), user = 2, v = 3.0))
+      q.processAllAvailable()
+      mem.addData(row(3, ts(2), user = 1, v = 5.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val last = spark.table("t_tws").groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("total_value")).as("v"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(last == Set((1L, 2L, 7.0), (2L, 1L, 3.0)))
+  }
+
   test("stream-static join enriches events with the customer dim") {
     import spark.implicits._
     val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
