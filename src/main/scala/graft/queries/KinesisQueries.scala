@@ -59,6 +59,32 @@ object KinesisQueries {
       },
       None),
 
+    // Pack payloads to KPL wire files, read them back through the DSv2
+    // source (graft.kinesis.kpl), aggregate per source file — exercises
+    // the full wire round trip as a declared query (rows-only; byte-level
+    // checks in KplFormatSpec).
+    QDef("q_kpl_archive_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("kpl_q").toString
+        val ehks = ShardModel.evenRanges(4).map { case (lo, hi) =>
+          lo.add(hi.subtract(lo).divide(java.math.BigInteger.TWO)).toString
+        }.toArray
+        val payloads = orders(s, d)
+          .select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).cast("binary").as("payload"))
+          .repartition(4)
+        graft.kinesis.kpl.KplFileFormat.writeWireFiles(payloads, "payload", dir, ehks)
+        s.read.format(graft.kinesis.kpl.KplFileFormat.Name).load(dir)
+          .groupBy(col("source_file"))
+          .agg(count(lit(1)).as("n_records"),
+            countDistinct(col("explicit_hash_key")).as("n_ehks"),
+            sum(length(col("data"))).as("payload_bytes"))
+          .select(element_at(split(col("source_file"), "/"), -1).as("file"),
+            col("n_records"), col("n_ehks"), col("payload_bytes"))
+          .orderBy(col("file"))
+      },
+      None),
+
     // End-to-end sink run against the in-memory transport (4 shards, a
     // failure injected every 5th call to exercise rebuild-retry): one
     // summary row. Smoke-checked by the driver, asserted in KinesisSpec.

@@ -145,6 +145,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "BUILDING"), (2L, "MACHINERY"))) // user 9 has no dim row
   }
 
+  test("stateful query resumes from checkpoint with state intact") {
+    import spark.implicits._
+    val chk = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val mem = MemoryStream[EventRow](spark)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = EventStreams.runningCounters(mem.toDS())
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EventStreams.UserCounter], _: Long) =>
+        ds.collect().foreach(c => seen.add((c.user_id, c.n_events))); ()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    val q1 = start()
+    try { mem.addData(row(1, ts(1), user = 7, v = 2.0)); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the same checkpoint: per-key state must survive
+    val q2 = start()
+    try { mem.addData(row(2, ts(2), user = 7, v = 5.0)); q2.processAllAvailable() }
+    finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val counts = seen.asScala.filter(_._1 == 7L).map(_._2).toSeq.sorted
+    assert(counts.lastOption.contains(2L),
+      s"state lost across restart (expected running count 2): $counts")
+  }
+
   test("foreachBatch drives the Kinesis-semantics sink from a stream") {
     import spark.implicits._
     import graft.kinesis._
