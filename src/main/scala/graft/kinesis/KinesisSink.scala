@@ -44,8 +44,10 @@ object InMemoryKinesis {
     registry.computeIfAbsent(id, _ => new State)
 }
 
-final class InMemoryKinesis(numShards: Int, failEvery: Int = 0) extends PutRecordsTransport with ShardLister {
-  private val id = java.util.UUID.randomUUID().toString
+final class InMemoryKinesis(numShards: Int, failEvery: Int = 0,
+    /** stable name so the streaming source can address this stream */
+    val id: String = java.util.UUID.randomUUID().toString)
+  extends PutRecordsTransport with ShardLister {
   private val ranges = ShardModel.evenRanges(numShards)
   private def st = InMemoryKinesis.state(id)
   def received: ConcurrentHashMap[String, java.util.List[Array[Byte]]] = st.received
