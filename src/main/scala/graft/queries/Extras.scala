@@ -205,6 +205,70 @@ object Extras {
         UNPIVOT (val FOR metric IN (size, retailprice))
         ORDER BY p_partkey, metric""")),
 
+    // Fuzzy string dedup: edit-distance pairs within (brand, type) blocks
+    // — levenshtein-based near-dup detection for short text fields.
+    QDef("q_fuzzy_name_pairs",
+      (s, d) => {
+        val a = part(s, d).select(col("p_partkey").as("a_key"),
+          col("p_name").as("a_name"), col("p_brand"), col("p_type"))
+        val b = part(s, d).select(col("p_partkey").as("b_key"),
+          col("p_name").as("b_name"), col("p_brand"), col("p_type"))
+        a.join(b, Seq("p_brand", "p_type"))
+          .filter(col("a_key") < col("b_key"))
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+          .filter(col("dist") <= 4)
+          .select(col("p_brand"), col("a_key"), col("b_key"), col("dist"))
+          .orderBy(col("p_brand"), col("a_key"), col("b_key"))
+          .limit(500)
+      },
+      Some("""SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
+        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+          AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY a.p_brand, a_key, b_key LIMIT 500""")),
+
+    // Array set algebra over token arrays (sorted for cross-engine order).
+    QDef("q_array_setops",
+      (s, d) => documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          slice(filter(split(col("text"), " "), t => t =!= ""), 1, 8).as("head_toks"),
+          slice(filter(split(col("text"), " "), t => t =!= ""), -8, 8).as("tail_toks"))
+        .select(col("doc_id"),
+          array_sort(array_intersect(col("head_toks"), col("tail_toks"))).as("inter"),
+          array_sort(array_union(col("head_toks"), col("tail_toks"))).as("uni"),
+          array_sort(array_except(col("head_toks"), col("tail_toks"))).as("diff"),
+          arrays_overlap(col("head_toks"), col("tail_toks")).as("overlaps"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        list_sort(list_distinct(list_intersect(head_toks, tail_toks))) AS inter,
+        list_sort(list_distinct(head_toks || tail_toks)) AS uni,
+        list_sort(list_distinct(list_filter(head_toks,
+          x -> NOT list_contains(tail_toks, x)))) AS diff,
+        list_has_any(head_toks, tail_toks) AS overlaps
+        FROM (SELECT doc_id, toks[1:8] AS head_toks, toks[-8:] AS tail_toks
+              FROM (SELECT doc_id,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                    FROM documents WHERE doc_id < 50))
+        ORDER BY doc_id""")),
+
+    // try_cast: failed casts yield NULL, never errors.
+    QDef("q_try_cast",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          expr("try_cast(split(o_orderpriority, '-')[0] AS BIGINT)").as("prio_num"),
+          expr("try_cast(o_orderpriority AS BIGINT)").as("bad_cast"),
+          expr("try_cast(o_totalprice AS DECIMAL(4,0))").cast("double").as("overflow_cast"))
+        .orderBy(col("o_orderkey"))
+        .limit(300),
+      Some("""SELECT o_orderkey,
+        try_cast(string_split(o_orderpriority, '-')[1] AS BIGINT) AS prio_num,
+        try_cast(o_orderpriority AS BIGINT) AS bad_cast,
+        CAST(try_cast(o_totalprice AS DECIMAL(4,0)) AS DOUBLE) AS overflow_cast
+        FROM orders ORDER BY o_orderkey LIMIT 300""")),
+
     // Null-safe semantics: <=> (IS NOT DISTINCT FROM), nvl/nvl2, nulls in
     // aggregates vs counts.
     QDef("q_null_handling",
