@@ -53,6 +53,22 @@ object EventStreams {
       .select(col("event_id"), col("ts"), col("event_type"), col("value"),
         col("c_mktsegment"))
 
+  /** Stream-stream interval join: each purchase joined to that user's
+    * clicks from the preceding hour. Watermarks on both sides + the time
+    * range bound the join state (Spark drops buffered rows older than
+    * watermark − range). */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+  }
+
   // ---- Custom state: running per-user counters (the streaming analog of
   // the reference's threaded record count, `KinesisWriter.scala:184-194`).
 

@@ -145,6 +145,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "BUILDING"), (2L, "MACHINERY"))) // user 9 has no dim row
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    import spark.implicits._
+    val purchases = MemoryStream[EventRow](spark)
+    val clicks = MemoryStream[EventRow](spark)
+    val joined = EventStreams.purchaseAttribution(purchases.toDF(), clicks.toDF())
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_attr").start()
+    try {
+      clicks.addData(
+        row(10, ts(1, 9, 30), user = 1),  // 30 min before purchase → match
+        row(11, ts(1, 5, 0), user = 1),   // 5h before → outside window
+        row(12, ts(1, 9, 45), user = 2))  // other user
+      purchases.addData(row(1, ts(1, 10, 0), user = 1, typ = "purchase", v = 42.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_attr")
+      .select(col("p_id"), col("c_ts")).as[(Long, java.sql.Timestamp)]
+      .collect().toSeq
+    assert(got == Seq((1L, ts(1, 9, 30))), s"got $got")
+  }
+
   test("stateful query resumes from checkpoint with state intact") {
     import spark.implicits._
     val chk = java.nio.file.Files.createTempDirectory("graft_resume").toString
