@@ -205,6 +205,26 @@ object Extras {
         UNPIVOT (val FOR metric IN (size, retailprice))
         ORDER BY p_partkey, metric""")),
 
+    // Typed Dataset path: case-class groupByKey + mapGroups (compile-time
+    // row types; same shuffle shape as the untyped groupBy).
+    QDef("q_typed_mapgroups",
+      (s, d) => {
+        import s.implicits._
+        orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .mapGroups { (k, rows) =>
+            var n = 0L; var mx = Double.MinValue
+            rows.foreach { r => n += 1; if (r._2 > mx) mx = r._2 }
+            (k, n, mx)
+          }
+          .toDF("custkey", "n_orders", "max_price")
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT o_custkey AS custkey, count(*) AS n_orders,
+        max(o_totalprice) AS max_price
+        FROM orders GROUP BY o_custkey ORDER BY custkey""")),
+
     // Fuzzy string dedup: edit-distance pairs within (brand, type) blocks
     // — levenshtein-based near-dup detection for short text fields.
     QDef("q_fuzzy_name_pairs",

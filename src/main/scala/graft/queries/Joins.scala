@@ -105,6 +105,54 @@ object Joins {
           AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
         GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q10-style: revenue lost to returned items per customer, top 20.
+    QDef("q10_returned_items",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("l_returnflag") === "R"
+          && col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some(s"""SELECT c_custkey, c_name, n_name,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        count(*) AS n_items
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q14-style: promo revenue share in a window — conditional
+    // aggregate ratio from exact sums (deterministic double division).
+    QDef("q14_promo_share",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .agg(
+          (lit(100.0) * dsum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+            / dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("promo_share"),
+          count(lit(1)).as("n"))
+        .select(round(col("promo_share"), 6).as("promo_share"), col("n")),
+      Some(s"""SELECT round(100.0 *
+          ${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+          / ${sqlDsum("l_extendedprice * (1 - l_discount)")}, 6) AS promo_share,
+        count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""")),
+
     // Left outer + aggregate: customers keep their row even with no orders.
     QDef("q_join_left_outer",
       (s, d) => customer(s, d)

@@ -102,6 +102,20 @@ object Scalars {
         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         FROM orders ORDER BY o_orderkey LIMIT 300""")),
 
+    QDef("q_date_format",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("full"),
+          date_format(col("o_orderdate"), "yyyy").as("y"))
+        .orderBy(col("o_orderkey"))
+        .limit(300),
+      Some("""SELECT o_orderkey,
+        strftime(o_orderdate, '%Y-%m') AS ym,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS full,
+        strftime(o_orderdate, '%Y') AS y
+        FROM orders ORDER BY o_orderkey LIMIT 300""")),
+
     QDef("q_math_funs",
       (s, d) => lineitem(s, d)
         .filter(col("l_orderkey") % 100 === 0)
