@@ -12,10 +12,12 @@ import AggRecordCodec.{Aggregate, Builder}
   */
 final case class PackedBatch(
     aggregate: Aggregate,
-    shadow: IndexedSeq[Array[Byte]],
-    explicitHashKey: String) {
+    shadow: IndexedSeq[Array[Byte]]) {
   def numUserRecords: Int = aggregate.numUserRecords
   def sizeBytes: Int = aggregate.sizeBytes
+  /** Routing key = the first record's EHK (reference `AggRecord.java:
+    * 177-180`) — derived, so it can't drift from actual wire routing. */
+  def explicitHashKey: String = aggregate.explicitHashKey
 }
 
 /** Size-bounded greedy packer (reference driver loop,
@@ -53,7 +55,7 @@ final class BatchingIterator(
 
   private def emit(): Option[PackedBatch] =
     builder.clearAndGet().map { agg =>
-      val batch = PackedBatch(agg, shadow.result(), currentEhk)
+      val batch = PackedBatch(agg, shadow.result())
       shadow.clear()
       currentEhk = routeEhk()
       batch

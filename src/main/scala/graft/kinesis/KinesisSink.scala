@@ -107,34 +107,43 @@ object KinesisSinkSemantics {
   private def backoff(cfg: Config, attempt: Int): Unit =
     Thread.sleep(math.min(cfg.backoffMillis << attempt, 30000L))
 
-  /** Send one packed batch, rebuilding with a new EHK on each failure. */
+  /** Send one packed batch, rebuilding from the shadow payloads with a
+    * freshly drawn EHK on each failure (re-rolling a hot shard, reference
+    * `:217-224`). The rebuild repacks through the full gate logic: a
+    * longer replacement EHK can push an at-the-cap aggregate over 1 MiB,
+    * in which case the rebuild legitimately splits into several entries
+    * rather than failing. Rebuilt records carry `cfg.partitionKey`, as in
+    * the reference (routing is EHK-only; the shadow holds payloads only,
+    * `MyAggregator.scala:11-22`). Semantics are at-least-once: a failure
+    * after a partial multi-entry send re-sends the whole shadow.
+    */
   def sendWithRetry(
       batch: PackedBatch,
       transport: PutRecordsTransport,
       router: ShardModel.Router,
       cfg: Config): Unit = {
     @tailrec
-    def attempt(entry: PutEntry, failCount: Int): Unit = {
-      val ok = try transport.putRecords(cfg.streamName, Seq(entry)).failedRecordCount == 0
+    def attempt(entries: Seq[PutEntry], failCount: Int): Unit = {
+      val ok = try entries.forall(e =>
+        transport.putRecords(cfg.streamName, Seq(e)).failedRecordCount == 0)
       catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) {
         if (failCount >= cfg.maxRetries)
           throw new IllegalStateException(
             s"Exponential back-off failed after $failCount retries. Giving up.")
         backoff(cfg, failCount)
-        // rebuild from the shadow payloads with a fresh route
-        val b = new AggRecordCodec.Builder
         val ehk = router.next()
-        batch.shadow.foreach { data =>
-          require(b.add(cfg.partitionKey, Some(ehk), data), "rebuild overflow")
-        }
-        val agg = b.clearAndGet().getOrElse(throw new IllegalStateException("empty rebuild"))
-        attempt(PutEntry(agg.partitionKey, agg.explicitHashKey, agg.toRecordBytes), failCount + 1)
+        val rebuilt = new BatchingIterator(
+          batch.shadow.iterator.map(p => (cfg.partitionKey, Some(ehk), p)),
+          () => router.next(), cfg.maxAggSize, cfg.maxLastSize)
+          .map(b => PutEntry(b.aggregate.partitionKey,
+            b.aggregate.explicitHashKey, b.aggregate.toRecordBytes))
+          .toSeq
+        attempt(rebuilt, failCount + 1)
       }
     }
     val agg = batch.aggregate
-    attempt(PutEntry(agg.partitionKey, agg.explicitHashKey, agg.toRecordBytes), 0)
-    ()
+    attempt(Seq(PutEntry(agg.partitionKey, agg.explicitHashKey, agg.toRecordBytes)), 0)
   }
 
   /** Write one partition's payload iterator: pack (R8–R15) → send (R19).

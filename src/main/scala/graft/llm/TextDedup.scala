@@ -19,22 +19,31 @@ object TextDedup {
   /** Non-empty whitespace tokens. */
   def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
-  /** Distinct token k-shingles (k consecutive tokens joined by space). */
+  /** Distinct token k-shingles (k consecutive tokens joined by space).
+    * Docs with fewer than k tokens yield an empty array — guarded,
+    * because Spark's `sequence(0, negative)` counts DOWN (step defaults
+    * to -1), which would both crash `slice` (start 0) and emit bogus
+    * short shingles. */
   def shingles(c: Column, k: Int): Column = {
     val toks = tokens(c)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(-1))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** Exploded (id, shingle) pairs; drops docs with fewer than k tokens. */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("sid"), tokens(col(textCol)).as("toks"))
+  /** Exploded (id [, blockCols], shingle) pairs; docs with fewer than k
+    * tokens contribute nothing. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      blockCols: Seq[String] = Seq.empty): DataFrame =
+    docs.select((col(idCol).as("sid") +: blockCols.map(col)) :+
+        tokens(col(textCol)).as("toks"): _*)
       .filter(size(col("toks")) >= k)
-      .select(col("sid").as(idCol),
+      .select((col("sid").as(idCol) +: blockCols.map(col)) :+
         explode(array_distinct(transform(
           sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("sh"))
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("sh"): _*)
 
   /** MinHash signature + banded LSH candidate pairs (id_a < id_b).
     * nPerm permutations simulated as xxhash64(shingle, seed=p); bands of
@@ -62,14 +71,18 @@ object TextDedup {
   }
 
   /** Exact pairwise shingle-Jaccard ≥ threshold via shingle equi-join —
-    * the ground truth MinHash approximates (O(pairs-sharing-a-shingle),
-    * use blocked/minhash variants at scale). */
+    * the ground truth MinHash approximates (O(pairs-sharing-a-shingle);
+    * pass `blockCols` and/or use the minhash variant at scale). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleK)
+      shingleK: Int = 3, threshold: Double = 0.0,
+      blockCols: Seq[String] = Seq.empty): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleK, blockCols)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val blockCond = blockCols
+      .map(b => col(s"a.$b") === col(s"b.$b"))
+      .foldLeft(col("a.sh") === col("b.sh"))(_ && _)
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+        blockCond && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter

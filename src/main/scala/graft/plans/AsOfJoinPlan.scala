@@ -60,8 +60,11 @@ final case class AsOfJoinExec(
       val keyOrd: Ordering[InternalRow] =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
           .createNaturalAscendingOrdering(keyTypes)
-      def timeOf(e: Expression, row: InternalRow): Long =
-        e.eval(row).asInstanceOf[Long]
+      // boxed so NULL times stay null (null.asInstanceOf[Long] would be a
+      // silent 0 = epoch) — NULL-time rows are non-candidates, matching
+      // the composed formulation and DuckDB ASOF
+      def timeOf(e: Expression, row: InternalRow): java.lang.Long =
+        e.eval(row).asInstanceOf[java.lang.Long]
 
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
@@ -85,24 +88,32 @@ final case class AsOfJoinExec(
             val l = lIter.next()
             val lk = lKeyProj(l)
             val lt = timeOf(lTimeBound, l)
+            if (lt == null) {
+              // NULL left time: no row can be "before" it — drop (inner)
+            } else {
             // skip right groups with smaller keys (their candidates die)
             while (rHead != null && keyOrd.compare(rHeadKey, lk) < 0) {
               lastValid = null; lastValidKey = null
               advanceRight()
             }
             // consume all right rows in this key group that are before lt
+            // (NULL right times sort first under Ascending and are never
+            // candidates — skip without remembering them)
             while (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 && {
                 val rt = timeOf(rTimeBound, rHead)
-                if (isStrict) rt < lt else rt <= lt
+                rt == null || (if (isStrict) rt < lt else rt <= lt)
               }) {
-              lastValid = rHead
-              lastValidKey = rHeadKey
+              if (timeOf(rTimeBound, rHead) != null) {
+                lastValid = rHead
+                lastValidKey = rHeadKey
+              }
               advanceRight()
             }
             if (lastValid != null && lastValidKey != null &&
                 keyOrd.compare(lastValidKey, lk) == 0) {
               nextOut = joined(l, lastValid)
             } // else: no match → inner semantics drop the left row
+            }
           }
         }
 

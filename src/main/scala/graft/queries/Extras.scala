@@ -254,8 +254,12 @@ object Extras {
       (s, d) => documents(s, d)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
-          slice(filter(split(col("text"), " "), t => t =!= ""), 1, 8).as("head_toks"),
-          slice(filter(split(col("text"), " "), t => t =!= ""), -8, 8).as("tail_toks"))
+          filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        .select(col("doc_id"),
+          slice(col("toks"), 1, 8).as("head_toks"),
+          // clamp like DuckDB's toks[-8:]: Spark slice(arr, -8, 8) returns
+          // [] outright when the array has fewer than 8 elements
+          slice(col("toks"), greatest(size(col("toks")) - 7, lit(1)), lit(8)).as("tail_toks"))
         .select(col("doc_id"),
           array_sort(array_intersect(col("head_toks"), col("tail_toks"))).as("inter"),
           array_sort(array_union(col("head_toks"), col("tail_toks"))).as("uni"),

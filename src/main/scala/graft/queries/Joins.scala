@@ -267,7 +267,10 @@ object Joins {
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
             col("value").as("c_value"))
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("p_id")).orderBy(col("c_ts").desc)
+        // c_value tiebreak: event timestamps are unique in this data, but
+        // a tie would otherwise be nondeterministic run-to-run
+        val w = Window.partitionBy(col("p_id"))
+          .orderBy(col("c_ts").desc, col("c_value").desc)
         p.join(c, col("user_id") === col("c_user") && col("c_ts") < col("p_ts"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)

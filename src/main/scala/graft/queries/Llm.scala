@@ -73,31 +73,13 @@ object Llm {
     // within each source block. Candidate pairs come from an equi-join on
     // shared shingles (one shuffle), never a cross join.
     QDef("q_jaccard_pairs",
-      (s, d) => {
-        val docs = documents(s, d)
-          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-          .filter(size(col("toks")) >= 3)
-        val shingles = docs
-          .select(col("doc_id"), col("source"),
-            explode(array_distinct(transform(
-              sequence(lit(0), size(col("toks")) - 3),
-              i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))).as("sh"))
-        val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val pairs = shingles.as("a")
-          .join(shingles.as("b"),
-            col("a.sh") === col("b.sh") && col("a.source") === col("b.source")
-              && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-          .select(col("id_a"), col("id_b"),
-            round(col("inter").cast("double") /
-              (col("sa.sz") + col("sb.sz") - col("inter")), 6).as("jaccard"))
-          .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-          .limit(20)
-      },
+      (s, d) => graft.llm.TextDedup
+        .jaccardPairs(documents(s, d), "doc_id", "text",
+          blockCols = Seq("source"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20),
       Some("""WITH shingles AS (
           SELECT doc_id, source, unnest(list_distinct(
             list_transform(range(len(toks) - 2),

@@ -40,6 +40,18 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("dimension mismatch yields NULL; two instances share a codegen scope") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f))).toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.vec_dot(col("a"), col("b")).as("d1"),
+      // second instance in the same project: regression for fixed-name
+      // codegen locals colliding at janino compile time
+      VectorFunctions.vec_dot(col("b"), col("b")).as("d2"),
+      VectorFunctions.vec_cosine(col("a"), col("b")).as("c1")).head()
+    assert(out.isNullAt(0) && out.isNullAt(2))
+    assert(out.getDouble(1) == 9.0)
+  }
+
   test("interpreted path matches codegen (eval directly)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -54,6 +54,32 @@ class SinkSpec extends AnyFunSuite {
     assert(receivedPayloads(k).sorted == in.map(_.toSeq).sorted)
   }
 
+  test("rebuild with a longer EHK splits instead of overflowing the cap") {
+    // pack an aggregate right up to the 1 MiB cap with a 1-char EHK, then
+    // force a retry that rebuilds with 39-char EHKs: repack must split
+    val b = new AggRecordCodec.Builder
+    val payload = Array.fill[Byte](10000)(1)
+    while (b.add("a", Some("1"), payload)) ()
+    val agg = b.clearAndGet().get
+    assert(agg.sizeBytes > 1000000)
+    val batch = PackedBatch(agg, agg.records.map(_.data))
+    val bigEhks = Array.fill(4)(java.math.BigInteger.ONE.shiftLeft(127).toString)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var calls = 0
+    val flakyOnce = new PutRecordsTransport {
+      override def putRecords(s: String, e: Seq[PutEntry]): PutResult = {
+        calls += 1
+        if (calls == 1) PutResult(e.size, Seq.empty) // fail the original send
+        else { delivered += AggRecordCodec.decode(e.head.data).numUserRecords; PutResult(0, Seq("x")) }
+      }
+    }
+    KinesisSinkSemantics.sendWithRetry(batch, flakyOnce,
+      new ShardModel.Router(bigEhks, 1L),
+      KinesisSinkSemantics.Config("t", backoffMillis = 1))
+    assert(delivered.sum == agg.numUserRecords, s"lost records: $delivered")
+    assert(delivered.size >= 2, s"expected a split rebuild, got $delivered")
+  }
+
   test("permanent failure: bounded retries then gives up (no reference infinite loop)") {
     val alwaysFail = new PutRecordsTransport {
       override def putRecords(s: String, e: Seq[PutEntry]): PutResult =
@@ -62,7 +88,7 @@ class SinkSpec extends AnyFunSuite {
     val router = new ShardModel.Router(Array("1", "2"), 1L)
     val b = new AggRecordCodec.Builder
     assert(b.add("a", Some("1"), Array[Byte](1, 2)))
-    val batch = PackedBatch(b.clearAndGet().get, IndexedSeq(Array[Byte](1, 2)), "1")
+    val batch = PackedBatch(b.clearAndGet().get, IndexedSeq(Array[Byte](1, 2)))
     val ex = intercept[IllegalStateException] {
       KinesisSinkSemantics.sendWithRetry(batch, alwaysFail, router,
         cfg.copy(maxRetries = 3))

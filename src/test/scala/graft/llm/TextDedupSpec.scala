@@ -37,6 +37,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Seq("a b c", "b c d", "c d e"))
   }
 
+  test("shingles of short/empty docs are empty, never crash") {
+    // regression: sequence(0, negative) counts DOWN in Spark; unguarded
+    // this crashed slice() for any doc with fewer than k tokens
+    val got = Seq(("a b", 1), ("", 2), ("x", 3), ("a b c", 4))
+      .toDF("text", "doc_id")
+      .select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sh"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(got(1) == Seq.empty && got(2) == Seq.empty && got(3) == Seq.empty)
+    assert(got(4) == Seq("a b c"))
+    // and the pair pipeline tolerates such docs end to end
+    val pairs = TextDedup.jaccardPairs(
+      Seq((1L, "a b"), (2L, "a b c d"), (3L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(pairs.count() == 1)
+  }
+
   test("exact jaccard ground truth finds the planted near-dups") {
     val pairs = TextDedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.7)
       .as[(Long, Long, Double)].collect().toSeq
