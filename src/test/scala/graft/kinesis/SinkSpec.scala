@@ -109,6 +109,14 @@ class SinkSpec extends AnyFunSuite {
     assert(spread.size == 8)
   }
 
+  test("reference-shaped API: write(streamName, iterator) returns the count") {
+    val k = new InMemoryKinesis(numShards = 3)
+    val in = payloads(321)
+    val n = GraftKinesisWriter.write("ref-api", in.iterator, k, k)
+    assert(n == 321)
+    assert(receivedPayloads(k).sorted == in.map(_.toSeq).sorted)
+  }
+
   test("distributed DataFrame write: all rows delivered via mapPartitions") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
