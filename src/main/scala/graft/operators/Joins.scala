@@ -44,7 +44,9 @@ object Joins {
     */
   def asofNative(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      outer: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -60,7 +62,8 @@ object Joins {
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
     val plan = graft.plans.AsOfJoin(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), strict)
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), strict,
+      outer, toleranceUs)
     // drop the right-side key duplicates (standard as-of output shape)
     val keep = lPlan.output ++ rPlan.output.filterNot(a => keys.contains(a.name))
     org.apache.spark.sql.GraftBridge.ofRows(spark, plan)

@@ -24,8 +24,13 @@ final case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    strict: Boolean) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    strict: Boolean,
+    /** left-outer: unmatched left rows survive with NULL right columns */
+    outer: Boolean = false,
+    /** max lookback in the time column's units (µs for timestamps) */
+    toleranceUs: Option[Long] = None) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
     copy(left = l, right = r)
 }
@@ -34,9 +39,12 @@ final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    strict: Boolean) extends BinaryExecNode {
+    strict: Boolean,
+    outer: Boolean,
+    toleranceUs: Option[Long]) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -50,7 +58,9 @@ final case class AsOfJoinExec(
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
     val lOut = left.output; val rOut = right.output
-    val isStrict = strict
+    val isStrict = strict; val isOuter = outer
+    val tolOpt = toleranceUs
+    val rWidth = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys.map(BindReferences.bindReference(_, lOut)))
       val rKeyProj = UnsafeProjection.create(rKeys.map(BindReferences.bindReference(_, rOut)))
@@ -68,10 +78,13 @@ final case class AsOfJoinExec(
 
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
+        private val nullRight =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rWidth)
         private var rHead: InternalRow = _
         private var rHeadKey: InternalRow = _
         private var lastValid: InternalRow = _   // latest right row ≤/< current left time
         private var lastValidKey: InternalRow = _
+        private var lastValidTime: Long = 0L
         private var nextOut: InternalRow = _
 
         private def advanceRight(): Unit = {
@@ -103,16 +116,25 @@ final case class AsOfJoinExec(
                 val rt = timeOf(rTimeBound, rHead)
                 rt == null || (if (isStrict) rt < lt else rt <= lt)
               }) {
-              if (timeOf(rTimeBound, rHead) != null) {
+              val rt = timeOf(rTimeBound, rHead)
+              if (rt != null) {
                 lastValid = rHead
                 lastValidKey = rHeadKey
+                lastValidTime = rt
               }
               advanceRight()
             }
+            val inTolerance = tolOpt.forall(t => lt - lastValidTime <= t)
             if (lastValid != null && lastValidKey != null &&
-                keyOrd.compare(lastValidKey, lk) == 0) {
+                keyOrd.compare(lastValidKey, lk) == 0 && inTolerance) {
               nextOut = joined(l, lastValid)
+            } else if (isOuter) {
+              nextOut = joined(l, nullRight)
             } // else: no match → inner semantics drop the left row
+            }
+            if (nextOut == null && isOuter && lt == null) {
+              // NULL-time left row still survives a left-outer join
+              nextOut = joined(l, nullRight)
             }
           }
         }
@@ -135,8 +157,8 @@ final case class AsOfJoinExec(
 /** Planner strategy: AsOfJoin logical → AsOfJoinExec physical. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, strict) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, strict, outer, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, outer, tol) :: Nil
     case _ => Nil
   }
 }

@@ -41,6 +41,26 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       strict = false).count() == 1)
   }
 
+  test("left-outer keeps unmatched left rows with NULL right columns") {
+    val quotes = Seq((1L, 10L, 5.0)).toDF("k", "qt", "px")
+    val trades = Seq((1L, 1L, 20L), (2L, 1L, 5L), (3L, 9L, 30L))
+      .toDF("id", "k", "tt")
+    val got = Joins.asofNative(trades, quotes, Seq("k"), "tt", "qt",
+        outer = true)
+      .select(col("id"), col("px")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(1L -> Some(5.0), 2L -> None, 3L -> None))
+  }
+
+  test("native tolerance bounds the lookback like the composed form") {
+    val quotes = Seq(("A", 10L, 1.0), ("A", 90L, 9.0)).toDF("sym", "qt", "px")
+    val trades = Seq((1L, "A", 100L), (2L, "A", 50L)).toDF("id", "sym", "tt")
+    val got = Joins.asofNative(trades, quotes, Seq("sym"), "tt", "qt",
+        toleranceUs = Some(20L))
+      .select(col("id"), col("px")).as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 9.0)) // trade 2's only candidate is 40 ticks back
+  }
+
   test("plans as AsOfJoinExec merge: no Window, no SortMergeJoin") {
     val e = graft.tables.Tables.events(spark, TestSpark.sf0001)
     val p = e.filter(col("event_type") === "purchase")
