@@ -102,6 +102,23 @@ object Scalars {
         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         FROM orders ORDER BY o_orderkey LIMIT 300""")),
 
+    // Nested struct construction + field access round trip.
+    QDef("q_struct_funs",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"),
+            col("c_mktsegment").as("segment"),
+            round(col("c_acctbal"), 2).as("bal")).as("info"))
+        .select(col("c_custkey"), col("info"),
+          col("info.name").as("flat_name"),
+          col("info.bal").as("flat_bal"))
+        .orderBy(col("c_custkey"))
+        .limit(300),
+      Some("""SELECT c_custkey,
+        {'name': c_name, 'segment': c_mktsegment, 'bal': round(c_acctbal, 2)} AS info,
+        c_name AS flat_name, round(c_acctbal, 2) AS flat_bal
+        FROM customer ORDER BY c_custkey LIMIT 300""")),
+
     QDef("q_date_format",
       (s, d) => orders(s, d)
         .select(col("o_orderkey"),

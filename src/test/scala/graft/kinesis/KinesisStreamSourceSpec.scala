@@ -57,6 +57,36 @@ class KinesisStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a shard that first receives data mid-stream is picked up (resharding shape)") {
+    val k = new InMemoryKinesis(numShards = 4)
+    val ehks = ShardModel.explicitHashKeys("s", k)
+    def put(ehkIdx: Int, msg: String): Unit = {
+      val b = new AggRecordCodec.Builder
+      assert(b.add("a", Some(ehks(ehkIdx)), msg.getBytes("UTF-8")))
+      val agg = b.clearAndGet().get
+      assert(k.putRecords("s", Seq(PutEntry(agg.partitionKey,
+        agg.explicitHashKey, agg.toRecordBytes))).failedRecordCount == 0)
+    }
+    put(0, "only-shard-0")
+    val q = spark.readStream.format(kpl.KinesisStreamSource.Name)
+      .option("kinesis.id", k.id).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("reshard").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("reshard").count() == 1)
+      // a previously-silent shard starts producing — like a child shard
+      // opening after a split; the next offset range must include it
+      put(3, "new-shard-3")
+      put(0, "more-shard-0")
+      q.processAllAvailable()
+      import spark.implicits._
+      val got = spark.table("reshard")
+        .select(col("data").cast("string")).as[String].collect().toSet
+      assert(got == Set("only-shard-0", "new-shard-3", "more-shard-0"))
+    } finally q.stop()
+  }
+
   test("streaming source feeds the windowless relational operators") {
     val k = new InMemoryKinesis(numShards = 2)
     sink(k, (0 until 100).map(i => s"$i|val$i"))
