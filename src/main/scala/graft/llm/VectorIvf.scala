@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.vec_cosine
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * clustering-based scale path beside sign-LSH ([[VectorLsh]]): a small
+  * k-means codebook partitions the corpus into `nlist` cells; a query
+  * probes only its `nprobe` nearest cells and exact-reranks the cell
+  * members. Candidate generation is an equi-join on cell id — cost
+  * O(n·nlist) assignment (broadcast codebook, codegen'd cosine) plus
+  * O(collisions), never O(n²).
+  *
+  * Training is Lloyd's iterations expressed relationally: assign =
+  * broadcast-join + window argmax; update = positional explode +
+  * per-dimension mean. Deterministic: seeds are the lowest-id vectors,
+  * ties break on cell id.
+  */
+object VectorIvf {
+
+  /** (cid, centroid) codebook after `iters` Lloyd iterations. */
+  def train(vecs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    // seeds: the nlist lowest-id vectors (limit first — the global
+    // row_number window then only orders nlist rows, not the corpus;
+    // at real scale train on a sample here)
+    var cents = v.orderBy(col("vid")).limit(nlist)
+      .withColumn("cid", row_number().over(Window.orderBy(col("vid"))) - 1)
+      .select(col("cid"),
+        transform(col("vec"), x => x.cast("double")).as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = assign(v, cents)
+      cents = assigned
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cid"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+    }
+    cents.select(col("cid"), transform(col("centroid"), x => x.cast("float")).as("centroid"))
+  }
+
+  /** Nearest-cell assignment: broadcast codebook, window argmax. */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("sim").desc, col("cid"))
+    v.crossJoin(broadcast(cents.select(col("cid"),
+        transform(col("centroid"), x => x.cast("float")).as("centroid"))))
+      .withColumn("sim", vec_cosine(col("vec"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("vec"), col("cid"))
+  }
+
+  /** Top-`k` approximate cosine neighbors per query vector, probing the
+    * `nprobe` nearest cells. `queries` defaults to the whole corpus;
+    * restrict it for bounded workloads. */
+  def topkApprox(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      queries: Option[DataFrame] = None): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val q = queries.getOrElse(vecs)
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val cents = train(vecs, idCol, vecCol, nlist, iters).cache()
+    val members = assign(v, cents) // (vid, vec, cid): the inverted lists
+    val wProbe = Window.partitionBy(col("vid"))
+      .orderBy(col("sim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("sim", vec_cosine(col("vec"),
+        transform(col("centroid"), x => x.cast("float"))))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vid").as("q_id"), col("vec").as("qv"), col("cid"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    probes.join(members
+        .select(col("cid"), col("vid").as("c_id"), col("vec").as("cv")), "cid")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
+      .distinct()
+  }
+}

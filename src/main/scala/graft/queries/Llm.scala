@@ -234,6 +234,19 @@ object Llm {
         .orderBy(col("q_id"), col("rn")),
       None),
 
+    // IVF ANN — the clustering-based similarity scale path (k-means
+    // codebook, probe nprobe cells, exact rerank). Recall-tested in
+    // VectorIvfSpec; rows-only here (codebook is engine-internal).
+    QDef("q_cosine_ivf",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.llm.VectorIvf.topkApprox(e, "vec_id", "embedding", k = 5,
+            nlist = 16, nprobe = 4,
+            queries = Some(e.filter(col("vec_id") < 50)))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None),
+
     // Per-label embedding statistics (norms in exact-ish double, rounded).
     QDef("q_embed_stats",
       (s, d) => embeddings(s, d)
