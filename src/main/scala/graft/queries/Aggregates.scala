@@ -183,6 +183,49 @@ object Aggregates {
         count(*) AS n
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // argmax/argmin aggregates (deterministic: totalprice values are
+    // continuous doubles, no representable ties in this data).
+    QDef("q_agg_max_by",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("biggest_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("smallest_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        max_by(o_orderkey, o_totalprice) AS biggest_order,
+        min_by(o_orderkey, o_totalprice) AS smallest_order,
+        round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Ordered string aggregation (sorted-set join for cross-engine order).
+    QDef("q_agg_string_agg",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Boolean aggregates.
+    QDef("q_agg_bool",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 0.0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_high_discount"),
+          bool_and(col("l_tax") < 0.05).as("all_low_tax"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        bool_and(l_quantity > 0.0) AS all_positive,
+        bool_or(l_discount > 0.09) AS any_high_discount,
+        bool_and(l_tax < 0.05) AS all_low_tax
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // HyperLogLog++ approximate distinct — no exact oracle by construction;
     // rows-only check here, tolerance-vs-exact asserted in ScalaTest.
     QDef("q_agg_approx_distinct",

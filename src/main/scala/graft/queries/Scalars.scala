@@ -102,6 +102,27 @@ object Scalars {
         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         FROM orders ORDER BY o_orderkey LIMIT 300""")),
 
+    // Bitwise operations.
+    QDef("q_bit_ops",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xored"),
+          shiftleft(col("o_orderkey"), 2).as("shl2"),
+          shiftright(col("o_orderkey"), 3).as("shr3"),
+          bit_count(col("o_orderkey")).cast("long").as("popcount"))
+        .orderBy(col("o_orderkey"))
+        .limit(400),
+      Some("""SELECT o_orderkey,
+        o_orderkey & 255 AS low_byte,
+        o_orderkey | 4096 AS with_flag,
+        xor(o_orderkey, o_custkey) AS xored,
+        o_orderkey << 2 AS shl2,
+        o_orderkey >> 3 AS shr3,
+        CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        FROM orders ORDER BY o_orderkey LIMIT 400""")),
+
     // Nested struct construction + field access round trip.
     QDef("q_struct_funs",
       (s, d) => customer(s, d)
