@@ -102,6 +102,20 @@ object Scalars {
         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         FROM orders ORDER BY o_orderkey LIMIT 300""")),
 
+    // Engine-specific hash functions (xxhash64 / murmur3 / crc32) — no
+    // cross-engine oracle by construction (different algorithms than
+    // DuckDB's hash()); deterministic within the engine, so rows-only +
+    // covered transitively by the minhash/simhash ground-truth tests.
+    QDef("q_hash_engine",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          xxhash64(col("c_name")).as("xx64"),
+          hash(col("c_name")).as("murmur3"),
+          crc32(col("c_name").cast("binary")).as("crc"))
+        .orderBy(col("c_custkey"))
+        .limit(200),
+      None),
+
     // Bitwise operations.
     QDef("q_bit_ops",
       (s, d) => orders(s, d)
