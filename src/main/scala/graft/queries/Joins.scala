@@ -288,6 +288,30 @@ object Joins {
           ON p.user_id = c.user_id AND p.ts > c.ts
         ORDER BY p_id""")),
 
+    // Left-outer as-of on the native plan node: purchases with no prior
+    // click survive with NULL click columns (oracle: ASOF LEFT JOIN).
+    QDef("q_join_asof_outer",
+      (s, d) => {
+        val e = events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        graft.operators.Joins.asofNative(p, c, Seq("user_id"), "p_ts", "c_ts",
+            outer = true)
+          .select(col("p_id"), col("user_id"),
+            unix_micros(col("c_ts")).as("click_us"),
+            col("c_ts").isNull.cast("long").as("no_click"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+        epoch_us(c.ts) AS click_us,
+        CAST(c.ts IS NULL AS BIGINT) AS no_click
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+        ORDER BY p_id""")),
+
     // Same as-of semantics on the native plan node (AsOfJoinExec sorted
     // merge — SURVEY §7.2 extension path (c)); checked against DuckDB's
     // native ASOF JOIN.

@@ -60,6 +60,16 @@ class StreamingSourcesSpec extends AnyFunSuite {
       Set("win_start", "event_type", "n", "total_value"))
   }
 
+  test("console sink accepts a streaming query (smoke)") {
+    val q = EventStreams.tumblingDaily(eventFileStream())
+      .writeStream.outputMode("append")
+      .format("console").option("numRows", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive && q.exception.isEmpty)
+  }
+
   test("rate source produces rows under Trigger.AvailableNow") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "500")
