@@ -134,6 +134,20 @@ object Aggregates {
         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Discrete percentiles: pick actual data elements (no interpolation),
+    // so values match exactly across engines.
+    QDef("q_agg_percentile_disc",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("median_price"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"))
+        .orderBy(col("l_linestatus")),
+      Some("""SELECT l_linestatus,
+        quantile_disc(l_extendedprice, 0.5) AS median_price,
+        quantile_disc(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
     QDef("q_agg_collect_set",
       (s, d) => orders(s, d)
         .groupBy(col("o_orderpriority"))

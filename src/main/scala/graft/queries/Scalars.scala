@@ -102,6 +102,38 @@ object Scalars {
         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         FROM orders ORDER BY o_orderkey LIMIT 300""")),
 
+    // Regexp replacement with capture-group backreferences ($1 in Spark,
+    // \1 in DuckDB — same semantics, dialect-spelled each side).
+    QDef("q_regexp_capture",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "Customer#0*([0-9]+)", "cust-$1").as("short_name"),
+          regexp_extract(col("c_name"), "#(0*)([0-9]+)$", 2).as("id_digits"))
+        .orderBy(col("c_custkey"))
+        .limit(300),
+      Some("""SELECT c_custkey,
+        regexp_replace(c_name, 'Customer#0*([0-9]+)', 'cust-\1', 'g') AS short_name,
+        regexp_extract(c_name, '#(0*)([0-9]+)$', 2) AS id_digits
+        FROM customer ORDER BY c_custkey LIMIT 300""")),
+
+    // Calendar-interval arithmetic (month adds clamp to month end in
+    // both engines).
+    QDef("q_interval_arith",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate") + expr("INTERVAL 1 MONTH")).as("plus_month"),
+          to_date(col("o_orderdate") - expr("INTERVAL 2 WEEKS")).as("minus_2w"),
+          to_date(col("o_orderdate") + expr("INTERVAL 1 YEAR")).as("plus_year"),
+          add_months(to_date(col("o_orderdate")), 3).as("plus_q"))
+        .orderBy(col("o_orderkey"))
+        .limit(300),
+      Some("""SELECT o_orderkey,
+        CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month,
+        CAST(o_orderdate - INTERVAL 14 DAY AS DATE) AS minus_2w,
+        CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS plus_year,
+        CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_q
+        FROM orders ORDER BY o_orderkey LIMIT 300""")),
+
     // Engine-specific hash functions (xxhash64 / murmur3 / crc32) — no
     // cross-engine oracle by construction (different algorithms than
     // DuckDB's hash()); deterministic within the engine, so rows-only +
