@@ -148,15 +148,17 @@ object Aggregates {
         quantile_disc(l_quantity, 0.9) AS p90_qty
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // collect_set surface; the set is joined to one scalar cell because the
+    // driver's pandas checker cannot sort frames with array-typed cells.
     QDef("q_agg_collect_set",
       (s, d) => orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
-          sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
           countDistinct(col("o_orderstatus")).as("n_statuses"))
         .orderBy(col("o_orderpriority")),
       Some("""SELECT o_orderpriority,
-        list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         count(DISTINCT o_orderstatus) AS n_statuses
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 

@@ -24,13 +24,16 @@ object Extras {
           map(lit("type"), col("event_type"),
             lit("user"), col("user_id").cast("string")).as("m"))
         .select(col("event_id"),
-          map_keys(col("m")).as("keys"),
-          map_values(col("m")).as("vals"),
+          // scalar cells only: the driver's checker can't sort array cells
+          array_join(map_keys(col("m")), ",").as("keys"),
+          array_join(map_values(col("m")), ",").as("vals"),
           element_at(col("m"), "type").as("type_val"),
           element_at(col("m"), "user").as("user_val"))
         .orderBy(col("event_id"))
         .limit(400),
-      Some("""SELECT event_id, map_keys(m) AS keys, map_values(m) AS vals,
+      Some("""SELECT event_id,
+        array_to_string(map_keys(m), ',') AS keys,
+        array_to_string(map_values(m), ',') AS vals,
         m['type'][1] AS type_val, m['user'][1] AS user_val
         FROM (SELECT event_id,
                 map(['type','user'], [event_type, CAST(user_id AS VARCHAR)]) AS m
@@ -261,16 +264,17 @@ object Extras {
           // [] outright when the array has fewer than 8 elements
           slice(col("toks"), greatest(size(col("toks")) - 7, lit(1)), lit(8)).as("tail_toks"))
         .select(col("doc_id"),
-          array_sort(array_intersect(col("head_toks"), col("tail_toks"))).as("inter"),
-          array_sort(array_union(col("head_toks"), col("tail_toks"))).as("uni"),
-          array_sort(array_except(col("head_toks"), col("tail_toks"))).as("diff"),
+          // joined to scalar cells: the driver's checker can't sort array cells
+          array_join(array_sort(array_intersect(col("head_toks"), col("tail_toks"))), "|").as("inter"),
+          array_join(array_sort(array_union(col("head_toks"), col("tail_toks"))), "|").as("uni"),
+          array_join(array_sort(array_except(col("head_toks"), col("tail_toks"))), "|").as("diff"),
           arrays_overlap(col("head_toks"), col("tail_toks")).as("overlaps"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-        list_sort(list_distinct(list_intersect(head_toks, tail_toks))) AS inter,
-        list_sort(list_distinct(head_toks || tail_toks)) AS uni,
-        list_sort(list_distinct(list_filter(head_toks,
-          x -> NOT list_contains(tail_toks, x)))) AS diff,
+        COALESCE(array_to_string(list_sort(list_distinct(list_intersect(head_toks, tail_toks))), '|'), '') AS inter,
+        COALESCE(array_to_string(list_sort(list_distinct(head_toks || tail_toks)), '|'), '') AS uni,
+        COALESCE(array_to_string(list_sort(list_distinct(list_filter(head_toks,
+          x -> NOT list_contains(tail_toks, x)))), '|'), '') AS diff,
         list_has_any(head_toks, tail_toks) AS overlaps
         FROM (SELECT doc_id, toks[1:8] AS head_toks, toks[-8:] AS tail_toks
               FROM (SELECT doc_id,

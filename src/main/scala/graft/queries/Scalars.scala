@@ -169,21 +169,28 @@ object Scalars {
         CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
         FROM orders ORDER BY o_orderkey LIMIT 400""")),
 
-    // Nested struct construction + field access round trip.
+    // Nested struct construction + field access round trip. The struct cell
+    // is emitted as to_json text (driver's checker can't sort struct cells);
+    // bal is stringified via DECIMAL(12,2) so both engines render "100.00"
+    // identically inside the JSON.
     QDef("q_struct_funs",
       (s, d) => customer(s, d)
         .select(col("c_custkey"),
           struct(col("c_name").as("name"),
             col("c_mktsegment").as("segment"),
-            round(col("c_acctbal"), 2).as("bal")).as("info"))
-        .select(col("c_custkey"), col("info"),
+            col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+              .cast("string").as("bal")).as("info"))
+        .select(col("c_custkey"),
+          to_json(col("info")).as("info_json"),
           col("info.name").as("flat_name"),
           col("info.bal").as("flat_bal"))
         .orderBy(col("c_custkey"))
         .limit(300),
       Some("""SELECT c_custkey,
-        {'name': c_name, 'segment': c_mktsegment, 'bal': round(c_acctbal, 2)} AS info,
-        c_name AS flat_name, round(c_acctbal, 2) AS flat_bal
+        to_json({'name': c_name, 'segment': c_mktsegment,
+                 'bal': CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)}) AS info_json,
+        c_name AS flat_name,
+        CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS flat_bal
         FROM customer ORDER BY c_custkey LIMIT 300""")),
 
     QDef("q_date_format",
@@ -302,8 +309,12 @@ object Scalars {
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          slice(col("embedding"), 1, 3).as("first3"),
-          element_at(col("embedding"), -1).as("last_val"),
+          // slice stays in the plan but is reduced to a scalar (driver's
+          // checker can't sort array cells); float→double is exact widening
+          round(aggregate(slice(col("embedding"), 1, 3), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6).as("head3_sum"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          element_at(col("embedding"), -1).cast("double").as("last_val"),
           array_max(col("embedding")).cast("double").as("max_val"),
           array_min(col("embedding")).cast("double").as("min_val"),
           round(aggregate(col("embedding"), lit(0.0),
@@ -311,8 +322,9 @@ object Scalars {
         .orderBy(col("vec_id"))
         .limit(400),
       Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        embedding[1:3] AS first3,
-        embedding[-1] AS last_val,
+        round(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), 6) AS head3_sum,
+        CAST(embedding[1] AS DOUBLE) AS first_val,
+        CAST(embedding[-1] AS DOUBLE) AS last_val,
         CAST(list_max(embedding) AS DOUBLE) AS max_val,
         CAST(list_min(embedding) AS DOUBLE) AS min_val,
         round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2
