@@ -17,10 +17,15 @@ import scala.collection.mutable
   *     repeated string explicit_hash_key_table = 2;
   *     repeated Record records                 = 3;
   *   }
+  *   message Tag {
+  *     required string key   = 1;
+  *     optional string value = 2;
+  *   }
   *   message Record {
   *     required uint64 partition_key_index     = 1;
   *     optional uint64 explicit_hash_key_index = 2;
-  *     required bytes  data                    = 4;
+  *     required bytes  data                    = 3;
+  *     repeated Tag    tags                    = 4;
   *   }
   * }}}
   * Keys are dictionary-encoded (reference: `AggRecord.java:163-174,263-297`):
@@ -123,7 +128,7 @@ object AggRecordCodec {
         val rec = new ByteArrayOutputStream(r.data.length + 16)
         rec.write(0x08); writeVarint(rec, r.pkIndex.toLong)
         rec.write(0x10); writeVarint(rec, r.ehkIndex.toLong)
-        writeLenDelimited(rec, 0x22, r.data)
+        writeLenDelimited(rec, 0x1A, r.data) // data = field 3 (tag 0x1A)
         writeLenDelimited(body, 0x1A, rec.toByteArray)
       }
       val bodyBytes = body.toByteArray
@@ -225,6 +230,16 @@ object AggRecordCodec {
       val out = body.slice(pos, pos + len); pos += len
       out
     }
+    // Unknown fields are skipped by wire type, as protobuf consumers must
+    // (a real KPL may append `tags` = field 4, or future fields).
+    def skipUnknown(tag: Int, rv: () => Long, skipN: Int => Unit): Unit =
+      (tag & 7) match {
+        case 0 => rv()                 // varint
+        case 1 => skipN(8)             // fixed64
+        case 2 => skipN(rv().toInt)    // length-delimited
+        case 5 => skipN(4)             // fixed32
+        case wt => throw new IllegalArgumentException(s"unsupported wire type $wt (tag $tag)")
+      }
     val pks = IndexedSeq.newBuilder[String]
     val ehks = IndexedSeq.newBuilder[String]
     val recs = IndexedSeq.newBuilder[PackedRecord]
@@ -246,14 +261,14 @@ object AggRecordCodec {
             rv().toInt match {
               case 0x08 => pkIdx = rv().toInt
               case 0x10 => ehkIdx = rv().toInt
-              case 0x22 =>
+              case 0x1A => // data = field 3
                 val len = rv().toInt
                 data = rec.slice(rp, rp + len); rp += len
-              case other => throw new IllegalArgumentException(s"unknown record tag $other")
+              case other => skipUnknown(other, () => rv(), n => rp += n)
             }
           }
           recs += PackedRecord(pkIdx, ehkIdx, data)
-        case other => throw new IllegalArgumentException(s"unknown tag $other")
+        case other => skipUnknown(other, () => readVarint(), n => pos += n)
       }
     }
     val pkT = pks.result(); val ehkT = ehks.result(); val rs = recs.result()

@@ -74,6 +74,52 @@ class CodecSpec extends AnyFunSuite {
     assert(md5(body).toSeq == bytes.takeRight(16).toSeq)
   }
 
+  test("golden bytes: exact KPL protobuf layout (data = field 3, tag 0x1A)") {
+    // Pins the wire format against the public KPL aggregation schema
+    // (awslabs/kinesis-aggregation messages.proto): an encoder/decoder pair
+    // sharing a wrong tag would round-trip but break real KCL consumers.
+    val b = new Builder
+    assert(b.add("a", Some("123"), "hi".getBytes(StandardCharsets.UTF_8)))
+    val bytes = b.clearAndGet().get.toRecordBytes
+    val expectedBody = Array(
+      0x0A, 0x01, 0x61,                   // partition_key_table[0] = "a"
+      0x12, 0x03, 0x31, 0x32, 0x33,       // explicit_hash_key_table[0] = "123"
+      0x1A, 0x08,                         // records[0], 8 bytes
+      0x08, 0x00,                         //   partition_key_index = 0
+      0x10, 0x00,                         //   explicit_hash_key_index = 0
+      0x1A, 0x02, 0x68, 0x69              //   data = "hi" (field 3!)
+    ).map(_.toByte)
+    assert(bytes.slice(4, bytes.length - 16).toSeq == expectedBody.toSeq)
+    assert(bytes.take(4).toSeq == Magic.toSeq)
+    assert(bytes.takeRight(16).toSeq == md5(expectedBody).toSeq)
+  }
+
+  test("decode skips unknown fields (KPL tags field, future extensions)") {
+    // Hand-build a body whose record carries `tags` (field 4) and an unknown
+    // varint field 5, and whose top level carries an unknown fixed64 field.
+    import java.io.ByteArrayOutputStream
+    val body = new ByteArrayOutputStream()
+    def w(xs: Int*): Unit = xs.foreach(body.write)
+    w(0x0A, 0x02, 0x70, 0x6B)             // pk table: "pk"
+    w(0x12, 0x01, 0x37)                   // ehk table: "7"
+    // record: pkIdx 0, ehkIdx 0, data "xy", tags {key:"k"}, field5 varint
+    w(0x1A, 0x0F,
+      0x08, 0x00, 0x10, 0x00,
+      0x1A, 0x02, 0x78, 0x79,
+      0x22, 0x03, 0x0A, 0x01, 0x6B,       //   tags = [{key:"k"}] — skipped
+      0x28, 0x2A)                         //   unknown field 5 varint — skipped
+    w(0x31, 1, 2, 3, 4, 5, 6, 7, 8)       // top-level unknown fixed64 field 6
+    val bodyBytes = body.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(Magic, 0, 4); out.write(bodyBytes, 0, bodyBytes.length)
+    val digest = md5(bodyBytes); out.write(digest, 0, 16)
+    val agg = decode(out.toByteArray)
+    assert(agg.partitionKeyTable == IndexedSeq("pk"))
+    assert(agg.explicitHashKeyTable == IndexedSeq("7"))
+    assert(agg.records.map(r => new String(r.data, StandardCharsets.UTF_8)) ==
+      IndexedSeq("xy"))
+  }
+
   test("dictionary encoding: repeated keys stored once, insertion order") {
     val b = new Builder
     assert(b.add("k1", Some("1"), Array[Byte](1)))
