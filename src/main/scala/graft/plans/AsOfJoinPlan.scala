@@ -88,11 +88,17 @@ final case class AsOfJoinExec(
         private var nextOut: InternalRow = _
 
         private def advanceRight(): Unit = {
-          if (rIter.hasNext) {
+          rHead = null; rHeadKey = null
+          while (rHead == null && rIter.hasNext) {
             val r = rIter.next()
-            rHead = r.copy()          // unsafe rows are reused by the child
-            rHeadKey = rKeyProj(rHead).copy()
-          } else { rHead = null; rHeadKey = null }
+            // NULL-keyed right rows can never equi-match (SortMergeJoin
+            // semantics: NULL != NULL) — skip them at the cursor so the
+            // natural ordering below never pairs them with NULL left keys
+            if (!rKeyProj(r).anyNull) {
+              rHead = r.copy()        // unsafe rows are reused by the child
+              rHeadKey = rKeyProj(rHead).copy()
+            }
+          }
         }
         advanceRight()
 
@@ -101,8 +107,11 @@ final case class AsOfJoinExec(
             val l = lIter.next()
             val lk = lKeyProj(l)
             val lt = timeOf(lTimeBound, l)
-            if (lt == null) {
-              // NULL left time: no row can be "before" it — drop (inner)
+            if (lk.anyNull || lt == null) {
+              // NULL keys never equi-match and a NULL left time has no
+              // "before" — drop (inner) / null-pad (outer), matching the
+              // composed equi-join formulation and DuckDB ASOF
+              if (isOuter) nextOut = joined(l, nullRight)
             } else {
             // skip right groups with smaller keys (their candidates die)
             while (rHead != null && keyOrd.compare(rHeadKey, lk) < 0) {
@@ -131,10 +140,6 @@ final case class AsOfJoinExec(
             } else if (isOuter) {
               nextOut = joined(l, nullRight)
             } // else: no match → inner semantics drop the left row
-            }
-            if (nextOut == null && isOuter && lt == null) {
-              // NULL-time left row still survives a left-outer join
-              nextOut = joined(l, nullRight)
             }
           }
         }

@@ -32,6 +32,27 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("NULL join keys never match, like the composed equi-join form") {
+    // natural row ordering treats NULL==NULL as equal; the exec must skip
+    // NULL-keyed rows instead (SortMergeJoin / DuckDB ASOF semantics)
+    val quotes = Seq((Option(1L), 10L, 5.0), (Option.empty[Long], 5L, 7.0))
+      .toDF("k", "qt", "px")
+    val trades = Seq((1L, Option(1L), 20L), (2L, Option.empty[Long], 20L))
+      .toDF("id", "k", "tt")
+    val composed = Joins.asof(trades, quotes, Seq("k"),
+        col("id"), col("tt"), col("qt"), col("qt"))
+      .select(col("id"), col("px")).as[(Long, Double)].collect().toMap
+    val native = Joins.asofNative(trades, quotes, Seq("k"), "tt", "qt")
+      .select(col("id"), col("px")).as[(Long, Double)].collect().toMap
+    assert(composed == Map(1L -> 5.0))
+    assert(native == composed)
+    // outer: the NULL-keyed left row survives with NULL right columns
+    val outer = Joins.asofNative(trades, quotes, Seq("k"), "tt", "qt",
+        outer = true)
+      .select(col("id"), col("px")).as[(Long, Option[Double])].collect().toMap
+    assert(outer == Map(1L -> Some(5.0), 2L -> None))
+  }
+
   test("non-strict (≤) matches rows at the exact timestamp") {
     val quotes = Seq((1L, 10L, 5.0)).toDF("k", "qt", "px")
     val trades = Seq((1L, 1L, 10L)).toDF("id", "k", "tt")
