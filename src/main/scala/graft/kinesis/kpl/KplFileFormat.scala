@@ -21,6 +21,11 @@ import graft.kinesis.AggRecordCodec
   * One input partition per file: aggregates are ≤ 1 MiB by construction,
   * so a file is the natural split unit and scans parallelize across the
   * archive with no further splitting logic.
+  *
+  * All file IO goes through the Hadoop FileSystem API (resolved from the
+  * session's Hadoop conf), so `path` may live on HDFS/S3/any object store
+  * the cluster is configured for — not just a filesystem shared by driver
+  * and executors.
   */
 class KplFileFormat extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -29,6 +34,21 @@ class KplFileFormat extends TableProvider {
       properties: util.Map[String, String]): Table =
     new KplTable(properties.get("path"))
   override def supportsExternalMetadata(): Boolean = false
+}
+
+/** Hadoop `Configuration` is not `Serializable`; this wrapper ships it to
+  * executors via its own write/readFields (the same trick Spark's internal
+  * `SerializableConfiguration` uses, which is `private[spark]`). */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
 }
 
 object KplFileFormat {
@@ -44,17 +64,20 @@ object KplFileFormat {
     * executors; returns total user records written. */
   def writeWireFiles(payloads: org.apache.spark.sql.DataFrame,
       payloadCol: String, dir: String, ehks: Array[String]): Long = {
+    val conf = new SerializableHadoopConf(
+      payloads.sparkSession.sessionState.newHadoopConf())
     val counts = payloads.select(org.apache.spark.sql.functions.col(payloadCol))
       .rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(conf.value)
         val router = new graft.kinesis.ShardModel.Router(ehks, 42L + pid)
         val batches = new graft.kinesis.BatchingIterator(
           rows.map(r => ("a", Option.empty[String], r.getAs[Array[Byte]](0))),
           () => router.next())
         var n = 0L
         batches.zipWithIndex.foreach { case (b, i) =>
-          val out = new java.io.File(dir, f"part-$pid%05d-$i%05d.kpl")
-          val fos = new java.io.FileOutputStream(out)
-          try fos.write(b.aggregate.toRecordBytes) finally fos.close()
+          val out = fs.create(new org.apache.hadoop.fs.Path(base, f"part-$pid%05d-$i%05d.kpl"), true)
+          try out.write(b.aggregate.toRecordBytes) finally out.close()
           n += b.numUserRecords
         }
         Iterator.single(n)
@@ -74,31 +97,52 @@ final class KplTable(path: String) extends Table with SupportsRead {
 }
 
 final class KplScanBuilder(path: String) extends ScanBuilder {
-  override def build(): Scan = new KplScan(path)
+  override def build(): Scan = new KplScan(path,
+    new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final case class KplFilePartition(file: String) extends InputPartition
 
-final class KplScan(path: String) extends Scan with Batch {
+final class KplScan(path: String, conf: SerializableHadoopConf)
+    extends Scan with Batch {
   override def readSchema(): StructType = KplFileFormat.schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf.value)
+    val root = fs.getFileStatus(p)
     val files =
-      if (dir.isDirectory) dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".kpl"))
-      else Array(dir)
-    files.sortBy(_.getName).map(f => KplFilePartition(f.getAbsolutePath): InputPartition)
+      if (root.isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".kpl"))
+      else Array(root)
+    files.sortBy(_.getPath.getName)
+      .map(s => KplFilePartition(s.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) =>
-      new KplPartitionReader(partition.asInstanceOf[KplFilePartition].file)
+    KplReaderFactory(conf)
 }
 
-final class KplPartitionReader(file: String) extends PartitionReader[InternalRow] {
+/** Serializable factory: ships the Hadoop conf to executors. */
+final case class KplReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KplPartitionReader(partition.asInstanceOf[KplFilePartition].file, conf)
+}
+
+final class KplPartitionReader(file: String, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
   private lazy val rows: Iterator[InternalRow] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(conf.value)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= AggRecordCodec.MaxBytesPerRecord,
+      s"$file: ${len}B exceeds the 1 MiB aggregate cap — not a KPL wire file")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, bytes) finally in.close()
     val agg = AggRecordCodec.decode(bytes)
     val fileUtf8 = UTF8String.fromString(file)
     agg.records.iterator.map { r =>
