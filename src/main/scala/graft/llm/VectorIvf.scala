@@ -44,17 +44,21 @@ object VectorIvf {
     cents.select(col("cid"), transform(col("centroid"), x => x.cast("float")).as("centroid"))
   }
 
-  /** Nearest-cell assignment: broadcast codebook, window argmax. */
-  private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("sim").desc, col("cid"))
+  /** Nearest-cell assignment: broadcast codebook, max_by argmax.
+    *
+    * A window argmax here would push all n·nlist scored rows through a
+    * sort exchange; max_by gets map-side partial aggregation, so only ~n
+    * pre-reduced rows shuffle. Ties break to the lowest cid via the
+    * (sim, -cid) ordering struct (lexicographic max).
+    */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents.select(col("cid"),
         transform(col("centroid"), x => x.cast("float")).as("centroid"))))
       .withColumn("sim", vec_cosine(col("vec"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("vec"), col("cid"))
-  }
+      .groupBy(col("vid"))
+      .agg(max_by(struct(col("cid"), col("vec")),
+        struct(col("sim"), (-col("cid")).as("tie"))).as("m"))
+      .select(col("vid"), col("m.vec").as("vec"), col("m.cid").as("cid"))
 
   /** Top-`k` approximate cosine neighbors per query vector, probing the
     * `nprobe` nearest cells. `queries` defaults to the whole corpus;
@@ -67,14 +71,21 @@ object VectorIvf {
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val cents = train(vecs, idCol, vecCol, nlist, iters).cache()
     val members = assign(v, cents) // (vid, vec, cid): the inverted lists
-    val wProbe = Window.partitionBy(col("vid"))
-      .orderBy(col("sim").desc, col("cid"))
+    // top-nprobe cells per query, again as an aggregate rather than a
+    // window: collect_list's buffer is nlist entries, partial-merged
+    // map-side; sort desc by (sim, -cid) = sim desc then cid asc.
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("sim", vec_cosine(col("vec"),
         transform(col("centroid"), x => x.cast("float"))))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("vid").as("q_id"), col("vec").as("qv"), col("cid"))
+      .groupBy(col("vid"))
+      .agg(first(col("vec")).as("qv"),
+        slice(sort_array(collect_list(struct(col("sim"), (-col("cid")).as("ncid"))),
+          asc = false), 1, nprobe).as("top"))
+      .select(col("vid").as("q_id"), col("qv"),
+        explode(col("top")).as("p"))
+      .select(col("q_id"), col("qv"), (-col("p.ncid")).as("cid"))
+    // exact rerank of probed-cell members; row_number already emits each
+    // (q_id, rn) once, so no trailing distinct
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
     probes.join(members
@@ -84,6 +95,5 @@ object VectorIvf {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
-      .distinct()
   }
 }

@@ -40,20 +40,30 @@ object VectorLsh {
   }
 
   /** Top-k approximate cosine neighbors per query vector. Exact cosine is
-    * evaluated only on bucket-colliding candidate pairs. */
+    * evaluated only on bucket-colliding candidate pairs — and only once
+    * per unordered pair: candidates are generated with a < b (half the
+    * rows through the dedup shuffle, half the vector fetches and cosine
+    * evals), scored, then mirrored before the per-query top-k, which is
+    * equivalent because cosine is symmetric.
+    */
   def topkApprox(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int = 64, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val b = buckets(vecs, idCol, vecCol, dim, bits, tables, seed)
-    val cands = b.as("a").join(b.as("b"),
-        col("a.bk") === col("b.bk") && col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("q_id"), col(s"b.$idCol").as("c_id"))
-      .distinct()
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("x_id"), col(s"b.$idCol").as("y_id"))
+      .distinct() // dedup across the `tables` bucketings
     val v = vecs.select(col(idCol), col(vecCol))
+    val scored = pairs
+      .join(v.select(col(idCol).as("x_id"), col(vecCol).as("xv")), "x_id")
+      .join(v.select(col(idCol).as("y_id"), col(vecCol).as("yv")), "y_id")
+      .withColumn("sim", vec_cosine(col("xv"), col("yv")))
+      .select(col("x_id"), col("y_id"), col("sim"))
+    val mirrored = scored
+      .select(col("x_id").as("q_id"), col("y_id").as("c_id"), col("sim"))
+      .unionAll(scored.select(col("y_id").as("q_id"), col("x_id").as("c_id"), col("sim")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    cands
-      .join(v.select(col(idCol).as("q_id"), col(vecCol).as("qv")), "q_id")
-      .join(v.select(col(idCol).as("c_id"), col(vecCol).as("cv")), "c_id")
-      .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+    mirrored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
