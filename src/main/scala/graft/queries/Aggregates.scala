@@ -244,13 +244,29 @@ object Aggregates {
 
     // HyperLogLog++ approximate distinct — no exact oracle by construction;
     // rows-only check here, tolerance-vs-exact asserted in ScalaTest.
+    // HLL++ estimates are engine-specific, but their error BOUND is not:
+    // emit exact counts plus a within-5σ flag (rsd=0.02) so the driver can
+    // hash-compare against an oracle that computes the exact counts and
+    // expects the flags to be 1. A wildly-off estimator fails the gate.
     QDef("q_agg_approx_distinct",
       (s, d) => lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.1).cast("long").as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.1).cast("long").as("orders_ok"))
         .orderBy(col("l_returnflag")),
-      None)
+      Some("""SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS exact_parts,
+        count(DISTINCT l_orderkey) AS exact_orders,
+        CAST(1 AS BIGINT) AS parts_ok,
+        CAST(1 AS BIGINT) AS orders_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -350,8 +350,9 @@ object Llm {
 
     // Language ID via per-language token profiles mined from the corpus
     // itself (char-free n-gram heuristic): each doc votes with its tokens'
-    // majority language. Self-referential → no SQL oracle; accuracy
-    // asserted in LlmSpec.
+    // majority language. Fully relational (counts + deterministic
+    // row_number ties), so the whole pipeline has a DuckDB oracle;
+    // accuracy additionally asserted in LlmSpec.
     QDef("q_lang_id",
       (s, d) => {
         val docs = documents(s, d)
@@ -376,10 +377,31 @@ object Llm {
             (col("lang") === col("tok_lang")).cast("long").as("correct"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH tok AS (
+          SELECT doc_id, lang,
+            unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents),
+        profile AS (SELECT tok, lang, count(*) AS n FROM tok GROUP BY tok, lang),
+        toklang AS (
+          SELECT tok, lang AS tok_lang FROM (
+            SELECT tok, lang,
+              row_number() OVER (PARTITION BY tok ORDER BY n DESC, lang) AS rn
+            FROM profile) t WHERE rn = 1),
+        votes AS (
+          SELECT t.doc_id, t.lang, tl.tok_lang, count(*) AS votes
+          FROM tok t JOIN toklang tl ON t.tok = tl.tok
+          GROUP BY t.doc_id, t.lang, tl.tok_lang)
+        SELECT doc_id, lang AS true_lang, tok_lang AS pred_lang,
+          CAST(lang = tok_lang AS BIGINT) AS correct
+        FROM (SELECT doc_id, lang, tok_lang, votes,
+                row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, tok_lang) AS rn
+              FROM votes) v WHERE rn = 1
+        ORDER BY doc_id""")),
 
     // Rolling-hash (Rabin-Karp style) document fingerprint over chars —
-    // deterministic pure-Spark expression chain; golden-tested in LlmSpec.
+    // deterministic pure-Spark expression chain; golden-tested in LlmSpec
+    // AND oracle-checked: the polynomial fold is exactly expressible as a
+    // DuckDB list_reduce.
     QDef("q_doc_fingerprint",
       (s, d) => documents(s, d)
         .select(col("doc_id"),
@@ -388,7 +410,12 @@ object Llm {
             lit(0L),
             (acc, c) => pmod(acc * 31 + c, lit(1000000007L))).as("fingerprint"))
         .orderBy(col("doc_id")),
-      None),
+      Some("""SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        FROM documents ORDER BY doc_id""")),
 
     // Multimodal manifest: opaque binary payload + typed metadata struct.
     // The decode/feature-extract path lives in graft.multimodal (stubbed
