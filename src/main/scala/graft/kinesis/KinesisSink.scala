@@ -102,7 +102,10 @@ object KinesisSinkSemantics {
       maxAggSize: Int = 1000000,
       maxLastSize: Int = 100000,
       partitionKey: String = "a", // the reference routes purely by EHK ("a" for every record, `KinesisWriter.scala:154`)
-      routerSeed: Long = 42L)
+      routerSeed: Long = 42L,
+      /** per-shard 1 MiB/s + 1000 rec/s budget ([[ShardThrottle]]);
+        * None = unthrottled (tests, unlimited transports) */
+      throttle: Option[ShardThrottle] = None)
 
   private def backoff(cfg: Config, attempt: Int): Unit =
     Thread.sleep(math.min(cfg.backoffMillis << attempt, 30000L))
@@ -124,8 +127,12 @@ object KinesisSinkSemantics {
       cfg: Config): Unit = {
     @tailrec
     def attempt(entries: Seq[PutEntry], failCount: Int): Unit = {
-      val ok = try entries.forall(e =>
-        transport.putRecords(cfg.streamName, Seq(e)).failedRecordCount == 0)
+      val ok = try entries.forall { e =>
+        // backpressure: block until the target shard (identified by its
+        // routing EHK) has 1 MiB/s + 1000 rec/s budget for this entry
+        cfg.throttle.foreach(_.acquire(e.explicitHashKey, e.data.length.toLong))
+        transport.putRecords(cfg.streamName, Seq(e)).failedRecordCount == 0
+      }
       catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) {
         if (failCount >= cfg.maxRetries)

@@ -1,0 +1,97 @@
+package graft.kinesis
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Client-side per-shard ingest budget — the service limit the reference's
+  * batching exists to respect (Kinesis caps each shard at 1 MiB/s and
+  * 1000 records/s; `KinesisWriter.scala:35` documents the aggregation
+  * rationale). A token bucket per shard: `acquire` blocks (via `sleep`)
+  * until the target shard has both byte and record budget, so a producer
+  * saturating one hot shard backs off instead of farming throttling
+  * errors out of PutRecords.
+  *
+  * Shards are keyed by the explicit hash key the router draws (one
+  * midpoint EHK per open shard, so the key identifies the shard).
+  *
+  * Scope: per-JVM. Buckets live in a static registry keyed by throttle id
+  * (the same single-JVM pattern as [[InMemoryKinesis]]) so every task in
+  * an executor shares one budget. Across executors there is no
+  * coordination — size `bytesPerSec` as the per-shard service limit
+  * divided by the number of concurrent writer tasks per shard (at most
+  * the executor count when routing is random), exactly how the KPL's
+  * client-side rate limiter is provisioned.
+  *
+  * Time and sleep are injectable so tests drive a virtual clock instead
+  * of wall-clock sleeping.
+  */
+final class ShardThrottle(
+    val id: String,
+    bytesPerSec: Long = 1L << 20,
+    recordsPerSec: Long = 1000L,
+    nanoTime: () => Long = () => System.nanoTime(),
+    sleep: Long => Unit = ms => Thread.sleep(ms)) extends Serializable {
+
+  import ShardThrottle._
+
+  /** Block until `shardKey` has budget for one entry of `bytes`; returns
+    * the milliseconds waited (0 = no throttling engaged). Entries larger
+    * than one second's budget draw the bucket negative rather than
+    * deadlocking (the deficit delays subsequent sends). */
+  def acquire(shardKey: String, bytes: Long, records: Long = 1L): Long = {
+    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime())
+    var waited = 0L
+    b.synchronized {
+      var done = false
+      while (!done) {
+        refill(b)
+        // cap the requirement at burst capacity so oversized entries
+        // (≤1 MiB aggregate vs a sub-MiB/s budget) still make progress
+        val needBytes = math.min(bytes.toDouble, bytesPerSec.toDouble)
+        val needRecs = math.min(records.toDouble, recordsPerSec.toDouble)
+        if (b.bytes >= needBytes && b.records >= needRecs) {
+          b.bytes -= bytes.toDouble
+          b.records -= records.toDouble
+          done = true
+        } else {
+          val msForBytes = (needBytes - b.bytes) * 1000.0 / bytesPerSec
+          val msForRecs = (needRecs - b.records) * 1000.0 / recordsPerSec
+          val ms = math.max(1L, math.ceil(math.max(msForBytes, msForRecs)).toLong)
+          sleep(ms)
+          waited += ms
+          b.waitedMs += ms
+        }
+      }
+    }
+    waited
+  }
+
+  /** Total milliseconds this throttle id has spent blocked (all shards). */
+  def totalWaitMillis: Long = {
+    var sum = 0L
+    registry.forEach { (k, b) => if (k._1 == id) sum += b.synchronized(b.waitedMs) }
+    sum
+  }
+
+  private def refill(b: Bucket): Unit = {
+    val now = nanoTime()
+    val dt = (now - b.lastNanos) / 1e9
+    if (dt > 0) {
+      b.bytes = math.min(bytesPerSec.toDouble, b.bytes + dt * bytesPerSec)
+      b.records = math.min(recordsPerSec.toDouble, b.records + dt * recordsPerSec)
+      b.lastNanos = now
+    }
+  }
+}
+
+object ShardThrottle {
+  private final class Bucket(var bytes: Double, var records: Double,
+      var lastNanos: Long) {
+    var waitedMs: Long = 0L
+  }
+  private val registry = new ConcurrentHashMap[(String, String), Bucket]()
+  private def bucket(id: String, shardKey: String, bps: Long, rps: Long,
+      now: Long): Bucket =
+    registry.computeIfAbsent((id, shardKey),
+      // start full: Kinesis permits a one-second burst to the cap
+      _ => new Bucket(bps.toDouble, rps.toDouble, now))
+}

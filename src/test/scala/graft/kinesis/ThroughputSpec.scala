@@ -28,6 +28,50 @@ class ThroughputSpec extends AnyFunSuite {
     assert(rps > 500000, f"packing too slow: $rps%.0f records/s")
   }
 
+  test("shard throttle engages at the 1 MiB/s per-shard service limit") {
+    // virtual clock: sleep() advances time instead of blocking
+    var now = 0L
+    val t = new ShardThrottle("t-" + System.nanoTime(),
+      bytesPerSec = 1 << 20, recordsPerSec = 1000,
+      nanoTime = () => now, sleep = ms => now += ms * 1000000L)
+    val mib = 1 << 20
+    assert(t.acquire("shard-0", mib) == 0L) // burst allowance: first MiB free
+    val w1 = t.acquire("shard-0", mib)      // bucket empty → ~1 s wait
+    assert(w1 >= 990 && w1 <= 1100, s"waited $w1 ms")
+    val w2 = t.acquire("shard-0", mib)
+    assert(w2 >= 990 && w2 <= 1100, s"waited $w2 ms")
+    // an idle shard has its own untouched budget
+    assert(t.acquire("shard-1", mib) == 0L)
+    assert(t.totalWaitMillis == w1 + w2)
+  }
+
+  test("shard throttle enforces the 1000 records/s cap independently") {
+    var now = 0L
+    val t = new ShardThrottle("t-" + System.nanoTime(),
+      bytesPerSec = Long.MaxValue / 2, recordsPerSec = 1000,
+      nanoTime = () => now, sleep = ms => now += ms * 1000000L)
+    assert(t.acquire("s", 10, records = 1000) == 0L)
+    val w = t.acquire("s", 10, records = 500) // needs 0.5 s of record budget
+    assert(w >= 490 && w <= 600, s"waited $w ms")
+  }
+
+  test("throttled sink write backpressures under injected load") {
+    var now = 0L
+    val throttle = new ShardThrottle("t-" + System.nanoTime(),
+      bytesPerSec = 1 << 20, recordsPerSec = 1000,
+      nanoTime = () => now, sleep = ms => now += ms * 1000000L)
+    val transport = new InMemoryKinesis(numShards = 1)
+    val cfg = KinesisSinkSemantics.Config("s", throttle = Some(throttle))
+    val ehks = ShardModel.explicitHashKeys("s", transport)
+    // ~3 MiB of payloads through 1 shard at 1 MiB/s → ≥ ~2 s throttled
+    val payload = Array.fill[Byte](100000)(7)
+    val n = KinesisSinkSemantics.writePartition(
+      Iterator.fill(30)(payload), transport, ehks, cfg)
+    assert(n == 30)
+    assert(throttle.totalWaitMillis >= 1800,
+      s"throttle never engaged: ${throttle.totalWaitMillis} ms")
+  }
+
   test("wire serialization + decode sustain >100 MB/s") {
     val payload = Array.fill[Byte](1000)(3)
     val b = new AggRecordCodec.Builder
