@@ -35,9 +35,24 @@ trait PutRecordsTransport extends Serializable {
   * and the driver looking at the same stream (single-JVM test transport).
   */
 object InMemoryKinesis {
+  /** One shard's metadata: hash range, lineage, and — once closed by a
+    * split/merge — the aggregate count at close time (a consumer must
+    * drain exactly that many before reading the children). */
+  private[kinesis] final case class ShardMeta(
+      lo: BigInteger, hi: BigInteger,
+      parents: Seq[String],
+      closedAt: Option[Int])
+
   private[kinesis] final class State {
     val calls = new AtomicLong(0)
     val received = new ConcurrentHashMap[String, java.util.List[Array[Byte]]]()
+    /** insertion-ordered shard table; all access synchronized on it */
+    val shards = new java.util.LinkedHashMap[String, ShardMeta]()
+    var nextShardNum = 0
+    def newShardId(): String = { val i = nextShardNum; nextShardNum += 1; f"shardId-$i%012d" }
+    def sizeOf(shard: String): Int = {
+      val l = received.get(shard); if (l == null) 0 else l.size
+    }
   }
   private val registry = new ConcurrentHashMap[String, State]()
   private[kinesis] def state(id: String): State =
@@ -48,25 +63,79 @@ final class InMemoryKinesis(numShards: Int, failEvery: Int = 0,
     /** stable name so the streaming source can address this stream */
     val id: String = java.util.UUID.randomUUID().toString)
   extends PutRecordsTransport with ShardLister {
-  private val ranges = ShardModel.evenRanges(numShards)
-  private def st = InMemoryKinesis.state(id)
+  import InMemoryKinesis.ShardMeta
+  private def st = {
+    val s = InMemoryKinesis.state(id)
+    s.shards.synchronized {
+      if (s.shards.isEmpty)
+        ShardModel.evenRanges(numShards).foreach { case (lo, hi) =>
+          s.shards.put(s.newShardId(), ShardMeta(lo, hi, Seq.empty, None))
+        }
+    }
+    s
+  }
   def received: ConcurrentHashMap[String, java.util.List[Array[Byte]]] = st.received
 
-  override def page(streamName: String, token: Option[String]): (Seq[ShardInfo], Boolean) = {
-    // two pages to exercise the pagination path
-    val shards = ranges.zipWithIndex.map { case ((lo, hi), i) =>
-      ShardInfo(f"shardId-$i%012d", lo.toString, hi.toString, None)
+  private def shardSeq(s: InMemoryKinesis.State): Seq[(String, ShardMeta)] =
+    s.shards.synchronized {
+      import scala.jdk.CollectionConverters._
+      // iterator (not entrySet().asScala, a Set) preserves insertion order
+      s.shards.entrySet().iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
     }
+
+  override def page(streamName: String, token: Option[String]): (Seq[ShardInfo], Boolean) = {
+    val all = shardSeq(st).map { case (sid, m) =>
+      ShardInfo(sid, m.lo.toString, m.hi.toString,
+        m.closedAt.map(_.toString), m.parents)
+    }
+    // two pages to exercise the pagination path
     token match {
-      case None => (shards.take((numShards + 1) / 2), numShards > 1)
-      case Some(t) => (shards.dropWhile(_.shardId <= t), false)
+      case None => (all.take((all.size + 1) / 2), all.size > 1)
+      case Some(t) => (all.dropWhile(_.shardId <= t), false)
     }
   }
 
   private def shardFor(ehk: String): String = {
     val k = new BigInteger(ehk)
-    val i = ranges.indexWhere { case (lo, hi) => k.compareTo(lo) >= 0 && k.compareTo(hi) <= 0 }
-    f"shardId-$i%012d"
+    shardSeq(st).collectFirst {
+      case (sid, m) if m.closedAt.isEmpty &&
+        k.compareTo(m.lo) >= 0 && k.compareTo(m.hi) <= 0 => sid
+    }.getOrElse(throw new IllegalStateException(s"no open shard covers $ehk"))
+  }
+
+  /** Split an open shard at its range midpoint: the parent closes at its
+    * current aggregate count; two children (each citing the parent) take
+    * the halves — the lifecycle real Kinesis SplitShard performs. */
+  def splitShard(shardId: String): (String, String) = {
+    val s = st
+    s.shards.synchronized {
+      val m = s.shards.get(shardId)
+      require(m != null && m.closedAt.isEmpty, s"$shardId not open")
+      s.shards.put(shardId, m.copy(closedAt = Some(s.sizeOf(shardId))))
+      val mid = m.lo.add(m.hi.subtract(m.lo).divide(BigInteger.TWO))
+      val c1 = s.newShardId(); val c2 = s.newShardId()
+      s.shards.put(c1, ShardMeta(m.lo, mid, Seq(shardId), None))
+      s.shards.put(c2, ShardMeta(mid.add(BigInteger.ONE), m.hi, Seq(shardId), None))
+      (c1, c2)
+    }
+  }
+
+  /** Merge two open adjacent shards: both close at their current counts;
+    * one child citing both parents covers the union range. */
+  def mergeShards(a: String, b: String): String = {
+    val s = st
+    s.shards.synchronized {
+      val ma = s.shards.get(a); val mb = s.shards.get(b)
+      require(ma != null && mb != null && ma.closedAt.isEmpty && mb.closedAt.isEmpty,
+        s"$a/$b not open")
+      require(ma.hi.add(BigInteger.ONE) == mb.lo || mb.hi.add(BigInteger.ONE) == ma.lo,
+        s"$a and $b are not adjacent")
+      s.shards.put(a, ma.copy(closedAt = Some(s.sizeOf(a))))
+      s.shards.put(b, mb.copy(closedAt = Some(s.sizeOf(b))))
+      val c = s.newShardId()
+      s.shards.put(c, ShardMeta(ma.lo.min(mb.lo), ma.hi.max(mb.hi), Seq(a, b), None))
+      c
+    }
   }
 
   override def putRecords(streamName: String, entries: Seq[PutEntry]): PutResult = {

@@ -13,7 +13,10 @@ final case class ShardInfo(
     startingHashKey: String,
     endingHashKey: String,
     /** null/None ⇔ shard is open (reference: `KinesisWriter.scala:51`). */
-    endingSequenceNumber: Option[String])
+    endingSequenceNumber: Option[String],
+    /** lineage after a split/merge: the closed shard(s) this one replaces;
+      * a consumer must drain parents before children (Kinesis ordering). */
+    parentShardIds: Seq[String] = Seq.empty)
 
 /** Paginated shard listing — the driver-side metadata boundary. Pluggable
   * so tests (and the in-memory transport) can model resharding without

@@ -54,6 +54,17 @@ object KinesisStreamSource {
     import scala.jdk.CollectionConverters._
     InMemoryKinesis.state(id).received.asScala.map { case (k, v) => k -> v.size }.toMap
   }
+
+  /** shard → (parent ids, count-at-close if closed) — the lineage the
+    * parent-before-child gate in [[KinesisMicroBatchStream]] consults. */
+  private[kpl] def shardLineage(id: String): Map[String, (Seq[String], Option[Int])] = {
+    val st = InMemoryKinesis.state(id)
+    st.shards.synchronized {
+      import scala.jdk.CollectionConverters._
+      st.shards.entrySet().iterator().asScala
+        .map(e => e.getKey -> (e.getValue.parents, e.getValue.closedAt)).toMap
+    }
+  }
   private[kpl] def slice(id: String, shard: String, from: Int, until: Int): Seq[Array[Byte]] = {
     val list = InMemoryKinesis.state(id).received.get(shard)
     if (list == null) Seq.empty
@@ -93,10 +104,38 @@ object ShardCursors {
       .map(m => m.group(1) -> m.group(2).toInt).toMap)
 }
 
-final class KinesisMicroBatchStream(id: String) extends MicroBatchStream {
+final class KinesisMicroBatchStream(id: String) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   override def initialOffset(): Offset = ShardCursors(Map.empty)
+
+  /** Kinesis resharding ordering: a child shard's cursor may not advance
+    * until every parent is fully drained as of this batch's START offset
+    * (cursor ≥ the parent's count-at-close). Until then the child reports
+    * its start cursor, so its rows surface only in a later micro-batch —
+    * parent before child, the KCL lease ordering guarantee. Implemented
+    * via SupportsAdmissionControl (the start-aware latestOffset);
+    * commit-time tracking would lag a batch and stall processAllAvailable.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val done = start.asInstanceOf[ShardCursors].cursors
+    val sizes = KinesisStreamSource.shardSizes(id)
+    val lineage = KinesisStreamSource.shardLineage(id)
+    ShardCursors(sizes.map { case (shard, size) =>
+      val parents = lineage.get(shard).map(_._1).getOrElse(Seq.empty)
+      val parentsDrained = parents.forall { p =>
+        lineage.get(p).flatMap(_._2)
+          .exists(closedAt => done.getOrElse(p, 0) >= closedAt)
+      }
+      shard -> (if (parentsDrained) size else done.getOrElse(shard, 0))
+    })
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(): Offset =
-    ShardCursors(KinesisStreamSource.shardSizes(id))
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
+
   override def deserializeOffset(json: String): Offset = ShardCursors.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -97,13 +97,19 @@ object EventStreams {
     * (StatefulProcessor + typed ValueState on the RocksDB store) — the
     * forward-looking arbitrary-state path: evolvable state schema,
     * timers, and per-state TTL where the classic API has one opaque
-    * value per key. */
-  class CounterProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserCounter] {
+    * value per key. Optional `ttlMs` demonstrates per-state TTL: a key's
+    * counter silently expires after the duration, so the next event
+    * starts from zero (requires TimeMode.ProcessingTime). */
+  class CounterProcessor(ttlMs: Option[Long] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserCounter] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
     @transient private var state: org.apache.spark.sql.streaming.ValueState[UserCounter] = _
-    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      val ttl = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
+        .getOrElse(TTLConfig.NONE)
       state = getHandle.getValueState[UserCounter]("counter",
-        org.apache.spark.sql.Encoders.product[UserCounter], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[UserCounter], ttl)
+    }
     override def handleInputRows(key: Long, rows: Iterator[EventRow],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCounter] = {
       val prev = Option(state.get()).getOrElse(UserCounter(key, 0L, 0.0))
@@ -115,10 +121,60 @@ object EventStreams {
     }
   }
 
-  def runningCountersTws(events: Dataset[EventRow]): Dataset[UserCounter] = {
+  def runningCountersTws(events: Dataset[EventRow],
+      ttlMs: Option[Long] = None): Dataset[UserCounter] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val timeMode = if (ttlMs.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey(_.user_id)
+      .transformWithState(new CounterProcessor(ttlMs), timeMode, OutputMode.Update)
+  }
+
+  final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Idle-session detection on processing-time TIMERS: each event for a
+    * key re-arms a timer `gapMs` ahead; when the key goes quiet the timer
+    * fires and `handleExpiredTimer` emits the session summary and clears
+    * state — the transformWithState capability the classic
+    * flatMapGroupsWithState timeout API only approximates. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SessionSummary] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[UserCounter] = _
+    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[UserCounter]("sess",
+        org.apache.spark.sql.Encoders.product[UserCounter], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed_at",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionSummary] = {
+      val prev = Option(agg.get()).getOrElse(UserCounter(key, 0L, 0.0))
+      var n = prev.n_events; var v = prev.total_value
+      rows.foreach { r => n += 1; v += r.value }
+      agg.update(UserCounter(key, n, v))
+      if (armed.exists()) getHandle.deleteTimer(armed.get()) // re-arm
+      val at = timers.getCurrentProcessingTimeInMs() + gapMs
+      getHandle.registerTimer(at)
+      armed.update(at)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val out = Option(agg.get())
+        .map(c => SessionSummary(key, c.n_events, c.total_value))
+      agg.clear(); armed.clear()
+      out.iterator
+    }
+  }
+
+  def idleSessions(events: Dataset[EventRow], gapMs: Long): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     events.groupByKey(_.user_id)
-      .transformWithState(new CounterProcessor, TimeMode.None(), OutputMode.Update)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.ProcessingTime(), OutputMode.Update)
   }
 }

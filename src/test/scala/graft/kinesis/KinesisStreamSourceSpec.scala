@@ -87,6 +87,84 @@ class KinesisStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("shard split: children withheld until the parent is drained") {
+    val k = new InMemoryKinesis(numShards = 1)
+    val ehks = ShardModel.explicitHashKeys("s", k)
+    def put(ehk: String, msg: String): Unit = {
+      val b = new AggRecordCodec.Builder
+      assert(b.add("a", Some(ehk), msg.getBytes("UTF-8")))
+      val agg = b.clearAndGet().get
+      assert(k.putRecords("s", Seq(PutEntry(agg.partitionKey,
+        agg.explicitHashKey, agg.toRecordBytes))).failedRecordCount == 0)
+    }
+    // unread data in the parent, then a split, then data in both children
+    put(ehks(0), "parent-1")
+    put(ehks(0), "parent-2")
+    val (c1, c2) = k.splitShard("shardId-000000000000")
+    val childEhks = ShardModel.explicitHashKeys("s", k) // midpoints of c1, c2
+    assert(childEhks.length == 2)
+    childEhks.foreach(e => put(e, s"child-of-$e"))
+
+    // record which micro-batch each shard's rows arrive in
+    val arrivals = scala.collection.mutable.Map.empty[String, Long]
+    val q = spark.readStream.format(KinesisStreamSource.Name)
+      .option("kinesis.id", k.id).load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        df.select("shard_id").distinct().collect().foreach { r =>
+          arrivals.synchronized {
+            arrivals.updateWith(r.getString(0))(o => Some(o.fold(batchId)(math.min(_, batchId))))
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val parentBatch = arrivals("shardId-000000000000")
+      assert(Seq(c1, c2).forall(arrivals.contains), s"children never read: $arrivals")
+      assert(Seq(c1, c2).forall(arrivals(_) > parentBatch),
+        s"child rows must arrive strictly after the parent is drained: $arrivals")
+    } finally q.stop()
+  }
+
+  test("shard merge: the merged child waits for BOTH parents") {
+    val k = new InMemoryKinesis(numShards = 2)
+    val ehks = ShardModel.explicitHashKeys("s", k)
+    def put(ehk: String, msg: String): Unit = {
+      val b = new AggRecordCodec.Builder
+      assert(b.add("a", Some(ehk), msg.getBytes("UTF-8")))
+      val agg = b.clearAndGet().get
+      k.putRecords("s", Seq(PutEntry(agg.partitionKey, agg.explicitHashKey,
+        agg.toRecordBytes)))
+      ()
+    }
+    put(ehks(0), "pa"); put(ehks(1), "pb")
+    val c = k.mergeShards("shardId-000000000000", "shardId-000000000001")
+    val merged = ShardModel.explicitHashKeys("s", k)
+    assert(merged.length == 1)
+    put(merged(0), "child")
+    val arrivals = scala.collection.mutable.Map.empty[String, Long]
+    val q = spark.readStream.format(KinesisStreamSource.Name)
+      .option("kinesis.id", k.id).load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        df.select("shard_id").distinct().collect().foreach { r =>
+          arrivals.synchronized {
+            arrivals.updateWith(r.getString(0))(o => Some(o.fold(batchId)(math.min(_, batchId))))
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(arrivals.contains(c), s"merged shard never read: $arrivals")
+      assert(arrivals(c) > arrivals("shardId-000000000000"), s"$arrivals")
+      assert(arrivals(c) > arrivals("shardId-000000000001"), s"$arrivals")
+    } finally q.stop()
+  }
+
   test("streaming source feeds the windowless relational operators") {
     val k = new InMemoryKinesis(numShards = 2)
     sink(k, (0 until 100).map(i => s"$i|val$i"))

@@ -131,6 +131,107 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Set((1L, 2L, 7.0), (2L, 1L, 3.0)))
   }
 
+  private def withRocksDb[A](extra: (String, String)*)(body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = (providerKey +: extra.map(_._1)).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    extra.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("transformWithState timers: idle session emitted via handleExpiredTimer") {
+    import spark.implicits._
+    withRocksDb() {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.idleSessions(mem.toDS(), gapMs = 200L).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_timer")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("timer_chk").toString)
+        .start()
+      try {
+        mem.addData(row(1, ts(1), user = 1, v = 2.0), row(2, ts(1), user = 1, v = 3.0))
+        // NOTE: processAllAvailable() is unusable here — with pending
+        // processing-time timers the engine keeps scheduling batches, so
+        // its no-new-data latch never settles. Poll the sink instead,
+        // poking an unrelated key to keep batches (and timer sweeps) coming.
+        def got() = spark.table("t_timer").as[(Long, Long, Double)].collect().toSet
+        val deadline = System.currentTimeMillis() + 30000
+        var poke = 100L
+        while (!got().contains((1L, 2L, 5.0)) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          poke += 1
+          mem.addData(row(poke, ts(2), user = 99, v = 1.0))
+        }
+        assert(got().contains((1L, 2L, 5.0)),
+          s"no session summary for user 1: ${got()}")
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState TTL: per-state expiry resets the counter") {
+    import spark.implicits._
+    withRocksDb() {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.runningCountersTws(mem.toDS(), ttlMs = Some(250L)).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_ttl")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ttl_chk").toString)
+        .start()
+      // TimeMode.ProcessingTime keeps the engine scheduling batches, so
+      // processAllAvailable never settles (as in the timer test): poll.
+      def got() = spark.table("t_ttl").as[(Long, Long, Double)].collect().toSet
+      def awaitContains(t: (Long, Long, Double)): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!got().contains(t) && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(got().contains(t), s"never saw $t in ${got()}")
+      }
+      try {
+        mem.addData(row(1, ts(1), user = 1, v = 2.0))
+        awaitContains((1L, 1L, 2.0))
+        Thread.sleep(700) // let the value state pass its TTL
+        mem.addData(row(2, ts(2), user = 1, v = 5.0))
+        // state expired → the counter restarts at zero: (1,1,5.0) not (1,2,7.0)
+        awaitContains((1L, 1L, 5.0))
+      } finally q.stop()
+      assert(!got().contains((1L, 2L, 7.0)), s"TTL never expired: ${got()}")
+    }
+  }
+
+  test("RocksDB changelog checkpointing writes changelog files") {
+    import spark.implicits._
+    val chk = java.nio.file.Files.createTempDirectory("changelog_chk").toString
+    withRocksDb(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true") {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.runningCountersTws(mem.toDS()).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_changelog")
+        .option("checkpointLocation", chk)
+        .start()
+      try {
+        mem.addData(row(1, ts(1), user = 1, v = 2.0), row(2, ts(1), user = 2, v = 3.0))
+        q.processAllAvailable()
+        mem.addData(row(3, ts(2), user = 1, v = 5.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(chk))
+      .filter(p => p.toString.endsWith(".changelog")).count()
+    assert(changelogs > 0, s"no .changelog files under $chk")
+    val last = spark.table("t_changelog").groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"), max(col("total_value")).as("v"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(last == Set((1L, 2L, 7.0), (2L, 1L, 3.0)))
+  }
+
   test("stream-static join enriches events with the customer dim") {
     import spark.implicits._
     val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
