@@ -20,6 +20,15 @@ final case class PackedBatch(
   def explicitHashKey: String = aggregate.explicitHashKey
 }
 
+/** Completion listener (R22 analog, reference `RecordAggregator.java:
+  * 40-46,78-85`): notified with each aggregate the packer emits, on the
+  * supplied `Executor` (the reference defaults to the common pool; the
+  * packer defaults to the calling thread so Spark task code stays
+  * deterministic unless a caller opts into async). */
+trait RecordCompleteListener {
+  def recordComplete(batch: PackedBatch): Unit
+}
+
 /** Size-bounded greedy packer (reference driver loop,
   * `KinesisWriter.scala:147-197`): an order-preserving iterator
   * transformation with O(1 aggregate) memory — exactly the shape Spark
@@ -52,12 +61,27 @@ final class BatchingIterator(
   private var currentEhk: String = routeEhk()
   private var pending: Option[PackedBatch] = None
   private var exhausted = false
+  private var listeners =
+    List.empty[(RecordCompleteListener, java.util.concurrent.Executor)]
+
+  /** Register a completion listener (R22; reference
+    * `RecordAggregator.onRecordComplete`). Default executor is the
+    * calling thread — pass a pool to match the reference's async default. */
+  def onRecordComplete(l: RecordCompleteListener,
+      executor: java.util.concurrent.Executor = (r: Runnable) => r.run()): this.type = {
+    listeners ::= (l, executor); this
+  }
+
+  def clearListeners(): Unit = listeners = Nil
 
   private def emit(): Option[PackedBatch] =
     builder.clearAndGet().map { agg =>
       val batch = PackedBatch(agg, shadow.result())
       shadow.clear()
       currentEhk = routeEhk()
+      listeners.foreach { case (l, ex) =>
+        ex.execute(() => l.recordComplete(batch))
+      }
       batch
     }
 

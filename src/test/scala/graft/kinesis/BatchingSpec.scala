@@ -87,6 +87,42 @@ class BatchingSpec extends AnyFunSuite {
     assert(batches.head.aggregate.records.last.data.length == 200)
   }
 
+  test("completion listeners fire once per emitted aggregate (R22)") {
+    val payloads = (0 until 50).map(i => Array.fill[Byte](400)((i % 31).toByte))
+    val router = new ShardModel.Router(Array("1", "2", "3"), 7L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[PackedBatch]
+    val it = new BatchingIterator(
+      payloads.iterator.map(p => ("a", Option.empty[String], p)),
+      () => router.next(), MaxAgg, MaxLast)
+    it.onRecordComplete((b: PackedBatch) => seen.synchronized { seen += b; () })
+    val batches = it.toSeq
+    assert(batches.size > 1)
+    assert(seen.toSeq.map(_.explicitHashKey) == batches.map(_.explicitHashKey))
+    assert(seen.map(_.numUserRecords).sum == 50)
+  }
+
+  test("completion listeners run on the supplied executor (async, R22)") {
+    val payloads = (0 until 50).map(i => Array.fill[Byte](400)((i % 31).toByte))
+    val router = new ShardModel.Router(Array("1", "2", "3"), 7L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val count = new java.util.concurrent.atomic.AtomicInteger(0)
+    val callerThreads = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    try {
+      val it = new BatchingIterator(
+        payloads.iterator.map(p => ("a", Option.empty[String], p)),
+        () => router.next(), MaxAgg, MaxLast)
+      it.onRecordComplete((b: PackedBatch) => {
+        callerThreads.add(Thread.currentThread().getId)
+        count.incrementAndGet(); ()
+      }, pool)
+      val n = it.toSeq.size
+      pool.shutdown()
+      assert(pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS))
+      assert(count.get() == n)
+      assert(!callerThreads.contains(Thread.currentThread().getId))
+    } finally pool.shutdownNow()
+  }
+
   test("reference constants: ~1MB aggregates from 100B records") {
     val payloads = (0 until 25000).map(i => Array.fill[Byte](100)((i % 100).toByte))
     val router = new ShardModel.Router(Array("5"), 1L)
