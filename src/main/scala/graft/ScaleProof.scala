@@ -1,15 +1,40 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale smoke (NEXT.md #7): synthesize an sf1-equivalent lineitem/orders
-  * (~6M/1.5M rows) in /tmp by replicating sf0.1 with shifted keys, then
-  * run the headline join/agg/window shapes and print per-query seconds.
-  * Proves the plans survive a 10× scale-up with bounded shuffle
-  * partitions (spills instead of OOM). Usage: runMain graft.ScaleProof
+/** Scale smoke (NEXT.md #7): synthesize an sfN-equivalent lineitem/orders
+  * in /tmp by replicating sf0.1 with shifted keys (arg = copies: 10 → sf1
+  * ~6M lineitem rows, 100 → sf10 ~60M), then run the headline
+  * join/agg/window shapes and print per-query seconds plus executor
+  * spill/shuffle metrics. Proves the plans survive the scale-up with
+  * bounded shuffle partitions — spilling to disk instead of OOM — and
+  * records how much actually spilled. Usage: runMain graft.ScaleProof [copies]
   */
 object ScaleProof {
+
+  /** Sums task-level spill/shuffle metrics between resets (listener bus is
+    * async — callers sleep briefly before reading). */
+  final class MetricsListener extends SparkListener {
+    val memSpill = new AtomicLong(0); val diskSpill = new AtomicLong(0)
+    val shuffleWrite = new AtomicLong(0); val shuffleRead = new AtomicLong(0)
+    val peakMem = new AtomicLong(0)
+    def reset(): Unit = Seq(memSpill, diskSpill, shuffleWrite, shuffleRead, peakMem)
+      .foreach(_.set(0))
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
@@ -23,7 +48,7 @@ object ScaleProof {
     import graft.tables.Tables
 
     val base = "/root/testdata/sf0.1"
-    val dir = "/tmp/graft_sf1"
+    val dir = s"/tmp/graft_sf_x$copies"
     val t0 = System.nanoTime()
     // replicate with a fixed key shift (same for both tables, so
     // l_orderkey ↔ o_orderkey joins stay aligned across copies)
@@ -43,12 +68,23 @@ object ScaleProof {
     println(f"[scale] synthesized ${copies}x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     println(s"[scale] lineitem rows: ${spark.read.parquet(s"$dir/lineitem.parquet").count()}")
 
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def gb(b: Long): String = f"${b / 1e9}%.2f GB"
     Seq("q1_pricing_summary", "q_join_shuffle", "q_window_rank",
       "q_agg_count_distinct", "q_join_range").foreach { name =>
+      metrics.reset()
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[scale] $name%-24s ${(System.nanoTime() - t) / 1e9}%.1f s")
+      val secs = (System.nanoTime() - t) / 1e9
+      Thread.sleep(1000) // let the async listener bus drain
+      println(f"[scale] $name%-24s $secs%6.1f s  " +
+        s"shuffleW=${gb(metrics.shuffleWrite.get)} " +
+        s"shuffleR=${gb(metrics.shuffleRead.get)} " +
+        s"memSpill=${gb(metrics.memSpill.get)} " +
+        s"diskSpill=${gb(metrics.diskSpill.get)} " +
+        s"peakTaskMem=${gb(metrics.peakMem.get)}")
     }
     spark.stop()
   }

@@ -20,10 +20,17 @@ import graft.functions.VectorFunctions.vec_cosine
   */
 object VectorIvf {
 
-  /** (cid, centroid) codebook after `iters` Lloyd iterations. */
+  /** (cid, centroid) codebook after `iters` Lloyd iterations.
+    *
+    * `trainFraction` < 1 trains on a deterministic sample — the 100 TB
+    * path: k-means quality needs only a representative sample (thousands
+    * of points per centroid), so training cost stays flat while the
+    * assign-only pass streams the full corpus once. */
   def train(vecs: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 2): DataFrame = {
-    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      nlist: Int, iters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
+    val all = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val v = if (trainFraction >= 1.0) all
+      else all.sample(withReplacement = false, trainFraction, seed = 42L)
     // seeds: the nlist lowest-id vectors (limit first — the global
     // row_number window then only orders nlist rows, not the corpus;
     // at real scale train on a sample here)
@@ -65,11 +72,12 @@ object VectorIvf {
     * restrict it for bounded workloads. */
   def topkApprox(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-      queries: Option[DataFrame] = None): DataFrame = {
+      queries: Option[DataFrame] = None,
+      trainFraction: Double = 1.0): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    val cents = train(vecs, idCol, vecCol, nlist, iters).cache()
+    val cents = train(vecs, idCol, vecCol, nlist, iters, trainFraction).cache()
     val members = assign(v, cents) // (vid, vec, cid): the inverted lists
     // top-nprobe cells per query, again as an aggregate rather than a
     // window: collect_list's buffer is nlist entries, partial-merged

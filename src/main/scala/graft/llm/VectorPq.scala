@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate cosine scoring — the
+  * memory-side ANN scale path beside sign-LSH ([[VectorLsh]]) and IVF
+  * ([[VectorIvf]]): the 64-dim embedding is split into `m` subvectors,
+  * each quantized to one of `k` per-subspace centroids, so a vector
+  * compresses to `m` small codes (8 bytes at m=8) and scoring a
+  * candidate needs only `m` table lookups (asymmetric distance
+  * computation, ADC) instead of a 64-dim dot product.
+  *
+  * Everything is relational: training is the same Lloyd's-as-aggregation
+  * used by [[VectorIvf]] but run jointly over all `m` subspaces (one plan,
+  * keyed by (sub, code)); encoding is a broadcast join + max_by argmin —
+  * map-side partial aggregation, one corpus scan; query scoring
+  * pre-computes each query's (sub, code) → partial-dot table against the
+  * broadcast codebook and sums `m` equi-join lookups per candidate.
+  *
+  * This module scores ALL candidates per query (exhaustive ADC — exact
+  * recall of the quantizer itself); at 100 TB compose it with
+  * [[VectorIvf]] cell probing so ADC only touches probed cells (IVFADC).
+  */
+object VectorPq {
+
+  private def sq(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+  private def dotH(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** (vid, sub, subvec) rows: the m d-dim double slices of each vector. */
+  private def subvectors(v: DataFrame, m: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    v.select(col("vid"), posexplode(array((0 until m).map(j =>
+        transform(slice(col("vec"), j * d + 1, d), x => x.cast("double"))): _*)))
+      .toDF("vid", "sub", "subvec")
+  }
+
+  /** Per-subspace codebook: (sub, code, centroid, cnorm2) after `iters`
+    * joint Lloyd iterations. Codes that lose all members drop out
+    * (standard k-means); seeds are the `k` lowest-id vectors. Train on a
+    * sample (`trainFraction`) at scale — quality needs a representative
+    * sample, not the corpus. */
+  def train(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    val all = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val v = if (trainFraction >= 1.0) all
+      else all.sample(withReplacement = false, trainFraction, seed = 42L)
+    val subs = subvectors(v, m, dim)
+    val seedIds = v.orderBy(col("vid")).limit(k)
+      .withColumn("code", row_number().over(Window.orderBy(col("vid"))) - 1)
+      .select(col("vid"), col("code"))
+    var cents = subs.join(broadcast(seedIds), "vid")
+      .select(col("sub"), col("code"), col("subvec").as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = subs.join(broadcast(cents), "sub")
+        .withColumn("d2", sqDist(col("subvec"), col("centroid")))
+        .groupBy(col("vid"), col("sub"))
+        .agg(
+          max_by(col("code"),
+            struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("code"),
+          first(col("subvec")).as("subvec"))
+      cents = assigned
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("x"))
+        .groupBy(col("sub"), col("code"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("pv"))
+        .select(col("sub"), col("code"),
+          transform(col("pv"), p => p.getField("x")).as("centroid"))
+    }
+    cents.withColumn("cnorm2", sq(col("centroid")))
+  }
+
+  /** Encode the corpus: (vid, sub, code) — nearest centroid per subspace,
+    * as a max_by aggregation (map-side partial, one scan). */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    subvectors(v, m, dim)
+      .join(broadcast(codebook.select(col("sub"), col("code"), col("centroid"))), "sub")
+      .withColumn("d2", sqDist(col("subvec"), col("centroid")))
+      .groupBy(col("vid"), col("sub"))
+      .agg(max_by(col("code"),
+        struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("code"))
+  }
+
+  /** Top-`topk` approximate cosine neighbors per query via exhaustive ADC:
+    * approx sim(q, c) = Σ_j dot(q_j, centroid[j, code_j(c)]) normalized by
+    * |q|·|reconstructed c|. */
+  def topkApprox(vecs: DataFrame, idCol: String, vecCol: String, topk: Int,
+      m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2,
+      queries: Option[DataFrame] = None,
+      trainFraction: Double = 1.0): DataFrame = {
+    val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction).cache()
+    val codes = encode(vecs, idCol, vecCol, cb, m, dim)
+    val cNorm = codes
+      .join(broadcast(cb.select(col("sub"), col("code"), col("cnorm2"))), Seq("sub", "code"))
+      .groupBy(col("vid").as("c_id")).agg(sqrt(sum(col("cnorm2"))).as("c_norm"))
+    val q = queries.getOrElse(vecs)
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val qNorm = q.select(col("vid").as("q_id"),
+      sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
+    // per-query ADC table: (q_id, sub, code) → partial dot, m·k rows/query
+    val qTable = subvectors(q, m, dim)
+      .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
+      .select(col("vid").as("q_id"), col("sub"), col("code"),
+        dotH(col("subvec"), col("centroid")).as("pdot"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    codes.select(col("vid").as("c_id"), col("sub"), col("code"))
+      .join(qTable, Seq("sub", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("pdot")).as("adot"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(qNorm, "q_id")
+      .join(cNorm, "c_id")
+      .withColumn("sim", col("adot") / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
+  }
+}

@@ -247,6 +247,19 @@ object Llm {
       },
       None),
 
+    // Product-quantization ADC scoring (m=8 subspaces × k=16 codes over
+    // the 64-dim embedding): vectors compress to 8 codes, candidates are
+    // scored by m table lookups. Engine-trained codebook → rows-only;
+    // recall + determinism in VectorPqSpec.
+    QDef("q_cosine_pq",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.llm.VectorPq.topkApprox(e, "vec_id", "embedding", topk = 5,
+            queries = Some(e.filter(col("vec_id") < 50)))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None),
+
     // Per-label embedding statistics (norms in exact-ish double, rounded).
     QDef("q_embed_stats",
       (s, d) => embeddings(s, d)

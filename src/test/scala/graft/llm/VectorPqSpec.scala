@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.VectorFunctions.vec_cosine
+
+/** PQ ANN: codebook shape, code compactness, ADC recall vs brute force. */
+class VectorPqSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val e = graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
+    .filter(col("vec_id") < 200).cache()
+
+  test("codebook: ≤ m·k centroids, each of dim/m dims; codes cover the corpus") {
+    val cb = VectorPq.train(e, "vec_id", "embedding", m = 8, k = 16)
+    assert(cb.count() <= 8 * 16)
+    assert(cb.select(countDistinct(col("sub"))).head().getLong(0) == 8)
+    assert(cb.select(size(col("centroid"))).distinct().head().getInt(0) == 8)
+    val codes = VectorPq.encode(e, "vec_id", "embedding", cb)
+    // every vector gets exactly one code per subspace
+    assert(codes.groupBy("vid").count().filter(col("count") =!= 8).count() == 0)
+    assert(codes.select(countDistinct(col("vid"))).head().getLong(0) == e.count())
+  }
+
+  test("ADC recall: true top-1 lands in PQ top-10 for most queries") {
+    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val b = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val truth = a.join(b, col("q_id") =!= col("c_id"))
+      .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("true_nn"))
+    val approx = VectorPq.topkApprox(e, "vec_id", "embedding", topk = 10,
+      m = 8, k = 16)
+    val hits = truth.join(approx,
+      truth("q_id") === approx("q_id") && col("true_nn") === col("c_id"))
+    val recall = hits.count().toDouble / truth.count()
+    info(f"PQ recall@10 of true top-1: $recall%.2f")
+    assert(recall >= 0.4, s"PQ recall $recall")
+  }
+
+  test("deterministic: two runs produce identical rankings") {
+    val r1 = VectorPq.topkApprox(e, "vec_id", "embedding", topk = 3)
+      .collect().map(_.toSeq).toSeq
+    val r2 = VectorPq.topkApprox(e, "vec_id", "embedding", topk = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
+  }
+}
