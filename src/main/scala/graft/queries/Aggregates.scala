@@ -249,19 +249,27 @@ object Aggregates {
     // hash-compare against an oracle that computes the exact counts and
     // expects the flags to be 1. A wildly-off estimator fails the gate.
     QDef("q_agg_approx_distinct",
-      (s, d) => lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
+      (s, d) => {
+        val l = lineitem(s, d)
+        // two exact counts as separate two-stage aggs joined on the tiny
+        // group key — NOT one multi-countDistinct agg, whose Expand plan
+        // multiplies every input row by the number of distinct columns
+        def exact(c: String, as: String) =
+          l.select(col("l_returnflag"), col(c)).distinct()
+            .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+        val approx = l.groupBy(col("l_returnflag")).agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
-        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
-          (abs(col("ap") - col("exact_parts")).cast("double") /
-            col("exact_parts") <= 0.1).cast("long").as("parts_ok"),
-          (abs(col("ao") - col("exact_orders")).cast("double") /
-            col("exact_orders") <= 0.1).cast("long").as("orders_ok"))
-        .orderBy(col("l_returnflag")),
+        approx
+          .join(exact("l_partkey", "exact_parts"), "l_returnflag")
+          .join(exact("l_orderkey", "exact_orders"), "l_returnflag")
+          .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+            (abs(col("ap") - col("exact_parts")).cast("double") /
+              col("exact_parts") <= 0.1).cast("long").as("parts_ok"),
+            (abs(col("ao") - col("exact_orders")).cast("double") /
+              col("exact_orders") <= 0.1).cast("long").as("orders_ok"))
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
         count(DISTINCT l_partkey) AS exact_parts,
         count(DISTINCT l_orderkey) AS exact_orders,

@@ -254,8 +254,11 @@ object Llm {
     QDef("q_cosine_pq",
       (s, d) => {
         val e = embeddings(s, d)
+        // codebook trained on a 20% sample (seeded): k-means needs a
+        // representative sample, not the corpus — the 100 TB posture
         graft.llm.VectorPq.topkApprox(e, "vec_id", "embedding", topk = 5,
-            queries = Some(e.filter(col("vec_id") < 50)))
+            queries = Some(e.filter(col("vec_id") < 50)),
+            trainFraction = 0.2)
           .orderBy(col("q_id"), col("rn"))
       },
       None),
@@ -345,6 +348,49 @@ object Llm {
         round(CAST(len(list_distinct($tokensSql)) AS DOUBLE) / len($tokensSql) * 0.5 +
           least(1.0, CAST(len($tokensSql) AS DOUBLE) / 100.0) * 0.5, 6) AS quality
         FROM documents ORDER BY doc_id LIMIT 600""")),
+
+    // Canonical text normalization — the step every dedup pipeline runs
+    // first: lowercase, non-alphanumerics → space, collapse runs, trim;
+    // plus the md5 of the canonical form as the dedup key.
+    QDef("q_text_normalize",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+        .select(col("doc_id"),
+          substring(col("norm"), 1, 80).as("norm_prefix"),
+          length(col("norm")).cast("long").as("norm_len"),
+          md5(col("norm").cast("binary")).as("norm_hash"))
+        .orderBy(col("doc_id"))
+        .limit(600),
+      Some("""SELECT doc_id,
+        substring(norm, 1, 80) AS norm_prefix,
+        CAST(length(norm) AS BIGINT) AS norm_len,
+        md5(norm) AS norm_hash
+        FROM (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM documents)
+        ORDER BY doc_id LIMIT 600""")),
+
+    // Exact dedup AFTER normalization (case/punct/whitespace-insensitive):
+    // canonical = lowest doc_id per normalized-text hash group.
+    QDef("q_dedup_normalized",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("norm_hash"))
+        .groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("canonical_id")),
+      Some("""SELECT md5(norm) AS norm_hash,
+        min(doc_id) AS canonical_id, count(*) AS n_docs
+        FROM (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM documents)
+        GROUP BY 1 ORDER BY canonical_id""")),
 
     // BPE-ish token counting: regex word/punctuation pieces vs whitespace.
     QDef("q_token_counts",
