@@ -58,7 +58,7 @@ object VectorIvf {
     * pre-reduced rows shuffle. Ties break to the lowest cid via the
     * (sim, -cid) ordering struct (lexicographic max).
     */
-  private def assign(v: DataFrame, cents: DataFrame): DataFrame =
+  private[llm] def assign(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents.select(col("cid"),
         transform(col("centroid"), x => x.cast("float")).as("centroid"))))
       .withColumn("sim", vec_cosine(col("vec"), col("centroid")))
@@ -66,6 +66,22 @@ object VectorIvf {
       .agg(max_by(struct(col("cid"), col("vec")),
         struct(col("sim"), (-col("cid")).as("tie"))).as("m"))
       .select(col("vid"), col("m.vec").as("vec"), col("m.cid").as("cid"))
+
+  /** (q_id, qv, cid): each query's `nprobe` nearest cells, as an
+    * aggregate rather than a window — collect_list's buffer is nlist
+    * entries, partial-merged map-side; sort desc by (sim, -cid) = sim
+    * desc then cid asc. */
+  private[llm] def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("sim", vec_cosine(col("vec"),
+        transform(col("centroid"), x => x.cast("float"))))
+      .groupBy(col("vid"))
+      .agg(first(col("vec")).as("qv"),
+        slice(sort_array(collect_list(struct(col("sim"), (-col("cid")).as("ncid"))),
+          asc = false), 1, nprobe).as("top"))
+      .select(col("vid").as("q_id"), col("qv"),
+        explode(col("top")).as("p"))
+      .select(col("q_id"), col("qv"), (-col("p.ncid")).as("cid"))
 
   /** Top-`k` approximate cosine neighbors per query vector, probing the
     * `nprobe` nearest cells. `queries` defaults to the whole corpus;
@@ -79,19 +95,7 @@ object VectorIvf {
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val cents = train(vecs, idCol, vecCol, nlist, iters, trainFraction).cache()
     val members = assign(v, cents) // (vid, vec, cid): the inverted lists
-    // top-nprobe cells per query, again as an aggregate rather than a
-    // window: collect_list's buffer is nlist entries, partial-merged
-    // map-side; sort desc by (sim, -cid) = sim desc then cid asc.
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("sim", vec_cosine(col("vec"),
-        transform(col("centroid"), x => x.cast("float"))))
-      .groupBy(col("vid"))
-      .agg(first(col("vec")).as("qv"),
-        slice(sort_array(collect_list(struct(col("sim"), (-col("cid")).as("ncid"))),
-          asc = false), 1, nprobe).as("top"))
-      .select(col("vid").as("q_id"), col("qv"),
-        explode(col("top")).as("p"))
-      .select(col("q_id"), col("qv"), (-col("p.ncid")).as("cid"))
+    val probes = probeCells(q, cents, nprobe)
     // exact rerank of probed-cell members; row_number already emits each
     // (q_id, rn) once, so no trailing distinct
     val wTop = Window.partitionBy(col("q_id"))

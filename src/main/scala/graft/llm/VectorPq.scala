@@ -124,4 +124,51 @@ object VectorPq {
       .filter(col("rn") <= topk)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
   }
+
+  /** IVFADC: IVF coarse cells bound the candidate set (each query touches
+    * only its `nprobe` cells' members), PQ codes make each candidate a
+    * `m`-lookup score instead of a full dot product — the composition a
+    * billion-vector corpus runs (Jégou et al.'s IVFADC, minus the
+    * residual encoding: codes here quantize raw vectors, which costs some
+    * precision but keeps one codebook usable with or without the coarse
+    * stage). Candidate volume: Σ probed-cell sizes · m lookup rows, vs
+    * n·m for exhaustive [[topkApprox]]. */
+  def topkIvfAdc(vecs: DataFrame, idCol: String, vecCol: String, topk: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2,
+      queries: Option[DataFrame] = None,
+      trainFraction: Double = 1.0): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val q = queries.getOrElse(vecs)
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val coarse = VectorIvf.train(vecs, idCol, vecCol, nlist, iters, trainFraction).cache()
+    val cells = VectorIvf.assign(v, coarse).select(col("vid"), col("cid"))
+    val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction).cache()
+    val codes = encode(vecs, idCol, vecCol, cb, m, dim)
+    val memberCodes = cells.join(codes, "vid")
+      .select(col("vid").as("c_id"), col("cid"), col("sub"), col("code"))
+    val cNorm = codes
+      .join(broadcast(cb.select(col("sub"), col("code"), col("cnorm2"))), Seq("sub", "code"))
+      .groupBy(col("vid").as("c_id")).agg(sqrt(sum(col("cnorm2"))).as("c_norm"))
+    val qNorm = q.select(col("vid").as("q_id"),
+      sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
+    val qTable = subvectors(q, m, dim)
+      .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
+      .select(col("vid").as("q_id"), col("sub"), col("code"),
+        dotH(col("subvec"), col("centroid")).as("pdot"))
+    val probes = VectorIvf.probeCells(q, coarse, nprobe)
+      .select(col("q_id"), col("cid"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    probes.join(memberCodes, "cid") // only probed cells' members survive
+      .join(qTable, Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("pdot")).as("adot"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(qNorm, "q_id")
+      .join(cNorm, "c_id")
+      .withColumn("sim", col("adot") / (col("q_norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
+  }
 }

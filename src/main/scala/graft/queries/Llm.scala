@@ -247,6 +247,21 @@ object Llm {
       },
       None),
 
+    // IVFADC: IVF cell probing bounds the candidate set, PQ codes make
+    // each candidate m table lookups — the billion-vector composition.
+    // Engine-trained codebooks → rows-only; overlap-vs-exhaustive-ADC and
+    // determinism in VectorPqSpec.
+    QDef("q_cosine_ivfadc",
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.llm.VectorPq.topkIvfAdc(e, "vec_id", "embedding", topk = 5,
+            nlist = 16, nprobe = 4,
+            queries = Some(e.filter(col("vec_id") < 50)),
+            trainFraction = 0.2)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None),
+
     // Product-quantization ADC scoring (m=8 subspaces × k=16 codes over
     // the 64-dim embedding): vectors compress to 8 codes, candidates are
     // scored by m table lookups. Engine-trained codebook → rows-only;

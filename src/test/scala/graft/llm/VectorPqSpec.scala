@@ -44,6 +44,23 @@ class VectorPqSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"PQ recall $recall")
   }
 
+  test("IVFADC: probed-cell candidates only, recall close to exhaustive ADC") {
+    val exhaustive = VectorPq.topkApprox(e, "vec_id", "embedding", topk = 10,
+      m = 8, k = 16)
+    val ivfadc = VectorPq.topkIvfAdc(e, "vec_id", "embedding", topk = 10,
+      nlist = 8, nprobe = 4, m = 8, k = 16)
+    // same scoring model: where both rank a candidate, the sim agrees
+    val joined = exhaustive.select(col("q_id"), col("c_id"), col("sim_r").as("s1"))
+      .join(ivfadc.select(col("q_id"), col("c_id"), col("sim_r").as("s2")),
+        Seq("q_id", "c_id"))
+    assert(joined.filter(abs(col("s1") - col("s2")) > 1e-6).count() == 0)
+    // probing half the cells keeps most of the exhaustive top-10
+    val overlap = joined.count().toDouble / exhaustive.count()
+    info(f"IVFADC overlap with exhaustive ADC top-10: $overlap%.2f")
+    assert(overlap >= 0.4, s"IVFADC overlap $overlap")
+    assert(ivfadc.filter(col("q_id") === col("c_id")).count() == 0)
+  }
+
   test("deterministic: two runs produce identical rankings") {
     val r1 = VectorPq.topkApprox(e, "vec_id", "embedding", topk = 3)
       .collect().map(_.toSeq).toSeq
