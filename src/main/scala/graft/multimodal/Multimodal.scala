@@ -27,6 +27,8 @@ object Multimodal {
   final case class Decoded(asset_id: Long, kind: String, n_bytes: Long,
       checksum: Long, features: Array[Float])
   final case class Frame(asset_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+  final case class Resized(asset_id: Long, kind: String, width: Int, height: Int,
+      n_bytes: Long, checksum: Long)
 
   /** Byte→media decode boundary. One instance per partition/task. */
   trait MediaCodec extends Serializable {
@@ -34,6 +36,8 @@ object Multimodal {
     def decodeFeatures(meta: MediaMeta, payload: Array[Byte], dim: Int): Array[Float]
     /** Sample up to `n` evenly spaced frames from a video payload. */
     def sampleFrames(meta: MediaMeta, payload: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** Re-encode the payload at `w`×`h` (image resize / thumbnailing). */
+    def resize(meta: MediaMeta, payload: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   /** Deterministic stand-in codec: features from a rolling byte hash (so
@@ -60,6 +64,19 @@ object Multimodal {
         val hi = math.min(payload.length, ((i + 1) * step).toInt max (lo + 1))
         payload.slice(lo, hi)
       }
+    }
+    /** Deterministic "resize": nearest-byte downsample to w·h bytes —
+      * output length tracks the target dims like real pixel data would. */
+    override def resize(meta: MediaMeta, payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = math.max(1, w * h)
+      if (payload.isEmpty) return Array.emptyByteArray
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = payload(((i.toLong * payload.length) / n).toInt)
+        i += 1
+      }
+      out
     }
   }
 
@@ -92,6 +109,21 @@ object Multimodal {
         var h = 0L
         a.payload.foreach(b => h = h * 131 + (b & 0xFF))
         Decoded(a.asset_id, a.meta.kind, a.payload.length.toLong, h, feats)
+      }
+    }
+  }
+
+  /** Resize the image assets to `w`×`h` (thumbnail pass): per-partition
+    * codec batches, payloads stay executor-side. */
+  def resizeAll(assets: Dataset[Asset], codec: MediaCodec,
+      w: Int = 32, h: Int = 32): Dataset[Resized] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.meta.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        val bytes = codec.resize(a.meta, a.payload, w, h)
+        var cs = 0L
+        bytes.foreach(b => cs = cs * 131 + (b & 0xFF))
+        Resized(a.asset_id, a.meta.kind, w, h, bytes.length.toLong, cs)
       }
     }
   }

@@ -138,6 +138,20 @@ object Llm {
       },
       None),
 
+    // Thumbnail/resize pass over the image assets (stub codec, real
+    // per-partition batching): output size tracks the target dims.
+    QDef("q_multimodal_resize",
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal.manifest(s, d)
+        graft.multimodal.Multimodal
+          .resizeAll(assets, new graft.multimodal.Multimodal.StubCodec, 32, 32)
+          .toDF()
+          .select(col("asset_id"), col("kind"), col("width"), col("height"),
+            col("n_bytes"), col("checksum"))
+          .orderBy(col("asset_id"))
+      },
+      None),
+
     // ---- Similarity search --------------------------------------------
 
     // Brute-force cosine top-k: 10 query vectors × all candidates. Exact

@@ -42,4 +42,21 @@ class MultimodalSpec extends AnyFunSuite {
         s"frames of $id must partition the payload")
     }
   }
+
+  test("resize: image assets downsample to w*h bytes, deterministic") {
+    val assets = Multimodal.manifest(spark, TestSpark.sf0001)
+    val codec = new StubCodec
+    val r1 = Multimodal.resizeAll(assets, codec, w = 32, h = 32)
+      .collect().sortBy(_.asset_id)
+    val r2 = Multimodal.resizeAll(assets, codec, w = 32, h = 32)
+      .collect().sortBy(_.asset_id)
+    val images = assets.filter(_.meta.kind == "image").count()
+    assert(r1.length == images && images > 0)
+    assert(r1.forall(r => r.n_bytes == 32 * 32 && r.width == 32 && r.height == 32))
+    assert(r1.map(_.checksum).toSeq == r2.map(_.checksum).toSeq)
+    // a different target size produces different bytes
+    val small = Multimodal.resizeAll(assets, codec, w = 8, h = 8)
+      .collect().sortBy(_.asset_id)
+    assert(small.forall(_.n_bytes == 64))
+  }
 }
