@@ -128,47 +128,106 @@ object VectorPq {
   /** IVFADC: IVF coarse cells bound the candidate set (each query touches
     * only its `nprobe` cells' members), PQ codes make each candidate a
     * `m`-lookup score instead of a full dot product — the composition a
-    * billion-vector corpus runs (Jégou et al.'s IVFADC, minus the
-    * residual encoding: codes here quantize raw vectors, which costs some
-    * precision but keeps one codebook usable with or without the coarse
-    * stage). Candidate volume: Σ probed-cell sizes · m lookup rows, vs
-    * n·m for exhaustive [[topkApprox]]. */
+    * billion-vector corpus runs (Jégou et al.). Candidate volume:
+    * Σ probed-cell sizes · m lookup rows, vs n·m for exhaustive
+    * [[topkApprox]].
+    *
+    * `residual = true` (the paper's formulation) quantizes
+    * `vec − coarse_centroid` instead of the raw vector — residuals are
+    * smaller and better centered, so the same m·k codebook loses less.
+    * The scorer then reconstructs ĉ = coarse[cid] + Σ_j pq[j, code_j]:
+    *   dot(q, ĉ)  = dot(q, coarse[cid]) + Σ_j dot(q_j, pq[j, code_j])
+    *   |ĉ|²       = |coarse[cid]|² + Σ_j (2·⟨coarse[cid]_j, pq[j,code_j]⟩
+    *                                       + |pq[j, code_j]|²)
+    * — all from three broadcastable tables (per-cell norm, per-(cell,sub,
+    * code) cross dot, per-(sub,code) norm), still m lookups per candidate.
+    */
   def topkIvfAdc(vecs: DataFrame, idCol: String, vecCol: String, topk: Int,
       nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2,
       queries: Option[DataFrame] = None,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0,
+      residual: Boolean = false): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val coarse = VectorIvf.train(vecs, idCol, vecCol, nlist, iters, trainFraction).cache()
-    val cells = VectorIvf.assign(v, coarse).select(col("vid"), col("cid"))
-    val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction).cache()
-    val codes = encode(vecs, idCol, vecCol, cb, m, dim)
-    val memberCodes = cells.join(codes, "vid")
-      .select(col("vid").as("c_id"), col("cid"), col("sub"), col("code"))
-    val cNorm = codes
-      .join(broadcast(cb.select(col("sub"), col("code"), col("cnorm2"))), Seq("sub", "code"))
-      .groupBy(col("vid").as("c_id")).agg(sqrt(sum(col("cnorm2"))).as("c_norm"))
-    val qNorm = q.select(col("vid").as("q_id"),
-      sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
-    val qTable = subvectors(q, m, dim)
-      .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
-      .select(col("vid").as("q_id"), col("sub"), col("code"),
-        dotH(col("subvec"), col("centroid")).as("pdot"))
+    val cellsFull = VectorIvf.assign(v, coarse) // (vid, vec, cid)
     val probes = VectorIvf.probeCells(q, coarse, nprobe)
-      .select(col("q_id"), col("cid"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    probes.join(memberCodes, "cid") // only probed cells' members survive
-      .join(qTable, Seq("q_id", "sub", "code"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("pdot")).as("adot"))
-      .filter(col("q_id") =!= col("c_id"))
-      .join(qNorm, "q_id")
-      .join(cNorm, "c_id")
-      .withColumn("sim", col("adot") / (col("q_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topk)
-      .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
+
+    if (!residual) {
+      val cells = cellsFull.select(col("vid"), col("cid"))
+      val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction).cache()
+      val codes = encode(vecs, idCol, vecCol, cb, m, dim)
+      val memberCodes = cells.join(codes, "vid")
+        .select(col("vid").as("c_id"), col("cid"), col("sub"), col("code"))
+      val cNorm = codes
+        .join(broadcast(cb.select(col("sub"), col("code"), col("cnorm2"))), Seq("sub", "code"))
+        .groupBy(col("vid").as("c_id")).agg(sqrt(sum(col("cnorm2"))).as("c_norm"))
+      val qNorm = q.select(col("vid").as("q_id"),
+        sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
+      val qTable = subvectors(q, m, dim)
+        .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
+        .select(col("vid").as("q_id"), col("sub"), col("code"),
+          dotH(col("subvec"), col("centroid")).as("pdot"))
+      probes.select(col("q_id"), col("cid"))
+        .join(memberCodes, "cid") // only probed cells' members survive
+        .join(qTable, Seq("q_id", "sub", "code"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("pdot")).as("adot"))
+        .filter(col("q_id") =!= col("c_id"))
+        .join(qNorm, "q_id")
+        .join(cNorm, "c_id")
+        .withColumn("sim", col("adot") / (col("q_norm") * col("c_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topk)
+        .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
+    } else {
+      val coarseD = coarse.select(col("cid"),
+        transform(col("centroid"), x => x.cast("double")).as("ccent"))
+      // residual corpus: r = vec − coarse[cid]
+      val resid = cellsFull.join(broadcast(coarseD), "cid")
+        .select(col("vid"), col("cid"),
+          zip_with(transform(col("vec"), x => x.cast("double")), col("ccent"),
+            (x, y) => x - y).as("rvec"))
+      val cb = train(resid, "vid", "rvec", m, k, dim, iters, trainFraction).cache()
+      val codes = encode(resid, "vid", "rvec", cb, m, dim)
+      val memberCodes = resid.select(col("vid"), col("cid")).join(codes, "vid")
+        .select(col("vid").as("c_id"), col("cid"), col("sub"), col("code"))
+      // broadcastable reconstruction tables
+      val coarseNorm2 = coarseD.select(col("cid"), sq(col("ccent")).as("cn2"))
+      val coarseSubs = subvectors(
+        coarseD.select(col("cid").as("vid"), col("ccent").as("vec")), m, dim)
+        .select(col("vid").as("cid"), col("sub"), col("subvec").as("csub"))
+      val cross = coarseSubs
+        .join(cb.select(col("sub"), col("code"), col("centroid"), col("cnorm2")), "sub")
+        .select(col("cid"), col("sub"), col("code"),
+          (dotH(col("csub"), col("centroid")) * 2.0 + col("cnorm2")).as("n2part"))
+      val qNorm = q.select(col("vid").as("q_id"),
+        sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
+      val qTable = subvectors(q, m, dim)
+        .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
+        .select(col("vid").as("q_id"), col("sub"), col("code"),
+          dotH(col("subvec"), col("centroid")).as("pdot"))
+      val qcdot = probes.join(broadcast(coarseD), "cid")
+        .select(col("q_id"), col("cid"),
+          dotH(transform(col("qv"), x => x.cast("double")), col("ccent")).as("qcdot"))
+      probes.select(col("q_id"), col("cid"))
+        .join(memberCodes, "cid")
+        .join(broadcast(cross), Seq("cid", "sub", "code"))
+        .join(qTable, Seq("q_id", "sub", "code"))
+        .groupBy(col("q_id"), col("cid"), col("c_id"))
+        .agg(sum(col("pdot")).as("rdot"), sum(col("n2part")).as("rn2"))
+        .filter(col("q_id") =!= col("c_id"))
+        .join(qcdot, Seq("q_id", "cid"))
+        .join(broadcast(coarseNorm2), "cid")
+        .join(qNorm, "q_id")
+        .withColumn("sim", (col("qcdot") + col("rdot")) /
+          (col("q_norm") * sqrt(col("cn2") + col("rn2"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topk)
+        .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
+    }
   }
 }

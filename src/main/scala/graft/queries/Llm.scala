@@ -261,17 +261,18 @@ object Llm {
       },
       None),
 
-    // IVFADC: IVF cell probing bounds the candidate set, PQ codes make
+    // IVFADC with residual encoding (Jégou et al.): IVF cell probing
+    // bounds the candidate set, PQ codes over vec−centroid residuals make
     // each candidate m table lookups — the billion-vector composition.
-    // Engine-trained codebooks → rows-only; overlap-vs-exhaustive-ADC and
-    // determinism in VectorPqSpec.
+    // Engine-trained codebooks → rows-only; overlap-vs-exhaustive-ADC,
+    // residual-recall, and determinism in VectorPqSpec.
     QDef("q_cosine_ivfadc",
       (s, d) => {
         val e = embeddings(s, d)
         graft.llm.VectorPq.topkIvfAdc(e, "vec_id", "embedding", topk = 5,
             nlist = 16, nprobe = 4,
             queries = Some(e.filter(col("vec_id") < 50)),
-            trainFraction = 0.2)
+            trainFraction = 0.2, residual = true)
           .orderBy(col("q_id"), col("rn"))
       },
       None),

@@ -61,6 +61,29 @@ class VectorPqSpec extends AnyFunSuite {
     assert(ivfadc.filter(col("q_id") === col("c_id")).count() == 0)
   }
 
+  test("residual IVFADC: quantization error shrinks, recall holds up") {
+    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val b = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val truth = a.join(b, col("q_id") =!= col("c_id"))
+      .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("true_nn"))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      truth.join(df, truth("q_id") === df("q_id") && col("true_nn") === col("c_id"))
+        .count().toDouble / truth.count()
+    val plain = recallOf(VectorPq.topkIvfAdc(e, "vec_id", "embedding",
+      topk = 10, nlist = 8, nprobe = 4, residual = false))
+    val resid = recallOf(VectorPq.topkIvfAdc(e, "vec_id", "embedding",
+      topk = 10, nlist = 8, nprobe = 4, residual = true))
+    info(f"IVFADC recall@10 of true top-1: plain $plain%.2f residual $resid%.2f")
+    assert(resid >= 0.3, s"residual recall $resid")
+    assert(resid >= plain - 0.1,
+      s"residual encoding should not lose recall: $resid vs $plain")
+  }
+
   test("deterministic: two runs produce identical rankings") {
     val r1 = VectorPq.topkApprox(e, "vec_id", "embedding", topk = 3)
       .collect().map(_.toSeq).toSeq
