@@ -177,4 +177,55 @@ object EventStreams {
       .transformWithState(new SessionTimerProcessor(gapMs),
         TimeMode.ProcessingTime(), OutputMode.Update)
   }
+
+  /** Event-time twin of [[SessionTimerProcessor]]: the timer is armed at
+    * (max event ts in batch) + gap and fires when the WATERMARK passes it
+    * — sessions close deterministically from the data's own clock, immune
+    * to wall-clock skew between executors. */
+  class EventTimeSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SessionSummary] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[UserCounter] = _
+    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[UserCounter]("sess",
+        org.apache.spark.sql.Encoders.product[UserCounter], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed_at",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionSummary] = {
+      val prev = Option(agg.get()).getOrElse(UserCounter(key, 0L, 0.0))
+      var n = prev.n_events; var v = prev.total_value; var maxTs = Long.MinValue
+      rows.foreach { r =>
+        n += 1; v += r.value; maxTs = math.max(maxTs, r.ts.getTime)
+      }
+      agg.update(UserCounter(key, n, v))
+      val at = maxTs + gapMs
+      if (armed.exists() && armed.get() < at) getHandle.deleteTimer(armed.get())
+      if (!armed.exists() || armed.get() < at) {
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val out = Option(agg.get())
+        .map(c => SessionSummary(key, c.n_events, c.total_value))
+      agg.clear(); armed.clear()
+      out.iterator
+    }
+  }
+
+  def idleSessionsEventTime(events: Dataset[EventRow], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Update)
+  }
 }

@@ -174,6 +174,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers: session closes when the watermark passes the gap") {
+    import spark.implicits._
+    withRocksDb() {
+      val mem = MemoryStream[EventRow](spark)
+      // 1-hour event-time gap; watermark = max seen ts (no delay)
+      val df = EventStreams.idleSessionsEventTime(mem.toDS(),
+        gapMs = 60L * 60 * 1000).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_et_timer")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("et_timer_chk").toString)
+        .start()
+      try {
+        mem.addData(row(1, ts(1, 1), user = 1, v = 2.0),
+          row(2, ts(1, 1, 30), user = 1, v = 3.0))
+        q.processAllAvailable()
+        assert(spark.table("t_et_timer").isEmpty) // watermark hasn't passed
+        // day-3 event pushes the watermark far past user 1's gap
+        mem.addData(row(3, ts(3), user = 99, v = 1.0))
+        q.processAllAvailable()
+        mem.addData(row(4, ts(3, 1), user = 99, v = 1.0)) // fire sweep batch
+        q.processAllAvailable()
+        val got = spark.table("t_et_timer").as[(Long, Long, Double)].collect().toSet
+        assert(got.contains((1L, 2L, 5.0)), s"session never closed: $got")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState TTL: per-state expiry resets the counter") {
     import spark.implicits._
     withRocksDb() {
