@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions.col
   * (reference: `AggRecord.java:186-193`). */
 final case class PutEntry(partitionKey: String, explicitHashKey: String, data: Array[Byte])
 
-final case class PutResult(failedRecordCount: Int, shardIds: Seq[String])
+final case class PutResult(failedRecordCount: Int, shardIds: Seq[String],
+    /** of the failures, how many were ProvisionedThroughputExceeded —
+      * the signal the adaptive throttle backs off on */
+    throttledRecordCount: Int = 0)
 
 /** Transport boundary. The AWS SDK is not resolvable offline (and the
   * engine is cloud-agnostic); production would implement this with
@@ -61,7 +64,9 @@ object InMemoryKinesis {
 
 final class InMemoryKinesis(numShards: Int, failEvery: Int = 0,
     /** stable name so the streaming source can address this stream */
-    val id: String = java.util.UUID.randomUUID().toString)
+    val id: String = java.util.UUID.randomUUID().toString,
+    /** every k-th call reports ProvisionedThroughputExceeded instead */
+    throttleEvery: Int = 0)
   extends PutRecordsTransport with ShardLister {
   import InMemoryKinesis.ShardMeta
   private def st = {
@@ -142,6 +147,8 @@ final class InMemoryKinesis(numShards: Int, failEvery: Int = 0,
     val s = st
     val n = s.calls.incrementAndGet()
     if (failEvery > 0 && n % failEvery == 0) return PutResult(entries.size, Seq.empty)
+    if (throttleEvery > 0 && n % throttleEvery == 0)
+      return PutResult(entries.size, Seq.empty, throttledRecordCount = entries.size)
     val shards = entries.map { e =>
       val sid = shardFor(e.explicitHashKey)
       s.received.computeIfAbsent(sid, _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Array[Byte]]()))
@@ -200,7 +207,12 @@ object KinesisSinkSemantics {
         // backpressure: block until the target shard (identified by its
         // routing EHK) has 1 MiB/s + 1000 rec/s budget for this entry
         cfg.throttle.foreach(_.acquire(e.explicitHashKey, e.data.length.toLong))
-        transport.putRecords(cfg.streamName, Seq(e)).failedRecordCount == 0
+        val res = transport.putRecords(cfg.streamName, Seq(e))
+        // service-side throttling: shrink this shard's budget before the
+        // retry (multiplicative decrease; refill recovers additively)
+        if (res.throttledRecordCount > 0)
+          cfg.throttle.foreach(_.onThrottled(e.explicitHashKey))
+        res.failedRecordCount == 0
       }
       catch { case scala.util.control.NonFatal(_) => false }
       if (!ok) {

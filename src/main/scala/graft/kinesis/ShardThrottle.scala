@@ -44,17 +44,20 @@ final class ShardThrottle(
       var done = false
       while (!done) {
         refill(b)
-        // cap the requirement at burst capacity so oversized entries
-        // (≤1 MiB aggregate vs a sub-MiB/s budget) still make progress
-        val needBytes = math.min(bytes.toDouble, bytesPerSec.toDouble)
-        val needRecs = math.min(records.toDouble, recordsPerSec.toDouble)
+        val bps = bytesPerSec.toDouble * b.factor
+        val rps = recordsPerSec.toDouble * b.factor
+        // cap the requirement at current burst capacity so oversized
+        // entries (≤1 MiB aggregate vs a sub-MiB/s or throttled budget)
+        // still make progress by drawing the bucket negative
+        val needBytes = math.min(bytes.toDouble, bps)
+        val needRecs = math.min(records.toDouble, rps)
         if (b.bytes >= needBytes && b.records >= needRecs) {
           b.bytes -= bytes.toDouble
           b.records -= records.toDouble
           done = true
         } else {
-          val msForBytes = (needBytes - b.bytes) * 1000.0 / bytesPerSec
-          val msForRecs = (needRecs - b.records) * 1000.0 / recordsPerSec
+          val msForBytes = (needBytes - b.bytes) * 1000.0 / bps
+          val msForRecs = (needRecs - b.records) * 1000.0 / rps
           val ms = math.max(1L, math.ceil(math.max(msForBytes, msForRecs)).toLong)
           sleep(ms)
           waited += ms
@@ -72,12 +75,32 @@ final class ShardThrottle(
     sum
   }
 
+  /** The service throttled this shard (ProvisionedThroughputExceeded):
+    * halve its effective budget (multiplicative decrease, floor 1/8) —
+    * the provisioned-limit model can be stale or shared with other
+    * producers, so back off below it and let [[refill]]'s additive
+    * recovery find the true sustainable rate. */
+  def onThrottled(shardKey: String): Unit = {
+    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime())
+    b.synchronized { b.factor = math.max(0.125, b.factor * 0.5) }
+  }
+
+  /** Effective budget factor for a shard (1.0 = full provisioned rate). */
+  def factorOf(shardKey: String): Double = {
+    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime())
+    b.synchronized(b.factor)
+  }
+
   private def refill(b: Bucket): Unit = {
     val now = nanoTime()
     val dt = (now - b.lastNanos) / 1e9
     if (dt > 0) {
-      b.bytes = math.min(bytesPerSec.toDouble, b.bytes + dt * bytesPerSec)
-      b.records = math.min(recordsPerSec.toDouble, b.records + dt * recordsPerSec)
+      // additive recovery: +10% of full rate per second, capped at 1.0
+      b.factor = math.min(1.0, b.factor + dt * 0.1)
+      val bps = bytesPerSec.toDouble * b.factor
+      val rps = recordsPerSec.toDouble * b.factor
+      b.bytes = math.min(bps, b.bytes + dt * bps)
+      b.records = math.min(rps, b.records + dt * rps)
       b.lastNanos = now
     }
   }
@@ -87,6 +110,8 @@ object ShardThrottle {
   private final class Bucket(var bytes: Double, var records: Double,
       var lastNanos: Long) {
     var waitedMs: Long = 0L
+    /** adaptive budget multiplier (see onThrottled/refill) */
+    var factor: Double = 1.0
   }
   private val registry = new ConcurrentHashMap[(String, String), Bucket]()
   private def bucket(id: String, shardKey: String, bps: Long, rps: Long,

@@ -63,6 +63,45 @@ class ThroughputSpec extends AnyFunSuite {
     assert(w >= 490 && w <= 600, s"waited $w ms")
   }
 
+  test("adaptive throttle: service throttling halves the budget, recovery is additive") {
+    var now = 0L
+    val t = new ShardThrottle("t-" + System.nanoTime(),
+      bytesPerSec = 1 << 20, recordsPerSec = 1000,
+      nanoTime = () => now, sleep = ms => now += ms * 1000000L)
+    val mib = 1 << 20
+    assert(t.acquire("s", mib) == 0L)       // burst at full budget
+    t.onThrottled("s")
+    assert(t.factorOf("s") == 0.5)
+    // refilling 512 KiB takes ~500 ms at the full budget; at the halved
+    // (slowly recovering) budget it must take materially longer
+    val w = t.acquire("s", mib / 2)
+    assert(w >= 900, s"halved budget should slow refill: $w ms")
+    t.onThrottled("s"); t.onThrottled("s"); t.onThrottled("s"); t.onThrottled("s")
+    assert(t.factorOf("s") >= 0.125)        // floored, never zero
+    now += 20L * 1000 * 1000000              // 20 s idle
+    t.acquire("s", 1)                        // trigger refill
+    assert(t.factorOf("s") == 1.0, "factor must recover to full")
+  }
+
+  test("sink informs the throttle on ProvisionedThroughputExceeded") {
+    var now = 0L
+    val throttle = new ShardThrottle("t-" + System.nanoTime(),
+      bytesPerSec = 1 << 20, recordsPerSec = 1000,
+      nanoTime = () => now, sleep = ms => now += ms * 1000000L)
+    val transport = new InMemoryKinesis(numShards = 1,
+      throttleEvery = 2) // every 2nd PutRecords call throttled
+    val cfg = KinesisSinkSemantics.Config("s", backoffMillis = 1,
+      throttle = Some(throttle))
+    val ehks = ShardModel.explicitHashKeys("s", transport)
+    val payload = Array.fill[Byte](50000)(7)
+    val n = KinesisSinkSemantics.writePartition(
+      Iterator.fill(60)(payload), transport, ehks, cfg) // ~3 MiB → several calls
+    assert(n == 60)                          // at-least-once still delivers
+    // throttle events halved the budget → later sends had to wait
+    assert(throttle.totalWaitMillis > 0,
+      s"budget never shrank: factor=${throttle.factorOf(ehks.head)}")
+  }
+
   test("throttled sink write backpressures under injected load") {
     var now = 0L
     val throttle = new ShardThrottle("t-" + System.nanoTime(),
