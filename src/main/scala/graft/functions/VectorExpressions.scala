@@ -32,6 +32,121 @@ abstract class FloatVectorFold extends BinaryExpression {
   }
 }
 
+/** Fold over two numeric arrays that may independently be array<float> or
+  * array<double> (PQ subvectors and residuals are double; raw embeddings
+  * are float) — each side reads with its own typed accessor. */
+abstract class NumericVectorFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  protected def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def readerFor(e: Expression): (ArrayData, Int) => Double =
+    if (isFloat(e)) (a, i) => a.getFloat(i).toDouble else (a, i) => a.getDouble(i)
+  protected def genRead(e: Expression, arr: String, i: String): String =
+    if (isFloat(e)) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+}
+
+/** ‖a − b‖² = Σ (a_i − b_i)², accumulated in double — the innermost loop
+  * of PQ/k-means nearest-centroid assignment (51M evaluations per encode
+  * pass at sf0.1; the HOF `zip_with`+`aggregate` form allocates an
+  * intermediate array and lambda frames per row). */
+case class SquaredDistance(left: Expression, right: Expression) extends NumericVectorFold {
+  override def prettyName: String = "vec_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null // match HOF: dim mismatch ⇒ NULL
+    val rx = readerFor(left); val ry = readerFor(right)
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = rx(x, i) - ry(y, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — see DotProduct.doGenCode
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${genRead(left, a, i)} - ${genRead(right, b, i)};
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(a, b) over float|double arrays (see [[DotProduct]] for the
+  * float-only original kept for the declared-query surface). */
+case class DotProductAny(left: Expression, right: Expression) extends NumericVectorFold {
+  override def prettyName: String = "vec_dot_any"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val rx = readerFor(left); val ry = readerFor(right)
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += rx(x, i) * ry(y, i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${genRead(left, a, i)} * ${genRead(right, b, i)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** dot(a, b) = Σ a_i * b_i over float arrays, accumulated in double. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVectorFold {
   override def prettyName: String = "vec_dot"
@@ -134,6 +249,10 @@ object VectorFunctions {
     toColumn(DotProduct(toExpression(a), toExpression(b)))
   def vec_cosine(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
+  def vec_sqdist(a: Column, b: Column): Column =
+    toColumn(SquaredDistance(toExpression(a), toExpression(b)))
+  def vec_dot_any(a: Column, b: Column): Column =
+    toColumn(DotProductAny(toExpression(a), toExpression(b)))
 
   /** Register `vec_dot` / `vec_cosine` for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -93,7 +93,10 @@ object VectorIvf {
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    // materialized: assign/probe plans scan the cached codebook instead
+    // of re-optimizing the unrolled Lloyd training tree
     val cents = train(vecs, idCol, vecCol, nlist, iters, trainFraction).cache()
+    cents.count()
     val members = assign(v, cents) // (vid, vec, cid): the inverted lists
     val probes = probeCells(q, cents, nprobe)
     // exact rerank of probed-cell members; row_number already emits each

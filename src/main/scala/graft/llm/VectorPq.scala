@@ -27,10 +27,13 @@ object VectorPq {
 
   private def sq(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x * x)
+  // codegen'd expressions, not HOFs: nearest-centroid assignment evaluates
+  // these tens of millions of times per encode pass (subvectors are double
+  // arrays, so the double-accumulation order matches the HOF form exactly)
   private def dotH(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vec_dot_any(a, b)
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vec_sqdist(a, b)
 
   /** (vid, sub, subvec) rows: the m d-dim double slices of each vector. */
   private def subvectors(v: DataFrame, m: Int, dim: Int): DataFrame = {
@@ -97,8 +100,12 @@ object VectorPq {
       m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2,
       queries: Option[DataFrame] = None,
       trainFraction: Double = 1.0): DataFrame = {
+    // materialize: the unrolled Lloyd plan is deep — forcing the cache
+    // here keeps every downstream plan a scan of an InMemoryRelation
+    // instead of re-optimizing the whole training tree
     val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction).cache()
-    val codes = encode(vecs, idCol, vecCol, cb, m, dim)
+    cb.count()
+    val codes = encode(vecs, idCol, vecCol, cb, m, dim).cache() // used twice below
     val cNorm = codes
       .join(broadcast(cb.select(col("sub"), col("code"), col("cnorm2"))), Seq("sub", "code"))
       .groupBy(col("vid").as("c_id")).agg(sqrt(sum(col("cnorm2"))).as("c_norm"))
@@ -151,7 +158,10 @@ object VectorPq {
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    // materialized: downstream plans (assign, probes, residuals) become
+    // scans of an InMemoryRelation instead of re-optimized training trees
     val coarse = VectorIvf.train(vecs, idCol, vecCol, nlist, iters, trainFraction).cache()
+    coarse.count()
     val cellsFull = VectorIvf.assign(v, coarse) // (vid, vec, cid)
     val probes = VectorIvf.probeCells(q, coarse, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
@@ -159,7 +169,8 @@ object VectorPq {
     if (!residual) {
       val cells = cellsFull.select(col("vid"), col("cid"))
       val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction).cache()
-      val codes = encode(vecs, idCol, vecCol, cb, m, dim)
+      cb.count()
+      val codes = encode(vecs, idCol, vecCol, cb, m, dim).cache() // memberCodes + cNorm
       val memberCodes = cells.join(codes, "vid")
         .select(col("vid").as("c_id"), col("cid"), col("sub"), col("code"))
       val cNorm = codes
@@ -187,11 +198,15 @@ object VectorPq {
       val coarseD = coarse.select(col("cid"),
         transform(col("centroid"), x => x.cast("double")).as("ccent"))
       // residual corpus: r = vec − coarse[cid]
+      // cached: feeds PQ training, encoding, AND the member-code table —
+      // recomputing it would re-run the coarse assignment scan each time
       val resid = cellsFull.join(broadcast(coarseD), "cid")
         .select(col("vid"), col("cid"),
           zip_with(transform(col("vec"), x => x.cast("double")), col("ccent"),
             (x, y) => x - y).as("rvec"))
+        .cache()
       val cb = train(resid, "vid", "rvec", m, k, dim, iters, trainFraction).cache()
+      cb.count()
       val codes = encode(resid, "vid", "rvec", cb, m, dim)
       val memberCodes = resid.select(col("vid"), col("cid")).join(codes, "vid")
         .select(col("vid").as("c_id"), col("cid"), col("sub"), col("code"))

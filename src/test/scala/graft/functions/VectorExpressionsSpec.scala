@@ -73,4 +73,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
          FROM emb_test a JOIN emb_test b ON a.vec_id < b.vec_id""").count()
     assert(n == 45)
   }
+
+  test("vec_sqdist / vec_dot_any equal the HOF forms on double arrays") {
+    val d = pairs.select(
+      transform(col("a"), x => x.cast("double")).as("a"),
+      transform(col("b"), x => x.cast("double")).as("b"))
+    val hofSq = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val hofDot = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val diffs = d.select(
+        VectorFunctions.vec_sqdist(col("a"), col("b")).as("nsq"), hofSq.as("hsq"),
+        VectorFunctions.vec_dot_any(col("a"), col("b")).as("nd"), hofDot.as("hd"))
+      .filter(col("nsq") =!= col("hsq") || col("nd") =!= col("hd"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("vec_sqdist mixes float and double sides; dim mismatch is NULL") {
+    val d = pairs.select(col("a"),
+      transform(col("b"), x => x.cast("double")).as("bd"),
+      slice(col("b"), 1, 3).as("short"))
+    assert(d.select(VectorFunctions.vec_sqdist(col("a"), col("bd")))
+      .filter(col("vec_sqdist(a, bd)").isNull).count() == 0)
+    assert(d.select(VectorFunctions.vec_sqdist(col("a"), col("short")).as("x"))
+      .filter(col("x").isNotNull).count() == 0)
+  }
 }

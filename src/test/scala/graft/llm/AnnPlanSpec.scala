@@ -16,8 +16,12 @@ class AnnPlanSpec extends AnyFunSuite {
   private lazy val e = graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
     .filter(col("vec_id") < 200)
 
-  private def plan(df: org.apache.spark.sql.DataFrame): String =
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    // other suites cache codebooks/codes; cached fragments substitute
+    // InMemoryRelations into these plans and skew the node counts
+    spark.sharedState.cacheManager.clearCache()
     df.queryExecution.executedPlan.toString
+  }
 
   /** WindowExec nodes only — `WindowGroupLimit` (Spark 4's rank-pushdown
     * before a window, which CUTS rows) must not count against the plan. */
