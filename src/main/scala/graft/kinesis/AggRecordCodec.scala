@@ -251,6 +251,7 @@ object AggRecordCodec {
           val rec = readBytes()
           var rp = 0
           var pkIdx = 0; var ehkIdx = 0; var data = Array.emptyByteArray
+          var dataSeen = false
           def rv(): Long = {
             var shift = 0; var res = 0L; var b = 0
             do { b = rec(rp) & 0xFF; rp += 1; res |= (b & 0x7FL) << shift; shift += 7 }
@@ -264,9 +265,16 @@ object AggRecordCodec {
               case 0x1A => // data = field 3
                 val len = rv().toInt
                 data = rec.slice(rp, rp + len); rp += len
+                dataSeen = true
               case other => skipUnknown(other, () => rv(), n => rp += n)
             }
           }
+          // `data` is a REQUIRED proto field — its absence means a
+          // malformed record, most likely an archive written by the
+          // pre-fix encoder (data at field 4/tag 0x22, now skipped as
+          // `tags`). Fail loudly rather than yield empty payloads.
+          require(dataSeen,
+            "record has no data field (3); wire bytes may predate the field-3 fix")
           recs += PackedRecord(pkIdx, ehkIdx, data)
         case other => skipUnknown(other, () => readVarint(), n => pos += n)
       }

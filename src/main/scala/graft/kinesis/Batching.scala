@@ -69,7 +69,8 @@ final class BatchingIterator(
     * calling thread — pass a pool to match the reference's async default. */
   def onRecordComplete(l: RecordCompleteListener,
       executor: java.util.concurrent.Executor = (r: Runnable) => r.run()): this.type = {
-    listeners ::= (l, executor); this
+    listeners = listeners :+ ((l, executor)) // FIFO, like the reference
+    this
   }
 
   def clearListeners(): Unit = listeners = Nil
@@ -80,7 +81,14 @@ final class BatchingIterator(
       shadow.clear()
       currentEhk = routeEhk()
       listeners.foreach { case (l, ex) =>
-        ex.execute(() => l.recordComplete(batch))
+        // a throwing listener must not abort the packing iterator (and
+        // thereby fail the Spark task mid-write → duplicate re-sends);
+        // observers are best-effort, as the reference's executor isolation
+        // implies
+        try ex.execute(() => l.recordComplete(batch))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[batching] recordComplete listener failed: $e")
+        }
       }
       batch
     }

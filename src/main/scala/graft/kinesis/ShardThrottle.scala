@@ -40,9 +40,12 @@ final class ShardThrottle(
   def acquire(shardKey: String, bytes: Long, records: Long = 1L): Long = {
     val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime())
     var waited = 0L
-    b.synchronized {
-      var done = false
-      while (!done) {
+    var done = false
+    while (!done) {
+      // compute under the lock, sleep OUTSIDE it: sleeping while holding
+      // the monitor would block sibling tasks (and onThrottled) for the
+      // whole wait, uninterruptibly
+      val sleepMs: Long = b.synchronized {
         refill(b)
         val bps = bytesPerSec.toDouble * b.factor
         val rps = recordsPerSec.toDouble * b.factor
@@ -55,14 +58,18 @@ final class ShardThrottle(
           b.bytes -= bytes.toDouble
           b.records -= records.toDouble
           done = true
+          0L
         } else {
           val msForBytes = (needBytes - b.bytes) * 1000.0 / bps
           val msForRecs = (needRecs - b.records) * 1000.0 / rps
           val ms = math.max(1L, math.ceil(math.max(msForBytes, msForRecs)).toLong)
-          sleep(ms)
-          waited += ms
           b.waitedMs += ms
+          ms
         }
+      }
+      if (!done) {
+        sleep(sleepMs)
+        waited += sleepMs
       }
     }
     waited

@@ -123,6 +123,22 @@ class BatchingSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("a throwing listener does not abort packing; FIFO order kept") {
+    val payloads = (0 until 50).map(i => Array.fill[Byte](400)((i % 31).toByte))
+    val router = new ShardModel.Router(Array("1", "2", "3"), 7L)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = new BatchingIterator(
+      payloads.iterator.map(p => ("a", Option.empty[String], p)),
+      () => router.next(), MaxAgg, MaxLast)
+    it.onRecordComplete((_: PackedBatch) => { order += "first"; () })
+    it.onRecordComplete((_: PackedBatch) =>
+      throw new RuntimeException("observer boom"))
+    it.onRecordComplete((_: PackedBatch) => { order += "third"; () })
+    val batches = it.toSeq // must not throw
+    assert(batches.map(_.numUserRecords).sum == 50)
+    assert(order.take(2) == Seq("first", "third")) // FIFO, boom skipped
+  }
+
   test("reference constants: ~1MB aggregates from 100B records") {
     val payloads = (0 until 25000).map(i => Array.fill[Byte](100)((i % 100).toByte))
     val router = new ShardModel.Router(Array("5"), 1L)

@@ -120,6 +120,25 @@ class CodecSpec extends AnyFunSuite {
       IndexedSeq("xy"))
   }
 
+  test("decode rejects records whose data sits at the pre-fix tag 0x22") {
+    // an archive written by the old encoder (data = field 4) must fail
+    // loudly, not decode to silently-empty payloads
+    import java.io.ByteArrayOutputStream
+    val body = new ByteArrayOutputStream()
+    def w(xs: Int*): Unit = xs.foreach(body.write)
+    w(0x0A, 0x01, 0x61)                   // pk "a"
+    w(0x12, 0x01, 0x37)                   // ehk "7"
+    w(0x1A, 0x08,
+      0x08, 0x00, 0x10, 0x00,
+      0x22, 0x02, 0x68, 0x69)             // data at WRONG tag 0x22
+    val bodyBytes = body.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write(Magic, 0, 4); out.write(bodyBytes, 0, bodyBytes.length)
+    val digest = md5(bodyBytes); out.write(digest, 0, 16)
+    val e = intercept[IllegalArgumentException](decode(out.toByteArray))
+    assert(e.getMessage.contains("no data field"))
+  }
+
   test("dictionary encoding: repeated keys stored once, insertion order") {
     val b = new Builder
     assert(b.add("k1", Some("1"), Array[Byte](1)))
