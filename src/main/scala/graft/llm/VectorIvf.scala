@@ -93,10 +93,12 @@ object VectorIvf {
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    // materialized: assign/probe plans scan the cached codebook instead
-    // of re-optimizing the unrolled Lloyd training tree
-    val cents = train(vecs, idCol, vecCol, nlist, iters, trainFraction).cache()
-    cents.count()
+    // eager localCheckpoint: assign/probe plans scan the materialized
+    // codebook instead of re-optimizing the unrolled Lloyd training tree;
+    // storage is GC-reclaimed once the query's references drop (a cache()
+    // would pin it in the CacheManager for the session)
+    val cents = train(vecs, idCol, vecCol, nlist, iters, trainFraction)
+      .localCheckpoint(true)
     val members = assign(v, cents) // (vid, vec, cid): the inverted lists
     val probes = probeCells(q, cents, nprobe)
     // exact rerank of probed-cell members; row_number already emits each

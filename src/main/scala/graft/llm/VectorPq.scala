@@ -93,6 +93,25 @@ object VectorPq {
         struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("code"))
   }
 
+  /** (q_id, q_norm): exact query-vector norms. */
+  private def queryNorms(q: DataFrame): DataFrame =
+    q.select(col("vid").as("q_id"),
+      sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
+
+  /** (q_id, sub, code, pdot): per-query ADC lookup table against the
+    * broadcast codebook — m·k rows per query. */
+  private def adcTable(q: DataFrame, cb: DataFrame, m: Int, dim: Int): DataFrame =
+    subvectors(q, m, dim)
+      .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
+      .select(col("vid").as("q_id"), col("sub"), col("code"),
+        dotH(col("subvec"), col("centroid")).as("pdot"))
+
+  /** (c_id, c_norm): reconstructed-candidate norms from codes + codebook. */
+  private def codeNorms(codes: DataFrame, cb: DataFrame): DataFrame =
+    codes
+      .join(broadcast(cb.select(col("sub"), col("code"), col("cnorm2"))), Seq("sub", "code"))
+      .groupBy(col("vid").as("c_id")).agg(sqrt(sum(col("cnorm2"))).as("c_norm"))
+
   /** Top-`topk` approximate cosine neighbors per query via exhaustive ADC:
     * approx sim(q, c) = Σ_j dot(q_j, centroid[j, code_j(c)]) normalized by
     * |q|·|reconstructed c|. */
@@ -100,24 +119,20 @@ object VectorPq {
       m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2,
       queries: Option[DataFrame] = None,
       trainFraction: Double = 1.0): DataFrame = {
-    // materialize: the unrolled Lloyd plan is deep — forcing the cache
-    // here keeps every downstream plan a scan of an InMemoryRelation
-    // instead of re-optimizing the whole training tree
-    val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction).cache()
-    cb.count()
-    val codes = encode(vecs, idCol, vecCol, cb, m, dim).cache() // used twice below
-    val cNorm = codes
-      .join(broadcast(cb.select(col("sub"), col("code"), col("cnorm2"))), Seq("sub", "code"))
-      .groupBy(col("vid").as("c_id")).agg(sqrt(sum(col("cnorm2"))).as("c_norm"))
+    // localCheckpoint (eager), not cache(): the unrolled Lloyd plan is
+    // deep, so downstream plans should scan a materialized result — and
+    // unlike CacheManager entries (which live until the session ends and
+    // substitute into unrelated plans), checkpointed RDD storage is
+    // reclaimed by the ContextCleaner once the DataFrame is unreferenced
+    val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction)
+      .localCheckpoint(true)
+    val codes = encode(vecs, idCol, vecCol, cb, m, dim)
+      .localCheckpoint(true) // used twice below
+    val cNorm = codeNorms(codes, cb)
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    val qNorm = q.select(col("vid").as("q_id"),
-      sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
-    // per-query ADC table: (q_id, sub, code) → partial dot, m·k rows/query
-    val qTable = subvectors(q, m, dim)
-      .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
-      .select(col("vid").as("q_id"), col("sub"), col("code"),
-        dotH(col("subvec"), col("centroid")).as("pdot"))
+    val qNorm = queryNorms(q)
+    val qTable = adcTable(q, cb, m, dim)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     codes.select(col("vid").as("c_id"), col("sub"), col("code"))
       .join(qTable, Seq("sub", "code"))
@@ -158,30 +173,25 @@ object VectorPq {
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
-    // materialized: downstream plans (assign, probes, residuals) become
-    // scans of an InMemoryRelation instead of re-optimized training trees
-    val coarse = VectorIvf.train(vecs, idCol, vecCol, nlist, iters, trainFraction).cache()
-    coarse.count()
+    // eager localCheckpoint: downstream plans (assign, probes, residuals)
+    // scan the materialized codebook; storage is GC-reclaimed (see above)
+    val coarse = VectorIvf.train(vecs, idCol, vecCol, nlist, iters, trainFraction)
+      .localCheckpoint(true)
     val cellsFull = VectorIvf.assign(v, coarse) // (vid, vec, cid)
     val probes = VectorIvf.probeCells(q, coarse, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
 
     if (!residual) {
       val cells = cellsFull.select(col("vid"), col("cid"))
-      val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction).cache()
-      cb.count()
-      val codes = encode(vecs, idCol, vecCol, cb, m, dim).cache() // memberCodes + cNorm
+      val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction)
+        .localCheckpoint(true)
+      val codes = encode(vecs, idCol, vecCol, cb, m, dim)
+        .localCheckpoint(true) // memberCodes + cNorm
       val memberCodes = cells.join(codes, "vid")
         .select(col("vid").as("c_id"), col("cid"), col("sub"), col("code"))
-      val cNorm = codes
-        .join(broadcast(cb.select(col("sub"), col("code"), col("cnorm2"))), Seq("sub", "code"))
-        .groupBy(col("vid").as("c_id")).agg(sqrt(sum(col("cnorm2"))).as("c_norm"))
-      val qNorm = q.select(col("vid").as("q_id"),
-        sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
-      val qTable = subvectors(q, m, dim)
-        .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
-        .select(col("vid").as("q_id"), col("sub"), col("code"),
-          dotH(col("subvec"), col("centroid")).as("pdot"))
+      val cNorm = codeNorms(codes, cb)
+      val qNorm = queryNorms(q)
+      val qTable = adcTable(q, cb, m, dim)
       probes.select(col("q_id"), col("cid"))
         .join(memberCodes, "cid") // only probed cells' members survive
         .join(qTable, Seq("q_id", "sub", "code"))
@@ -198,15 +208,15 @@ object VectorPq {
       val coarseD = coarse.select(col("cid"),
         transform(col("centroid"), x => x.cast("double")).as("ccent"))
       // residual corpus: r = vec − coarse[cid]
-      // cached: feeds PQ training, encoding, AND the member-code table —
-      // recomputing it would re-run the coarse assignment scan each time
+      // checkpointed: feeds PQ training, encoding, AND the member-code
+      // table — recomputing would re-run the coarse assignment each time
       val resid = cellsFull.join(broadcast(coarseD), "cid")
         .select(col("vid"), col("cid"),
           zip_with(transform(col("vec"), x => x.cast("double")), col("ccent"),
             (x, y) => x - y).as("rvec"))
-        .cache()
-      val cb = train(resid, "vid", "rvec", m, k, dim, iters, trainFraction).cache()
-      cb.count()
+        .localCheckpoint(true)
+      val cb = train(resid, "vid", "rvec", m, k, dim, iters, trainFraction)
+        .localCheckpoint(true)
       val codes = encode(resid, "vid", "rvec", cb, m, dim)
       val memberCodes = resid.select(col("vid"), col("cid")).join(codes, "vid")
         .select(col("vid").as("c_id"), col("cid"), col("sub"), col("code"))
@@ -219,12 +229,8 @@ object VectorPq {
         .join(cb.select(col("sub"), col("code"), col("centroid"), col("cnorm2")), "sub")
         .select(col("cid"), col("sub"), col("code"),
           (dotH(col("csub"), col("centroid")) * 2.0 + col("cnorm2")).as("n2part"))
-      val qNorm = q.select(col("vid").as("q_id"),
-        sqrt(sq(transform(col("vec"), x => x.cast("double")))).as("q_norm"))
-      val qTable = subvectors(q, m, dim)
-        .join(broadcast(cb.select(col("sub"), col("code"), col("centroid"))), "sub")
-        .select(col("vid").as("q_id"), col("sub"), col("code"),
-          dotH(col("subvec"), col("centroid")).as("pdot"))
+      val qNorm = queryNorms(q)
+      val qTable = adcTable(q, cb, m, dim)
       val qcdot = probes.join(broadcast(coarseD), "cid")
         .select(col("q_id"), col("cid"),
           dotH(transform(col("qv"), x => x.cast("double")), col("ccent")).as("qcdot"))

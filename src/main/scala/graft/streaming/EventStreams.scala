@@ -132,61 +132,21 @@ object EventStreams {
 
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Idle-session detection on processing-time TIMERS: each event for a
-    * key re-arms a timer `gapMs` ahead; when the key goes quiet the timer
-    * fires and `handleExpiredTimer` emits the session summary and clears
-    * state — the transformWithState capability the classic
-    * flatMapGroupsWithState timeout API only approximates. */
-  class SessionTimerProcessor(gapMs: Long)
+  /** Idle-session detection on TIMERS: each event for a key re-arms a
+    * timer; when the key goes quiet the timer fires and
+    * `handleExpiredTimer` emits the session summary and clears state —
+    * the transformWithState capability the classic flatMapGroupsWithState
+    * timeout API only approximates. Subclasses choose the clock via
+    * [[timerTarget]]; re-arming is forward-only (a new target never pulls
+    * an armed timer earlier), correct for both clocks. */
+  abstract class BaseSessionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SessionSummary] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
     @transient private var agg: org.apache.spark.sql.streaming.ValueState[UserCounter] = _
     @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
-    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
-      agg = getHandle.getValueState[UserCounter]("sess",
-        org.apache.spark.sql.Encoders.product[UserCounter], TTLConfig.NONE)
-      armed = getHandle.getValueState[Long]("armed_at",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
-    }
-    override def handleInputRows(key: Long, rows: Iterator[EventRow],
-        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionSummary] = {
-      val prev = Option(agg.get()).getOrElse(UserCounter(key, 0L, 0.0))
-      var n = prev.n_events; var v = prev.total_value
-      rows.foreach { r => n += 1; v += r.value }
-      agg.update(UserCounter(key, n, v))
-      if (armed.exists()) getHandle.deleteTimer(armed.get()) // re-arm
-      val at = timers.getCurrentProcessingTimeInMs() + gapMs
-      getHandle.registerTimer(at)
-      armed.update(at)
-      Iterator.empty
-    }
-    override def handleExpiredTimer(key: Long,
-        timers: org.apache.spark.sql.streaming.TimerValues,
-        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionSummary] = {
-      val out = Option(agg.get())
-        .map(c => SessionSummary(key, c.n_events, c.total_value))
-      agg.clear(); armed.clear()
-      out.iterator
-    }
-  }
-
-  def idleSessions(events: Dataset[EventRow], gapMs: Long): Dataset[SessionSummary] = {
-    import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.TimeMode
-    events.groupByKey(_.user_id)
-      .transformWithState(new SessionTimerProcessor(gapMs),
-        TimeMode.ProcessingTime(), OutputMode.Update)
-  }
-
-  /** Event-time twin of [[SessionTimerProcessor]]: the timer is armed at
-    * (max event ts in batch) + gap and fires when the WATERMARK passes it
-    * — sessions close deterministically from the data's own clock, immune
-    * to wall-clock skew between executors. */
-  class EventTimeSessionProcessor(gapMs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SessionSummary] {
-    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
-    @transient private var agg: org.apache.spark.sql.streaming.ValueState[UserCounter] = _
-    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+    /** Timer expiry (ms) for a batch whose max event timestamp is given. */
+    protected def timerTarget(maxEventTsMs: Long, gapMs: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues): Long
     override def init(outputMode: OM, timeMode: TimeMode): Unit = {
       agg = getHandle.getValueState[UserCounter]("sess",
         org.apache.spark.sql.Encoders.product[UserCounter], TTLConfig.NONE)
@@ -201,9 +161,9 @@ object EventStreams {
         n += 1; v += r.value; maxTs = math.max(maxTs, r.ts.getTime)
       }
       agg.update(UserCounter(key, n, v))
-      val at = maxTs + gapMs
-      if (armed.exists() && armed.get() < at) getHandle.deleteTimer(armed.get())
-      if (!armed.exists() || armed.get() < at) {
+      val at = timerTarget(maxTs, gapMs, timers)
+      if (!armed.exists() || armed.get() < at) { // forward-only re-arm
+        if (armed.exists()) getHandle.deleteTimer(armed.get())
         getHandle.registerTimer(at)
         armed.update(at)
       }
@@ -217,6 +177,32 @@ object EventStreams {
       agg.clear(); armed.clear()
       out.iterator
     }
+  }
+
+  /** Wall-clock sessions: the timer re-arms `gapMs` of PROCESSING time
+    * ahead on every batch with input for the key. */
+  class SessionTimerProcessor(gapMs: Long) extends BaseSessionProcessor(gapMs) {
+    override protected def timerTarget(maxEventTsMs: Long, gap: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues): Long =
+      timers.getCurrentProcessingTimeInMs() + gap
+  }
+
+  def idleSessions(events: Dataset[EventRow], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.ProcessingTime(), OutputMode.Update)
+  }
+
+  /** Event-time twin of [[SessionTimerProcessor]]: the timer is armed at
+    * (max event ts in batch) + gap and fires when the WATERMARK passes it
+    * — sessions close deterministically from the data's own clock, immune
+    * to wall-clock skew between executors. */
+  class EventTimeSessionProcessor(gapMs: Long) extends BaseSessionProcessor(gapMs) {
+    override protected def timerTarget(maxEventTsMs: Long, gap: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues): Long =
+      maxEventTsMs + gap
   }
 
   def idleSessionsEventTime(events: Dataset[EventRow], gapMs: Long,
