@@ -132,6 +132,41 @@ object EventStreams {
 
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Evolved counter state: adds a field to [[UserCounter]]. With the
+    * Avro state encoding, transformWithState reads v1 state rows into
+    * this schema (new field defaulted) — the state-schema-evolution path
+    * a long-lived production query needs across code deploys. */
+  final case class UserCounterV2(user_id: Long, n_events: Long,
+      total_value: Double, max_value: Double = 0.0)
+
+  /** V2 of [[CounterProcessor]]: same state store name ("counter"), wider
+    * state type. Restarting a v1 checkpoint with this processor must
+    * carry counters forward and default the new field. */
+  class CounterProcessorV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserCounterV2] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserCounterV2] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserCounterV2]("counter",
+        org.apache.spark.sql.Encoders.product[UserCounterV2], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCounterV2] = {
+      val prev = Option(state.get()).getOrElse(UserCounterV2(key, 0L, 0.0))
+      var n = prev.n_events; var v = prev.total_value; var mx = prev.max_value
+      rows.foreach { r => n += 1; v += r.value; mx = math.max(mx, r.value) }
+      val next = UserCounterV2(key, n, v, mx)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningCountersTwsV2(events: Dataset[EventRow]): Dataset[UserCounterV2] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new CounterProcessorV2, TimeMode.None(), OutputMode.Update)
+  }
+
   /** Idle-session detection on TIMERS: each event for a key re-arms a
     * timer; when the key goes quiet the timer fires and
     * `handleExpiredTimer` emits the session summary and clears state —
