@@ -167,6 +167,48 @@ object EventStreams {
       .transformWithState(new CounterProcessorV2, TimeMode.None(), OutputMode.Update)
   }
 
+  final case class UserActivity(user_id: Long, last_events: Seq[Long],
+      counts_by_type: Map[String, Long])
+
+  /** ListState + MapState breadth: per user, the last `keep` event ids
+    * (ListState as a bounded ring — appendValue, trim on read) and
+    * per-event-type running counts (MapState updated point-wise, no
+    * read-modify-write of a whole map blob as a ValueState would need).
+    * Emits the consolidated activity row per batch with input. */
+  class ActivityProcessor(keep: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserActivity] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var byType: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long]("by_type",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserActivity] = {
+      rows.foreach { r =>
+        recent.appendValue(r.event_id)
+        val prev = if (byType.containsKey(r.event_type)) byType.getValue(r.event_type) else 0L
+        byType.updateValue(r.event_type, prev + 1L)
+      }
+      val all = recent.get().toSeq
+      val tail = all.takeRight(keep)
+      if (all.length > keep) recent.put(tail.toArray) // trim the ring
+      val counts = byType.iterator().toMap
+      Iterator.single(UserActivity(key, tail, counts))
+    }
+  }
+
+  def userActivity(events: Dataset[EventRow], keep: Int = 3): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new ActivityProcessor(keep), TimeMode.None(), OutputMode.Update)
+  }
+
   /** Idle-session detection on TIMERS: each event for a key re-arms a
     * timer; when the key goes quiet the timer fires and
     * `handleExpiredTimer` emits the session summary and clears state —

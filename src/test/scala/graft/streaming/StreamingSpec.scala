@@ -233,6 +233,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ListState ring + MapState counts track per-user activity") {
+    import spark.implicits._
+    withRocksDb() {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.userActivity(mem.toDS(), keep = 3).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_activity")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("act_chk").toString)
+        .start()
+      try {
+        mem.addData(
+          row(1, ts(1), user = 1, typ = "click"),
+          row(2, ts(1), user = 1, typ = "view"),
+          row(3, ts(1), user = 1, typ = "click"))
+        q.processAllAvailable()
+        mem.addData(
+          row(4, ts(2), user = 1, typ = "click"),
+          row(5, ts(2), user = 1, typ = "purchase"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("t_activity")
+        .as[(Long, Seq[Long], Map[String, Long])].collect()
+        .filter(_._1 == 1L).maxBy(_._2.max)
+      assert(last._2 == Seq(3L, 4L, 5L), s"ring should keep last 3: $last")
+      assert(last._3 == Map("click" -> 3L, "view" -> 1L, "purchase" -> 1L), s"$last")
+    }
+  }
+
   test("state schema evolution: v2 processor resumes a v1 checkpoint (avro)") {
     import spark.implicits._
     val chk = java.nio.file.Files.createTempDirectory("evolve_chk").toString
