@@ -15,7 +15,11 @@ final case class PutEntry(partitionKey: String, explicitHashKey: String, data: A
 final case class PutResult(failedRecordCount: Int, shardIds: Seq[String],
     /** of the failures, how many were ProvisionedThroughputExceeded —
       * the signal the adaptive throttle backs off on */
-    throttledRecordCount: Int = 0)
+    throttledRecordCount: Int = 0,
+    /** positions of the failed entries within the call (PutRecords
+      * reports per-record results in request order); empty with
+      * failedRecordCount > 0 means "treat the whole call as failed" */
+    failedIndices: Seq[Int] = Seq.empty)
 
 /** Transport boundary. The AWS SDK is not resolvable offline (and the
   * engine is cloud-agnostic); production would implement this with
@@ -48,6 +52,7 @@ object InMemoryKinesis {
 
   private[kinesis] final class State {
     val calls = new AtomicLong(0)
+    val recordSeq = new AtomicLong(0)
     val received = new ConcurrentHashMap[String, java.util.List[Array[Byte]]]()
     /** insertion-ordered shard table; all access synchronized on it */
     val shards = new java.util.LinkedHashMap[String, ShardMeta]()
@@ -66,7 +71,10 @@ final class InMemoryKinesis(numShards: Int, failEvery: Int = 0,
     /** stable name so the streaming source can address this stream */
     val id: String = java.util.UUID.randomUUID().toString,
     /** every k-th call reports ProvisionedThroughputExceeded instead */
-    throttleEvery: Int = 0)
+    throttleEvery: Int = 0,
+    /** every k-th RECORD (across calls) fails individually — the partial
+      * PutRecords failure mode multi-entry calls must handle */
+    failRecordEvery: Int = 0)
   extends PutRecordsTransport with ShardLister {
   import InMemoryKinesis.ShardMeta
   private def st = {
@@ -146,16 +154,26 @@ final class InMemoryKinesis(numShards: Int, failEvery: Int = 0,
   override def putRecords(streamName: String, entries: Seq[PutEntry]): PutResult = {
     val s = st
     val n = s.calls.incrementAndGet()
-    if (failEvery > 0 && n % failEvery == 0) return PutResult(entries.size, Seq.empty)
+    if (failEvery > 0 && n % failEvery == 0)
+      return PutResult(entries.size, Seq.empty, failedIndices = entries.indices)
     if (throttleEvery > 0 && n % throttleEvery == 0)
-      return PutResult(entries.size, Seq.empty, throttledRecordCount = entries.size)
-    val shards = entries.map { e =>
-      val sid = shardFor(e.explicitHashKey)
-      s.received.computeIfAbsent(sid, _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Array[Byte]]()))
-        .add(e.data)
-      sid
+      return PutResult(entries.size, Seq.empty, throttledRecordCount = entries.size,
+        failedIndices = entries.indices)
+    val failed = Seq.newBuilder[Int]
+    val shards = entries.zipWithIndex.map { case (e, i) =>
+      val rec = s.recordSeq.incrementAndGet()
+      if (failRecordEvery > 0 && rec % failRecordEvery == 0) {
+        failed += i
+        "" // per-record failure: not delivered, no shard
+      } else {
+        val sid = shardFor(e.explicitHashKey)
+        s.received.computeIfAbsent(sid, _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Array[Byte]]()))
+          .add(e.data)
+        sid
+      }
     }
-    PutResult(0, shards)
+    val f = failed.result()
+    PutResult(f.size, shards.filter(_.nonEmpty), failedIndices = f)
   }
 }
 
@@ -234,24 +252,87 @@ object KinesisSinkSemantics {
     attempt(Seq(PutEntry(agg.partitionKey, agg.explicitHashKey, agg.toRecordBytes)), 0)
   }
 
+  /** Send a GROUP of packed batches as one multi-entry PutRecords call
+    * (the API takes up to 500 entries / 5 MiB) and retry only the entries
+    * the service reports failed — per-record failure handling, vs the
+    * whole-aggregate retry of [[sendWithRetry]]. A failed batch is
+    * rebuilt from its shadow with a fresh EHK (re-rolling a hot shard);
+    * a rebuild may legitimately split past the 1 MiB cap into several
+    * batches. At-least-once: a transport exception re-sends everything
+    * still pending. */
+  def sendGroupWithRetry(
+      group: Seq[PackedBatch],
+      transport: PutRecordsTransport,
+      router: ShardModel.Router,
+      cfg: Config): Unit = {
+    var pending = group
+    var failCount = 0
+    while (pending.nonEmpty) {
+      val entries = pending.map { b =>
+        PutEntry(b.aggregate.partitionKey, b.aggregate.explicitHashKey,
+          b.aggregate.toRecordBytes)
+      }
+      entries.foreach(e =>
+        cfg.throttle.foreach(_.acquire(e.explicitHashKey, e.data.length.toLong)))
+      val failedIdx: Seq[Int] =
+        try {
+          val res = transport.putRecords(cfg.streamName, entries)
+          val idx =
+            if (res.failedRecordCount == 0) Seq.empty
+            else if (res.failedIndices.nonEmpty) res.failedIndices
+            else entries.indices // transport can't say which: retry all
+          if (res.throttledRecordCount > 0)
+            idx.foreach(i => cfg.throttle.foreach(_.onThrottled(entries(i).explicitHashKey)))
+          idx
+        } catch { case scala.util.control.NonFatal(_) => entries.indices }
+      if (failedIdx.nonEmpty) {
+        if (failCount >= cfg.maxRetries)
+          throw new IllegalStateException(
+            s"Exponential back-off failed after $failCount retries. Giving up.")
+        backoff(cfg, failCount)
+        failCount += 1
+        pending = failedIdx.map(pending).flatMap { b =>
+          val ehk = router.next()
+          new BatchingIterator(
+            b.shadow.iterator.map(p => (cfg.partitionKey, Some(ehk), p)),
+            () => router.next(), cfg.maxAggSize, cfg.maxLastSize).toSeq
+        }
+      } else pending = Seq.empty
+    }
+  }
+
   /** Write one partition's payload iterator: pack (R8–R15) → send (R19).
-    * Returns the number of user records written (R21). */
+    * Batches are grouped into multi-entry PutRecords calls bounded by
+    * `maxEntriesPerCall` and the 5 MiB call cap; per-entry failures
+    * retry selectively. Returns the number of user records written (R21). */
   def writePartition(
       payloads: Iterator[Array[Byte]],
       transport: PutRecordsTransport,
       ehks: Array[String],
       cfg: Config,
-      partitionId: Int = 0): Long = {
+      partitionId: Int = 0,
+      maxEntriesPerCall: Int = 500,
+      maxBytesPerCall: Long = 5L * 1024 * 1024): Long = {
     // per-partition seed keeps routing deterministic yet de-correlated
     val router = new ShardModel.Router(ehks, cfg.routerSeed + partitionId)
     val batches = new BatchingIterator(
       payloads.map(p => (cfg.partitionKey, Option.empty[String], p)),
       () => router.next(), cfg.maxAggSize, cfg.maxLastSize)
     var count = 0L
+    val group = Seq.newBuilder[PackedBatch]
+    var groupN = 0; var groupBytes = 0L
+    def flush(): Unit = {
+      val g = group.result()
+      if (g.nonEmpty) sendGroupWithRetry(g, transport, router, cfg)
+      group.clear(); groupN = 0; groupBytes = 0L
+    }
     batches.foreach { b =>
-      sendWithRetry(b, transport, router, cfg)
+      if (groupN >= maxEntriesPerCall || groupBytes + b.sizeBytes > maxBytesPerCall)
+        flush()
+      group += b; groupN += 1; groupBytes += b.sizeBytes
       count += b.numUserRecords
     }
+    flush()
     count
   }
 

@@ -30,6 +30,40 @@ class SinkSpec extends AnyFunSuite {
     assert(receivedPayloads(k).sorted == in.map(_.toSeq).sorted)
   }
 
+  test("per-record failures in a multi-entry call: only failed entries retry") {
+    // small aggregates → many entries per grouped PutRecords call;
+    // every 4th record (i.e. entry) fails individually
+    val k = new InMemoryKinesis(numShards = 4, failRecordEvery = 4)
+    val ehks = ShardModel.explicitHashKeys("t", k)
+    val in = payloads(300)
+    val n = KinesisSinkSemantics.writePartition(in.iterator, k, ehks, cfg)
+    assert(n == 300)
+    // failed entries were never stored, so selective retry delivers
+    // exactly once — no duplicates despite the failure schedule
+    assert(receivedPayloads(k).sorted == in.map(_.toSeq).sorted)
+    assert(k.received.asScala.nonEmpty)
+  }
+
+  test("multi-entry grouping respects the per-call entry and byte caps") {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val k = new InMemoryKinesis(numShards = 2)
+    val spy = new PutRecordsTransport {
+      override def putRecords(s: String, entries: Seq[PutEntry]): PutResult = {
+        calls.synchronized { calls += entries.size }
+        assert(entries.map(_.data.length.toLong).sum <= 5L * 1024 * 1024)
+        k.putRecords(s, entries)
+      }
+    }
+    val ehks = ShardModel.explicitHashKeys("t", k)
+    val in = payloads(120)
+    val n = KinesisSinkSemantics.writePartition(in.iterator, spy, ehks, cfg,
+      maxEntriesPerCall = 3)
+    assert(n == 120)
+    assert(calls.forall(_ <= 3), s"entry cap violated: $calls")
+    assert(calls.exists(_ > 1), s"grouping never batched: $calls")
+    assert(receivedPayloads(k).sorted == in.map(_.toSeq).sorted)
+  }
+
   test("shard listing paginates and midpoints land inside each range") {
     val k = new InMemoryKinesis(numShards = 5)
     val shards = ShardModel.allShards("t", k)
