@@ -67,6 +67,13 @@ object AnnSweep {
           trainFraction = 0.2, residual = true)))
       println(f"[ann] IVFADC  nlist=16 nprobe=$nprobe%-2d  recall@10=$r%.2f  ${secs}%5.1f s")
     }
+    for (rf <- Seq(2, 4)) {
+      val (r, secs) = timed(recallOf(
+        graft.llm.VectorPq.topkIvfAdc(e, "vec_id", "embedding", topk = 10,
+          nlist = 16, nprobe = 8, queries = Some(q),
+          trainFraction = 0.2, residual = true, rerankFactor = rf)))
+      println(f"[ann] IVFADC+rerank x$rf nprobe=8  recall@10=$r%.2f  ${secs}%5.1f s")
+    }
     spark.stop()
   }
 }

@@ -169,10 +169,16 @@ object VectorPq {
       m: Int = 8, k: Int = 16, dim: Int = 64, iters: Int = 2,
       queries: Option[DataFrame] = None,
       trainFraction: Double = 1.0,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      /** > 0: take topk·rerankFactor ADC candidates, then EXACT-rerank —
+        * restores full precision on the survivors at the cost of
+        * rerankFactor·topk true dot products per query (how production
+        * IVFADC closes the quantizer's resolution gap) */
+      rerankFactor: Int = 0): DataFrame = {
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val innerK = if (rerankFactor > 0) topk * rerankFactor else topk
     // eager localCheckpoint: downstream plans (assign, probes, residuals)
     // scan the materialized codebook; storage is GC-reclaimed (see above)
     val coarse = VectorIvf.train(vecs, idCol, vecCol, nlist, iters, trainFraction)
@@ -181,7 +187,7 @@ object VectorPq {
     val probes = VectorIvf.probeCells(q, coarse, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
 
-    if (!residual) {
+    val adc = if (!residual) {
       val cells = cellsFull.select(col("vid"), col("cid"))
       val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction)
         .localCheckpoint(true)
@@ -202,7 +208,7 @@ object VectorPq {
         .join(cNorm, "c_id")
         .withColumn("sim", col("adot") / (col("q_norm") * col("c_norm")))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= topk)
+        .filter(col("rn") <= innerK)
         .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
     } else {
       val coarseD = coarse.select(col("cid"),
@@ -247,8 +253,27 @@ object VectorPq {
         .withColumn("sim", (col("qcdot") + col("rdot")) /
           (col("q_norm") * sqrt(col("cn2") + col("rn2"))))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= topk)
+        .filter(col("rn") <= innerK)
         .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
     }
+    if (rerankFactor > 0) exactRerank(adc, q, v, topk) else adc
+  }
+
+  /** Exact-rerank pass over an ADC candidate frame (q_id, c_id):
+    * fetch both vectors and rank by true cosine. Type-flexible via
+    * vec_dot_any (float or double inputs). */
+  private def exactRerank(cands: DataFrame, q: DataFrame, v: DataFrame,
+      topk: Int): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot_any
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ex").desc, col("c_id"))
+    cands.select(col("q_id"), col("c_id"))
+      .join(q.select(col("vid").as("q_id"), col("vec").as("qvv")), "q_id")
+      .join(v.select(col("vid").as("c_id"), col("vec").as("cvv")), "c_id")
+      .withColumn("ex", vec_dot_any(col("qvv"), col("cvv")) /
+        (sqrt(vec_dot_any(col("qvv"), col("qvv"))) *
+          sqrt(vec_dot_any(col("cvv"), col("cvv")))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("ex"), 6).as("sim_r"))
   }
 }

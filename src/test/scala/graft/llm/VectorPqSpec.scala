@@ -78,10 +78,15 @@ class VectorPqSpec extends AnyFunSuite {
       topk = 10, nlist = 8, nprobe = 4, residual = false))
     val resid = recallOf(VectorPq.topkIvfAdc(e, "vec_id", "embedding",
       topk = 10, nlist = 8, nprobe = 4, residual = true))
-    info(f"IVFADC recall@10 of true top-1: plain $plain%.2f residual $resid%.2f")
+    val rerank = recallOf(VectorPq.topkIvfAdc(e, "vec_id", "embedding",
+      topk = 10, nlist = 8, nprobe = 4, residual = true, rerankFactor = 4))
+    info(f"IVFADC recall@10: plain $plain%.2f residual $resid%.2f rerank $rerank%.2f")
     assert(resid >= 0.3, s"residual recall $resid")
     assert(resid >= plain - 0.1,
       s"residual encoding should not lose recall: $resid vs $plain")
+    // exact rerank can only promote true neighbors already in the
+    // candidate set — recall must not drop, and usually jumps
+    assert(rerank >= resid, s"exact rerank lost recall: $rerank vs $resid")
   }
 
   test("deterministic: two runs produce identical rankings") {
