@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, DotProductAny, SquaredDistance}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions and planner strategy into any session via
@@ -28,5 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "vec_sqdist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SquaredDistance(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_any"),
+      new ExpressionInfo(classOf[DotProductAny].getName, "vec_dot_any"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductAny(exprs.head, exprs(1))))
   }
 }

@@ -254,11 +254,15 @@ object VectorFunctions {
   def vec_dot_any(a: Column, b: Column): Column =
     toColumn(DotProductAny(toExpression(a), toExpression(b)))
 
-  /** Register `vec_dot` / `vec_cosine` for spark.sql(...) use. */
+  /** Register the vector functions for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sqdist", exprs => SquaredDistance(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_any", exprs => DotProductAny(exprs.head, exprs(1)), "built-in")
   }
 }
