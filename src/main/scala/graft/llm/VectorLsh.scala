@@ -46,6 +46,27 @@ object VectorLsh {
     * evals), scored, then mirrored before the per-query top-k, which is
     * equivalent because cosine is symmetric.
     */
+  /** Bucket-width rule from TUNING.md: 2^bits buckets per table should
+    * roughly tile the corpus into `targetBucket`-sized buckets —
+    * bits ≈ log₂(n / targetBucket). Too many bits over too few vectors
+    * means empty buckets and recall collapse (measured 0.01 at 12 bits /
+    * 500 vectors); too few means O(n²) collisions.
+    */
+  def bitsFor(n: Long, targetBucket: Int = 32): Int = {
+    val b = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(2, b))
+  }
+
+  /** topkApprox with `bits` chosen from the corpus size per `bitsFor`,
+    * and a higher table count for recall — the configuration a caller
+    * who knows only the corpus (not the tuning table) should use. Costs
+    * one count() job on `vecs`, the same information a production
+    * deployment gets for free from table stats.
+    */
+  def topkApproxAuto(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, tables: Int = 8, seed: Long = 42L): DataFrame =
+    topkApprox(vecs, idCol, vecCol, k, dim, bits = bitsFor(vecs.count()), tables, seed)
+
   def topkApprox(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int = 64, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val b = buckets(vecs, idCol, vecCol, dim, bits, tables, seed)

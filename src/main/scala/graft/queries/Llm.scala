@@ -241,10 +241,12 @@ object Llm {
 
     // Random-hyperplane LSH ANN — the similarity-search scale path:
     // bucket equi-join candidates, exact cosine only on collisions.
-    // Recall vs the brute-force baseline asserted in VectorLshSpec.
+    // bits are chosen from the corpus size (bits ≈ log₂(n/bucket), the
+    // TUNING.md rule): a fixed bit width is wrong at every other scale.
+    // Recall at this auto-selected config asserted in VectorLshSpec.
     QDef("q_cosine_lsh",
       (s, d) => graft.llm.VectorLsh
-        .topkApprox(embeddings(s, d), "vec_id", "embedding", k = 5)
+        .topkApproxAuto(embeddings(s, d), "vec_id", "embedding", k = 5)
         .orderBy(col("q_id"), col("rn")),
       None),
 
@@ -254,9 +256,13 @@ object Llm {
     QDef("q_cosine_ivf",
       (s, d) => {
         val e = embeddings(s, d)
+        // trainFraction=0.2: k-means sees a seeded sample, not the corpus
+        // — same 100 TB posture as q_cosine_pq/q_cosine_ivfadc, and the
+        // difference between stable ~2 s and scheduler-bound 7 s benches
         graft.llm.VectorIvf.topkApprox(e, "vec_id", "embedding", k = 5,
             nlist = 16, nprobe = 4,
-            queries = Some(e.filter(col("vec_id") < 50)))
+            queries = Some(e.filter(col("vec_id") < 50)),
+            trainFraction = 0.2)
           .orderBy(col("q_id"), col("rn"))
       },
       None),
@@ -269,10 +275,12 @@ object Llm {
     QDef("q_cosine_ivfadc",
       (s, d) => {
         val e = embeddings(s, d)
+        // rerankFactor=4 is the measured-best operating point (TUNING.md:
+        // recall 0.42→0.65 for R·k true dot products per query, ~free)
         graft.llm.VectorPq.topkIvfAdc(e, "vec_id", "embedding", topk = 5,
             nlist = 16, nprobe = 4,
             queries = Some(e.filter(col("vec_id") < 50)),
-            trainFraction = 0.2, residual = true)
+            trainFraction = 0.2, residual = true, rerankFactor = 4)
           .orderBy(col("q_id"), col("rn"))
       },
       None),

@@ -38,6 +38,32 @@ class VectorLshSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall too low")
   }
 
+  // The declared q_cosine_lsh config: bits auto-selected from corpus size
+  // (bits ≈ log₂(n/bucket), TUNING.md). At this corpus the rule lands on
+  // the same short-hash regime the measured sweep calls correct.
+  test("auto-selected bits: declared-query config reaches recall ≥ 0.5") {
+    val e = graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(col("vec_id") < 200).cache()
+    assert(VectorLsh.bitsFor(200) == 3)
+    assert(VectorLsh.bitsFor(500) == 4)
+    assert(VectorLsh.bitsFor(1000000) == 15) // 12-bit regime starts ~10⁵
+    val a = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val b = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val truth = a.join(b, col("q_id") =!= col("c_id"))
+      .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("true_nn"))
+    val approx = VectorLsh.topkApproxAuto(e, "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("c_id"))
+    val hits = truth.join(approx,
+      truth("q_id") === approx("q_id") && col("true_nn") === col("c_id"))
+    val recall = hits.count().toDouble / truth.count()
+    assert(recall >= 0.5, s"auto-config ANN recall $recall too low")
+  }
+
   test("bucket join produces far fewer candidate pairs than n²") {
     val e = graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
     val n = e.count()
