@@ -30,6 +30,20 @@ abstract class FloatVectorFold extends BinaryExpression {
       s"$prettyName requires two array<float> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
+  /** A null ELEMENT nulls the whole fold (the HOF forms propagate null
+    * through acc + v — these expressions must match them exactly). The
+    * per-element check is only emitted when the array type admits nulls,
+    * so provably null-free inputs keep the branch-free loop. */
+  protected def anyContainsNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  /** Codegen fragment: null element ⇒ result NULL, exit loop. The loop
+    * condition must include `!isNull` for the early exit to take effect. */
+  protected def genElemNullCheck(ev: ExprCode, a: String, b: String, i: String): String =
+    if (anyContainsNull)
+      s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; continue; }"
+    else ""
 }
 
 /** Fold over two numeric arrays that may independently be array<float> or
@@ -56,6 +70,16 @@ abstract class NumericVectorFold extends BinaryExpression {
     if (isFloat(e)) (a, i) => a.getFloat(i).toDouble else (a, i) => a.getDouble(i)
   protected def genRead(e: Expression, arr: String, i: String): String =
     if (isFloat(e)) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+  /** See [[FloatVectorFold.anyContainsNull]]: null element ⇒ NULL result,
+    * matching the HOF forms; check emitted only for nullable arrays. */
+  protected def anyContainsNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  protected def genElemNullCheck(ev: ExprCode, a: String, b: String, i: String): String =
+    if (anyContainsNull)
+      s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; continue; }"
+    else ""
 }
 
 /** ‖a − b‖² = Σ (a_i − b_i)², accumulated in double — the innermost loop
@@ -74,6 +98,7 @@ case class SquaredDistance(left: Expression, right: Expression) extends NumericV
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match HOF: null element ⇒ NULL
       val d = rx(x, i) - ry(y, i)
       acc += d * d
       i += 1
@@ -94,11 +119,12 @@ case class SquaredDistance(left: Expression, right: Expression) extends NumericV
          |} else {
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    ${genElemNullCheck(ev, a, b, i)}
          |    double $d = ${genRead(left, a, i)} - ${genRead(right, b, i)};
          |    $acc += $d * $d;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -120,7 +146,10 @@ case class DotProductAny(left: Expression, right: Expression) extends NumericVec
     val n = x.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += rx(x, i) * ry(y, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match HOF: null element ⇒ NULL
+      acc += rx(x, i) * ry(y, i); i += 1
+    }
     acc
   }
 
@@ -135,10 +164,11 @@ case class DotProductAny(left: Expression, right: Expression) extends NumericVec
          |} else {
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    ${genElemNullCheck(ev, a, b, i)}
          |    $acc += ${genRead(left, a, i)} * ${genRead(right, b, i)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -159,6 +189,7 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorFo
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match HOF: null element ⇒ NULL
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -179,10 +210,11 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorFo
          |} else {
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    ${genElemNullCheck(ev, a, b, i)}
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -204,6 +236,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match HOF: null element ⇒ NULL
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -228,12 +261,14 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    ${genElemNullCheck(ev, a, b, i)}
          |    double $xv = (double) $a.getFloat($i);
          |    double $yv = (double) $b.getFloat($i);
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull})
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
        """.stripMargin
     })

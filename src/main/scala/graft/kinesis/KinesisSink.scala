@@ -19,7 +19,11 @@ final case class PutResult(failedRecordCount: Int, shardIds: Seq[String],
     /** positions of the failed entries within the call (PutRecords
       * reports per-record results in request order); empty with
       * failedRecordCount > 0 means "treat the whole call as failed" */
-    failedIndices: Seq[Int] = Seq.empty)
+    failedIndices: Seq[Int] = Seq.empty,
+    /** of `failedIndices`, which failed with ProvisionedThroughputExceeded
+      * (PutRecords reports the error code per record) — the back-off
+      * penalty must land only on the shards that were actually hot */
+    throttledIndices: Seq[Int] = Seq.empty)
 
 /** Transport boundary. The AWS SDK is not resolvable offline (and the
   * engine is cloud-agnostic); production would implement this with
@@ -158,7 +162,7 @@ final class InMemoryKinesis(numShards: Int, failEvery: Int = 0,
       return PutResult(entries.size, Seq.empty, failedIndices = entries.indices)
     if (throttleEvery > 0 && n % throttleEvery == 0)
       return PutResult(entries.size, Seq.empty, throttledRecordCount = entries.size,
-        failedIndices = entries.indices)
+        failedIndices = entries.indices, throttledIndices = entries.indices)
     val failed = Seq.newBuilder[Int]
     val shards = entries.zipWithIndex.map { case (e, i) =>
       val rec = s.recordSeq.incrementAndGet()
@@ -256,10 +260,17 @@ object KinesisSinkSemantics {
     * (the API takes up to 500 entries / 5 MiB) and retry only the entries
     * the service reports failed — per-record failure handling, vs the
     * whole-aggregate retry of [[sendWithRetry]]. A failed batch is
-    * rebuilt from its shadow with a fresh EHK (re-rolling a hot shard);
-    * a rebuild may legitimately split past the 1 MiB cap into several
-    * batches. At-least-once: a transport exception re-sends everything
-    * still pending. */
+    * rebuilt from its shadow and resent; a rebuild may legitimately split
+    * past the 1 MiB cap into several batches. Routing on retry depends on
+    * the failure kind: a THROTTLED entry keeps its original EHK, so the
+    * multiplicative-decrease penalty ([[ShardThrottle.onThrottled]]) lands
+    * on a key that is actually reused and the next `acquire` paces the hot
+    * shard at its reduced budget (the KPL rate-limiter model — a deliberate
+    * deviation from the reference's re-roll, whose penalty state would be
+    * abandoned with the key); any other failure re-rolls a fresh EHK as the
+    * reference does (`KinesisWriter.scala:217-224`), since the error may be
+    * shard-specific. At-least-once: a transport exception re-sends
+    * everything still pending. */
   def sendGroupWithRetry(
       group: Seq[PackedBatch],
       transport: PutRecordsTransport,
@@ -274,25 +285,34 @@ object KinesisSinkSemantics {
       }
       entries.foreach(e =>
         cfg.throttle.foreach(_.acquire(e.explicitHashKey, e.data.length.toLong)))
-      val failedIdx: Seq[Int] =
+      val (failedIdx: Seq[Int], throttledIdx: Set[Int]) =
         try {
           val res = transport.putRecords(cfg.streamName, entries)
           val idx =
             if (res.failedRecordCount == 0) Seq.empty
             else if (res.failedIndices.nonEmpty) res.failedIndices
             else entries.indices // transport can't say which: retry all
-          if (res.throttledRecordCount > 0)
-            idx.foreach(i => cfg.throttle.foreach(_.onThrottled(entries(i).explicitHashKey)))
-          idx
-        } catch { case scala.util.control.NonFatal(_) => entries.indices }
+          // penalize exactly the throttled shards; a transport that can
+          // only count throttles (no indices) penalizes all failures —
+          // safe now that those keys are reused on the retry
+          val thr: Set[Int] =
+            if (res.throttledRecordCount == 0) Set.empty
+            else if (res.throttledIndices.nonEmpty) res.throttledIndices.toSet
+            else idx.toSet
+          thr.foreach(i => cfg.throttle.foreach(_.onThrottled(entries(i).explicitHashKey)))
+          (idx, thr)
+        } catch { case scala.util.control.NonFatal(_) => (entries.indices, Set.empty[Int]) }
       if (failedIdx.nonEmpty) {
         if (failCount >= cfg.maxRetries)
           throw new IllegalStateException(
             s"Exponential back-off failed after $failCount retries. Giving up.")
         backoff(cfg, failCount)
         failCount += 1
-        pending = failedIdx.map(pending).flatMap { b =>
-          val ehk = router.next()
+        pending = failedIdx.flatMap { i =>
+          val b = pending(i)
+          val ehk =
+            if (throttledIdx(i)) b.aggregate.explicitHashKey // carry back-off state
+            else router.next() // re-roll (reference semantics)
           new BatchingIterator(
             b.shadow.iterator.map(p => (cfg.partitionKey, Some(ehk), p)),
             () => router.next(), cfg.maxAggSize, cfg.maxLastSize).toSeq

@@ -29,7 +29,10 @@ final class ShardThrottle(
     bytesPerSec: Long = 1L << 20,
     recordsPerSec: Long = 1000L,
     nanoTime: () => Long = () => System.nanoTime(),
-    sleep: Long => Unit = ms => Thread.sleep(ms)) extends Serializable {
+    sleep: Long => Unit = ms => Thread.sleep(ms),
+    /** drop buckets idle this long — retries re-roll EHKs, so abandoned
+      * keys would otherwise accumulate for the life of the executor JVM */
+    idleEvictMillis: Long = 10000L) extends Serializable {
 
   import ShardThrottle._
 
@@ -38,7 +41,8 @@ final class ShardThrottle(
     * than one second's budget draw the bucket negative rather than
     * deadlocking (the deficit delays subsequent sends). */
   def acquire(shardKey: String, bytes: Long, records: Long = 1L): Long = {
-    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime())
+    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime(),
+      idleEvictMillis * 1000000L)
     var waited = 0L
     var done = false
     while (!done) {
@@ -75,11 +79,19 @@ final class ShardThrottle(
     waited
   }
 
-  /** Total milliseconds this throttle id has spent blocked (all shards). */
+  /** Total milliseconds this throttle id has spent blocked (all shards),
+    * including buckets since evicted. */
   def totalWaitMillis: Long = {
-    var sum = 0L
+    var sum = evictedWaitMs.getOrDefault(id, 0L)
     registry.forEach { (k, b) => if (k._1 == id) sum += b.synchronized(b.waitedMs) }
     sum
+  }
+
+  /** Live bucket count for this throttle id (eviction observability). */
+  def bucketCount: Int = {
+    var n = 0
+    registry.forEach { (k, _) => if (k._1 == id) n += 1 }
+    n
   }
 
   /** The service throttled this shard (ProvisionedThroughputExceeded):
@@ -88,13 +100,15 @@ final class ShardThrottle(
     * producers, so back off below it and let [[refill]]'s additive
     * recovery find the true sustainable rate. */
   def onThrottled(shardKey: String): Unit = {
-    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime())
+    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime(),
+      idleEvictMillis * 1000000L)
     b.synchronized { b.factor = math.max(0.125, b.factor * 0.5) }
   }
 
   /** Effective budget factor for a shard (1.0 = full provisioned rate). */
   def factorOf(shardKey: String): Double = {
-    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime())
+    val b = bucket(id, shardKey, bytesPerSec, recordsPerSec, nanoTime(),
+      idleEvictMillis * 1000000L)
     b.synchronized(b.factor)
   }
 
@@ -121,9 +135,33 @@ object ShardThrottle {
     var factor: Double = 1.0
   }
   private val registry = new ConcurrentHashMap[(String, String), Bucket]()
+  /** waited-ms carried over from evicted buckets, per throttle id */
+  private val evictedWaitMs = new ConcurrentHashMap[String, Long]()
   private def bucket(id: String, shardKey: String, bps: Long, rps: Long,
-      now: Long): Bucket =
-    registry.computeIfAbsent((id, shardKey),
+      now: Long, idleNanos: Long): Bucket = {
+    var created = false
+    val b = registry.computeIfAbsent((id, shardKey),
       // start full: Kinesis permits a one-second burst to the cap
-      _ => new Bucket(bps.toDouble, rps.toDouble, now))
+      _ => { created = true; new Bucket(bps.toDouble, rps.toDouble, now) })
+    // sweep on the growth path only: new keys appear when retries re-roll
+    // EHKs, which is exactly when abandoned buckets accumulate. A shard
+    // an executor hasn't touched for `idleNanos` (by this id's clock) has
+    // nothing worth keeping: its budget is refilled and its back-off
+    // factor recovered within ~10 s anyway.
+    if (created) {
+      val it = registry.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if ((e.getKey._1 == id) && (e.getValue ne b)) {
+          val v = e.getValue
+          val (idleFor, waited) = v.synchronized((now - v.lastNanos, v.waitedMs))
+          if (idleFor > idleNanos) {
+            evictedWaitMs.merge(id, waited, (a, bb) => a + bb)
+            it.remove()
+          }
+        }
+      }
+    }
+    b
+  }
 }

@@ -52,6 +52,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(out.getDouble(1) == 9.0)
   }
 
+  test("null ELEMENTS null the fold, matching the HOF forms (codegen + eval)") {
+    // HOF: acc + NULL = NULL, so one null element nulls the whole result —
+    // the native expressions must agree in both execution paths
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f, 3.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f))
+    ).toDF("a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(
+      VectorFunctions.vec_dot(col("a"), col("b")).as("dot"),
+      VectorFunctions.vec_cosine(col("a"), col("b")).as("cos"),
+      VectorFunctions.vec_sqdist(col("a"), col("b")).as("sq"),
+      VectorFunctions.vec_dot_any(col("a"), col("b")).as("dany"),
+      hofDot.as("hof")).collect()
+    assert((0 until 4).forall(rows(0).isNullAt), s"null element must null the fold: ${rows(0)}")
+    assert(rows(0).isNullAt(4), "HOF reference itself should be NULL")
+    assert(rows(1).getDouble(0) == 32.0 && rows(1).getDouble(4) == 32.0)
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val withNull = Literal.create(
+      ArrayData.toArrayData(Array[Any](1.0f, null, 3.0f)), ArrayType(FloatType, containsNull = true))
+    val clean = Literal.create(
+      ArrayData.toArrayData(Array(4.0f, 5.0f, 6.0f)), ArrayType(FloatType))
+    assert(DotProduct(withNull, clean).eval(null) == null)
+    assert(CosineSimilarity(withNull, clean).eval(null) == null)
+    assert(SquaredDistance(withNull, clean).eval(null) == null)
+    assert(DotProductAny(withNull, clean).eval(null) == null)
+  }
+
   test("interpreted path matches codegen (eval directly)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -114,6 +114,55 @@ class SinkSpec extends AnyFunSuite {
     assert(delivered.size >= 2, s"expected a split rebuild, got $delivered")
   }
 
+  test("selective throttle: penalty only on throttled shards, EHK carried into retry") {
+    var now = 0L
+    val throttle = new ShardThrottle("t-" + System.nanoTime(),
+      bytesPerSec = 1 << 20, recordsPerSec = 1000,
+      nanoTime = () => now, sleep = ms => now += ms * 1000000L)
+    val batches = (0 until 3).map { i =>
+      val b = new AggRecordCodec.Builder
+      assert(b.add("a", Some((i + 1).toString), Array[Byte](i.toByte)))
+      PackedBatch(b.clearAndGet().get, IndexedSeq(Array[Byte](i.toByte)))
+    }
+    val callEhks = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val transport = new PutRecordsTransport {
+      override def putRecords(s: String, e: Seq[PutEntry]): PutResult = {
+        callEhks.synchronized { callEhks += e.map(_.explicitHashKey) }
+        if (callEhks.size == 1) // first call: only the middle entry throttles
+          PutResult(1, Seq("x"), throttledRecordCount = 1,
+            failedIndices = Seq(1), throttledIndices = Seq(1))
+        else PutResult(0, e.map(_ => "x"))
+      }
+    }
+    val router = new ShardModel.Router(Array("777"), 1L) // a re-roll would draw 777
+    KinesisSinkSemantics.sendGroupWithRetry(batches, transport, router,
+      KinesisSinkSemantics.Config("t", backoffMillis = 1, throttle = Some(throttle)))
+    assert(callEhks.head == Seq("1", "2", "3"))
+    assert(callEhks(1) == Seq("2"),
+      s"throttled entry must retry on its ORIGINAL shard key: ${callEhks(1)}")
+    assert(throttle.factorOf("2") == 0.5, "throttled shard not penalized")
+    assert(throttle.factorOf("1") == 1.0 && throttle.factorOf("3") == 1.0,
+      "back-off penalty leaked onto shards that were never throttled")
+  }
+
+  test("non-throttle failures still re-roll a fresh EHK (reference semantics)") {
+    val b = new AggRecordCodec.Builder
+    assert(b.add("a", Some("1"), Array[Byte](9)))
+    val batch = PackedBatch(b.clearAndGet().get, IndexedSeq(Array[Byte](9)))
+    val callEhks = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val transport = new PutRecordsTransport {
+      override def putRecords(s: String, e: Seq[PutEntry]): PutResult = {
+        callEhks.synchronized { callEhks += e.map(_.explicitHashKey) }
+        if (callEhks.size == 1) PutResult(1, Seq.empty, failedIndices = Seq(0))
+        else PutResult(0, e.map(_ => "x"))
+      }
+    }
+    KinesisSinkSemantics.sendGroupWithRetry(Seq(batch), transport,
+      new ShardModel.Router(Array("777"), 1L),
+      KinesisSinkSemantics.Config("t", backoffMillis = 1))
+    assert(callEhks.head == Seq("1") && callEhks(1) == Seq("777"))
+  }
+
   test("permanent failure: bounded retries then gives up (no reference infinite loop)") {
     val alwaysFail = new PutRecordsTransport {
       override def putRecords(s: String, e: Seq[PutEntry]): PutResult =
