@@ -207,8 +207,21 @@ object AggRecordCodec {
 
   // ---- Decoder (round-trip verification + consumer-side tests) ---------
 
-  /** Parse wire bytes back into an Aggregate; validates magic + digest. */
-  def decode(bytes: Array[Byte]): Aggregate = {
+  /** Parse wire bytes back into an Aggregate; validates magic + digest.
+    *
+    * Field numbers follow the public KPL aggregation schema (data = 3,
+    * tags = 4), as published identically in amazon-kinesis-producer's
+    * `aggregation-format.md`, amazon-kinesis-client's `messages.proto`
+    * (the `software.amazon.kinesis.retrieval.kpl.Messages` the reference's
+    * `AggRecord.java:25` builds with), and awslabs/kinesis-aggregation.
+    *
+    * `legacyData4 = true` opts into reading archives written by this
+    * repo's own pre-fix encoder, which put the payload at field 4: a
+    * length-delimited field 4 is then taken as `data` when field 3 is
+    * absent. Off by default — in the real schema field 4 is `tags`, and a
+    * Tag submessage is indistinguishable from payload bytes at the wire
+    * level, so this must never be applied to records from a real KPL. */
+  def decode(bytes: Array[Byte], legacyData4: Boolean = false): Aggregate = {
     require(bytes.length > Magic.length + Md5Length, "too short")
     require(bytes.take(4).sameElements(Magic), "bad magic")
     val body = bytes.slice(4, bytes.length - Md5Length)
@@ -266,15 +279,23 @@ object AggRecordCodec {
                 val len = rv().toInt
                 data = rec.slice(rp, rp + len); rp += len
                 dataSeen = true
+              case 0x22 if legacyData4 && !dataSeen =>
+                // this repo's pre-fix encoder wrote the payload here
+                // (real schema: `tags`); opt-in migration path only
+                val len = rv().toInt
+                data = rec.slice(rp, rp + len); rp += len
+                dataSeen = true
               case other => skipUnknown(other, () => rv(), n => rp += n)
             }
           }
           // `data` is a REQUIRED proto field — its absence means a
           // malformed record, most likely an archive written by the
           // pre-fix encoder (data at field 4/tag 0x22, now skipped as
-          // `tags`). Fail loudly rather than yield empty payloads.
+          // `tags`). Fail loudly rather than yield empty payloads;
+          // `legacyData4 = true` opts into reading such archives.
           require(dataSeen,
-            "record has no data field (3); wire bytes may predate the field-3 fix")
+            "record has no data field (3); wire bytes may predate the field-3 fix " +
+              "(decode with legacyData4 = true to read pre-fix archives)")
           recs += PackedRecord(pkIdx, ehkIdx, data)
         case other => skipUnknown(other, () => readVarint(), n => pos += n)
       }
