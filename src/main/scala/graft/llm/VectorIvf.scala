@@ -68,20 +68,27 @@ object VectorIvf {
       .select(col("vid"), col("m.vec").as("vec"), col("m.cid").as("cid"))
 
   /** (q_id, qv, cid): each query's `nprobe` nearest cells, as an
-    * aggregate rather than a window — collect_list's buffer is nlist
-    * entries, partial-merged map-side; sort desc by (sim, -cid) = sim
-    * desc then cid asc. */
-  private[llm] def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    * aggregate rather than a window, and a BOUNDED one: CollectTopK keeps
+    * a priority queue of only nprobe entries per group (partial-merged
+    * map-side), so per-query state is O(nprobe) where a collect_list +
+    * sort + slice would buffer all nlist cell scores — the difference
+    * between KBs and MBs per in-flight group at production nlist ≈ √n.
+    * Desc by (sim, -cid) = sim desc then cid asc, as before. */
+  private[llm] def probeCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge
+    def topN(e: org.apache.spark.sql.Column, n: Int) =
+      toColumn(GraftAggBridge.collectTopK(toExpression(e), n))
     q.crossJoin(broadcast(cents))
       .withColumn("sim", vec_cosine(col("vec"),
         transform(col("centroid"), x => x.cast("float"))))
       .groupBy(col("vid"))
       .agg(first(col("vec")).as("qv"),
-        slice(sort_array(collect_list(struct(col("sim"), (-col("cid")).as("ncid"))),
-          asc = false), 1, nprobe).as("top"))
+        topN(struct(col("sim"), (-col("cid")).as("ncid")), nprobe).as("top"))
       .select(col("vid").as("q_id"), col("qv"),
         explode(col("top")).as("p"))
       .select(col("q_id"), col("qv"), (-col("p.ncid")).as("cid"))
+  }
 
   /** Top-`k` approximate cosine neighbors per query vector, probing the
     * `nprobe` nearest cells. `queries` defaults to the whole corpus;

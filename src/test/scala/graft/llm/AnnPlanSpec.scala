@@ -62,6 +62,21 @@ class AnnPlanSpec extends AnyFunSuite {
     assert(windowExecs(p) <= 1, s"extra window exchanges in LSH:\n${p.take(800)}")
   }
 
+  test("IVF probe: bounded top-nprobe aggregate, no full collect_list buffer") {
+    // checkpoint the codebook as topkApprox does: the training tree has
+    // its own (dim-bounded) collect_list that is not the probe's plan
+    val cents = VectorIvf.train(e, "vec_id", "embedding", nlist = 8)
+      .localCheckpoint(true)
+    val probes = VectorIvf.probeCells(
+      e.select(col("vec_id").as("vid"), col("embedding").as("vec")), cents, nprobe = 2)
+    val p = plan(probes)
+    assert(p.contains("collect_top_k"), s"probe lost the bounded aggregate:\n${p.take(800)}")
+    assert(!p.contains("collect_list"),
+      s"probe buffers all nlist cell scores per query:\n${p.take(800)}")
+    // and the bounded aggregate still partial-merges map-side
+    assert(p.contains("partial_collect_top_k"), p.take(800))
+  }
+
   test("brute-force pairs are the ONLY place a nested-loop self-join appears") {
     // IVFADC end-to-end: no cartesian between corpus-sized relations
     val p = plan(VectorPq.topkIvfAdc(e, "vec_id", "embedding", topk = 3,

@@ -46,4 +46,24 @@ class VectorIvfSpec extends AnyFunSuite {
     // sanity: every query's results are its own (no cross-contamination)
     assert(approx.filter(col("q_id") === col("c_id")).count() == 0)
   }
+
+  test("bounded probe equals the collect_list + sort + slice formulation") {
+    import graft.functions.VectorFunctions.vec_cosine
+    val cents = VectorIvf.train(e, "vec_id", "embedding", nlist = 8)
+      .localCheckpoint(true)
+    val q = e.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val bounded = VectorIvf.probeCells(q, cents, nprobe = 3)
+      .select(col("q_id"), col("cid"))
+    // the unbounded reference formulation the bounded aggregate replaced
+    val reference = q.crossJoin(broadcast(cents))
+      .withColumn("sim", vec_cosine(col("vec"),
+        transform(col("centroid"), x => x.cast("float"))))
+      .groupBy(col("vid"))
+      .agg(slice(sort_array(collect_list(struct(col("sim"), (-col("cid")).as("ncid"))),
+        asc = false), 1, 3).as("top"))
+      .select(col("vid").as("q_id"), explode(col("top")).as("p"))
+      .select(col("q_id"), (-col("p.ncid")).as("cid"))
+    assert(bounded.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(bounded).count() == 0)
+  }
 }
