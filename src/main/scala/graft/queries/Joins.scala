@@ -335,6 +335,32 @@ object Joins {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts > c.ts
-        ORDER BY p_id"""))
+        ORDER BY p_id""")),
+
+    // Salted skew join: every 'click' event is rerouted to customer 1,
+    // manufacturing a hot key that owns ~20% of the fact table — the
+    // shape where a plain shuffle join puts one reducer on the critical
+    // path. saltedEquiJoin scatters the hot key over 8 sub-keys (left
+    // scattered, right replicated ×8), so the oracle is simply the
+    // UNSALTED join: salting must be result-invariant. Plan shape
+    // (Generate fan-out, join on key+salt) is pinned in JoinsSpec.
+    QDef("q_join_skew_salted",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(when(col("event_type") === "click", lit(1L))
+              .otherwise(col("user_id")).as("k"),
+            col("value"))
+        val cust = customer(s, d)
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        graft.operators.Joins.saltedEquiJoin(ev, cust, "k", salt = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n, ${sqlDsum("value")} AS sv
+        FROM (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS k,
+                     value FROM events) e
+        JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer) c USING (k)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

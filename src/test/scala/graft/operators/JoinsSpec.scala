@@ -44,6 +44,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join plan: right side fans out ×salt, join keys carry the salt") {
+    val left = (0 until 100).map(i => (1L, i.toLong)).toDF("k", "v")
+    val right = (0L until 5L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val df = Joins.saltedEquiJoin(left, right, "k", salt = 8)
+    val p = df.queryExecution.executedPlan.toString
+    // the replication is a Generate(explode(sequence(0, salt-1))), and the
+    // equi-join must include __salt so the hot key spreads over 8 reducers
+    assert(p.contains("Generate explode"), p.take(600))
+    assert(p.contains("__salt"), p.take(600))
+    val joined = df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joined.exists(_.condition.exists(_.references.exists(_.name == "__salt"))),
+      "join condition lost the salt key")
+  }
+
   test("bucketed tables join with zero Exchange") {
     import graft.tables.{Bucketing, Tables}
     val l = Tables.lineitem(spark, TestSpark.sf0001)
