@@ -28,7 +28,11 @@ object Multimodal {
       checksum: Long, features: Array[Float])
   final case class Frame(asset_id: Long, frame_no: Int, frame_bytes: Array[Byte])
   final case class Resized(asset_id: Long, kind: String, width: Int, height: Int,
-      n_bytes: Long, checksum: Long)
+      n_bytes: Long, checksum: Long,
+      /** lowercase-hex MD5 of the resized bytes — unlike the rolling
+        * checksum (Long overflow semantics), this is reproducible by any
+        * other engine, so the declared query can be oracle-checked */
+      md5_hex: String)
 
   /** Byte→media decode boundary. One instance per partition/task. */
   trait MediaCodec extends Serializable {
@@ -119,11 +123,14 @@ object Multimodal {
       w: Int = 32, h: Int = 32): Dataset[Resized] = {
     import assets.sparkSession.implicits._
     assets.filter(_.meta.kind == "image").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // one per task
       it.map { a =>
         val bytes = codec.resize(a.meta, a.payload, w, h)
         var cs = 0L
         bytes.foreach(b => cs = cs * 131 + (b & 0xFF))
-        Resized(a.asset_id, a.meta.kind, w, h, bytes.length.toLong, cs)
+        md.reset()
+        val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+        Resized(a.asset_id, a.meta.kind, w, h, bytes.length.toLong, cs, hex)
       }
     }
   }

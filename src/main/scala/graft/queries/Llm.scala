@@ -139,18 +139,25 @@ object Llm {
       None),
 
     // Thumbnail/resize pass over the image assets (stub codec, real
-    // per-partition batching): output size tracks the target dims.
+    // per-partition batching). Oracle-checked end-to-end: the stub resize
+    // is a nearest-byte downsample of the (pure-ASCII) document text, so
+    // DuckDB reproduces the exact 1024 resized bytes by char sampling and
+    // must agree on their MD5 — payload identity, not just shape.
     QDef("q_multimodal_resize",
       (s, d) => {
         val assets = graft.multimodal.Multimodal.manifest(s, d)
         graft.multimodal.Multimodal
           .resizeAll(assets, new graft.multimodal.Multimodal.StubCodec, 32, 32)
           .toDF()
-          .select(col("asset_id"), col("kind"), col("width"), col("height"),
-            col("n_bytes"), col("checksum"))
+          .select(col("asset_id"), col("kind"), col("n_bytes"), col("md5_hex"))
           .orderBy(col("asset_id"))
       },
-      None),
+      Some("""SELECT doc_id AS asset_id, 'image' AS kind,
+        CAST(CASE WHEN length(text) = 0 THEN 0 ELSE 1024 END AS BIGINT) AS n_bytes,
+        md5(array_to_string(list_transform(range(1024),
+          i -> substr(text, CAST((i * length(text)) // 1024 AS INT) + 1, 1)), ''))
+          AS md5_hex
+        FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""")),
 
     // ---- Similarity search --------------------------------------------
 
