@@ -415,4 +415,82 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(delivered == (0 until 400).map(i => s"msg-$i").toSet)
   }
+
+  test("composition: per-record failures × mid-stream shard split × backpressure") {
+    // The three mechanisms the sink composes in production, exercised
+    // TOGETHER through the streaming path: every 3rd record fails
+    // individually inside multi-entry calls (selective retry), a shard
+    // splits between micro-batches (batch 2 must route to the children),
+    // and a tight per-shard budget forces real backpressure waits.
+    import spark.implicits._
+    import graft.kinesis._
+    val k = new InMemoryKinesis(numShards = 2, failRecordEvery = 3)
+    // spy: prove at least one call failed PARTIALLY (0 < failed < size) —
+    // the scenario selective retry exists for
+    // counters live in the companion object: the spy is serialized into
+    // executor task closures, so instance fields would be incremented on
+    // per-task deserialized COPIES (same trap InMemoryKinesis's static
+    // registry exists for)
+    StreamingSpec.partials.set(0)
+    StreamingSpec.callLog.clear()
+    val spy = new PutRecordsTransport {
+      override def putRecords(s: String, e: Seq[PutEntry]): PutResult = {
+        val r = k.putRecords(s, e)
+        StreamingSpec.callLog.add((e.size, r.failedRecordCount))
+        if (r.failedRecordCount > 0 && r.failedRecordCount < e.size)
+          StreamingSpec.partials.incrementAndGet()
+        r
+      }
+    }
+    val throttle = new ShardThrottle("t-split-" + System.nanoTime(),
+      bytesPerSec = 2048, recordsPerSec = 1000) // tight: forces real waits
+    val cfg = KinesisSinkSemantics.Config("stream-split", backoffMillis = 1,
+      maxAggSize = 2000, maxLastSize = 500, throttle = Some(throttle))
+    val mem = MemoryStream[String](spark)
+    // 2 partitions → each partition packs several aggregates per grouped
+    // PutRecords call, so per-record failures hit SOME entries of a call
+    val q = mem.toDF().repartition(2)
+      .select(col("value").cast("binary").as("payload"))
+      .writeStream
+      .foreachBatch(KinesisSinkSemantics.foreachBatch("payload", spy, k, cfg))
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      mem.addData((0 until 300).map(i => s"part1-$i"): _*)
+      q.processAllAvailable()
+      // reshard between micro-batches: the parent closes, two children
+      // cover its range; batch 2 re-lists shards and routes to children
+      import scala.jdk.CollectionConverters._
+      val openBefore = ShardModel.allShards("stream-split", k)
+        .filter(_.endingSequenceNumber.isEmpty).map(_.shardId)
+      k.splitShard(openBefore.head)
+      mem.addData((300 until 600).map(i => s"part2-$i"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val delivered = k.received.values.asScala.flatMap(_.asScala)
+      .flatMap(w => AggRecordCodec.decode(w).records.map(r => new String(r.data, "UTF-8")))
+      .toSeq
+    val expected = (0 until 300).map(i => s"part1-$i") ++ (300 until 600).map(i => s"part2-$i")
+    // MULTISET equality: selective retry of failed entries delivers each
+    // payload exactly once — a whole-group resend after a partial failure
+    // would surface here as duplicates
+    assert(delivered.sorted == expected.sorted,
+      s"${delivered.size} delivered vs ${expected.size} expected")
+    assert(StreamingSpec.partials.get() > 0,
+      s"no partial multi-entry failure was ever injected; calls (size, failed): " +
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          StreamingSpec.callLog.iterator()).asScala.toSeq)
+    // data reached a post-split child shard (ids beyond the original two)
+    val hitShards = k.received.keySet.asScala
+    assert(hitShards.exists(sid => sid > "shardId-000000000001"),
+      s"split children never received data: $hitShards")
+    assert(throttle.totalWaitMillis > 0, "backpressure never engaged")
+  }
+}
+
+object StreamingSpec {
+  /** JVM-static spy counters — see the composition test. */
+  val partials = new java.util.concurrent.atomic.AtomicInteger
+  val callLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
 }
