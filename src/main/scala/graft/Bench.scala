@@ -47,8 +47,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // host load alongside the numbers: this box is multi-tenant and totals
+    // swing ±15% with other tenants' load — cross-round comparisons need
+    // the denominator recorded
+    val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg":$loadAvg,"sf":"$sfDir"}"""
     // Stdout alone is fragile (the driver tails it and a ~6 KB line can be
     // truncated away) — persist the same JSON to a file as insurance.
     println(json)

@@ -282,15 +282,21 @@ object Extras {
                     FROM documents WHERE doc_id < 50))
         ORDER BY doc_id""")),
 
-    // try_cast: failed casts yield NULL, never errors.
+    // try_cast: failed casts yield NULL, never errors. The top-300 cut
+    // happens BEFORE the try-projections: every try_cast failure costs a
+    // thrown-and-caught exception per row, so evaluating them on the
+    // full table only to keep 300 rows multiplied that by 500× (measured
+    // 2.4 s → 0.15 s at sf0.1). Same rule at 100 TB: put expensive or
+    // exception-prone projections above the limit, not below it.
     QDef("q_try_cast",
       (s, d) => orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(300)
         .select(col("o_orderkey"),
           expr("try_cast(split(o_orderpriority, '-')[0] AS BIGINT)").as("prio_num"),
           expr("try_cast(o_orderpriority AS BIGINT)").as("bad_cast"),
-          expr("try_cast(o_totalprice AS DECIMAL(4,0))").cast("double").as("overflow_cast"))
-        .orderBy(col("o_orderkey"))
-        .limit(300),
+          expr("try_cast(o_totalprice AS DECIMAL(4,0))").cast("double").as("overflow_cast")),
       Some("""SELECT o_orderkey,
         try_cast(string_split(o_orderpriority, '-')[1] AS BIGINT) AS prio_num,
         try_cast(o_orderpriority AS BIGINT) AS bad_cast,

@@ -31,6 +31,12 @@ object Q {
   /** Exact sum of a double expression; deterministic across engines. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** Decomposed dsum for re-aggregation (pre-agg then rollup/cube): the
+    * partial keeps the exact decimal sum; the merge re-sums partials and
+    * casts once — sum(dsumPart) ∘ dsumMerge ≡ dsum, exactly. */
+  def dsumPart(c: Column): Column = sum(c.cast(Dec))
+  def dsumMerge(c: Column): Column = sum(c).cast("double")
+
   /** Exact average (decimal sum / count); deterministic across engines. */
   def davg(c: Column): Column =
     (sum(c.cast(Dec)).cast("double") / count(c)).cast("double")
