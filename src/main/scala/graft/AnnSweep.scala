@@ -74,6 +74,23 @@ object AnnSweep {
           trainFraction = 0.2, residual = true, rerankFactor = rf)))
       println(f"[ann] IVFADC+rerank x$rf nprobe=8  recall@10=$r%.2f  ${secs}%5.1f s")
     }
+    // OPQ: does a fixed seeded orthogonal rotation before the subspace
+    // split improve the PQ quantizer's recall? (Rotation preserves all
+    // cosine similarities, so the SAME ground truth applies — only the
+    // quantization error moves.)
+    {
+      val (plain, s1) = timed(recallOf(
+        graft.llm.VectorPq.topkApprox(e, "vec_id", "embedding", topk = 10,
+          queries = Some(q), trainFraction = 0.2)))
+      println(f"[ann] PQ-ADC  plain      recall@10=$plain%.2f  ${s1}%5.1f s")
+      val mat = graft.llm.VectorPq.rotationMatrix(64, seed = 7L)
+      val eR = graft.llm.VectorPq.rotate(e, "embedding", mat)
+      val qR = graft.llm.VectorPq.rotate(q, "embedding", mat)
+      val (opq, s2) = timed(recallOf(
+        graft.llm.VectorPq.topkApprox(eR, "vec_id", "embedding", topk = 10,
+          queries = Some(qR), trainFraction = 0.2)))
+      println(f"[ann] PQ-ADC  OPQ-rotate recall@10=$opq%.2f  ${s2}%5.1f s")
+    }
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, DotProduct, DotProductAny, SquaredDistance}
+import graft.functions.{CosineSimilarity, DotProduct, DotProductAny, MatVecProduct, SquaredDistance}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions and planner strategy into any session via
@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductAny].getName, "vec_dot_any"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductAny(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_rotate"),
+      new ExpressionInfo(classOf[MatVecProduct].getName, "vec_rotate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MatVecProduct(exprs.head, exprs(1))))
   }
 }

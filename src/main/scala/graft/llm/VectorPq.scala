@@ -35,6 +35,47 @@ object VectorPq {
   private def sqDist(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vec_sqdist(a, b)
 
+  /** Seeded random orthogonal rotation (Gram-Schmidt over Gaussian rows),
+    * flattened row-major — the OPQ preprocessing step (Ge et al., CVPR
+    * 2013): rotating before the subspace split decorrelates dimensions so
+    * each of the m sub-quantizers carries comparable variance. The full
+    * OPQ alternates rotation and codebook optimization; a fixed random
+    * rotation captures most of the benefit on isotropic-ish data (and the
+    * repo's sweep measures exactly how much — see AnnSweep/TUNING.md). */
+  def rotationMatrix(dim: Int = 64, seed: Long = 42L): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    val rows = Array.fill(dim, dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) {
+        var dot = 0.0
+        var t = 0
+        while (t < dim) { dot += rows(i)(t) * rows(j)(t); t += 1 }
+        t = 0
+        while (t < dim) { rows(i)(t) -= dot * rows(j)(t); t += 1 }
+        j += 1
+      }
+      var n2 = 0.0
+      var t = 0
+      while (t < dim) { n2 += rows(i)(t) * rows(i)(t); t += 1 }
+      val inv = 1.0 / math.sqrt(n2)
+      t = 0
+      while (t < dim) { rows(i)(t) *= inv; t += 1 }
+      i += 1
+    }
+    rows.flatten.map(_.toFloat)
+  }
+
+  /** Replace `vecCol` with its rotation M·v (codegen'd MatVecProduct —
+    * one fused d² multiply-add pass per row, matrix as a broadcast-free
+    * literal). Orthogonality preserves all dot products and norms, so
+    * downstream cosine semantics are unchanged; only the quantizer's
+    * subspace split sees a different basis. */
+  def rotate(vecs: DataFrame, vecCol: String, mat: Array[Float]): DataFrame =
+    vecs.withColumn(vecCol,
+      graft.functions.VectorFunctions.vec_rotate(lit(mat), col(vecCol)))
+
   /** (vid, sub, subvec) rows: the m d-dim double slices of each vector. */
   private def subvectors(v: DataFrame, m: Int, dim: Int): DataFrame = {
     val d = dim / m

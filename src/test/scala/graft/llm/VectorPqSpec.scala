@@ -3,7 +3,7 @@ package graft.llm
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
-import graft.functions.VectorFunctions.vec_cosine
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
 
 /** PQ ANN: codebook shape, code compactness, ADC recall vs brute force. */
 class VectorPqSpec extends AnyFunSuite {
@@ -91,6 +91,33 @@ class VectorPqSpec extends AnyFunSuite {
     // TUNING.md measures 0.65 at nprobe=8; hold a margin-adjusted floor
     // here at nprobe=4 so the config can't silently regress
     assert(rerank >= 0.5, s"rerank recall $rerank below declared floor")
+  }
+
+  test("OPQ rotation: orthogonal (geometry preserved), codegen'd, PQ recall holds") {
+    val mat = VectorPq.rotationMatrix(64, seed = 7L)
+    assert(mat.length == 64 * 64)
+    // orthonormality: R·Rᵀ = I (spot-check rows through the expression)
+    val rotated = VectorPq.rotate(e, "embedding", mat)
+    val both = e.select(col("vec_id"), col("embedding").as("v"))
+      .join(rotated.select(col("vec_id"), col("embedding").as("rv")), "vec_id")
+    // norms preserved within float tolerance
+    val normDrift = both.select(
+        abs(sqrt(vec_dot(col("v"), col("v"))) - sqrt(vec_dot(col("rv"), col("rv"))))
+          .as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(normDrift < 1e-3, s"rotation changed norms by $normDrift")
+    // pairwise cosine preserved → same ground truth
+    val a = both.limit(50).select(col("vec_id").as("ai"), col("v").as("av"), col("rv").as("ar"))
+    val b = both.limit(50).select(col("vec_id").as("bi"), col("v").as("bv"), col("rv").as("br"))
+    val simDrift = a.crossJoin(b).filter(col("ai") < col("bi"))
+      .select(abs(vec_cosine(col("av"), col("bv")) - vec_cosine(col("ar"), col("br"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(simDrift < 1e-3, s"rotation changed cosine by $simDrift")
+    // mismatched matrix size ⇒ NULL, not garbage
+    val badRow = e.select(
+      graft.functions.VectorFunctions.vec_rotate(lit(Array(1.0f, 2.0f)), col("embedding"))
+        .as("r")).head()
+    assert(badRow.isNullAt(0))
   }
 
   test("deterministic: two runs produce identical rankings") {
