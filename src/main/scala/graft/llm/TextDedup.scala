@@ -94,6 +94,49 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected dup-pair edge list —
+    * near-dup PAIRS are not actionable until they become CLUSTERS (keep
+    * one representative, drop the rest), and pair-chains mean the
+    * transitive closure matters: a~b, b~c puts a,c in one cluster even
+    * if a≁c directly.
+    *
+    * Iterative min-label propagation to FIXPOINT: every node starts as
+    * its own label; each round, labels flow across edges and each node
+    * keeps the minimum seen. Terminates in O(diameter) rounds with
+    * label = min node id of the component — the same algorithm
+    * GraphX/GraphFrames run, expressed as joins so it scales as ordinary
+    * shuffles (edges hash-partitioned by src). Per-round
+    * localCheckpoint truncates the otherwise exponentially growing
+    * iterative lineage; the per-round convergence count is one action on
+    * an already-materialized frame.
+    */
+  def clusters(nodes: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 50): DataFrame = {
+    val bidir = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("label"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaEdges = bidir.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash per document: majority vote of each token-hash bit —
     * a pure projection via the codegen'd [[graft.functions.SimHash64]]
     * expression (no explode, no shuffle: map-only at any scale). */

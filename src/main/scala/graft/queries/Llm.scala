@@ -101,6 +101,97 @@ object Llm {
         JOIN sizes sb ON id_b = sb.doc_id
         ORDER BY jaccard DESC, id_a, id_b LIMIT 20""")),
 
+    // Near-dup CLUSTERING: pairs are not actionable until they become
+    // clusters (keep one representative per component, drop the rest);
+    // transitive chains (a~b, b~c) must land a and c together. Edges are
+    // the source-blocked shingle-Jaccard pairs ≥ 0.1; components via
+    // iterative min-label propagation to fixpoint (TextDedup.clusters).
+    // Oracle: DuckDB recursive CTE computes the same min-reachable-id.
+    QDef("q_dedup_clusters",
+      (s, d) => {
+        val docs = documents(s, d)
+        val edges = graft.llm.TextDedup
+          .jaccardPairs(docs, "doc_id", "text", blockCols = Seq("source"),
+            threshold = 0.1)
+        graft.llm.TextDedup.clusters(docs, "doc_id", edges)
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("cluster")).cast("long").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+        toks AS (SELECT doc_id, source,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        shingles AS (SELECT doc_id, source, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM toks WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges0 AS (
+          SELECT id_a, id_b FROM pairs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1),
+        edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+          UNION ALL SELECT id_b, id_a FROM edges0),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        SELECT id AS doc_id, min(r) AS cluster,
+          CAST(min(r) = id AS BIGINT) AS keep
+        FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    // Document chunking: fixed 200-char windows at stride 150 (overlap 50)
+    // — the pre-tokenization pass of a training-data pipeline. One explode
+    // per document, no shuffle; chunk identity pinned by MD5 so the oracle
+    // checks content, not just counts.
+    QDef("q_doc_chunks",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          // greatest(…, 0): an empty doc still yields offset 0 (and
+          // sequence(0, -1, +150) would error); oracle guards identically
+          explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)),
+            lit(150))).as("off"),
+          col("text"))
+        .select(col("doc_id"),
+          (col("off") / lit(150)).cast("long").as("chunk_idx"),
+          expr("substring(text, off + 1, 200)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""SELECT doc_id, CAST(off / 150 AS BIGINT) AS chunk_idx,
+        CAST(length(substr(text, CAST(off AS INT) + 1, 200)) AS BIGINT) AS chunk_len,
+        md5(substr(text, CAST(off AS INT) + 1, 200)) AS chunk_md5
+        FROM (SELECT doc_id, text,
+                unnest(range(0, greatest(length(text), 1), 150)) AS off
+              FROM documents)
+        ORDER BY doc_id, chunk_idx""")),
+
+    // Deterministic train/val/test assignment by multiplicative hash of
+    // the stable id (Knuth 2654435761 mod 2³²) — reproducible across
+    // engines, runs, and partitionings; no RNG state. 80/10/10.
+    QDef("q_split_assign",
+      (s, d) => {
+        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+        documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+        CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+             WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id""")),
+
     // MinHash + LSH near-dup candidates over token 3-shingles (unigrams are
     // useless here: the corpus vocabulary is tiny, so every doc shares most
     // tokens — shingles discriminate). 32 permutations via xxhash64 with

@@ -92,6 +92,25 @@ class TextDedupSpec extends AnyFunSuite {
       s"near $nearDist should beat far $farDist")
   }
 
+  test("clusters: transitive chains merge, singletons stay, min-id labels") {
+    // chain 1-2-3-4 (a~b, b~c, c~d but never a~d), pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = TextDedup.clusters(nodes, "id", edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("clusters: long path needs label to travel the diameter (fixpoint, not k rounds)") {
+    val n = 40 // a 40-node path: min label must walk 39 hops
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = TextDedup.clusters(nodes, "id", edges)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L), s"path did not converge to one component")
+  }
+
   test("declared corpus queries run: lang-id beats chance, fingerprints stable") {
     val langAcc = graft.SparkEntry.queries("q_lang_id")(spark, TestSpark.sf0001)
       .agg(avg(col("correct"))).as[Double].head()
