@@ -117,7 +117,12 @@ object TextDedup {
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("label"))
+    // iterate ONLY the nodes that have edges: in a dedup graph the
+    // overwhelming majority of the corpus is singleton, and a singleton's
+    // component is itself — joining them back once at the end turns the
+    // per-round shuffle from O(|corpus|) into O(|dup graph|)
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").cast("long").as("label"))
       .localCheckpoint(true)
     var it = 0
     var converged = false
@@ -134,7 +139,10 @@ object TextDedup {
       labels = next
       it += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster"))
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id").cast("long")).as("cluster"))
   }
 
   /** 64-bit SimHash per document: majority vote of each token-hash bit —
