@@ -63,6 +63,10 @@ object ScaleProof {
     }
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey"))
+    // documents replicate to EXACT duplicates under fresh ids — every doc
+    // becomes a `copies`-sized dup group, the adversarial input for the
+    // clustering operator (all nodes carry edges; no singleton shortcut)
+    replicate("documents", Seq("doc_id"))
     spark.read.parquet(s"$base/customer.parquet").write.mode("overwrite")
       .parquet(s"$dir/customer.parquet")
     println(f"[scale] synthesized ${copies}x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -72,7 +76,8 @@ object ScaleProof {
     spark.sparkContext.addSparkListener(metrics)
     def gb(b: Long): String = f"${b / 1e9}%.2f GB"
     Seq("q1_pricing_summary", "q_join_shuffle", "q_window_rank",
-      "q_agg_count_distinct", "q_join_range").foreach { name =>
+      "q_agg_count_distinct", "q_join_range",
+      "q_dedup_exact", "q_doc_chunks", "q_dedup_clusters").foreach { name =>
       metrics.reset()
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
