@@ -34,16 +34,36 @@ object TextDedup {
   }
 
   /** Exploded (id [, blockCols], shingle) pairs; docs with fewer than k
-    * tokens contribute nothing. */
+    * tokens contribute nothing.
+    *
+    * `maxDf`: drop shingles whose document frequency (within a block)
+    * exceeds the cap. The shingle equi-join emits O(df²) pairs PER
+    * SHINGLE — one boilerplate phrase shared by 10⁵ documents is 10¹⁰
+    * join rows, the thing that actually kills this operator at 100 TB.
+    * Ultra-common shingles carry no near-dup signal (they don't
+    * discriminate), so capping df bounds the join at a marginal recall
+    * cost; similarity is then computed over the surviving shingles (a
+    * documented approximation, the standard production trade). */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      blockCols: Seq[String] = Seq.empty): DataFrame =
-    docs.select((col(idCol).as("sid") +: blockCols.map(col)) :+
+      blockCols: Seq[String] = Seq.empty,
+      maxDf: Option[Int] = None): DataFrame = {
+    val sh = docs.select((col(idCol).as("sid") +: blockCols.map(col)) :+
         tokens(col(textCol)).as("toks"): _*)
       .filter(size(col("toks")) >= k)
       .select((col("sid").as(idCol) +: blockCols.map(col)) :+
         explode(array_distinct(transform(
           sequence(lit(0), size(col("toks")) - k),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("sh"): _*)
+    maxDf.fold(sh) { cap =>
+      val keys = blockCols.map(col) :+ col("sh")
+      // the hot set is small by definition (few shingles are ultra-common)
+      // — an anti-join against it is one cheap shuffle, AQE broadcasts it
+      val hot = sh.groupBy(keys: _*).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select(keys: _*)
+      sh.join(hot, blockCols :+ "sh", "left_anti")
+    }
+  }
 
   /** MinHash signature + banded LSH candidate pairs (id_a < id_b).
     * nPerm permutations simulated as xxhash64(shingle, seed=p); bands of
@@ -75,8 +95,10 @@ object TextDedup {
     * pass `blockCols` and/or use the minhash variant at scale). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.0,
-      blockCols: Seq[String] = Seq.empty): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleK, blockCols)
+      blockCols: Seq[String] = Seq.empty,
+      /** see [[shingleTable]]: bounds the equi-join's per-shingle fan-out */
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleK, blockCols, maxShingleDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val blockCond = blockCols
       .map(b => col(s"a.$b") === col(s"b.$b"))

@@ -92,6 +92,25 @@ class TextDedupSpec extends AnyFunSuite {
       s"near $nearDist should beat far $farDist")
   }
 
+  test("maxShingleDf caps the hot-shingle join fan-out, keeps rare-shingle dups") {
+    // 30 docs all sharing one boilerplate phrase (a hot shingle appearing
+    // in every doc) + 2 planted near-dups sharing RARE shingles
+    val boiler = "terms of service apply here"
+    val docs = ((0 until 30).map(i => (i.toLong, s"$boiler unique$i filler$i pad$i")) ++
+      Seq((100L, s"alpha beta gamma delta $boiler"),
+          (101L, s"alpha beta gamma delta epsilon"))).toDF("doc_id", "text")
+    val uncapped = TextDedup.jaccardPairs(docs, "doc_id", "text")
+    val capped = TextDedup.jaccardPairs(docs, "doc_id", "text",
+      maxShingleDf = Some(10))
+    // the hot shingles connected everything; capped drops those pairs
+    assert(uncapped.count() > 100, s"hot shingle should connect ~all pairs")
+    assert(capped.count() < uncapped.count() / 4,
+      s"cap failed to bound the fan-out: ${capped.count()} vs ${uncapped.count()}")
+    // the planted near-dup pair (rare shingles 'alpha beta gamma' …) survives
+    assert(capped.filter(col("id_a") === 100 && col("id_b") === 101).count() == 1,
+      "rare-shingle near-dup lost by the df cap")
+  }
+
   test("clusters: transitive chains merge, singletons stay, min-id labels") {
     // chain 1-2-3-4 (a~b, b~c, c~d but never a~d), pair 10-11, singleton 20
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
