@@ -66,7 +66,12 @@ final class ShardThrottle(
         } else {
           val msForBytes = (needBytes - b.bytes) * 1000.0 / bps
           val msForRecs = (needRecs - b.records) * 1000.0 / rps
-          val ms = math.max(1L, math.ceil(math.max(msForBytes, msForRecs)).toLong)
+          // sleep in ≤1 s slices: each loop iteration refills (touching
+          // lastNanos), so a bucket someone is actively waiting on can
+          // never look idle to the eviction sweep — and waits react to
+          // factor recovery within a second instead of oversleeping
+          val ms = math.min(1000L,
+            math.max(1L, math.ceil(math.max(msForBytes, msForRecs)).toLong))
           b.waitedMs += ms
           ms
         }
