@@ -101,6 +101,66 @@ object Llm {
         JOIN sizes sb ON id_b = sb.doc_id
         ORDER BY jaccard DESC, id_a, id_b LIMIT 20""")),
 
+    // The end-to-end curation pipeline these operators exist for, as ONE
+    // declared query: normalize → exact-dedup on the normalized hash
+    // (keep the lowest doc_id per group, min_by so the reduction is
+    // map-side partial) → quality-score the survivors and drop the
+    // low-quality tail → deterministic train/val/test split → per-split
+    // corpus accounting. Each stage is one shuffle on its natural key;
+    // the whole pipeline is oracle-checked as a unit.
+    QDef("q_pipeline_curate",
+      (s, d) => {
+        val norm = documents(s, d).select(col("doc_id"), col("lang"),
+          col("text"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).as("norm"))
+        val kept = norm
+          .withColumn("nh", md5(col("norm").cast("binary")))
+          .groupBy(col("nh"))
+          .agg(min_by(struct(col("doc_id"), col("lang"), col("text")),
+            col("doc_id")).as("m"))
+          .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+            col("m.text").as("text"))
+        val scored = kept.select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_toks"),
+            size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"))
+          .select(col("doc_id"), col("lang"),
+            round(col("n_uniq").cast("double") / col("n_toks") * lit(0.5) +
+              least(lit(1.0), col("n_toks").cast("double") / 100.0) * lit(0.5), 6)
+              .as("quality"))
+          .filter(col("quality") >= 0.5)
+        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+        scored
+          .select(col("lang"), col("quality"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n"), dsum(col("quality")).as("q_sum"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""WITH norm AS (
+          SELECT doc_id, lang, text,
+            trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents),
+        kept AS (
+          SELECT arg_min(doc_id, doc_id) AS doc_id,
+            arg_min(lang, doc_id) AS lang, arg_min(text, doc_id) AS text
+          FROM norm GROUP BY md5(norm)),
+        scored AS (
+          SELECT doc_id, lang,
+            round(CAST(len(list_distinct($tokensSql)) AS DOUBLE)
+                / len($tokensSql) * 0.5 +
+              least(1.0, CAST(len($tokensSql) AS DOUBLE) / 100.0) * 0.5, 6)
+              AS quality
+          FROM kept)
+        SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+          lang, count(*) AS n, ${sqlDsum("quality")} AS q_sum
+        FROM scored WHERE quality >= 0.5
+        GROUP BY 1, 2 ORDER BY split, lang""")),
+
     // Near-dup CLUSTERING: pairs are not actionable until they become
     // clusters (keep one representative per component, drop the rest);
     // transitive chains (a~b, b~c) must land a and c together. Edges are
