@@ -43,7 +43,9 @@ object FloorProbe {
       println(f"$name%-24s " + times.map { case (ms, j) => f"$ms%5d ms/$j%d jobs" }.mkString("  "))
     }
     import org.apache.spark.metrics.source.CodegenMetrics._
-    println(s"codegen compileTimeMs=${METRIC_COMPILATION_TIME.getCount}")
+    val n = METRIC_COMPILATION_TIME.getCount
+    val mean = METRIC_COMPILATION_TIME.getSnapshot.getMean
+    println(f"codegen: compilations=$n meanMs=$mean%.1f approxTotal=${n * mean / 1000.0}%.1fs")
     spark.stop()
   }
 }

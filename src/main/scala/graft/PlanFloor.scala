@@ -29,15 +29,18 @@ object PlanFloor {
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    final case class Row(name: String, analysisMs: Long, optMs: Long,
+    // `build` = query-construction wall time, which for the ANN queries
+    // INCLUDES their eager training jobs (localCheckpoint actions fire
+    // while the DataFrame is being assembled) — it is an upper bound on
+    // analysis, not pure Catalyst time. optim/plan are tracker-exact.
+    final case class Row(name: String, buildMs: Long, optMs: Long,
         planMs: Long, execMs: Long) {
-      def catalystMs: Long = analysisMs + optMs + planMs
-      def totalMs: Long = catalystMs + execMs
+      def totalMs: Long = buildMs + optMs + planMs + execMs
     }
     val rows = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
-      val built = (System.nanoTime() - t0) / 1000000 // query-construction + analysis
+      val built = (System.nanoTime() - t0) / 1000000
       val qe = df.queryExecution
       qe.executedPlan // force optimization + planning
       val phases = qe.tracker.phases
@@ -47,18 +50,21 @@ object PlanFloor {
       val exec = (System.nanoTime() - t1) / 1000000
       Row(name, math.max(ms("analysis"), built), ms("optimization"), ms("planning"), exec)
     }
-    println(f"${"query"}%-28s ${"analy"}%6s ${"optim"}%6s ${"plan"}%6s ${"exec"}%7s ${"total"}%7s")
+    println(f"${"query"}%-28s ${"build"}%6s ${"optim"}%6s ${"plan"}%6s ${"exec"}%7s ${"total"}%7s")
     rows.sortBy(-_.totalMs).foreach { r =>
-      println(f"${r.name}%-28s ${r.analysisMs}%6d ${r.optMs}%6d ${r.planMs}%6d ${r.execMs}%7d ${r.totalMs}%7d")
+      println(f"${r.name}%-28s ${r.buildMs}%6d ${r.optMs}%6d ${r.planMs}%6d ${r.execMs}%7d ${r.totalMs}%7d")
     }
-    val tA = rows.map(_.analysisMs).sum; val tO = rows.map(_.optMs).sum
+    val tA = rows.map(_.buildMs).sum; val tO = rows.map(_.optMs).sum
     val tP = rows.map(_.planMs).sum; val tE = rows.map(_.execMs).sum
-    println(f"TOTALS  analysis=${tA / 1000.0}%.1fs optimization=${tO / 1000.0}%.1fs " +
+    println(f"TOTALS  build(incl. eager training)=${tA / 1000.0}%.1fs " +
+      f"optimization=${tO / 1000.0}%.1fs " +
       f"planning=${tP / 1000.0}%.1fs exec=${tE / 1000.0}%.1fs  n=${rows.size}")
-    // JVM-wide janino compile time (accumulated inside exec)
+    // JVM-wide janino compile cost (histograms: count of compilations and
+    // sampled mean ms — the total is approximately count × mean)
     import org.apache.spark.metrics.source.CodegenMetrics._
-    println(s"codegen: generatedClasses=${METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount} " +
-      s"compileTimeMs=${METRIC_COMPILATION_TIME.getCount}")
+    val n = METRIC_COMPILATION_TIME.getCount
+    val mean = METRIC_COMPILATION_TIME.getSnapshot.getMean
+    println(f"codegen: compilations=$n meanMs=$mean%.1f approxTotal=${n * mean / 1000.0}%.1fs")
     spark.stop()
   }
 }
