@@ -25,6 +25,13 @@ object Bench {
       // stages. SPARK_GRAFT_AQE=false to compare.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // static conf: janino's class cache defaults to 100 entries, ~17×
+      // below this suite's generated-class count — PlanFloor measured 31%
+      // of all compilations to be LRU-eviction recompiles (1745 → 1199 at
+      // 5000 entries). Any long-lived session serving a query mix wants
+      // this; memory cost is bounded by class bytecode (~KBs each).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // share one in-memory columnar copy of each table across the 90+

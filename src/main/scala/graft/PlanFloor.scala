@@ -23,6 +23,10 @@ object PlanFloor {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // static conf: the janino class cache defaults to 100 entries — far
+      // below this suite's ~1,700 generated classes; measure eviction churn
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.tables.Tables.enableCache()
