@@ -101,6 +101,52 @@ object Llm {
         JOIN sizes sb ON id_b = sb.doc_id
         ORDER BY jaccard DESC, id_a, id_b LIMIT 20""")),
 
+    // Benchmark decontamination: flag training documents that share ≥ 5
+    // distinct 3-shingles with any held-out eval document (doc_id % 20 =
+    // 0 stands in for the benchmark set). The overlap check is the same
+    // bounded shingle equi-join as near-dup detection — at 100 TB the
+    // eval side is tiny, so the join broadcasts it.
+    QDef("q_contamination",
+      (s, d) => {
+        val docs = documents(s, d)
+        val sh = graft.llm.TextDedup.shingleTable(docs, "doc_id", "text", 3)
+        val evalSh = sh.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("eval_id"), col("sh"))
+        val trainSh = sh.filter(col("doc_id") % 20 =!= 0)
+        trainSh.join(broadcast(evalSh), "sh")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("sh")).as("n_shared"),
+            countDistinct(col("eval_id")).as("n_eval_hit"))
+          .filter(col("n_shared") >= 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM (SELECT doc_id, $tokensSql AS toks FROM documents)
+          WHERE len(toks) >= 3)
+        SELECT t.doc_id, count(DISTINCT t.sh) AS n_shared,
+          count(DISTINCT e.doc_id) AS n_eval_hit
+        FROM (SELECT * FROM sh WHERE doc_id % 20 <> 0) t
+        JOIN (SELECT * FROM sh WHERE doc_id % 20 = 0) e ON t.sh = e.sh
+        GROUP BY t.doc_id HAVING count(DISTINCT t.sh) >= 5
+        ORDER BY t.doc_id""")),
+
+    // approx_top_k: Spark 4's frequent-items sketch (space-saving CMS).
+    // At this column's cardinality (≤ maxItemsTracked) the sketch is
+    // EXACT, so the oracle is the plain GROUP BY count — demonstrating
+    // the sketch surface without giving up the hash gate.
+    QDef("q_approx_top_k",
+      (s, d) => events(s, d)
+        .select(expr("approx_top_k(event_type, 3)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("item")),
+      Some("""SELECT event_type AS item, count(*) AS n
+        FROM events GROUP BY event_type
+        ORDER BY n DESC, item LIMIT 3""")),
+
     // The end-to-end curation pipeline these operators exist for, as ONE
     // declared query: normalize → exact-dedup on the normalized hash
     // (keep the lowest doc_id per group, min_by so the reduction is
