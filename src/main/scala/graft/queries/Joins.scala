@@ -342,8 +342,13 @@ object Joins {
     // shape where a plain shuffle join puts one reducer on the critical
     // path. saltedEquiJoin scatters the hot key over 8 sub-keys (left
     // scattered, right replicated ×8), so the oracle is simply the
-    // UNSALTED join: salting must be result-invariant. Plan shape
-    // (Generate fan-out, join on key+salt) is pinned in JoinsSpec.
+    // UNSALTED join: salting must be result-invariant. The dim side
+    // carries a shuffle_hash hint: left unhinted, Spark broadcasts the
+    // small dim and no reducer hot-spot exists to mitigate — the hint
+    // keeps the declared query on the shuffle path salting exists for
+    // (at 100 TB the right side is a fact table and arrives there on its
+    // own). Plan (Generate ×salt fan-out, shuffle join keyed on k+salt)
+    // pinned in JoinsSpec.
     QDef("q_join_skew_salted",
       (s, d) => {
         val ev = events(s, d)
@@ -352,7 +357,7 @@ object Joins {
             col("value"))
         val cust = customer(s, d)
           .select(col("c_custkey").as("k"), col("c_mktsegment"))
-        graft.operators.Joins.saltedEquiJoin(ev, cust, "k", salt = 8)
+        graft.operators.Joins.saltedEquiJoin(ev, cust.hint("shuffle_hash"), "k", salt = 8)
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
           .orderBy(col("c_mktsegment"))

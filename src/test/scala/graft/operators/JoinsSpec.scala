@@ -58,6 +58,14 @@ class JoinsSpec extends AnyFunSuite {
     }
     assert(joined.exists(_.condition.exists(_.references.exists(_.name == "__salt"))),
       "join condition lost the salt key")
+    // broadcast would sidestep the reducer hot-spot entirely — with a
+    // shuffle_hash hint (the declared q_join_skew_salted shape) the join
+    // must stay a SHUFFLE join partitioned on (k, __salt)
+    val shuffled = Joins.saltedEquiJoin(left, right.hint("shuffle_hash"), "k", salt = 8)
+    val sp = shuffled.queryExecution.executedPlan.toString
+    assert(sp.contains("ShuffledHashJoin") || sp.contains("SortMergeJoin"),
+      s"hinted salted join still broadcasts:\n${sp.take(600)}")
+    assert(!sp.contains("BroadcastHashJoin"), sp.take(600))
   }
 
   test("bucketed tables join with zero Exchange") {
