@@ -98,7 +98,12 @@ object TextDedup {
       blockCols: Seq[String] = Seq.empty,
       /** see [[shingleTable]]: bounds the equi-join's per-shingle fan-out */
       maxShingleDf: Option[Int] = None): DataFrame = {
+    // the shingle table feeds three plan branches (sizes + both join
+    // sides) — materialize it once instead of re-running the tokenize +
+    // explode subtree three times (localCheckpoint: GC-reclaimed, no
+    // CacheManager substitution into unrelated plans)
     val sh = shingleTable(docs, idCol, textCol, shingleK, blockCols, maxShingleDf)
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val blockCond = blockCols
       .map(b => col(s"a.$b") === col(s"b.$b"))
