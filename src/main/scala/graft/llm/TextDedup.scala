@@ -81,9 +81,12 @@ object TextDedup {
       val hs = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("sig")).as(s"band$b")
     }
+    // self-joined below: materialize once, or the full shingle → 32-hash
+    // signature aggregation runs twice
     val buckets = sig.select(col(idCol) +: bandCols: _*)
       .select(col(idCol),
         explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
+      .localCheckpoint(true)
     buckets.as("a").join(buckets.as("b"),
         col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

@@ -69,7 +69,11 @@ object VectorLsh {
 
   def topkApprox(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int = 64, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    // both sides of the candidate self-join read the bucket table —
+    // materialize it once instead of evaluating tables×bits vec_dot
+    // projections over the corpus twice
     val b = buckets(vecs, idCol, vecCol, dim, bits, tables, seed)
+      .localCheckpoint(true)
     val pairs = b.as("a").join(b.as("b"),
         col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("x_id"), col(s"b.$idCol").as("y_id"))
