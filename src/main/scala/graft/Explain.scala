@@ -12,7 +12,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q_proj_arith", "q_join_broadcast", "q5_local_supplier",
-      "q1_pricing_summary", "q_cosine_blocked", "q_window_rank")
+      "q1_pricing_summary", "q_cosine_blocked", "q_window_rank",
+      // round-3 plan-audit surface: salted shuffle join, broadcast-eval
+      // contamination join, composed curation pipeline
+      "q_join_skew_salted", "q_contamination", "q_pipeline_curate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
