@@ -60,6 +60,16 @@ object AnnSweep {
           .join(q.select(col("vec_id").as("q_id")), "q_id")))
       println(f"[ann] LSH     bits=$bits%-2d tables=$tables%-2d recall@10=$r%.2f  ${secs}%5.1f s")
     }
+    // the DECLARED q_cosine_lsh operating point (auto bits, 8 tables) —
+    // always measure the config the engine actually ships
+    {
+      val autoBits = graft.llm.VectorLsh.bitsFor(nVecs)
+      val (r, secs) = timed(recallOf(
+        graft.llm.VectorLsh.topkApprox(e, "vec_id", "embedding", k = 10,
+          bits = autoBits, tables = 8)
+          .join(q.select(col("vec_id").as("q_id")), "q_id")))
+      println(f"[ann] LSH-AUTO bits=$autoBits%-2d tables=8  recall@10=$r%.2f  ${secs}%5.1f s")
+    }
     for (nprobe <- Seq(2, 4, 8)) {
       val (r, secs) = timed(recallOf(
         graft.llm.VectorPq.topkIvfAdc(e, "vec_id", "embedding", topk = 10,
