@@ -101,6 +101,31 @@ object Llm {
         JOIN sizes sb ON id_b = sb.doc_id
         ORDER BY jaccard DESC, id_a, id_b LIMIT 20""")),
 
+    // Deterministic stratified sampling: per-language keep-rates (domain
+    // re-mixing — downsample the over-represented stratum) decided by the
+    // same Knuth multiplicative hash as q_split_assign, so the sample is
+    // reproducible across engines/runs/partitionings and composable with
+    // the split (independent hash constants). No RNG state, no
+    // sampleBy() approximation — exact, auditable keep decisions.
+    QDef("q_sample_stratified",
+      (s, d) => {
+        val bucket = pmod(col("doc_id") * lit(0x85EBCA6BL), lit(4294967296L)) % 100
+        val rate = when(col("lang") === "en", 25)
+          .when(col("lang") === "de", 50).otherwise(90)
+        documents(s, d)
+          .filter(bucket < rate)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_kept,
+        min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM documents
+        WHERE (doc_id * 2246822507) % 4294967296 % 100 <
+          CASE WHEN lang = 'en' THEN 25 WHEN lang = 'de' THEN 50 ELSE 90 END
+        GROUP BY lang ORDER BY lang""")),
+
     // Benchmark decontamination: flag training documents that share ≥ 5
     // distinct 3-shingles with any held-out eval document (doc_id % 20 =
     // 0 stands in for the benchmark set). The overlap check is the same
