@@ -40,13 +40,17 @@ object VectorIvf {
         transform(col("vec"), x => x.cast("double")).as("centroid"))
     (0 until iters).foreach { _ =>
       val assigned = assign(v, cents)
+      // centroid update in ONE aggregation: the vec_sum imperative
+      // aggregate keeps rows intact (no posexplode ×dim blow-up) and one
+      // shuffle per iteration where the per-(cid,pos) avg + re-collect
+      // formulation needed two. Same arithmetic: per-dimension double
+      // sum in row order, divided by the member count.
       cents = assigned
-        .select(col("cid"), posexplode(col("vec")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("v"))
         .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("cid"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+        .agg(graft.functions.VectorSumAgg.vec_sum(col("vec")).as("vsum"),
+          count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("vsum"), x => x / col("n")).as("centroid"))
     }
     cents.select(col("cid"), transform(col("centroid"), x => x.cast("float")).as("centroid"))
   }

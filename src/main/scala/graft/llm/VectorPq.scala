@@ -109,14 +109,15 @@ object VectorPq {
           max_by(col("code"),
             struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("code"),
           first(col("subvec")).as("subvec"))
+      // one-shuffle centroid update via the vec_sum imperative aggregate
+      // (see VectorIvf.train): no posexplode ×(dim/m) blow-up, no second
+      // per-(sub,code) re-collect shuffle
       cents = assigned
-        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("x")).as("x"))
         .groupBy(col("sub"), col("code"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("pv"))
+        .agg(graft.functions.VectorSumAgg.vec_sum(col("subvec")).as("vsum"),
+          count(lit(1)).as("n"))
         .select(col("sub"), col("code"),
-          transform(col("pv"), p => p.getField("x")).as("centroid"))
+          transform(col("vsum"), x => x / col("n")).as("centroid"))
     }
     cents.withColumn("cnorm2", sq(col("centroid")))
   }

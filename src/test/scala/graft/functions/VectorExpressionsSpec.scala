@@ -95,6 +95,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-15)
   }
 
+  test("vec_sum aggregate equals the posexplode + avg formulation exactly") {
+    import graft.functions.VectorSumAgg.vec_sum
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)), (1, Seq(5.0f, 6.0f)),
+      (2, Seq(10.0f, 20.0f))).toDF("g", "v")
+    val viaAgg = df.groupBy(col("g"))
+      .agg(vec_sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("g"), transform(col("s"), x => x / col("n")).as("mean"))
+    val viaExplode = df.select(col("g"), posexplode(col("v")))
+      .groupBy(col("g"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("x"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("pv"))
+      .select(col("g"), transform(col("pv"), p => p.getField("x")).as("mean"))
+    val a = viaAgg.orderBy(col("g")).as[(Int, Seq[Double])].collect().toSeq
+    val b = viaExplode.orderBy(col("g")).as[(Int, Seq[Double])].collect().toSeq
+    assert(a == b, s"$a vs $b") // identical doubles, not approximate
+    // NULL rows are ignored; an all-NULL group evaluates to NULL
+    val withNulls = Seq((1, Some(Seq(1.0f, 1.0f))), (1, None), (3, None))
+      .toDF("g", "v")
+    val r = withNulls.groupBy(col("g")).agg(vec_sum(col("v")).as("s"))
+      .orderBy(col("g")).collect()
+    assert(r(0).getSeq[Double](1) == Seq(1.0, 1.0))
+    assert(r(1).isNullAt(1))
+  }
+
   test("SQL registration: vec_cosine usable from spark.sql") {
     VectorFunctions.register(spark)
     graft.tables.Tables.embeddings(spark, TestSpark.sf0001)
