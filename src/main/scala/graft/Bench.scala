@@ -40,27 +40,49 @@ object Bench {
     // one warmup action so JVM/codegen startup isn't billed to the first query
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Noise-robust timing: this box is multi-tenant, and a single-shot run
+    // once recorded a 16× phantom on an unchanged trivial plan when a host
+    // load burst landed on its run position. Run the whole suite REPS times
+    // *interleaved* (pass 1 of every query, then pass 2, …) so a burst hits
+    // each query in at most one pass, and report the per-query MEDIAN as the
+    // headline number (min also recorded — the classic noise-floor
+    // estimator). A query that fails in any pass is billed its wall time and
+    // reported in `errors` once.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val names = SparkEntry.queries.keys.toSeq
+    val samples: Map[String, Seq[Double]] = {
+      val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+        names.map(_ -> Vector.empty[Double]): _*)
+      for (pass <- 1 to reps; name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+        }
+        acc(name) = acc(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      acc.toMap
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = names.map(n => n -> median(samples(n)))
+    val mins = names.map(n => n -> samples(n).min)
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = med.map(_._2).sum
     // host load alongside the numbers: this box is multi-tenant and totals
     // swing ±15% with other tenants' load — cross-round comparisons need
     // the denominator recorded
     val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg":$loadAvg,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","queries":${jmap(med)},"queries_min":${jmap(mins)},"errors":$errs,"load_avg":$loadAvg,"sf":"$sfDir"}"""
     // Stdout alone is fragile (the driver tails it and a ~6 KB line can be
     // truncated away) — persist the same JSON to a file as insurance.
     println(json)
