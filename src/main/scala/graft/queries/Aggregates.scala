@@ -283,6 +283,52 @@ object Aggregates {
         count(DISTINCT l_orderkey) AS exact_orders,
         CAST(1 AS BIGINT) AS parts_ok,
         CAST(1 AS BIGINT) AS orders_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // The SCALE path for percentiles. Exact `percentile` (q_agg_percentile)
+    // is an ObjectHashAggregate that buffers EVERY group value in one
+    // task's memory — at 100 TB with 3 l_returnflag groups that is tens of
+    // billions of doubles in three aggregation buffers: OOM, not slow.
+    // approx_percentile (Greenwald-Khanna sketch) keeps O(accuracy·log n)
+    // state per group and merges map-side, so it survives any group size.
+    // Estimates are engine-specific, but GK's RANK-error bound is not:
+    // approx_percentile(_, p, acc) returns a data value whose rank is
+    // within n/acc of p·n. Emit exact group counts plus a within-bound
+    // flag per percentile — the oracle computes the counts and expects
+    // the flags to be 1, so a wildly-off sketch fails the hash gate.
+    QDef("q_agg_percentile_approx",
+      (s, d) => {
+        val l = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+        val approx = l.groupBy(col("l_returnflag")).agg(
+          expr("approx_percentile(l_quantity, 0.25, 10000)").as("a25"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("a90"))
+        // rank-validate against the exact CDF; l_quantity is discrete, so
+        // a returned value v is in-bound iff P(X < v) ≤ p+tol AND
+        // P(X ≤ v) ≥ p−tol (the tie-aware form of the rank guarantee)
+        val checked = l.join(broadcast(approx), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("l_quantity") < col("a25")).cast("long")).as("lt25"),
+            sum((col("l_quantity") <= col("a25")).cast("long")).as("le25"),
+            sum((col("l_quantity") < col("a50")).cast("long")).as("lt50"),
+            sum((col("l_quantity") <= col("a50")).cast("long")).as("le50"),
+            sum((col("l_quantity") < col("a90")).cast("long")).as("lt90"),
+            sum((col("l_quantity") <= col("a90")).cast("long")).as("le90"))
+        def inBound(p: Double, lt: String, le: String) =
+          ((col(lt).cast("double") / col("n") <= p + 0.005) &&
+            (col(le).cast("double") / col("n") >= p - 0.005)).cast("long")
+        checked.select(col("l_returnflag"), col("n"),
+          inBound(0.25, "lt25", "le25").as("p25_ok"),
+          inBound(0.50, "lt50", "le50").as("p50_ok"),
+          inBound(0.90, "lt90", "le90").as("p90_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(1 AS BIGINT) AS p25_ok,
+        CAST(1 AS BIGINT) AS p50_ok,
+        CAST(1 AS BIGINT) AS p90_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
