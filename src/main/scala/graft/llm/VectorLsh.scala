@@ -59,13 +59,22 @@ object VectorLsh {
 
   /** topkApprox with `bits` chosen from the corpus size per `bitsFor`,
     * and a higher table count for recall — the configuration a caller
-    * who knows only the corpus (not the tuning table) should use. Costs
-    * one count() job on `vecs`, the same information a production
-    * deployment gets for free from table stats.
+    * who knows only the corpus (not the tuning table) should use.
+    *
+    * `n` is the (approximate — it only sets a log₂) corpus row count.
+    * Pass it from table stats or the caller's own knowledge so query
+    * CONSTRUCTION stays action-free and batchable; when absent, the
+    * catalog row-count statistic is used if the optimized plan carries
+    * one, and only as a last resort does this run a count() job.
     */
   def topkApproxAuto(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int = 64, tables: Int = 8, seed: Long = 42L): DataFrame =
-    topkApprox(vecs, idCol, vecCol, k, dim, bits = bitsFor(vecs.count()), tables, seed)
+      dim: Int = 64, tables: Int = 8, seed: Long = 42L,
+      n: Option[Long] = None): DataFrame = {
+    val rows = n
+      .orElse(vecs.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+      .getOrElse(vecs.count())
+    topkApprox(vecs, idCol, vecCol, k, dim, bits = bitsFor(rows), tables, seed)
+  }
 
   def topkApprox(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int = 64, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {

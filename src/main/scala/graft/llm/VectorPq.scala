@@ -221,9 +221,18 @@ object VectorPq {
     val q = queries.getOrElse(vecs)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val innerK = if (rerankFactor > 0) topk * rerankFactor else topk
+    // ONE checkpointed training sample feeds BOTH quantizers: the coarse
+    // k-means and the PQ codebooks each run Lloyd's over this small
+    // materialized frame instead of independently re-sampling (and
+    // re-scanning) the corpus — at 100 TB the corpus is touched once for
+    // sampling, once for assignment/encoding, and training cost is
+    // O(sample), full stop.
+    val trainV = (if (trainFraction >= 1.0) v
+      else v.sample(withReplacement = false, trainFraction, seed = 42L))
+      .localCheckpoint(true)
     // eager localCheckpoint: downstream plans (assign, probes, residuals)
     // scan the materialized codebook; storage is GC-reclaimed (see above)
-    val coarse = VectorIvf.train(vecs, idCol, vecCol, nlist, iters, trainFraction)
+    val coarse = VectorIvf.train(trainV, "vid", "vec", nlist, iters)
       .localCheckpoint(true)
     val cellsFull = VectorIvf.assign(v, coarse) // (vid, vec, cid)
     val probes = VectorIvf.probeCells(q, coarse, nprobe)
@@ -231,7 +240,7 @@ object VectorPq {
 
     val adc = if (!residual) {
       val cells = cellsFull.select(col("vid"), col("cid"))
-      val cb = train(vecs, idCol, vecCol, m, k, dim, iters, trainFraction)
+      val cb = train(trainV, "vid", "vec", m, k, dim, iters)
         .localCheckpoint(true)
       val codes = encode(vecs, idCol, vecCol, cb, m, dim)
         .localCheckpoint(true) // memberCodes + cNorm
@@ -263,7 +272,16 @@ object VectorPq {
           zip_with(transform(col("vec"), x => x.cast("double")), col("ccent"),
             (x, y) => x - y).as("rvec"))
         .localCheckpoint(true)
-      val cb = train(resid, "vid", "rvec", m, k, dim, iters, trainFraction)
+      // PQ trains on the SAMPLE's residuals — derived from the already-
+      // materialized training sample (one broadcast assign over a small
+      // frame), never a second pass over the corpus residuals
+      val sampleResid = VectorIvf.assign(trainV, coarse)
+        .join(broadcast(coarseD), "cid")
+        .select(col("vid"),
+          zip_with(transform(col("vec"), x => x.cast("double")), col("ccent"),
+            (x, y) => x - y).as("rvec"))
+        .localCheckpoint(true)
+      val cb = train(sampleResid, "vid", "rvec", m, k, dim, iters)
         .localCheckpoint(true)
       val codes = encode(resid, "vid", "rvec", cb, m, dim)
       val memberCodes = resid.select(col("vid"), col("cid")).join(codes, "vid")

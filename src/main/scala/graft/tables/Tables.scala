@@ -52,4 +52,32 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact table row count from parquet footer metadata — a driver-side
+    * file-listing + footer read, NO Spark job. This is the single-node
+    * analog of catalog statistics (`ANALYZE TABLE` / metastore rowCount):
+    * operators that only need cardinality to pick a knob (e.g. LSH bit
+    * width ≈ log₂ n) should use this instead of a `count()` action so
+    * query construction stays lazy and batchable. Cached per (dir, name)
+    * like the tables themselves. */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.computeIfAbsent((sfDir, name), { _ =>
+      val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = path.getFileSystem(conf)
+      val root = fs.getFileStatus(path)
+      // single-file table or a directory of part files
+      val files = if (root.isFile) Array(root)
+        else fs.listStatus(path).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.sum
+    })
 }
