@@ -103,6 +103,32 @@ object EventWindows {
         ${sqlDsum("value")} AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment, event_type
-        ORDER BY c_mktsegment, event_type"""))
+        ORDER BY c_mktsegment, event_type""")),
+
+    // Stream-stream interval join, batch twin: each purchase joined to the
+    // same user's clicks from the preceding hour. This calls the EXACT
+    // streaming operator (EventStreams.purchaseAttribution — withWatermark
+    // is a no-op on batch frames), so the declared oracle covers the very
+    // code path StreamingSpec runs with readStream. At scale this is an
+    // equi-join on user_id with the time range as a post-join filter
+    // (streaming: watermark + range bounds both sides' buffered state).
+    QDef("q_stream_interval_join",
+      (s, d) => {
+        val ev = events(s, d)
+        graft.streaming.EventStreams.purchaseAttribution(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"))
+          .select(col("p_id"), col("p_user"),
+            unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"),
+            unix_micros(col("c_ts")).as("c_ts_us"))
+          .orderBy(col("p_id"), col("c_ts_us"))
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id AS p_user,
+        epoch_us(p.ts) AS p_ts_us, p.value AS p_value, epoch_us(c.ts) AS c_ts_us
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        ORDER BY p_id, c_ts_us"""))
   )
 }

@@ -346,8 +346,15 @@ object Llm {
 
     // Multimodal decode pipeline: binary payloads + metadata → per-asset
     // features via a per-partition codec (stubbed byte decoder, real Spark
-    // plumbing — see graft.multimodal). Rows-only; determinism + shapes in
-    // MultimodalSpec.
+    // plumbing — see graft.multimodal). Oracle-checked END-TO-END: the stub
+    // features accumulate (rolling-hash-byte)/255f terms in float32, so
+    // round(f0·255) recovers the EXACT integer term sum (accumulated f32
+    // error ≪ 0.5/255 at any realistic doc length), which DuckDB replays
+    // with mod-2⁶⁴ HUGEINT arithmetic; the payload checksum is the same
+    // wrapping Long hash both engines can compute. The oracle packs its
+    // fold state (h, s0, i mod 64) into ONE HUGEINT because DuckDB 1.0's
+    // list_reduce evaluates struct_pack fields against sibling-updated
+    // accumulator values (measured: step 1 pre-update, steps 2+ post).
     QDef("q_multimodal_decode",
       (s, d) => {
         val assets = graft.multimodal.Multimodal.manifest(s, d)
@@ -355,10 +362,34 @@ object Llm {
           .decodeAll(assets, new graft.multimodal.Multimodal.StubCodec)
           .toDF()
           .select(col("asset_id"), col("kind"), col("n_bytes"), col("checksum"),
-            round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+            round(element_at(col("features"), 1) * 255.0).cast("long").as("f0s"))
           .orderBy(col("asset_id"))
       },
-      None),
+      Some("""WITH bytes AS (
+        SELECT doc_id,
+          list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS HUGEINT)) AS cs
+        FROM documents)
+      SELECT doc_id AS asset_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN chs >= CAST(9223372036854775808 AS HUGEINT)
+             THEN chs - CAST(18446744073709551616 AS HUGEINT) ELSE chs END AS BIGINT) AS checksum,
+        CAST(((packed // 64) % 16777216) AS BIGINT) AS f0s
+      FROM (
+        SELECT b.doc_id,
+          list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+            (acc, c) -> (acc * 131 + c) % CAST(18446744073709551616 AS HUGEINT)) AS chs,
+          list_reduce(
+            list_prepend(CAST(1125899906842597 AS HUGEINT) * 1073741824, cs),
+            (acc, c) -> ((((acc // 1073741824) * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) * 1073741824)
+              + (((acc // 64) % 16777216
+                  + CASE WHEN acc % 64 = 0
+                    THEN (((((acc // 1073741824) * 31 + c) % CAST(18446744073709551616 AS HUGEINT)) // 1099511627776) % 256)
+                    ELSE 0 END) * 64)
+              + ((acc % 64 + 1) % 64)) AS packed
+        FROM bytes b) folds
+      JOIN documents USING (doc_id)
+      ORDER BY asset_id""")),
 
     // Thumbnail/resize pass over the image assets (stub codec, real
     // per-partition batching). Oracle-checked end-to-end: the stub resize
@@ -475,7 +506,10 @@ object Llm {
     // Recall at this auto-selected config asserted in VectorLshSpec.
     QDef("q_cosine_lsh",
       (s, d) => graft.llm.VectorLsh
-        .topkApproxAuto(embeddings(s, d), "vec_id", "embedding", k = 5)
+        .topkApproxAuto(embeddings(s, d), "vec_id", "embedding", k = 5,
+          // cardinality from parquet footer metadata (driver-side, no
+          // Spark job) — the table-stats path; construction stays lazy
+          n = Some(graft.tables.Tables.rowCount(s, d, "embeddings")))
         .orderBy(col("q_id"), col("rn")),
       None),
 
