@@ -84,12 +84,17 @@ object ScaleProof {
         .write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t) / 1e9
       Thread.sleep(1000) // let the async listener bus drain
+      // for the clustering query, also report the propagation-round count:
+      // the O(diameter) claim is "rounds track the dup graph's diameter,
+      // not the corpus size" — printed next to wall time + shuffle volume
+      val extra = if (name == "q_dedup_clusters")
+        s" iters=${graft.llm.TextDedup.lastClusterIters}" else ""
       println(f"[scale] $name%-24s $secs%6.1f s  " +
         s"shuffleW=${gb(metrics.shuffleWrite.get)} " +
         s"shuffleR=${gb(metrics.shuffleRead.get)} " +
         s"memSpill=${gb(metrics.memSpill.get)} " +
         s"diskSpill=${gb(metrics.diskSpill.get)} " +
-        s"peakTaskMem=${gb(metrics.peakMem.get)}")
+        s"peakTaskMem=${gb(metrics.peakMem.get)}" + extra)
     }
     spark.stop()
   }

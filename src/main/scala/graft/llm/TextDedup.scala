@@ -140,6 +140,12 @@ object TextDedup {
     * iterative lineage; the per-round convergence count is one action on
     * an already-materialized frame.
     */
+  /** Diagnostic: propagation rounds the most recent [[clusters]] call took
+    * to reach its fixpoint (includes the final no-change round that proves
+    * convergence). ScaleProof reads this for the O(diameter) evidence row
+    * — it is NOT part of the operator's result. */
+  @volatile var lastClusterIters: Int = 0
+
   def clusters(nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 50): DataFrame = {
@@ -169,6 +175,7 @@ object TextDedup {
       labels = next
       it += 1
     }
+    lastClusterIters = it
     nodes.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),
