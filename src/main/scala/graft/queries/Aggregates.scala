@@ -300,9 +300,9 @@ object Aggregates {
       (s, d) => {
         val l = lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
         val approx = l.groupBy(col("l_returnflag")).agg(
-          expr("approx_percentile(l_quantity, 0.25, 10000)").as("a25"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("a50"),
-          expr("approx_percentile(l_quantity, 0.9, 10000)").as("a90"))
+          expr("approx_percentile(l_quantity, 0.25, 1000)").as("a25"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("a90"))
         // rank-validate against the exact CDF; l_quantity is discrete, so
         // a returned value v is in-bound iff P(X < v) ≤ p+tol AND
         // P(X ≤ v) ≥ p−tol (the tie-aware form of the rank guarantee)

@@ -325,6 +325,47 @@ object Extras {
         CASE WHEN st IS NULL THEN round(o_totalprice, 0) END AS pending_price
         FROM (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st, o_totalprice
               FROM orders)
-        ORDER BY o_orderkey LIMIT 500"""))
+        ORDER BY o_orderkey LIMIT 500""")),
+
+    // Null-preserving generator: explode_outer keeps rows whose array is
+    // empty (plain explode drops them — the silent row-loss footgun in
+    // fan-out pipelines). The oracle models outer semantics by unnesting
+    // [NULL] for empty arrays.
+    QDef("q_explode_outer",
+      (s, d) => customer(s, d)
+        .orderBy(col("c_custkey")).limit(500)
+        .select(col("c_custkey"),
+          expr("""CASE WHEN c_custkey % 3 = 0 THEN CAST(array() AS ARRAY<INT>)
+                  ELSE sequence(1, CAST(c_custkey % 3 AS INT)) END""").as("arr"))
+        .select(col("c_custkey"), explode_outer(col("arr")).as("v"))
+        .orderBy(col("c_custkey"), asc_nulls_first("v")),
+      Some("""SELECT c_custkey, CAST(v AS INT) AS v FROM (
+          SELECT c_custkey,
+            unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS v
+          FROM (SELECT c_custkey,
+                  CASE WHEN c_custkey % 3 = 0 THEN []
+                       ELSE range(1, CAST(c_custkey % 3 AS INT) + 1) END AS arr
+                FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 500)))
+        ORDER BY c_custkey, v NULLS FIRST""")),
+
+    // Correlated LATERAL subquery (SQL-parser path): per-nation top-2
+    // customers by balance — the lateral form of per-group top-k, planned
+    // by Spark as a rewritten window/join under the hood.
+    QDef("q_lateral_topk",
+      (s, d) => {
+        viewed(s, d, "nation"); viewed(s, d, "customer")
+        s.sql("""SELECT n_name, t.c_name, t.c_acctbal
+          FROM nation,
+          LATERAL (SELECT c_name, c_acctbal FROM customer
+                   WHERE c_nationkey = n_nationkey
+                   ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          ORDER BY n_name, t.c_acctbal DESC, t.c_name""")
+      },
+      Some("""SELECT n_name, t.c_name, t.c_acctbal
+        FROM nation,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n_name, t.c_acctbal DESC, t.c_name"""))
   )
 }

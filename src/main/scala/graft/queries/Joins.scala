@@ -185,6 +185,26 @@ object Joins {
         ON c_custkey = o_custkey
         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""")),
 
+    // Right outer: the filtered orders side keeps every customer row —
+    // completing the outer-join family (left/full already declared).
+    // NULLS FIRST pinned like q_join_full_outer.
+    QDef("q_join_right_outer",
+      (s, d) => orders(s, d).filter(col("o_totalprice") > 280000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .join(customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"), "right_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey")),
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_totalprice > 280000.0) o
+        RIGHT OUTER JOIN (SELECT c_custkey, c_name FROM customer
+                          WHERE c_mktsegment = 'MACHINERY') c
+        ON o_custkey = c_custkey
+        ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""")),
+
     // Left semi: orders having at least one heavy line (EXISTS).
     QDef("q_join_semi",
       (s, d) => orders(s, d)

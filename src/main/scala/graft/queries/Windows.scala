@@ -167,6 +167,28 @@ object Windows {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        ORDER BY o_custkey, o_orderkey LIMIT 600"""))
+        ORDER BY o_custkey, o_orderkey LIMIT 600""")),
+
+    // Relative-position ranking: percent_rank ((rank−1)/(n−1)) and
+    // cume_dist (peers ≤ current / n). The (price, orderkey) ordering is
+    // unique, so both are exact rationals evaluated identically as
+    // doubles in either engine; round(6) guards the formatting edge.
+    QDef("q_window_percent_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+          .limit(2000)
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+          round(percent_rank() OVER w, 6) AS pr,
+          round(cume_dist() OVER w, 6) AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey LIMIT 2000"""))
   )
 }
