@@ -708,6 +708,56 @@ object Llm {
         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars
         FROM documents ORDER BY doc_id LIMIT 600""")),
 
+    // Corpus bigram frequency table (the n-gram LM statistic): adjacent
+    // token pairs via zip_with over shifted slices — explode + one
+    // hash-agg, the same map-side-combine shape as unigram counts, so it
+    // scales like any token count despite ~n_tokens rows per doc.
+    QDef("q_ngram_bigrams",
+      (s, d) => documents(s, d)
+        .select(tokens(col("text")).as("t"))
+        .select(explode(expr(
+          """CASE WHEN size(t) >= 2
+             THEN zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+                           (a, b) -> concat(a, ' ', b))
+             ELSE CAST(array() AS ARRAY<STRING>) END""")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(30),
+      Some(s"""SELECT bigram, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM (SELECT $tokensSql AS toks FROM documents))
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""")),
+
+    // Within-document repetition score (the Gopher-class quality signal:
+    // heavily repeated n-grams mark boilerplate/spam): duplicate-bigram
+    // fraction per doc, map-only per row — no shuffle at any scale.
+    QDef("q_repetition_score",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(t) >= 2
+             THEN zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+                           (a, b) -> concat(a, ' ', b))
+             ELSE CAST(array() AS ARRAY<STRING>) END""").as("bg"))
+        .select(col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          round(when(size(col("bg")) > 0,
+              lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+                / size(col("bg")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("rep_score"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+        CAST(len(bg) AS BIGINT) AS n_bigrams,
+        round(CASE WHEN len(bg) > 0
+          THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+          ELSE 0.0 END, 6) AS rep_score
+        FROM (
+          SELECT doc_id, list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1]) AS bg
+          FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+        ORDER BY doc_id""")),
+
     // Language ID via per-language token profiles mined from the corpus
     // itself (char-free n-gram heuristic): each doc votes with its tokens'
     // majority language. Fully relational (counts + deterministic

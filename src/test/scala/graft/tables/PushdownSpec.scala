@@ -73,4 +73,12 @@ class PushdownSpec extends AnyFunSuite {
     assert(m.exists(_("PushedFilters").contains("EqualTo(event_type,click)")),
       m.map(_("PushedFilters")).mkString("\n"))
   }
+
+  test("footer-metadata rowCount equals a counting scan, without a job") {
+    for (t <- Seq("embeddings", "nation", "lineitem")) {
+      val meta = Tables.rowCount(spark, TestSpark.sf0001, t)
+      val scan = spark.read.parquet(s"${TestSpark.sf0001}/$t.parquet").count()
+      assert(meta === scan, s"$t: footer=$meta scan=$scan")
+    }
+  }
 }
