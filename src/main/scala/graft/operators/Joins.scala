@@ -87,4 +87,33 @@ object Joins {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Pure range join (`left.vCol` BETWEEN `right.loCol` AND `right.hiCol`
+    * with NO equi key) executed as an equi-join on overlapping bins —
+    * open-source Spark plans the naive form as a broadcast-nested-loop
+    * join, which compares every pair and dies at fact×fact scale.
+    *
+    * Each right interval replicates to the `⌈width/binWidth⌉+1` bins it
+    * overlaps (`sequence(floor(lo/w), floor(hi/w))`); each left point
+    * lands in exactly one bin, so after the bin equi-join the exact
+    * BETWEEN re-filter yields each matching pair EXACTLY once (a point's
+    * bin is unique, and it lies within an interval's bin list iff the
+    * point could match). Cost: one hash shuffle on bin ids + interval
+    * replication ×(avg-width/binWidth + 1); pick `binWidth` ≈ the typical
+    * interval width so replication stays O(1) per interval. Result is
+    * identical to `left.join(right, v between lo and hi)` — the declared
+    * query's oracle IS the naive form. Columns must be numeric (map
+    * times to epoch days/seconds first).
+    */
+  def binnedRangeJoin(left: DataFrame, vCol: String,
+      right: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("__bin", floor(col(vCol) / binWidth))
+    val r = right.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    l.join(r, Seq("__bin"))
+      .filter(col(vCol) >= col(loCol) && col(vCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -33,6 +33,36 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 9.0)) // trade 2's only quote is 40 ticks back
   }
 
+  test("binned range join equals the naive BETWEEN join, exactly once each") {
+    // points 0..999, intervals of assorted widths incl. bin-straddling and
+    // degenerate (lo == hi) ones
+    val points = (0 until 1000).map(i => (i.toLong, i * 2L)).toDF("pid", "v")
+      .withColumn("v", col("v") % 997) // collisions + uneven coverage
+    val ivals = Seq(
+      (1L, 0L, 10L), (2L, 5L, 5L), (3L, 90L, 260L), (4L, 995L, 996L),
+      (5L, 100L, 100L), (6L, 0L, 996L), (7L, 400L, 449L))
+      .toDF("iid", "lo", "hi")
+    val naive = points.join(ivals,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(1L, 7L, 50L, 1000L)) {
+      val binned = Joins.binnedRangeJoin(points, "v", ivals, "lo", "hi", w)
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().sorted.toSeq
+      assert(binned == naive, s"binWidth=$w")
+    }
+  }
+
+  test("binned range join plans as a shuffle equi-join, not nested-loop") {
+    val points = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("pid", "v")
+    val ivals = (0 until 50).map(i => (i.toLong, i * 3L, i * 3L + 10L))
+      .toDF("iid", "lo", "hi")
+    val plan = Joins.binnedRangeJoin(points, "v",
+      ivals.hint("shuffle_hash"), "lo", "hi", 10L).queryExecution.executedPlan
+    val str = plan.toString
+    assert(!str.contains("BroadcastNestedLoopJoin"), str)
+    assert(str.contains("ShuffledHashJoin") || str.contains("SortMergeJoin"), str)
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     val skewedLeft = (0 until 5000).map(i =>
       (if (i % 10 == 0) 1L else i.toLong % 97, i.toLong)).toDF("k", "v")
