@@ -182,6 +182,102 @@ object TextDedup {
         coalesce(col("label"), col("id").cast("long")).as("cluster"))
   }
 
+  /** Triangle enumeration over an undirected dup-pair edge list — the
+    * density diagnostic of a dedup graph: triangles are pair-chains that
+    * CLOSED (a~b, b~c AND a~c), so triangle-rich components are true
+    * content clusters while triangle-free chains are often threshold
+    * noise worth re-scoring.
+    *
+    * Degree-oriented enumeration: orient every edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges at the
+    * common source, and close them against the oriented edge set. Each
+    * triangle is found exactly once, and the wedge count is bounded by
+    * Σ C(outdeg,2) with outdeg = O(√|E|) — the classic distributed bound
+    * — instead of Σ C(deg,2), which a hub key would blow up. Every step
+    * is an equi-join/hash-agg (three ordinary shuffles); nothing is
+    * quadratic in a vertex's raw degree.
+    *
+    * Output: one row per triangle as (a, b, c), ids sorted ascending.
+    */
+  def triangles(edges: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // normalize to (min, max) so an edge listed in both directions is one
+    // edge; feeds degree count + three join branches: materialize once
+    val und = edges.select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    // src ≺ dst in (degree, id) order; dst keeps its degree so wedges can
+    // re-derive the same total order without another join
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+        .otherwise(
+          struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint(true)
+    // wedge (x→y, x→z) with y ≺ z, closed by the oriented edge y→z
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    wedges.join(oriented.as("e3"),
+        col("y") === col("e3.src") && col("z") === col("e3.dst"))
+      .select(sort_array(array(col("x"), col("y"), col("z"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
+
+  /** Bounded-hop reachability from a seed set over the undirected dup
+    * edge list — "which documents are within k dedup hops of a flagged
+    * set" (contaminated docs, takedown requests, a licensing block list).
+    *
+    * Frontier BFS: each round joins ONLY the nodes first reached last
+    * round against the edges, merges by min-hop, and stops at `maxHops`
+    * or when a frontier comes back empty. Exactly `hops ≤ maxHops` rounds
+    * of ordinary equi-join + hash-agg shuffles, per-round localCheckpoint
+    * truncating the iterative lineage — the same pattern [[clusters]]
+    * runs to fixpoint, here with a hop budget.
+    *
+    * Output: (id, hops) for every node reachable in ≤ maxHops hops
+    * (seeds at hops = 0), hops = BFS distance.
+    */
+  def boundedReach(seeds: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxHops: Int = 3): DataFrame = {
+    val bidir = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = seeds.select(col(idCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var h = 0L
+    var frontierEmpty = false
+    while (h < maxHops && !frontierEmpty) {
+      // min-merged labels ⇒ hops === h is exactly the nodes FIRST reached
+      // at round h — the BFS frontier, not the whole reached set
+      val frontier = labels.filter(col("hops") === h)
+      val next = frontier.join(bidir, col("id") === col("src"))
+        .select(col("dst").as("id"), lit(h + 1L).as("hops"))
+      val merged = labels.unionAll(next)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      frontierEmpty = merged.filter(col("hops") === h + 1L).isEmpty
+      labels = merged
+      h += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash per document: majority vote of each token-hash bit —
     * a pure projection via the codegen'd [[graft.functions.SimHash64]]
     * expression (no explode, no shuffle: map-only at any scale). */

@@ -278,6 +278,92 @@ object Llm {
           CAST(min(r) = id AS BIGINT) AS keep
         FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    // Triangle enumeration over the dup edge set (UNBLOCKED Jaccard ≥ 0.2
+    // — near-dup twins in this corpus live across source boundaries, so
+    // the graph queries drop the source block the clustering query keeps):
+    // closed pair-chains are the high-confidence dup clusters; open chains
+    // are threshold noise. The engine runs the degree-oriented wedge join
+    // (each triangle once, wedge fan-out bounded by O(√|E|) per vertex);
+    // the oracle enumerates a<b<c triples directly from the id-ordered
+    // edge list — orientation must be result-invariant.
+    QDef("q_dup_triangles",
+      (s, d) => {
+        val edges = graft.llm.TextDedup
+          .jaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.2)
+          .select(col("id_a"), col("id_b"))
+        graft.llm.TextDedup.triangles(edges)
+          .orderBy(col("a"), col("b"), col("c"))
+      },
+      Some("""WITH
+        toks AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        shingles AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM toks WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges0 AS (
+          SELECT id_a, id_b FROM pairs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2)
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM edges0 e1
+        JOIN edges0 e2 ON e2.id_a = e1.id_b
+        JOIN edges0 e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        ORDER BY a, b, c""")),
+
+    // Bounded-hop reachability from a seed set over the dup edges: "every
+    // document within 3 dedup hops of a flagged doc" — the takedown /
+    // contamination blast-radius query. Frontier BFS with min-hop merge;
+    // oracle is a recursive CTE bounded by the same hop budget (UNION
+    // dedups (id,hops) states so dense clusters don't enumerate paths).
+    QDef("q_dup_reach_k",
+      (s, d) => {
+        val docs = documents(s, d)
+        val edges = graft.llm.TextDedup
+          .jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+          .select(col("id_a"), col("id_b"))
+        val seeds = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+        graft.llm.TextDedup.boundedReach(seeds, "doc_id", edges, maxHops = 3)
+          .select(col("id").as("doc_id"), col("hops"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+        toks AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        shingles AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM toks WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges0 AS (
+          SELECT id_a, id_b FROM pairs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+        edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+          UNION ALL SELECT id_b, id_a FROM edges0),
+        reach(id, hops) AS (
+          SELECT doc_id, 0 FROM documents WHERE doc_id % 5 = 0
+          UNION
+          SELECT e.b, reach.hops + 1 FROM reach JOIN edges e ON e.a = reach.id
+          WHERE reach.hops < 3)
+        SELECT id AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY id ORDER BY doc_id""")),
+
     // Document chunking: fixed 200-char windows at stride 150 (overlap 50)
     // — the pre-tokenization pass of a training-data pipeline. One explode
     // per document, no shuffle; chunk identity pinned by MD5 so the oracle

@@ -130,6 +130,43 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L), s"path did not converge to one component")
   }
 
+  test("triangles: K4 yields its 4 sorted triples; paths and stray edges none") {
+    // K4 on {1,2,3,4} + path 5-6-7 + isolated edge 8-9; some edges listed
+    // in BOTH directions and duplicated — normalization must collapse them
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 3L), // reversed + duplicate of the same edge
+      (5L, 6L), (6L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = TextDedup.triangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: hub star is triangle-free (wedge join must not invent closure)") {
+    val star = (2L to 20L).map(i => (1L, i)).toDF("id_a", "id_b")
+    assert(TextDedup.triangles(star).isEmpty)
+  }
+
+  test("boundedReach: BFS distances up to the hop budget, nothing beyond") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(Tuple1(1L)).toDF("doc_id")
+    val got = TextDedup.boundedReach(seeds, "doc_id", path, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("boundedReach: min-hop wins on multi-path graphs; empty frontier stops early") {
+    // diamond: 1-2, 1-3, 2-4, 3-4 and a long detour 2-5, 5-4
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (2L, 5L), (5L, 4L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(Tuple1(1L)).toDF("doc_id")
+    // hop budget far beyond the diameter: the empty-frontier exit must fire
+    val got = TextDedup.boundedReach(seeds, "doc_id", g, maxHops = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+
   test("declared corpus queries run: lang-id beats chance, fingerprints stable") {
     val langAcc = graft.SparkEntry.queries("q_lang_id")(spark, TestSpark.sf0001)
       .agg(avg(col("correct"))).as[Double].head()
