@@ -189,6 +189,50 @@ object Windows {
           round(cume_dist() OVER w, 6) AS cd
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey LIMIT 2000""")),
+
+    // The SCALE-SAFE twin of q_window_percent_rank. The window form above
+    // partitions on o_orderpriority — 5 distinct values, so at 100 TB the
+    // whole table sorts on 5 tasks. This formulation is the bucketed-CDF
+    // rewrite: value-bucket the sort key (price/10k ⇒ ~60 buckets), count
+    // per (priority, bucket) with an ordinary hash agg, turn counts into
+    // cumulative offsets with a window over the TINY counts table
+    // (5×60 rows), then rank only WITHIN each (priority, bucket) — a
+    // high-cardinality partitioning whose per-task sort is bounded by the
+    // bucket width (add buckets to shrink it at will). rank = offset +
+    // local row_number; the (price, orderkey) ordering is unique, so
+    // percent_rank = (rank−1)/(n−1) and cume_dist = rank/n exactly.
+    // Oracle: the EXACT SAME window SQL as q_window_percent_rank — the
+    // rewrite must be result-identical to the window form.
+    QDef("q_window_percent_rank_bucketed",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          floor(col("o_totalprice") / 10000).cast("long").as("b"))
+        val counts = o.groupBy(col("o_orderpriority"), col("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(col("o_orderpriority"))
+        val offsets = counts.select(col("o_orderpriority"), col("b"),
+          coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("off"),
+          sum(col("cnt")).over(wTot).as("n"))
+        val wLocal = Window.partitionBy(col("o_orderpriority"), col("b"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        o.join(broadcast(offsets), Seq("o_orderpriority", "b"))
+          .select(col("o_orderpriority"), col("o_orderkey"), col("n"),
+            (col("off") + row_number().over(wLocal)).as("rnk"))
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round((col("rnk") - 1).cast("double") / (col("n") - 1), 6).as("pr"),
+            round(col("rnk").cast("double") / col("n"), 6).as("cd"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+          .limit(2000)
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+          round(percent_rank() OVER w, 6) AS pr,
+          round(cume_dist() OVER w, 6) AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_orderpriority, o_orderkey LIMIT 2000"""))
   )
 }
