@@ -412,23 +412,80 @@ object Llm {
     // MinHash + LSH near-dup candidates over token 3-shingles (unigrams are
     // useless here: the corpus vocabulary is tiny, so every doc shares most
     // tokens — shingles discriminate). 32 permutations via xxhash64 with
-    // per-permutation seeds, banded 8×4 → bucket equi-join. Engine hash ≠
-    // DuckDB hash, so no SQL oracle; LlmSpec verifies candidate recall
-    // against brute-force shingle-Jaccard ground truth.
+    // per-permutation seeds, banded 8×4 → bucket equi-join. The raw bucket
+    // keys are engine-hash-specific, so the ORACLE checks the property the
+    // operator exists for: every brute-force shingle-Jaccard ≥ 0.9 pair
+    // (DuckDB-computable ground truth) must appear in the candidate set —
+    // `found` is recomputed by the engine and pinned to 1 by the oracle
+    // (at j=0.9, P[miss] = (1−0.9⁴)^8 ≈ 2×10⁻⁵ per pair; this corpus is
+    // verified to sit on the all-found side, and LlmSpec separately
+    // property-tests recall on synthetic corpora).
     QDef("q_minhash_lsh",
-      (s, d) => graft.llm.TextDedup
-        .minhashCandidates(documents(s, d), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b")),
-      None),
+      (s, d) => {
+        val docs = documents(s, d)
+        val cand = graft.llm.TextDedup
+          .minhashCandidates(docs, "doc_id", "text")
+          .withColumn("hit", lit(1L))
+        graft.llm.TextDedup
+          .jaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .join(cand, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            coalesce(col("hit"), lit(0L)).as("found"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH
+        toks AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        shingles AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM toks WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard,
+          CAST(1 AS BIGINT) AS found
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9
+        ORDER BY id_a, id_b""")),
 
     // SimHash document fingerprint: 64-bit majority-vote over token hash
-    // bits; near-dups have small Hamming distance. Engine-hash-specific →
-    // property-tested, no SQL oracle.
+    // bits; near-dups have small Hamming distance. The fingerprint value is
+    // engine-hash-specific, so the ORACLE checks implementation agreement
+    // instead: the codegen'd SimHash64 expression and the relational
+    // formulation (explode → 64 bit-sums → pack) must produce the SAME
+    // fingerprint for every document — two independent implementations
+    // cross-validating in-query, with DuckDB pinning the per-row flag
+    // (the relational form emits no row for token-less docs; the flag
+    // accepts exactly that case).
     QDef("q_simhash",
-      (s, d) => graft.llm.TextDedup
-        .simhash(documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id")),
-      None),
+      (s, d) => {
+        val docs = documents(s, d)
+        val nt = docs.select(col("doc_id"),
+          size(graft.llm.TextDedup.tokens(col("text"))).cast("long").as("n_toks"))
+        val viaExpr = graft.llm.TextDedup.simhash(docs, "doc_id", "text")
+        val viaRel = graft.llm.TextDedup.simhashRelational(docs, "doc_id", "text")
+          .withColumnRenamed("simhash64", "rel64")
+        nt.join(viaExpr, "doc_id").join(viaRel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            when(col("n_toks") === 0, col("rel64").isNull)
+              .otherwise(col("simhash64") === col("rel64"))
+              .cast("long").as("impls_match"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+          AS n_toks,
+        CAST(1 AS BIGINT) AS impls_match
+        FROM documents ORDER BY doc_id""")),
 
     // Multimodal decode pipeline: binary payloads + metadata → per-asset
     // features via a per-partition codec (stubbed byte decoder, real Spark

@@ -134,19 +134,42 @@ object Scalars {
         CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_q
         FROM orders ORDER BY o_orderkey LIMIT 300""")),
 
-    // Engine-specific hash functions (xxhash64 / murmur3 / crc32) — no
-    // cross-engine oracle by construction (different algorithms than
-    // DuckDB's hash()); deterministic within the engine, so rows-only +
-    // covered transitively by the minhash/simhash ground-truth tests.
+    // Engine-specific hash functions (xxhash64 / murmur3 / crc32) — the
+    // raw values have no cross-engine oracle by construction (different
+    // algorithms than DuckDB's hash()), so the ORACLE checks recomputed
+    // in-query invariants instead: each hash re-derived from a substring
+    // RECOMPOSITION of the input must equal the direct hash (purity over
+    // content, not physical representation), and re-seeding xxhash64 with
+    // an extra column must change the value (seed sensitivity; 64-bit
+    // collision on this fixed 200-row set would be ~2⁻⁵⁶ and is verified
+    // absent). DuckDB pins every flag to 1.
     QDef("q_hash_engine",
-      (s, d) => customer(s, d)
-        .select(col("c_custkey"),
-          xxhash64(col("c_name")).as("xx64"),
-          hash(col("c_name")).as("murmur3"),
-          crc32(col("c_name").cast("binary")).as("crc"))
-        .orderBy(col("c_custkey"))
-        .limit(200),
-      None),
+      (s, d) => {
+        val recomposed = concat(substring(col("c_name"), 1, 5),
+          substring(col("c_name"), 6, 1000))
+        customer(s, d)
+          .select(col("c_custkey"),
+            xxhash64(col("c_name")).as("xx"),
+            xxhash64(recomposed).as("xx2"),
+            xxhash64(col("c_name"), lit(1)).as("xxs"),
+            hash(col("c_name")).as("mm"),
+            hash(recomposed).as("mm2"),
+            crc32(col("c_name").cast("binary")).as("crc"),
+            crc32(recomposed.cast("binary")).as("crc2"))
+          .select(col("c_custkey"),
+            (col("xx") === col("xx2")).cast("long").as("xx_recompose_ok"),
+            (col("xx") =!= col("xxs")).cast("long").as("xx_seed_sensitive"),
+            (col("mm") === col("mm2")).cast("long").as("murmur_recompose_ok"),
+            (col("crc") === col("crc2")).cast("long").as("crc_recompose_ok"))
+          .orderBy(col("c_custkey"))
+          .limit(200)
+      },
+      Some("""SELECT c_custkey,
+        CAST(1 AS BIGINT) AS xx_recompose_ok,
+        CAST(1 AS BIGINT) AS xx_seed_sensitive,
+        CAST(1 AS BIGINT) AS murmur_recompose_ok,
+        CAST(1 AS BIGINT) AS crc_recompose_ok
+        FROM customer ORDER BY c_custkey LIMIT 200""")),
 
     // Bitwise operations.
     QDef("q_bit_ops",
