@@ -28,3 +28,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Optional AWS-SDK transport half (src/sdk): compile-gated so it can't rot
+// silently once SDK jars exist. With software.amazon.awssdk:kinesis (+ its
+// transitive deps) in a directory:
+//   sbt -Dgraft.sdk.jars=/path/to/aws-jars compile
+// adds src/sdk/scala to the build and those jars to the classpath. Without
+// the property the offline build is unchanged (this container has no SDK
+// jars — zero egress).
+Compile / unmanagedSourceDirectories ++=
+  sys.props.get("graft.sdk.jars").map(_ => baseDirectory.value / "src" / "sdk" / "scala").toSeq
+Compile / unmanagedJars ++=
+  sys.props.get("graft.sdk.jars").toSeq.flatMap(dir => (file(dir) ** "*.jar").classpath)
