@@ -77,7 +77,12 @@ object ScaleProof {
     def gb(b: Long): String = f"${b / 1e9}%.2f GB"
     Seq("q1_pricing_summary", "q_join_shuffle", "q_window_rank",
       "q_agg_count_distinct", "q_join_range",
-      "q_dedup_exact", "q_doc_chunks", "q_dedup_clusters").foreach { name =>
+      "q_dedup_exact", "q_doc_chunks", "q_dedup_clusters",
+      // round-4 additions, same evidence bar as the older operators:
+      // bigram explode+hash-agg, map-only repetition scoring, and the
+      // GK-sketch percentile scale path
+      "q_ngram_bigrams", "q_repetition_score",
+      "q_agg_percentile_approx").foreach { name =>
       metrics.reset()
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

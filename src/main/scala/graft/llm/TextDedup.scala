@@ -278,6 +278,57 @@ object TextDedup {
     labels
   }
 
+  /** Fixed-iteration PageRank over an undirected dup-pair edge list — the
+    * centrality ranking of a dedup graph: in a near-dup component the
+    * highest-PageRank node is the "most canonical" copy (most similar to
+    * the most other copies), a better keep-representative choice than
+    * min-id when copies differ in quality.
+    *
+    * Un-normalized per-node formulation, the one iterative-SQL engines
+    * use: pr₀ = 1; prₖ₊₁(v) = (1−d) + d·Σ_{u→v} prₖ(u)/deg(u). A FIXED
+    * iteration count (not convergence) keeps the operator deterministic
+    * and budget-bounded; each round is one equi-join + hash-agg shuffle
+    * over the dup graph only (isolated corpus nodes never enter the loop
+    * — they get the closed-form (1−d) at the end). Per-round
+    * localCheckpoint truncates the iterative lineage, the same pattern as
+    * [[clusters]] / [[boundedReach]].
+    *
+    * Cross-engine determinism: contributions pr/deg are IEEE divisions of
+    * identical doubles, summed EXACTLY via decimal cast (Q.dsum) so
+    * partition order cannot perturb the sum — every iteration is
+    * bit-reproducible against a sequential engine running the same
+    * formula.
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    import graft.queries.Q.dsum
+    val bidir = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = bidir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var pr = deg.select(col("src").as("id"), lit(1.0).as("pr"))
+    for (_ <- 0 until iters) {
+      val sums = bidir
+        .join(deg, "src")
+        .join(pr, col("id") === col("src"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(dsum(col("c")).as("s"))
+      pr = deg.select(col("src").as("id"))
+        .join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("s"), lit(0.0)))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    nodes.select(col(idCol).as("id"))
+      .join(pr, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("pr"), lit(1 - damping)).as("pagerank"))
+  }
+
   /** 64-bit SimHash per document: majority vote of each token-hash bit —
     * a pure projection via the codegen'd [[graft.functions.SimHash64]]
     * expression (no explode, no shuffle: map-only at any scale). */

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import Q._
+
+/** Corpus-curation operators beyond dedup/ANN: weighted sampling,
+  * split-distribution drift, entropy quality scoring, robust outlier
+  * detection, numeric histograms, and dup-graph PageRank. Every query is
+  * oracle-checked; every formulation is the one that survives 100 TB
+  * (prefix sums are two-level bucketed, sums over doubles are
+  * decimal-exact, iteration is fixed-budget over the dup graph only).
+  */
+object Corpus {
+
+  val all: Seq[QDef] = Seq(
+
+    // PageRank over the dup edge set (unblocked Jaccard ≥ 0.2, the same
+    // graph the triangle/reachability queries read): inside a near-dup
+    // component the highest-PageRank doc is the most-central copy — the
+    // keep-representative choice when copies differ (min-id keeps an
+    // arbitrary one). Fixed 5 iterations, each one equi-join + hash-agg
+    // over the dup graph only; isolated docs get the closed-form (1−d)
+    // without ever entering the loop. Oracle: five chained CTEs running
+    // the identical formula with the identical decimal-exact summation.
+    QDef("q_dup_pagerank",
+      (s, d) => {
+        val docs = documents(s, d)
+        val edges = graft.llm.TextDedup
+          .jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
+          .select(col("id_a"), col("id_b"))
+        graft.llm.TextDedup.pageRank(docs, "doc_id", edges, iters = 5)
+          .select(col("doc_id"), round(col("pagerank"), 6).as("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val edgesCte = """
+        toks AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        shingles AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM toks WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        prs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges0 AS (
+          SELECT id_a, id_b FROM prs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
+          UNION ALL SELECT id_b, id_a FROM edges0),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        pr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS pr FROM deg)"""
+        def iter(k: Int): String = s"""
+        pr$k AS (SELECT d.src AS id,
+            (1 - CAST(0.85 AS DOUBLE)) +
+              CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+          FROM deg d LEFT JOIN (
+            SELECT e.dst AS id,
+              CAST(sum(CAST((p.pr / g.deg) AS DECIMAL(30,6))) AS DOUBLE) AS s
+            FROM edges e JOIN deg g USING (src)
+            JOIN pr${k - 1} p ON p.id = e.src
+            GROUP BY 1) s ON s.id = d.src)"""
+        s"""WITH $edgesCte, ${(1 to 5).map(iter).mkString(",")}
+        SELECT doc_id,
+          round(COALESCE(pr5.pr, 1 - CAST(0.85 AS DOUBLE)), 6) AS pagerank
+        FROM documents LEFT JOIN pr5 ON pr5.id = doc_id
+        ORDER BY doc_id"""
+      }),
+
+    // Weighted (probability-proportional-to-size) systematic sampling:
+    // k slots over the cumulative weight line, one doc per crossed slot
+    // boundary — the deterministic PPS scheme (weights = document length,
+    // so the sample holds ~uniform TOKEN coverage, not uniform DOC
+    // coverage, which is what a training-mix ablation wants). All
+    // arithmetic on exact integers; the prefix sum is the two-level
+    // bucketed decomposition (per-bucket sums + offsets over the tiny
+    // bucket table + within-bucket running sum), so no task ever windows
+    // more than one doc_id bucket — the global-window form this replaces
+    // sorts the corpus on ONE task at 100 TB.
+    QDef("q_sample_weighted",
+      (s, d) => {
+        val k = 50
+        val d0 = documents(s, d).select(col("doc_id"), col("n_chars"),
+          floor(col("doc_id") / 100).cast("long").as("b"))
+        val bsums = d0.groupBy(col("b")).agg(sum(col("n_chars")).as("bw"))
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bsums.select(col("b"),
+          coalesce(sum(col("bw")).over(wOff), lit(0L)).as("off"),
+          sum(col("bw")).over(Window.partitionBy()).as("total"))
+        val wLocal = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = d0.join(broadcast(offsets), Seq("b"))
+          .select(col("doc_id"), col("n_chars"), col("total"),
+            (col("off") + coalesce(sum(col("n_chars")).over(wLocal), lit(0L)))
+              .as("cw0"))
+        cum.filter(floor(col("cw0") * k / col("total")) <
+            floor((col("cw0") + col("n_chars")) * k / col("total")))
+          .select(col("doc_id"), col("n_chars"),
+            (floor(col("cw0") * k / col("total")) + 1).as("slot"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH cum AS (
+          SELECT doc_id, n_chars,
+            COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw0,
+            sum(n_chars) OVER () AS total
+          FROM documents)
+        SELECT doc_id, n_chars,
+          CAST(floor(cw0 * 50 / total) + 1 AS BIGINT) AS slot
+        FROM cum
+        WHERE floor(cw0 * 50 / total) < floor((cw0 + n_chars) * 50 / total)
+        ORDER BY doc_id""")),
+
+    // Train/test distribution drift: smoothed per-language probabilities
+    // of each split plus both KL-divergence terms — the "did my split
+    // change the language mix" check run before any training job.
+    // Laplace +1 smoothing keeps KL finite when a language misses one
+    // split; every probability is a single division of exact integers, so
+    // the only transcendental is ln on identical doubles (the same
+    // cross-engine contract q_token_df_idf already proves out).
+    QDef("q_split_drift",
+      (s, d) => {
+        val counts = documents(s, d)
+          .select(col("lang"),
+            (col("doc_id") % 10 < 8).cast("int").as("is_tr"))
+          .groupBy(col("lang"))
+          .agg(sum(col("is_tr")).as("c_tr"),
+            sum(lit(1) - col("is_tr")).as("c_te"))
+        val w = Window.partitionBy()
+        val probs = counts.select(col("lang"), col("c_tr"), col("c_te"),
+            ((col("c_tr") + 1) / (sum(col("c_tr")).over(w) + count(lit(1)).over(w)))
+              .as("p_tr"),
+            ((col("c_te") + 1) / (sum(col("c_te")).over(w) + count(lit(1)).over(w)))
+              .as("p_te"))
+        probs.select(col("lang"), col("c_tr"), col("c_te"),
+            round(col("p_tr"), 6).as("p_tr"),
+            round(col("p_te"), 6).as("p_te"),
+            round(col("p_tr") * log(col("p_tr") / col("p_te")), 6).as("kl_tr_te"),
+            round(col("p_te") * log(col("p_te") / col("p_tr")), 6).as("kl_te_tr"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH counts AS (
+          SELECT lang,
+            sum(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END) AS c_tr,
+            sum(CASE WHEN doc_id % 10 < 8 THEN 0 ELSE 1 END) AS c_te
+          FROM documents GROUP BY 1),
+        probs AS (
+          SELECT lang, c_tr, c_te,
+            (c_tr + 1) / (sum(c_tr) OVER () + count(*) OVER ()) AS p_tr,
+            (c_te + 1) / (sum(c_te) OVER () + count(*) OVER ()) AS p_te
+          FROM counts)
+        SELECT lang, c_tr, c_te,
+          round(p_tr, 6) AS p_tr, round(p_te, 6) AS p_te,
+          round(p_tr * ln(p_tr / p_te), 6) AS kl_tr_te,
+          round(p_te * ln(p_te / p_tr), 6) AS kl_te_tr
+        FROM probs ORDER BY lang""")),
+
+    // Character-entropy quality filter: low-entropy text is repeated
+    // boilerplate / encoding junk, one of the standard pre-training
+    // quality gates. Char histogram per doc via explode + hash-agg (the
+    // wordcount shape: map-side combine bounds the shuffle at
+    // |alphabet|·docs, not chars); the per-doc entropy sum runs over the
+    // tiny (doc, char)-counts table with doc_id as the partition key —
+    // high-cardinality, never a global window — and is decimal-exact so
+    // term order can't perturb it.
+    QDef("q_entropy_quality",
+      (s, d) => {
+        val chars = documents(s, d).select(col("doc_id"),
+          explode(filter(split(col("text"), ""), c => c =!= "")).as("ch"))
+        val counts = chars.groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("c"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val terms = counts
+          .withColumn("n", sum(col("c")).over(wDoc))
+          .select(col("doc_id"), col("n"),
+            ((col("c") / col("n")) * log(col("c") / col("n"))).as("t"))
+        terms.groupBy(col("doc_id"))
+          .agg(min(col("n")).as("n_chars_eff"),
+            (lit(0.0) - dsum(col("t"))).as("h"))
+          .select(col("doc_id"), col("n_chars_eff"),
+            round(col("h"), 6).as("entropy"),
+            (col("h") >= 2.0 && col("n_chars_eff") >= 100).cast("long")
+              .as("pass"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH chars AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents),
+        counts AS (SELECT doc_id, ch, count(*) AS c
+          FROM chars WHERE ch <> '' GROUP BY 1, 2),
+        terms AS (
+          SELECT doc_id, sum(c) OVER (PARTITION BY doc_id) AS n,
+            (c / sum(c) OVER (PARTITION BY doc_id)) *
+              ln(c / sum(c) OVER (PARTITION BY doc_id)) AS t
+          FROM counts)
+        SELECT doc_id, min(n) AS n_chars_eff,
+          round(0.0 - ${sqlDsum("t")}, 6) AS entropy,
+          CAST(0.0 - ${sqlDsum("t")} >= 2.0 AND min(n) >= 100 AS BIGINT)
+            AS pass
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Robust per-group outlier detection: median + MAD (the
+    // scaled-to-sigma 1.4826 form) flags price outliers per order
+    // priority — data-quality triage that survives the heavy tails that
+    // break mean/stddev z-scores. Exact median is the DEMO form
+    // (unbounded per-group state, same bound TUNING.md documents for
+    // percentile); at 100 TB swap both medians for approx_percentile and
+    // keep the identical downstream arithmetic.
+    QDef("q_outlier_mad",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
+        val med = o.groupBy(col("o_orderpriority"))
+          .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+        val withMed = o.join(broadcast(med), Seq("o_orderpriority"))
+        val mad = withMed.groupBy(col("o_orderpriority"))
+          .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"))
+        withMed.join(broadcast(mad), Seq("o_orderpriority"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("med")), 6).as("med"),
+            round(min(col("mad")), 6).as("mad"),
+            sum((abs(col("o_totalprice") - col("med")) >
+              lit(4.4478) * col("mad")).cast("long")).as("n_out"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH med AS (
+          SELECT o_orderpriority, median(o_totalprice) AS med
+          FROM orders GROUP BY 1),
+        j AS (SELECT o.o_orderpriority, o_totalprice, med
+          FROM orders o JOIN med USING (o_orderpriority)),
+        mad AS (SELECT o_orderpriority, median(abs(o_totalprice - med)) AS mad
+          FROM j GROUP BY 1)
+        SELECT j.o_orderpriority, count(*) AS n,
+          round(min(j.med), 6) AS med, round(min(mad.mad), 6) AS mad,
+          sum(CAST(abs(o_totalprice - j.med) >
+            CAST(4.4478 AS DOUBLE) * mad.mad AS BIGINT)) AS n_out
+        FROM j JOIN mad USING (o_orderpriority)
+        GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // Equi-width numeric histogram (24 × 5000-wide buckets, top bucket
+    // clamped): the profiling primitive behind range pruning and skew
+    // diagnosis. One hash-agg over integer bucket ids — map-side combine
+    // reduces any corpus to 24 rows before the shuffle.
+    QDef("q_hist_numeric",
+      (s, d) => lineitem(s, d)
+        .select(least(floor(col("l_extendedprice") / 5000), lit(23L))
+          .as("bucket"), col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("s"))
+        .select(col("bucket"), (col("bucket") * 5000).cast("double").as("lo"),
+          col("n"), col("s"))
+        .orderBy(col("bucket")),
+      Some(s"""SELECT bucket, CAST(bucket * 5000 AS DOUBLE) AS lo,
+          count(*) AS n, ${sqlDsum("l_extendedprice")} AS s
+        FROM (SELECT least(CAST(floor(l_extendedprice / 5000) AS BIGINT),
+            23) AS bucket, l_extendedprice FROM lineitem)
+        GROUP BY bucket ORDER BY bucket"""))
+  )
+}

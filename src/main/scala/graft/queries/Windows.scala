@@ -233,6 +233,54 @@ object Windows {
           round(cume_dist() OVER w, 6) AS cd
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        ORDER BY o_orderpriority, o_orderkey LIMIT 2000"""))
+        ORDER BY o_orderpriority, o_orderkey LIMIT 2000""")),
+
+    // The SCALE-SAFE twin of q_window_ntile's GLOBAL window: same
+    // bucketed-CDF rewrite as q_window_percent_rank_bucketed, but with no
+    // partition key at all — the window form sorts the whole input on ONE
+    // task. Global rank = cumulative bucket offset + within-bucket
+    // row_number (price buckets ordered descending to match the DESC
+    // ranking); ntile is then pure integer arithmetic on that rank: with
+    // n rows in k tiles, the first n%k tiles take ⌈n/k⌉ rows, so
+    // tile(r) = (r−1)/(q+1)+1 below the split point and
+    // rem + (r−1−rem·(q+1))/q + 1 above it (q = n/k, rem = n%k) — exact,
+    // no doubles. Oracle: the EXACT SAME window SQL as q_window_ntile.
+    QDef("q_window_ntile_bucketed",
+      (s, d) => {
+        val k = 4
+        val o = orders(s, d).filter(col("o_totalprice") > 250000.0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            floor(col("o_totalprice") / 10000).cast("long").as("b"))
+        val counts = o.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        val wOff = Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = counts.select(col("b"),
+          coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("off"),
+          sum(col("cnt")).over(Window.partitionBy()).as("n"))
+        val wLocal = Window.partitionBy(col("b"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val q = (col("n") / k).cast("long")
+        val rem = col("n") % k
+        val split = rem * (q + 1)
+        val rnk = col("off") + row_number().over(wLocal)
+        o.join(broadcast(offsets), Seq("b"))
+          .select(col("o_orderkey"), col("n"),
+            when(rnk <= split, ((rnk - 1) / (q + 1)).cast("long") + 1)
+              .otherwise(rem + ((rnk - 1 - split) / q).cast("long") + 1)
+              .as("rnk_tile"),
+            rnk.as("rnk"))
+          .select(col("o_orderkey"),
+            col("rnk_tile").cast("int").as("quartile"),
+            round((col("rnk") - 1).cast("double") / (col("n") - 1), 6).as("pr"),
+            round(col("rnk").cast("double") / col("n"), 6).as("cd"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+          CAST(ntile(4) OVER w AS INT) AS quartile,
+          round(percent_rank() OVER w, 6) AS pr,
+          round(cume_dist() OVER w, 6) AS cd
+        FROM orders WHERE o_totalprice > 250000.0
+        WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey"""))
   )
 }

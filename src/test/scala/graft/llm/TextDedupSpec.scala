@@ -167,6 +167,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
   }
 
+  test("pageRank: centrality orders a star correctly; isolated nodes get (1−d)") {
+    // star: hub 1 ↔ leaves 2..6, plus isolated node 99
+    val nodes = (Seq(1L, 99L) ++ (2L to 6L)).toDF("id")
+    val edges = (2L to 6L).map(i => (1L, i)).toDF("id_a", "id_b")
+    val got = TextDedup.pageRank(nodes, "id", edges)
+      .as[(Long, Double)].collect().toMap
+    assert(got(99L) == 0.15000000000000002, "isolated node must get 1−d")
+    val leaves = (2L to 6L).map(got)
+    assert(leaves.distinct.size == 1, s"symmetric leaves must tie: $leaves")
+    assert(got(1L) > leaves.head * 2,
+      s"hub ${got(1L)} must dominate leaves ${leaves.head}")
+  }
+
+  test("pageRank: regular graphs are uniform fixpoints (pr stays 1.0)") {
+    // a 4-cycle is 2-regular: pr/deg flows cancel, pr_k ≡ 1.0 for all k
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    val got = TextDedup.pageRank(nodes, "id", edges)
+      .as[(Long, Double)].collect().toMap
+    got.values.foreach(v => assert(math.abs(v - 1.0) < 1e-9, s"got $got"))
+  }
+
   test("declared corpus queries run: lang-id beats chance, fingerprints stable") {
     val langAcc = graft.SparkEntry.queries("q_lang_id")(spark, TestSpark.sf0001)
       .agg(avg(col("correct"))).as[Double].head()
