@@ -555,6 +555,38 @@ object Llm {
           AS md5_hex
         FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""")),
 
+    // Frame sampling over the video assets: up to 4 evenly spaced frames
+    // per payload, one row per frame. Oracle-checked end-to-end like
+    // decode/resize: the stub codec's frames are byte slices at offsets
+    // (i·len/k).toInt, and len/k is either a power-of-two division (k=4)
+    // or 1.0 (len<4) — both exact in IEEE, so the double arithmetic equals
+    // integer (i·len)//k and DuckDB reproduces every slice by substring,
+    // agreeing on its MD5: frame identity, not just counts.
+    QDef("q_multimodal_frames",
+      (s, d) => {
+        val assets = graft.multimodal.Multimodal.manifest(s, d)
+        graft.multimodal.Multimodal
+          .sampleFrames(assets, new graft.multimodal.Multimodal.StubCodec, 4)
+          .toDF()
+          .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
+            length(col("frame_bytes")).cast("long").as("frame_len"),
+            md5(col("frame_bytes")).as("frame_md5"))
+          .orderBy(col("asset_id"), col("frame_no"))
+      },
+      Some("""WITH v AS (
+          SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+            least(4, CAST(length(text) AS BIGINT)) AS k
+          FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 1),
+        idx AS (SELECT doc_id, text, len, k, unnest(range(k)) AS i FROM v),
+        sl AS (SELECT doc_id, text, i, (i * len) // k AS lo,
+            least(len, greatest(((i + 1) * len) // k, (i * len) // k + 1)) AS hi
+          FROM idx)
+        SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+          CAST(hi - lo AS BIGINT) AS frame_len,
+          md5(substr(text, CAST(lo AS INT) + 1, CAST(hi - lo AS INT)))
+            AS frame_md5
+        FROM sl ORDER BY asset_id, frame_no""")),
+
     // ---- Similarity search --------------------------------------------
 
     // Brute-force cosine top-k: 10 query vectors × all candidates. Exact
