@@ -64,6 +64,40 @@ object Physical {
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY okey LIMIT 2000""")),
 
+    // Bloom-pruned shuffle join: a selective dim-side filter is collapsed
+    // into a broadcast bloom (sized from footer stats, no count() job) and
+    // applied to the fact side BEFORE its shuffle — at 100 TB this drops
+    // ~80% of the lineitem shuffle for a 20%-selective orders predicate,
+    // for a few MB of bloom. The join that follows removes the bloom's
+    // false positives, so the result is exact at any fpp; the probe is a
+    // codegen'd Catalyst expression (inside whole-stage codegen, not a
+    // UDF), and its survival into the physical plan is asserted in-query.
+    QDef("q_join_bloom_pruned",
+      (s, d) => {
+        import graft.functions.BloomFunctions._
+        val dim = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        val bloomBytes = buildLongBloom(dim, "o_orderkey",
+          expectedItems = graft.tables.Tables.rowCount(s, d, "orders"))
+        val pruned = lineitem(s, d)
+          .filter(bloom_might_contain(col("l_orderkey"), bloomBytes))
+        val joined = pruned
+          .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice")).as("rev"))
+          .orderBy(col("l_returnflag"))
+        val plan = joined.queryExecution.executedPlan.toString
+        if (!plan.contains("graft_bloom_might_contain"))
+          throw new IllegalStateException(
+            s"q_join_bloom_pruned: probe missing from physical plan:\n${plan.take(4000)}")
+        joined
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_lines,
+          ${sqlDsum("l_extendedprice")} AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Partition-pruned scan: events re-laid-out Hive-style by event_date,
     // then a one-day query — the scan must carry a partition filter (no
     // non-matching directory is even listed), asserted in-query. The
@@ -87,6 +121,45 @@ object Physical {
       },
       Some(s"""SELECT event_type, count(*) AS n, ${sqlDsum("value")} AS sv
         FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
-        GROUP BY 1 ORDER BY event_type"""))
+        GROUP BY 1 ORDER BY event_type""")),
+
+    // Z-order clustered layout: lineitem rewritten sorted by the Morton
+    // interleave of (l_partkey, l_suppkey), then a 2-D box query — the
+    // layout that lets parquet min/max stats skip row groups for BOTH
+    // dimensions at once (partitioning can only prune one). The in-query
+    // assertion pins the clustering property: matching rows concentrate
+    // in a strict subset of the z-range files (a natural orderkey layout
+    // scatters them across ~all — ZOrderSpec proves the comparative).
+    // The summed z-values in the result make the oracle re-verify the
+    // bit-interleave itself cross-engine.
+    QDef("q_zorder_cluster",
+      (s, d) => {
+        import graft.tables.ZOrder
+        val dir = s"/tmp/graft_zorder_${Integer.toHexString(d.hashCode)}"
+        val nFiles = 8
+        lineitem(s, d)
+          .withColumn("zval",
+            ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), bits = 20))
+          .repartitionByRange(nFiles, col("zval"))
+          .sortWithinPartitions(col("zval"))
+          .write.mode("overwrite").parquet(dir)
+        val boxed = s.read.parquet(dir)
+          .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 10)
+        val touched = boxed.select(input_file_name()).distinct().count()
+        if (touched >= nFiles)
+          throw new IllegalStateException(
+            s"q_zorder_cluster: box rows touched all $touched z-range files — no clustering")
+        boxed
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("zval")).as("zsum"),
+            dsum(col("l_extendedprice")).as("rev"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+          CAST(sum(${graft.tables.ZOrder.sqlZ("l_partkey", "l_suppkey", 20)}) AS BIGINT) AS zsum,
+          ${sqlDsum("l_extendedprice")} AS rev
+        FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 10
+        GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

@@ -1,0 +1,55 @@
+package graft.tables
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — multi-dimensional data skipping.
+  *
+  * Partition pruning (see `q_scan_pruned`) skips on ONE column; a 100 TB
+  * table queried by 2-D boxes (part × supplier, lat × lon, time × tenant)
+  * needs rows that are close in BOTH dimensions to be close on disk, so
+  * parquet row-group min/max stats can skip files for 2-D predicates.
+  * Interleaving the bits of the two keys gives a single sort key with that
+  * property; `repartitionByRange` + `sortWithinPartitions` on it yields
+  * the clustered layout (the same recipe Delta/Iceberg `ZORDER BY` uses).
+  *
+  * Everything here composes built-in codegen'd functions (shifts, masks,
+  * adds) — no UDF, stays inside whole-stage codegen, and has an exact
+  * ANSI-SQL twin for the DuckDB oracle.
+  */
+object ZOrder {
+
+  /** Morton code of the low `bits` bits of two non-negative integral
+    * columns: result bit 2i is bit i of `a`, bit 2i+1 is bit i of `b`.
+    * `bits` ≤ 31 (2·bits must fit a long). Keys wider than `bits` bits
+    * should be range-quantized first (catalog/footer stats give the
+    * bounds); the TPC-H keys used by the declared query fit directly. */
+  def zvalue(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(al, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(bl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB-side twin of [[zvalue]] — keep in sync bit-for-bit. */
+  def sqlZ(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((((CAST($a AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+        s"(((CAST($b AS BIGINT) >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " + ", ")")
+
+  /** Reference interleave for tests. */
+  def zvalueRef(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+}
