@@ -82,7 +82,13 @@ object ScaleProof {
       // bigram explode+hash-agg, map-only repetition scoring, and the
       // GK-sketch percentile scale path
       "q_ngram_bigrams", "q_repetition_score",
-      "q_agg_percentile_approx").foreach { name =>
+      "q_agg_percentile_approx",
+      // round-6 additions: the dup-graph operators iterate/join the EDGE
+      // set (replicated docs form `copies`-sized cliques — the dense
+      // adversarial case), bloom pruning must hold its pre-shuffle cut at
+      // 10x, and the z-order rewrite is the full-table layout cost.
+      "q_dup_triangles", "q_dup_reach_k", "q_dup_pagerank",
+      "q_join_bloom_pruned", "q_zorder_cluster").foreach { name =>
       metrics.reset()
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

@@ -263,6 +263,93 @@ object Corpus {
           count(*) AS n, ${sqlDsum("l_extendedprice")} AS s
         FROM (SELECT least(CAST(floor(l_extendedprice / 5000) AS BIGINT),
             23) AS bucket, l_extendedprice FROM lineitem)
-        GROUP BY bucket ORDER BY bucket"""))
+        GROUP BY bucket ORDER BY bucket""")),
+
+    // Blocked fuzzy (edit-distance) self-join — the record-linkage dedup
+    // variant shingle-Jaccard misses: near-identical short strings with
+    // character-level typos. Blocking key = (lang, 12-char prefix), so
+    // candidate pairs are bounded by prefix-collision groups (an equi-join,
+    // never all-pairs; the standard blocking trade-off: a typo inside the
+    // first 12 chars escapes the block — widen with a second key, e.g. a
+    // suffix block, for higher recall). The codegen'd built-in
+    // `levenshtein` then scores only the candidates, on a bounded
+    // 40-char prefix so per-pair cost is O(40²) regardless of doc length.
+    QDef("q_fuzzy_lev_join",
+      (s, d) => {
+        val doc = documents(s, d).select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("pfx"),
+          substring(col("text"), 1, 12).as("blk"))
+        val a = doc.select(col("doc_id").as("id_a"), col("lang"),
+          col("pfx").as("pfx_a"), col("blk"))
+        val b = doc.select(col("doc_id").as("id_b"), col("lang"),
+          col("pfx").as("pfx_b"), col("blk"))
+        a.join(b, Seq("blk", "lang"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("pfx_a"), col("pfx_b")).as("dist"))
+          .filter(col("dist") <= 5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 12) = substr(b.text, 1, 12)
+          AND a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5
+        ORDER BY id_a, id_b""")),
+
+    // Single-pass column profiler: null count + exact distinct for four
+    // orders columns in ONE aggregation (Catalyst's Expand handles the
+    // multi-distinct — one scan, 4x expanded shuffle of pre-grouped
+    // partials), then unpivoted to the (column, metric) long form a
+    // data-quality dashboard reads. At 100 TB swap the exact distincts
+    // for approx_count_distinct and the Expand collapses to one pass of
+    // mergeable HLL sketches — same query shape, same output schema.
+    QDef("q_profile_columns",
+      (s, d) => {
+        val o = orders(s, d)
+        o.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("nn_custkey"),
+          countDistinct(col("o_custkey")).as("nd_custkey"),
+          count(col("o_orderstatus")).as("nn_orderstatus"),
+          countDistinct(col("o_orderstatus")).as("nd_orderstatus"),
+          count(col("o_orderpriority")).as("nn_orderpriority"),
+          countDistinct(col("o_orderpriority")).as("nd_orderpriority"),
+          count(col("o_totalprice")).as("nn_totalprice"),
+          countDistinct(col("o_totalprice")).as("nd_totalprice"))
+          .selectExpr("n_rows",
+            """stack(4,
+              'o_custkey', nn_custkey, nd_custkey,
+              'o_orderstatus', nn_orderstatus, nd_orderstatus,
+              'o_orderpriority', nn_orderpriority, nd_orderpriority,
+              'o_totalprice', nn_totalprice, nd_totalprice)
+              AS (col_name, n_non_null, n_distinct)""")
+          .select(col("col_name"), col("n_rows"), col("n_non_null"),
+            (col("n_rows") - col("n_non_null")).as("n_null"),
+            col("n_distinct"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH m AS (SELECT count(*) AS n_rows,
+          count(o_custkey) AS nn_custkey,
+          count(DISTINCT o_custkey) AS nd_custkey,
+          count(o_orderstatus) AS nn_orderstatus,
+          count(DISTINCT o_orderstatus) AS nd_orderstatus,
+          count(o_orderpriority) AS nn_orderpriority,
+          count(DISTINCT o_orderpriority) AS nd_orderpriority,
+          count(o_totalprice) AS nn_totalprice,
+          count(DISTINCT o_totalprice) AS nd_totalprice FROM orders)
+        SELECT col_name, n_rows, n_non_null, n_rows - n_non_null AS n_null,
+          n_distinct
+        FROM (
+          SELECT 'o_custkey' AS col_name, n_rows, nn_custkey AS n_non_null,
+            nd_custkey AS n_distinct FROM m
+          UNION ALL SELECT 'o_orderstatus', n_rows, nn_orderstatus,
+            nd_orderstatus FROM m
+          UNION ALL SELECT 'o_orderpriority', n_rows, nn_orderpriority,
+            nd_orderpriority FROM m
+          UNION ALL SELECT 'o_totalprice', n_rows, nn_totalprice,
+            nd_totalprice FROM m)
+        ORDER BY col_name"""))
   )
 }
