@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic: prints the measured mean "true top-1 found in approx
+  * top-5" indicator for each engine-trained ANN operator at the declared
+  * operating point — the number the q_cosine_* oracle-gate floors are
+  * derived from (floor ≈ measurement − 0.15). Run per scale factor:
+  * `runMain graft.AnnGateProbe [sfDir]`.
+  */
+object AnnGateProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.tables.Tables.embeddings(spark, d)
+    val qs = Some(e.filter(col("vec_id") < 50))
+
+    def report(name: String, approx: org.apache.spark.sql.DataFrame): Unit = {
+      val r = graft.queries.Llm.annRecallMean(e, approx, nQ = 50)
+        .collect()(0)
+      println(f"[anngate] $name%-16s n=${r.getLong(0)} mean_hit=${r.getDouble(1)}%.3f")
+    }
+
+    report("lsh", graft.llm.VectorLsh.topkApproxAuto(e, "vec_id", "embedding",
+      k = 5, n = Some(graft.tables.Tables.rowCount(spark, d, "embeddings"))))
+    report("ivf", graft.llm.VectorIvf.topkApprox(e, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, queries = qs, trainFraction = 0.2))
+    report("ivfadc", graft.llm.VectorPq.topkIvfAdc(e, "vec_id", "embedding",
+      topk = 5, nlist = 16, nprobe = 4, queries = qs, trainFraction = 0.2,
+      residual = true, rerankFactor = 4))
+    report("pq", graft.llm.VectorPq.topkApprox(e, "vec_id", "embedding",
+      topk = 5, queries = qs, trainFraction = 0.2))
+    spark.stop()
+  }
+}
