@@ -124,6 +124,28 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Session-scoped materialized dup graph: the graph-analysis queries
+    * (triangles, bounded reach, PageRank) all read the SAME unblocked
+    * Jaccard ≥ threshold edge set. At 100 TB that edge set is a table the
+    * dedup pipeline MAINTAINS — recomputing the shingle join per query
+    * would dwarf every downstream graph operator. This cache is the
+    * single-JVM analog of that materialized table: the first caller pays
+    * the shingle join once and localCheckpoints the edges (storage-backed,
+    * GC-reclaimed when the session drops the reference), later callers
+    * scan the materialized frame. Keyed by (corpus key, id/text cols,
+    * shingle k, threshold) so different corpora or operating points never
+    * alias. Semantically transparent: callers get exactly
+    * `jaccardPairs(...).select(id_a, id_b)`. */
+  private val sharedEdges = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Int, Double), DataFrame]()
+
+  def jaccardEdgesShared(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, corpusKey: String, shingleK: Int = 3): DataFrame =
+    sharedEdges.computeIfAbsent((corpusKey, idCol, textCol, shingleK, threshold),
+      _ => jaccardPairs(docs, idCol, textCol, shingleK, threshold)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true))
+
   /** Connected components over an undirected dup-pair edge list —
     * near-dup PAIRS are not actionable until they become CLUSTERS (keep
     * one representative, drop the rest), and pair-chains mean the

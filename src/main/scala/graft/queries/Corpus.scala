@@ -28,8 +28,8 @@ object Corpus {
       (s, d) => {
         val docs = documents(s, d)
         val edges = graft.llm.TextDedup
-          .jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
-          .select(col("id_a"), col("id_b"))
+          .jaccardEdgesShared(docs, "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
         graft.llm.TextDedup.pageRank(docs, "doc_id", edges, iters = 5)
           .select(col("doc_id"), round(col("pagerank"), 6).as("pagerank"))
           .orderBy(col("doc_id"))

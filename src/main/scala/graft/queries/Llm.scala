@@ -328,8 +328,8 @@ object Llm {
     QDef("q_dup_triangles",
       (s, d) => {
         val edges = graft.llm.TextDedup
-          .jaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.2)
-          .select(col("id_a"), col("id_b"))
+          .jaccardEdgesShared(documents(s, d), "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
         graft.llm.TextDedup.triangles(edges)
           .orderBy(col("a"), col("b"), col("c"))
       },
@@ -367,8 +367,8 @@ object Llm {
       (s, d) => {
         val docs = documents(s, d)
         val edges = graft.llm.TextDedup
-          .jaccardPairs(docs, "doc_id", "text", threshold = 0.2)
-          .select(col("id_a"), col("id_b"))
+          .jaccardEdgesShared(docs, "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
         val seeds = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
         graft.llm.TextDedup.boundedReach(seeds, "doc_id", edges, maxHops = 3)
           .select(col("id").as("doc_id"), col("hops"))
