@@ -129,6 +129,31 @@ object EventWindows {
           ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        ORDER BY p_id, c_ts_us"""))
+        ORDER BY p_id, c_ts_us""")),
+
+    // LEFT OUTER stream-stream interval join, batch twin: purchases with
+    // no preceding click survive null-padded. Same exact-operator pattern
+    // as q_stream_interval_join (withWatermark is a no-op on batch);
+    // streaming-side the null row is watermark-deferred until a match is
+    // impossible — StreamingSpec drives that path with MemoryStreams.
+    // NULLS FIRST pins the engines' opposite null-ordering defaults.
+    QDef("q_stream_interval_join_outer",
+      (s, d) => {
+        val ev = events(s, d)
+        graft.streaming.EventStreams.purchaseAttributionOuter(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"))
+          .select(col("p_id"), col("p_user"),
+            unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"),
+            unix_micros(col("c_ts")).as("c_ts_us"))
+          .orderBy(col("p_id"), col("c_ts_us").asc_nulls_first)
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id AS p_user,
+        epoch_us(p.ts) AS p_ts_us, p.value AS p_value, epoch_us(c.ts) AS c_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        ORDER BY p_id, c_ts_us NULLS FIRST"""))
   )
 }

@@ -69,6 +69,27 @@ object EventStreams {
         col("c_ts") < col("p_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[purchaseAttribution]]
+    * but purchases with NO preceding click still emit, null-padded. The
+    * streaming semantics are watermark-deferred: an unmatched purchase is
+    * held in state until BOTH watermarks pass the point where a match is
+    * no longer possible (p_ts, since clicks must precede the purchase),
+    * then emitted with null click columns — exactly how Spark bounds
+    * outer-join state. On batch frames this is a plain left outer join,
+    * which is what the declared oracle checks. */
+  def purchaseAttributionOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "leftOuter")
+  }
+
   // ---- Custom state: running per-user counters (the streaming analog of
   // the reference's threaded record count, `KinesisWriter.scala:184-194`).
 

@@ -366,6 +366,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, ts(1, 9, 30))), s"got $got")
   }
 
+  test("left-outer interval join emits null-padded purchases after watermark") {
+    import spark.implicits._
+    val purchases = MemoryStream[EventRow](spark)
+    val clicks = MemoryStream[EventRow](spark)
+    val joined = EventStreams.purchaseAttributionOuter(purchases.toDF(), clicks.toDF())
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_attr_outer").start()
+    try {
+      clicks.addData(row(10, ts(1, 9, 30), user = 1))   // match for user 1
+      purchases.addData(
+        row(1, ts(1, 10, 0), user = 1, typ = "purchase", v = 42.0),
+        row(2, ts(1, 10, 0), user = 5, typ = "purchase", v = 7.0)) // no click
+      q.processAllAvailable()
+      // push BOTH watermarks past the point where user 5 could still
+      // match (clicks precede purchases, so watermark > p_ts suffices):
+      // the unmatched purchase must then emit null-padded
+      clicks.addData(row(90, ts(1, 23, 0), user = 99))
+      purchases.addData(row(91, ts(1, 23, 0), user = 99, typ = "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_attr_outer")
+      .select(col("p_id"), col("c_ts")).as[(Long, Option[java.sql.Timestamp])]
+      .collect().toMap
+    assert(got(1L).contains(ts(1, 9, 30)), s"matched row wrong: $got")
+    assert(got.contains(2L) && got(2L).isEmpty,
+      s"unmatched purchase not emitted null-padded after watermark: $got")
+  }
+
   test("stateful query resumes from checkpoint with state intact") {
     import spark.implicits._
     val chk = java.nio.file.Files.createTempDirectory("graft_resume").toString
