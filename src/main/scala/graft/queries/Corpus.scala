@@ -350,6 +350,36 @@ object Corpus {
             nd_orderpriority FROM m
           UNION ALL SELECT 'o_totalprice', n_rows, nn_totalprice,
             nd_totalprice FROM m)
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    // Count-min-sketch point frequencies: the mergeable few-KB structure
+    // that answers "how often does key k occur?" when the key space is
+    // too large for an exact map (per-partition sketches treeAggregate'd,
+    // probe via a codegen'd Catalyst expression on the broadcast sketch —
+    // the frequency companion to q_join_bloom_pruned's membership bloom).
+    // Oracle-checked through the CMS guarantees: estimate is NEVER below
+    // the true count (collisions only add), and stays within ε·N above it
+    // (δ = 0.001 per probe; seeded build → deterministic). DuckDB pins
+    // both flags to 1 next to the exact counts.
+    QDef("q_sketch_cms",
+      (s, d) => {
+        import graft.functions.CmsFunctions._
+        val o = orders(s, d)
+        val eps = 0.0005
+        val sketch = buildLongCms(o, "o_custkey", eps, confidence = 0.999)
+        val epsN = math.ceil(
+          eps * graft.tables.Tables.rowCount(s, d, "orders")).toLong
+        o.filter(col("o_custkey") < 100)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("true_n"))
+          .withColumn("est", cms_estimate(col("o_custkey"), sketch))
+          .select(col("o_custkey"), col("true_n"),
+            (col("est") >= col("true_n")).cast("long").as("lower_ok"),
+            (col("est") <= col("true_n") + lit(epsN)).cast("long").as("upper_ok"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, count(*) AS true_n,
+          CAST(1 AS BIGINT) AS lower_ok, CAST(1 AS BIGINT) AS upper_ok
+        FROM orders WHERE o_custkey < 100
+        GROUP BY 1 ORDER BY o_custkey"""))
   )
 }

@@ -1055,6 +1055,53 @@ object Llm {
     // Multimodal manifest: opaque binary payload + typed metadata struct.
     // The decode/feature-extract path lives in graft.multimodal (stubbed
     // codecs, real Spark plumbing); this query checks the schema + sizes.
+    // Multimodal near-duplicate detection WITHOUT codecs: Jaccard over
+    // byte 8-gram windows (stride 4) of the raw binary payload — the
+    // shape of perceptual-hash dedup when decode isn't available (or as
+    // the cheap first pass before it): re-encoded/truncated copies share
+    // most byte windows. Windows are taken over the hex encoding (2 chars
+    // = 1 byte) because BOTH engines can reproduce it exactly — so unlike
+    // classic pHash this variant is fully oracle-checked. Same bounded
+    // equi-join scale shape as the text shingle family; swap the window
+    // hash for a real pHash per frame/tile when codecs exist.
+    QDef("q_multimodal_neardup",
+      (s, d) => {
+        val hx = documents(s, d).select(col("doc_id"),
+          hex(col("text").cast("binary")).as("hx"))
+        val sh = hx.select(col("doc_id"), explode(array_distinct(
+            expr("transform(sequence(1, greatest(length(hx)-15, 1), 8)," +
+              " i -> substring(hx, i, 16))"))).as("sh"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+          .select(col("id_a"), col("id_b"),
+            round(col("inter").cast("double") /
+              (col("sa.sz") + col("sb.sz") - col("inter")), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx
+          FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(hx)-15, 1) + 1, 8),
+            i -> substr(hx, i, 16)))) AS sh FROM hx),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ORDER BY id_a, id_b""")),
+
     QDef("q_multimodal_manifest",
       (s, d) => documents(s, d)
         .select(col("doc_id"),
