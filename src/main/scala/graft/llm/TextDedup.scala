@@ -135,7 +135,9 @@ object TextDedup {
     * scan the materialized frame. Keyed by (corpus key, id/text cols,
     * shingle k, threshold) so different corpora or operating points never
     * alias. Semantically transparent: callers get exactly
-    * `jaccardPairs(...).select(id_a, id_b)`. */
+    * `jaccardPairs(...)` — including the jaccard column, so a HIGHER
+    * threshold is a free filter over the shared frame (the exact side of
+    * the MinHash coverage check reads ≥ 0.9 out of the ≥ 0.2 table). */
   private val sharedEdges = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Int, Double), DataFrame]()
 
@@ -143,7 +145,6 @@ object TextDedup {
       threshold: Double, corpusKey: String, shingleK: Int = 3): DataFrame =
     sharedEdges.computeIfAbsent((corpusKey, idCol, textCol, shingleK, threshold),
       _ => jaccardPairs(docs, idCol, textCol, shingleK, threshold)
-        .select(col("id_a"), col("id_b"))
         .localCheckpoint(true))
 
   /** Connected components over an undirected dup-pair edge list —

@@ -30,6 +30,7 @@ object Corpus {
         val edges = graft.llm.TextDedup
           .jaccardEdgesShared(docs, "doc_id", "text",
             threshold = 0.2, corpusKey = d)
+          .select(col("id_a"), col("id_b"))
         graft.llm.TextDedup.pageRank(docs, "doc_id", edges, iters = 5)
           .select(col("doc_id"), round(col("pagerank"), 6).as("pagerank"))
           .orderBy(col("doc_id"))

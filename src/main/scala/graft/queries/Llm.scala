@@ -330,6 +330,7 @@ object Llm {
         val edges = graft.llm.TextDedup
           .jaccardEdgesShared(documents(s, d), "doc_id", "text",
             threshold = 0.2, corpusKey = d)
+          .select(col("id_a"), col("id_b"))
         graft.llm.TextDedup.triangles(edges)
           .orderBy(col("a"), col("b"), col("c"))
       },
@@ -369,6 +370,7 @@ object Llm {
         val edges = graft.llm.TextDedup
           .jaccardEdgesShared(docs, "doc_id", "text",
             threshold = 0.2, corpusKey = d)
+          .select(col("id_a"), col("id_b"))
         val seeds = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
         graft.llm.TextDedup.boundedReach(seeds, "doc_id", edges, maxHops = 3)
           .select(col("id").as("doc_id"), col("hops"))
@@ -465,8 +467,12 @@ object Llm {
         val cand = graft.llm.TextDedup
           .minhashCandidates(docs, "doc_id", "text")
           .withColumn("hit", lit(1L))
+        // exact side = a filter over the shared >=0.2 dup-graph frame
+        // (jaccardPairs(0.9) ≡ jaccardPairs(0.2).filter(>= 0.9))
         graft.llm.TextDedup
-          .jaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+          .jaccardEdgesShared(docs, "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
+          .filter(col("jaccard") >= 0.9)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .join(cand, Seq("id_a", "id_b"), "left")
           .select(col("id_a"), col("id_b"), col("jaccard"),
@@ -1056,23 +1062,32 @@ object Llm {
     // The decode/feature-extract path lives in graft.multimodal (stubbed
     // codecs, real Spark plumbing); this query checks the schema + sizes.
     // Multimodal near-duplicate detection WITHOUT codecs: Jaccard over
-    // byte 8-gram windows (stride 4) of the raw binary payload — the
-    // shape of perceptual-hash dedup when decode isn't available (or as
-    // the cheap first pass before it): re-encoded/truncated copies share
-    // most byte windows. Windows are taken over the hex encoding (2 chars
-    // = 1 byte) because BOTH engines can reproduce it exactly — so unlike
-    // classic pHash this variant is fully oracle-checked. Same bounded
-    // equi-join scale shape as the text shingle family; swap the window
-    // hash for a real pHash per frame/tile when codecs exist.
+    // RARE byte 16-gram windows (stride 8) of the raw binary payload —
+    // the shape of perceptual-hash dedup when decode isn't available (or
+    // as the cheap first pass before it): re-encoded/truncated copies
+    // share most byte windows. Two scale guards, both exactly
+    // SQL-expressible so the oracle replays them: wide windows (16 bytes)
+    // are discriminative, and a df ≤ 32 rarity cap drops boilerplate
+    // windows BEFORE the candidate join — the O(df²) hot-shingle landmine
+    // the text family caps with maxShingleDf, here as a declared,
+    // oracle-checked semantic (jaccard is over each doc's RARE-window
+    // set, both engines identically). Windows are taken over the hex
+    // encoding (2 chars = 1 byte) because both engines reproduce it
+    // exactly — unlike classic pHash this variant is fully oracle-checked.
+    // Swap the window fingerprint for a real pHash per frame/tile when
+    // codecs exist; the join shape stays.
     QDef("q_multimodal_neardup",
       (s, d) => {
         val hx = documents(s, d).select(col("doc_id"),
           hex(col("text").cast("binary")).as("hx"))
         val sh = hx.select(col("doc_id"), explode(array_distinct(
-            expr("transform(sequence(1, greatest(length(hx)-15, 1), 8)," +
-              " i -> substring(hx, i, 16))"))).as("sh"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        sh.as("a").join(sh.as("b"),
+            expr("transform(sequence(1, greatest(length(hx)-31, 1), 16)," +
+              " i -> substring(hx, i, 32))"))).as("sh"))
+        val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 32).select(col("sh"))
+        val shRare = sh.join(rare, "sh")
+        val sizes = shRare.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        shRare.as("a").join(shRare.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .agg(count(lit(1)).as("inter"))
@@ -1087,12 +1102,14 @@ object Llm {
       Some("""WITH hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx
           FROM documents),
         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-            range(1, greatest(len(hx)-15, 1) + 1, 8),
-            i -> substr(hx, i, 16)))) AS sh FROM hx),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            range(1, greatest(len(hx)-31, 1) + 1, 16),
+            i -> substr(hx, i, 32)))) AS sh FROM hx),
+        rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 32),
+        shr AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             count(*) AS inter
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT id_a, id_b,
           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
