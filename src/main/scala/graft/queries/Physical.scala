@@ -123,6 +123,40 @@ object Physical {
         FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
         GROUP BY 1 ORDER BY event_type""")),
 
+    // Dynamic partition pruning: the fact side is partitioned on
+    // event_date, the dim side carries the selective filter — STATIC
+    // pruning can't help (the fact predicate only exists at runtime, as
+    // the dim join keys), so Catalyst must inject a dynamicpruning
+    // subquery into the fact scan: broadcast the filtered dim once, reuse
+    // it to skip non-matching partitions BEFORE they're read. At 100 TB
+    // this is the fact-to-date-dim star-join pattern; the in-query
+    // assertion pins the dynamicpruningexpression into the scan on every
+    // driver run. Oracle: the equivalent static predicate.
+    QDef("q_scan_dpp",
+      (s, d) => {
+        val dir = s"/tmp/graft_dpp_events_${Integer.toHexString(d.hashCode)}"
+        events(s, d)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        val fact = s.read.parquet(dir)
+        val dim = s.range(0, 31)
+          .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            col("id").cast("int")).as("event_date"))
+          .filter(dayofmonth(col("event_date")) <= 3)
+        val joined = fact.join(broadcast(dim), "event_date")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+          .orderBy(col("event_type"))
+        val plan = joined.queryExecution.executedPlan.toString
+        if (!plan.toLowerCase.contains("dynamicpruning"))
+          throw new IllegalStateException(
+            s"q_scan_dpp: no dynamic pruning subquery in the fact scan:\n${plan.take(4000)}")
+        joined
+      },
+      Some(s"""SELECT event_type, count(*) AS n, ${sqlDsum("value")} AS sv
+        FROM events WHERE day(CAST(ts AS DATE)) <= 3
+        GROUP BY 1 ORDER BY event_type""")),
+
     // Z-order clustered layout: lineitem rewritten sorted by the Morton
     // interleave of (l_partkey, l_suppkey), then a 2-D box query — the
     // layout that lets parquet min/max stats skip row groups for BOTH
