@@ -37,6 +37,9 @@ object ScaleProof {
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
+    // optional second arg: regex over query names — lets a 100x run
+    // target specific operators without paying the full battery
+    val filter = args.lift(1).map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors)}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -88,7 +91,9 @@ object ScaleProof {
       // adversarial case), bloom pruning must hold its pre-shuffle cut at
       // 10x, and the z-order rewrite is the full-table layout cost.
       "q_dup_triangles", "q_dup_reach_k", "q_dup_pagerank",
-      "q_join_bloom_pruned", "q_zorder_cluster").foreach { name =>
+      "q_join_bloom_pruned", "q_zorder_cluster")
+      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
+      .foreach { name =>
       metrics.reset()
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)

@@ -64,13 +64,25 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
 object BloomFunctions {
   import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
 
+  /** Hard cap on bloom bits (8 MB), mirroring Spark's own runtime
+    * row-level filter default (`spark.sql.optimizer.runtime.bloomFilter.
+    * maxNumBits` = 67108864): a billion-key dim side would otherwise ask
+    * for a ~1.2 GB broadcast. Past the cap the fpp floats up instead —
+    * the join stays exact, the filter just prunes less. */
+  val MaxNumBits: Long = 67108864L
+
   /** Build a bloom over `keyCol` of `build` (distributed treeAggregate —
-    * the driver only ever holds the ~`1.2·n·log₂(1/fpp)/8`-byte sketch,
-    * never the keys). `expectedItems` should come from footer/catalog
-    * stats; oversizing is safe, undersizing only raises fpp. */
+    * the driver only ever holds the sketch, never the keys).
+    * `expectedItems` should come from footer/catalog stats; oversizing is
+    * safe, undersizing only raises fpp. Bits sized for `fpp` at the
+    * expected cardinality, then clamped to [[MaxNumBits]]. */
   def buildLongBloom(build: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    val bf = build.stat.bloomFilter(keyCol, math.max(expectedItems, 1L), fpp)
+    val n = math.max(expectedItems, 1L)
+    val optimalBits = math.ceil(
+      -n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bits = math.min(math.max(optimalBits, 64L), MaxNumBits)
+    val bf = build.stat.bloomFilter(keyCol, n, bits)
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray
