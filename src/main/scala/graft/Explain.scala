@@ -15,7 +15,11 @@ object Explain {
       "q1_pricing_summary", "q_cosine_blocked", "q_window_rank",
       // round-3 plan-audit surface: salted shuffle join, broadcast-eval
       // contamination join, composed curation pipeline
-      "q_join_skew_salted", "q_contamination", "q_pipeline_curate")
+      "q_join_skew_salted", "q_contamination", "q_pipeline_curate",
+      // round-6: bloom probe must sit below the fact-side Exchange;
+      // profiler is one scan + Expand; sessionization windows on the
+      // high-cardinality user_id
+      "q_join_bloom_pruned", "q_profile_columns", "q_sessionize_lag")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -75,6 +75,50 @@ object EventWindows {
 
     // Deterministic dedup: first event per (user_id, event_type) by event
     // time — the batch equivalent of withWatermark + dropDuplicates.
+    // Gap-based batch sessionization — the lag + running-sum formulation
+    // (new session iff the gap to the previous event exceeds 1h), the
+    // classic SQL twin of session_window above but emitting per-session
+    // START/END/duration rows. Windows partition on user_id — a
+    // high-cardinality key, so per-user sorts distribute (contrast the
+    // percent_rank demo's 5-value key, documented in TUNING.md). All gap
+    // arithmetic in exact epoch-µs integers so both engines agree on
+    // every boundary.
+    QDef("q_sessionize_lag",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            (col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 3600000000L).cast("long"))
+          .withColumn("sess_no", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(count(lit(1)).as("n"),
+            min(unix_micros(col("ts"))).as("sess_start_us"),
+            max(unix_micros(col("ts"))).as("sess_end_us"),
+            dsum(col("value")).as("sv"))
+          .orderBy(col("user_id"), col("sess_no"))
+      },
+      Some(s"""WITH x AS (SELECT user_id, event_id, ts, value,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM x),
+        z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sess_no
+          FROM y)
+        SELECT user_id, sess_no, count(*) AS n,
+          min(epoch_us(ts)) AS sess_start_us,
+          max(epoch_us(ts)) AS sess_end_us,
+          ${sqlDsum("value")} AS sv
+        FROM z GROUP BY user_id, sess_no
+        ORDER BY user_id, sess_no""")),
+
     QDef("q_events_dedup",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))
