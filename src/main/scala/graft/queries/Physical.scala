@@ -194,6 +194,76 @@ object Physical {
           CAST(sum(${graft.tables.ZOrder.sqlZ("l_partkey", "l_suppkey", 20)}) AS BIGINT) AS zsum,
           ${sqlDsum("l_extendedprice")} AS rev
         FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 10
-        GROUP BY 1 ORDER BY l_returnflag"""))
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // Columnar-format round trip on the DECLARED surface: parquet →
+    // ORC → aggregate, oracle-checked against the parquet originals —
+    // format fidelity (decimal/double/string exactness) as a gated
+    // property, not just a suite test. (CSV/JSON/text round-trips are
+    // exercised in BatchFormatsSpec; ORC is the one with a second
+    // columnar metadata path worth gating.)
+    QDef("q_format_orc_roundtrip",
+      (s, d) => {
+        val dir = s"/tmp/graft_orc_${Integer.toHexString(d.hashCode)}"
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+            col("l_extendedprice"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sq"),
+            dsum(col("l_extendedprice")).as("sp"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+          ${sqlDsum("l_quantity")} AS sq, ${sqlDsum("l_extendedprice")} AS sp
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // CDC merge/upsert (MERGE INTO semantics composed from a full outer
+    // join + coalesce — the Delta/Iceberg upsert path expressed in plain
+    // Spark): updates win over base, inserts append. The update and
+    // insert sets are derived deterministically from orders so the oracle
+    // replays the identical merge; post-merge the result is audited by
+    // status class (original / updated / inserted). At scale this is one
+    // shuffle on the merge key — the same join the table format's MERGE
+    // executes underneath.
+    QDef("q_merge_upsert",
+      (s, d) => {
+        val base = orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 100.0).as("o_totalprice"),
+            lit("UPD").as("o_orderstatus"))
+          .unionAll(base.filter(col("o_orderkey") % 97 === 0)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              col("o_totalprice"), lit("NEW").as("o_orderstatus")))
+        base.as("b").join(updates.as("u"),
+            col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
+          .select(
+            coalesce(col("u.o_orderkey"), col("b.o_orderkey")).as("k"),
+            coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("p"),
+            coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("st"))
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"), dsum(col("p")).as("sp"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("st"))
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders),
+        updates AS (
+          SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+            'UPD' AS o_orderstatus FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_totalprice, 'NEW'
+          FROM base WHERE o_orderkey % 97 = 0),
+        merged AS (SELECT
+            COALESCE(u.o_orderkey, b.o_orderkey) AS k,
+            COALESCE(u.o_totalprice, b.o_totalprice) AS p,
+            COALESCE(u.o_orderstatus, b.o_orderstatus) AS st
+          FROM base b FULL OUTER JOIN updates u
+            ON b.o_orderkey = u.o_orderkey)
+        SELECT st, count(*) AS n, ${sqlDsum("p")} AS sp, max(k) AS max_k
+        FROM merged GROUP BY st ORDER BY st"""))
   )
 }
