@@ -353,6 +353,62 @@ object Corpus {
             nd_totalprice FROM m)
         ORDER BY col_name""")),
 
+    // CCNet-style perplexity filtering: score every document by its
+    // average negative log-likelihood under the CORPUS's own add-one-
+    // smoothed bigram LM — the classic "looks like the corpus" quality
+    // gate (CCNet filters on an external LM's perplexity; self-scoring is
+    // the bootstrap variant). Three wordcount-shaped aggregations (bigram
+    // counts, unigram counts, vocab size) + one equi-join of the doc
+    // bigrams back to the counts: everything map-side-combinable, no
+    // per-group state. Determinism follows the q_entropy_quality
+    // precedent: raw double ln terms, decimal-exact summation, round(6)
+    // at the end.
+    QDef("q_perplexity_filter",
+      (s, d) => {
+        val toksT = documents(s, d)
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("t"))
+        val withBi = toksT.filter(size(col("t")) >= 2)
+        val bi = withBi.select(col("doc_id"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> named_struct('w1', a, 'bg', concat(a, ' ', b)))"""))
+            .as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        val uni = toksT.select(explode(col("t")).as("w"))
+        val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        val v = uni.agg(countDistinct(col("w")).as("v"))
+        bi.join(c2, "bg")
+          .join(c1, col("w1") === col("w"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            (lit(0.0) - log((col("c2") + 1.0) / (col("c1") + col("v")))).as("t"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), davg(col("t")).as("nllr"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("nllr"), 6).as("nll"),
+            (col("nllr") <= 6.0).cast("long").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toksT AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        bi AS (SELECT doc_id, toks[i] AS w1,
+            toks[i] || ' ' || toks[i + 1] AS bg
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                FROM toksT WHERE len(toks) >= 2)),
+        uni AS (SELECT unnest(toks) AS w FROM toksT),
+        c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+        c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+        v AS (SELECT count(DISTINCT w) AS v FROM uni),
+        terms AS (SELECT doc_id,
+            0.0 - ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS t
+          FROM bi JOIN c2 USING (bg) JOIN c1 ON bi.w1 = c1.w CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(${sqlDavg("t")}, 6) AS nll,
+          CAST(${sqlDavg("t")} <= 6.0 AS BIGINT) AS keep
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
     // Count-min-sketch point frequencies: the mergeable few-KB structure
     // that answers "how often does key k occur?" when the key space is
     // too large for an exact map (per-partition sketches treeAggregate'd,
