@@ -86,6 +86,48 @@ object Aggregates {
         count(*) AS n
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // Per-group least-squares regression (y = slope·x + intercept, plus
+    // R²) composed from EXACT decimal moment sums instead of the built-in
+    // regr_* aggregates: the streaming-merge formulas those use accumulate
+    // doubles in partition order, so their low bits are
+    // partitioning-dependent — moments via dsum are exact, and the final
+    // closed-form arithmetic is the identical IEEE expression on both
+    // engines. One hash-agg pass (5 sums + count), map-side combinable.
+    QDef("q_agg_regression",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+          dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
+          round(((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("n")), 6).as("intercept"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+        .orderBy(col("l_returnflag")),
+      Some {
+        val n = "CAST(count(*) AS DOUBLE)"
+        val sx = sqlDsum("l_quantity"); val sy = sqlDsum("l_extendedprice")
+        val sxx = sqlDsum("l_quantity * l_quantity")
+        val syy = sqlDsum("l_extendedprice * l_extendedprice")
+        val sxy = sqlDsum("l_quantity * l_extendedprice")
+        s"""SELECT l_returnflag, count(*) AS n,
+          round(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx), 6) AS slope,
+          round(($sy - (($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)) * $sx)
+            / $n, 6) AS intercept,
+          round(($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy) /
+            (($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)), 6) AS r2
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      }),
+
     QDef("q_agg_rollup",
       (s, d) => lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

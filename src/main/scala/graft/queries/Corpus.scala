@@ -360,9 +360,12 @@ object Corpus {
     // the bootstrap variant). Three wordcount-shaped aggregations (bigram
     // counts, unigram counts, vocab size) + one equi-join of the doc
     // bigrams back to the counts: everything map-side-combinable, no
-    // per-group state. Determinism follows the q_entropy_quality
-    // precedent: raw double ln terms, decimal-exact summation, round(6)
-    // at the end.
+    // per-group state. Determinism: each ln term is rounded to 4 decimals
+    // BEFORE the decimal-exact summation — the engines' ln
+    // implementations differ in final ulps, and a raw term sitting
+    // ulp-adjacent to a 1e-6 decimal-cast boundary flips the sum (seen
+    // once in 5000 docs at sf0.1); the coarser per-term grid makes a
+    // cross-engine flip ~100x rarer while the average keeps 6 digits.
     QDef("q_perplexity_filter",
       (s, d) => {
         val toksT = documents(s, d)
@@ -382,7 +385,8 @@ object Corpus {
           .join(c1, col("w1") === col("w"))
           .crossJoin(broadcast(v))
           .select(col("doc_id"),
-            (lit(0.0) - log((col("c2") + 1.0) / (col("c1") + col("v")))).as("t"))
+            round(lit(0.0) - log((col("c2") + 1.0) / (col("c1") + col("v"))), 4)
+              .as("t"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), davg(col("t")).as("nllr"))
           .select(col("doc_id"), col("n_bigrams"),
@@ -402,7 +406,7 @@ object Corpus {
         c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
         v AS (SELECT count(DISTINCT w) AS v FROM uni),
         terms AS (SELECT doc_id,
-            0.0 - ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS t
+            round(0.0 - ln((c2.c2 + 1.0) / (c1.c1 + v.v)), 4) AS t
           FROM bi JOIN c2 USING (bg) JOIN c1 ON bi.w1 = c1.w CROSS JOIN v)
         SELECT doc_id, count(*) AS n_bigrams,
           round(${sqlDavg("t")}, 6) AS nll,
