@@ -183,7 +183,9 @@ object Corpus {
         val terms = counts
           .withColumn("n", sum(col("c")).over(wDoc))
           .select(col("doc_id"), col("n"),
-            ((col("c") / col("n")) * log(col("c") / col("n"))).as("t"))
+            // per-term round(4) before the decimal sum: same ln-ulp
+            // boundary hardening as q_perplexity_filter
+            round((col("c") / col("n")) * log(col("c") / col("n")), 4).as("t"))
         terms.groupBy(col("doc_id"))
           .agg(min(col("n")).as("n_chars_eff"),
             (lit(0.0) - dsum(col("t"))).as("h"))
@@ -200,8 +202,8 @@ object Corpus {
           FROM chars WHERE ch <> '' GROUP BY 1, 2),
         terms AS (
           SELECT doc_id, sum(c) OVER (PARTITION BY doc_id) AS n,
-            (c / sum(c) OVER (PARTITION BY doc_id)) *
-              ln(c / sum(c) OVER (PARTITION BY doc_id)) AS t
+            round((c / sum(c) OVER (PARTITION BY doc_id)) *
+              ln(c / sum(c) OVER (PARTITION BY doc_id)), 4) AS t
           FROM counts)
         SELECT doc_id, min(n) AS n_chars_eff,
           round(0.0 - ${sqlDsum("t")}, 6) AS entropy,
