@@ -143,9 +143,14 @@ object TextDedup {
 
   def jaccardEdgesShared(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, corpusKey: String, shingleK: Int = 3): DataFrame =
-    sharedEdges.computeIfAbsent((corpusKey, idCol, textCol, shingleK, threshold),
-      _ => jaccardPairs(docs, idCol, textCol, shingleK, threshold)
-        .localCheckpoint(true))
+    // compute (not computeIfAbsent): a cached frame whose checkpoint
+    // blocks belong to a STOPPED session would throw at execution, so a
+    // session mismatch rebuilds against the live one
+    sharedEdges.compute((corpusKey, idCol, textCol, shingleK, threshold),
+      (_, cached) =>
+        if (cached != null && (cached.sparkSession eq docs.sparkSession)) cached
+        else jaccardPairs(docs, idCol, textCol, shingleK, threshold)
+          .localCheckpoint(true))
 
   /** Connected components over an undirected dup-pair edge list —
     * near-dup PAIRS are not actionable until they become CLUSTERS (keep

@@ -102,16 +102,18 @@ object Aggregates {
           dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
           dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
           dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        // the centered moments once, then the closed forms — the slope
+        // expression exists exactly once per engine
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n"))
         .select(col("l_returnflag"), col("n").cast("long").as("n"),
-          round(((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
-          round(((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
-            col("n")), 6).as("intercept"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) *
-            (col("n") * col("sxy") - col("sx") * col("sy")) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")) *
-             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+          round(col("cov_n") / col("varx_n"), 6).as("slope"),
+          round((col("sy") - (col("cov_n") / col("varx_n")) * col("sx")) /
+            col("n"), 6).as("intercept"),
+          round(col("cov_n") * col("cov_n") /
+            (col("varx_n") * col("vary_n")), 6).as("r2"))
         .orderBy(col("l_returnflag")),
       Some {
         val n = "CAST(count(*) AS DOUBLE)"
@@ -119,13 +121,16 @@ object Aggregates {
         val sxx = sqlDsum("l_quantity * l_quantity")
         val syy = sqlDsum("l_extendedprice * l_extendedprice")
         val sxy = sqlDsum("l_quantity * l_extendedprice")
-        s"""SELECT l_returnflag, count(*) AS n,
-          round(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx), 6) AS slope,
-          round(($sy - (($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)) * $sx)
-            / $n, 6) AS intercept,
-          round(($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy) /
-            (($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)), 6) AS r2
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        s"""WITH m AS (SELECT l_returnflag, $n AS n, $sx AS sx, $sy AS sy,
+            $n * $sxy - $sx * $sy AS cov_n,
+            $n * $sxx - $sx * $sx AS varx_n,
+            $n * $syy - $sy * $sy AS vary_n
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+          round(cov_n / varx_n, 6) AS slope,
+          round((sy - (cov_n / varx_n) * sx) / n, 6) AS intercept,
+          round(cov_n * cov_n / (varx_n * vary_n), 6) AS r2
+        FROM m ORDER BY l_returnflag"""
       }),
 
     QDef("q_agg_rollup",

@@ -36,25 +36,7 @@ object Corpus {
           .orderBy(col("doc_id"))
       },
       Some {
-        val edgesCte = """
-        toks AS (SELECT doc_id,
-            list_filter(string_split(text, ' '), t -> t <> '') AS toks
-          FROM documents),
-        shingles AS (SELECT doc_id, unnest(list_distinct(
-            list_transform(range(len(toks) - 2),
-              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
-          FROM toks WHERE len(toks) >= 3),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-        prs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM shingles a JOIN shingles b
-            ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        edges0 AS (
-          SELECT id_a, id_b FROM prs
-          JOIN sizes sa ON id_a = sa.doc_id
-          JOIN sizes sb ON id_b = sb.doc_id
-          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+        val edgesCte = s"""${Llm.dupEdgesCte("0.2")},
         edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
           UNION ALL SELECT id_b, id_a FROM edges0),
         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
@@ -414,6 +396,46 @@ object Corpus {
           round(${sqlDavg("t")}, 6) AS nll,
           CAST(${sqlDavg("t")} <= 6.0 AS BIGINT) AS keep
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Quantile feature binning (the ML discretizer): global quartile
+    // boundaries → per-row bucket assignment → per-(group, bin) profile.
+    // The boundary frame is ONE broadcast row (never a shuffle of the
+    // fact side); binning is a codegen'd CASE chain. Exact percentile is
+    // the demo form (same documented bound as q_agg_percentile); at
+    // 100 TB swap approx_percentile for the boundaries and nothing else
+    // changes. Boundaries round to 4 decimals before comparison: the
+    // engines' interpolation formulas differ in term order ((1−f)·a+f·b
+    // vs a+f·(b−a)), which can split a duplicated data value across the
+    // bin edge by one ulp — on the 1e-4 grid both engines see the
+    // identical boundary, and any row equal to it bins consistently.
+    QDef("q_feature_binning",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val qs = li.agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("q2"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
+        li.crossJoin(broadcast(qs))
+          .select(col("l_returnflag"),  col("l_extendedprice"),
+            when(col("l_extendedprice") < col("q1"), 0)
+              .when(col("l_extendedprice") < col("q2"), 1)
+              .when(col("l_extendedprice") < col("q3"), 2)
+              .otherwise(3).cast("long").as("bin"))
+          .groupBy(col("l_returnflag"), col("bin"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sp"))
+          .orderBy(col("l_returnflag"), col("bin"))
+      },
+      Some(s"""WITH q AS (SELECT
+          round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS q2,
+          round(quantile_cont(l_extendedprice, 0.75), 4) AS q3 FROM lineitem)
+        SELECT l_returnflag,
+          CAST(CASE WHEN l_extendedprice < q1 THEN 0
+            WHEN l_extendedprice < q2 THEN 1
+            WHEN l_extendedprice < q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+          count(*) AS n, ${sqlDsum("l_extendedprice")} AS sp
+        FROM lineitem CROSS JOIN q
+        GROUP BY 1, 2 ORDER BY l_returnflag, bin""")),
 
     // Count-min-sketch point frequencies: the mergeable few-KB structure
     // that answers "how often does key k occur?" when the key space is

@@ -81,6 +81,35 @@ object Llm {
   private val annGateSql: String =
     "SELECT CAST(50 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS floor_ok"
 
+  /** The dup-graph CTE chain shared by every graph-analysis oracle
+    * (triangles, bounded reach, PageRank, and the MinHash exact side) —
+    * ONE definition of the shingle → pair pipeline, so the oracles can't
+    * drift from each other or from the `jaccardEdgesShared` frame the
+    * engine side reads. */
+  private[queries] val dupPairsCte: String = """
+        toks AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        shingles AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM toks WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)"""
+
+  /** [[dupPairsCte]] + the undirected edge set at `threshold`. */
+  private[queries] def dupEdgesCte(threshold: String): String =
+    s"""$dupPairsCte,
+        edges0 AS (
+          SELECT id_a, id_b FROM pairs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold)"""
+
   val all: Seq[QDef] = Seq(
 
     // ---- Deduplication -------------------------------------------------
@@ -334,25 +363,7 @@ object Llm {
         graft.llm.TextDedup.triangles(edges)
           .orderBy(col("a"), col("b"), col("c"))
       },
-      Some("""WITH
-        toks AS (SELECT doc_id,
-            list_filter(string_split(text, ' '), t -> t <> '') AS toks
-          FROM documents),
-        shingles AS (SELECT doc_id, unnest(list_distinct(
-            list_transform(range(len(toks) - 2),
-              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
-          FROM toks WHERE len(toks) >= 3),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM shingles a JOIN shingles b
-            ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        edges0 AS (
-          SELECT id_a, id_b FROM pairs
-          JOIN sizes sa ON id_a = sa.doc_id
-          JOIN sizes sb ON id_b = sb.doc_id
-          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2)
+      Some(s"""WITH ${dupEdgesCte("0.2")}
         SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
         FROM edges0 e1
         JOIN edges0 e2 ON e2.id_a = e1.id_b
@@ -376,25 +387,7 @@ object Llm {
           .select(col("id").as("doc_id"), col("hops"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE
-        toks AS (SELECT doc_id,
-            list_filter(string_split(text, ' '), t -> t <> '') AS toks
-          FROM documents),
-        shingles AS (SELECT doc_id, unnest(list_distinct(
-            list_transform(range(len(toks) - 2),
-              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
-          FROM toks WHERE len(toks) >= 3),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM shingles a JOIN shingles b
-            ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        edges0 AS (
-          SELECT id_a, id_b FROM pairs
-          JOIN sizes sa ON id_a = sa.doc_id
-          JOIN sizes sb ON id_b = sb.doc_id
-          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+      Some(s"""WITH RECURSIVE ${dupEdgesCte("0.2")},
         edges AS (SELECT id_a AS a, id_b AS b FROM edges0
           UNION ALL SELECT id_b, id_a FROM edges0),
         reach(id, hops) AS (
@@ -479,20 +472,7 @@ object Llm {
             coalesce(col("hit"), lit(0L)).as("found"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH
-        toks AS (SELECT doc_id,
-            list_filter(string_split(text, ' '), t -> t <> '') AS toks
-          FROM documents),
-        shingles AS (SELECT doc_id, unnest(list_distinct(
-            list_transform(range(len(toks) - 2),
-              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
-          FROM toks WHERE len(toks) >= 3),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-        pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM shingles a JOIN shingles b
-            ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+      Some(s"""WITH $dupPairsCte
         SELECT id_a, id_b,
           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard,
           CAST(1 AS BIGINT) AS found

@@ -19,8 +19,7 @@ object Physical {
     * declared query legitimately range-shuffles). */
   private def assertNoExchange(df: DataFrame, what: String): DataFrame = {
     val plan = df.queryExecution.executedPlan.toString
-    val shuffles = "Exchange (hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)"
-      .r.findAllIn(plan).size
+    val shuffles = graft.tables.Bucketing.countExchanges(plan)
     if (shuffles > 0)
       throw new IllegalStateException(
         s"$what: expected a shuffle-free plan, found $shuffles exchange(s):\n" +
@@ -40,11 +39,14 @@ object Physical {
     QDef("q_join_bucketed",
       (s, d) => {
         import graft.tables.{Bucketing, LayoutCache}
-        // table names embed the corpus so the pay-once guard never
-        // aliases two scale factors in one session
-        val sfx = Integer.toHexString(d.hashCode)
+        // table names embed the sanitized corpus path so the pay-once
+        // guard never aliases two scale factors; the once-key also pins
+        // the SESSION, because bucketed tables live in the session
+        // catalog (unlike the on-disk layouts below, they do not survive
+        // a session restart in the same JVM)
+        val sfx = LayoutCache.keyOf(d)
         val (tOrders, tItems) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
-        LayoutCache.once(s"bucketed:$d") {
+        LayoutCache.once(s"bucketed:${System.identityHashCode(s)}:$d") {
           Bucketing.writeBucketed(
             orders(s, d).select(col("o_orderkey").as("okey"),
               col("o_totalprice")),
@@ -110,7 +112,7 @@ object Physical {
     // rewrite cost is the point: pay the layout once, prune forever.
     QDef("q_scan_pruned",
       (s, d) => {
-        val dir = s"/tmp/graft_part_events_${Integer.toHexString(d.hashCode)}"
+        val dir = s"/tmp/graft_part_events_${graft.tables.LayoutCache.keyOf(d)}"
         graft.tables.LayoutCache.once(dir) {
           events(s, d)
             .withColumn("event_date", to_date(col("ts")))
@@ -142,7 +144,7 @@ object Physical {
     // driver run. Oracle: the equivalent static predicate.
     QDef("q_scan_dpp",
       (s, d) => {
-        val dir = s"/tmp/graft_dpp_events_${Integer.toHexString(d.hashCode)}"
+        val dir = s"/tmp/graft_dpp_events_${graft.tables.LayoutCache.keyOf(d)}"
         graft.tables.LayoutCache.once(dir) {
           events(s, d)
             .withColumn("event_date", to_date(col("ts")))
@@ -163,8 +165,12 @@ object Physical {
             s"q_scan_dpp: no dynamic pruning subquery in the fact scan:\n${plan.take(4000)}")
         joined
       },
+      // pinned to the dim's literal dates (Jan 1-3 2024), NOT
+      // day-of-month<=3: the dim only spans 2024-01, so a fixture that
+      // grows into February must not silently diverge the oracle
       Some(s"""SELECT event_type, count(*) AS n, ${sqlDsum("value")} AS sv
-        FROM events WHERE day(CAST(ts AS DATE)) <= 3
+        FROM events WHERE CAST(ts AS DATE)
+          BETWEEN DATE '2024-01-01' AND DATE '2024-01-03'
         GROUP BY 1 ORDER BY event_type""")),
 
     // Z-order clustered layout: lineitem rewritten sorted by the Morton
@@ -179,7 +185,7 @@ object Physical {
     QDef("q_zorder_cluster",
       (s, d) => {
         import graft.tables.ZOrder
-        val dir = s"/tmp/graft_zorder_${Integer.toHexString(d.hashCode)}"
+        val dir = s"/tmp/graft_zorder_${graft.tables.LayoutCache.keyOf(d)}"
         val nFiles = 8
         graft.tables.LayoutCache.once(dir) {
           lineitem(s, d)
@@ -189,13 +195,18 @@ object Physical {
             .sortWithinPartitions(col("zval"))
             .write.mode("overwrite").parquet(dir)
         }
-        val boxed = s.read.parquet(dir)
-          .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 10)
-        val touched = boxed.select(input_file_name()).distinct().count()
-        if (touched >= nFiles)
+        // footer-stats audit, NOT a Spark job (the first cut ran an
+        // input_file_name().distinct().count() scan per invocation —
+        // assertion overhead in every bench pass): a stats-aware reader
+        // must touch exactly the files whose row-group min/max admit the
+        // box, and z-clustering must keep that a strict subset
+        val (touched, total) = ZOrder.filesOverlappingBox(
+          s, dir, "l_partkey", 100L, "l_suppkey", 10L)
+        if (touched >= total)
           throw new IllegalStateException(
-            s"q_zorder_cluster: box rows touched all $touched z-range files — no clustering")
-        boxed
+            s"q_zorder_cluster: box stats admit all $touched/$total z-range files — no clustering")
+        s.read.parquet(dir)
+          .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 10)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             sum(col("zval")).as("zsum"),
@@ -216,7 +227,7 @@ object Physical {
     // columnar metadata path worth gating.)
     QDef("q_format_orc_roundtrip",
       (s, d) => {
-        val dir = s"/tmp/graft_orc_${Integer.toHexString(d.hashCode)}"
+        val dir = s"/tmp/graft_orc_${graft.tables.LayoutCache.keyOf(d)}"
         graft.tables.LayoutCache.once(dir) {
           lineitem(s, d)
             .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),

@@ -31,6 +31,14 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Count shuffle Exchanges in a physical-plan string — the ONE place
+    * the recognized partitioning kinds are listed (q_join_bucketed's
+    * in-query assertion and BucketingSpec both call this, so a Spark
+    * upgrade renaming a partitioning cannot desynchronize them). */
+  def countExchanges(plan: String): Int =
+    "Exchange (hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)"
+      .r.findAllIn(plan).size
+
   /** Join two pre-bucketed tables on their bucket key: with matching
     * bucket counts Spark plans a sort-merge join with NO shuffle on
     * either side. Hinted to merge — these are fact-fact joins where

@@ -9,16 +9,23 @@ package graft.tables
   * three times and the claim zero times. This guard runs the write thunk
   * once per (key) per JVM session — the same session-caching posture as
   * `Tables.enableCache` and `TextDedup.jaccardEdgesShared`; correctness
-  * is untouched because the write is deterministic in its inputs (the
-  * key embeds the sf directory, so different corpora never alias).
+  * is untouched because the write is deterministic in its inputs (keys
+  * embed the sanitized sf directory, so different corpora never alias).
+  *
+  * Concurrency: `computeIfAbsent` blocks concurrent callers of the same
+  * key until the first caller's write COMPLETES — a lost `Set.add` race
+  * would instead let the second caller read a half-written layout. A
+  * failed write is removed so a retry re-runs it.
   */
 object LayoutCache {
-  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val done = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 
-  /** Execute `write` the first time `key` is seen this session. */
+  /** Collision-free filesystem/table-name token for a corpus dir (the
+    * 32-bit hashCode the first cut used can alias two dirs). */
+  def keyOf(dir: String): String = dir.replaceAll("\\W+", "_")
+
+  /** Execute `write` the first time `key` is seen this session; block
+    * concurrent same-key callers until it completes. */
   def once(key: String)(write: => Unit): Unit =
-    if (done.add(key)) {
-      try write
-      catch { case t: Throwable => done.remove(key); throw t }
-    }
+    done.computeIfAbsent(key, _ => write)
 }

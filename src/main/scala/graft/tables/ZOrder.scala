@@ -41,6 +41,46 @@ object ZOrder {
         s"(((CAST($b AS BIGINT) >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " + ", ")")
 
+  /** Driver-side data-skipping audit: of the parquet files under `dir`,
+    * how many contain a row group whose [min,max] statistics on BOTH
+    * `colA` and `colB` admit the box `colA ≤ hiA ∧ colB ≤ hiB`? This is
+    * the exact file set a stats-aware reader must touch for the box —
+    * measured from footer metadata alone (the `Tables.rowCount` pattern:
+    * a driver-side footer read, NO Spark job). Returns
+    * (filesOverlapping, filesTotal). */
+  def filesOverlappingBox(spark: org.apache.spark.sql.SparkSession,
+      dir: String, colA: String, hiA: Long, colB: String, hiB: Long): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
+    val files = fs.listStatus(path).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    var overlapping = 0
+    files.foreach { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val hits = reader.getFooter.getBlocks.asScala.exists { block =>
+          def minOf(c: String): Option[Long] =
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .flatMap(cc => Option(cc.getStatistics))
+              .collect { case s: org.apache.parquet.column.statistics.LongStatistics
+                if !s.isEmpty => s.genericGetMin.longValue() }
+          (minOf(colA), minOf(colB)) match {
+            case (Some(ma), Some(mb)) => ma <= hiA && mb <= hiB
+            case _ => true // missing stats: a reader must scan it
+          }
+        }
+        if (hits) overlapping += 1
+      } finally reader.close()
+    }
+    (overlapping, files.length)
+  }
+
   /** Reference interleave for tests. */
   def zvalueRef(a: Long, b: Long, bits: Int): Long = {
     var z = 0L

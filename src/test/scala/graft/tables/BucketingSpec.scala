@@ -11,9 +11,7 @@ class BucketingSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def shuffles(plan: String): Int =
-    "Exchange (hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)"
-      .r.findAllIn(plan).size
+  private def shuffles(plan: String): Int = Bucketing.countExchanges(plan)
 
   test("bucketed join + same-key aggregation: zero Exchange, merge join") {
     spark.sharedState.cacheManager.clearCache()
