@@ -397,13 +397,15 @@ object Corpus {
           CAST(${sqlDavg("t")} <= 6.0 AS BIGINT) AS keep
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
-    // Quantile feature binning (the ML discretizer): global quartile
-    // boundaries → per-row bucket assignment → per-(group, bin) profile.
-    // The boundary frame is ONE broadcast row (never a shuffle of the
-    // fact side); binning is a codegen'd CASE chain. Exact percentile is
-    // the demo form (same documented bound as q_agg_percentile); at
-    // 100 TB swap approx_percentile for the boundaries and nothing else
-    // changes. Boundaries round to 4 decimals before comparison: the
+    // Quantile feature binning (the ML discretizer): quartile boundaries
+    // estimated from a DETERMINISTIC 5% hash sample (the standard
+    // sample-quantile scheme — exact percentile over the full fact table
+    // would buffer every value per group, the very bound TUNING.md
+    // documents; the sample keeps the state at 5% for identical bin
+    // edges both engines replay), then per-row bucket assignment over
+    // the FULL table → per-(group, bin) profile. The boundary frame is
+    // ONE broadcast row (never a shuffle of the fact side); binning is a
+    // codegen'd CASE chain. Boundaries round to 4 decimals: the
     // engines' interpolation formulas differ in term order ((1−f)·a+f·b
     // vs a+f·(b−a)), which can split a duplicated data value across the
     // bin edge by one ulp — on the 1e-4 grid both engines see the
@@ -411,7 +413,7 @@ object Corpus {
     QDef("q_feature_binning",
       (s, d) => {
         val li = lineitem(s, d)
-        val qs = li.agg(
+        val qs = li.filter(pmod(col("l_orderkey"), lit(100)) < 5).agg(
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("q2"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"))
@@ -428,7 +430,8 @@ object Corpus {
       Some(s"""WITH q AS (SELECT
           round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
           round(quantile_cont(l_extendedprice, 0.5), 4) AS q2,
-          round(quantile_cont(l_extendedprice, 0.75), 4) AS q3 FROM lineitem)
+          round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+          FROM lineitem WHERE l_orderkey % 100 < 5)
         SELECT l_returnflag,
           CAST(CASE WHEN l_extendedprice < q1 THEN 0
             WHEN l_extendedprice < q2 THEN 1
