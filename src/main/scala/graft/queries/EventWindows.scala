@@ -119,6 +119,68 @@ object EventWindows {
         FROM z GROUP BY user_id, sess_no
         ORDER BY user_id, sess_no""")),
 
+    // Ordered funnel analysis: how far does each user progress through
+    // view → click → purchase, where each stage must STRICTLY follow the
+    // previous one in event time (first occurrence per stage)? One
+    // hash-agg collapses each user to three first-touch timestamps
+    // (map-side combinable conditional mins — never a per-user event
+    // sort), then a codegen'd CASE ladder assigns the stage and a second
+    // tiny agg counts the funnel. The product-analytics staple.
+    QDef("q_funnel_stages",
+      (s, d) => {
+        val m = events(s, d).groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        m.select(
+            when(col("tv").isNull, 0)
+              .when(col("tc").isNull || col("tc") <= col("tv"), 1)
+              .when(col("tp").isNull || col("tp") <= col("tc"), 2)
+              .otherwise(3).cast("long").as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH m AS (SELECT user_id,
+            min(ts) FILTER (WHERE event_type = 'view') AS tv,
+            min(ts) FILTER (WHERE event_type = 'click') AS tc,
+            min(ts) FILTER (WHERE event_type = 'purchase') AS tp
+          FROM events GROUP BY user_id)
+        SELECT CAST(CASE WHEN tv IS NULL THEN 0
+            WHEN tc IS NULL OR tc <= tv THEN 1
+            WHEN tp IS NULL OR tp <= tc THEN 2
+            ELSE 3 END AS BIGINT) AS stage,
+          count(*) AS n_users
+        FROM m GROUP BY 1 ORDER BY stage""")),
+
+    // Cohort retention matrix: users bucketed by first-seen week
+    // (cohort) × weeks-since-first-seen (offset) → distinct active
+    // users. Two hash-aggs (first-touch per user, then the matrix) and
+    // one broadcastable join of the per-user cohort back onto events —
+    // the other product-analytics staple, and the shape that stays two
+    // shuffles at any corpus size.
+    QDef("q_retention_cohorts",
+      (s, d) => {
+        val e = events(s, d).select(col("user_id"), to_date(col("ts")).as("dt"))
+        val first = e.groupBy(col("user_id")).agg(min(col("dt")).as("d0"))
+        e.join(broadcast(first), "user_id")
+          .select(
+            floor(datediff(col("d0"), lit("2024-01-01").cast("date")) / 7)
+              .as("cohort_wk"),
+            floor(datediff(col("dt"), col("d0")) / 7).as("offset_wk"),
+            col("user_id"))
+          .groupBy(col("cohort_wk"), col("offset_wk"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_wk"), col("offset_wk"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        first AS (SELECT user_id, min(dt) AS d0 FROM e GROUP BY user_id)
+        SELECT CAST(floor(date_diff('day', DATE '2024-01-01', d0) / 7.0)
+            AS BIGINT) AS cohort_wk,
+          CAST(floor(date_diff('day', d0, dt) / 7.0) AS BIGINT) AS offset_wk,
+          count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN first USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""")),
+
     QDef("q_events_dedup",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))
