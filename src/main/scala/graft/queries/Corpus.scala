@@ -108,8 +108,14 @@ object Corpus {
     // change the language mix" check run before any training job.
     // Laplace +1 smoothing keeps KL finite when a language misses one
     // split; every probability is a single division of exact integers, so
-    // the only transcendental is ln on identical doubles (the same
-    // cross-engine contract q_token_df_idf already proves out).
+    // the only transcendental is ln, whose libm results may differ by a
+    // few ulps between engines. Each ln term is rounded to 4 decimals
+    // BEFORE the multiply (the q_perplexity_filter hardening), so the
+    // product runs on bit-identical doubles in both engines; a flip now
+    // needs the true ln to sit within ~ulp (1e-16 rel) of a 5e-5 grid
+    // midpoint across only 2·|langs| terms — vs the r6 form that rounded
+    // the raw product at 1e-6. Mechanism + residual-risk bound recorded
+    // in TUNING.md §determinism.
     QDef("q_split_drift",
       (s, d) => {
         val counts = documents(s, d)
@@ -127,8 +133,10 @@ object Corpus {
         probs.select(col("lang"), col("c_tr"), col("c_te"),
             round(col("p_tr"), 6).as("p_tr"),
             round(col("p_te"), 6).as("p_te"),
-            round(col("p_tr") * log(col("p_tr") / col("p_te")), 6).as("kl_tr_te"),
-            round(col("p_te") * log(col("p_te") / col("p_tr")), 6).as("kl_te_tr"))
+            round(col("p_tr") * round(log(col("p_tr") / col("p_te")), 4), 6)
+              .as("kl_tr_te"),
+            round(col("p_te") * round(log(col("p_te") / col("p_tr")), 4), 6)
+              .as("kl_te_tr"))
           .orderBy(col("lang"))
       },
       Some("""WITH counts AS (
@@ -143,18 +151,31 @@ object Corpus {
           FROM counts)
         SELECT lang, c_tr, c_te,
           round(p_tr, 6) AS p_tr, round(p_te, 6) AS p_te,
-          round(p_tr * ln(p_tr / p_te), 6) AS kl_tr_te,
-          round(p_te * ln(p_te / p_tr), 6) AS kl_te_tr
+          round(p_tr * round(ln(p_tr / p_te), 4), 6) AS kl_tr_te,
+          round(p_te * round(ln(p_te / p_tr), 4), 6) AS kl_te_tr
         FROM probs ORDER BY lang""")),
 
-    // Character-entropy quality filter: low-entropy text is repeated
+    // Character-diversity quality filter: low-diversity text is repeated
     // boilerplate / encoding junk, one of the standard pre-training
     // quality gates. Char histogram per doc via explode + hash-agg (the
     // wordcount shape: map-side combine bounds the shuffle at
-    // |alphabet|·docs, not chars); the per-doc entropy sum runs over the
-    // tiny (doc, char)-counts table with doc_id as the partition key —
-    // high-cardinality, never a global window — and is decimal-exact so
-    // term order can't perturb it.
+    // |alphabet|·docs, not chars).
+    // Determinism (structural — the r6 form hash-failed): the
+    // hash-compared columns are now either exact integers or a single
+    // IEEE division of exact integers, never a transcendental.
+    //  - `simpson` = Gini–Simpson diversity 1 − Σc²/n² = (n²−Σc²)/n²: an
+    //    exact rational; one correctly-rounded IEEE division of integer
+    //    sums < 2^53 gives the identical double in both engines.
+    //  - `pass` gates on the PURE-INTEGER inequality 5·(n²−Σc²) ≥ 4·n²
+    //    (Simpson ≥ 0.8; normal text ≈0.93, junk ≈0) AND n ≥ 100 —
+    //    bigint arithmetic, no float anywhere.
+    //  - The Shannon sum (per-term round(4) + decimal sum) is still
+    //    computed by BOTH engines but leaves the output only as
+    //    `h_in_band`, the invariant 0−0.5 ≤ H ≤ ln(k)+0.5 (the
+    //    q_sketch_cms flag pattern). Rounding error is bounded by
+    //    5e-5·k ≤ 5e-3 for k ≤ |alphabet| ≈ 100 chars, so each engine's
+    //    H sits ≥ 0.49 from the band edge — a flip is arithmetically
+    //    impossible, not merely rare.
     QDef("q_entropy_quality",
       (s, d) => {
         val chars = documents(s, d).select(col("doc_id"),
@@ -164,17 +185,24 @@ object Corpus {
         val wDoc = Window.partitionBy(col("doc_id"))
         val terms = counts
           .withColumn("n", sum(col("c")).over(wDoc))
-          .select(col("doc_id"), col("n"),
+          .select(col("doc_id"), col("n"), col("c"),
             // per-term round(4) before the decimal sum: same ln-ulp
             // boundary hardening as q_perplexity_filter
             round((col("c") / col("n")) * log(col("c") / col("n")), 4).as("t"))
+        val n2 = col("n_chars_eff") * col("n_chars_eff")
         terms.groupBy(col("doc_id"))
           .agg(min(col("n")).as("n_chars_eff"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") * col("c")).as("sumc2"),
             (lit(0.0) - dsum(col("t"))).as("h"))
-          .select(col("doc_id"), col("n_chars_eff"),
-            round(col("h"), 6).as("entropy"),
-            (col("h") >= 2.0 && col("n_chars_eff") >= 100).cast("long")
-              .as("pass"))
+          .select(col("doc_id"), col("n_chars_eff"), col("n_distinct"),
+            round((n2 - col("sumc2")).cast("double") / n2.cast("double"), 6)
+              .as("simpson"),
+            (col("h") >= -0.5 &&
+              col("h") <= log(col("n_distinct").cast("double")) + 0.5)
+              .cast("long").as("h_in_band"),
+            ((n2 - col("sumc2")) * 5 >= n2 * 4 && col("n_chars_eff") >= 100)
+              .cast("long").as("pass"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH chars AS (
@@ -183,15 +211,23 @@ object Corpus {
         counts AS (SELECT doc_id, ch, count(*) AS c
           FROM chars WHERE ch <> '' GROUP BY 1, 2),
         terms AS (
-          SELECT doc_id, sum(c) OVER (PARTITION BY doc_id) AS n,
+          SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n,
             round((c / sum(c) OVER (PARTITION BY doc_id)) *
               ln(c / sum(c) OVER (PARTITION BY doc_id)), 4) AS t
-          FROM counts)
-        SELECT doc_id, min(n) AS n_chars_eff,
-          round(0.0 - ${sqlDsum("t")}, 6) AS entropy,
-          CAST(0.0 - ${sqlDsum("t")} >= 2.0 AND min(n) >= 100 AS BIGINT)
+          FROM counts),
+        agg AS (
+          SELECT doc_id, min(n) AS n_chars_eff, count(*) AS n_distinct,
+            sum(c * c) AS sumc2, 0.0 - ${sqlDsum("t")} AS h
+          FROM terms GROUP BY doc_id)
+        SELECT doc_id, n_chars_eff, n_distinct,
+          round(CAST(n_chars_eff * n_chars_eff - sumc2 AS DOUBLE) /
+            CAST(n_chars_eff * n_chars_eff AS DOUBLE), 6) AS simpson,
+          CAST(h >= -0.5 AND
+            h <= ln(CAST(n_distinct AS DOUBLE)) + 0.5 AS BIGINT) AS h_in_band,
+          CAST((n_chars_eff * n_chars_eff - sumc2) * 5 >=
+            n_chars_eff * n_chars_eff * 4 AND n_chars_eff >= 100 AS BIGINT)
             AS pass
-        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+        FROM agg ORDER BY doc_id""")),
 
     // Robust per-group outlier detection: median + MAD (the
     // scaled-to-sigma 1.4826 form) flags price outliers per order
@@ -200,14 +236,22 @@ object Corpus {
     // (unbounded per-group state, same bound TUNING.md documents for
     // percentile); at 100 TB swap both medians for approx_percentile and
     // keep the identical downstream arithmetic.
+    // Determinism: Spark's `percentile` and DuckDB's `median` interpolate
+    // the even-count midpoint with different term order (lower +
+    // 0.5*(hi-lo) vs (lo+hi)/2), a 1-ulp difference that flipped the r6
+    // outlier count. Both medians are therefore rounded to 4 decimals AT
+    // THE SOURCE (the q_feature_binning precedent, Corpus binning
+    // boundaries) so the 4.4478·mad comparison and the output columns run
+    // on bit-identical doubles in both engines; cent-valued inputs put
+    // interpolated midpoints ON the 1e-4 grid, never at its midpoints.
     QDef("q_outlier_mad",
       (s, d) => {
         val o = orders(s, d).select(col("o_orderpriority"), col("o_totalprice"))
         val med = o.groupBy(col("o_orderpriority"))
-          .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+          .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"))
         val withMed = o.join(broadcast(med), Seq("o_orderpriority"))
         val mad = withMed.groupBy(col("o_orderpriority"))
-          .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"))
+          .agg(round(expr("percentile(abs(o_totalprice - med), 0.5)"), 4).as("mad"))
         withMed.join(broadcast(mad), Seq("o_orderpriority"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
@@ -218,11 +262,12 @@ object Corpus {
           .orderBy(col("o_orderpriority"))
       },
       Some("""WITH med AS (
-          SELECT o_orderpriority, median(o_totalprice) AS med
+          SELECT o_orderpriority, round(median(o_totalprice), 4) AS med
           FROM orders GROUP BY 1),
         j AS (SELECT o.o_orderpriority, o_totalprice, med
           FROM orders o JOIN med USING (o_orderpriority)),
-        mad AS (SELECT o_orderpriority, median(abs(o_totalprice - med)) AS mad
+        mad AS (SELECT o_orderpriority,
+            round(median(abs(o_totalprice - med)), 4) AS mad
           FROM j GROUP BY 1)
         SELECT j.o_orderpriority, count(*) AS n,
           round(min(j.med), 6) AS med, round(min(mad.mad), 6) AS mad,

@@ -154,15 +154,18 @@ object EventWindows {
 
     // Cohort retention matrix: users bucketed by first-seen week
     // (cohort) × weeks-since-first-seen (offset) → distinct active
-    // users. Two hash-aggs (first-touch per user, then the matrix) and
-    // one broadcastable join of the per-user cohort back onto events —
-    // the other product-analytics staple, and the shape that stays two
-    // shuffles at any corpus size.
+    // users. Two hash-aggs (first-touch per user, then the matrix) plus
+    // the per-user first-touch equi-join back onto events — the other
+    // product-analytics staple. The first-touch frame has |users|
+    // cardinality, so it carries NO broadcast hint: at 100 TB it must be
+    // a shuffle join on user_id (co-partitioned with the groupBy that
+    // produced it, so the exchange is reused); AQE still broadcasts it
+    // at small SFs where it fits.
     QDef("q_retention_cohorts",
       (s, d) => {
         val e = events(s, d).select(col("user_id"), to_date(col("ts")).as("dt"))
         val first = e.groupBy(col("user_id")).agg(min(col("dt")).as("d0"))
-        e.join(broadcast(first), "user_id")
+        e.join(first, "user_id")
           .select(
             floor(datediff(col("d0"), lit("2024-01-01").cast("date")) / 7)
               .as("cohort_wk"),

@@ -9,9 +9,13 @@ import graft.tables.Tables._
 /** Declared queries exposing the reference-fidelity sink pipeline as
   * observable DataFrames: greedy size-bounded packing stats and a full
   * pack→wire→decode round trip. Greedy packing is order- and
-  * size-dependent emission — inexpressible as a SQL aggregate, hence
-  * `mapPartitions` (SURVEY §7.2) and rows-only driver checks; the exact
-  * invariants are ScalaCheck-tested in KinesisSpec.
+  * size-dependent emission — per-batch grain is inexpressible as a SQL
+  * aggregate, so each query collapses to invariant columns the DuckDB
+  * oracle CAN pin (the q_sketch_cms flag pattern): exact input counts the
+  * oracle recomputes from the source table, plus flags (every batch
+  * ≤ 1,048,576 B per the KPL limit, byte-level round-trip equality,
+  * counts conservation) that are pinned to 1 by construction. The full
+  * per-batch invariants remain ScalaCheck-tested in the kinesis suites.
   */
 object KinesisQueries {
 
@@ -27,9 +31,13 @@ object KinesisQueries {
 
     // Pack lineitem rows (CSV-serialized payloads) into KPL aggregates,
     // 8 hash buckets — each bucket packed independently inside
-    // mapPartitions, the exact shape of the distributed sink. Output is
-    // one row per emitted aggregate with its wire-size bookkeeping and a
-    // decode round-trip flag.
+    // mapPartitions, the exact shape of the distributed sink. The
+    // per-batch stats frame is then collapsed to the invariants the
+    // oracle pins: total packed user records == count(lineitem) (counts
+    // conservation across greedy packing, KinesisWriter.scala:184-194
+    // semantics), every batch within the 1 MiB KPL record cap
+    // (AggRecord.java:33), every batch non-empty, and every aggregate
+    // surviving a wire encode→decode byte-level round trip.
     QDef("q_kinesis_pack_stats",
       (s, d) => {
         val ehks = ShardModel.evenRanges(4).map { case (lo, hi) =>
@@ -59,14 +67,27 @@ object KinesisQueries {
                   .forall { case (x, y) => java.util.Arrays.equals(x.data, y.data) })
           }
         }
-        s.createDataFrame(rdd, statsSchema).orderBy(col("bucket"), col("batch_seq"))
+        s.createDataFrame(rdd, statsSchema)
+          .agg(
+            sum(col("num_records")).cast("long").as("n_user_records"),
+            min((col("size_bytes") <= AggRecordCodec.MaxBytesPerRecord)
+              .cast("long")).as("all_within_limit"),
+            min(col("decode_ok").cast("long")).as("all_decode_ok"),
+            min((col("num_records") >= 1).cast("long")).as("all_nonempty"))
       },
-      None),
+      Some("""SELECT count(*) AS n_user_records,
+          CAST(1 AS BIGINT) AS all_within_limit,
+          CAST(1 AS BIGINT) AS all_decode_ok,
+          CAST(1 AS BIGINT) AS all_nonempty
+        FROM lineitem""")),
 
     // Pack payloads to KPL wire files, read them back through the DSv2
-    // source (graft.kinesis.kpl), aggregate per source file — exercises
-    // the full wire round trip as a declared query (rows-only; byte-level
-    // checks in KplFormatSpec).
+    // source (graft.kinesis.kpl), collapse to oracle-pinnable invariants:
+    // record count conserved (== count(orders)), one wire file per input
+    // partition, EHKs drawn from the 4 configured shard midpoints, and
+    // total payload bytes identical on both sides of the wire (the
+    // byte-equality flag is computed in-plan via a broadcast 1-row join
+    // of the input-side byte sum — no driver-side collect).
     QDef("q_kpl_archive_roundtrip",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("kpl_q").toString
@@ -78,20 +99,33 @@ object KinesisQueries {
             col("o_totalprice")).cast("binary").as("payload"))
           .repartition(4)
         graft.kinesis.kpl.KplFileFormat.writeWireFiles(payloads, "payload", dir, ehks)
+        val inBytes = payloads
+          .agg(sum(length(col("payload"))).as("in_bytes"))
         s.read.format(graft.kinesis.kpl.KplFileFormat.Name).load(dir)
-          .groupBy(col("source_file"))
-          .agg(count(lit(1)).as("n_records"),
+          .agg(count(lit(1)).cast("long").as("n_records"),
+            countDistinct(col("source_file")).cast("long").as("n_files"),
             countDistinct(col("explicit_hash_key")).as("n_ehks"),
-            sum(length(col("data"))).as("payload_bytes"))
-          .select(element_at(split(col("source_file"), "/"), -1).as("file"),
-            col("n_records"), col("n_ehks"), col("payload_bytes"))
-          .orderBy(col("file"))
+            sum(length(col("data"))).as("out_bytes"))
+          .crossJoin(broadcast(inBytes))
+          .select(col("n_records"), col("n_files"),
+            (col("n_ehks") >= 1 && col("n_ehks") <= 4).cast("long")
+              .as("ehks_in_shard_set"),
+            (col("out_bytes") === col("in_bytes")).cast("long")
+              .as("bytes_roundtrip_ok"))
       },
-      None),
+      Some("""SELECT count(*) AS n_records,
+          CAST(4 AS BIGINT) AS n_files,
+          CAST(1 AS BIGINT) AS ehks_in_shard_set,
+          CAST(1 AS BIGINT) AS bytes_roundtrip_ok
+        FROM orders""")),
 
     // End-to-end sink run against the in-memory transport (4 shards, a
-    // failure injected every 5th call to exercise rebuild-retry): one
-    // summary row. Smoke-checked by the driver, asserted in KinesisSpec.
+    // failure injected every 5th call to exercise rebuild-retry),
+    // collapsed to the at-least-once contract the oracle pins: every
+    // input record written exactly once by count (== count(orders) —
+    // whole-call failures never store, so the rebuild-retry path keeps
+    // received == written), all 4 shards hit, and the decoded user-record
+    // count on the receiving side conserving the written count.
     QDef("q_kinesis_sink_roundtrip",
       (s, d) => {
         val kinesis = new InMemoryKinesis(numShards = 4, failEvery = 5)
@@ -102,12 +136,20 @@ object KinesisQueries {
           .repartition(4)
         val written = KinesisSinkSemantics.write(payloads, "payload", kinesis, kinesis, cfg)
         import scala.jdk.CollectionConverters._
-        val perShard = kinesis.received.asScala.map { case (k, v) => k -> v.size }.toSeq.sorted
+        val perShard = kinesis.received.asScala.map { case (_, aggs) =>
+          aggs.asScala.map(AggRecordCodec.decode(_).numUserRecords.toLong).sum
+        }.toSeq
         import s.implicits._
-        perShard.toDF("shard_id", "n_aggregates")
-          .withColumn("user_records_written", lit(written))
-          .orderBy(col("shard_id"))
+        Seq((written, perShard.size.toLong, perShard.sum))
+          .toDF("written", "n_shards", "received")
+          .select(col("written").as("user_records_written"),
+            (col("n_shards") === 4).cast("long").as("all_shards_hit"),
+            (col("received") === col("written")).cast("long")
+              .as("received_eq_written"))
       },
-      None)
+      Some("""SELECT count(*) AS user_records_written,
+          CAST(1 AS BIGINT) AS all_shards_hit,
+          CAST(1 AS BIGINT) AS received_eq_written
+        FROM orders"""))
   )
 }
