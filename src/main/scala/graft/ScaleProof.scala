@@ -70,6 +70,11 @@ object ScaleProof {
     // becomes a `copies`-sized dup group, the adversarial input for the
     // clustering operator (all nodes carry edges; no singleton shortcut)
     replicate("documents", Seq("doc_id"))
+    // events replicate under fresh user/event ids: user count scales by
+    // `copies` while per-user history stays fixed — the funnel/retention
+    // shapes must stay two hash-aggs + one user_id equi-join, with state
+    // bounded by |users| per partition, not corpus size
+    replicate("events", Seq("event_id", "user_id"))
     spark.read.parquet(s"$base/customer.parquet").write.mode("overwrite")
       .parquet(s"$dir/customer.parquet")
     println(f"[scale] synthesized ${copies}x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -91,7 +96,13 @@ object ScaleProof {
       // adversarial case), bloom pruning must hold its pre-shuffle cut at
       // 10x, and the z-order rewrite is the full-table layout cost.
       "q_dup_triangles", "q_dup_reach_k", "q_dup_pagerank",
-      "q_join_bloom_pruned", "q_zorder_cluster")
+      "q_join_bloom_pruned", "q_zorder_cluster",
+      // round-7 additions: the funnel/retention pair fan the user count
+      // 10x (fresh ids per copy), binning re-derives sample quantiles
+      // over 6M rows, and the CMS build is one wordcount-shaped agg over
+      // a 10x key space
+      "q_funnel_stages", "q_retention_cohorts", "q_feature_binning",
+      "q_sketch_cms")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -83,11 +83,13 @@ object KinesisQueries {
 
     // Pack payloads to KPL wire files, read them back through the DSv2
     // source (graft.kinesis.kpl), collapse to oracle-pinnable invariants:
-    // record count conserved (== count(orders)), one wire file per input
-    // partition, EHKs drawn from the 4 configured shard midpoints, and
-    // total payload bytes identical on both sides of the wire (the
-    // byte-equality flag is computed in-plan via a broadcast 1-row join
-    // of the input-side byte sum — no driver-side collect).
+    // record count conserved (== count(orders)), at least one wire file
+    // per input partition (file count is one per AGGREGATE, so it grows
+    // with SF — a pinned constant would be corpus-dependent, the r7 sf0.1
+    // sweep caught exactly that), EHKs drawn from the 4 configured shard
+    // midpoints, and total payload bytes identical on both sides of the
+    // wire (the byte-equality flag is computed in-plan via a broadcast
+    // 1-row join of the input-side byte sum — no driver-side collect).
     QDef("q_kpl_archive_roundtrip",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("kpl_q").toString
@@ -107,14 +109,15 @@ object KinesisQueries {
             countDistinct(col("explicit_hash_key")).as("n_ehks"),
             sum(length(col("data"))).as("out_bytes"))
           .crossJoin(broadcast(inBytes))
-          .select(col("n_records"), col("n_files"),
+          .select(col("n_records"),
+            (col("n_files") >= 4).cast("long").as("files_cover_partitions"),
             (col("n_ehks") >= 1 && col("n_ehks") <= 4).cast("long")
               .as("ehks_in_shard_set"),
             (col("out_bytes") === col("in_bytes")).cast("long")
               .as("bytes_roundtrip_ok"))
       },
       Some("""SELECT count(*) AS n_records,
-          CAST(4 AS BIGINT) AS n_files,
+          CAST(1 AS BIGINT) AS files_cover_partitions,
           CAST(1 AS BIGINT) AS ehks_in_shard_set,
           CAST(1 AS BIGINT) AS bytes_roundtrip_ok
         FROM orders""")),
