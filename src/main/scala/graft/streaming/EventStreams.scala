@@ -293,6 +293,98 @@ object EventStreams {
         TimeMode.ProcessingTime(), OutputMode.Update)
   }
 
+  // ---- Streaming twins of the product-analytics pair (q_funnel_stages /
+  // q_retention_cohorts): per-user first-touch state is 3 timestamps /
+  // 1 date — O(|users|) state total, the same bound as the batch
+  // hash-agg, partitioned by the shuffle on user_id.
+
+  final case class FunnelTouch(tv: Long, tc: Long, tp: Long)
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Streaming funnel: tracks each user's first view/click/purchase
+    * timestamps in ValueState and emits the user's current funnel stage
+    * (same STRICT ordering CASE as the batch query — each stage must
+    * follow the previous one in event time) whenever a batch contains
+    * that user's events. Update-mode semantics: the latest emit per user
+    * is the answer; the stage-count matrix is one tiny downstream agg. */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, FunnelStage] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    private val Unset = Long.MaxValue
+    @transient private var touch: org.apache.spark.sql.streaming.ValueState[FunnelTouch] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[FunnelTouch]("touch",
+        org.apache.spark.sql.Encoders.product[FunnelTouch], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelStage] = {
+      val prev = Option(touch.get()).getOrElse(FunnelTouch(Unset, Unset, Unset))
+      var tv = prev.tv; var tc = prev.tc; var tp = prev.tp
+      rows.foreach { r =>
+        val t = r.ts.getTime
+        r.event_type match {
+          case "view" => tv = math.min(tv, t)
+          case "click" => tc = math.min(tc, t)
+          case "purchase" => tp = math.min(tp, t)
+          case _ => ()
+        }
+      }
+      touch.update(FunnelTouch(tv, tc, tp))
+      val stage =
+        if (tv == Unset) 0
+        else if (tc == Unset || tc <= tv) 1
+        else if (tp == Unset || tp <= tc) 2
+        else 3
+      Iterator.single(FunnelStage(key, stage))
+    }
+  }
+
+  def funnelStages(events: Dataset[EventRow]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update)
+  }
+
+  final case class CohortCell(user_id: Long, cohort_wk: Long, offset_wk: Long)
+
+  /** Streaming retention enrichment: maintains each user's first-seen
+    * date in ValueState and emits one (user, cohort-week, offset-week)
+    * cell per input event; the distinct-user matrix is a downstream agg
+    * over the emitted cells. First-touch is exact when events arrive
+    * within watermark order per user (an event EARLIER than the user's
+    * current first-seen date re-bases d0 and re-emits its own cell, but
+    * cells already emitted against the old base are not retracted — the
+    * same horizon contract as every watermark-governed operator here). */
+  class RetentionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, CohortCell] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    private val Epoch = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    @transient private var first: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[Long]("first_day",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CohortCell] = {
+      val batch = rows.toSeq
+      val days = batch.map(r =>
+        r.ts.toLocalDateTime.toLocalDate.toEpochDay)
+      var d0 = if (first.exists()) first.get() else Long.MaxValue
+      d0 = math.min(d0, days.min)
+      first.update(d0)
+      days.map { d =>
+        CohortCell(key,
+          math.floorDiv(d0 - Epoch, 7L), math.floorDiv(d - d0, 7L))
+      }.distinct.iterator
+    }
+  }
+
+  def retentionCells(events: Dataset[EventRow]): Dataset[CohortCell] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor, TimeMode.None(), OutputMode.Update)
+  }
+
   /** Event-time twin of [[SessionTimerProcessor]]: the timer is armed at
     * (max event ts in batch) + gap and fires when the WATERMARK passes it
     * — sessions close deterministically from the data's own clock, immune

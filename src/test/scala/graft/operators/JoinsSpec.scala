@@ -98,6 +98,52 @@ class JoinsSpec extends AnyFunSuite {
     assert(!sp.contains("BroadcastHashJoin"), sp.take(600))
   }
 
+  test("AQE skew join splits the hot partition natively (salted join's built-in twin)") {
+    // the manual salted join (q_join_skew_salted) exists because a hot
+    // key melts one reducer; Spark's OptimizeSkewedJoin does the same
+    // split at runtime from shuffle statistics. Demonstrate it natively:
+    // thresholds lowered to test scale, broadcast disabled so the join
+    // must shuffle, and the final adaptive plan must carry a skew=true
+    // sort-merge join while returning exactly the plain-join rows.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 100
+      // half the rows land on key 1 → one reducer gets ~100× the median
+      val left = (0 until 20000).map(i =>
+        (if (i % 2 == 0) 1L else i.toLong % 97, pad + i)).toDF("k", "v")
+      val right = (0L until 97L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, "k").select(col("v"), col("name"))
+      // collect through THIS Dataset so its own QueryExecution runs —
+      // .as[...] would plan (and adaptively finalize) a separate one
+      val rows = joined.collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(800)}")
+      assert(plan.contains("isFinalPlan=true"), plan.take(200))
+      val salted = Joins.saltedEquiJoin(left, right.hint("shuffle_hash"), "k", salt = 8)
+        .select(col("v"), col("name")).as[(String, String)].collect().sorted.toSeq
+      assert(rows == salted, "AQE skew join and salted join disagree")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero Exchange") {
     import graft.tables.{Bucketing, Tables}
     val l = Tables.lineitem(spark, TestSpark.sf0001)

@@ -394,6 +394,99 @@ class StreamingSpec extends AnyFunSuite {
       s"unmatched purchase not emitted null-padded after watermark: $got")
   }
 
+  test("streaming funnel twin matches the batch stage assignment") {
+    import spark.implicits._
+    // user 1 completes the funnel across two batches; user 2's click
+    // precedes its view (strict ordering → stage 1); user 3 has no view
+    // (stage 0); user 4 stops after click (stage 2)
+    val batch1 = Seq(
+      row(1, ts(1, 1), user = 1, typ = "view"),
+      row(2, ts(1, 2), user = 1, typ = "click"),
+      row(3, ts(1, 2), user = 2, typ = "click"),
+      row(4, ts(1, 3), user = 2, typ = "view"),
+      row(5, ts(1, 1), user = 3, typ = "purchase"),
+      row(6, ts(1, 1), user = 4, typ = "view"))
+    val batch2 = Seq(
+      row(7, ts(1, 4), user = 1, typ = "purchase"),
+      row(8, ts(1, 5), user = 4, typ = "click"))
+    val all = batch1 ++ batch2
+    withRocksDb() {
+      val mem = MemoryStream[EventRow](spark)
+      val q = EventStreams.funnelStages(mem.toDS()).toDF()
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_funnel")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("funnel_chk").toString)
+        .start()
+      try {
+        mem.addData(batch1: _*); q.processAllAvailable()
+        mem.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // chronological feed → stage is nondecreasing per user; the final
+    // stage is max over emits
+    val streamed = spark.table("t_funnel").groupBy(col("user_id"))
+      .agg(max(col("stage")).cast("long").as("stage"))
+    // the batch query's exact expressions over the same rows
+    val batchTwin = all.toDF()
+      .groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(when(col("event_type") === "click", col("ts"))).as("tc"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .select(col("user_id"),
+        when(col("tv").isNull, 0)
+          .when(col("tc").isNull || col("tc") <= col("tv"), 1)
+          .when(col("tp").isNull || col("tp") <= col("tc"), 2)
+          .otherwise(3).cast("long").as("stage"))
+    val got = streamed.as[(Long, Long)].collect().toSet
+    val want = batchTwin.as[(Long, Long)].collect().toSet
+    assert(got == want, s"stream $got != batch $want")
+    assert(want == Set((1L, 3L), (2L, 1L), (3L, 0L), (4L, 2L)))
+  }
+
+  test("streaming retention cells match the batch cohort matrix") {
+    import spark.implicits._
+    // user 1: cohort week 0 (first seen Jan 1), active weeks 0 and 1;
+    // user 2: cohort week 1 (first seen Jan 9), active weeks 0 and 1
+    val batch1 = Seq(
+      row(1, ts(1), user = 1), row(2, ts(9), user = 2))
+    val batch2 = Seq(
+      row(3, ts(10), user = 1), row(4, ts(16), user = 2),
+      row(5, ts(1, 5), user = 1)) // same-day repeat, same cell
+    val all = batch1 ++ batch2
+    withRocksDb() {
+      val mem = MemoryStream[EventRow](spark)
+      val q = EventStreams.retentionCells(mem.toDS()).toDF()
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_retention")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ret_chk").toString)
+        .start()
+      try {
+        mem.addData(batch1: _*); q.processAllAvailable()
+        mem.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val streamed = spark.table("t_retention")
+      .groupBy(col("cohort_wk"), col("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    // the batch query's exact expressions over the same rows
+    val e = all.toDF().select(col("user_id"), to_date(col("ts")).as("dt"))
+    val first = e.groupBy(col("user_id")).agg(min(col("dt")).as("d0"))
+    val batchTwin = e.join(first, "user_id")
+      .select(
+        floor(datediff(col("d0"), lit("2024-01-01").cast("date")) / 7)
+          .as("cohort_wk"),
+        floor(datediff(col("dt"), col("d0")) / 7).as("offset_wk"),
+        col("user_id"))
+      .groupBy(col("cohort_wk"), col("offset_wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val got = streamed.as[(Long, Long, Long)].collect().toSet
+    val want = batchTwin.as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"stream $got != batch $want")
+    assert(want == Set((0L, 0L, 1L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("stateful query resumes from checkpoint with state intact") {
     import spark.implicits._
     val chk = java.nio.file.Files.createTempDirectory("graft_resume").toString
