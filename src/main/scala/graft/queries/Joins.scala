@@ -386,6 +386,86 @@ object Joins {
         FROM (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS k,
                      value FROM events) e
         JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer) c USING (k)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // AQE skew join: the NATIVE twin of q_join_skew_salted — Spark's
+    // OptimizeSkewedJoin splits the hot reducer at runtime from shuffle
+    // statistics, no salt column in user code (the operator a 100 TB
+    // deployment reaches for FIRST; manual salting remains for engines
+    // or stages AQE can't reach). The demonstration executes in-query
+    // over the same manufactured hot key with test-scale thresholds
+    // (saved/restored), asserts the FINALIZED adaptive plan marked the
+    // join skew=true, and pins that proof through the oracle as a flag;
+    // the split changes scheduling, never rows, so the oracle is again
+    // the plain join.
+    QDef("q_join_skew_aqe",
+      (s, d) => {
+        def agg = {
+          // round-robin fan-out to 8 map tasks first: the skew reader
+          // splits a hot REDUCE partition at map-output boundaries, so a
+          // single-file corpus (sf0.001 = 1 mapper) would be unsplittable
+          val ev = events(s, d)
+            .select(when(col("event_type") === "click", lit(1L))
+                .otherwise(col("user_id")).as("k"),
+              col("value"))
+            .repartition(8)
+          val cust = customer(s, d)
+            .select(col("c_custkey").as("k"), col("c_mktsegment"))
+          ev.join(cust.hint("merge"), "k")
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+        }
+        val keys = Seq(
+          "spark.sql.adaptive.enabled",
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.coalescePartitions.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          "spark.sql.shuffle.partitions")
+        val saved = keys.map(k => k -> s.conf.getOption(k))
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "true")
+          s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          // thresholds sized for the SMALLEST test corpus (sf0.001's hot
+          // partition is a few KB of shuffle bytes); production keeps the
+          // 256 MB default — the point demonstrated is the MECHANISM
+          s.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512b")
+          s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+          s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          // skew detection compares the hot partition against the MEDIAN
+          // partition: with only 4 reducers (Verify's local[4] default)
+          // the median partition absorbs ~1/4 of the uniform keys and the
+          // hot/median ratio drops below the factor — pin the demo at 32
+          // reducers so detection is corpus- and session-independent
+          s.conf.set("spark.sql.shuffle.partitions", "32")
+          val demo = agg
+          demo.collect()
+          val plan = demo.queryExecution.executedPlan.toString
+          if (!plan.contains("skew=true") || !plan.contains("isFinalPlan=true"))
+            throw new IllegalStateException(
+              s"q_join_skew_aqe: adaptive plan did not split the hot " +
+                s"partition:\n${plan.take(4000)}")
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        // re-state the same aggregate under session confs (identical
+        // rows either way) with the demonstration's proof flag attached
+        agg.withColumn("skew_plan_applied", lit(1L))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n, ${sqlDsum("value")} AS sv,
+          CAST(1 AS BIGINT) AS skew_plan_applied
+        FROM (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS k,
+                     value FROM events) e
+        JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer) c USING (k)
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
