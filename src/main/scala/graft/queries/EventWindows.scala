@@ -15,6 +15,22 @@ import Q._
   */
 object EventWindows {
 
+  /** Batch-mode transformWithState spins up an EPHEMERAL RocksDB state
+    * store; its load path reports snapshot-upload lag to the
+    * StateStoreCoordinator RPC endpoint — which only a STREAMING query
+    * manager registers on the driver. In a batch-only session the lookup
+    * dies with RpcEndpointNotFoundException inside loadStateStore.
+    * Touching `s.streams` instantiates the session's
+    * StreamingQueryManager, whose construction registers the coordinator
+    * endpoint (public API, no query started); the lag report itself is
+    * telemetry we also switch off. */
+  private def prepBatchStateStore(s: org.apache.spark.sql.SparkSession): Unit = {
+    s.streams
+    s.conf.set(
+      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+      "false")
+  }
+
   val all: Seq[QDef] = Seq(
 
     // Tumbling 1-day event-time window.
@@ -171,6 +187,68 @@ object EventWindows {
               .as("cohort_wk"),
             floor(datediff(col("dt"), col("d0")) / 7).as("offset_wk"),
             col("user_id"))
+          .groupBy(col("cohort_wk"), col("offset_wk"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_wk"), col("offset_wk"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        first AS (SELECT user_id, min(dt) AS d0 FROM e GROUP BY user_id)
+        SELECT CAST(floor(date_diff('day', DATE '2024-01-01', d0) / 7.0)
+            AS BIGINT) AS cohort_wk,
+          CAST(floor(date_diff('day', d0, dt) / 7.0) AS BIGINT) AS offset_wk,
+          count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN first USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""")),
+
+    // The STREAMING funnel operator itself, on the driver gate: runs
+    // EventStreams.funnelStages (transformWithState + ValueState) in
+    // batch execution mode — Spark executes the same StatefulProcessor
+    // against an ephemeral state store, feeding each user's full history
+    // as one handleInputRows call — then counts stages. Must equal
+    // q_funnel_stages' oracle exactly: the processor's min-tracking over
+    // one batch IS the conditional-min aggregation. StreamingSpec proves
+    // the multi-batch incremental path equal to this on MemoryStreams;
+    // this query pins the processor's stage logic to DuckDB every round.
+    QDef("q_funnel_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.funnelStages(ev).toDF()
+          .select(col("stage").cast("long").as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH m AS (SELECT user_id,
+            min(ts) FILTER (WHERE event_type = 'view') AS tv,
+            min(ts) FILTER (WHERE event_type = 'click') AS tc,
+            min(ts) FILTER (WHERE event_type = 'purchase') AS tp
+          FROM events GROUP BY user_id)
+        SELECT CAST(CASE WHEN tv IS NULL THEN 0
+            WHEN tc IS NULL OR tc <= tv THEN 1
+            WHEN tp IS NULL OR tp <= tc THEN 2
+            ELSE 3 END AS BIGINT) AS stage,
+          count(*) AS n_users
+        FROM m GROUP BY 1 ORDER BY stage""")),
+
+    // The STREAMING retention operator on the driver gate, same pattern:
+    // EventStreams.retentionCells (first-touch ValueState) in batch mode
+    // emits one (user, cohort_wk, offset_wk) cell per event day, then the
+    // distinct-user matrix. Day arithmetic inside the processor is
+    // java.time epoch-day math (JVM UTC), the batch oracle's to_date is
+    // session-UTC — both land on the same civil date for µs timestamps.
+    QDef("q_retention_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.retentionCells(ev).toDF()
           .groupBy(col("cohort_wk"), col("offset_wk"))
           .agg(countDistinct(col("user_id")).as("n_users"))
           .orderBy(col("cohort_wk"), col("offset_wk"))
