@@ -16,7 +16,8 @@ object SparkEntry {
   val defs: Seq[QDef] =
     Aggregates.all ++ Scalars.all ++ Joins.all ++ Windows.all ++
       SetOps.all ++ EventWindows.all ++ Llm.all ++ KinesisQueries.all ++
-      Extras.all ++ Extras.all2 ++ Physical.all ++ Corpus.all
+      Extras.all ++ Extras.all2 ++ Physical.all ++ Corpus.all ++
+      Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import Q._
+
+/** Training-data curation operators, wave 2: the pipeline stages between
+  * "raw corpus" and "training shards" that round 1-6 didn't yet declare —
+  * sequence packing, heuristic rule filtering (Gopher/C4 style), PII
+  * scrubbing, mixture re-weighting, DSIR-style importance weights, and
+  * winnowing fingerprints (the MOSS scheme). Reference scope per
+  * SURVEY.md §2.C: the reference engine (audienceproject/kinesis-writer)
+  * has no analytics surface, so these derive from the published pipeline
+  * literature (Gopher/MassiveText rules, CCNet, DSIR, Schleimer et al.'s
+  * winnowing) re-expressed as Catalyst-friendly declarative plans.
+  *
+  * Determinism: every compared value is integer arithmetic, exact
+  * DECIMAL sums, or pre-rounded ln terms (TUNING.md §Cross-engine
+  * determinism mechanisms) — nothing relies on float ordering.
+  */
+object Curation {
+
+  private def tokens(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), t => t =!= "")
+  private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val all: Seq[QDef] = Seq(
+
+    // Sequence packing (concat-and-chunk): documents are concatenated in
+    // doc_id order within each lang shard and sliced into fixed
+    // 256-token context windows; a doc belongs to the bin where it
+    // STARTS (docs may cross a boundary — the standard pretraining
+    // packer). One partitioned prefix sum + integer division: the window
+    // partitions on lang so per-shard sorts distribute; for a single
+    // global stream the two-level prefix-sum variant applies (TUNING.md,
+    // q_split_assign). Everything BIGINT-exact.
+    QDef("q_token_packing",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+          .withColumn("cume", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          .select(col("lang"), expr("cume div 256").as("bin"),
+            col("n_toks"), col("doc_id"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_toks"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+            CAST(len($tokensSql) AS BIGINT) AS n_toks FROM documents),
+        c AS (SELECT doc_id, lang, n_toks,
+            COALESCE(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume
+          FROM t)
+        SELECT lang, cume // 256 AS bin, count(*) AS n_docs,
+          sum(n_toks) AS bin_toks, min(doc_id) AS first_doc
+        FROM c GROUP BY 1, 2 ORDER BY lang, bin""")),
+
+    // Gopher/C4-style heuristic quality rules, integer-exact: word-count
+    // band, mean-word-length band (as cross-multiplied integer
+    // comparisons — never a float division), stopword presence, and
+    // top-token dominance (most frequent token ≤ 20% of the doc, again
+    // cross-multiplied). The dominance count is an O(n·distinct) HOF
+    // over the in-row token array — ~10⁴ comparisons per doc at this
+    // corpus's ≤600-char docs, zero shuffles; for long docs the
+    // explode+groupBy formulation takes over (same shape as
+    // q_token_df_idf). One narrow scan-side pass; a Gopher-rule gate
+    // over 100 TB is embarrassingly parallel.
+    QDef("q_gopher_rules",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("nsp"))
+        .select(col("doc_id"), col("nsp"),
+          size(col("t")).cast("long").as("n_toks"),
+          expr("""CAST(array_max(transform(array_distinct(t),
+            w -> size(filter(t, x -> x = w)))) AS BIGINT)""").as("top_freq"),
+          (array_contains(col("t"), "the") || array_contains(col("t"), "a"))
+            .cast("long").as("r_stop"))
+        .select(col("doc_id"), col("n_toks"), col("nsp"), col("top_freq"),
+          (col("n_toks") >= 30 && col("n_toks") <= 1000).cast("long").as("r_wc"),
+          (col("nsp") >= col("n_toks") * 3 && col("nsp") <= col("n_toks") * 10)
+            .cast("long").as("r_mwl"),
+          col("r_stop"),
+          (col("top_freq") * 5 <= col("n_toks")).cast("long").as("r_dom"))
+        .withColumn("pass",
+          (col("r_wc") === 1 && col("r_mwl") === 1 && col("r_stop") === 1 &&
+            col("r_dom") === 1).cast("long"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS toks,
+            CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp
+          FROM documents),
+        m AS (SELECT doc_id, nsp,
+            CAST(len(toks) AS BIGINT) AS n_toks,
+            CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS BIGINT) AS top_freq,
+            CAST(list_contains(toks, 'the') OR list_contains(toks, 'a')
+              AS BIGINT) AS r_stop
+          FROM t)
+        SELECT doc_id, n_toks, nsp, top_freq,
+          CAST(n_toks >= 30 AND n_toks <= 1000 AS BIGINT) AS r_wc,
+          CAST(nsp >= n_toks * 3 AND nsp <= n_toks * 10 AS BIGINT) AS r_mwl,
+          r_stop,
+          CAST(top_freq * 5 <= n_toks AS BIGINT) AS r_dom,
+          CAST(n_toks >= 30 AND n_toks <= 1000
+            AND nsp >= n_toks * 3 AND nsp <= n_toks * 10
+            AND r_stop = 1 AND top_freq * 5 <= n_toks AS BIGINT) AS pass
+        FROM m ORDER BY doc_id""")),
+
+    // PII scrubbing: compose a contact-card string from real customer
+    // columns (the synthetic table has no phone/address, so the
+    // redactable tokens are derived deterministically from c_custkey),
+    // then regexp-redact email addresses and long digit runs and count
+    // the matches. Patterns stay in the Java-regex ∩ RE2 subset so both
+    // engines replace identically; Spark's regexp_replace is global by
+    // default, DuckDB needs the explicit 'g'. Pure scan-side map at any
+    // scale.
+    QDef("q_pii_redact",
+      (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" <user"), col("c_custkey"),
+            lit("@example.com> ref "),
+            (col("c_custkey") * 7919 + 13).cast("string")).as("contact"))
+        .select(col("c_custkey"),
+          size(expr("regexp_extract_all(contact, '[a-z0-9._]+@[a-z0-9.]+[a-z]', 0)"))
+            .cast("long").as("n_email"),
+          size(expr("regexp_extract_all(contact, '[0-9]{6,}', 0)"))
+            .cast("long").as("n_idrun"),
+          regexp_replace(
+            regexp_replace(col("contact"), "[a-z0-9._]+@[a-z0-9.]+[a-z]", "[EMAIL]"),
+            "[0-9]{6,}", "[ID]").as("redacted"))
+        .orderBy(col("c_custkey"))
+        .limit(1000),
+      Some("""WITH c AS (SELECT c_custkey,
+            c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+              || '@example.com> ref '
+              || CAST(c_custkey * 7919 + 13 AS VARCHAR) AS contact
+          FROM customer)
+        SELECT c_custkey,
+          CAST(len(regexp_extract_all(contact, '[a-z0-9._]+@[a-z0-9.]+[a-z]'))
+            AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(contact, '[0-9]{6,}'))
+            AS BIGINT) AS n_idrun,
+          regexp_replace(regexp_replace(contact,
+            '[a-z0-9._]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
+            '[0-9]{6,}', '[ID]', 'g') AS redacted
+        FROM c ORDER BY c_custkey LIMIT 1000""")),
+
+    // Mixture re-weighting: per-language corpus shares vs a uniform
+    // target mixture, as parts-per-million INTEGER arithmetic (weight =
+    // how much to over/under-sample each shard so the training mix hits
+    // the target). Two tiny aggregates + a broadcast single-row cross
+    // join — the 100 TB plan is one map-side-combined count per shard.
+    QDef("q_domain_mix",
+      (s, d) => {
+        val counts = documents(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = documents(s, d)
+          .agg(count(lit(1)).as("total"),
+            countDistinct(col("lang")).as("n_langs"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("cnt"),
+            expr("cnt * 1000000 div total").as("actual_ppm"),
+            expr("1000000 div n_langs").as("target_ppm"),
+            expr("total * 1000000 div (n_langs * cnt)").as("weight_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH counts AS (SELECT lang, count(*) AS cnt
+            FROM documents GROUP BY lang),
+          tot AS (SELECT count(*) AS total, count(DISTINCT lang) AS n_langs
+            FROM documents)
+        SELECT lang, cnt,
+          cnt * 1000000 // total AS actual_ppm,
+          1000000 // n_langs AS target_ppm,
+          total * 1000000 // (n_langs * cnt) AS weight_ppm
+        FROM counts CROSS JOIN tot ORDER BY lang""")),
+
+    // DSIR-style importance weights: score every document by the
+    // log-likelihood ratio of its unigrams under the TARGET slice's
+    // add-one-smoothed LM (here: source = 'src0' as the target domain)
+    // vs the full corpus's — the hashed-ngram importance-resampling
+    // estimator of Xie et al., with the vocab small enough to skip the
+    // hashing. Two wordcount aggregates + one equi-join of doc tokens to
+    // the count tables: all map-side combinable. Determinism: each ln
+    // term is rounded ONCE into scaled-integer space (1e-4 units,
+    // CAST(round(ln·10⁴) AS BIGINT)) and every downstream op — the
+    // per-doc sum and the sign gate — is exact BIGINT arithmetic. A
+    // first cut averaged the pre-rounded double terms and round(·,6)'d
+    // the quotient; grid-valued sums divided by doc length land exactly
+    // ON 7th-decimal midpoints, which the engines round opposite ways
+    // (3 docs flipped at sf0.1). Scaled integers have no later float op
+    // to flip.
+    QDef("q_dsir_weights",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+        val ct = toks.filter(col("source") === "src0")
+          .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
+        val cr = toks.groupBy(col("w")).agg(count(lit(1)).as("c_r"))
+        val tot = toks.agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_t"),
+          count(lit(1)).as("n_r"),
+          countDistinct(col("w")).as("v"))
+        toks.join(ct.hint("broadcast"), Seq("w"), "left")
+          .join(cr.hint("broadcast"), Seq("w"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            (round(log((coalesce(col("c_t"), lit(0L)) + 1.0) /
+                       (col("n_t") + col("v"))) * 10000, 0).cast("long") -
+             round(log((col("c_r") + 1.0) / (col("n_r") + col("v"))) * 10000, 0)
+               .cast("long")).as("t_e4"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), sum(col("t_e4")).as("llr_e4"))
+          .select(col("doc_id"), col("n_toks"), col("llr_e4"),
+            (col("llr_e4") > 0L).cast("long").as("target_like"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, unnest($tokensSql) AS w
+            FROM documents),
+        ct AS (SELECT w, count(*) AS c_t FROM toks
+            WHERE source = 'src0' GROUP BY w),
+        cr AS (SELECT w, count(*) AS c_r FROM toks GROUP BY w),
+        tot AS (SELECT count(*) FILTER (WHERE source = 'src0') AS n_t,
+            count(*) AS n_r, count(DISTINCT w) AS v FROM toks),
+        terms AS (SELECT doc_id,
+            CAST(round(ln((COALESCE(ct.c_t, 0) + 1.0) / (tot.n_t + tot.v))
+              * 10000) AS BIGINT) -
+            CAST(round(ln((cr.c_r + 1.0) / (tot.n_r + tot.v))
+              * 10000) AS BIGINT) AS t_e4
+          FROM toks LEFT JOIN ct USING (w) JOIN cr USING (w) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_toks,
+          sum(t_e4) AS llr_e4,
+          CAST(sum(t_e4) > 0 AS BIGINT) AS target_like
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Winnowing fingerprints (Schleimer et al., the MOSS scheme): hash
+    // every 8-char k-gram with the q_doc_fingerprint polynomial
+    // (base 31 mod 1e9+7 — integer-exact in both engines), slide a
+    // 4-hash window selecting each window's MINIMUM, and report
+    // fingerprints shared by ≥2 documents — the guarantee is any shared
+    // substring of ≥ k+w-1 = 11 chars yields a shared fingerprint. All
+    // per-doc HOF work is scan-side (O(len·k) per doc); the only
+    // shuffle is the fingerprint groupBy. Docs shorter than 11 chars
+    // are excluded by both engines (declared semantics).
+    QDef("q_winnowing",
+      (s, d) => {
+        val fps = documents(s, d)
+          .filter(length(col("text")) >= 11)
+          .select(col("doc_id"), expr(
+            """transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))""")
+            .as("codes"))
+          .select(col("doc_id"), expr(
+            """transform(sequence(1, size(codes) - 7),
+                 i -> aggregate(slice(codes, i, 8), 0L,
+                        (acc, c) -> pmod(acc * 31 + c, 1000000007L)))""")
+            .as("hs"))
+          .select(col("doc_id"), explode(array_distinct(expr(
+            """transform(sequence(1, size(hs) - 3),
+                 j -> array_min(slice(hs, j, 4)))"""))).as("fp"))
+        fps.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("fp"))
+          .limit(100)
+      },
+      Some("""WITH codes AS (SELECT doc_id,
+            list_transform(string_split(text, ''),
+              ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+          FROM documents WHERE length(text) >= 11),
+        hs AS (SELECT doc_id,
+            list_transform(range(1, len(codes) - 7 + 1),
+              i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     codes[i:i+7]),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+          FROM codes),
+        sel AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(hs) - 3 + 1),
+              j -> list_min(hs[j:j+3])))) AS fp
+          FROM hs)
+        SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 100"""))
+  )
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the wave-2 curation operators
+  * (graft.queries.Curation) — properties the DuckDB parity gate can't
+  * express because they relate the output to the input, not to a
+  * reference result. */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("token packing conserves docs and tokens; bins are ordered runs") {
+    val packed = run("q_token_packing").cache()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("lang"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n")).as("toks"))
+    val fromBins = packed.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("docs"), sum(col("bin_toks")).as("toks"))
+    val mism = docs.join(fromBins, "lang")
+      .filter(docs("docs") =!= fromBins("docs") || docs("toks") =!= fromBins("toks"))
+    assert(mism.count() == 0, "per-lang doc/token totals must be conserved")
+    // bins within a lang are consecutive from 0: a doc can span a
+    // boundary, but every 256-token window of the concat stream is
+    // covered, so no bin index is skipped
+    val gaps = packed.groupBy(col("lang"))
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(gaps.count() == 0, "bins must be 0..n-1 per lang with no gaps")
+  }
+
+  test("gopher pass flag is exactly the conjunction of its rules") {
+    val bad = run("q_gopher_rules").filter(
+      col("pass") =!= (col("r_wc") === 1 && col("r_mwl") === 1 &&
+        col("r_stop") === 1 && col("r_dom") === 1).cast("long"))
+    assert(bad.count() == 0)
+    // the battery must discriminate: some pass, some fail on this corpus
+    val n = run("q_gopher_rules").agg(
+      sum(col("pass")).as("p"), count(lit(1)).as("n")).head()
+    assert(n.getLong(0) > 0 && n.getLong(0) < n.getLong(1),
+      s"rule battery should split the corpus, got ${n.getLong(0)}/${n.getLong(1)}")
+  }
+
+  test("pii redaction leaves no email or long digit run behind") {
+    val leaked = run("q_pii_redact").filter(
+      col("redacted").rlike("[a-z0-9._]+@[a-z0-9.]+[a-z]") ||
+        col("redacted").rlike("[0-9]{6,}"))
+    assert(leaked.count() == 0)
+    // and it actually redacted something
+    val n = run("q_pii_redact")
+      .agg(sum(col("n_email")).as("e"), sum(col("n_idrun")).as("i")).head()
+    assert(n.getLong(0) > 0 && n.getLong(1) > 0)
+  }
+
+  test("domain mix weights invert the shard shares") {
+    // weight_ppm * cnt * n_langs ≈ total * 1e6 (integer division truncates
+    // once, so the product is within n_langs*cnt of the target)
+    val rows = run("q_domain_mix").collect()
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    rows.foreach { r =>
+      val cnt = r.getAs[Long]("cnt"); val w = r.getAs[Long]("weight_ppm")
+      val lhs = w * cnt * rows.length
+      assert(lhs <= total * 1000000L && lhs > total * 1000000L - rows.length * cnt,
+        s"weight ${r} not the truncated inverse share")
+    }
+  }
+
+  test("dsir weights rank the target slice above the rest") {
+    val docs = graft.tables.Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val llr = run("q_dsir_weights").join(docs, "doc_id")
+      .groupBy((col("source") === "src0").as("is_target"))
+      .agg(avg(col("llr_e4").cast("double") / col("n_toks")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(llr(true) > llr(false),
+      s"target-slice mean per-token LLR ${llr(true)} must exceed rest ${llr(false)}")
+  }
+
+  test("winnowing guarantee: docs sharing an 11+ char substring share a fingerprint") {
+    import spark.implicits._
+    // two synthetic docs sharing a 20-char run, plus noise docs
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrst shared run here xxxxxxx"),
+      (2L, "yyyyyyy abcdefghijklmnopqrst different tail"),
+      (3L, "completely unrelated content zzzzzz qqqqqq")
+    ).toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), expr(
+        "transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))").as("codes"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(codes) - 7),
+             i -> aggregate(slice(codes, i, 8), 0L,
+                    (acc, c) -> pmod(acc * 31 + c, 1000000007L)))""").as("hs"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(hs) - 3),
+             j -> array_min(slice(hs, j, 4)))"""))).as("fp"))
+    val shared = fps.filter(col("doc_id") === 1).select(col("fp"))
+      .intersect(fps.filter(col("doc_id") === 2).select(col("fp")))
+    assert(shared.count() > 0, "winnowing must fingerprint the shared run")
+  }
+}
