@@ -236,6 +236,76 @@ object Curation {
           CAST(sum(t_e4) > 0 AS BIGINT) AS target_like
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // BPE merge-candidate statistics: the first step of byte-pair-
+    // encoding tokenizer training — count every adjacent character pair
+    // WITHIN each word across the corpus and rank merge candidates.
+    // explode + hash-agg, map-side combinable like any word count; a
+    // full BPE trainer iterates this with the winning merge applied,
+    // each round the same one-shuffle shape.
+    QDef("q_bpe_pairs",
+      (s, d) => documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          """zip_with(slice(split(w, ''), 1, length(w) - 1),
+                      slice(split(w, ''), 2, length(w) - 1),
+                      (a, b) -> concat(a, b))""")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30),
+      Some(s"""SELECT pair, count(*) AS n FROM (
+          SELECT chars[i] || chars[i + 1] AS pair FROM (
+            SELECT string_split(w, '') AS chars,
+              unnest(range(1, length(w))) AS i
+            FROM (SELECT unnest($tokensSql) AS w FROM documents)
+            WHERE length(w) >= 2))
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 30""")),
+
+    // Incremental dedup: the arriving-batch-vs-existing-corpus shape a
+    // maintained corpus needs (full re-dedup of 100 TB per delivery is
+    // not a plan). Sources src0-src4 stand in as the existing corpus,
+    // the rest as the new delivery; a LEFT ANTI join on the normalized
+    // content hash admits only genuinely new documents. At scale the
+    // existing side is a bucketed hash index the anti-join co-locates
+    // with; the new batch is small — the join broadcasts it.
+    QDef("q_dedup_incremental",
+      (s, d) => {
+        val norm = documents(s, d).select(col("doc_id"), col("source"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).cast("binary")).as("h"))
+        val existing = norm.filter(
+          col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        val fresh = norm.filter(
+          !col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        val admitted = fresh.join(existing.select(col("h")),
+          Seq("h"), "left_anti")
+        fresh.groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+          .join(admitted.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_admitted")), Seq("source"), "left")
+          .select(col("source"), col("n_new"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            (col("n_new") - coalesce(col("n_admitted"), lit(0L)))
+              .as("n_dropped"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH norm AS (SELECT doc_id, source,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+          FROM documents),
+        existing AS (SELECT h FROM norm
+          WHERE source IN ('src0','src1','src2','src3','src4')),
+        fresh AS (SELECT * FROM norm
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        admitted AS (SELECT * FROM fresh
+          WHERE h NOT IN (SELECT h FROM existing))
+        SELECT f.source, count(*) AS n_new,
+          COALESCE(a.n_admitted, 0) AS n_admitted,
+          count(*) - COALESCE(a.n_admitted, 0) AS n_dropped
+        FROM fresh f
+        LEFT JOIN (SELECT source, count(*) AS n_admitted
+          FROM admitted GROUP BY source) a ON f.source = a.source
+        GROUP BY f.source, a.n_admitted ORDER BY f.source""")),
+
     // Winnowing fingerprints (Schleimer et al., the MOSS scheme): hash
     // every 8-char k-gram with the q_doc_fingerprint polynomial
     // (base 31 mod 1e9+7 — integer-exact in both engines), slide a

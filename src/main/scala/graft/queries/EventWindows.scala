@@ -15,22 +15,6 @@ import Q._
   */
 object EventWindows {
 
-  /** Batch-mode transformWithState spins up an EPHEMERAL RocksDB state
-    * store; its load path reports snapshot-upload lag to the
-    * StateStoreCoordinator RPC endpoint — which only a STREAMING query
-    * manager registers on the driver. In a batch-only session the lookup
-    * dies with RpcEndpointNotFoundException inside loadStateStore.
-    * Touching `s.streams` instantiates the session's
-    * StreamingQueryManager, whose construction registers the coordinator
-    * endpoint (public API, no query started); the lag report itself is
-    * telemetry we also switch off. */
-  private def prepBatchStateStore(s: org.apache.spark.sql.SparkSession): Unit = {
-    s.streams
-    s.conf.set(
-      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
-      "false")
-  }
-
   val all: Seq[QDef] = Seq(
 
     // Tumbling 1-day event-time window.
@@ -261,6 +245,57 @@ object EventWindows {
           count(DISTINCT e.user_id) AS n_users
         FROM e JOIN first USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""")),
+
+    // The transformWithState RUNNING-COUNTER operator (ValueState) on
+    // the gate: batch execution hands each user's full history to one
+    // handleInputRows call, so the emitted counter is the per-user
+    // total. The operator's event COUNT is compared directly; its
+    // float sum is iteration-order-dependent (the processor adds
+    // doubles in arrival order — correct streaming semantics, not
+    // cross-engine comparable), so the compared value column comes
+    // from the declarative dsum over the same rows, joined on user_id.
+    QDef("q_counter_state_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        val counters = graft.streaming.EventStreams.runningCountersTws(ev)
+          .toDF().select(col("user_id"), col("n_events"))
+        val sums = events(s, d).groupBy(col("user_id"))
+          .agg(dsum(col("value")).as("total_value"))
+        counters.join(sums, "user_id")
+          .orderBy(col("user_id"))
+      },
+      Some(s"""SELECT user_id, count(*) AS n_events,
+        ${sqlDsum("value")} AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // The MapState operator (per-user per-event-type point updates) on
+    // the gate: ActivityProcessor's counts_by_type map, exploded to
+    // (user, type, n) rows. The ListState ring it also maintains holds
+    // ARRIVAL-order event ids — correct streaming semantics but not
+    // deterministic in batch partition order, so it is exercised (the
+    // state updates run) and not compared.
+    QDef("q_activity_state_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.userActivity(ev).toDF()
+          .select(col("user_id"), explode(col("counts_by_type")))
+          .select(col("user_id"), col("key").as("event_type"),
+            col("value").as("n"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")),
 
     QDef("q_events_dedup",
       (s, d) => {

@@ -26,6 +26,22 @@ final case class QDef(
 object Q {
   type Fn = (SparkSession, String) => DataFrame
 
+  /** Batch-mode transformWithState spins up an EPHEMERAL RocksDB state
+    * store; its load path reports snapshot-upload lag to the
+    * StateStoreCoordinator RPC endpoint — which only a STREAMING query
+    * manager registers on the driver. In a batch-only session the lookup
+    * dies with RpcEndpointNotFoundException inside loadStateStore.
+    * Touching `s.streams` instantiates the session's
+    * StreamingQueryManager, whose construction registers the coordinator
+    * endpoint (public API, no query started); the lag report itself is
+    * telemetry we also switch off. */
+  private[queries] def prepBatchStateStore(s: SparkSession): Unit = {
+    s.streams
+    s.conf.set(
+      "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+      "false")
+  }
+
   private val Dec = DecimalType(30, 6)
 
   /** Exact sum of a double expression; deterministic across engines. */
