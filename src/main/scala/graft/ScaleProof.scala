@@ -102,7 +102,14 @@ object ScaleProof {
       // over 6M rows, and the CMS build is one wordcount-shaped agg over
       // a 10x key space
       "q_funnel_stages", "q_retention_cohorts", "q_feature_binning",
-      "q_sketch_cms")
+      "q_sketch_cms",
+      // round-7 wave-2/3 additions: packing's per-lang prefix sum over
+      // 10x docs, the scan-side rule/score batteries, winnowing's
+      // fingerprint shuffle, the BPE pair explode, the anti-join dedup,
+      // and the batch-TWS counter whose RocksDB state holds 10x users
+      "q_token_packing", "q_gopher_rules", "q_dsir_weights",
+      "q_winnowing", "q_bpe_pairs", "q_dedup_incremental",
+      "q_counter_state_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
