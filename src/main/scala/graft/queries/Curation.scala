@@ -236,6 +236,50 @@ object Curation {
           CAST(sum(t_e4) > 0 AS BIGINT) AS target_like
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // SemDeDup-style semantic dedup KEEP LIST: within each embedding
+    // cluster (the label column stands in for the k-means assignment the
+    // IVF queries train), drop every vector that has a LOWER-id neighbor
+    // above the cosine threshold — the greedy min-id representative rule
+    // — and report per-cluster kept/dropped counts. The candidate set is
+    // the same label-blocked pair join as q_dedup_embedding (never
+    // all-pairs); the keep rule is one LEFT ANTI join on the pair list.
+    QDef("q_semdedup_keep",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val a = e.select(col("vec_id").as("id_a"), col("label"),
+          col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("label"),
+          col("embedding").as("vb"))
+        val dropped = a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(round(graft.functions.VectorFunctions.vec_cosine(
+            col("va"), col("vb")), 6) >= 0.3)
+          .select(col("id_b").as("vec_id")).distinct()
+        val kept = e.select(col("vec_id"), col("label"))
+          .join(dropped, Seq("vec_id"), "left_anti")
+        e.groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .join(kept.groupBy(col("label").cast("long").as("label"))
+            .agg(count(lit(1)).as("n_kept")), Seq("label"))
+          .select(col("label"), col("n_vecs"), col("n_kept"),
+            (col("n_vecs") - col("n_kept")).as("n_dropped"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH dropped AS (SELECT DISTINCT b.vec_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)
+            >= 0.3),
+        kept AS (SELECT e.vec_id, e.label FROM embeddings e
+          WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped))
+        SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_vecs,
+          any_value(k.n_kept) AS n_kept,
+          count(*) - any_value(k.n_kept) AS n_dropped
+        FROM embeddings e
+        JOIN (SELECT label, count(*) AS n_kept FROM kept GROUP BY label) k
+          ON e.label = k.label
+        GROUP BY 1 ORDER BY label""")),
+
     // BPE merge-candidate statistics: the first step of byte-pair-
     // encoding tokenizer training — count every adjacent character pair
     // WITHIN each word across the corpus and rank merge candidates.

@@ -313,6 +313,77 @@ object EventWindows {
                 ORDER BY ts, event_id) AS rn FROM events)
         WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // Time-series gap filling: per-user daily activity with MISSING DAYS
+    // zero-filled — the resample/densify step every downstream
+    // time-series model needs. The calendar is generated per user with
+    // sequence() over its own [min, max] day span (epoch-day integers),
+    // exploded, and left-joined back to the observed counts; at scale
+    // both sides hash-partition on (user_id, day) and the explode adds
+    // O(span) rows per user, never a global calendar broadcast.
+    QDef("q_timeseries_gapfill",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(col("user_id"),
+            floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n"))
+        val span = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val calendar = span
+          .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+        calendar.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH daily AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+          FROM daily GROUP BY user_id),
+        calendar AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+          FROM span)
+        SELECT c.user_id, c.day, COALESCE(d.n, 0) AS n
+        FROM calendar c LEFT JOIN daily d
+          ON c.user_id = d.user_id AND c.day = d.day
+        ORDER BY c.user_id, c.day""")),
+
+    // SCD2 interval build: collapse each user's event stream into
+    // type-2 validity intervals of its CURRENT event_type — valid_from =
+    // the event's time, valid_to = the next DIFFERENT type's time (NULL
+    // while current). Two windows over the per-user ordering (lag to
+    // detect changes, lead on the change rows for the close timestamp)
+    // — the standard dimension-history builder, all epoch-µs integers.
+    QDef("q_scd2_intervals",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val changes = events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        changes
+          .withColumn("valid_to_us",
+            lead(unix_micros(col("ts")), 1).over(byUser))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
+            col("valid_to_us").isNull.cast("long").as("is_current"))
+          .orderBy(col("user_id"), col("valid_from_us"))
+      },
+      Some("""WITH marked AS (SELECT user_id, event_type, ts, event_id,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        changes AS (SELECT * FROM marked
+          WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type,
+          epoch_us(ts) AS valid_from_us,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS valid_to_us,
+          CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) IS NULL AS BIGINT) AS is_current
+        FROM changes ORDER BY user_id, valid_from_us""")),
+
     // Stream-static join shape: events (stream side) joined to the static
     // customer dim (broadcast at scale).
     QDef("q_stream_static_join",
