@@ -97,18 +97,32 @@ object Aggregates {
       (s, d) => lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast("double").as("n"),
-          dsum(col("l_quantity")).as("sx"),
-          dsum(col("l_extendedprice")).as("sy"),
+          dsumPart(col("l_quantity")).as("sx_d"),
+          dsumPart(col("l_extendedprice")).as("sy_d"),
           dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
           dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
           dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
         // the centered moments once, then the closed forms — the slope
-        // expression exists exactly once per engine
-        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        // expression exists exactly once per engine. The RAW sx/sy output
+        // columns ship as exact micro-unit BIGINTs, not doubles: a
+        // per-group |sum| beyond ~9e9 puts the DECIMAL(30,6) internal
+        // integer past 2^53, where DuckDB's two-step int128→double→/1e6
+        // cast can land 1 ulp off Spark's correctly-rounded
+        // BigDecimal.doubleValue (the q_funnel_latency lesson — sy here
+        // is ~1.1e10 per group at sf0.1, over the line).
+        .select(col("l_returnflag"), col("n"),
+          col("sx_d"), col("sy_d"),
+          (col("sx_d") * 1000000).cast("long").as("sx_e6"),
+          (col("sy_d") * 1000000).cast("long").as("sy_e6"),
+          col("sx_d").cast("double").as("sx"), col("sy_d").cast("double").as("sy"),
+          col("sxx"), col("syy"), col("sxy"))
+        .select(col("l_returnflag"), col("n"), col("sx_e6"), col("sy_e6"),
           (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
           (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n"),
-          (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n"))
+          (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n"),
+          col("sx"), col("sy"))
         .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          col("sx_e6"), col("sy_e6"),
           round(col("cov_n") / col("varx_n"), 6).as("slope"),
           round((col("sy") - (col("cov_n") / col("varx_n")) * col("sx")) /
             col("n"), 6).as("intercept"),
@@ -122,11 +136,15 @@ object Aggregates {
         val syy = sqlDsum("l_extendedprice * l_extendedprice")
         val sxy = sqlDsum("l_quantity * l_extendedprice")
         s"""WITH m AS (SELECT l_returnflag, $n AS n, $sx AS sx, $sy AS sy,
+            CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) * 1000000
+              AS BIGINT) AS sx_e6,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) * 1000000
+              AS BIGINT) AS sy_e6,
             $n * $sxy - $sx * $sy AS cov_n,
             $n * $sxx - $sx * $sx AS varx_n,
             $n * $syy - $sy * $sy AS vary_n
           FROM lineitem GROUP BY l_returnflag)
-        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n, sx_e6, sy_e6,
           round(cov_n / varx_n, 6) AS slope,
           round((sy - (cov_n / varx_n) * sx) / n, 6) AS intercept,
           round(cov_n * cov_n / (varx_n * vary_n), 6) AS r2

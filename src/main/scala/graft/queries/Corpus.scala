@@ -513,6 +513,42 @@ object Corpus {
       Some("""SELECT o_custkey, count(*) AS true_n,
           CAST(1 AS BIGINT) AS lower_ok, CAST(1 AS BIGINT) AS upper_ok
         FROM orders WHERE o_custkey < 100
-        GROUP BY 1 ORDER BY o_custkey"""))
+        GROUP BY 1 ORDER BY o_custkey""")),
+
+    // Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    // into Spark 4): per-segment hll_sketch_agg + one hll_union_agg —
+    // the re-aggregatable cardinality pattern (per-day/per-shard
+    // sketches stored once, any rollup unioned later without rescanning
+    // the fact table). Oracle-checked through the estimator guarantee:
+    // the estimate must sit within ±5% of the exact distinct (≥3× the
+    // default-lgK RSE of 1.6%); HLL is insertion-order-independent, so
+    // the flag is deterministic. Integer cross-multiplied band; DuckDB
+    // pins the flags next to its own exact distincts.
+    QDef("q_sketch_hll_merge",
+      (s, d) => {
+        val e = events(s, d)
+        val perType = e.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("exact_n"))
+        val segs = perType.select(col("event_type"),
+          col("exact_n"), hll_sketch_estimate(col("sk")).as("est"))
+        val union = perType.agg(hll_union_agg(col("sk")).as("sku"))
+          .select(hll_sketch_estimate(col("sku")).as("est"))
+          .crossJoin(broadcast(
+            e.agg(countDistinct(col("user_id")).as("exact_n"))))
+          .select(lit("ALL").as("event_type"), col("exact_n"), col("est"))
+        segs.unionByName(union)
+          .select(col("event_type"), col("exact_n"),
+            (col("est") * 100 >= col("exact_n") * 95 &&
+             col("est") * 100 <= col("exact_n") * 105)
+              .cast("long").as("within_5pct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH segs AS (SELECT event_type,
+            count(DISTINCT user_id) AS exact_n FROM events GROUP BY 1
+          UNION ALL
+          SELECT 'ALL', count(DISTINCT user_id) FROM events)
+        SELECT event_type, exact_n, CAST(1 AS BIGINT) AS within_5pct
+        FROM segs ORDER BY event_type"""))
   )
 }

@@ -313,6 +313,85 @@ object EventWindows {
                 ORDER BY ts, event_id) AS rn FROM events)
         WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // User-journey Markov transitions: count every (state → next state)
+    // hop along each user's time-ordered event stream and derive the
+    // transition matrix in exact ppm integers — the path-analysis
+    // staple. One lead() over the per-user window (high-cardinality
+    // partition key, distributes) + two tiny hash-aggs.
+    QDef("q_markov_transitions",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val hops = events(s, d)
+          .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = hops.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("tot"))
+        hops.join(totals, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 div tot").as("p_ppm"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH hops AS (SELECT from_type, to_type, count(*) AS n
+          FROM (SELECT event_type AS from_type,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS to_type
+            FROM events)
+          WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        totals AS (SELECT from_type, sum(n) AS tot FROM hops GROUP BY 1)
+        SELECT h.from_type, h.to_type, h.n,
+          h.n * 1000000 // t.tot AS p_ppm
+        FROM hops h JOIN totals t USING (from_type)
+        ORDER BY from_type, to_type""")),
+
+    // Funnel conversion latency: for users who complete the strict
+    // view → click → purchase ordering, first-view-to-first-purchase
+    // time per first-seen-week cohort. Same conditional-min hash-agg as
+    // q_funnel_stages; latencies are epoch-µs integers and the mean is
+    // the FLOOR-DIVIDED integer sum/count — a davg here would push the
+    // DECIMAL(30,6) sum's internal integer past 2^53 (µs latencies are
+    // ~6e11 each), where DuckDB's two-step decimal→double cast rounds
+    // differently than Spark's BigDecimal.doubleValue (1-ulp flip seen
+    // at sf0.01). Integer division has no such edge.
+    QDef("q_funnel_latency",
+      (s, d) => {
+        val m = events(s, d).groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        m.filter(col("tv").isNotNull && col("tc").isNotNull &&
+            col("tp").isNotNull && col("tc") > col("tv") &&
+            col("tp") > col("tc"))
+          .select(
+            floor(datediff(to_date(col("tv")), lit("2024-01-01").cast("date")) / 7)
+              .as("cohort_wk"),
+            (unix_micros(col("tp")) - unix_micros(col("tv"))).as("lat_us"))
+          .groupBy(col("cohort_wk"))
+          .agg(count(lit(1)).as("n_conv"),
+            min(col("lat_us")).as("min_us"), max(col("lat_us")).as("max_us"),
+            sum(col("lat_us")).as("sum_us"))
+          .select(col("cohort_wk"), col("n_conv"), col("min_us"),
+            col("max_us"), expr("sum_us div n_conv").as("avg_us_floor"))
+          .orderBy(col("cohort_wk"))
+      },
+      Some(s"""WITH m AS (SELECT user_id,
+            min(ts) FILTER (WHERE event_type = 'view') AS tv,
+            min(ts) FILTER (WHERE event_type = 'click') AS tc,
+            min(ts) FILTER (WHERE event_type = 'purchase') AS tp
+          FROM events GROUP BY user_id),
+        conv AS (SELECT
+            CAST(floor(date_diff('day', DATE '2024-01-01',
+              CAST(tv AS DATE)) / 7.0) AS BIGINT) AS cohort_wk,
+            epoch_us(tp) - epoch_us(tv) AS lat_us
+          FROM m WHERE tv IS NOT NULL AND tc IS NOT NULL
+            AND tp IS NOT NULL AND tc > tv AND tp > tc)
+        SELECT cohort_wk, count(*) AS n_conv,
+          min(lat_us) AS min_us, max(lat_us) AS max_us,
+          CAST(sum(lat_us) // count(*) AS BIGINT) AS avg_us_floor
+        FROM conv GROUP BY cohort_wk ORDER BY cohort_wk""")),
+
     // Time-series gap filling: per-user daily activity with MISSING DAYS
     // zero-filled — the resample/densify step every downstream
     // time-series model needs. The calendar is generated per user with
