@@ -236,6 +236,40 @@ object Curation {
           CAST(sum(t_e4) > 0 AS BIGINT) AS target_like
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Vocabulary coverage / OOV rate: fix the tokenizer vocab as the
+    // corpus's top-20 tokens (count DESC, token ASC — a deterministic
+    // total order) and report each document's out-of-vocabulary token
+    // count and ppm rate — the "will my tokenizer fragment this corpus"
+    // gate. The vocab is a broadcast-sized dim; the per-doc rollup is
+    // one hash-agg over the exploded tokens.
+    QDef("q_oov_rate",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(20)
+          .select(col("w"), lit(1L).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_toks"), col("n_oov"),
+            expr("n_oov * 1000000 div n_toks").as("oov_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS w
+            FROM documents),
+        vocab AS (SELECT w FROM (
+            SELECT w, count(*) AS n FROM toks GROUP BY w
+            ORDER BY n DESC, w LIMIT 20)),
+        marked AS (SELECT doc_id,
+            CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END AS oov
+          FROM toks)
+        SELECT doc_id, count(*) AS n_toks,
+          CAST(sum(oov) AS BIGINT) AS n_oov,
+          CAST(sum(oov) AS BIGINT) * 1000000 // count(*) AS oov_ppm
+        FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
     // SemDeDup-style semantic dedup KEEP LIST: within each embedding
     // cluster (the label column stands in for the k-means assignment the
     // IVF queries train), drop every vector that has a LOWER-id neighbor

@@ -313,6 +313,52 @@ object EventWindows {
                 ORDER BY ts, event_id) AS rn FROM events)
         WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // Last-touch revenue attribution: each purchase's value goes to the
+    // channel of the LAST click in the preceding hour (channel derived
+    // from the click's JSON props). The interval join is the
+    // q_stream_interval_join shape; "last" resolves by row_number over
+    // (click time DESC, click id DESC) — deterministic total order —
+    // and the channel rollup is one dsum. The marketing staple that
+    // composes three declared primitives.
+    QDef("q_attribution_last_touch",
+      (s, d) => {
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"),
+            pmod(get_json_object(col("props"), "$.k").cast("long"), lit(5L))
+              .as("channel"))
+        val joined = p.join(c, col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+        val lastTouch = joined.withColumn("rn",
+            row_number().over(Window.partitionBy(col("p_id"))
+              .orderBy(col("c_ts").desc, col("c_id").desc)))
+          .filter(col("rn") === 1)
+        lastTouch.groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            dsum(col("p_value")).as("attributed_value"))
+          .orderBy(col("channel"))
+      },
+      Some(s"""WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+            ts AS p_ts, value AS p_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id,
+            CAST(json_extract(props, '$$.k') AS BIGINT) % 5 AS channel
+          FROM events WHERE event_type = 'click'),
+        lt AS (SELECT p_id, p_value, channel,
+            row_number() OVER (PARTITION BY p_id
+              ORDER BY c_ts DESC, c_id DESC) AS rn
+          FROM p JOIN c ON p_user = c_user
+            AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts)
+        SELECT channel, count(*) AS n_purchases,
+          ${sqlDsum("p_value")} AS attributed_value
+        FROM lt WHERE rn = 1
+        GROUP BY channel ORDER BY channel""")),
+
     // User-journey Markov transitions: count every (state → next state)
     // hop along each user's time-ordered event stream and derive the
     // transition matrix in exact ppm integers — the path-analysis
