@@ -19,7 +19,12 @@ object Explain {
       // round-6: bloom probe must sit below the fact-side Exchange;
       // profiler is one scan + Expand; sessionization windows on the
       // high-cardinality user_id
-      "q_join_bloom_pruned", "q_profile_columns", "q_sessionize_lag")
+      "q_join_bloom_pruned", "q_profile_columns", "q_sessionize_lag",
+      // round-7: packing's per-lang prefix-sum window, winnowing's one
+      // fingerprint shuffle, gapfill's co-partitioned calendar join,
+      // attribution's interval join + per-purchase window
+      "q_token_packing", "q_winnowing", "q_timeseries_gapfill",
+      "q_attribution_last_touch")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -81,6 +81,58 @@ class CurationSpec extends AnyFunSuite {
       s"target-slice mean per-token LLR ${llr(true)} must exceed rest ${llr(false)}")
   }
 
+  test("scd2 intervals tile each user's timeline without overlap") {
+    val iv = run("q_scd2_intervals")
+    // within a user, every interval's valid_to equals the next
+    // interval's valid_from (lead over the same ordering), and exactly
+    // one interval per user is open (is_current)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from_us"))
+    val broken = iv
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to_us") =!= col("next_from"))
+    assert(broken.count() == 0, "intervals must abut exactly")
+    val open = iv.groupBy(col("user_id"))
+      .agg(sum(col("is_current")).as("n_open"))
+      .filter(col("n_open") =!= 1)
+    assert(open.count() == 0, "exactly one open interval per user")
+  }
+
+  test("gapfill emits a dense day range per user containing all observed days") {
+    val gf = run("q_timeseries_gapfill")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val gaps = gf.withColumn("prev_day", lag(col("day"), 1).over(w))
+      .filter(col("prev_day").isNotNull && col("day") =!= col("prev_day") + 1)
+    assert(gaps.count() == 0, "day sequence must be dense per user")
+    val observed = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .distinct()
+    val missing = observed.join(gf.filter(col("n") > 0),
+      Seq("user_id", "day"), "left_anti")
+    assert(missing.count() == 0, "every observed day must appear with n>0")
+  }
+
+  test("attribution conserves purchases: attributed <= total, channels in 0..4") {
+    val at = run("q_attribution_last_touch").collect()
+    val attributed = at.map(_.getAs[Long]("n_purchases")).sum
+    val total = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed <= total,
+      s"attributed $attributed must not exceed purchases $total")
+    assert(at.forall { r =>
+      val c = r.getAs[Long]("channel"); c >= 0 && c <= 4 })
+  }
+
+  test("oov rate: ppm consistent with counts and bounded") {
+    val bad = run("q_oov_rate").filter(
+      col("oov_ppm") =!= expr("n_oov * 1000000 div n_toks") ||
+        col("n_oov") > col("n_toks") || col("oov_ppm") > 1000000L)
+    assert(bad.count() == 0)
+  }
+
   test("winnowing guarantee: docs sharing an 11+ char substring share a fingerprint") {
     import spark.implicits._
     // two synthetic docs sharing a 20-char run, plus noise docs
