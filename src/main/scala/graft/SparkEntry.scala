@@ -17,7 +17,7 @@ object SparkEntry {
     Aggregates.all ++ Scalars.all ++ Joins.all ++ Windows.all ++
       SetOps.all ++ EventWindows.all ++ Llm.all ++ KinesisQueries.all ++
       Extras.all ++ Extras.all2 ++ Physical.all ++ Corpus.all ++
-      Curation.all
+      Curation.all ++ Relational.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
