@@ -441,6 +441,105 @@ object Curation {
           FROM hs)
         SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
-        ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 100"""))
+        ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 100""")),
+
+    // Symmetric int8 embedding quantization (the serving-side compression
+    // every vector store applies): per-vector scale = max|x|/127, each
+    // element rounds to floor(x/scale + 0.5) ∈ [-127, 127]. All math is
+    // per-row IEEE double (float32 inputs widen exactly; no cross-row
+    // float ordering anywhere), so both engines produce bit-identical
+    // ints; the compared columns are pure counts plus a pinned
+    // reconstruction-error flag (|x - q·scale| ≤ scale/2 holds by
+    // construction; the 1e-9 slack absorbs the two ulp-scale rounding
+    // steps). Map-only over the vectors — embarrassingly parallel at
+    // 100 TB; the rollup groups on the tiny label dimension.
+    QDef("q_embed_quantize",
+      (s, d) => embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          col("embedding"),
+          expr("""array_max(transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))))""").as("ma"))
+        .withColumn("deq", col("ma") / lit(127.0))
+        .withColumn("q", expr(
+          """CASE WHEN ma = 0d THEN transform(embedding, x -> 0L)
+             ELSE transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / deq + 0.5d) AS BIGINT))
+             END"""))
+        .withColumn("n_err_elems", expr(
+          """size(filter(zip_with(embedding, q,
+               (x, qq) -> abs(CAST(x AS DOUBLE) - qq * deq)
+                            <= deq * 0.5d * (1d + 1e-9d)),
+             b -> NOT b))"""))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(size(col("q"))).as("n_elems"),
+          sum(expr("size(filter(q, e -> e = 0L))")).as("n_zero"),
+          sum(expr("size(filter(q, e -> abs(e) = 127L))")).as("n_sat"),
+          sum(col("n_err_elems")).as("n_err"))
+        .orderBy(col("label")),
+      Some("""WITH base AS (
+          SELECT CAST(label AS BIGINT) AS label, embedding,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS ma
+          FROM embeddings),
+        qd AS (
+          SELECT label, embedding, ma, ma / 127.0 AS deq,
+            CASE WHEN ma = 0 THEN
+              list_transform(embedding, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5)
+                     AS BIGINT)) END AS q
+          FROM base),
+        e AS (
+          SELECT label, q,
+            len(list_filter(range(1, len(q) + 1),
+              i -> NOT (abs(CAST(embedding[i] AS DOUBLE) - q[i] * deq)
+                          <= deq * 0.5 * (1 + 1e-9)))) AS n_err_elems
+          FROM qd)
+        SELECT label, count(*) AS n_vecs,
+          sum(len(q)) AS n_elems,
+          sum(len(list_filter(q, e -> e = 0))) AS n_zero,
+          sum(len(list_filter(q, e -> abs(e) = 127))) AS n_sat,
+          sum(n_err_elems) AS n_err
+        FROM e GROUP BY label ORDER BY label""")),
+
+    // Top-100 vocabulary coverage curve (tokenizer design: how much of
+    // the token stream does a k-word vocab cover?). Token counts are one
+    // explode + groupBy; the top-100 selection is a TakeOrdered with a
+    // total (cnt DESC, token ASC) tiebreak — never a global sort of the
+    // vocabulary; rank/cumulative-coverage windows then run over 100
+    // rows. Coverage in exact integer ppm against the corpus-wide token
+    // total (broadcast 1-row frame). rank·cnt is the Zipf-law constant
+    // audit. Everything BIGINT-exact.
+    QDef("q_vocab_coverage",
+      (s, d) => {
+        val tok = documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+        val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val total = tok.agg(count(lit(1)).as("total"))
+        val top = counts.orderBy(col("cnt").desc, col("tok")).limit(100)
+        val w = Window.orderBy(col("cnt").desc, col("tok"))
+        top.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cume", sum(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("rank"), col("tok"), col("cnt"),
+            (col("rank") * col("cnt")).as("rank_x_freq"),
+            expr("cume * 1000000 div total").as("cov_ppm"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT unnest($tokensSql) AS tok FROM documents),
+        counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        total AS (SELECT count(*) AS total FROM tok),
+        top AS (SELECT tok, cnt FROM counts
+          ORDER BY cnt DESC, tok LIMIT 100)
+        SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+          tok, cnt,
+          row_number() OVER (ORDER BY cnt DESC, tok) * cnt AS rank_x_freq,
+          sum(cnt) OVER (ORDER BY cnt DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000 // total AS cov_ppm
+        FROM top, total ORDER BY rank"""))
   )
 }

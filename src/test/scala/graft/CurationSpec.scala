@@ -133,6 +133,29 @@ class CurationSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("int8 quantization: zero error rows, every vector saturates its max") {
+    val qz = run("q_embed_quantize").cache()
+    assert(qz.filter(col("n_err") =!= 0L).count() == 0,
+      "reconstruction error must stay within deq/2 by construction")
+    assert(qz.filter(col("n_elems") =!= col("n_vecs") * 64).count() == 0)
+    // the max-|x| element of each non-zero vector quantizes to exactly ±127
+    assert(qz.filter(col("n_sat") < col("n_vecs")).count() == 0,
+      "each vector contributes at least one saturated element")
+    val total = qz.agg(sum(col("n_vecs"))).head().getLong(0)
+    assert(total == graft.tables.Tables.embeddings(spark, sf).count())
+  }
+
+  test("vocab coverage curve is monotone with contiguous ranks") {
+    val cv = run("q_vocab_coverage").collect()
+    assert(cv.map(_.getAs[Int]("rank")).toSeq == (1 to cv.length))
+    val cnts = cv.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "counts must be nonincreasing in rank")
+    val cov = cv.map(_.getAs[Long]("cov_ppm"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b } &&
+      cov.last <= 1000000L, "coverage ppm must be nondecreasing and <= 1e6")
+  }
+
   test("winnowing guarantee: docs sharing an 11+ char substring share a fingerprint") {
     import spark.implicits._
     // two synthetic docs sharing a 20-char run, plus noise docs
