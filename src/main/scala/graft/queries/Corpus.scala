@@ -276,6 +276,58 @@ object Corpus {
         FROM j JOIN mad USING (o_orderpriority)
         GROUP BY 1 ORDER BY o_orderpriority""")),
 
+    // Parametric z-score outlier gate — the mean/σ twin of the robust
+    // MAD query above, on integer document lengths, where the entire
+    // detector collapses to integer arithmetic: |x − mean| > 3σ ⟺
+    // (n·x − Σx)² > 9·(n·Σx² − (Σx)²). No interpolation, no
+    // transcendental, no float comparison anywhere in the gate; the
+    // reported mean/σ are single IEEE expressions over the same exact
+    // integers (TUNING.md class A, strongest form). Per-lang moments
+    // broadcast back to the rows — two map-side-combinable hash aggs at
+    // any scale. The squared deviations stay under 2^63 up to ~10⁸ docs
+    // per group × 6e2 chars; past that, promote the compare to
+    // DECIMAL(38,0)/HUGEINT (same plan shape).
+    QDef("q_outlier_zscore",
+      (s, d) => {
+        val x = documents(s, d).select(col("lang"), col("n_chars"))
+        val m = x.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+            sum(col("n_chars") * col("n_chars")).as("sxx"))
+          .withColumn("var_num",
+            col("n") * col("sxx") - col("sx") * col("sx"))
+        x.join(broadcast(m), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(min(col("n")).as("n"),
+            round(min(col("sx")) / min(col("n")).cast("double"), 6)
+              .as("mean_chars"),
+            round(sqrt(min(col("var_num")).cast("double")) /
+              min(col("n")).cast("double"), 6).as("std_chars"),
+            sum(((col("n") * col("n_chars") - col("sx")) *
+              (col("n") * col("n_chars") - col("sx")) >
+              lit(9L) * col("var_num")).cast("long")).as("n_out"),
+            max((col("n") * col("n_chars") - col("sx")) *
+              (col("n") * col("n_chars") - col("sx"))).as("max_dev2"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH m AS (
+          SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS sx,
+            CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+            CAST(count(*) * sum(n_chars * n_chars) -
+              sum(n_chars) * sum(n_chars) AS BIGINT) AS var_num
+          FROM documents GROUP BY lang)
+        SELECT d.lang, min(n) AS n,
+          round(CAST(min(sx) AS DOUBLE) / CAST(min(n) AS DOUBLE), 6)
+            AS mean_chars,
+          round(sqrt(CAST(min(var_num) AS DOUBLE)) /
+            CAST(min(n) AS DOUBLE), 6) AS std_chars,
+          sum(CAST((n * n_chars - sx) * (n * n_chars - sx) >
+            9 * var_num AS BIGINT)) AS n_out,
+          CAST(max((n * n_chars - sx) * (n * n_chars - sx)) AS BIGINT)
+            AS max_dev2
+        FROM documents d JOIN m ON d.lang = m.lang
+        GROUP BY d.lang ORDER BY d.lang""")),
+
     // Equi-width numeric histogram (24 × 5000-wide buckets, top bucket
     // clamped): the profiling primitive behind range pruning and skew
     // diagnosis. One hash-agg over integer bucket ids — map-side combine
