@@ -75,8 +75,16 @@ object ScaleProof {
     // shapes must stay two hash-aggs + one user_id equi-join, with state
     // bounded by |users| per partition, not corpus size
     replicate("events", Seq("event_id", "user_id"))
-    spark.read.parquet(s"$base/customer.parquet").write.mode("overwrite")
-      .parquet(s"$dir/customer.parquet")
+    // embeddings replicate under fresh vec_id: 10x vectors through the
+    // map-only quantizer
+    replicate("embeddings", Seq("vec_id"))
+    // dimensions copy as-is: the dimension side of every new join stays
+    // broadcast-sized while the fact side scales (orders' o_custkey is
+    // deliberately NOT shifted, so fact↔dim joins stay aligned)
+    Seq("customer", "supplier", "nation", "region").foreach { name =>
+      spark.read.parquet(s"$base/$name.parquet").write.mode("overwrite")
+        .parquet(s"$dir/$name.parquet")
+    }
     println(f"[scale] synthesized ${copies}x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     println(s"[scale] lineitem rows: ${spark.read.parquet(s"$dir/lineitem.parquet").count()}")
 
@@ -109,7 +117,14 @@ object ScaleProof {
       // and the batch-TWS counter whose RocksDB state holds 10x users
       "q_token_packing", "q_gopher_rules", "q_dsir_weights",
       "q_winnowing", "q_bpe_pairs", "q_dedup_incremental",
-      "q_counter_state_twin")
+      "q_counter_state_twin",
+      // round-7 wave-7 additions: the two-dimension-path star joins at a
+      // 10x fact side (dims stay broadcast), the left-join distribution,
+      // the map-only int8 quantizer over 10x vectors, the vocab explode,
+      // and the integer z-score gate
+      "q_trade_volume", "q_market_share", "q_cust_order_dist",
+      "q_large_orders", "q_embed_quantize", "q_vocab_coverage",
+      "q_outlier_zscore")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
