@@ -24,7 +24,10 @@ object Explain {
       // fingerprint shuffle, gapfill's co-partitioned calendar join,
       // attribution's interval join + per-purchase window
       "q_token_packing", "q_winnowing", "q_timeseries_gapfill",
-      "q_attribution_last_touch")
+      "q_attribution_last_touch",
+      // wave 7: both star joins must show broadcast dimension chains
+      // with the single fact⋈fact exchange
+      "q_trade_volume", "q_market_share")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -69,14 +69,22 @@ object TextDedup {
     * nPerm permutations simulated as xxhash64(shingle, seed=p); bands of
     * nPerm/bands rows hashed into a bucket key.
     */
+  /** Per-doc MinHash signature: columns h0..h{nPerm-1}, each the min of
+    * xxhash64(shingle, seed=p) over the doc's distinct shingles — the
+    * min-wise estimator (P[h_a = h_b] = Jaccard(a, b) per permutation). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, nPerm: Int = 32): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleK)
+    val minCols = (0 until nPerm).map(p =>
+      min(xxhash64(col("sh"), lit(p))).as(s"h$p"))
+    sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+  }
+
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, nPerm: Int = 32, bands: Int = 8): DataFrame = {
     require(nPerm % bands == 0, "bands must divide nPerm")
     val rows = nPerm / bands
-    val pairs = shingleTable(docs, idCol, textCol, shingleK)
-    val minCols = (0 until nPerm).map(p =>
-      min(xxhash64(col("sh"), lit(p))).as(s"h$p"))
-    val sig = pairs.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    val sig = minhashSignatures(docs, idCol, textCol, shingleK, nPerm)
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("sig")).as(s"band$b")

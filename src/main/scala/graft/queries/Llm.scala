@@ -491,6 +491,50 @@ object Llm {
     // cross-validating in-query, with DuckDB pinning the per-row flag
     // (the relational form emits no row for token-less docs; the flag
     // accepts exactly that case).
+    // MinHash sketch-quality audit — the dedup analog of the ANN recall
+    // gates: for every exact dup pair (Jaccard ≥ 0.2), the 32-permutation
+    // signature agreement est = matches/32 must sit within a measured
+    // error band of the true Jaccard. est32 is hash-defined (xxhash64),
+    // so DuckDB cannot recompute it; per the flag-collapse pattern the
+    // oracle pins the exact Jaccard (same rational as q_jaccard_pairs)
+    // plus est_ok=1. The band (0.40) clears the measured worst-case
+    // deviation (≤0.22 across sf0.001/0.01/0.1; binomial σ at n=32 is
+    // ~0.09) by ≥0.15 — LlmDedupSpec re-measures the margin each round.
+    // Scale: signatures are one map-side-combinable min-agg over the
+    // shingle table; the pair join hits the already-materialized dup
+    // edge frame on id equi-keys.
+    QDef("q_minhash_est",
+      (s, d) => {
+        val docs = documents(s, d)
+        val sig = graft.llm.TextDedup
+          .minhashSignatures(docs, "doc_id", "text")
+          .localCheckpoint(true)
+        val exact = graft.llm.TextDedup
+          .jaccardEdgesShared(docs, "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
+        val est32 = (0 until 32)
+          .map(p => (col(s"a.h$p") === col(s"b.h$p")).cast("long"))
+          .reduce(_ + _)
+        exact
+          .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+          .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+          .withColumn("est", est32 / lit(32.0)) // /2^5 — exact in binary
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"),
+            (abs(col("est") - col("jaccard")) <= lit(0.40)).cast("long")
+              .as("est_ok"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $dupPairsCte
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard,
+          CAST(1 AS BIGINT) AS est_ok
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+        ORDER BY id_a, id_b""")),
+
     QDef("q_simhash",
       (s, d) => {
         val docs = documents(s, d)

@@ -189,6 +189,26 @@ class TextDedupSpec extends AnyFunSuite {
     got.values.foreach(v => assert(math.abs(v - 1.0) < 1e-9, s"got $got"))
   }
 
+  test("minhash estimate error clears the q_minhash_est band with margin") {
+    // re-measure the sketch-quality margin every round (the ANN-floor
+    // practice): the declared flag bound is 0.40; the measured worst
+    // case must stay >= 0.15 under it or the gate is knife-edge
+    val docs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+    val sig = TextDedup.minhashSignatures(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val exact = TextDedup.jaccardEdgesShared(docs, "doc_id", "text",
+      threshold = 0.2, corpusKey = TestSpark.sf0001)
+    val est32 = (0 until 32)
+      .map(p => (col(s"a.h$p") === col(s"b.h$p")).cast("long"))
+      .reduce(_ + _)
+    val maxDev = exact
+      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .select(abs(est32 / lit(32.0) - col("jaccard")).as("dev"))
+      .agg(max(col("dev"))).as[Double].head()
+    assert(maxDev <= 0.25, f"max |est-jaccard| $maxDev%.3f within 0.15 of 0.40")
+  }
+
   test("declared corpus queries run: lang-id beats chance, fingerprints stable") {
     val langAcc = graft.SparkEntry.queries("q_lang_id")(spark, TestSpark.sf0001)
       .agg(avg(col("correct"))).as[Double].head()
