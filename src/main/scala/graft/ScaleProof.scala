@@ -81,7 +81,7 @@ object ScaleProof {
     // dimensions copy as-is: the dimension side of every new join stays
     // broadcast-sized while the fact side scales (orders' o_custkey is
     // deliberately NOT shifted, so fact↔dim joins stay aligned)
-    Seq("customer", "supplier", "nation", "region").foreach { name =>
+    Seq("customer", "supplier", "nation", "region", "part").foreach { name =>
       spark.read.parquet(s"$base/$name.parquet").write.mode("overwrite")
         .parquet(s"$dir/$name.parquet")
     }
@@ -124,7 +124,16 @@ object ScaleProof {
       // and the integer z-score gate
       "q_trade_volume", "q_market_share", "q_cust_order_dist",
       "q_large_orders", "q_embed_quantize", "q_vocab_coverage",
-      "q_outlier_zscore")
+      "q_outlier_zscore",
+      // round-7 wave-8 additions: the TPC-H completion shapes — the
+      // correlated-EXISTS semi (q4), the late-line class counts (q12),
+      // the scalar-max gate (q15), the per-part pre-agg join-back (q17),
+      // the disjunctive envelope (q19), the triple semi/anti chain (q21),
+      // the idle anti-join (q22) — plus the MinHash estimate audit over
+      // the 10x dup-clique corpus
+      "q4_order_priority", "q12_late_line_priority", "q15_top_supplier",
+      "q17_small_qty_revenue", "q19_disjunctive_revenue",
+      "q21_sole_returned_supplier", "q22_idle_customers", "q_minhash_est")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -166,6 +166,251 @@ object Relational {
         JOIN orders ON big.l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE sum_qty > 300.0
-        ORDER BY o_totalprice DESC, o_orderkey"""))
+        ORDER BY o_totalprice DESC, o_orderkey""")),
+
+    // TPC-H q4 shape: priority distribution of orders with at least one
+    // late-shipped line. The synthetic schema has no commit/receipt
+    // dates, so "late" is l_shipdate > o_orderdate + 60 days — the
+    // correlated-EXISTS shape is the point: a left-semi join whose
+    // condition spans both sides. The quarter filter prunes orders
+    // before the semi probe; lineitem projects two columns.
+    QDef("q4_order_priority",
+      (s, d) => {
+        val o = orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val late = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(late,
+            col("o_orderkey") === col("l_orderkey")
+              && col("l_shipdate") >
+                col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // TPC-H q12 shape: two-class conditional counts of late lines per
+    // line status (stand-in for the missing shipmode column). Pure
+    // integer CASE sums — exact on both engines; the only shuffle is
+    // the final 2-group aggregation after the orderkey join.
+    QDef("q12_late_line_priority",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus")),
+      Some("""SELECT l_linestatus,
+          sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END) AS high_line_count,
+          sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1 ORDER BY l_linestatus""")),
+
+    // TPC-H q15 shape: the top supplier(s) by quarterly revenue. The
+    // scalar-subquery max runs over exact micro-unit BIGINTs, so the
+    // equality gate cannot flip on float ordering; the 1-row max frame
+    // broadcasts into the revenue frame, and only the winners join
+    // supplier.
+    QDef("q15_top_supplier",
+      (s, d) => {
+        val rev = lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(revMicro.as("total_rev_micro"))
+        val top = rev.agg(max(col("total_rev_micro")).as("max_rev"))
+        rev.join(broadcast(top), col("total_rev_micro") === col("max_rev"))
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_micro"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""WITH revenue AS (
+          SELECT l_suppkey, $revMicroSql AS total_rev_micro
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_rev_micro
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_micro = (SELECT max(total_rev_micro) FROM revenue)
+        ORDER BY s_suppkey""")),
+
+    // TPC-H q17 shape: revenue sitting in small-quantity lines of one
+    // brand, "small" meaning under 1/5 of the part's mean quantity. The
+    // correlated per-part average is a pre-aggregation joined back on
+    // partkey; the comparison is pure BIGINT (quantity is integral in
+    // the synthetic data, so qty*5*n_lines < sum_qty is the exact form
+    // of qty < 0.2*avg — no division, no float boundary). Brand filter
+    // broadcasts the pruned part side.
+    QDef("q17_small_qty_revenue",
+      (s, d) => {
+        val partStats = lineitem(s, d)
+          .groupBy(col("l_partkey").as("ps_partkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+        lineitem(s, d)
+          .join(broadcast(part(s, d)
+              .filter(col("p_brand") === "Brand#23")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(partStats, col("l_partkey") === col("ps_partkey"))
+          .filter(col("l_quantity").cast("long") * lit(5L) * col("n_lines")
+            < col("sum_qty"))
+          .agg((sum(col("l_extendedprice")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+              * lit(1000000)).cast("long").as("rev_micro"),
+            count(lit(1)).as("n_small"))
+      },
+      Some("""WITH stats AS (
+          SELECT l_partkey AS ps_partkey,
+            sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+            count(*) AS n_lines
+          FROM lineitem GROUP BY 1)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) * 1000000
+            AS BIGINT) AS rev_micro,
+          count(*) AS n_small
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN stats ON l_partkey = ps_partkey
+        WHERE p_brand = 'Brand#23'
+          AND CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty""")),
+
+    // TPC-H q19 shape: disjunctive brand/size/quantity predicates — the
+    // classic "OR of conjunctions" the optimizer must both evaluate
+    // post-join AND partially push down (the derived brand∈set ∧ size≤15
+    // envelope prunes part before the broadcast). Revenue in exact
+    // micro-units.
+    QDef("q19_disjunctive_revenue",
+      (s, d) => {
+        val p = part(s, d)
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#24")
+            && col("p_size").between(1, 15))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+              && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+              && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#24" && col("p_size").between(1, 15)
+              && col("l_quantity").between(20, 30)))
+          .agg(revMicro.as("rev_micro"), count(lit(1)).as("n_lines"))
+      },
+      Some(s"""SELECT $revMicroSql AS rev_micro, count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // TPC-H q21 shape: suppliers solely at fault — their line on a
+    // finished multi-supplier order is returned while no other
+    // supplier's line on that order is. EXISTS → left-semi with a
+    // suppkey inequality in the condition, NOT EXISTS → left-anti; both
+    // probe the same projected lineitem frame, co-partitioned on
+    // orderkey with the driving scan.
+    QDef("q21_sole_returned_supplier",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val oth = li
+          .select(col("l_orderkey").as("o2_orderkey"),
+            col("l_suppkey").as("o2_suppkey"))
+        val othR = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3_orderkey"),
+            col("l_suppkey").as("o3_suppkey"))
+        li.filter(col("l_returnflag") === "R")
+          .join(orders(s, d).filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(oth, col("l_orderkey") === col("o2_orderkey")
+            && col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+          .join(othR, col("l_orderkey") === col("o3_orderkey")
+            && col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM orders
+            WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY 1 ORDER BY numwait DESC, s_name""")),
+
+    // TPC-H q22 shape: idle high-balance customers per market segment
+    // (stand-in for the missing phone country code). The "above the
+    // positive-balance average" gate multiplies through by the count —
+    // acctbal·cnt > sum as exact decimals, no division — and the idle
+    // gate is a left-anti join on custkey against recent orders (every
+    // synthetic customer has SOME order, so the literal never-ordered
+    // form is degenerate; "no order since 1999" keeps the anti-join
+    // semantics and a non-empty answer at every SF).
+    QDef("q22_idle_customers",
+      (s, d) => {
+        val c = customer(s, d)
+        val pos = c.filter(col("c_acctbal") > 0.0)
+          .agg(sum(col("c_acctbal")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .as("sum_pos"),
+            count(lit(1)).cast("int").as("cnt_pos"))
+        c.crossJoin(broadcast(pos))
+          .filter(col("c_acctbal")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            * col("cnt_pos") > col("sum_pos"))
+          .join(orders(s, d)
+              .filter(col("o_orderdate") >=
+                lit("1999-01-01").cast("timestamp"))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            (sum(col("c_acctbal")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+              * lit(1000000)).cast("long").as("bal_micro"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH pos AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_pos,
+            CAST(count(*) AS INTEGER) AS cnt_pos
+          FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_mktsegment, count(*) AS numcust,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) * 1000000 AS BIGINT)
+            AS bal_micro
+        FROM customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(18,6)) * cnt_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY 1 ORDER BY c_mktsegment"""))
   )
 }
