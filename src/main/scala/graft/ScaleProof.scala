@@ -133,7 +133,14 @@ object ScaleProof {
       // the 10x dup-clique corpus
       "q4_order_priority", "q12_late_line_priority", "q15_top_supplier",
       "q17_small_qty_revenue", "q19_disjunctive_revenue",
-      "q21_sole_returned_supplier", "q22_idle_customers", "q_minhash_est")
+      "q21_sole_returned_supplier", "q22_idle_customers", "q_minhash_est",
+      // round-7 wave-9 additions: the curriculum's global row_number is
+      // the deliberate stress (the sharded prefix-sum is the documented
+      // scale path), the reservoir windows per-stratum, the mixture plan
+      // is two tiny aggs, the decontam rides the shared edge frame, and
+      // the full-outer interval twin joins 10x users
+      "q_curriculum_order", "q_sample_reservoir", "q_mixture_plan",
+      "q_decontam_neardup", "q_stream_interval_join_full")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -540,6 +540,96 @@ object Curation {
           sum(cnt) OVER (ORDER BY cnt DESC, tok
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             * 1000000 // total AS cov_ppm
-        FROM top, total ORDER BY rank"""))
+        FROM top, total ORDER BY rank""")),
+
+    // Token-budget mixture planning: given per-lang token counts and a
+    // uniform target mixture, how many epochs of each shard fill the
+    // budget. The real-world step between q_domain_mix's weights and a
+    // training run: epochs_ppm > 1e6 means the shard repeats (upsampled),
+    // < 1e6 means it's subsampled. Two tiny aggregates + a broadcast
+    // 1-row cross join; ceil division in pure BIGINTs.
+    QDef("q_mixture_plan",
+      (s, d) => {
+        val lt = documents(s, d)
+          .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_toks"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_toks")).as("lang_tokens"), count(lit(1)).as("n_docs"))
+        val tot = lt.agg(sum(col("lang_tokens")).as("total_tokens"),
+          count(lit(1)).as("n_langs"))
+        lt.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("lang_tokens"),
+            expr("total_tokens div n_langs").as("target_tokens"),
+            expr("(total_tokens div n_langs) * 1000000 div lang_tokens")
+              .as("epochs_ppm"),
+            expr("(total_tokens div n_langs + lang_tokens - 1) div lang_tokens")
+              .as("n_epochs"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH lt AS (SELECT lang, count(*) AS n_docs,
+            sum(CAST(len($tokensSql) AS BIGINT)) AS lang_tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT sum(lang_tokens) AS total_tokens,
+            count(*) AS n_langs FROM lt)
+        SELECT lang, n_docs, lang_tokens,
+          total_tokens // n_langs AS target_tokens,
+          (total_tokens // n_langs) * 1000000 // lang_tokens AS epochs_ppm,
+          (total_tokens // n_langs + lang_tokens - 1) // lang_tokens
+            AS n_epochs
+        FROM lt CROSS JOIN tot ORDER BY lang""")),
+
+    // Deterministic curriculum ordering: three length phases (easy →
+    // hard), pseudo-shuffled within each phase by md5(doc_id) — the
+    // reproducible data-order step of a training run (same hash idiom as
+    // q_split_assign: no RNG state, identical across engines/runs).
+    // Batch assignment is integer division of the global position.
+    // Scale note: the single global row_number is the small-SF form; at
+    // 100 TB the order is sharded by (phase, hash prefix) and offsets
+    // come from the two-level prefix sum q_token_packing demonstrates.
+    QDef("q_curriculum_order",
+      (s, d) => {
+        val phased = documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            when(col("n_chars") < 200, 0)
+              .when(col("n_chars") < 350, 1).otherwise(2).as("phase"),
+            md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        phased
+          .withColumn("pos", row_number().over(
+            Window.orderBy(col("phase"), col("h"), col("doc_id"))))
+          .select(col("doc_id"), col("lang"), col("phase"), col("pos"),
+            expr("(pos - 1) div 32").as("batch_id"),
+            ((col("pos") - 1) % 32).as("pos_in_batch"))
+          .orderBy(col("pos"))
+      },
+      Some("""SELECT doc_id, lang, phase, pos,
+          (pos - 1) // 32 AS batch_id, (pos - 1) % 32 AS pos_in_batch
+        FROM (SELECT doc_id, lang,
+            CASE WHEN n_chars < 200 THEN 0
+                 WHEN n_chars < 350 THEN 1 ELSE 2 END AS phase,
+            row_number() OVER (ORDER BY
+              CASE WHEN n_chars < 200 THEN 0
+                   WHEN n_chars < 350 THEN 1 ELSE 2 END,
+              md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+          FROM documents)
+        ORDER BY pos""")),
+
+    // Deterministic per-stratum exact-k sample ("reservoir" semantics
+    // without RNG state): rank by md5(doc_id) within each lang and keep
+    // the first k=10 — reproducible across engines, runs, partitionings,
+    // and (unlike fraction sampling) exact in size. One window over the
+    // lang partition; at scale each stratum sorts independently.
+    QDef("q_sample_reservoir",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk")),
+      Some("""SELECT doc_id, lang, rk FROM (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 10 ORDER BY lang, rk"""))
   )
 }

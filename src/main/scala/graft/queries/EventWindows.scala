@@ -572,6 +572,31 @@ object EventWindows {
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
-        ORDER BY p_id, c_ts_us NULLS FIRST"""))
+        ORDER BY p_id, c_ts_us NULLS FIRST""")),
+
+    // Stream-stream interval join, FULL outer twin: unmatched purchases
+    // AND unmatched clicks both survive (the click side carries its
+    // event id so the null-purchase rows still have a total order). The
+    // streaming form is purchaseAttributionFull (watermarks bound state
+    // symmetrically); the batch twin here is what the oracle checks.
+    QDef("q_stream_interval_join_full",
+      (s, d) => {
+        val ev = events(s, d)
+        graft.streaming.EventStreams.purchaseAttributionFull(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"))
+          .select(col("p_id"), col("p_user"),
+            unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"),
+            col("c_id"), unix_micros(col("c_ts")).as("c_ts_us"))
+          .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id AS p_user,
+        epoch_us(p.ts) AS p_ts_us, p.value AS p_value,
+        c.event_id AS c_id, epoch_us(c.ts) AS c_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        ORDER BY p_id NULLS FIRST, c_id NULLS FIRST"""))
   )
 }

@@ -535,6 +535,52 @@ object Llm {
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
         ORDER BY id_a, id_b""")),
 
+    // Near-dup DECONTAMINATION across train/val/test: q_contamination
+    // catches exact n-gram leakage; this catches paraphrase-level
+    // leakage — dup-graph edges (Jaccard ≥ 0.5) whose endpoints landed
+    // in DIFFERENT splits under the q_split_assign hash. Reuses the
+    // shared materialized edge frame (one shingle join per corpus) and
+    // the Knuth-hash split — both already driver-verified — so the leak
+    // report is exactly "edges ∩ split boundary". At 100 TB the edge
+    // frame is the maintained near-dup index; the split predicate is a
+    // map-side expression on its two id columns.
+    QDef("q_decontam_neardup",
+      (s, d) => {
+        def split(id: org.apache.spark.sql.Column) = {
+          val b = pmod(id * lit(2654435761L), lit(4294967296L)) % 100
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        graft.llm.TextDedup
+          .jaccardEdgesShared(documents(s, d), "doc_id", "text",
+            threshold = 0.5, corpusKey = d)
+          .withColumn("split_a", split(col("id_a")))
+          .withColumn("split_b", split(col("id_b")))
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"),
+            col("split_a"), col("split_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $dupPairsCte,
+        leaks AS (
+          SELECT id_a, id_b,
+            round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+              AS jaccard,
+            CASE WHEN (id_a * 2654435761) % 4294967296 % 100 < 80
+              THEN 'train'
+              WHEN (id_a * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split_a,
+            CASE WHEN (id_b * 2654435761) % 4294967296 % 100 < 80
+              THEN 'train'
+              WHEN (id_b * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split_b
+          FROM pairs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
+        SELECT * FROM leaks WHERE split_a <> split_b
+        ORDER BY id_a, id_b""")),
+
     QDef("q_simhash",
       (s, d) => {
         val docs = documents(s, d)

@@ -90,6 +90,27 @@ object EventStreams {
       "leftOuter")
   }
 
+  /** Full-outer variant: BOTH sides emit unmatched rows once the other
+    * side's watermark passes the point where a match is impossible —
+    * purchases with no prior click AND clicks that preceded no purchase.
+    * State bounds are symmetric: each side holds rows only inside its
+    * watermark-derived window. On batch frames this is a plain full
+    * outer join, which is what the declared twin oracles; the click id
+    * travels so the unmatched-click rows have a total order. */
+  def purchaseAttributionFull(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "fullOuter")
+  }
+
   // ---- Custom state: running per-user counters (the streaming analog of
   // the reference's threaded record count, `KinesisWriter.scala:184-194`).
 

@@ -13,6 +13,79 @@ class CurationSpec extends AnyFunSuite {
   private val sf = TestSpark.sf0001
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("mixture plan: epoch ceil covers the target; token totals conserved") {
+    val plan = run("q_mixture_plan").cache()
+    // n_epochs is the exact ceiling: (n_epochs-1)·lang < target ≤ n_epochs·lang
+    val bad = plan.filter(
+      col("n_epochs") * col("lang_tokens") < col("target_tokens") ||
+      (col("n_epochs") - lit(1)) * col("lang_tokens") >= col("target_tokens"))
+    assert(bad.count() == 0, "n_epochs must be the exact ceiling")
+    val total = plan.agg(sum(col("lang_tokens"))).head().getLong(0)
+    val truth = graft.tables.Tables.documents(spark, sf)
+      .select(size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == truth, s"plan tokens $total != corpus tokens $truth")
+  }
+
+  test("curriculum order is a permutation with monotone phases, full batches") {
+    val cur = run("q_curriculum_order").cache()
+    val n = cur.count()
+    assert(cur.select(col("doc_id")).distinct().count() == n)
+    assert(cur.agg(max(col("pos"))).head().getInt(0) == n
+      && cur.select(col("pos")).distinct().count() == n,
+      "pos must be a 1..n permutation")
+    // phases never interleave: max pos of phase p < min pos of phase p+1
+    val ranges = cur.groupBy(col("phase"))
+      .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("phase")).collect()
+    assert(ranges.length == 3, "all three phases must be non-empty")
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Int]("hi") < b.getAs[Int]("lo"),
+        "curriculum phases must not interleave")
+      case _ => ()
+    }
+    // every batch except the last holds exactly 32 docs
+    val under = cur.groupBy(col("batch_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 32 && col("batch_id") =!= (n - 1) / 32).count()
+    assert(under == 0, "only the final batch may be ragged")
+  }
+
+  test("reservoir sample is exactly min(k, stratum) per lang and reproducible") {
+    val a = run("q_sample_reservoir").cache()
+    val sizes = graft.tables.Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val got = a.groupBy(col("lang")).agg(count(lit(1)).as("k"))
+    val bad = sizes.join(got, Seq("lang"), "left")
+      .filter(coalesce(col("k"), lit(0L)) =!= least(col("n"), lit(10L)))
+    assert(bad.count() == 0, "per-stratum sample size must be min(k, |stratum|)")
+    val b = run("q_sample_reservoir")
+    assert(a.collect().toSeq == b.collect().toSeq, "sample must be deterministic")
+  }
+
+  test("near-dup decontamination flags exactly the cross-split 0.5-edges") {
+    val leaks = run("q_decontam_neardup").cache()
+    assert(leaks.filter(col("split_a") === col("split_b")).count() == 0)
+    assert(leaks.filter(col("jaccard") < 0.5).count() == 0)
+    // leak set == edge set minus same-split edges (independent recount)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val edges = graft.llm.TextDedup
+      .jaccardEdgesShared(docs, "doc_id", "text", 0.5, sf)
+    val expected = edges
+      .withColumn("ba", pmod(col("id_a") * lit(2654435761L),
+        lit(4294967296L)) % 100)
+      .withColumn("bb", pmod(col("id_b") * lit(2654435761L),
+        lit(4294967296L)) % 100)
+      .filter(!(((col("ba") < 80) && (col("bb") < 80)) ||
+        ((col("ba") >= 80) && (col("ba") < 90)
+          && (col("bb") >= 80) && (col("bb") < 90)) ||
+        ((col("ba") >= 90) && (col("bb") >= 90))))
+      .count()
+    assert(leaks.count() == expected,
+      s"leak count ${leaks.count()} != recomputed $expected")
+  }
+
   test("token packing conserves docs and tokens; bins are ordered runs") {
     val packed = run("q_token_packing").cache()
     val docs = graft.tables.Tables.documents(spark, sf)

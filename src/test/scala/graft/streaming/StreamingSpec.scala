@@ -394,6 +394,38 @@ class StreamingSpec extends AnyFunSuite {
       s"unmatched purchase not emitted null-padded after watermark: $got")
   }
 
+  test("full-outer interval join emits unmatched rows from BOTH sides") {
+    import spark.implicits._
+    val purchases = MemoryStream[EventRow](spark)
+    val clicks = MemoryStream[EventRow](spark)
+    val joined = EventStreams.purchaseAttributionFull(purchases.toDF(), clicks.toDF())
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_attr_full").start()
+    try {
+      clicks.addData(
+        row(10, ts(1, 9, 30), user = 1),  // match for user 1's purchase
+        row(11, ts(1, 9, 40), user = 7))  // no purchase follows → unmatched
+      purchases.addData(
+        row(1, ts(1, 10, 0), user = 1, typ = "purchase", v = 42.0),
+        row(2, ts(1, 10, 0), user = 5, typ = "purchase", v = 7.0)) // no click
+      q.processAllAvailable()
+      // advance both watermarks far enough that neither unmatched row can
+      // still match (clicks wait p_ts ∈ [c_ts, c_ts+1h), purchases wait
+      // c_ts ∈ [p_ts−1h, p_ts)) — then both must emit null-padded
+      clicks.addData(row(90, ts(1, 23, 0), user = 99))
+      purchases.addData(row(91, ts(1, 23, 0), user = 99, typ = "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_attr_full")
+      .select(col("p_id"), col("c_id"))
+      .as[(Option[Long], Option[Long])].collect().toSet
+    assert(got.contains((Some(1L), Some(10L))), s"matched pair missing: $got")
+    assert(got.contains((Some(2L), None)),
+      s"unmatched purchase not null-padded: $got")
+    assert(got.contains((None, Some(11L))),
+      s"unmatched click not null-padded: $got")
+  }
+
   test("streaming funnel twin matches the batch stage assignment") {
     import spark.implicits._
     // user 1 completes the funnel across two batches; user 2's click
