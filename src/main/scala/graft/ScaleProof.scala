@@ -140,7 +140,13 @@ object ScaleProof {
       // is two tiny aggs, the decontam rides the shared edge frame, and
       // the full-outer interval twin joins 10x users
       "q_curriculum_order", "q_sample_reservoir", "q_mixture_plan",
-      "q_decontam_neardup", "q_stream_interval_join_full")
+      "q_decontam_neardup", "q_stream_interval_join_full",
+      // round-7 wave-10 additions: the 44-moment covariance scan over
+      // 10x vectors, the chi2 grid over 10x docs, the CDC full-outer
+      // diff over 10x customers-by-orderkey rollups, and the clustering
+      // coefficient riding the shared clique-dense edge frame
+      "q_embed_covariance", "q_chi2_independence", "q_snapshot_diff",
+      "q_clustering_coeff")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

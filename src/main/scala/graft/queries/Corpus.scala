@@ -601,6 +601,47 @@ object Corpus {
           UNION ALL
           SELECT 'ALL', count(DISTINCT user_id) FROM events)
         SELECT event_type, exact_n, CAST(1 AS BIGINT) AS within_5pct
-        FROM segs ORDER BY event_type"""))
+        FROM segs ORDER BY event_type""")),
+
+    // Chi-squared independence audit of the lang × source contingency
+    // table — "is the language mix uniform across crawl sources?", the
+    // stratification sanity check before mixture planning. The full
+    // grid (row-marginals × column-marginals, LEFT-joined observed
+    // counts so empty cells contribute) with each cell's chi² term as
+    // an exact integer: (o·n − rs·cs)²·1e6 div (n·rs·cs), the rational
+    // collapse of (o−e)²/e in ppm units — DECIMAL(38,0)/HUGEINT keep
+    // the squared product exact. Three tiny aggregates + broadcast
+    // joins; one fact scan at 100 TB.
+    QDef("q_chi2_independence",
+      (s, d) => {
+        val docs = documents(s, d)
+        val cells = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rows = docs.groupBy(col("lang")).agg(count(lit(1)).as("rs"))
+        val cols_ = docs.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+        val tot = docs.agg(count(lit(1)).as("n"))
+        rows.crossJoin(broadcast(cols_))
+          .join(cells, Seq("lang", "source"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("lang"), col("source"), col("o"), col("rs"), col("cs"),
+            expr("CAST(o*n - rs*cs AS DECIMAL(38,0))" +
+              " * (o*n - rs*cs) * 1000000" +
+              " div (CAST(n AS DECIMAL(38,0)) * rs * cs)").as("contrib_ppm"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH cells AS (SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY 1, 2),
+          r AS (SELECT lang, count(*) AS rs FROM documents GROUP BY 1),
+          c AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1),
+          tot AS (SELECT count(*) AS n FROM documents)
+        SELECT lang, source, coalesce(o, 0) AS o, rs, cs,
+          CAST(CAST(coalesce(o, 0)*n - rs*cs AS HUGEINT)
+            * (coalesce(o, 0)*n - rs*cs) * 1000000
+            // (CAST(n AS HUGEINT) * rs * cs) AS BIGINT) AS contrib_ppm
+        FROM r CROSS JOIN c
+        LEFT JOIN cells USING (lang, source)
+        CROSS JOIN tot
+        ORDER BY lang, source"""))
   )
 }

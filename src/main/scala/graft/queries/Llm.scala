@@ -370,6 +370,103 @@ object Llm {
         JOIN edges0 e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
         ORDER BY a, b, c""")),
 
+    // Local clustering coefficient over the dup graph: how clique-like
+    // each document's dedup neighborhood is (coeff 1e6 = its neighbors
+    // are all mutual dups — one canonical keeper suffices; low coeff =
+    // a chain/hub, where transitive dedup over-merges). Degrees from the
+    // undirected edge list, per-node triangle counts from the same
+    // degree-oriented wedge join q_dup_triangles uses, coefficient as
+    // exact ppm: 2·tri·1e6 div deg(deg−1). Everything rides the shared
+    // materialized edge frame.
+    QDef("q_clustering_coeff",
+      (s, d) => {
+        val edges = graft.llm.TextDedup
+          .jaccardEdgesShared(documents(s, d), "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
+          .select(col("id_a"), col("id_b"))
+        val und = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+          .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+        val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val tpn = graft.llm.TextDedup.triangles(edges)
+          .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+          .groupBy(col("u")).agg(count(lit(1)).as("tri"))
+        deg.join(tpn, Seq("u"), "left")
+          .withColumn("tri", coalesce(col("tri"), lit(0L)))
+          .filter(col("deg") >= 2)
+          .select(col("u").as("doc_id"), col("deg"), col("tri"),
+            expr("tri * 2000000 div (deg * (deg - 1))").as("coeff_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${dupEdgesCte("0.2")},
+        und AS (SELECT id_a AS u FROM edges0
+          UNION ALL SELECT id_b FROM edges0),
+        deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+        tris AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+          FROM edges0 e1
+          JOIN edges0 e2 ON e2.id_a = e1.id_b
+          JOIN edges0 e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        tpn AS (SELECT u, count(*) AS tri FROM (
+            SELECT a AS u FROM tris UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris)
+          GROUP BY 1)
+        SELECT u AS doc_id, deg, coalesce(tri, 0) AS tri,
+          coalesce(tri, 0) * 2000000 // (deg * (deg - 1)) AS coeff_ppm
+        FROM deg LEFT JOIN tpn USING (u)
+        WHERE deg >= 2 ORDER BY doc_id""")),
+
+    // Embedding covariance matrix (upper triangle of the first 8 dims):
+    // the whitening/PCA precursor over the embedding table. Exactness by
+    // quantization-first: each float lands ONCE on the 1e-6 integer grid
+    // (float→double cast and ×1e6 are IEEE-exact; round-half-away ties
+    // are representable and both engines break them away from zero), and
+    // every moment after that — Σx, Σxy, the n·Σxy − Σx·Σy numerator —
+    // is exact BIGINT/DECIMAL(38,0)/HUGEINT arithmetic. cov_pico is the
+    // covariance in 1e-12 units via truncating integer division (Spark
+    // `div` and DuckDB `//` both truncate toward zero, negatives
+    // included). One map-side-combinable hash agg over 44 moments, one
+    // stack() unpivot of the single result row: the 100 TB plan is a
+    // single scan.
+    QDef("q_embed_covariance", {
+      val dims = 8
+      val fn: Q.Fn = (s, d) => {
+        val xCols = (0 until dims).map(i =>
+          round(element_at(col("embedding"), i + 1).cast("double")
+            * lit(1000000), 0).cast("long").as(s"x$i"))
+        val base = embeddings(s, d).select(xCols: _*)
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          (0 until dims).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+          (for { i <- 0 until dims; j <- i until dims }
+            yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j"))
+        val m = base.agg(aggs.head, aggs.tail: _*)
+        val entries = (for { i <- 0 until dims; j <- i until dims }
+          yield s"$i, $j, p${i}_$j, s$i, s$j").mkString(", ")
+        m.selectExpr("n",
+            s"stack(${dims * (dims + 1) / 2}, $entries) AS (i, j, pij, si, sj)")
+          .select(col("i"), col("j"), col("n"),
+            expr("(CAST(n AS DECIMAL(38,0)) * pij" +
+              " - CAST(si AS DECIMAL(38,0)) * sj)" +
+              " div (CAST(n AS DECIMAL(38,0)) * n)").as("cov_pico"))
+          .orderBy(col("i"), col("j"))
+      }
+      fn
+    }, {
+      val dims = 8
+      val xDefs = (0 until dims).map(i =>
+        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
+          s" AS BIGINT) AS x$i").mkString(", ")
+      val sDefs = (0 until dims).map(i => s"sum(x$i) AS s$i").mkString(", ")
+      val pDefs = (for { i <- 0 until dims; j <- i until dims }
+        yield s"sum(x$i * x$j) AS p${i}_$j").mkString(", ")
+      val unions = (for { i <- 0 until dims; j <- i until dims } yield
+        s"SELECT $i AS i, $j AS j, n, (CAST(n AS HUGEINT) * p${i}_$j" +
+          s" - CAST(s$i AS HUGEINT) * s$j) // (CAST(n AS HUGEINT) * n)" +
+          s" AS cov_pico FROM m").mkString(" UNION ALL ")
+      Some(s"""WITH x AS (SELECT $xDefs FROM embeddings),
+        m AS (SELECT count(*) AS n, $sDefs, $pDefs FROM x)
+        SELECT i, j, n, CAST(cov_pico AS BIGINT) AS cov_pico
+        FROM ($unions) ORDER BY i, j""")
+    }),
+
     // Bounded-hop reachability from a seed set over the dup edges: "every
     // document within 3 dedup hops of a flagged doc" — the takedown /
     // contamination blast-radius query. Frontier BFS with min-hop merge;

@@ -411,6 +411,60 @@ object Relational {
         WHERE CAST(c_acctbal AS DECIMAL(18,6)) * cnt_pos > sum_pos
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
-        GROUP BY 1 ORDER BY c_mktsegment"""))
+        GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // Snapshot diff (CDC classification): per-customer order rollups at
+    // two cutoff dates, FULL-outer joined and classified insert /
+    // update / unchanged (the data is append-only, so deletes are
+    // structurally impossible — the CASE still guards the branch).
+    // Revenue deltas in exact micro-unit BIGINTs; the 100 TB form diffs
+    // two bucketed snapshot tables co-partitioned on the key, so the
+    // full-outer join is exchange-free.
+    QDef("q_snapshot_diff",
+      (s, d) => {
+        def snap(cut: String) = orders(s, d)
+          .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            (sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+              * lit(1000000)).cast("long").as("rev"))
+        val s1 = snap("1998-01-01").select(col("o_custkey").as("k1"),
+          col("cnt").as("cnt1"), col("rev").as("rev1"))
+        val s2 = snap("2000-01-01").select(col("o_custkey").as("k2"),
+          col("cnt").as("cnt2"), col("rev").as("rev2"))
+        s1.join(s2, col("k1") === col("k2"), "full_outer")
+          .select(
+            when(col("k1").isNull, "insert")
+              .when(col("k2").isNull, "delete")
+              .when(col("cnt1") =!= col("cnt2")
+                || col("rev1") =!= col("rev2"), "update")
+              .otherwise("unchanged").as("status"),
+            (coalesce(col("rev2"), lit(0L)) - coalesce(col("rev1"), lit(0L)))
+              .as("delta"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("delta")).as("delta_rev_micro"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH s1 AS (SELECT o_custkey, count(*) AS cnt1,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000
+              AS BIGINT) AS rev1
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY 1),
+        s2 AS (SELECT o_custkey, count(*) AS cnt2,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000
+              AS BIGINT) AS rev2
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+          GROUP BY 1)
+        SELECT status, count(*) AS n_keys, sum(delta) AS delta_rev_micro
+        FROM (SELECT
+            CASE WHEN s1.o_custkey IS NULL THEN 'insert'
+                 WHEN s2.o_custkey IS NULL THEN 'delete'
+                 WHEN cnt1 <> cnt2 OR rev1 <> rev2 THEN 'update'
+                 ELSE 'unchanged' END AS status,
+            coalesce(rev2, 0) - coalesce(rev1, 0) AS delta
+          FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey)
+        GROUP BY 1 ORDER BY status"""))
   )
 }

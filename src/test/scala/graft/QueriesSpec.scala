@@ -19,6 +19,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("wave-10 statistics invariants: chi2 grid, covariance psd diag, cdc, coeff") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // chi2: the full grid covers rows×cols, observed counts sum to n,
+    // and every exact-integer contribution is non-negative
+    val chi = run("q_chi2_independence").cache()
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val nLang = docs.select(col("lang")).distinct().count()
+    val nSrc = docs.select(col("source")).distinct().count()
+    assert(chi.count() == nLang * nSrc, "grid must be the full cross product")
+    assert(chi.agg(sum(col("o"))).head().getLong(0) == docs.count())
+    assert(chi.filter(col("contrib_ppm") < 0).count() == 0)
+
+    // covariance: variances (diagonal) are non-negative; 36 upper cells
+    val cov = run("q_embed_covariance").cache()
+    assert(cov.count() == 36)
+    assert(cov.filter(col("i") === col("j"))
+      .filter(col("cov_pico") < 0).count() == 0,
+      "diagonal of a covariance matrix is non-negative")
+
+    // snapshot diff: append-only data ⇒ no deletes, and the delta total
+    // equals the revenue that arrived between the two cutoffs
+    val cdc = run("q_snapshot_diff").cache()
+    assert(cdc.filter(col("status") === "delete").count() == 0)
+    val delta = cdc.agg(sum(col("delta_rev_micro"))).head().getLong(0)
+    val arrived = graft.tables.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      .agg((sum(col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+        * lit(1000000)).cast("long")).head().getLong(0)
+    assert(delta == arrived, s"delta $delta != between-cutoff revenue $arrived")
+
+    // clustering coefficient is a ppm in [0, 1e6]
+    val cc = run("q_clustering_coeff")
+    assert(cc.filter(col("coeff_ppm") < 0 || col("coeff_ppm") > 1000000)
+      .count() == 0)
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",
