@@ -146,7 +146,16 @@ object ScaleProof {
       // diff over 10x customers-by-orderkey rollups, and the clustering
       // coefficient riding the shared clique-dense edge frame
       "q_embed_covariance", "q_chi2_independence", "q_snapshot_diff",
-      "q_clustering_coeff")
+      "q_clustering_coeff",
+      // round-7 wave-11 addition: three Lloyd rounds over 10x vectors
+      // (broadcast-8 crossJoin + hash agg per round). q_setsim_prefix_join
+      // is measured once but NOT in the battery: on the all-dup clique
+      // corpus the exact join's OUTPUT is quadratic in clique size, so
+      // any candidate-complete method pays Ω(output) — 668 s measured,
+      // analysis in TUNING.md (prefix filtering wins on dup-SPARSE
+      // corpora, i.e. after exact dedup; on dup-heavy ones the df-capped
+      // LSH path is the production choice)
+      "q_kmeans_lloyd")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -467,6 +467,154 @@ object Llm {
         FROM ($unions) ORDER BY i, j""")
     }),
 
+    // Lloyd k-means as a DECLARED, oracle-checkable iterative query —
+    // k=8 centroids over the first 8 dims, 3 assign/update rounds.
+    // Integer-exact end to end: vectors quantize once onto the 1e-6
+    // grid, assignment is BIGINT argmin (ties → lowest centroid id),
+    // centroid updates are truncating integer means (Spark `div` ≡
+    // DuckDB `//`), so BOTH engines walk the IDENTICAL centroid
+    // trajectory and the oracle replays the whole loop as three chained
+    // CTAs. Empty clusters die (both engines drop them identically).
+    // Scale: each round is one broadcast-k crossJoin + one hash agg —
+    // the canonical Spark k-means profile; per-round localCheckpoint
+    // truncates lineage exactly like the connected-components fixpoint.
+    QDef("q_kmeans_lloyd", {
+      val dims = 8; val k = 8; val iters = 3
+      val fn: Q.Fn = (s, d) => {
+        val q = embeddings(s, d).select(
+          col("vec_id") +: (0 until dims).map(i =>
+            round(element_at(col("embedding"), i + 1).cast("double")
+              * lit(1000000), 0).cast("long").as(s"q$i")): _*)
+          .localCheckpoint(true)
+        var cent = q.filter(col("vec_id") < k)
+          .select(col("vec_id").as("ck") +:
+            (0 until dims).map(i => col(s"q$i").as(s"m$i")): _*)
+        val dist = (0 until dims)
+          .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
+          .reduce(_ + _)
+        def assign(c: org.apache.spark.sql.DataFrame) =
+          q.crossJoin(broadcast(c))
+            .withColumn("dist", dist)
+            .withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("vec_id"))
+                .orderBy(col("dist"), col("ck"))))
+            .filter(col("rk") === 1)
+        for (_ <- 1 to iters) {
+          val mCols = (0 until dims).map(i =>
+            expr(s"sum(q$i) div count(1)").as(s"m$i"))
+          cent = assign(cent).groupBy(col("ck"))
+            .agg(mCols.head, mCols.tail: _*)
+            .localCheckpoint(true)
+        }
+        assign(cent).groupBy(col("ck"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(CAST(dist AS DECIMAL(38,0))) div count(1)" +
+              " AS BIGINT)").as("mean_dist2"))
+          .select(col("ck").as("k"), col("n"), col("mean_dist2"))
+          .orderBy(col("k"))
+      }
+      fn
+    }, {
+      val dims = 8; val k = 8; val iters = 3
+      val qDefs = (0 until dims).map(i =>
+        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
+          s" AS BIGINT) AS q$i").mkString(", ")
+      val qList = (0 until dims).map(i => s"q$i").mkString(", ")
+      def distSql(v: String, c: String) = (0 until dims)
+        .map(i => s"($v.q$i - $c.m$i) * ($v.q$i - $c.m$i)").mkString(" + ")
+      def assignCte(name: String, prev: String) =
+        s"""$name AS (SELECT vec_id, ck, $qList, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist, ck) AS rk FROM (
+              SELECT v.vec_id, c.ck, ${(0 until dims)
+          .map(i => s"v.q$i").mkString(", ")},
+                ${distSql("v", "c")} AS dist
+              FROM x v CROSS JOIN $prev c))
+          WHERE rk = 1)"""
+      def updateCte(name: String, prev: String) =
+        s"""$name AS (SELECT ck, ${(0 until dims)
+          .map(i => s"sum(q$i) // count(*) AS m$i").mkString(", ")}
+          FROM $prev GROUP BY ck)"""
+      val rounds = (1 to iters).flatMap(r => Seq(
+        assignCte(s"a$r", s"c${r - 1}"),
+        updateCte(s"c$r", s"a$r"))).mkString(",\n        ")
+      Some(s"""WITH x AS (SELECT vec_id, $qDefs FROM embeddings),
+        c0 AS (SELECT vec_id AS ck, ${(0 until dims)
+          .map(i => s"q$i AS m$i").mkString(", ")} FROM x WHERE vec_id < $k),
+        $rounds,
+        fin AS (SELECT vec_id, ck, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist, ck) AS rk FROM (
+              SELECT v.vec_id, c.ck, ${distSql("v", "c")} AS dist
+              FROM x v CROSS JOIN c$iters c))
+          WHERE rk = 1)
+        SELECT ck AS k, count(*) AS n,
+          CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist2
+        FROM fin GROUP BY ck ORDER BY k""")
+    }),
+
+    // Set-similarity join via PREFIX FILTERING (AllPairs/PPJoin,
+    // Bayardo et al. WWW'07): the lossless alternative to LSH candidate
+    // generation. Shingles order globally rare-first (df asc, shingle
+    // asc); a pair with Jaccard ≥ 0.5 MUST collide inside the first
+    // |T| − ceil(0.5·|T|) + 1 shingles of each side (prefix-filtering
+    // principle), so joining just the prefixes is candidate-complete
+    // while skipping the hot common shingles that dominate the full
+    // equi-join's fan-out. Candidates then verify against the exact
+    // intersection. The oracle recomputes BRUTE-FORCE Jaccard ≥ 0.5 —
+    // equality with it is the losslessness proof, driver-checked.
+    // Scale: candidate fan-out is bounded by the df of RARE shingles
+    // (the frequent ones never enter a prefix) — the structural fix for
+    // the same hot-key landmine maxShingleDf caps heuristically.
+    QDef("q_setsim_prefix_join",
+      (s, d) => {
+        val sh = graft.llm.TextDedup
+          .shingleTable(documents(s, d), "doc_id", "text", 3)
+          .localCheckpoint(true)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val dfRank = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("df"), col("sh"))))
+          .select(col("sh"), col("rank"))
+        val prefix = sh.join(dfRank, "sh").join(sizes, "doc_id")
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("rank"))))
+          .filter(col("pos") <= col("sz") - expr("(sz + 1) div 2") + 1)
+          .select(col("doc_id"), col("sh"))
+        val cand = prefix.as("pa")
+          .join(prefix.as("pb"),
+            col("pa.sh") === col("pb.sh")
+              && col("pa.doc_id") < col("pb.doc_id"))
+          .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+          .distinct()
+        val shB = sh.select(col("doc_id").as("bid"), col("sh").as("shb"))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+          .join(shB,
+            col("id_b") === col("bid") && col("sh") === col("shb"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+          .filter(col("inter") * 2 >= col("sza") + col("szb") - col("inter"))
+          .select(col("id_a"), col("id_b"),
+            round(col("inter").cast("double")
+              / (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $dupPairsCte
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE 2 * inter >= sa.sz + sb.sz - inter
+        ORDER BY id_a, id_b""")),
+
     // Bounded-hop reachability from a seed set over the dup edges: "every
     // document within 3 dedup hops of a flagged doc" — the takedown /
     // contamination blast-radius query. Frontier BFS with min-hop merge;

@@ -209,6 +209,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(maxDev <= 0.25, f"max |est-jaccard| $maxDev%.3f within 0.15 of 0.40")
   }
 
+  test("prefix-filtered set-sim join is lossless vs the full equi-join edges") {
+    val docs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+    val got = graft.SparkEntry.queries("q_setsim_prefix_join")(
+      spark, TestSpark.sf0001)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: the shared full-equi-join edge frame at the same
+    // threshold — prefix filtering must lose NOTHING
+    val brute = TextDedup.jaccardEdgesShared(docs, "doc_id", "text",
+        threshold = 0.5, corpusKey = TestSpark.sf0001)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"prefix join lost ${brute -- got}, invented ${got -- brute}")
+  }
+
+  test("kmeans: clusters partition the vectors; trajectory is reproducible") {
+    def run() = graft.SparkEntry.queries("q_kmeans_lloyd")(
+      spark, TestSpark.sf0001)
+    val a = run().collect()
+    assert(a.map(_.getLong(1)).sum ==
+      graft.tables.Tables.embeddings(spark, TestSpark.sf0001).count(),
+      "every vector belongs to exactly one cluster")
+    assert(a.forall(_.getLong(2) >= 0), "mean squared distance >= 0")
+    assert(a.length <= 8 && a.length >= 1)
+    val b = run().collect()
+    assert(a.toSeq == b.toSeq,
+      "integer-exact Lloyd must be bit-reproducible across runs")
+  }
+
   test("declared corpus queries run: lang-id beats chance, fingerprints stable") {
     val langAcc = graft.SparkEntry.queries("q_lang_id")(spark, TestSpark.sf0001)
       .agg(avg(col("correct"))).as[Double].head()
