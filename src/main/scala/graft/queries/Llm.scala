@@ -573,21 +573,28 @@ object Llm {
           .shingleTable(documents(s, d), "doc_id", "text", 3)
           .localCheckpoint(true)
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val dfRank = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("df"), col("sh"))))
-          .select(col("sh"), col("rank"))
-        val prefix = sh.join(dfRank, "sh").join(sizes, "doc_id")
-          .withColumn("pos", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id")).orderBy(col("rank"))))
+        // rare-first order needs only SOME global total order on
+        // (df, shingle) — sorting the per-doc window by the pair directly
+        // avoids a single-partition row_number over the whole vocabulary;
+        // doc size rides the same window partition (one shuffle, two
+        // window passes)
+        val df_ = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+        val prefix = sh.join(df_, "sh")
+          .withColumn("pos",
+            row_number().over(wDoc.orderBy(col("df"), col("sh"))))
+          .withColumn("sz", count(lit(1)).over(wDoc))
           .filter(col("pos") <= col("sz") - expr("(sz + 1) div 2") + 1)
-          .select(col("doc_id"), col("sh"))
+          .select(col("doc_id"), col("sh"), col("sz"))
+        // AllPairs size filter: jacc ≥ 0.5 forces min ≥ max/2, so the
+        // candidate join prunes size-incompatible pairs before distinct
         val cand = prefix.as("pa")
           .join(prefix.as("pb"),
             col("pa.sh") === col("pb.sh")
-              && col("pa.doc_id") < col("pb.doc_id"))
+              && col("pa.doc_id") < col("pb.doc_id")
+              && least(col("pa.sz"), col("pb.sz")) * 2
+                >= greatest(col("pa.sz"), col("pb.sz")))
           .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
           .distinct()
         val shB = sh.select(col("doc_id").as("bid"), col("sh").as("shb"))
