@@ -27,7 +27,12 @@ object Explain {
       "q_attribution_last_touch",
       // wave 7: both star joins must show broadcast dimension chains
       // with the single fact⋈fact exchange
-      "q_trade_volume", "q_market_share")
+      "q_trade_volume", "q_market_share",
+      // waves 8-12: the semi/anti chain co-partitioned on orderkey, the
+      // Lloyd round's broadcast-k crossJoin + hash agg, the prefix
+      // join's windowed candidate generation, the null-safe hash join
+      "q21_sole_returned_supplier", "q_kmeans_lloyd",
+      "q_setsim_prefix_join", "q_join_null_safe")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -155,7 +155,10 @@ object ScaleProof {
       // analysis in TUNING.md (prefix filtering wins on dup-SPARSE
       // corpora, i.e. after exact dedup; on dup-heavy ones the df-capped
       // LSH path is the production choice)
-      "q_kmeans_lloyd")
+      "q_kmeans_lloyd",
+      // round-7 wave-12 additions: the LOCF window over 10x users and
+      // the null-safe hash join
+      "q_locf_impute", "q_join_null_safe")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -597,6 +597,38 @@ object EventWindows {
         FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
-        ORDER BY p_id NULLS FIRST, c_id NULLS FIRST"""))
+        ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""")),
+
+    // Last-observation-carried-forward imputation (LOCF): per user, the
+    // running "last purchase value seen so far" fills every event row —
+    // the time-series imputation step of a feature pipeline, and the
+    // IGNORE NULLS window semantic (last(_, ignoreNulls) over an
+    // unbounded-preceding frame). Values pass through unchanged (no
+    // arithmetic — per-row identical doubles in both engines); the
+    // frame sorts inside each user partition only.
+    QDef("q_locf_impute",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("ts"),
+            when(col("event_type") === "purchase", col("value")).as("v"))
+          .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("v_filled"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          last_value(CASE WHEN event_type = 'purchase' THEN value END
+            IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM events
+        ORDER BY user_id, ts_us, event_id"""))
   )
 }

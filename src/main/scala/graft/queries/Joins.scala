@@ -466,6 +466,35 @@ object Joins {
         FROM (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS k,
                      value FROM events) e
         JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer) c USING (k)
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    // semantic an ordinary equi-join silently breaks — NULL keys match
+    // each other instead of dropping. One segment is nullified and must
+    // still land in the dimension row whose key is NULL; counts prove
+    // no row leaked. Spark plans <=> as a hash join key (not a theta
+    // join), so the 100 TB shape is the same shuffled equi-join.
+    QDef("q_join_null_safe",
+      (s, d) => {
+        val c = customer(s, d).select(col("c_custkey"),
+          expr("nullif(c_mktsegment, 'MACHINERY')").as("seg"))
+        val segs = c.select(col("seg")).distinct()
+          .withColumn("seg_code", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("seg").asc_nulls_first)))
+          .select(col("seg").as("seg2"), col("seg_code"))
+        c.join(segs, col("seg") <=> col("seg2"))
+          .groupBy(col("seg_code"), col("seg"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("seg_code"))
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+            nullif(c_mktsegment, 'MACHINERY') AS seg FROM customer),
+          segs AS (SELECT seg, row_number() OVER (ORDER BY seg NULLS FIRST)
+              AS seg_code
+            FROM (SELECT DISTINCT seg FROM c))
+        SELECT seg_code, c.seg, count(*) AS n
+        FROM c JOIN segs ON c.seg IS NOT DISTINCT FROM segs.seg
+        GROUP BY 1, 2 ORDER BY seg_code"""))
   )
 }
