@@ -158,7 +158,11 @@ object ScaleProof {
       "q_kmeans_lloyd",
       // round-7 wave-12 additions: the LOCF window over 10x users and
       // the null-safe hash join
-      "q_locf_impute", "q_join_null_safe")
+      "q_locf_impute", "q_join_null_safe",
+      // round-7 wave-13 additions: per-user sequence strings (state
+      // bounded by history length, users fan 10x) and the power-of-two
+      // decay interval join
+      "q_event_pattern_regex", "q_attribution_time_decay")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -629,6 +629,71 @@ object EventWindows {
             ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         FROM events
-        ORDER BY user_id, ts_us, event_id"""))
+        ORDER BY user_id, ts_us, event_id""")),
+
+    // Sequence-pattern mining (MATCH_RECOGNIZE-lite): each user's event
+    // history collapses to an initials string in (ts, event_id) total
+    // order, and journey patterns are counted by regex — 'v[ce]*p' =
+    // "view, then only clicks/errors, then purchase". Both engines run
+    // greedy non-overlapping left-to-right matching on the identical
+    // string (the regex subset avoids engine-specific syntax), so the
+    // counts are exact. One groupBy; the per-user string is bounded by
+    // per-user history length.
+    QDef("q_event_pattern_regex",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            substring(col("event_type"), 1, 1).as("i")).as("st"))
+        ev.groupBy(col("user_id"))
+          .agg(array_join(transform(array_sort(collect_list(col("st"))),
+            x => x.getField("i")), "").as("seq"))
+          .select(col("user_id"), length(col("seq")).as("n_events"),
+            expr("regexp_count(seq, 'v[ce]*p')").as("n_journeys"),
+            expr("regexp_count(seq, 'vp')").as("n_direct"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH seqs AS (SELECT user_id,
+            string_agg(substr(event_type, 1, 1), ''
+              ORDER BY epoch_us(ts), event_id) AS seq
+          FROM events GROUP BY 1)
+        SELECT user_id, length(seq) AS n_events,
+          len(regexp_extract_all(seq, 'v[ce]*p')) AS n_journeys,
+          len(regexp_extract_all(seq, 'vp')) AS n_direct
+        FROM seqs ORDER BY user_id""")),
+
+    // Time-decay attribution with EXACT integer weights: each click in
+    // the 24 h before a purchase earns 1e6 >> Δhours credit (halving
+    // per hour — the decay factor is a power of two, so the weights are
+    // pure integer division, no float decay anywhere). The interval
+    // join reuses the purchase-click machinery; per-Δh rollup makes the
+    // distribution auditable.
+    QDef("q_attribution_time_decay",
+      (s, d) => {
+        val ev = events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), unix_micros(col("ts")).as("pt"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), unix_micros(col("ts")).as("ct"))
+        p.join(c, col("pu") === col("cu")
+            && col("ct") < col("pt")
+            && col("ct") >= col("pt") - lit(86400000000L))
+          .withColumn("dh", expr("(pt - ct) div 3600000000"))
+          .withColumn("credit",
+            expr("1000000 div shiftleft(CAST(1 AS BIGINT), CAST(dh AS INT))"))
+          .groupBy(col("dh"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("credit")).as("credit_sum"))
+          .orderBy(col("dh"))
+      },
+      Some("""SELECT dh, count(*) AS n_pairs, sum(credit) AS credit_sum
+        FROM (SELECT
+            (epoch_us(p.ts) - epoch_us(c.ts)) // 3600000000 AS dh,
+            1000000 // (CAST(1 AS BIGINT) <<
+              ((epoch_us(p.ts) - epoch_us(c.ts)) // 3600000000)) AS credit
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id
+            AND epoch_us(c.ts) < epoch_us(p.ts)
+            AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000)
+        GROUP BY 1 ORDER BY dh"""))
   )
 }

@@ -60,6 +60,25 @@ class QueriesSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("wave-13 invariants: sequence conservation, per-bucket decay identity") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val pat = SparkEntry.queries("q_event_pattern_regex")(spark, sf).cache()
+    val evCount = graft.tables.Tables.events(spark, sf).count()
+    assert(pat.agg(sum(col("n_events"))).head().getLong(0) == evCount,
+      "initials strings must conserve every event exactly once")
+    assert(pat.filter(col("n_journeys") > 0).count() > 0,
+      "the journey pattern must occur in the corpus")
+
+    val dec = SparkEntry.queries("q_attribution_time_decay")(spark, sf).cache()
+    assert(dec.filter(col("dh") < 0 || col("dh") > 23).count() == 0)
+    // every pair in a dh bucket carries the identical power-of-two
+    // weight, so the bucket sum must equal n_pairs · (1e6 >> dh)
+    val bad = dec.filter(col("credit_sum") =!=
+      col("n_pairs") * expr("1000000 div shiftleft(CAST(1 AS BIGINT), CAST(dh AS INT))"))
+    assert(bad.count() == 0, "per-bucket credit identity must hold exactly")
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",
