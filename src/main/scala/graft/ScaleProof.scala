@@ -162,7 +162,11 @@ object ScaleProof {
       // round-7 wave-13 additions: per-user sequence strings (state
       // bounded by history length, users fan 10x) and the power-of-two
       // decay interval join
-      "q_event_pattern_regex", "q_attribution_time_decay")
+      "q_event_pattern_regex", "q_attribution_time_decay",
+      // round-7 wave-14 additions: the 30-tap integer EWMA and the
+      // per-row trailing-hour RANGE frame, both one user_id window
+      // shuffle over 10x users
+      "q_ewma_halflife", "q_window_time_range")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -694,6 +694,75 @@ object EventWindows {
             ON p.user_id = c.user_id
             AND epoch_us(c.ts) < epoch_us(p.ts)
             AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000)
-        GROUP BY 1 ORDER BY dh"""))
+        GROUP BY 1 ORDER BY dh""")),
+
+    // Integer-exact exponential smoothing (EWMA, half-life = 1 event):
+    // y_n = Σ_{k=0..29} v_{n−k} >> k in micro-units — the α=1/2
+    // geometric filter as pure BIGINT shifts (a 30-tap truncation: tap
+    // 30+ of a <3.3e8-micro value is already 0, so the cutoff loses
+    // nothing). The declarative form is 30 lag() taps over the per-user
+    // (ts, event_id) order — no recurrence, no float decay, identical
+    // in both engines. The 100 TB profile is one window shuffle on
+    // user_id.
+    QDef("q_ewma_halflife", {
+      val taps = 30
+      val fn: Q.Fn = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val base = events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("ts_us"),
+            round(col("value") * lit(1000000), 0).cast("long").as("v"))
+        val ewma = (0 until taps).map(k =>
+            coalesce(expr(s"shiftright(lag(v, $k) OVER (PARTITION BY " +
+              s"user_id ORDER BY ts, event_id), $k)"), lit(0L)))
+          .reduce(_ + _)
+        base
+          .withColumn("ewma_micro", ewma)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("ewma_micro"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      }
+      fn
+    }, {
+      val taps = 30
+      val sum = (0 until taps).map(k =>
+        s"coalesce(lag(v, $k) OVER w >> $k, 0)").mkString(" + ")
+      Some(s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          $sum AS ewma_micro
+        FROM (SELECT event_id, user_id, ts,
+            CAST(round(value * 1000000, 0) AS BIGINT) AS v FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts_us, event_id""")
+    }),
+
+    // Time-RANGE window frame: each event's trailing-1-hour per-user
+    // activity (sum + count over RANGE 3,600,000,000 µs PRECEDING on
+    // the epoch-µs ordering) — the per-ROW sliding time window, as
+    // opposed to q_sliding_12h's fixed grid. Exact decimal sum; the
+    // range frame orders once per user partition.
+    QDef("q_window_time_range",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sv_1h", sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("n_1h"), col("sv_1h"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some(s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          count(*) OVER w AS n_1h,
+          CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sv_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us, event_id"""))
   )
 }

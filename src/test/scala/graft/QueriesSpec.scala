@@ -79,6 +79,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad.count() == 0, "per-bucket credit identity must hold exactly")
   }
 
+  test("wave-14 invariants: ewma bounds and time-range frame vs self-join") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    // EWMA: each smoothed value is bounded by 2x the running max input
+    // (geometric series bound: sum of v>>k over k>=0 < 2·max v)
+    val ew = SparkEntry.queries("q_ewma_halflife")(spark, sf).cache()
+    val vmax = graft.tables.Tables.events(spark, sf)
+      .agg(max(round(col("value") * 1000000, 0).cast("long")))
+      .head().getLong(0)
+    assert(ew.filter(col("ewma_micro") < 0
+      || col("ewma_micro") >= vmax * 2).count() == 0,
+      "ewma must sit in [0, 2·max_micro)")
+
+    // time-range frame: recompute one user's trailing counts by
+    // self-join and compare exactly
+    val tr = SparkEntry.queries("q_window_time_range")(spark, sf).cache()
+    val u = tr.select(col("user_id")).head().getLong(0)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .filter(col("user_id") === u)
+      .select(col("event_id"), unix_micros(col("ts")).as("t"))
+    val viaJoin = ev.as("a").join(ev.as("b"),
+        col("b.t") <= col("a.t") && col("b.t") >= col("a.t") - 3600000000L)
+      .groupBy(col("a.event_id")).agg(count(lit(1)).as("n2"))
+    val mism = tr.filter(col("user_id") === u)
+      .join(viaJoin, "event_id")
+      .filter(col("n_1h") =!= col("n2")).count()
+    assert(mism == 0, "RANGE frame counts must equal the self-join truth")
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",
