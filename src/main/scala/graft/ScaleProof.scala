@@ -166,7 +166,10 @@ object ScaleProof {
       // round-7 wave-14 additions: the 30-tap integer EWMA and the
       // per-row trailing-hour RANGE frame, both one user_id window
       // shuffle over 10x users
-      "q_ewma_halflife", "q_window_time_range")
+      "q_ewma_halflife", "q_window_time_range",
+      // round-7 wave-15 additions: quota allocation (two tiny aggs) and
+      // the three-sketch HLL algebra over 10x users
+      "q_quota_allocate", "q_sketch_hll_intersect")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -630,6 +630,55 @@ object Curation {
           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents)
-        WHERE rk <= 10 ORDER BY lang, rk"""))
+        WHERE rk <= 10 ORDER BY lang, rk""")),
+
+    // Exact proportional quota allocation (Hare quota + largest
+    // remainder): distribute 1,000 sample slots across language shards
+    // exactly proportionally to their sizes — the integer-exact answer
+    // to "fraction sampling never sums to the budget". base = ⌊slots·
+    // cnt/total⌋, leftover slots go to the largest remainders (ties →
+    // lang asc). Σ alloc == slots BY CONSTRUCTION, spec-asserted. All
+    // BIGINT; one tiny agg + one broadcast window.
+    QDef("q_quota_allocate",
+      (s, d) => {
+        val slots = 1000L
+        val counts = documents(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("n_langs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("lang"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("cnt"),
+            expr(s"$slots * cnt div total").as("base"),
+            expr(s"$slots * cnt % total").as("rem"),
+            col("total"))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("leftover",
+            lit(slots) - sum(col("base")).over(
+              org.apache.spark.sql.expressions.Window
+                .rowsBetween(org.apache.spark.sql.expressions.Window
+                  .unboundedPreceding, org.apache.spark.sql.expressions
+                  .Window.unboundedFollowing)))
+          .select(col("lang"), col("cnt"), col("base"), col("rem"),
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"),
+            (col("base") + when(col("rk") <= col("leftover"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH counts AS (SELECT lang, count(*) AS cnt
+            FROM documents GROUP BY 1),
+          tot AS (SELECT sum(cnt) AS total FROM counts),
+          based AS (SELECT lang, cnt,
+              1000 * cnt // total AS base, 1000 * cnt % total AS rem
+            FROM counts CROSS JOIN tot),
+          ranked AS (SELECT *,
+              row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+              1000 - sum(base) OVER () AS leftover
+            FROM based)
+        SELECT lang, cnt, base, rem,
+          CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS extra,
+          base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        FROM ranked ORDER BY lang"""))
   )
 }

@@ -108,6 +108,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(mism == 0, "RANGE frame counts must equal the self-join truth")
   }
 
+  test("wave-15 invariants: quota sums to budget exactly; HLL band has margin") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val q = SparkEntry.queries("q_quota_allocate")(spark, sf).cache()
+    assert(q.agg(sum(col("alloc"))).head().getLong(0) == 1000L,
+      "largest-remainder allocation must hit the budget exactly")
+    // every allocation is within 1 slot of the exact proportional share
+    val tot = q.agg(sum(col("cnt"))).head().getLong(0)
+    val off = q.filter(
+      abs(col("alloc") * tot - lit(1000L) * col("cnt")) > tot).count()
+    assert(off == 0, "each shard within one slot of exact proportionality")
+
+    // re-measure the HLL inclusion-exclusion deviation (band is 10% of
+    // union; declared comment claims measured <=2% — keep it honest)
+    val e = graft.tables.Tables.events(spark, sf)
+    val a = e.filter(col("event_type") === "click").select(col("user_id"))
+    val b = e.filter(col("event_type") === "purchase").select(col("user_id"))
+    val est = a.agg(hll_sketch_agg(col("user_id")).as("ska"))
+      .crossJoin(b.agg(hll_sketch_agg(col("user_id")).as("skb")))
+      .crossJoin(a.union(b).agg(hll_sketch_agg(col("user_id")).as("sku")))
+      .select(hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+        - hll_sketch_estimate(col("sku"))).head().getLong(0).toDouble
+    val exactInter = a.intersect(b).count().toDouble
+    val union = a.union(b).distinct().count().toDouble
+    assert(math.abs(est - exactInter) <= 0.02 * union,
+      f"HLL intersect deviation ${math.abs(est - exactInter) / union}%.4f" +
+        " exceeds the 2% measured-margin claim (band is 10%)")
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",
