@@ -169,7 +169,10 @@ object ScaleProof {
       "q_ewma_halflife", "q_window_time_range",
       // round-7 wave-15 additions: quota allocation (two tiny aggs) and
       // the three-sketch HLL algebra over 10x users
-      "q_quota_allocate", "q_sketch_hll_intersect")
+      "q_quota_allocate", "q_sketch_hll_intersect",
+      // round-7 wave-16 additions: the forward as-of rank join, the
+      // bounce rollup on the sessionizer windows, and the metadata scan
+      "q_join_asof_forward", "q_session_bounce", "q_scan_file_metadata")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

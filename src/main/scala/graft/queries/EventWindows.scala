@@ -763,6 +763,62 @@ object EventWindows {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, ts_us, event_id"""))
+        ORDER BY user_id, ts_us, event_id""")),
+
+    // Session bounce rate: the share of 1-hour-gap sessions that end
+    // after a single event, per first-event type — the engagement KPI
+    // on top of the q_sessionize_lag machinery. Bounce share in exact
+    // ppm; min_by gives the session's entry event type (ties broken by
+    // the (ts_us, event_id) struct order, identical in both engines).
+    QDef("q_session_bounce",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            (col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 3600000000L)
+              .cast("long"))
+          .withColumn("sess_no", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(count(lit(1)).as("n"),
+            // composite (ts, event_id) tiebreak as a zero-padded string
+            // key — fixed width makes lexicographic == numeric, and
+            // DuckDB's min_by takes only scalar keys
+            min_by(col("event_type"),
+              concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+                lpad(col("event_id").cast("string"), 12, "0")))
+              .as("entry_type"))
+        sess.groupBy(col("entry_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounced"))
+          .withColumn("bounce_ppm",
+            expr("n_bounced * 1000000 div n_sessions"))
+          .orderBy(col("entry_type"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM x),
+        z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sess_no
+          FROM y),
+        sess AS (SELECT user_id, sess_no, count(*) AS n,
+            min_by(event_type,
+              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+              lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type
+          FROM z GROUP BY 1, 2)
+        SELECT entry_type, count(*) AS n_sessions,
+          sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_bounced,
+          sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS bounce_ppm
+        FROM sess GROUP BY 1 ORDER BY entry_type"""))
   )
 }

@@ -308,6 +308,40 @@ object Joins {
           ON p.user_id = c.user_id AND p.ts > c.ts
         ORDER BY p_id""")),
 
+    // FORWARD as-of join (pandas merge_asof direction='forward'): each
+    // purchase pairs with the EARLIEST click at-or-after it — "next
+    // follow-up after conversion". Same rank-over-candidates shape with
+    // the order flipped; DuckDB's ASOF JOIN expresses it with p.ts <=
+    // c.ts (nearest on the >= side).
+    QDef("q_join_asof_forward",
+      (s, d) => {
+        val e = events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("value").as("c_value"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("p_id"))
+          .orderBy(col("c_ts").asc, col("c_value").asc)
+        p.join(c, col("user_id") === col("c_user") && col("c_ts") >= col("p_ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("p_id"), col("user_id"),
+            unix_micros(col("p_ts")).as("p_us"),
+            unix_micros(col("c_ts")).as("next_click_us"),
+            round(col("c_value"), 4).as("next_click_value"))
+          .orderBy(col("p_id"))
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+        epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS next_click_us,
+        round(c.value, 4) AS next_click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p_id""")),
+
     // Left-outer as-of on the native plan node: purchases with no prior
     // click survive with NULL click columns (oracle: ASOF LEFT JOIN).
     QDef("q_join_asof_outer",

@@ -289,6 +289,33 @@ object Physical {
           FROM base b FULL OUTER JOIN updates u
             ON b.o_orderkey = u.o_orderkey)
         SELECT st, count(*) AS n, ${sqlDsum("p")} AS sp, max(k) AS max_k
-        FROM merged GROUP BY st ORDER BY st"""))
+        FROM merged GROUP BY st ORDER BY st""")),
+
+    // Hidden file-metadata columns (`_metadata.file_path` / `file_size`
+    // / `file_modification_time`): the lineage/debugging surface a data
+    // engineer uses to trace bad rows back to their source files. The
+    // row count is pinned exactly against the table; the file facts
+    // collapse to invariant flags (≥1 distinct file, every size
+    // positive, every row's file under the table root) since absolute
+    // paths/sizes are environment-specific.
+    QDef("q_scan_file_metadata",
+      (s, d) => {
+        val df = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("_metadata.file_path").as("fp"),
+            col("_metadata.file_size").as("fs"))
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("fp")).as("nf"),
+            min(col("fs")).as("min_fs"),
+            sum(when(col("fp").contains("lineitem.parquet"), 0L)
+              .otherwise(1L)).as("stray"))
+          .select(col("n_rows"),
+            (col("nf") >= 1).cast("long").as("has_files"),
+            (col("min_fs") > 0).cast("long").as("sizes_positive"),
+            (col("stray") === 0).cast("long").as("paths_under_root"))
+      },
+      Some("""SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+        CAST(1 AS BIGINT) AS has_files,
+        CAST(1 AS BIGINT) AS sizes_positive,
+        CAST(1 AS BIGINT) AS paths_under_root"""))
   )
 }

@@ -137,6 +137,24 @@ class QueriesSpec extends AnyFunSuite {
         " exceeds the 2% measured-margin claim (band is 10%)")
   }
 
+  test("wave-16 invariants: forward asof direction, bounce conservation") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val fwd = SparkEntry.queries("q_join_asof_forward")(spark, sf).cache()
+    assert(fwd.filter(col("next_click_us") < col("p_us")).count() == 0,
+      "forward as-of must only pair clicks at-or-after the purchase")
+    val purchases = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(fwd.count() <= purchases && fwd.count() > 0)
+
+    val b = SparkEntry.queries("q_session_bounce")(spark, sf).cache()
+    assert(b.filter(col("bounce_ppm") < 0 || col("bounce_ppm") > 1000000)
+      .count() == 0)
+    val nSess = SparkEntry.queries("q_sessionize_lag")(spark, sf).count()
+    assert(b.agg(sum(col("n_sessions"))).head().getLong(0) == nSess,
+      "bounce rollup must conserve the sessionizer's session count")
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",
