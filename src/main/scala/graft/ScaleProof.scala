@@ -172,7 +172,9 @@ object ScaleProof {
       "q_quota_allocate", "q_sketch_hll_intersect",
       // round-7 wave-16 additions: the forward as-of rank join, the
       // bounce rollup on the sessionizer windows, and the metadata scan
-      "q_join_asof_forward", "q_session_bounce", "q_scan_file_metadata")
+      "q_join_asof_forward", "q_session_bounce", "q_scan_file_metadata",
+      // round-7 wave-17 addition: per-frame set state over 10x users
+      "q_window_distinct_sliding")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -281,6 +281,33 @@ object Windows {
           round(cume_dist() OVER w, 6) AS cd
         FROM orders WHERE o_totalprice > 250000.0
         WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // Sliding DISTINCT count: variety of event types inside each user's
+    // trailing-5-event frame — the semantic Spark's window aggs don't
+    // offer natively (COUNT(DISTINCT ...) OVER is unsupported), so the
+    // engine side states it as size(collect_set() OVER frame), which
+    // Catalyst executes with per-frame set state; DuckDB writes the
+    // intent directly. Integer output under a (ts, event_id) total
+    // order — deterministic in both engines.
+    QDef("q_window_distinct_sliding",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, 0)
+        graft.tables.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            size(collect_set(col("event_type")).over(w))
+              .as("distinct_types_5"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          count(DISTINCT event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS distinct_types_5
+        FROM events
+        ORDER BY user_id, ts_us, event_id"""))
   )
 }
