@@ -141,8 +141,10 @@ object Corpus {
       },
       Some("""WITH counts AS (
           SELECT lang,
-            sum(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END) AS c_tr,
-            sum(CASE WHEN doc_id % 10 < 8 THEN 0 ELSE 1 END) AS c_te
+            CAST(sum(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_tr,
+            CAST(sum(CASE WHEN doc_id % 10 < 8 THEN 0 ELSE 1 END)
+              AS BIGINT) AS c_te
           FROM documents GROUP BY 1),
         probs AS (
           SELECT lang, c_tr, c_te,
@@ -216,7 +218,8 @@ object Corpus {
               ln(c / sum(c) OVER (PARTITION BY doc_id)), 4) AS t
           FROM counts),
         agg AS (
-          SELECT doc_id, min(n) AS n_chars_eff, count(*) AS n_distinct,
+          SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars_eff,
+            count(*) AS n_distinct,
             sum(c * c) AS sumc2, 0.0 - ${sqlDsum("t")} AS h
           FROM terms GROUP BY doc_id)
         SELECT doc_id, n_chars_eff, n_distinct,
@@ -271,8 +274,8 @@ object Corpus {
           FROM j GROUP BY 1)
         SELECT j.o_orderpriority, count(*) AS n,
           round(min(j.med), 6) AS med, round(min(mad.mad), 6) AS mad,
-          sum(CAST(abs(o_totalprice - j.med) >
-            CAST(4.4478 AS DOUBLE) * mad.mad AS BIGINT)) AS n_out
+          CAST(sum(CAST(abs(o_totalprice - j.med) >
+            CAST(4.4478 AS DOUBLE) * mad.mad AS BIGINT)) AS BIGINT) AS n_out
         FROM j JOIN mad USING (o_orderpriority)
         GROUP BY 1 ORDER BY o_orderpriority""")),
 
@@ -321,8 +324,8 @@ object Corpus {
             AS mean_chars,
           round(sqrt(CAST(min(var_num) AS DOUBLE)) /
             CAST(min(n) AS DOUBLE), 6) AS std_chars,
-          sum(CAST((n * n_chars - sx) * (n * n_chars - sx) >
-            9 * var_num AS BIGINT)) AS n_out,
+          CAST(sum(CAST((n * n_chars - sx) * (n * n_chars - sx) >
+            9 * var_num AS BIGINT)) AS BIGINT) AS n_out,
           CAST(max((n * n_chars - sx) * (n * n_chars - sx)) AS BIGINT)
             AS max_dev2
         FROM documents d JOIN m ON d.lang = m.lang

@@ -56,8 +56,9 @@ object Curation {
             COALESCE(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume
           FROM t)
-        SELECT lang, cume // 256 AS bin, count(*) AS n_docs,
-          sum(n_toks) AS bin_toks, min(doc_id) AS first_doc
+        SELECT lang, CAST(cume // 256 AS BIGINT) AS bin,
+          count(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS bin_toks, min(doc_id) AS first_doc
         FROM c GROUP BY 1, 2 ORDER BY lang, bin""")),
 
     // Gopher/C4-style heuristic quality rules, integer-exact: word-count
@@ -232,7 +233,7 @@ object Curation {
               * 10000) AS BIGINT) AS t_e4
           FROM toks LEFT JOIN ct USING (w) JOIN cr USING (w) CROSS JOIN tot)
         SELECT doc_id, count(*) AS n_toks,
-          sum(t_e4) AS llr_e4,
+          CAST(sum(t_e4) AS BIGINT) AS llr_e4,
           CAST(sum(t_e4) > 0 AS BIGINT) AS target_like
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
@@ -497,10 +498,11 @@ object Curation {
                           <= deq * 0.5 * (1 + 1e-9)))) AS n_err_elems
           FROM qd)
         SELECT label, count(*) AS n_vecs,
-          sum(len(q)) AS n_elems,
-          sum(len(list_filter(q, e -> e = 0))) AS n_zero,
-          sum(len(list_filter(q, e -> abs(e) = 127))) AS n_sat,
-          sum(n_err_elems) AS n_err
+          CAST(sum(len(q)) AS BIGINT) AS n_elems,
+          CAST(sum(len(list_filter(q, e -> e = 0))) AS BIGINT) AS n_zero,
+          CAST(sum(len(list_filter(q, e -> abs(e) = 127))) AS BIGINT)
+            AS n_sat,
+          CAST(sum(n_err_elems) AS BIGINT) AS n_err
         FROM e GROUP BY label ORDER BY label""")),
 
     // Top-100 vocabulary coverage curve (tokenizer design: how much of
@@ -537,9 +539,9 @@ object Curation {
         SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
           tok, cnt,
           row_number() OVER (ORDER BY cnt DESC, tok) * cnt AS rank_x_freq,
-          sum(cnt) OVER (ORDER BY cnt DESC, tok
+          CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            * 1000000 // total AS cov_ppm
+            * 1000000 // total AS BIGINT) AS cov_ppm
         FROM top, total ORDER BY rank""")),
 
     // Token-budget mixture planning: given per-lang token counts and a
@@ -566,15 +568,17 @@ object Curation {
           .orderBy(col("lang"))
       },
       Some(s"""WITH lt AS (SELECT lang, count(*) AS n_docs,
-            sum(CAST(len($tokensSql) AS BIGINT)) AS lang_tokens
+            CAST(sum(CAST(len($tokensSql) AS BIGINT)) AS BIGINT)
+              AS lang_tokens
           FROM documents GROUP BY 1),
-        tot AS (SELECT sum(lang_tokens) AS total_tokens,
+        tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens,
             count(*) AS n_langs FROM lt)
         SELECT lang, n_docs, lang_tokens,
-          total_tokens // n_langs AS target_tokens,
-          (total_tokens // n_langs) * 1000000 // lang_tokens AS epochs_ppm,
-          (total_tokens // n_langs + lang_tokens - 1) // lang_tokens
-            AS n_epochs
+          CAST(total_tokens // n_langs AS BIGINT) AS target_tokens,
+          CAST((total_tokens // n_langs) * 1000000 // lang_tokens AS BIGINT)
+            AS epochs_ppm,
+          CAST((total_tokens // n_langs + lang_tokens - 1) // lang_tokens
+            AS BIGINT) AS n_epochs
         FROM lt CROSS JOIN tot ORDER BY lang""")),
 
     // Deterministic curriculum ordering: three length phases (easy →
@@ -668,17 +672,20 @@ object Curation {
       },
       Some("""WITH counts AS (SELECT lang, count(*) AS cnt
             FROM documents GROUP BY 1),
-          tot AS (SELECT sum(cnt) AS total FROM counts),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
           based AS (SELECT lang, cnt,
-              1000 * cnt // total AS base, 1000 * cnt % total AS rem
+              CAST(1000 * cnt // total AS BIGINT) AS base,
+              CAST(1000 * cnt % total AS BIGINT) AS rem
             FROM counts CROSS JOIN tot),
           ranked AS (SELECT *,
               row_number() OVER (ORDER BY rem DESC, lang) AS rk,
-              1000 - sum(base) OVER () AS leftover
+              CAST(1000 - sum(base) OVER () AS BIGINT) AS leftover
             FROM based)
         SELECT lang, cnt, base, rem,
-          CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS extra,
-          base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+          CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+            AS extra,
+          CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+            AS alloc
         FROM ranked ORDER BY lang"""))
   )
 }

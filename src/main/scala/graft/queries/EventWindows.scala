@@ -388,7 +388,7 @@ object EventWindows {
           WHERE to_type IS NOT NULL GROUP BY 1, 2),
         totals AS (SELECT from_type, sum(n) AS tot FROM hops GROUP BY 1)
         SELECT h.from_type, h.to_type, h.n,
-          h.n * 1000000 // t.tot AS p_ppm
+          CAST(h.n * 1000000 // t.tot AS BIGINT) AS p_ppm
         FROM hops h JOIN totals t USING (from_type)
         ORDER BY from_type, to_type""")),
 
@@ -684,7 +684,8 @@ object EventWindows {
           .agg(count(lit(1)).as("n_pairs"), sum(col("credit")).as("credit_sum"))
           .orderBy(col("dh"))
       },
-      Some("""SELECT dh, count(*) AS n_pairs, sum(credit) AS credit_sum
+      Some("""SELECT dh, count(*) AS n_pairs,
+          CAST(sum(credit) AS BIGINT) AS credit_sum
         FROM (SELECT
             (epoch_us(p.ts) - epoch_us(c.ts)) // 3600000000 AS dh,
             1000000 // (CAST(1 AS BIGINT) <<
@@ -816,9 +817,10 @@ object EventWindows {
               lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type
           FROM z GROUP BY 1, 2)
         SELECT entry_type, count(*) AS n_sessions,
-          sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_bounced,
-          sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
-            AS bounce_ppm
+          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bounced,
+          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS bounce_ppm
         FROM sess GROUP BY 1 ORDER BY entry_type"""))
   )
 }

@@ -216,10 +216,10 @@ object Relational {
             .otherwise(1L)).as("low_line_count"))
         .orderBy(col("l_linestatus")),
       Some("""SELECT l_linestatus,
-          sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-              THEN 1 ELSE 0 END) AS high_line_count,
-          sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-              THEN 0 ELSE 1 END) AS low_line_count
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
         GROUP BY 1 ORDER BY l_linestatus""")),
@@ -457,7 +457,8 @@ object Relational {
               AS BIGINT) AS rev2
           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
           GROUP BY 1)
-        SELECT status, count(*) AS n_keys, sum(delta) AS delta_rev_micro
+        SELECT status, count(*) AS n_keys,
+          CAST(sum(delta) AS BIGINT) AS delta_rev_micro
         FROM (SELECT
             CASE WHEN s1.o_custkey IS NULL THEN 'insert'
                  WHEN s2.o_custkey IS NULL THEN 'delete'

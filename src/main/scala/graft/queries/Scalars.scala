@@ -210,8 +210,9 @@ object Scalars {
         .orderBy(col("c_custkey"))
         .limit(300),
       Some("""SELECT c_custkey,
-        to_json({'name': c_name, 'segment': c_mktsegment,
-                 'bal': CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)}) AS info_json,
+        CAST(to_json({'name': c_name, 'segment': c_mktsegment,
+                 'bal': CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)})
+          AS VARCHAR) AS info_json,
         c_name AS flat_name,
         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS flat_bal
         FROM customer ORDER BY c_custkey LIMIT 300""")),
