@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // host-TZ independence for java.time defaults (session.timeZone covers
+  // Catalyst, not JVM-side LocalDate/LocalDateTime in processors)
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // Optional AWS-SDK transport half (src/sdk): compile-gated so it can't rot

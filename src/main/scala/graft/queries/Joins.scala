@@ -285,12 +285,15 @@ object Joins {
           .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         val c = e.filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-            col("value").as("c_value"))
+            col("event_id").as("c_id"), col("value").as("c_value"))
         import org.apache.spark.sql.expressions.Window
-        // c_value tiebreak: event timestamps are unique in this data, but
-        // a tie would otherwise be nondeterministic run-to-run
+        // event_id tiebreak — a TOTAL order: two clicks at the identical
+        // µs timestamp would otherwise pick an engine-dependent winner
+        // (DuckDB's native ASOF JOIN returns an arbitrary row among
+        // equal-timestamp candidates, so the oracle spells out the same
+        // tiebreak instead of relying on timestamp uniqueness).
         val w = Window.partitionBy(col("p_id"))
-          .orderBy(col("c_ts").desc, col("c_value").desc)
+          .orderBy(col("c_ts").desc, col("c_id").desc)
         p.join(c, col("user_id") === col("c_user") && col("c_ts") < col("p_ts"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -300,13 +303,17 @@ object Joins {
             round(col("c_value"), 4).as("click_value"))
           .orderBy(col("p_id"))
       },
-      Some("""SELECT p.event_id AS p_id, p.user_id,
-        epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS click_us,
-        round(c.value, 4) AS click_value
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts > c.ts
-        ORDER BY p_id""")),
+      Some("""WITH cand AS (
+          SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+            c.ts AS c_ts, c.value AS c_value,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND c.ts < p.ts)
+        SELECT p_id, user_id, epoch_us(p_ts) AS p_us,
+          epoch_us(c_ts) AS click_us, round(c_value, 4) AS click_value
+        FROM cand WHERE rn = 1 ORDER BY p_id""")),
 
     // FORWARD as-of join (pandas merge_asof direction='forward'): each
     // purchase pairs with the EARLIEST click at-or-after it — "next
@@ -321,10 +328,11 @@ object Joins {
             col("ts").as("p_ts"))
         val c = e.filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-            col("value").as("c_value"))
+            col("event_id").as("c_id"), col("value").as("c_value"))
         import org.apache.spark.sql.expressions.Window
+        // event_id tiebreak, same rationale as q_join_asof above
         val w = Window.partitionBy(col("p_id"))
-          .orderBy(col("c_ts").asc, col("c_value").asc)
+          .orderBy(col("c_ts").asc, col("c_id").asc)
         p.join(c, col("user_id") === col("c_user") && col("c_ts") >= col("p_ts"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -334,13 +342,18 @@ object Joins {
             round(col("c_value"), 4).as("next_click_value"))
           .orderBy(col("p_id"))
       },
-      Some("""SELECT p.event_id AS p_id, p.user_id,
-        epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS next_click_us,
-        round(c.value, 4) AS next_click_value
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts <= c.ts
-        ORDER BY p_id""")),
+      Some("""WITH cand AS (
+          SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+            c.ts AS c_ts, c.value AS c_value,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY c.ts ASC, c.event_id ASC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND c.ts >= p.ts)
+        SELECT p_id, user_id, epoch_us(p_ts) AS p_us,
+          epoch_us(c_ts) AS next_click_us,
+          round(c_value, 4) AS next_click_value
+        FROM cand WHERE rn = 1 ORDER BY p_id""")),
 
     // Left-outer as-of on the native plan node: purchases with no prior
     // click survive with NULL click columns (oracle: ASOF LEFT JOIN).

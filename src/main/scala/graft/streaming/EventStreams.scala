@@ -341,7 +341,11 @@ object EventStreams {
       val prev = Option(touch.get()).getOrElse(FunnelTouch(Unset, Unset, Unset))
       var tv = prev.tv; var tc = prev.tc; var tp = prev.tp
       rows.foreach { r =>
-        val t = r.ts.getTime
+        // epoch-µs, not Timestamp.getTime (ms): the batch oracle compares
+        // first-touch order at µs precision, and two touches inside the
+        // same millisecond must order the same way on both sides.
+        val t = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+          r.ts.getNanos / 1000L
         r.event_type match {
           case "view" => tv = math.min(tv, t)
           case "click" => tc = math.min(tc, t)
@@ -387,8 +391,12 @@ object EventStreams {
     override def handleInputRows(key: Long, rows: Iterator[EventRow],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CohortCell] = {
       val batch = rows.toSeq
+      // UTC day math, not toLocalDateTime (JVM-default TZ): the batch
+      // oracle runs under spark.sql.session.timeZone=UTC, so cohort days
+      // must be host-TZ independent.
       val days = batch.map(r =>
-        r.ts.toLocalDateTime.toLocalDate.toEpochDay)
+        r.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate.toEpochDay)
       var d0 = if (first.exists()) first.get() else Long.MaxValue
       d0 = math.min(d0, days.min)
       first.update(d0)
