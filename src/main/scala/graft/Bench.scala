@@ -50,7 +50,11 @@ object Bench {
     // reported in `errors` once.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val names = SparkEntry.queries.keys.toSeq
+    // optional args (builder-local): bench only the named queries — fast
+    // single-operator timing; the driver always calls with no args
+    val names =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.toSet)
+      else SparkEntry.queries.keys.toSeq
     val samples: Map[String, Seq[Double]] = {
       val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
         names.map(_ -> Vector.empty[Double]): _*)

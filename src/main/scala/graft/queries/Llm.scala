@@ -110,6 +110,72 @@ object Llm {
           JOIN sizes sb ON id_b = sb.doc_id
           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold)"""
 
+  /** Deterministic 1/16 pair sample for the sampled-audit variants:
+    * first hex nibble of md5("id_a_id_b") — the same value in Spark and
+    * DuckDB (cross-engine, no RNG state), uniform over pairs, and
+    * independent of the shingle/similarity structure being audited. The
+    * canonical id_a < id_b orientation makes the key unambiguous. */
+  private def pairSample(a: Column, b: Column): Column =
+    substring(md5(concat_ws("_", a, b).cast("binary")), 1, 1) === "0"
+  private val pairSampleSql =
+    "substr(md5(CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)), 1, 1) = '0'"
+
+  /** Shared body of q_setsim_prefix_join / q_setsim_prefix_sampled: the
+    * AllPairs/PPJoin prefix-filtered set-similarity join, with an optional
+    * pair-sampling predicate applied AT THE CANDIDATE JOIN — upstream of
+    * the distinct and the exact verification join, so the sampled audit
+    * pays ~1/16 of the quadratic-output cost, not just 1/16 of the final
+    * output. */
+  private def setsimPrefixJoin(s: SparkSession, d: String,
+      sampled: Boolean): DataFrame = {
+    val sh = graft.llm.TextDedup
+      .shingleTable(documents(s, d), "doc_id", "text", 3)
+      .localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // rare-first order needs only SOME global total order on
+    // (df, shingle) — sorting the per-doc window by the pair directly
+    // avoids a single-partition row_number over the whole vocabulary;
+    // doc size rides the same window partition (one shuffle, two
+    // window passes)
+    val df_ = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val prefix = sh.join(df_, "sh")
+      .withColumn("pos",
+        row_number().over(wDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .filter(col("pos") <= col("sz") - expr("(sz + 1) div 2") + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    // AllPairs size filter: jacc ≥ 0.5 forces min ≥ max/2, so the
+    // candidate join prunes size-incompatible pairs before distinct
+    val joinCond = col("pa.sh") === col("pb.sh") &&
+      col("pa.doc_id") < col("pb.doc_id") &&
+      (least(col("pa.sz"), col("pb.sz")) * 2
+        >= greatest(col("pa.sz"), col("pb.sz")))
+    val sampledCond =
+      if (sampled) joinCond && pairSample(col("pa.doc_id"), col("pb.doc_id"))
+      else joinCond
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"), sampledCond)
+      .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
+      .distinct()
+    val shB = sh.select(col("doc_id").as("bid"), col("sh").as("shb"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(shB,
+        col("id_b") === col("bid") && col("sh") === col("shb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+      .filter(col("inter") * 2 >= col("sza") + col("szb") - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double")
+          / (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[QDef] = Seq(
 
     // ---- Deduplication -------------------------------------------------
@@ -568,51 +634,7 @@ object Llm {
     // (the frequent ones never enter a prefix) — the structural fix for
     // the same hot-key landmine maxShingleDf caps heuristically.
     QDef("q_setsim_prefix_join",
-      (s, d) => {
-        val sh = graft.llm.TextDedup
-          .shingleTable(documents(s, d), "doc_id", "text", 3)
-          .localCheckpoint(true)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        // rare-first order needs only SOME global total order on
-        // (df, shingle) — sorting the per-doc window by the pair directly
-        // avoids a single-partition row_number over the whole vocabulary;
-        // doc size rides the same window partition (one shuffle, two
-        // window passes)
-        val df_ = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        val wDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-        val prefix = sh.join(df_, "sh")
-          .withColumn("pos",
-            row_number().over(wDoc.orderBy(col("df"), col("sh"))))
-          .withColumn("sz", count(lit(1)).over(wDoc))
-          .filter(col("pos") <= col("sz") - expr("(sz + 1) div 2") + 1)
-          .select(col("doc_id"), col("sh"), col("sz"))
-        // AllPairs size filter: jacc ≥ 0.5 forces min ≥ max/2, so the
-        // candidate join prunes size-incompatible pairs before distinct
-        val cand = prefix.as("pa")
-          .join(prefix.as("pb"),
-            col("pa.sh") === col("pb.sh")
-              && col("pa.doc_id") < col("pb.doc_id")
-              && least(col("pa.sz"), col("pb.sz")) * 2
-                >= greatest(col("pa.sz"), col("pb.sz")))
-          .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
-          .distinct()
-        val shB = sh.select(col("doc_id").as("bid"), col("sh").as("shb"))
-        val inter = cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
-          .join(shB,
-            col("id_b") === col("bid") && col("sh") === col("shb"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
-          .filter(col("inter") * 2 >= col("sza") + col("szb") - col("inter"))
-          .select(col("id_a"), col("id_b"),
-            round(col("inter").cast("double")
-              / (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, d) => setsimPrefixJoin(s, d, sampled = false),
       Some(s"""WITH $dupPairsCte
         SELECT id_a, id_b,
           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -620,6 +642,26 @@ object Llm {
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE 2 * inter >= sa.sz + sb.sz - inter
+        ORDER BY id_a, id_b""")),
+
+    // SAMPLED variant of the prefix join — the 100 TB audit cadence: the
+    // exact join above is the semantics; this runs the identical pipeline
+    // on a declared deterministic 1/16 pair sample (md5 nibble, see
+    // pairSample) injected INTO the candidate join, so candidate
+    // generation, distinct, and exact verification all shrink ~16×. The
+    // oracle is the brute force under the same sample — losslessness on
+    // the sampled stratum, driver-checked; LlmDedupSpec checks the sample
+    // is a strict subset of the exact join's result.
+    QDef("q_setsim_prefix_sampled",
+      (s, d) => setsimPrefixJoin(s, d, sampled = true),
+      Some(s"""WITH $dupPairsCte
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE 2 * inter >= sa.sz + sb.sz - inter
+          AND $pairSampleSql
         ORDER BY id_a, id_b""")),
 
     // Bounded-hop reachability from a seed set over the dup edges: "every
@@ -785,6 +827,47 @@ object Llm {
         JOIN sizes sa ON id_a = sa.doc_id
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+        ORDER BY id_a, id_b""")),
+
+    // SAMPLED variant of the sketch-quality audit: the same per-pair
+    // est-vs-exact band check on the declared deterministic 1/16 pair
+    // sample (md5 nibble — see pairSample). The sample predicate filters
+    // the shared dup-edge frame BEFORE the two signature joins, so the
+    // audit's join work shrinks ~16× while the exact frame and signatures
+    // stay the maintained full-corpus artifacts. This is the cadence a
+    // 100 TB pipeline runs daily (the full audit above being the release
+    // gate).
+    QDef("q_minhash_est_sampled",
+      (s, d) => {
+        val docs = documents(s, d)
+        val sig = graft.llm.TextDedup
+          .minhashSignatures(docs, "doc_id", "text")
+          .localCheckpoint(true)
+        val est32 = (0 until 32)
+          .map(p => (col(s"a.h$p") === col(s"b.h$p")).cast("long"))
+          .reduce(_ + _)
+        graft.llm.TextDedup
+          .jaccardEdgesShared(docs, "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
+          .filter(pairSample(col("id_a"), col("id_b")))
+          .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+          .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+          .withColumn("est", est32 / lit(32.0)) // /2^5 — exact in binary
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"),
+            (abs(col("est") - col("jaccard")) <= lit(0.40)).cast("long")
+              .as("est_ok"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $dupPairsCte
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard,
+          CAST(1 AS BIGINT) AS est_ok
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+          AND $pairSampleSql
         ORDER BY id_a, id_b""")),
 
     // Near-dup DECONTAMINATION across train/val/test: q_contamination

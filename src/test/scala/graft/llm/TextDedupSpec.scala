@@ -224,6 +224,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == brute, s"prefix join lost ${brute -- got}, invented ${got -- brute}")
   }
 
+  test("sampled audit variants equal their exact twins on the sampled stratum") {
+    // q_setsim_prefix_sampled / q_minhash_est_sampled must be EXACTLY the
+    // full result filtered by the declared md5-nibble pair sample — the
+    // sample is a stratum, never an approximation of per-pair values
+    def rows(name: String) = graft.SparkEntry.queries(name)(
+      spark, TestSpark.sf0001).collect().map(_.toSeq).toSet
+    val samplePred = substring(
+      md5(concat_ws("_", col("id_a"), col("id_b")).cast("binary")), 1, 1) === "0"
+    val exactSet = graft.SparkEntry.queries("q_setsim_prefix_join")(
+      spark, TestSpark.sf0001).filter(samplePred)
+      .collect().map(_.toSeq).toSet
+    val sampledSet = rows("q_setsim_prefix_sampled")
+    assert(sampledSet == exactSet,
+      s"sampled setsim != exact∩sample: ${sampledSet.size} vs ${exactSet.size}")
+    val estExact = graft.SparkEntry.queries("q_minhash_est")(
+      spark, TestSpark.sf0001).filter(samplePred)
+      .collect().map(_.toSeq).toSet
+    val estSampled = rows("q_minhash_est_sampled")
+    assert(estSampled == estExact,
+      s"sampled minhash est != exact∩sample: ${estSampled.size} vs ${estExact.size}")
+    assert(sampledSet.nonEmpty || estSampled.nonEmpty,
+      "sample stratum unexpectedly empty at sf0.001")
+  }
+
   test("kmeans: clusters partition the vectors; trajectory is reproducible") {
     def run() = graft.SparkEntry.queries("q_kmeans_lloyd")(
       spark, TestSpark.sf0001)
