@@ -174,7 +174,12 @@ object ScaleProof {
       // bounce rollup on the sessionizer windows, and the metadata scan
       "q_join_asof_forward", "q_session_bounce", "q_scan_file_metadata",
       // round-7 wave-17 addition: per-frame set state over 10x users
-      "q_window_distinct_sliding")
+      "q_window_distinct_sliding",
+      // round-8 additions: the mergeable t-digest quantile path (O(δ)
+      // state per group, two passes over a 10x fact side) and the
+      // 1/16-pair sampled set-sim audit (candidate join shrinks with the
+      // sample even on the dup-clique corpus)
+      "q_agg_tdigest", "q_setsim_prefix_sampled")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -394,6 +394,59 @@ object Aggregates {
         CAST(1 AS BIGINT) AS p25_ok,
         CAST(1 AS BIGINT) AS p50_ok,
         CAST(1 AS BIGINT) AS p90_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // t-digest quantiles — the MERGEABLE sketch beside the GK twin above,
+    // as a custom TypedImperativeAggregate (graft.functions.TDigestAgg):
+    // O(δ) centroids per group, associative map-side merge, and rank
+    // error ∝ q·(1−q) — tightest at the TAILS, exactly where GK's uniform
+    // n/acc bound is loosest. Run over the continuous l_extendedprice
+    // (interpolation path, unlike the GK twin's discrete l_quantity).
+    // Estimates are merge-order-specific (class D), so the result is the
+    // exact group count plus tie-aware rank-band flags: tails get the
+    // TIGHTER band (0.005 vs 0.015 mid) to pin the t-digest's defining
+    // property; the oracle computes the counts and expects every flag = 1.
+    // AggregatesSpec re-measures the worst rank error each round and
+    // requires ≥2× margin under these bands.
+    QDef("q_agg_tdigest",
+      (s, d) => {
+        import graft.functions.TDigestQuantilesAgg.tdigest_quantiles
+        val l = lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("price"))
+        val sk = l.groupBy(col("l_returnflag")).agg(
+          tdigest_quantiles(col("price"),
+            Seq(0.01, 0.25, 0.50, 0.90, 0.99)).as("qs"))
+        val checked = l.join(broadcast(sk), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("price") < col("qs")(0)).cast("long")).as("lt01"),
+            sum((col("price") <= col("qs")(0)).cast("long")).as("le01"),
+            sum((col("price") < col("qs")(1)).cast("long")).as("lt25"),
+            sum((col("price") <= col("qs")(1)).cast("long")).as("le25"),
+            sum((col("price") < col("qs")(2)).cast("long")).as("lt50"),
+            sum((col("price") <= col("qs")(2)).cast("long")).as("le50"),
+            sum((col("price") < col("qs")(3)).cast("long")).as("lt90"),
+            sum((col("price") <= col("qs")(3)).cast("long")).as("le90"),
+            sum((col("price") < col("qs")(4)).cast("long")).as("lt99"),
+            sum((col("price") <= col("qs")(4)).cast("long")).as("le99"))
+        def inBound(p: Double, tol: Double, lt: String, le: String) =
+          ((col(lt).cast("double") / col("n") <= p + tol) &&
+            (col(le).cast("double") / col("n") >= p - tol)).cast("long")
+        checked.select(col("l_returnflag"), col("n"),
+          inBound(0.01, 0.005, "lt01", "le01").as("p01_ok"),
+          inBound(0.25, 0.015, "lt25", "le25").as("p25_ok"),
+          inBound(0.50, 0.015, "lt50", "le50").as("p50_ok"),
+          inBound(0.90, 0.015, "lt90", "le90").as("p90_ok"),
+          inBound(0.99, 0.005, "lt99", "le99").as("p99_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(1 AS BIGINT) AS p01_ok,
+        CAST(1 AS BIGINT) AS p25_ok,
+        CAST(1 AS BIGINT) AS p50_ok,
+        CAST(1 AS BIGINT) AS p90_ok,
+        CAST(1 AS BIGINT) AS p99_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
