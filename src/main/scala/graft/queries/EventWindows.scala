@@ -661,6 +661,53 @@ object EventWindows {
           len(regexp_extract_all(seq, 'vp')) AS n_direct
         FROM seqs ORDER BY user_id""")),
 
+    // Parameterized sequence-pattern SETS — the generalization of
+    // q_event_pattern_regex from two hard-wired journeys to a declared
+    // pattern table: the per-user initials string is built ONCE (same
+    // (ts, event_id) total order) and every pattern counts over it in the
+    // same pass — adding a pattern is a config row, not a new query. The
+    // regex subset (literals, classes, greedy quantifiers; no anchors or
+    // backrefs) behaves identically under Java regex and RE2, so counts
+    // are exact in both engines.
+    QDef("q_event_pattern_sets", {
+      val patterns = Seq( // (column, regex) — the declared pattern set
+        "n_journeys" -> "v[ce]*p", // view → only clicks/errors → purchase
+        "n_direct" -> "vp", // view immediately converting
+        "n_repeat_buy" -> "p[vce]*p", // repeat purchase, no view between
+        "n_err_streak" -> "ee+", // 2+ consecutive errors
+        "n_click_burst" -> "ccc+") // 3+ consecutive clicks
+      val fn: Q.Fn = (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            substring(col("event_type"), 1, 1).as("i")).as("st"))
+        val seqs = ev.groupBy(col("user_id"))
+          .agg(array_join(transform(array_sort(collect_list(col("st"))),
+            x => x.getField("i")), "").as("seq"))
+        patterns.foldLeft(
+            seqs.select(col("user_id"), length(col("seq")).as("n_events"),
+              col("seq"))) { case (df, (name, re)) =>
+            df.withColumn(name, expr(s"regexp_count(seq, '$re')"))
+          }
+          .drop("seq")
+          .orderBy(col("user_id"))
+      }
+      fn
+    }, {
+      val patterns = Seq(
+        "n_journeys" -> "v[ce]*p", "n_direct" -> "vp",
+        "n_repeat_buy" -> "p[vce]*p", "n_err_streak" -> "ee+",
+        "n_click_burst" -> "ccc+")
+      val cols = patterns.map { case (name, re) =>
+        s"len(regexp_extract_all(seq, '$re')) AS $name" }.mkString(",\n          ")
+      Some(s"""WITH seqs AS (SELECT user_id,
+            string_agg(substr(event_type, 1, 1), ''
+              ORDER BY epoch_us(ts), event_id) AS seq
+          FROM events GROUP BY 1)
+        SELECT user_id, length(seq) AS n_events,
+          $cols
+        FROM seqs ORDER BY user_id""")
+    }),
+
     // Time-decay attribution with EXACT integer weights: each click in
     // the 24 h before a purchase earns 1e6 >> Δhours credit (halving
     // per hour — the decay factor is a power of two, so the weights are
