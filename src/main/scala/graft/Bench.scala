@@ -52,6 +52,10 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // optional args (builder-local): bench only the named queries — fast
     // single-operator timing; the driver always calls with no args
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      sys.error(s"unknown query name(s): ${unknown.mkString(", ")} — " +
+        "a typo here would silently bench nothing")
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.toSet)
       else SparkEntry.queries.keys.toSeq

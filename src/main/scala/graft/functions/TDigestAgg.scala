@@ -148,6 +148,12 @@ object TDigest {
       tot += d.weights(i); i += 1
     }
     d.total = tot
+    // serialize() always compresses first, so the stored list already
+    // satisfies the compressed invariant — without this, the first
+    // quantile()/serialize()/mergeIn() after a shuffle would re-run a
+    // full O(δ log δ) compress pass (and could merge centroids further,
+    // making round-tripped digests drift from unshuffled ones)
+    d.compressedFlag = true
     d
   }
 }

@@ -115,8 +115,12 @@ object Llm {
     * DuckDB (cross-engine, no RNG state), uniform over pairs, and
     * independent of the shingle/similarity structure being audited. The
     * canonical id_a < id_b orientation makes the key unambiguous. */
+  private[graft] def pairSampleNibbles(a: Column, b: Column,
+      nibbles: Seq[String]): Column =
+    substring(md5(concat_ws("_", a, b).cast("binary")), 1, 1)
+      .isin(nibbles: _*)
   private def pairSample(a: Column, b: Column): Column =
-    substring(md5(concat_ws("_", a, b).cast("binary")), 1, 1) === "0"
+    pairSampleNibbles(a, b, Seq("0"))
   private val pairSampleSql =
     "substr(md5(CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)), 1, 1) = '0'"
 
@@ -126,8 +130,9 @@ object Llm {
     * the distinct and the exact verification join, so the sampled audit
     * pays ~1/16 of the quadratic-output cost, not just 1/16 of the final
     * output. */
-  private def setsimPrefixJoin(s: SparkSession, d: String,
-      sampled: Boolean): DataFrame = {
+  private[graft] def setsimPrefixJoin(s: SparkSession, d: String,
+      sampled: Boolean,
+      sampleNibbles: Seq[String] = Seq("0")): DataFrame = {
     val sh = graft.llm.TextDedup
       .shingleTable(documents(s, d), "doc_id", "text", 3)
       .localCheckpoint(true)
@@ -145,15 +150,29 @@ object Llm {
         row_number().over(wDoc.orderBy(col("df"), col("sh"))))
       .withColumn("sz", count(lit(1)).over(wDoc))
       .filter(col("pos") <= col("sz") - expr("(sz + 1) div 2") + 1)
-      .select(col("doc_id"), col("sh"), col("sz"))
+      .select(col("doc_id"), col("sh"), col("sz"), col("pos"))
     // AllPairs size filter: jacc ≥ 0.5 forces min ≥ max/2, so the
-    // candidate join prunes size-incompatible pairs before distinct
+    // candidate join prunes size-incompatible pairs before distinct.
+    // PPJoin positional filter (Xiao et al., "Efficient Similarity Joins
+    // for Near Duplicate Detection"): a true pair's FIRST common shingle
+    // (rare-first order) lies in both prefixes, and every other common
+    // shingle sits strictly after it in both docs, so
+    //   overlap ≤ 1 + min(sz_a − pos_a, sz_b − pos_b)
+    // at that match. jacc ≥ 0.5 needs overlap ≥ (sz_a+sz_b)/3, so any
+    // match whose positional upper bound misses the integer form
+    // 3·ubound ≥ sz_a+sz_b cannot be the first common shingle of a
+    // result pair — pruning it is lossless (the brute-force oracle is
+    // unchanged and equality IS the proof).
     val joinCond = col("pa.sh") === col("pb.sh") &&
       col("pa.doc_id") < col("pb.doc_id") &&
       (least(col("pa.sz"), col("pb.sz")) * 2
-        >= greatest(col("pa.sz"), col("pb.sz")))
+        >= greatest(col("pa.sz"), col("pb.sz"))) &&
+      ((lit(1) + least(col("pa.sz") - col("pa.pos"),
+        col("pb.sz") - col("pb.pos"))) * 3
+        >= col("pa.sz") + col("pb.sz"))
     val sampledCond =
-      if (sampled) joinCond && pairSample(col("pa.doc_id"), col("pb.doc_id"))
+      if (sampled) joinCond && pairSampleNibbles(
+        col("pa.doc_id"), col("pb.doc_id"), sampleNibbles)
       else joinCond
     val cand = prefix.as("pa")
       .join(prefix.as("pb"), sampledCond)

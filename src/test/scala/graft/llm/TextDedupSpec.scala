@@ -244,8 +244,28 @@ class TextDedupSpec extends AnyFunSuite {
     val estSampled = rows("q_minhash_est_sampled")
     assert(estSampled == estExact,
       s"sampled minhash est != exact∩sample: ${estSampled.size} vs ${estExact.size}")
-    assert(sampledSet.nonEmpty || estSampled.nonEmpty,
+    assert(sampledSet.nonEmpty && estSampled.nonEmpty,
       "sample stratum unexpectedly empty at sf0.001")
+    // The declared 1/16 stratum is tiny at sf0.001 (~1 pair), so the
+    // subset-equality above exercises the injected-at-candidate-join
+    // sample path on almost nothing. Re-run the same body with a WIDENED
+    // 8/16 sample (nibbles 0–7) — half of all pairs — and require exact
+    // agreement with the full join filtered by the same predicate, so
+    // the sample-injection plumbing is proven over many pairs, not one.
+    val wide = (0 to 7).map(_.toString)
+    val widePred = substring(
+      md5(concat_ws("_", col("id_a"), col("id_b")).cast("binary")), 1, 1)
+      .isin(wide: _*)
+    val wideSampled = graft.queries.Llm.setsimPrefixJoin(
+        spark, TestSpark.sf0001, sampled = true, sampleNibbles = wide)
+      .collect().map(_.toSeq).toSet
+    val wideExact = graft.SparkEntry.queries("q_setsim_prefix_join")(
+      spark, TestSpark.sf0001).filter(widePred)
+      .collect().map(_.toSeq).toSet
+    assert(wideSampled == wideExact,
+      s"widened sampled setsim != exact∩sample: ${wideSampled.size} vs ${wideExact.size}")
+    assert(wideSampled.size > sampledSet.size,
+      "widened stratum should cover strictly more pairs than the 1/16 one")
   }
 
   test("kmeans: clusters partition the vectors; trajectory is reproducible") {
