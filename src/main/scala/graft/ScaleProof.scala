@@ -179,7 +179,10 @@ object ScaleProof {
       // state per group, two passes over a 10x fact side) and the
       // 1/16-pair sampled set-sim audit (candidate join shrinks with the
       // sample even on the dup-clique corpus)
-      "q_agg_tdigest", "q_setsim_prefix_sampled")
+      "q_agg_tdigest", "q_setsim_prefix_sampled",
+      // round-9 addition: the two-level sketch rollup — level 2 re-merges
+      // O(groups · δ) serialized digests, cost invariant to fact rows
+      "q_agg_tdigest_rollup")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -217,11 +217,131 @@ case class TDigestQuantilesAgg(
     copy(child = newChildren.head)
 }
 
+/** `tdigest_sketch(col, compression)` — same accumulation as
+  * [[TDigestQuantilesAgg]] but evaluates to the SERIALIZED digest
+  * (`binary`) instead of quantiles, so a second aggregation level can
+  * re-merge the partials in-plan. This is the 100 TB rollup shape:
+  * per-segment sketches materialize once, the global quantile is a
+  * re-aggregation over O(groups · δ) bytes, never a re-scan of the
+  * fact table. */
+case class TDigestSketchAgg(
+    child: Expression,
+    compression: Double = 300.0,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] {
+
+  override def prettyName: String = "tdigest_sketch"
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType | LongType | IntegerType | ShortType |
+         _: DecimalType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric child, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    })
+    buffer
+  }
+
+  override def merge(b1: TDigest, b2: TDigest): TDigest = { b1.mergeIn(b2); b1 }
+
+  override def eval(buffer: TDigest): Any =
+    if (buffer.isEmpty) null else buffer.serialize()
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest =
+    TDigest.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `tdigest_merge_quantiles(sketchCol, percentiles)` — the second level
+  * of the rollup: merges SERIALIZED digests (output of
+  * [[TDigestSketchAgg]]) and evaluates the merged digest at each
+  * percentile. Merge is the same associative centroid fold partials use
+  * inside one aggregation, so one-level and two-level plans share the
+  * accuracy analysis (band-gated like every sketch estimate). */
+case class TDigestMergeQuantilesAgg(
+    child: Expression,
+    percentiles: Seq[Double],
+    compression: Double = 300.0,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] {
+
+  override def prettyName: String = "tdigest_merge_quantiles"
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary tdigest_sketch child, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buffer.mergeIn(TDigest.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(b1: TDigest, b2: TDigest): TDigest = { b1.mergeIn(b2); b1 }
+
+  override def eval(buffer: TDigest): Any =
+    if (buffer.isEmpty) null
+    else ArrayData.toArrayData(percentiles.map(buffer.quantile).toArray)
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest =
+    TDigest.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestMergeQuantilesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestMergeQuantilesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object TDigestQuantilesAgg {
   import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
   /** Column façade: `tdigest_quantiles(c, ps)` inside an agg. */
   def tdigest_quantiles(c: Column, ps: Seq[Double],
       compression: Double = 300.0): Column =
     toColumn(TDigestQuantilesAgg(toExpression(c), ps, compression)
+      .toAggregateExpression())
+  /** Column façade: `tdigest_sketch(c)` — serialized digest (binary). */
+  def tdigest_sketch(c: Column, compression: Double = 300.0): Column =
+    toColumn(TDigestSketchAgg(toExpression(c), compression)
+      .toAggregateExpression())
+  /** Column façade: `tdigest_merge_quantiles(sk, ps)` over sketches. */
+  def tdigest_merge_quantiles(c: Column, ps: Seq[Double],
+      compression: Double = 300.0): Column =
+    toColumn(TDigestMergeQuantilesAgg(toExpression(c), ps, compression)
       .toAggregateExpression())
 }

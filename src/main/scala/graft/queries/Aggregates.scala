@@ -447,6 +447,63 @@ object Aggregates {
         CAST(1 AS BIGINT) AS p50_ok,
         CAST(1 AS BIGINT) AS p90_ok,
         CAST(1 AS BIGINT) AS p99_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // TWO-LEVEL t-digest rollup — mergeability proven IN-PLAN, not just
+    // in the suite: level 1 sketches price per (l_returnflag,
+    // l_linestatus) into SERIALIZED digests (tdigest_sketch → binary);
+    // level 2 re-aggregates those partials per l_returnflag
+    // (tdigest_merge_quantiles) and evaluates the merged digest. This is
+    // the exact 100 TB shape — per-segment sketches materialize once
+    // (O(groups · δ) bytes), the global percentile is a re-aggregation
+    // over sketches, never a re-scan of the fact table — and the merge
+    // path runs under the driver gate. Verification is identical to
+    // q_agg_tdigest: exact rank-band flags against the raw rows, with the
+    // same tail/mid tolerances (the second merge level is the same
+    // associative centroid fold partials already use inside one
+    // aggregation; AggregatesSpec measures the rollup's worst rank error
+    // and requires the same ≥2× margin).
+    QDef("q_agg_tdigest_rollup",
+      (s, d) => {
+        import graft.functions.TDigestQuantilesAgg.{tdigest_sketch, tdigest_merge_quantiles}
+        val l = lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").cast("double").as("price"))
+        val seg = l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(tdigest_sketch(col("price")).as("sk"))
+        val sk = seg.groupBy(col("l_returnflag")).agg(
+          tdigest_merge_quantiles(col("sk"),
+            Seq(0.01, 0.25, 0.50, 0.90, 0.99)).as("qs"))
+        val checked = l.join(broadcast(sk), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("price") < col("qs")(0)).cast("long")).as("lt01"),
+            sum((col("price") <= col("qs")(0)).cast("long")).as("le01"),
+            sum((col("price") < col("qs")(1)).cast("long")).as("lt25"),
+            sum((col("price") <= col("qs")(1)).cast("long")).as("le25"),
+            sum((col("price") < col("qs")(2)).cast("long")).as("lt50"),
+            sum((col("price") <= col("qs")(2)).cast("long")).as("le50"),
+            sum((col("price") < col("qs")(3)).cast("long")).as("lt90"),
+            sum((col("price") <= col("qs")(3)).cast("long")).as("le90"),
+            sum((col("price") < col("qs")(4)).cast("long")).as("lt99"),
+            sum((col("price") <= col("qs")(4)).cast("long")).as("le99"))
+        def inBound(p: Double, tol: Double, lt: String, le: String) =
+          ((col(lt).cast("double") / col("n") <= p + tol) &&
+            (col(le).cast("double") / col("n") >= p - tol)).cast("long")
+        checked.select(col("l_returnflag"), col("n"),
+          inBound(0.01, 0.005, "lt01", "le01").as("p01_ok"),
+          inBound(0.25, 0.015, "lt25", "le25").as("p25_ok"),
+          inBound(0.50, 0.015, "lt50", "le50").as("p50_ok"),
+          inBound(0.90, 0.015, "lt90", "le90").as("p90_ok"),
+          inBound(0.99, 0.005, "lt99", "le99").as("p99_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(1 AS BIGINT) AS p01_ok,
+        CAST(1 AS BIGINT) AS p25_ok,
+        CAST(1 AS BIGINT) AS p50_ok,
+        CAST(1 AS BIGINT) AS p90_ok,
+        CAST(1 AS BIGINT) AS p99_ok
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

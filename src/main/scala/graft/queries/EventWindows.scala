@@ -784,6 +784,52 @@ object EventWindows {
         ORDER BY user_id, ts_us, event_id""")
     }),
 
+    // EWMA with a NON-power-of-two decay (α = 0.3, decay 0.7) — the
+    // class-C twin of q_ewma_halflife: shifts can't express 0.7^k, so
+    // each engine computes its own pow(0.7, k) and PRE-ROUNDS it onto
+    // the 1e-4 integer grid (CAST(round(pow·10⁴, 0) AS BIGINT)) BEFORE
+    // any arithmetic touches data — after that the whole filter is
+    // BIGINT (weight · micro-value, ≤3.3e12/tap · 28 taps ≪ 2^63).
+    // Class-C flip argument, constant-side: the 28 weights are fixed
+    // constants 7^k·10^(4−k) whose decimal digits never end in 5, so no
+    // true value sits at a rounding midpoint (EventWindowsSpec asserts
+    // every tap clears the midpoint by ≥1e-3); libm disagreement
+    // (≤ ulps) cannot cross a gap that wide. Taps stop at 28 where the
+    // rounded weight hits 0. Same single per-user window shuffle as the
+    // half-life form.
+    QDef("q_ewma_decay", {
+      val taps = 28
+      val fn: Q.Fn = (s, d) => {
+        val base = events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            unix_micros(col("ts")).as("ts_us"),
+            round(col("value") * lit(1000000), 0).cast("long").as("v"))
+        val ewma = (0 until taps).map(k =>
+            coalesce(expr(s"lag(v, $k) OVER (PARTITION BY user_id " +
+              s"ORDER BY ts, event_id)"), lit(0L)) *
+              expr(s"CAST(round(pow(0.7, $k) * 10000, 0) AS BIGINT)"))
+          .reduce(_ + _)
+        base
+          .withColumn("ewma_e10", ewma)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("ewma_e10"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      }
+      fn
+    }, {
+      val taps = 28
+      val sum = (0 until taps).map(k =>
+        s"coalesce(lag(v, $k) OVER w, 0) * " +
+          s"CAST(round(pow(0.7, $k) * 10000, 0) AS BIGINT)")
+        .mkString(" + ")
+      Some(s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          $sum AS ewma_e10
+        FROM (SELECT event_id, user_id, ts,
+            CAST(round(value * 1000000, 0) AS BIGINT) AS v FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts_us, event_id""")
+    }),
+
     // Time-RANGE window frame: each event's trailing-1-hour per-user
     // activity (sum + count over RANGE 3,600,000,000 µs PRECEDING on
     // the epoch-µs ordering) — the per-ROW sliding time window, as

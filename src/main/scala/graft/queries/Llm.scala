@@ -1282,6 +1282,72 @@ object Llm {
         FROM dt, n GROUP BY tok, n.n_docs
         ORDER BY df DESC, tok LIMIT 30""")),
 
+    // BM25 document scoring (Robertson/Spärck Jones, k1=1.2, b=0.75) —
+    // the retrieval-quality scorer beside TF-IDF. The k1/b term
+    // saturation is EXACT scaled-integer arithmetic: clearing
+    // denominators of tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
+    // k1=6/5, b=3/4, avgdl=T/N gives
+    //   sat_ppm = (10⁶·22·T·tf) div (10·T·tf + 3·T + 9·dl·N)
+    // — all BIGINT, identical in both engines (class A). idf is the one
+    // transcendental: a single ln over identical rational operands,
+    // pre-rounded at 1e-6 BEFORE the score multiply (class C, the
+    // q_token_df_idf precedent); the final score is two further
+    // correctly-rounded IEEE ops (÷10⁶ exact-operand, one multiply) on
+    // identical doubles. Query terms are the df-rank-11..20 tokens via
+    // orderBy+limit+offset (TakeOrdered — no global window), broadcast
+    // to the tf frame. Magnitude: 2.2e7·T·tf ≤ ~1e17 at sf0.1 — inside
+    // BIGINT; a 100 TB corpus (T ≳ 1e9) promotes the numerator to
+    // DECIMAL(38,0), same plan. Scale profile: one explode + hash-agg
+    // for tf/df (map-side combinable), broadcast query terms, top-1000
+    // TakeOrdered output.
+    QDef("q_bm25_score",
+      (s, d) => {
+        val docs = documents(s, d)
+        val dt = docs.select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("dl"),
+            explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("dl"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val tot = docs
+          .select(size(tokens(col("text"))).cast("long").as("dl"))
+          .agg(sum(col("dl")).as("t_toks"), count(lit(1)).as("n_docs"))
+        val qterms = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("tok"))
+          .limit(20).offset(10)
+        val idf = round(log(lit(1) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+        dt.join(broadcast(qterms), "tok")
+          .crossJoin(broadcast(tot))
+          .withColumn("sat_ppm", expr(
+            "(1000000 * 22 * t_toks * tf) div " +
+              "(10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"))
+          .select(col("tok"), col("doc_id"), col("tf"), col("sat_ppm"),
+            idf.as("idf"),
+            round(idf * (col("sat_ppm") / lit(1000000.0)), 6).as("score"))
+          .orderBy(col("tok"), col("doc_id"))
+          .limit(1000)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $tokensSql AS toks FROM documents),
+        dt0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks),
+        tfs AS (SELECT doc_id, dl, tok, count(*) AS tf
+          FROM dt0 GROUP BY 1, 2, 3),
+        tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t_toks,
+          count(*) AS n_docs FROM toks),
+        dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY tok),
+        qterms AS (SELECT tok, df FROM dfs
+          ORDER BY df DESC, tok LIMIT 10 OFFSET 10)
+        SELECT tok, doc_id, tf,
+          (1000000 * 22 * t_toks * tf)
+            // (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs) AS sat_ppm,
+          round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+          round(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+            * (((1000000 * 22 * t_toks * tf)
+                // (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs))
+              / 1000000.0), 6) AS score
+        FROM tfs JOIN qterms USING (tok), tot
+        ORDER BY tok, doc_id LIMIT 1000""")),
+
     // Per-document quality score: type-token ratio, mean token length,
     // and a bounded length factor — the classic cheap quality heuristics.
     QDef("q_quality_score",

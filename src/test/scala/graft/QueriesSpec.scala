@@ -92,6 +92,37 @@ class QueriesSpec extends AnyFunSuite {
       || col("ewma_micro") >= vmax * 2).count() == 0,
       "ewma must sit in [0, 2·max_micro)")
 
+    // class-C decay twin: (a) no weight constant sits near a rounding
+    // midpoint (the determinism argument for cross-libm pow), (b) the
+    // geometric-series bound Σ 0.7^k·10⁴ < 10⁴/0.3, (c) a driver-side
+    // recompute of one user's filter matches the query exactly
+    for (k <- 0 until 28) {
+      val x = math.pow(0.7, k) * 10000
+      val frac = x - math.floor(x)
+      assert(math.abs(frac - 0.5) >= 1e-3,
+        f"tap $k weight $x%.6f within 1e-3 of a rounding midpoint")
+    }
+    val ed = SparkEntry.queries("q_ewma_decay")(spark, sf).cache()
+    assert(ed.filter(col("ewma_e10") < 0
+      || col("ewma_e10") >= vmax * 33334).count() == 0,
+      "decay ewma must sit in [0, max_micro·Σw)")
+    val weights = (0 until 28).map(k => math.round(math.pow(0.7, k) * 10000))
+    val u0 = ed.select(col("user_id")).head().getLong(0)
+    val vs = graft.tables.Tables.events(spark, sf)
+      .filter(col("user_id") === u0)
+      .select(col("event_id"), unix_micros(col("ts")).as("t"),
+        round(col("value") * 1000000, 0).cast("long").as("v"))
+      .orderBy(col("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expect = vs.indices.map { i =>
+      vs(i)._1 -> (0 until math.min(28, i + 1))
+        .map(k => vs(i - k)._2 * weights(k)).sum
+    }.toMap
+    val gotEd = ed.filter(col("user_id") === u0)
+      .select(col("event_id"), col("ewma_e10"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotEd == expect, "driver-side decay recompute must match exactly")
+
     // time-range frame: recompute one user's trailing counts by
     // self-join and compare exactly
     val tr = SparkEntry.queries("q_window_time_range")(spark, sf).cache()

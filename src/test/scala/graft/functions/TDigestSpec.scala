@@ -86,4 +86,38 @@ class TDigestSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_agg_tdigest_rollup: two-level merge keeps the same >=2x band margin") {
+    val got = graft.SparkEntry.queries("q_agg_tdigest_rollup")(
+      spark, TestSpark.sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      (2 until r.length).foreach(i =>
+        assert(r.getLong(i) == 1L, s"flag $i not 1 in $r"))
+    }
+    // margin for the TWO-LEVEL path: build per-(flag, status) digests,
+    // round-trip them through serialize/deserialize (the in-plan binary
+    // hop between aggregation levels), merge per flag, and require the
+    // merged digest's true rank error within half the declared bands —
+    // the same knife-edge rule the one-level query carries.
+    val l = graft.tables.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast("double"))
+      .as[(String, String, Double)].collect()
+    for ((_, rows) <- l.groupBy(_._1)) {
+      val values = rows.map(_._3)
+      val merged = new TDigest(300.0)
+      rows.groupBy(_._2).values.foreach { seg =>
+        val d = new TDigest(300.0)
+        seg.foreach(t => d.add(t._3))
+        merged.mergeIn(TDigest.deserialize(d.serialize()))
+      }
+      for (p <- Seq(0.01, 0.25, 0.5, 0.9, 0.99)) {
+        val band = if (p <= 0.01 || p >= 0.99) 0.005 else 0.015
+        val err = rankError(values, merged.quantile(p), p)
+        assert(err <= band / 2,
+          f"rollup rank error $err%.5f at p=$p within half of $band")
+      }
+    }
+  }
 }
