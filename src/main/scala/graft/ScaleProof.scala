@@ -180,9 +180,15 @@ object ScaleProof {
       // 1/16-pair sampled set-sim audit (candidate join shrinks with the
       // sample even on the dup-clique corpus)
       "q_agg_tdigest", "q_setsim_prefix_sampled",
-      // round-9 addition: the two-level sketch rollup — level 2 re-merges
-      // O(groups · δ) serialized digests, cost invariant to fact rows
-      "q_agg_tdigest_rollup")
+      // round-8 additions (cont.): the five-pattern initials-string pass
+      // (state bounded by history length, users fan 10x) and the sampled
+      // MinHash band audit riding the same 1/16 pair sample
+      "q_event_pattern_sets", "q_minhash_est_sampled",
+      // round-9 additions: the two-level sketch rollup — level 2 re-merges
+      // O(groups · δ) serialized digests, cost invariant to fact rows —
+      // plus the 28-tap pre-rounded-weight EWMA (one user_id window
+      // shuffle) and the BM25 explode + hash-agg + broadcast-terms scorer
+      "q_agg_tdigest_rollup", "q_ewma_decay", "q_bm25_score")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

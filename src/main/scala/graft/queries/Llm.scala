@@ -195,6 +195,66 @@ object Llm {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Overlap-coefficient (containment) set-similarity join:
+    * ov(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.8 — the quote/subset detector.
+    * Same prefix machinery as [[setsimPrefixJoin]], different threshold
+    * algebra: the required overlap α = ⌈0.8·min⌉ depends on the SMALLER
+    * side only, so the prefix (sz − ⌈0.8·sz⌉ + 1 rare-first shingles)
+    * lives on the smaller side and probes the larger side's FULL
+    * positioned shingle list (containment admits any size ratio — there
+    * is no AllPairs size filter). Prefix principle: |A∩B| ≥ α means at
+    * least one common shingle sits inside the first |A| − α + 1 of A in
+    * ANY fixed global order, so prefix(small) ⋈ full(large) is
+    * candidate-complete. The positional bound still holds at the first
+    * common shingle: overlap ≤ 1 + min(szS−posS, szL−posL), so matches
+    * that cannot reach 5·(1+min) ≥ 4·szS die before verification —
+    * lossless, and the brute-force oracle equality is the proof. */
+  private[graft] def setsimOverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.llm.TextDedup
+      .shingleTable(documents(s, d), "doc_id", "text", 3)
+      .localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val df_ = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val positioned = sh.join(df_, "sh")
+      .withColumn("pos",
+        row_number().over(wDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .select(col("doc_id"), col("sh"), col("sz"), col("pos"))
+    // smaller-side prefix: pos ≤ sz − ⌈4·sz/5⌉ + 1 (⌈4n/5⌉ = (4n+4) div 5)
+    val prefix = positioned
+      .filter(col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+    // orientation: pa is the smaller side (ties broken by doc_id), so
+    // α = ⌈0.8·pa.sz⌉ and the positional upper bound reads
+    // 5·(1 + min(szS−posS, szL−posL)) ≥ 4·szS
+    val joinCond = col("pa.sh") === col("pb.sh") &&
+      (col("pa.sz") < col("pb.sz") ||
+        (col("pa.sz") === col("pb.sz") && col("pa.doc_id") < col("pb.doc_id"))) &&
+      ((lit(1) + least(col("pa.sz") - col("pa.pos"),
+        col("pb.sz") - col("pb.pos"))) * 5 >= col("pa.sz") * 4)
+    val cand = prefix.as("pa")
+      .join(positioned.as("pb"), joinCond)
+      .select(least(col("pa.doc_id"), col("pb.doc_id")).as("id_a"),
+        greatest(col("pa.doc_id"), col("pb.doc_id")).as("id_b"))
+      .distinct()
+    val shB = sh.select(col("doc_id").as("bid"), col("sh").as("shb"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(shB,
+        col("id_b") === col("bid") && col("sh") === col("shb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+      .filter(col("inter") * 5 >= least(col("sza"), col("szb")) * 4)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double")
+          / least(col("sza"), col("szb")), 6).as("overlap_coeff"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[QDef] = Seq(
 
     // ---- Deduplication -------------------------------------------------
@@ -681,6 +741,22 @@ object Llm {
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE 2 * inter >= sa.sz + sb.sz - inter
           AND $pairSampleSql
+        ORDER BY id_a, id_b""")),
+
+    // Overlap-coefficient (containment) join — quote/subset detection at
+    // ov ≥ 0.8: same prefix machinery, containment threshold algebra
+    // (prefix on the SMALLER side only, probing the larger side's full
+    // positioned list; see setsimOverlapJoin). Oracle = brute force over
+    // the shared pair CTE — equality IS the losslessness proof.
+    QDef("q_setsim_overlap",
+      (s, d) => setsimOverlapJoin(s, d),
+      Some(s"""WITH $dupPairsCte
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap_coeff
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE 5 * inter >= 4 * least(sa.sz, sb.sz)
         ORDER BY id_a, id_b""")),
 
     // Bounded-hop reachability from a seed set over the dup edges: "every

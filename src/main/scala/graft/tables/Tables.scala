@@ -35,21 +35,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 reads only as a
-    * nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * Verify/Bench/tests). Normalize to µs TimestampType here — integral
-    * division keeps it exact (the data's sub-µs digits are zero).
-    */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = table(s, d, "events")
+  /** Normalize an events frame's `ts` to µs TimestampType, whatever the
+    * parquet writer annotated:
+    *  - TIMESTAMP(NANOS) → Spark 4 reads a nanosecond Long
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    *    Verify/Bench/tests); integral `div 1000` keeps it exact (the
+    *    data's sub-µs digits are zero).
+    *  - naive µs (isAdjustedToUTC=false) → Spark 4 reads TIMESTAMP_NTZ;
+    *    the cast to TimestampType is the identity under the UTC-pinned
+    *    sessions every entry point uses (and DuckDB reads the same bytes
+    *    as its naive TIMESTAMP), so both engines see identical instants.
+    * Every consumer — batch queries and the streaming file source — goes
+    * through this one dispatch so a testdata re-annotation can't split
+    * their semantics. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
-  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

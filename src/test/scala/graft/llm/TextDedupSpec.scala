@@ -224,6 +224,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == brute, s"prefix join lost ${brute -- got}, invented ${got -- brute}")
   }
 
+  test("overlap-coefficient join is lossless vs the brute-force containment pairs") {
+    val docs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+    val got = graft.SparkEntry.queries("q_setsim_overlap")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: full shingle equi-join pair enumeration, containment
+    // gate 5·inter ≥ 4·min — the smaller-side prefix probe must lose
+    // NOTHING and invent nothing
+    val sh = TextDedup.shingleTable(docs, "doc_id", "text", 3)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+      .filter(col("inter") * 5 >= least(col("sza"), col("szb")) * 4)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double")
+          / least(col("sza"), col("szb")), 6).as("ov"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute,
+      s"overlap join lost ${brute -- got}, invented ${got -- brute}")
+    assert(got.nonEmpty, "containment pairs unexpectedly empty at sf0.001")
+    // exact duplicates are containment-1.0 pairs; the join must carry
+    // every one of them at overlap_coeff == 1.0 (docs under 3 tokens
+    // have no shingles and are out of scope on both sides)
+    val shingled = sizes.select(col("doc_id"))
+    val dupPair = docs.join(shingled, "doc_id").as("x")
+      .join(docs.join(shingled, "doc_id").as("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got10 = got.filter(_._3 == 1.0).map(t => (t._1, t._2))
+    assert(dupPair.subsetOf(got10),
+      s"exact-dup pairs missing from containment result: ${dupPair -- got10}")
+  }
+
   test("sampled audit variants equal their exact twins on the sampled stratum") {
     // q_setsim_prefix_sampled / q_minhash_est_sampled must be EXACTLY the
     // full result filtered by the declared md5-nibble pair sample — the

@@ -14,8 +14,8 @@ class StreamingSourcesSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  /** File-source stream over the raw events parquet (ts is a ns-long
-    * there; normalize exactly as Tables.events does for batch). The file
+  /** File-source stream over the raw events parquet (normalize ts
+    * through the same Tables dispatch the batch path uses). The file
     * source wants a directory, so stage the single parquet file into one
     * — on a real deployment this is the landing directory new files
     * arrive in. */
@@ -23,9 +23,9 @@ class StreamingSourcesSpec extends AnyFunSuite {
     val src = java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_events_land")
     java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
-    val raw = spark.read.parquet(dir.toString) // ts: LongType under nanosAsLong
-    spark.readStream.schema(raw.schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(dir.toString)
+    graft.tables.Tables.normalizeEventTs(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
   }
 
   test("parquet file source replays events through the window operator") {
