@@ -188,7 +188,14 @@ object ScaleProof {
       // O(groups · δ) serialized digests, cost invariant to fact rows —
       // plus the 28-tap pre-rounded-weight EWMA (one user_id window
       // shuffle) and the BM25 explode + hash-agg + broadcast-terms scorer
-      "q_agg_tdigest_rollup", "q_ewma_decay", "q_bm25_score")
+      "q_agg_tdigest_rollup", "q_ewma_decay", "q_bm25_score",
+      // round-9 wave-2 additions: CUSUM is two window passes over the
+      // 10x user fan; the simhash join's candidate cost is bucket-
+      // bounded (4 bands × 256 values); the tfidf join's df ≤ 64 cap
+      // prunes the whole replicated-duplicate vocabulary — the rare-
+      // token inverted index is exactly what survives a dup-heavy 10x
+      "q_cusum_changepoint", "q_simhash_hamming_join",
+      "q_tfidf_cosine_join")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

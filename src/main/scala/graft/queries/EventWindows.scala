@@ -830,6 +830,60 @@ object EventWindows {
         ORDER BY user_id, ts_us, event_id""")
     }),
 
+    // CUSUM change-point detection per user — the classic drift monitor
+    // over a metric stream, exactly integer: micro-unit values, per-user
+    // floor mean μ = Σv div n, prefix sums S_k of (v−μ) under the
+    // (ts, event_id) total order, and CUSUM⁺_k = S_k − min_{j≤k} S_j
+    // (the running-min formulation — max-subarray deviation without any
+    // recurrence, so it is two window passes, not an iterative fold).
+    // Output: each user's peak deviation and the earliest timestamp
+    // attaining it. All BIGINT (class A); one user_id shuffle shared by
+    // the mean join and both windows.
+    QDef("q_cusum_changepoint",
+      (s, d) => {
+        val base = events(s, d).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * lit(1000000), 0).cast("long").as("v"))
+        val mu = base.groupBy(col("user_id"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .select(col("user_id"), expr("sv div n").as("mu"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val c = base.join(mu, "user_id")
+          .withColumn("s", sum(col("v") - col("mu")).over(w))
+          .withColumn("cusum", col("s") - min(col("s")).over(w))
+        val agg = c.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), max(col("cusum")).as("max_cusum"))
+        val peak = c.join(agg.select(col("user_id"), col("max_cusum")),
+            Seq("user_id"))
+          .filter(col("cusum") === col("max_cusum"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("peak_us"))
+        agg.join(peak, "user_id")
+          .select(col("user_id"), col("n_events"), col("max_cusum"),
+            col("peak_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+            CAST(round(value * 1000000, 0) AS BIGINT) AS v FROM events),
+        mu AS (SELECT user_id, sum(v) // count(*) AS mu FROM base GROUP BY 1),
+        s AS (SELECT user_id, ts_us, event_id,
+            sum(v - mu) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS s
+          FROM base JOIN mu USING (user_id)),
+        c AS (SELECT user_id, ts_us,
+            s - min(s) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS cusum
+          FROM s),
+        a AS (SELECT user_id, count(*) AS n_events,
+            max(cusum) AS max_cusum FROM c GROUP BY 1)
+        SELECT a.user_id, a.n_events,
+          CAST(a.max_cusum AS BIGINT) AS max_cusum,
+          CAST(min(c.ts_us) AS BIGINT) AS peak_us
+        FROM a JOIN c ON a.user_id = c.user_id AND c.cusum = a.max_cusum
+        GROUP BY a.user_id, a.n_events, a.max_cusum
+        ORDER BY a.user_id""")),
+
     // Time-RANGE window frame: each event's trailing-1-hour per-user
     // activity (sum + count over RANGE 3,600,000,000 µs PRECEDING on
     // the epoch-µs ordering) — the per-ROW sliding time window, as

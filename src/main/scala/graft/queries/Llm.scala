@@ -759,6 +759,148 @@ object Llm {
         WHERE 5 * inter >= 4 * least(sa.sz, sb.sz)
         ORDER BY id_a, id_b""")),
 
+    // SimHash Hamming-distance near-dup JOIN via pigeonhole banding —
+    // the bit-fingerprint family's join operator beside the shingle
+    // family's prefix join. Declared fingerprint: 32-bit simhash over
+    // DISTINCT tokens, token hash = first 8 md5 hex chars as an int
+    // (cross-engine: Spark conv(,16,10) ≡ DuckDB nibble strpos Horner),
+    // bit j set iff strictly more than half the tokens vote 1. Pairs at
+    // Hamming ≤ 3: any such pair agrees EXACTLY on ≥1 of the 4 8-bit
+    // bands (pigeonhole: 3 differing bits touch ≤ 3 bands), so the
+    // candidate join is 4 band-key equi-joins in one (band_idx,
+    // band_val) join — never all-pairs — then verified with
+    // bit_count(xor) ≤ 3. Lossless by pigeonhole; the oracle is the
+    // brute-force pair scan. All-integer (class A).
+    QDef("q_simhash_hamming_join", {
+      val fn: Q.Fn = (s, d) => {
+        val hv = documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("tok"))
+          .withColumn("hv",
+            conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+              .cast("long"))
+        val voteCols = count(lit(1)).as("n") +: (0 until 32).map(j =>
+          sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+        val fp = hv.groupBy(col("doc_id"))
+          .agg(voteCols.head, voteCols.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(j =>
+                when(col(s"s$j") * 2 > col("n"), lit(1L << j))
+                  .otherwise(lit(0L)))
+              .reduce(_ + _).as("fp"))
+        val bands = fp.select(col("doc_id"), col("fp"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("fp"), b * 8).bitwiseAND(lit(255L))): _*)))
+          .toDF("doc_id", "fp", "band_idx", "band_val")
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            expr("bit_count(fp_a ^ fp_b)").cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      }
+      fn
+    }, {
+      // token hash: Horner over the first 8 md5 nibbles = the same
+      // 32-bit int Spark's conv(substr(md5, 1, 8), 16, 10) produces
+      val nib = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)")
+        .zip(Seq(28, 24, 20, 16, 12, 8, 4, 0))
+        .map { case (t, sh) => s"$t * ${1L << sh}" }.mkString(" + ")
+      val fpTerms = (0 until 32).map(j =>
+        s"(CASE WHEN 2 * sum((hv // ${1L << j}) % 2) > count(*) " +
+          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      Some(s"""WITH toks AS (SELECT doc_id,
+            unnest(list_distinct($tokensSql)) AS tok FROM documents),
+        hv AS (SELECT doc_id, CAST($nib AS BIGINT) AS hv FROM toks),
+        fps AS (SELECT doc_id, CAST($fpTerms AS BIGINT) AS fp
+          FROM hv GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY id_a, id_b""")
+    }),
+
+    // TF-IDF cosine document-pair similarity over the RARE vocabulary
+    // (df ≤ 64 inverted index — the hot common tokens that dominate
+    // fan-out carry no discriminative idf weight anyway): the sparse
+    // lexical twin of the embedding cosine join. Integer-exact end to
+    // end: idf pre-rounds ONCE onto a 1e-2 grid (class C, one ln per
+    // distinct token over identical exact-rational N/df), weights
+    // w = tf · idf_e2 are BIGINT, dot and norms are exact sums, the
+    // cos ≥ 0.5 gate is 4·dot² ≥ ‖a‖²·‖b‖² (dot ≥ 0 since idf ≥ 0),
+    // and the output is cos²·1e6 by truncating integer division — no
+    // float division anywhere (class A after the idf grid). Candidates
+    // come from the shared-token equi-join that accumulates dot
+    // directly — inverted index, never all-pairs; fan-out bounded by
+    // the df cap.
+    QDef("q_tfidf_cosine_join",
+      (s, d) => {
+        val docs = documents(s, d)
+        val dt = docs.select(col("doc_id"),
+            explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val nDocs = graft.tables.Tables.rowCount(s, d, "documents")
+        val dfF = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64)
+          .withColumn("idf_e2",
+            round(log(lit(nDocs.toDouble) / col("df")) * 100, 0).cast("long"))
+        val w = dt.join(dfF, "tok")
+          .select(col("tok"), col("doc_id"),
+            (col("tf") * col("idf_e2")).as("w"))
+        val norms = w.groupBy(col("doc_id"))
+          .agg(sum(col("w") * col("w")).as("n2"))
+        val dot = w.as("a")
+          .join(w.as("b"),
+            col("a.tok") === col("b.tok") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        dot
+          .join(norms.select(col("doc_id").as("id_a"), col("n2").as("n2a")), "id_a")
+          .join(norms.select(col("doc_id").as("id_b"), col("n2").as("n2b")), "id_b")
+          .filter(col("dot").cast(dec) * col("dot") * 4
+            >= col("n2a").cast(dec) * col("n2b"))
+          .select(col("id_a"), col("id_b"),
+            expr("CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000)" +
+              " div (CAST(n2a AS DECIMAL(38,0)) * n2b) AS BIGINT)")
+              .as("cos2_ppm"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH dt AS (
+          SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+        tfs AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY 1, 2),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        dfs AS (SELECT tok, count(*) AS df,
+            CAST(round(ln(CAST(n.n_docs AS DOUBLE) / count(*)) * 100, 0)
+              AS BIGINT) AS idf_e2
+          FROM tfs, n GROUP BY tok, n.n_docs HAVING count(*) <= 64),
+        w AS (SELECT doc_id, tfs.tok, tf * idf_e2 AS w
+          FROM tfs JOIN dfs ON tfs.tok = dfs.tok),
+        norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+        dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            sum(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT) AS cos2_ppm
+        FROM dots
+        JOIN norms na ON id_a = na.doc_id
+        JOIN norms nb ON id_b = nb.doc_id
+        WHERE 4 * dot * dot >= na.n2 * nb.n2
+        ORDER BY id_a, id_b""")),
+
     // Bounded-hop reachability from a seed set over the dup edges: "every
     // document within 3 dedup hops of a flagged doc" — the takedown /
     // contamination blast-radius query. Frontier BFS with min-hop merge;

@@ -186,6 +186,53 @@ class QueriesSpec extends AnyFunSuite {
       "bounce rollup must conserve the sessionizer's session count")
   }
 
+  test("wave-r9 invariants: cusum exact replay, tfidf cosine bounds") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val cu = SparkEntry.queries("q_cusum_changepoint")(spark, sf).cache()
+    assert(cu.filter(col("max_cusum") < 0).count() == 0,
+      "CUSUM+ is a max over S_k - runmin(S) and cannot be negative")
+    val evTotal = graft.tables.Tables.events(spark, sf).count()
+    assert(cu.agg(sum(col("n_events"))).head().getLong(0) == evTotal,
+      "per-user event counts must conserve the events table")
+    // exact driver-side replay for the user with the largest peak
+    val top = cu.orderBy(col("max_cusum").desc).head()
+    val uid = top.getLong(0)
+    val rows = graft.tables.Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * lit(1000000), 0).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val mu = rows.map(_._3).sum / rows.length // Long div truncates like div
+    // rmin is min over s_1..s_k (the window includes the current row,
+    // never an empty-prefix 0) — cusum_1 is 0 by construction
+    var s = 0L; var rmin = Long.MaxValue; var best = 0L
+    var peakUs = Long.MaxValue
+    rows.foreach { case (tsUs, _, v) =>
+      s += v - mu
+      rmin = math.min(rmin, s)
+      val c = s - rmin
+      // first achiever in (ts, event_id) order == min ts among achievers
+      if (c > best) { best = c; peakUs = tsUs }
+    }
+    if (best == 0L) peakUs = rows.head._1
+    assert(top.getLong(2) == best,
+      s"driver replay of user $uid: max_cusum ${top.getLong(2)} != $best")
+    assert(top.getLong(3) == peakUs,
+      s"peak_us must be the earliest attaining timestamp ($peakUs)")
+
+    val tc = SparkEntry.queries("q_tfidf_cosine_join")(spark, sf).cache()
+    assert(tc.count() > 0, "tfidf cosine pairs unexpectedly empty")
+    assert(tc.filter(col("cos2_ppm") < 250000 || col("cos2_ppm") > 1000000)
+      .count() == 0,
+      "cos2_ppm must sit in [threshold 0.25e6, Cauchy-Schwarz 1e6]")
+    // identical documents (that carry at least one df<=64 token) are
+    // cosine-1 pairs: the integer division is exact there (dot == n2)
+    assert(tc.filter(col("cos2_ppm") === 1000000).count() > 0,
+      "exact-dup documents must appear at cos2_ppm == 1e6")
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",

@@ -262,6 +262,40 @@ class TextDedupSpec extends AnyFunSuite {
       s"exact-dup pairs missing from containment result: ${dupPair -- got10}")
   }
 
+  test("simhash hamming join matches a driver-side brute force") {
+    // independent oracle: JVM MessageDigest md5 (same bytes as Spark's
+    // md5 and DuckDB's), Long.bitCount — no Spark expression reuse
+    val docs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val fps = docs.flatMap { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty).distinct
+      if (toks.isEmpty) None
+      else {
+        val hvs = toks.map(t => java.lang.Long.parseLong(md5hex(t).take(8), 16))
+        var fp = 0L
+        (0 until 32).foreach { j =>
+          val votes = hvs.count(h => ((h >> j) & 1L) == 1L)
+          if (2 * votes > toks.length) fp |= (1L << j)
+        }
+        Some(r.getLong(0) -> fp)
+      }
+    }
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val got = graft.SparkEntry.queries("q_simhash_hamming_join")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"banding lost ${brute -- got}, invented ${got -- brute}")
+    assert(got.exists(_._3 == 0L),
+      "exact-duplicate documents must collide at hamming 0")
+  }
+
   test("sampled audit variants equal their exact twins on the sampled stratum") {
     // q_setsim_prefix_sampled / q_minhash_est_sampled must be EXACTLY the
     // full result filtered by the declared md5-nibble pair sample — the
