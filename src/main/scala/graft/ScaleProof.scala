@@ -195,7 +195,12 @@ object ScaleProof {
       // prunes the whole replicated-duplicate vocabulary — the rare-
       // token inverted index is exactly what survives a dup-heavy 10x
       "q_cusum_changepoint", "q_simhash_hamming_join",
-      "q_tfidf_cosine_join")
+      "q_tfidf_cosine_join",
+      // round-9 wave-3 additions: the point-in-time join co-partitions
+      // purchases and SCD2 versions on the 10x user fan; the keeper
+      // rides the (battery-resident) cluster frame; the confusion
+      // matrix is the lang-id pipeline + one tiny rollup
+      "q_pit_join", "q_dedup_keeper", "q_lang_confusion")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

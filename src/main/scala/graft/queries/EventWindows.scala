@@ -509,6 +509,58 @@ object EventWindows {
             ORDER BY ts, event_id) IS NULL AS BIGINT) AS is_current
         FROM changes ORDER BY user_id, valid_from_us""")),
 
+    // POINT-IN-TIME join — the data-warehouse companion of the SCD2
+    // builder: each purchase event looks up the dimension version valid
+    // AT its timestamp (valid_from ≤ t < valid_to, open interval while
+    // current). The intervals tile each user's timeline (CurationSpec
+    // proves no overlap), so every purchase matches exactly one version
+    // — the join is an equi-join on user_id with a range residual, the
+    // same co-partitioned shape as the as-of join (one user shuffle,
+    // range predicate evaluated inside the SMJ). All epoch-µs integers.
+    QDef("q_pit_join",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = events(s, d)
+        val changes = ev
+          .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        val dim = changes
+          .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(byUser))
+          .select(col("user_id").as("d_user"),
+            col("event_type").as("state_type"),
+            unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"))
+        purchases.join(dim,
+            col("user_id") === col("d_user") &&
+              col("valid_from_us") <= col("p_us") &&
+              (col("valid_to_us").isNull || col("p_us") < col("valid_to_us")))
+          .select(col("p_id"), col("user_id"), col("p_us"),
+            col("state_type"), col("valid_from_us"))
+          .orderBy(col("p_id"))
+      },
+      Some("""WITH marked AS (SELECT user_id, event_type, ts, event_id,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        changes AS (SELECT * FROM marked
+          WHERE prev_type IS NULL OR prev_type <> event_type),
+        dim AS (SELECT user_id AS d_user, event_type AS state_type,
+            epoch_us(ts) AS valid_from_us,
+            lead(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS valid_to_us
+          FROM changes),
+        p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT p_id, p.user_id, p_us, state_type, valid_from_us
+        FROM p JOIN dim ON p.user_id = d_user
+          AND valid_from_us <= p_us
+          AND (valid_to_us IS NULL OR p_us < valid_to_us)
+        ORDER BY p_id""")),
+
     // Stream-static join shape: events (stream side) joined to the static
     // customer dim (broadcast at scale).
     QDef("q_stream_static_join",

@@ -255,6 +255,32 @@ object Llm {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Shared body of q_lang_id / q_lang_confusion: per-doc predicted
+    * language via corpus-mined token profiles (majority token vote,
+    * deterministic row_number ties throughout). */
+  private def langIdFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+    // token → most frequent language for it (profile)
+    val profile = tok.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("n"))
+    val wP = Window.partitionBy(col("tok")).orderBy(col("n").desc, col("lang"))
+    val tokLang = profile.withColumn("rn", row_number().over(wP))
+      .filter(col("rn") === 1)
+      .select(col("tok"), col("lang").as("tok_lang"))
+    // doc → majority vote of token languages
+    val votes = tok.select(col("doc_id"), col("lang"), col("tok"))
+      .join(tokLang, "tok")
+      .groupBy(col("doc_id"), col("lang"), col("tok_lang"))
+      .agg(count(lit(1)).as("votes"))
+    val wV = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("tok_lang"))
+    votes.withColumn("rn", row_number().over(wV))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("tok_lang").as("pred_lang"),
+        (col("lang") === col("tok_lang")).cast("long").as("correct"))
+  }
+
   val all: Seq[QDef] = Seq(
 
     // ---- Deduplication -------------------------------------------------
@@ -490,6 +516,74 @@ object Llm {
         SELECT id AS doc_id, min(r) AS cluster,
           CAST(min(r) = id AS BIGINT) AS keep
         FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    // Canonical KEEPER SELECTION per dup cluster — the step after
+    // clustering in a real dedup pipeline: instead of the min-id
+    // representative, keep the highest-QUALITY member (distinct-token
+    // count as the integer quality; ties → min doc_id). Same cluster
+    // frame as q_dedup_clusters; one window rank + one rollup per
+    // cluster. All integer (class A).
+    QDef("q_dedup_keeper",
+      (s, d) => {
+        val docs = documents(s, d)
+        val edges = graft.llm.TextDedup
+          .jaccardPairs(docs, "doc_id", "text", blockCols = Seq("source"),
+            threshold = 0.1)
+        val cl = graft.llm.TextDedup.clusters(docs, "doc_id", edges)
+          .select(col("doc_id"), col("cluster"))
+        val q = docs.select(col("doc_id"),
+          size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"))
+        val j = cl.join(q, "doc_id")
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("n_uniq").desc, col("doc_id"))
+        val agg = j.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"), max(col("n_uniq")).as("max_quality"))
+        val keep = j.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("keep_id"))
+        agg.join(keep, "cluster")
+          .select(col("cluster"), col("keep_id"), col("n_members"),
+            col("max_quality"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH RECURSIVE
+        toks AS (SELECT doc_id, source,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        shingles AS (SELECT doc_id, source, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM toks WHERE len(toks) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM shingles a JOIN shingles b
+            ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges0 AS (
+          SELECT id_a, id_b FROM pairs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1),
+        edges AS (SELECT id_a AS a, id_b AS b FROM edges0
+          UNION ALL SELECT id_b, id_a FROM edges0),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+        q AS (SELECT d.doc_id,
+            CAST(len(list_distinct(t.toks)) AS BIGINT) AS n_uniq
+          FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+        ranked AS (SELECT cl.cluster, cl.doc_id, q.n_uniq,
+            row_number() OVER (PARTITION BY cl.cluster
+              ORDER BY q.n_uniq DESC, cl.doc_id) AS rn
+          FROM cl JOIN q ON cl.doc_id = q.doc_id)
+        SELECT cluster,
+          min(doc_id) FILTER (WHERE rn = 1) AS keep_id,
+          count(*) AS n_members,
+          max(n_uniq) AS max_quality
+        FROM ranked GROUP BY cluster ORDER BY cluster""")),
 
     // Triangle enumeration over the dup edge set (UNBLOCKED Jaccard ≥ 0.2
     // — near-dup twins in this corpus live across source boundaries, so
@@ -1705,29 +1799,7 @@ object Llm {
     // row_number ties), so the whole pipeline has a DuckDB oracle;
     // accuracy additionally asserted in LlmSpec.
     QDef("q_lang_id",
-      (s, d) => {
-        val docs = documents(s, d)
-        val tok = docs.select(col("doc_id"), col("lang"),
-          explode(tokens(col("text"))).as("tok"))
-        // token → most frequent language for it (profile)
-        val profile = tok.groupBy(col("tok"), col("lang")).agg(count(lit(1)).as("n"))
-        val wP = Window.partitionBy(col("tok")).orderBy(col("n").desc, col("lang"))
-        val tokLang = profile.withColumn("rn", row_number().over(wP))
-          .filter(col("rn") === 1)
-          .select(col("tok"), col("lang").as("tok_lang"))
-        // doc → majority vote of token languages
-        val votes = tok.select(col("doc_id"), col("lang"), col("tok"))
-          .join(tokLang, "tok")
-          .groupBy(col("doc_id"), col("lang"), col("tok_lang"))
-          .agg(count(lit(1)).as("votes"))
-        val wV = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("tok_lang"))
-        votes.withColumn("rn", row_number().over(wV))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("lang").as("true_lang"),
-            col("tok_lang").as("pred_lang"),
-            (col("lang") === col("tok_lang")).cast("long").as("correct"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => langIdFrame(s, d).orderBy(col("doc_id")),
       Some("""WITH tok AS (
           SELECT doc_id, lang,
             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
@@ -1748,6 +1820,49 @@ object Llm {
                 row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, tok_lang) AS rn
               FROM votes) v WHERE rn = 1
         ORDER BY doc_id""")),
+
+    // Language-ID CONFUSION MATRIX — the evaluation rollup every
+    // classifier audit needs: true lang × predicted lang counts over the
+    // shared langIdFrame pipeline, with per-row shares in exact ppm
+    // (integer division over the window row total). ≤ |langs|² rows;
+    // all integer (class A).
+    QDef("q_lang_confusion",
+      (s, d) => {
+        val wRow = Window.partitionBy(col("true_lang"))
+        langIdFrame(s, d)
+          .groupBy(col("true_lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_n", sum(col("n")).over(wRow))
+          .select(col("true_lang"), col("pred_lang"), col("n"),
+            expr("(n * 1000000) div row_n").as("row_ppm"))
+          .orderBy(col("true_lang"), col("pred_lang"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, lang,
+            unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents),
+        profile AS (SELECT tok, lang, count(*) AS n FROM tok GROUP BY tok, lang),
+        toklang AS (
+          SELECT tok, lang AS tok_lang FROM (
+            SELECT tok, lang,
+              row_number() OVER (PARTITION BY tok ORDER BY n DESC, lang) AS rn
+            FROM profile) t WHERE rn = 1),
+        votes AS (
+          SELECT t.doc_id, t.lang, tl.tok_lang, count(*) AS votes
+          FROM tok t JOIN toklang tl ON t.tok = tl.tok
+          GROUP BY t.doc_id, t.lang, tl.tok_lang),
+        pred AS (
+          SELECT doc_id, lang AS true_lang, tok_lang AS pred_lang
+          FROM (SELECT doc_id, lang, tok_lang, votes,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY votes DESC, tok_lang) AS rn
+                FROM votes) v WHERE rn = 1)
+        SELECT true_lang, pred_lang, count(*) AS n,
+          CAST((count(*) * 1000000)
+            // (sum(count(*)) OVER (PARTITION BY true_lang)) AS BIGINT)
+            AS row_ppm
+        FROM pred GROUP BY true_lang, pred_lang
+        ORDER BY true_lang, pred_lang""")),
 
     // Rolling-hash (Rabin-Karp style) document fingerprint over chars —
     // deterministic pure-Spark expression chain; golden-tested in LlmSpec

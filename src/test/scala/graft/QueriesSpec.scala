@@ -233,6 +233,41 @@ class QueriesSpec extends AnyFunSuite {
       "exact-dup documents must appear at cos2_ppm == 1e6")
   }
 
+  test("wave-r9b invariants: pit join totality, keeper quality, confusion conservation") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val pit = SparkEntry.queries("q_pit_join")(spark, sf).cache()
+    val purchases = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(pit.count() == purchases,
+      "point-in-time join must match every purchase to EXACTLY one version")
+    assert(pit.filter(col("valid_from_us") > col("p_us")).count() == 0,
+      "matched version must already be valid at the purchase time")
+    assert(pit.select(col("p_id")).distinct().count() == purchases,
+      "no purchase may match two versions (intervals tile)")
+
+    val keep = SparkEntry.queries("q_dedup_keeper")(spark, sf).cache()
+    val docsN = graft.tables.Tables.documents(spark, sf).count()
+    assert(keep.agg(sum(col("n_members"))).head().getLong(0) == docsN,
+      "cluster members must conserve the corpus")
+    // the keeper really is a max-quality member: its n_uniq equals the
+    // cluster's max_quality
+    val q = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id").as("keep_id"),
+        size(array_distinct(filter(split(col("text"), " "), t => t =!= "")))
+          .cast("long").as("n_uniq"))
+    assert(keep.join(q, "keep_id")
+      .filter(col("n_uniq") =!= col("max_quality")).count() == 0,
+      "keep_id must attain the cluster's max quality")
+
+    val cm = SparkEntry.queries("q_lang_confusion")(spark, sf).cache()
+    val preds = SparkEntry.queries("q_lang_id")(spark, sf).count()
+    assert(cm.agg(sum(col("n"))).head().getLong(0) == preds,
+      "confusion cells must conserve the per-doc predictions")
+    assert(cm.filter(col("row_ppm") < 0 || col("row_ppm") > 1000000)
+      .count() == 0)
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",
