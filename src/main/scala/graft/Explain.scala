@@ -32,7 +32,12 @@ object Explain {
       // Lloyd round's broadcast-k crossJoin + hash agg, the prefix
       // join's windowed candidate generation, the null-safe hash join
       "q21_sole_returned_supplier", "q_kmeans_lloyd",
-      "q_setsim_prefix_join", "q_join_null_safe")
+      "q_setsim_prefix_join", "q_join_null_safe",
+      // round-9: the pit join must plan as ONE user-key SMJ with the
+      // interval residual as its non-equi condition (no BNLJ); the
+      // simhash join as a band-key equi-join; the tfidf join's dot
+      // accumulation as a shared-token equi-join + hash agg
+      "q_pit_join", "q_simhash_hamming_join", "q_tfidf_cosine_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
