@@ -200,7 +200,14 @@ object ScaleProof {
       // purchases and SCD2 versions on the 10x user fan; the keeper
       // rides the (battery-resident) cluster frame; the confusion
       // matrix is the lang-id pipeline + one tiny rollup
-      "q_pit_join", "q_dedup_keeper", "q_lang_confusion")
+      "q_pit_join", "q_dedup_keeper", "q_lang_confusion",
+      // round-9 wave-4 additions: the interval-overlap rollup shares
+      // the per-user window pass; the weighted-jaccard equi-join rides
+      // the same blocked shingle frame shape as q_jaccard_pairs; the
+      // sampled simhash audit pays ~1/16 of the exact join's
+      // dup-clique cost
+      "q_interval_overlap", "q_jaccard_weighted",
+      "q_simhash_hamming_sampled")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -561,6 +561,86 @@ object EventWindows {
           AND (valid_to_us IS NULL OR p_us < valid_to_us)
         ORDER BY p_id""")),
 
+    // INTERVAL-OVERLAP aggregate — the temporal-join family's aggregate
+    // form: how much of each user's SESSION time was spent in each SCD2
+    // STATE? Both interval sets derive from the same per-user window
+    // pass (one user_id shuffle feeds the sessionizer and the SCD2
+    // builder), intervals are half-open in epoch-µs (sessions
+    // [start, end+1), states [vf, vt) with the open current state
+    // clipped at the user's last event + 1), and the per-pair overlap
+    // max(0, min(vt, s_end+1) − max(vf, s_start)) rolls up per
+    // (user, state). All BIGINT (class A).
+    QDef("q_interval_overlap",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = events(s, d)
+        val sess = ev
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            (col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 3600000000L)
+              .cast("long"))
+          .withColumn("sess_no", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(min(unix_micros(col("ts"))).as("s_start"),
+            max(unix_micros(col("ts"))).as("s_end"))
+        val userMax = ev.groupBy(col("user_id"))
+          .agg(max(unix_micros(col("ts"))).as("u_max"))
+        val changes = ev
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        val dim = changes
+          .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+          .join(userMax, "user_id")
+          .select(col("user_id").as("d_user"),
+            col("event_type").as("state_type"),
+            unix_micros(col("ts")).as("vf"),
+            coalesce(col("valid_to_us"), col("u_max") + 1).as("vt"))
+        sess.join(dim,
+            col("user_id") === col("d_user") &&
+              col("vf") <= col("s_end") && col("s_start") < col("vt"))
+          .withColumn("ov", greatest(lit(0L),
+            least(col("vt"), col("s_end") + 1)
+              - greatest(col("vf"), col("s_start"))))
+          .groupBy(col("user_id"), col("state_type"))
+          .agg(sum(col("ov")).as("overlap_us"), count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"), col("state_type"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_us,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        z AS (SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+              OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+          FROM x),
+        sess AS (SELECT user_id, sess_no,
+            min(epoch_us(ts)) AS s_start, max(epoch_us(ts)) AS s_end
+          FROM z GROUP BY 1, 2),
+        umax AS (SELECT user_id, max(epoch_us(ts)) AS u_max
+          FROM events GROUP BY 1),
+        changes AS (SELECT user_id, event_type, ts, event_id FROM x
+          WHERE prev_type IS NULL OR prev_type <> event_type),
+        dim AS (SELECT c.user_id AS d_user, event_type AS state_type,
+            epoch_us(ts) AS vf,
+            coalesce(lead(epoch_us(ts)) OVER (PARTITION BY c.user_id
+              ORDER BY ts, event_id), u_max + 1) AS vt
+          FROM changes c JOIN umax ON c.user_id = umax.user_id)
+        SELECT user_id, state_type,
+          CAST(sum(greatest(0, least(vt, s_end + 1)
+            - greatest(vf, s_start))) AS BIGINT) AS overlap_us,
+          count(*) AS n_pairs
+        FROM sess JOIN dim ON user_id = d_user
+          AND vf <= s_end AND s_start < vt
+        GROUP BY user_id, state_type
+        ORDER BY user_id, state_type""")),
+
     // Stream-static join shape: events (stream side) joined to the static
     // customer dim (broadcast at scale).
     QDef("q_stream_static_join",

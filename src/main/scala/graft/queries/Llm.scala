@@ -281,6 +281,84 @@ object Llm {
         (col("lang") === col("tok_lang")).cast("long").as("correct"))
   }
 
+  /** Shared body of q_simhash_hamming_join / q_simhash_hamming_sampled:
+    * 32-bit simhash over distinct tokens, 4×8-bit band pigeonhole
+    * candidates (Hamming ≤ 3 ⇒ ≥1 identical band), bit_count(xor)
+    * verify. The optional 1/16 md5-nibble pair sample is injected AT
+    * the candidate join — upstream of distinct and verification — so
+    * the sampled audit pays ~1/16 of the whole pipeline past the
+    * fingerprint scan. */
+  private[graft] def simhashHammingJoin(s: SparkSession, d: String,
+      sampled: Boolean,
+      sampleNibbles: Seq[String] = Seq("0")): DataFrame = {
+    val hv = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("hv",
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long"))
+    val voteCols = count(lit(1)).as("n") +: (0 until 32).map(j =>
+      sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+    val fp = hv.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+            when(col(s"s$j") * 2 > col("n"), lit(1L << j))
+              .otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+    val bands = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 8).bitwiseAND(lit(255L))): _*)))
+      .toDF("doc_id", "fp", "band_idx", "band_val")
+    val baseCond = col("a.band_idx") === col("b.band_idx") &&
+      col("a.band_val") === col("b.band_val") &&
+      col("a.doc_id") < col("b.doc_id")
+    val joinCond =
+      if (sampled) baseCond && pairSampleNibbles(
+        col("a.doc_id"), col("b.doc_id"), sampleNibbles)
+      else baseCond
+    val cand = bands.as("a")
+      .join(bands.as("b"), joinCond)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force DuckDB oracle of the simhash Hamming join: token hash
+    * = Horner over the first 8 md5 nibbles (the same 32-bit int Spark's
+    * conv(substr(md5, 1, 8), 16, 10) produces), majority-vote
+    * fingerprint, all-pairs bit_count(xor) ≤ 3 — with the optional
+    * md5-nibble sample stratum. */
+  private def simhashHammingOracle(sampled: Boolean): String = {
+    val nib = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)")
+      .zip(Seq(28, 24, 20, 16, 12, 8, 4, 0))
+      .map { case (t, sh) => s"$t * ${1L << sh}" }.mkString(" + ")
+    val fpTerms = (0 until 32).map(j =>
+      s"(CASE WHEN 2 * sum((hv // ${1L << j}) % 2) > count(*) " +
+        s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val sample = if (sampled)
+      "\n          AND substr(md5(CAST(a.doc_id AS VARCHAR) || '_' || " +
+        "CAST(b.doc_id AS VARCHAR)), 1, 1) = '0'"
+    else ""
+    s"""WITH toks AS (SELECT doc_id,
+            unnest(list_distinct($tokensSql)) AS tok FROM documents),
+        hv AS (SELECT doc_id, CAST($nib AS BIGINT) AS hv FROM toks),
+        fps AS (SELECT doc_id, CAST($fpTerms AS BIGINT) AS fp
+          FROM hv GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3$sample
+        ORDER BY id_a, id_b"""
+  }
+
   val all: Seq[QDef] = Seq(
 
     // ---- Deduplication -------------------------------------------------
@@ -865,64 +943,82 @@ object Llm {
     // band_val) join — never all-pairs — then verified with
     // bit_count(xor) ≤ 3. Lossless by pigeonhole; the oracle is the
     // brute-force pair scan. All-integer (class A).
-    QDef("q_simhash_hamming_join", {
-      val fn: Q.Fn = (s, d) => {
-        val hv = documents(s, d)
-          .select(col("doc_id"),
-            explode(array_distinct(tokens(col("text")))).as("tok"))
-          .withColumn("hv",
-            conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
-              .cast("long"))
-        val voteCols = count(lit(1)).as("n") +: (0 until 32).map(j =>
-          sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"s$j"))
-        val fp = hv.groupBy(col("doc_id"))
-          .agg(voteCols.head, voteCols.tail: _*)
-          .select(col("doc_id"),
-            (0 until 32).map(j =>
-                when(col(s"s$j") * 2 > col("n"), lit(1L << j))
-                  .otherwise(lit(0L)))
-              .reduce(_ + _).as("fp"))
-        val bands = fp.select(col("doc_id"), col("fp"),
-          posexplode(array((0 until 4).map(b =>
-            shiftright(col("fp"), b * 8).bitwiseAND(lit(255L))): _*)))
-          .toDF("doc_id", "fp", "band_idx", "band_val")
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band_idx") === col("b.band_idx") &&
-              col("a.band_val") === col("b.band_val") &&
+    QDef("q_simhash_hamming_join",
+      (s, d) => simhashHammingJoin(s, d, sampled = false),
+      Some(simhashHammingOracle(sampled = false))),
+
+    // SAMPLED simhash-join audit — the same 1/16 md5-nibble pair
+    // stratum as the set-sim/minhash audits, injected at the band
+    // candidate join (the bounded-cost daily QA cadence for the
+    // bit-fingerprint family; the bench-tail relief valve at sf0.1).
+    QDef("q_simhash_hamming_sampled",
+      (s, d) => simhashHammingJoin(s, d, sampled = true),
+      Some(simhashHammingOracle(sampled = true))),
+
+    // IDF-WEIGHTED Jaccard near-dup pairs — rare shingles count for
+    // more: wj(A,B) = Σ_{A∩B} w / Σ_{A∪B} w with w = the shingle's
+    // global idf pre-rounded onto the 1e-2 grid (class C, one ln per
+    // distinct shingle over identical exact-rational N/df); after that
+    // the sums, the 2·inter_w ≥ union_w threshold, and the exact-ppm
+    // output are pure BIGINT integer arithmetic (class A). Candidates
+    // from the source-blocked shared-shingle equi-join — never
+    // all-pairs, the q_jaccard_pairs frame shape.
+    QDef("q_jaccard_weighted",
+      (s, d) => {
+        val docs = documents(s, d)
+        val nDocs = graft.tables.Tables.rowCount(s, d, "documents")
+        val sh = graft.llm.TextDedup
+          .shingleTable(docs, "doc_id", "text", 3, blockCols = Seq("source"))
+          .localCheckpoint(true)
+        val wsh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .withColumn("w",
+            round(log(lit(nDocs.toDouble) / col("df")) * 100, 0).cast("long"))
+          .select(col("sh"), col("w"))
+        val shw = sh.join(wsh, "sh")
+        val wsum = shw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
+        val inter = shw.as("a").join(shw.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-          .distinct()
-        cand
-          .withColumn("hamming",
-            expr("bit_count(fp_a ^ fp_b)").cast("long"))
-          .filter(col("hamming") <= 3)
-          .select(col("id_a"), col("id_b"), col("hamming"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.w")).as("inter_w"))
+        inter
+          .join(wsum.select(col("doc_id").as("id_a"), col("wsum").as("wa")), "id_a")
+          .join(wsum.select(col("doc_id").as("id_b"), col("wsum").as("wb")), "id_b")
+          .withColumn("union_w", col("wa") + col("wb") - col("inter_w"))
+          .filter(col("union_w") > 0 && col("inter_w") * 2 >= col("union_w"))
+          .select(col("id_a"), col("id_b"),
+            expr("(inter_w * 1000000) div union_w").as("wj_ppm"))
           .orderBy(col("id_a"), col("id_b"))
-      }
-      fn
-    }, {
-      // token hash: Horner over the first 8 md5 nibbles = the same
-      // 32-bit int Spark's conv(substr(md5, 1, 8), 16, 10) produces
-      val nib = (1 to 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)")
-        .zip(Seq(28, 24, 20, 16, 12, 8, 4, 0))
-        .map { case (t, sh) => s"$t * ${1L << sh}" }.mkString(" + ")
-      val fpTerms = (0 until 32).map(j =>
-        s"(CASE WHEN 2 * sum((hv // ${1L << j}) % 2) > count(*) " +
-          s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      Some(s"""WITH toks AS (SELECT doc_id,
-            unnest(list_distinct($tokensSql)) AS tok FROM documents),
-        hv AS (SELECT doc_id, CAST($nib AS BIGINT) AS hv FROM toks),
-        fps AS (SELECT doc_id, CAST($fpTerms AS BIGINT) AS fp
-          FROM hv GROUP BY doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        ORDER BY id_a, id_b""")
-    }),
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS toks
+          FROM documents),
+        shingles AS (SELECT doc_id, source, unnest(list_distinct(
+            list_transform(range(len(toks) - 2),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+          FROM toks WHERE len(toks) >= 3),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        wsh AS (SELECT sh,
+            CAST(round(ln(CAST(n.n_docs AS DOUBLE) / count(*)) * 100, 0)
+              AS BIGINT) AS w
+          FROM shingles, n GROUP BY sh, n.n_docs),
+        shw AS (SELECT doc_id, source, s.sh, w
+          FROM shingles s JOIN wsh ON s.sh = wsh.sh),
+        wsum AS (SELECT doc_id, sum(w) AS wsum FROM shw GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            sum(a.w) AS inter_w
+          FROM shw a JOIN shw b ON a.sh = b.sh AND a.source = b.source
+            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST((inter_w * 1000000) // (wa.wsum + wb.wsum - inter_w)
+            AS BIGINT) AS wj_ppm
+        FROM pairs
+        JOIN wsum wa ON id_a = wa.doc_id
+        JOIN wsum wb ON id_b = wb.doc_id
+        WHERE wa.wsum + wb.wsum - inter_w > 0
+          AND 2 * inter_w >= wa.wsum + wb.wsum - inter_w
+        ORDER BY id_a, id_b""")),
 
     // TF-IDF cosine document-pair similarity over the RARE vocabulary
     // (df ≤ 64 inverted index — the hot common tokens that dominate

@@ -268,6 +268,59 @@ class QueriesSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("wave-r9c invariants: interval-overlap conservation, weighted jaccard bounds") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val ov = SparkEntry.queries("q_interval_overlap")(spark, sf).cache()
+    // states tile [first_event, u_max+1) and sessions sit inside it, so
+    // summing overlap over states must reproduce each user's total
+    // session time exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessTime = graft.tables.Tables.events(spark, sf)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 3600000000L).cast("long"))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg((max(unix_micros(col("ts"))) + 1
+        - min(unix_micros(col("ts")))).as("dur"))
+      .groupBy(col("user_id")).agg(sum(col("dur")).as("total"))
+    val got = ov.groupBy(col("user_id")).agg(sum(col("overlap_us")).as("total"))
+    assert(got.as("g").join(sessTime.as("t"), "user_id")
+      .filter(col("g.total") =!= col("t.total")).count() == 0,
+      "per-user overlap totals must equal total session time (states tile)")
+
+    val wj = SparkEntry.queries("q_jaccard_weighted")(spark, sf).cache()
+    assert(wj.count() > 0)
+    assert(wj.filter(col("wj_ppm") < 500000 || col("wj_ppm") > 1000000)
+      .count() == 0,
+      "weighted jaccard ppm must sit in [threshold 0.5e6, 1e6]")
+    // independent driver-side recompute of the top pair: shingle sets,
+    // global df, idf_e2 grid, integer ppm — the whole pipeline replayed
+    // in plain Scala (JVM Math.log == Spark's log)
+    val top = wj.orderBy(col("wj_ppm").desc, col("id_a"), col("id_b")).head()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val allSh = docs.map { case (id, t) => id -> shingles(t) }
+    val df = allSh.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val n = docs.size.toDouble
+    def shW(sh: String): Long = math.round(math.log(n / df(sh)) * 100)
+    val (sa, sb) = (allSh(top.getLong(0)), allSh(top.getLong(1)))
+    val interW = (sa & sb).toSeq.map(shW).sum
+    val unionW = sa.toSeq.map(shW).sum + sb.toSeq.map(shW).sum - interW
+    assert(top.getLong(2) == interW * 1000000L / unionW,
+      s"driver replay of top pair: ${top.getLong(2)} != ${interW * 1000000L / unionW}")
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",

@@ -316,6 +316,12 @@ class TextDedupSpec extends AnyFunSuite {
     val estSampled = rows("q_minhash_est_sampled")
     assert(estSampled == estExact,
       s"sampled minhash est != exact∩sample: ${estSampled.size} vs ${estExact.size}")
+    val shExact = graft.SparkEntry.queries("q_simhash_hamming_join")(
+      spark, TestSpark.sf0001).filter(samplePred)
+      .collect().map(_.toSeq).toSet
+    val shSampled = rows("q_simhash_hamming_sampled")
+    assert(shSampled == shExact,
+      s"sampled simhash join != exact∩sample: ${shSampled.size} vs ${shExact.size}")
     assert(sampledSet.nonEmpty && estSampled.nonEmpty,
       "sample stratum unexpectedly empty at sf0.001")
     // The declared 1/16 stratum is tiny at sf0.001 (~1 pair), so the
