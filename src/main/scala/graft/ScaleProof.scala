@@ -207,7 +207,11 @@ object ScaleProof {
       // sampled simhash audit pays ~1/16 of the exact join's
       // dup-clique cost
       "q_interval_overlap", "q_jaccard_weighted",
-      "q_simhash_hamming_sampled")
+      "q_simhash_hamming_sampled",
+      // round-9 wave-5 addition: the MG summary scans 10x tokens with
+      // O(k) state per partial — the deterministic-bound twin of the
+      // t-digest scan profile
+      "q_agg_heavyhitters")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

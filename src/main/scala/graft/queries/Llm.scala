@@ -955,6 +955,46 @@ object Llm {
       (s, d) => simhashHammingJoin(s, d, sampled = true),
       Some(simhashHammingOracle(sampled = true))),
 
+    // Misra–Gries HEAVY HITTERS — the deterministic-bound frequent-items
+    // sketch beside approx_top_k/CMS: k=32 counters, estimates never
+    // overcount, undercount ≤ n/33, so every token with true count >
+    // n/33 is GUARANTEED in the summary — and the summary MERGES
+    // (Agarwal et al. PODS'12), which neither of the hash sketches'
+    // top-k forms does deterministically. Which extra items survive and
+    // their estimates are processing-order-specific (class D), so the
+    // compared columns are the EXACT counts of the guaranteed hitters
+    // plus the three provable flags: presence, est ≤ true, and
+    // 33·(true − est) ≤ n. The oracle computes the exact counts and
+    // pins every flag = 1.
+    QDef("q_agg_heavyhitters",
+      (s, d) => {
+        import graft.functions.MisraGriesAgg.misra_gries
+        val toks = documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+        val mg = toks.agg(misra_gries(col("tok"), 32).as("mg"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = toks.agg(count(lit(1)).as("total"))
+        exact.crossJoin(broadcast(tot))
+          .filter(col("cnt") * 33 > col("total"))
+          .crossJoin(broadcast(mg))
+          .withColumn("est", element_at(col("mg"), col("tok")))
+          .select(col("tok"), col("cnt"),
+            col("est").isNotNull.cast("long").as("in_mg"),
+            (col("est") <= col("cnt")).cast("long").as("est_le_true"),
+            ((col("cnt") - col("est")) * 33 <= col("total")).cast("long")
+              .as("err_bound_ok"))
+          .orderBy(col("cnt").desc, col("tok"))
+      },
+      Some(s"""WITH t AS (SELECT unnest($tokensSql) AS tok FROM documents),
+        c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        tot AS (SELECT count(*) AS total FROM t)
+        SELECT tok, cnt,
+          CAST(1 AS BIGINT) AS in_mg,
+          CAST(1 AS BIGINT) AS est_le_true,
+          CAST(1 AS BIGINT) AS err_bound_ok
+        FROM c, tot WHERE cnt * 33 > total
+        ORDER BY cnt DESC, tok""")),
+
     // IDF-WEIGHTED Jaccard near-dup pairs — rare shingles count for
     // more: wj(A,B) = Σ_{A∩B} w / Σ_{A∪B} w with w = the shingle's
     // global idf pre-rounded onto the 1e-2 grid (class C, one ln per
