@@ -17,8 +17,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet has TIMESTAMP(NANOS); read as ns-Long (normalized
-      // back to TimestampType in graft.tables.Tables.events)
+      // timestamp annotations vary by testdata regen: TIMESTAMP(NANOS)
+      // reads as ns-Long under this flag, naive µs reads as
+      // TIMESTAMP_NTZ; Tables.normalizeEventTs dispatches on the read
+      // type and normalizes either to µs TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
