@@ -69,9 +69,13 @@ final class MGSummary(val k: Int) extends Serializable {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(k); out.writeLong(n); out.writeInt(counts.size)
-    // sorted for a canonical byte form (not semantically required)
+    // sorted for a canonical byte form (not semantically required);
+    // keys are length-prefixed raw UTF-8 (writeUTF caps at 65535 bytes
+    // and this is a general string aggregate — arbitrarily long keys
+    // must survive the shuffle)
     counts.toSeq.sortBy(_._1).foreach { case (key, c) =>
-      out.writeUTF(key); out.writeLong(c)
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
     }
     out.flush(); bos.toByteArray
   }
@@ -84,7 +88,13 @@ object MGSummary {
     s.n = in.readLong()
     val sz = in.readInt()
     var i = 0
-    while (i < sz) { s.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < sz) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      s.counts.update(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     s
   }
 }

@@ -964,7 +964,9 @@ object EventWindows {
 
     // CUSUM change-point detection per user — the classic drift monitor
     // over a metric stream, exactly integer: micro-unit values, per-user
-    // floor mean μ = Σv div n, prefix sums S_k of (v−μ) under the
+    // truncated integer mean μ = Σv div n (both Spark `div` and DuckDB
+    // `//` truncate toward zero, so the engines agree even for a
+    // hypothetical negative Σv), prefix sums S_k of (v−μ) under the
     // (ts, event_id) total order, and CUSUM⁺_k = S_k − min_{j≤k} S_j
     // (the running-min formulation — max-subarray deviation without any
     // recurrence, so it is two window passes, not an iterative fold).

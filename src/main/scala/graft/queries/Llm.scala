@@ -209,7 +209,9 @@ object Llm {
     * common shingle: overlap ≤ 1 + min(szS−posS, szL−posL), so matches
     * that cannot reach 5·(1+min) ≥ 4·szS die before verification —
     * lossless, and the brute-force oracle equality is the proof. */
-  private[graft] def setsimOverlapJoin(s: SparkSession, d: String): DataFrame = {
+  private[graft] def setsimOverlapJoin(s: SparkSession, d: String,
+      sampled: Boolean = false,
+      sampleNibbles: Seq[String] = Seq("0")): DataFrame = {
     val sh = graft.llm.TextDedup
       .shingleTable(documents(s, d), "doc_id", "text", 3)
       .localCheckpoint(true)
@@ -228,11 +230,21 @@ object Llm {
     // orientation: pa is the smaller side (ties broken by doc_id), so
     // α = ⌈0.8·pa.sz⌉ and the positional upper bound reads
     // 5·(1 + min(szS−posS, szL−posL)) ≥ 4·szS
-    val joinCond = col("pa.sh") === col("pb.sh") &&
+    val baseCond = col("pa.sh") === col("pb.sh") &&
       (col("pa.sz") < col("pb.sz") ||
         (col("pa.sz") === col("pb.sz") && col("pa.doc_id") < col("pb.doc_id"))) &&
       ((lit(1) + least(col("pa.sz") - col("pa.pos"),
         col("pb.sz") - col("pb.pos"))) * 5 >= col("pa.sz") * 4)
+    // the 1/16 audit stratum keys on the CANONICAL id_a < id_b pair
+    // orientation (the join's orientation is by size, so re-orient the
+    // sample key with least/greatest), injected AT the candidate join —
+    // upstream of distinct and exact verification, like the sibling
+    // prefix/simhash/minhash audits
+    val joinCond =
+      if (sampled) baseCond && pairSampleNibbles(
+        least(col("pa.doc_id"), col("pb.doc_id")),
+        greatest(col("pa.doc_id"), col("pb.doc_id")), sampleNibbles)
+      else baseCond
     val cand = prefix.as("pa")
       .join(positioned.as("pb"), joinCond)
       .select(least(col("pa.doc_id"), col("pb.doc_id")).as("id_a"),
@@ -299,6 +311,13 @@ object Llm {
           .cast("long"))
     val voteCols = count(lit(1)).as("n") +: (0 until 32).map(j =>
       sum(shiftright(col("hv"), j).bitwiseAND(lit(1L))).as(s"s$j"))
+    // materialize the fingerprint table ONCE: bands feeds BOTH sides of
+    // the self-join below, and without truncation Spark plans the
+    // explode → 33-aggregate vote → posexplode subtree twice (the same
+    // shared-frame precedent as the prefix joins' checkpointed shingle
+    // tables at setsimPrefixJoin/setsimOverlapJoin) — measured at sf0.1
+    // this halves the join and makes the 1/16 sampled audit actually
+    // cost ~1/16 of the candidate phase instead of refingerprinting.
     val fp = hv.groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
@@ -306,6 +325,7 @@ object Llm {
             when(col(s"s$j") * 2 > col("n"), lit(1L << j))
               .otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
+      .localCheckpoint(true)
     val bands = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 8).bitwiseAND(lit(255L))): _*)))
@@ -330,19 +350,107 @@ object Llm {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** 64-bit simhash Hamming ≤ 3 join — the production fingerprint
+    * density for near-dup at 10⁹+ documents. At 32 bits the random
+    * collision rate P(Hamming ≤ 3) = Σ_{i≤3} C(32,i)/2³² ≈ 1.3·10⁻⁶
+    * admits ~10¹¹ spurious pairs over a billion-doc corpus; at 64 bits
+    * the same sum is ≈ 2.4·10⁻¹⁵ — a few thousand, all killed by
+    * verification. The fingerprint is held as two 32-bit words (hi =
+    * md5 hex chars 1–8, lo = chars 9–16 — both engines build the same
+    * words; a single 64-bit Horner would overflow DuckDB's BIGINT),
+    * majority-voted per bit over DISTINCT tokens. Candidates via 4×16-bit
+    * band pigeonhole (3 differing bits touch ≤ 3 of the 4 bands, so a
+    * Hamming ≤ 3 pair agrees exactly on ≥ 1 band), then bit_count
+    * verification — never all-pairs. The md5 token hash keeps the
+    * DuckDB oracle byte-identical; the map-only production variant of
+    * this fingerprint is the codegen'd [[graft.functions.SimHash64]]
+    * expression (xxhash64-based, differential-tested against the
+    * relational form in SimHashExpressionSpec). */
+  private[graft] def simhash64HammingJoin(s: SparkSession, d: String): DataFrame = {
+    val md = md5(col("tok").cast("binary"))
+    val hv = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md, 1, 8), 16, 10).cast("long").as("hv_hi"),
+        conv(substring(md, 9, 8), 16, 10).cast("long").as("hv_lo"))
+    val voteCols = count(lit(1)).as("n") +:
+      ((0 until 32).map(j =>
+        sum(shiftright(col("hv_hi"), j).bitwiseAND(lit(1L))).as(s"h$j")) ++
+       (0 until 32).map(j =>
+        sum(shiftright(col("hv_lo"), j).bitwiseAND(lit(1L))).as(s"l$j")))
+    def pack(pfx: String) = (0 until 32).map(j =>
+        when(col(s"$pfx$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = hv.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), pack("h").as("fp_hi"), pack("l").as("fp_lo"))
+      .localCheckpoint(true)
+    val bands = fp.select(col("doc_id"), col("fp_hi"), col("fp_lo"),
+      posexplode(array(
+        shiftright(col("fp_hi"), 16).bitwiseAND(lit(65535L)),
+        col("fp_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("fp_lo"), 16).bitwiseAND(lit(65535L)),
+        col("fp_lo").bitwiseAND(lit(65535L)))))
+      .toDF("doc_id", "fp_hi", "fp_lo", "band_idx", "band_val")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp_hi").as("ha"), col("a.fp_lo").as("la"),
+        col("b.fp_hi").as("hb"), col("b.fp_lo").as("lb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Horner sum over 8 md5 hex nibbles starting at 1-based `start` —
+    * the DuckDB twin of Spark's conv(substr(md5, start, 8), 16, 10). */
+  private def md5NibbleHorner(start: Int): String =
+    (start until start + 8).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)")
+      .zip(Seq(28, 24, 20, 16, 12, 8, 4, 0))
+      .map { case (t, sh) => s"$t * ${1L << sh}" }.mkString(" + ")
+
+  /** Majority-vote fingerprint terms over a 32-bit hash column. */
+  private def simhashFpTerms(hvCol: String): String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN 2 * sum(($hvCol // ${1L << j}) % 2) > count(*) " +
+        s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  /** Brute-force DuckDB oracle of the 64-bit simhash Hamming join. */
+  private def simhash64HammingOracle: String =
+    s"""WITH toks AS (SELECT doc_id,
+          unnest(list_distinct($tokensSql)) AS tok FROM documents),
+      hv AS (SELECT doc_id,
+          CAST(${md5NibbleHorner(1)} AS BIGINT) AS hv_hi,
+          CAST(${md5NibbleHorner(9)} AS BIGINT) AS hv_lo FROM toks),
+      fps AS (SELECT doc_id,
+          CAST(${simhashFpTerms("hv_hi")} AS BIGINT) AS fp_hi,
+          CAST(${simhashFpTerms("hv_lo")} AS BIGINT) AS fp_lo
+        FROM hv GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+          + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+          + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+      ORDER BY id_a, id_b"""
+
   /** Brute-force DuckDB oracle of the simhash Hamming join: token hash
     * = Horner over the first 8 md5 nibbles (the same 32-bit int Spark's
     * conv(substr(md5, 1, 8), 16, 10) produces), majority-vote
     * fingerprint, all-pairs bit_count(xor) ≤ 3 — with the optional
     * md5-nibble sample stratum. */
   private def simhashHammingOracle(sampled: Boolean): String = {
-    val nib = (1 to 8).map(i =>
-      s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)")
-      .zip(Seq(28, 24, 20, 16, 12, 8, 4, 0))
-      .map { case (t, sh) => s"$t * ${1L << sh}" }.mkString(" + ")
-    val fpTerms = (0 until 32).map(j =>
-      s"(CASE WHEN 2 * sum((hv // ${1L << j}) % 2) > count(*) " +
-        s"THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val nib = md5NibbleHorner(1)
+    val fpTerms = simhashFpTerms("hv")
     val sample = if (sampled)
       "\n          AND substr(md5(CAST(a.doc_id AS VARCHAR) || '_' || " +
         "CAST(b.doc_id AS VARCHAR)), 1, 1) = '0'"
@@ -931,6 +1039,24 @@ object Llm {
         WHERE 5 * inter >= 4 * least(sa.sz, sb.sz)
         ORDER BY id_a, id_b""")),
 
+    // SAMPLED containment-join audit — the same deterministic 1/16
+    // md5-nibble pair stratum as the prefix/simhash/minhash audits,
+    // injected at the candidate join (canonical id_a < id_b key via
+    // least/greatest since the join orients by size). This is the
+    // bounded-cost daily QA cadence for the containment family; the
+    // oracle is the brute force restricted to the same stratum.
+    QDef("q_setsim_overlap_sampled",
+      (s, d) => setsimOverlapJoin(s, d, sampled = true),
+      Some(s"""WITH $dupPairsCte
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap_coeff
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE 5 * inter >= 4 * least(sa.sz, sb.sz)
+          AND $pairSampleSql
+        ORDER BY id_a, id_b""")),
+
     // SimHash Hamming-distance near-dup JOIN via pigeonhole banding —
     // the bit-fingerprint family's join operator beside the shingle
     // family's prefix join. Declared fingerprint: 32-bit simhash over
@@ -954,6 +1080,15 @@ object Llm {
     QDef("q_simhash_hamming_sampled",
       (s, d) => simhashHammingJoin(s, d, sampled = true),
       Some(simhashHammingOracle(sampled = true))),
+
+    // 64-BIT simhash Hamming join — the fingerprint density the 100 TB
+    // corpus actually needs (see simhash64HammingJoin: at 10⁹ docs the
+    // 32-bit fingerprint admits ~10¹¹ random Hamming ≤ 3 collisions,
+    // the 64-bit one a few thousand). 4×16-bit band pigeonhole over the
+    // (hi, lo) word pair, bit_count verification, all-integer (class A).
+    QDef("q_simhash64_hamming_join",
+      (s, d) => simhash64HammingJoin(s, d),
+      Some(simhash64HammingOracle)),
 
     // Misra–Gries HEAVY HITTERS — the deterministic-bound frequent-items
     // sketch beside approx_top_k/CMS: k=32 counters, estimates never
@@ -1000,9 +1135,23 @@ object Llm {
     // global idf pre-rounded onto the 1e-2 grid (class C, one ln per
     // distinct shingle over identical exact-rational N/df); after that
     // the sums, the 2·inter_w ≥ union_w threshold, and the exact-ppm
-    // output are pure BIGINT integer arithmetic (class A). Candidates
-    // from the source-blocked shared-shingle equi-join — never
-    // all-pairs, the q_jaccard_pairs frame shape.
+    // output are pure BIGINT integer arithmetic (class A).
+    //
+    // Candidates via the WEIGHTED AllPairs prefix filter (the weighted
+    // generalization of q_setsim_prefix_join's algebra, on top of the
+    // source block): wj ≥ 0.5 means 3·inter_w ≥ wa + wb, and inter_w ≤
+    // wb (the intersection is a subset of B), so 2·inter_w ≥ wa — a
+    // bound in A's total weight alone. Order each doc's shingles by the
+    // fixed global rare-first order (w desc, sh asc; w is a function of
+    // df only, so this IS a global total order); a qualifying pair's
+    // FIRST common shingle at position p in A bounds inter_w by A's
+    // suffix weight from p, so 2·suffix_w(p) ≥ wa must hold there —
+    // positions failing it can never host the first common shingle and
+    // are pruned losslessly (the brute-force oracle is unchanged and
+    // equality is the proof). The weight-size filter 2·min(wa,wb) ≥
+    // max(wa,wb) (from 3·inter ≥ wa+wb, inter ≤ min) prunes at the
+    // candidate join. Verification recomputes exact inter_w for the
+    // surviving pairs only.
     QDef("q_jaccard_weighted",
       (s, d) => {
         val docs = documents(s, d)
@@ -1014,14 +1163,32 @@ object Llm {
           .withColumn("w",
             round(log(lit(nDocs.toDouble) / col("df")) * 100, 0).cast("long"))
           .select(col("sh"), col("w"))
-        val shw = sh.join(wsh, "sh")
+        val shw = sh.join(wsh, "sh").localCheckpoint(true)
         val wsum = shw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
-        val inter = shw.as("a").join(shw.as("b"),
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+        val positioned = shw
+          .withColumn("tw", sum(col("w")).over(wDoc))
+          .withColumn("sfx", sum(col("w")).over(
+            wDoc.orderBy(col("w").desc, col("sh"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+                org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        val prefix = positioned.filter(col("sfx") * 2 >= col("tw"))
+          .select(col("doc_id"), col("source"), col("sh"), col("tw"))
+        val cand = prefix.as("a").join(prefix.as("b"),
             col("a.sh") === col("b.sh") &&
               col("a.source") === col("b.source") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(sum(col("a.w")).as("inter_w"))
+              col("a.doc_id") < col("b.doc_id") &&
+              (least(col("a.tw"), col("b.tw")) * 2
+                >= greatest(col("a.tw"), col("b.tw"))))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val inter = cand
+          .join(shw.select(col("doc_id").as("id_a"), col("sh"), col("w")), "id_a")
+          .join(shw.select(col("doc_id").as("bid"), col("sh").as("shb")),
+            col("id_b") === col("bid") && col("sh") === col("shb"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(sum(col("w")).as("inter_w"))
         inter
           .join(wsum.select(col("doc_id").as("id_a"), col("wsum").as("wa")), "id_a")
           .join(wsum.select(col("doc_id").as("id_b"), col("wsum").as("wb")), "id_b")

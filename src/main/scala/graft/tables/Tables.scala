@@ -55,6 +55,14 @@ object Tables {
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→LTZ cast reinterprets the naive instant in the SESSION
+        // timezone — only the identity under UTC. Every entry point pins
+        // spark.sql.session.timeZone=UTC; fail loudly here rather than
+        // silently shifting every event instant if one ever forgets.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventTs requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz'): the TIMESTAMP_NTZ cast would shift instants")
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
