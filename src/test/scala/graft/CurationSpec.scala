@@ -251,4 +251,44 @@ class CurationSpec extends AnyFunSuite {
       .intersect(fps.filter(col("doc_id") === 2).select(col("fp")))
     assert(shared.count() > 0, "winnowing must fingerprint the shared run")
   }
+
+  test("bpe merge rounds replay the textbook greedy trainer exactly") {
+    // independent driver-side oracle: plain-Scala BPE — count adjacent
+    // pairs, pick (max count, lexicographic tie), merge LEFT-TO-RIGHT
+    // NON-OVERLAPPING with an imperative scan. The relational runs+parity
+    // formulation in q_bpe_merges must reproduce this trajectory bit for
+    // bit, including the x=y run case the parity logic exists for.
+    def mergeWord(w: Array[String], x: String, y: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == x && w(i + 1) == y) {
+          b += (x + y); i += 2
+        } else { b += w(i); i += 1 }
+      }
+      b.result()
+    }
+    var words: Array[Array[String]] = graft.tables.Tables
+      .documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+      .map(_.map(_.toString).toArray)
+    val expect = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { w =>
+        if (w.length >= 2) w.sliding(2).foreach { p =>
+          val k = (p(0), p(1))
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+        }
+      }
+      val ((x, y), n) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.map(w => mergeWord(w, x, y))
+      (r.toLong, s"$x $y", n)
+    }
+    val got = run("q_bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect, s"bpe trajectory diverged: $got != $expect")
+    assert(got.size == 3 && got.map(_._3).forall(_ > 0))
+  }
 }
