@@ -467,6 +467,106 @@ object Llm {
         ORDER BY id_a, id_b"""
   }
 
+  /** Shared body of q_jaccard_weighted / q_jaccard_weighted_prefix:
+    * idf-weighted Jaccard over source-blocked shingles; identical
+    * output either way. `prefixFiltered` swaps the candidate
+    * generation: the direct shared-shingle equi-join (accumulating
+    * inter_w in the same pass) vs the weighted AllPairs prefix join
+    * (prune first, verify survivors) — see the two QDefs' docs for the
+    * threshold algebra and the measured crossover. */
+  private[graft] def jaccardWeightedJoin(s: SparkSession, d: String,
+      prefixFiltered: Boolean): DataFrame = {
+    val docs = documents(s, d)
+    val nDocs = graft.tables.Tables.rowCount(s, d, "documents")
+    val sh = graft.llm.TextDedup
+      .shingleTable(docs, "doc_id", "text", 3, blockCols = Seq("source"))
+      .localCheckpoint(true)
+    val wsh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .withColumn("w",
+        round(log(lit(nDocs.toDouble) / col("df")) * 100, 0).cast("long"))
+      .select(col("sh"), col("w"))
+    val shw = sh.join(wsh, "sh")
+    val wsum = shw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
+    val inter =
+      if (!prefixFiltered)
+        shw.as("a").join(shw.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(sum(col("a.w")).as("inter_w"))
+      else {
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+        // one window pass: the suffix weight under the rare-first order;
+        // the doc total rides in via the wsum join (already computed for
+        // the final scores) instead of a second unordered window
+        val positioned = shw
+          .withColumn("sfx", sum(col("w")).over(
+            wDoc.orderBy(col("w").desc, col("sh"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+                org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+          .join(wsum, "doc_id")
+        val prefix = positioned.filter(col("sfx") * 2 >= col("wsum"))
+          .select(col("doc_id"), col("source"), col("sh"),
+            col("wsum").as("tw"))
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              (least(col("a.tw"), col("b.tw")) * 2
+                >= greatest(col("a.tw"), col("b.tw"))))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .join(shw.select(col("doc_id").as("id_a"), col("sh"), col("w")), "id_a")
+          .join(shw.select(col("doc_id").as("bid"), col("sh").as("shb")),
+            col("id_b") === col("bid") && col("sh") === col("shb"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(sum(col("w")).as("inter_w"))
+      }
+    inter
+      .join(wsum.select(col("doc_id").as("id_a"), col("wsum").as("wa")), "id_a")
+      .join(wsum.select(col("doc_id").as("id_b"), col("wsum").as("wb")), "id_b")
+      .withColumn("union_w", col("wa") + col("wb") - col("inter_w"))
+      .filter(col("union_w") > 0 && col("inter_w") * 2 >= col("union_w"))
+      .select(col("id_a"), col("id_b"),
+        expr("(inter_w * 1000000) div union_w").as("wj_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force oracle shared by both weighted-Jaccard variants —
+    * prefix losslessness means ONE reference result. */
+  private val jaccardWeightedOracle: String =
+    s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS toks
+        FROM documents),
+      shingles AS (SELECT doc_id, source, unnest(list_distinct(
+          list_transform(range(len(toks) - 2),
+            i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+        FROM toks WHERE len(toks) >= 3),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      wsh AS (SELECT sh,
+          CAST(round(ln(CAST(n.n_docs AS DOUBLE) / count(*)) * 100, 0)
+            AS BIGINT) AS w
+        FROM shingles, n GROUP BY sh, n.n_docs),
+      shw AS (SELECT doc_id, source, s.sh, w
+        FROM shingles s JOIN wsh ON s.sh = wsh.sh),
+      wsum AS (SELECT doc_id, sum(w) AS wsum FROM shw GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          sum(a.w) AS inter_w
+        FROM shw a JOIN shw b ON a.sh = b.sh AND a.source = b.source
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        CAST((inter_w * 1000000) // (wa.wsum + wb.wsum - inter_w)
+          AS BIGINT) AS wj_ppm
+      FROM pairs
+      JOIN wsum wa ON id_a = wa.doc_id
+      JOIN wsum wb ON id_b = wb.doc_id
+      WHERE wa.wsum + wb.wsum - inter_w > 0
+        AND 2 * inter_w >= wa.wsum + wb.wsum - inter_w
+      ORDER BY id_a, id_b"""
+
   val all: Seq[QDef] = Seq(
 
     // ---- Deduplication -------------------------------------------------
@@ -1135,97 +1235,37 @@ object Llm {
     // global idf pre-rounded onto the 1e-2 grid (class C, one ln per
     // distinct shingle over identical exact-rational N/df); after that
     // the sums, the 2·inter_w ≥ union_w threshold, and the exact-ppm
-    // output are pure BIGINT integer arithmetic (class A).
-    //
-    // Candidates via the WEIGHTED AllPairs prefix filter (the weighted
-    // generalization of q_setsim_prefix_join's algebra, on top of the
-    // source block): wj ≥ 0.5 means 3·inter_w ≥ wa + wb, and inter_w ≤
-    // wb (the intersection is a subset of B), so 2·inter_w ≥ wa — a
-    // bound in A's total weight alone. Order each doc's shingles by the
-    // fixed global rare-first order (w desc, sh asc; w is a function of
-    // df only, so this IS a global total order); a qualifying pair's
-    // FIRST common shingle at position p in A bounds inter_w by A's
-    // suffix weight from p, so 2·suffix_w(p) ≥ wa must hold there —
-    // positions failing it can never host the first common shingle and
-    // are pruned losslessly (the brute-force oracle is unchanged and
-    // equality is the proof). The weight-size filter 2·min(wa,wb) ≥
-    // max(wa,wb) (from 3·inter ≥ wa+wb, inter ≤ min) prunes at the
-    // candidate join. Verification recomputes exact inter_w for the
-    // surviving pairs only.
+    // output are pure BIGINT integer arithmetic (class A). Candidates
+    // from the source-blocked shared-shingle equi-join — never
+    // all-pairs, the q_jaccard_pairs frame shape. The weighted-prefix
+    // candidate pruning lives in the declared sibling
+    // q_jaccard_weighted_prefix (identical output + oracle).
     QDef("q_jaccard_weighted",
-      (s, d) => {
-        val docs = documents(s, d)
-        val nDocs = graft.tables.Tables.rowCount(s, d, "documents")
-        val sh = graft.llm.TextDedup
-          .shingleTable(docs, "doc_id", "text", 3, blockCols = Seq("source"))
-          .localCheckpoint(true)
-        val wsh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .withColumn("w",
-            round(log(lit(nDocs.toDouble) / col("df")) * 100, 0).cast("long"))
-          .select(col("sh"), col("w"))
-        val shw = sh.join(wsh, "sh").localCheckpoint(true)
-        val wsum = shw.groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
-        val wDoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-        val positioned = shw
-          .withColumn("tw", sum(col("w")).over(wDoc))
-          .withColumn("sfx", sum(col("w")).over(
-            wDoc.orderBy(col("w").desc, col("sh"))
-              .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-                org.apache.spark.sql.expressions.Window.unboundedFollowing)))
-        val prefix = positioned.filter(col("sfx") * 2 >= col("tw"))
-          .select(col("doc_id"), col("source"), col("sh"), col("tw"))
-        val cand = prefix.as("a").join(prefix.as("b"),
-            col("a.sh") === col("b.sh") &&
-              col("a.source") === col("b.source") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              (least(col("a.tw"), col("b.tw")) * 2
-                >= greatest(col("a.tw"), col("b.tw"))))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        val inter = cand
-          .join(shw.select(col("doc_id").as("id_a"), col("sh"), col("w")), "id_a")
-          .join(shw.select(col("doc_id").as("bid"), col("sh").as("shb")),
-            col("id_b") === col("bid") && col("sh") === col("shb"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(sum(col("w")).as("inter_w"))
-        inter
-          .join(wsum.select(col("doc_id").as("id_a"), col("wsum").as("wa")), "id_a")
-          .join(wsum.select(col("doc_id").as("id_b"), col("wsum").as("wb")), "id_b")
-          .withColumn("union_w", col("wa") + col("wb") - col("inter_w"))
-          .filter(col("union_w") > 0 && col("inter_w") * 2 >= col("union_w"))
-          .select(col("id_a"), col("id_b"),
-            expr("(inter_w * 1000000) div union_w").as("wj_ppm"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
-      Some(s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS toks
-          FROM documents),
-        shingles AS (SELECT doc_id, source, unnest(list_distinct(
-            list_transform(range(len(toks) - 2),
-              i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
-          FROM toks WHERE len(toks) >= 3),
-        n AS (SELECT count(*) AS n_docs FROM documents),
-        wsh AS (SELECT sh,
-            CAST(round(ln(CAST(n.n_docs AS DOUBLE) / count(*)) * 100, 0)
-              AS BIGINT) AS w
-          FROM shingles, n GROUP BY sh, n.n_docs),
-        shw AS (SELECT doc_id, source, s.sh, w
-          FROM shingles s JOIN wsh ON s.sh = wsh.sh),
-        wsum AS (SELECT doc_id, sum(w) AS wsum FROM shw GROUP BY 1),
-        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            sum(a.w) AS inter_w
-          FROM shw a JOIN shw b ON a.sh = b.sh AND a.source = b.source
-            AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b,
-          CAST((inter_w * 1000000) // (wa.wsum + wb.wsum - inter_w)
-            AS BIGINT) AS wj_ppm
-        FROM pairs
-        JOIN wsum wa ON id_a = wa.doc_id
-        JOIN wsum wb ON id_b = wb.doc_id
-        WHERE wa.wsum + wb.wsum - inter_w > 0
-          AND 2 * inter_w >= wa.wsum + wb.wsum - inter_w
-        ORDER BY id_a, id_b""")),
+      (s, d) => jaccardWeightedJoin(s, d, prefixFiltered = false),
+      Some(jaccardWeightedOracle)),
+
+    // WEIGHTED AllPairs PREFIX variant of q_jaccard_weighted — the
+    // candidate-pruned formulation for corpora whose source blocks are
+    // large enough that verification dominates: wj ≥ 0.5 means
+    // 3·inter_w ≥ wa + wb, and inter_w ≤ wb (the intersection is a
+    // subset of B), so 2·inter_w ≥ wa — a bound in A's total weight
+    // alone. Order each doc's shingles by the fixed global rare-first
+    // order (w desc, sh asc; w is a function of df only, so this IS a
+    // global total order); a qualifying pair's FIRST common shingle at
+    // position p in A bounds inter_w by A's suffix weight from p, so
+    // 2·suffix_w(p) ≥ wa must hold there — positions failing it can
+    // never host the first common shingle and are pruned losslessly
+    // (identical output, same brute-force oracle: equality is the
+    // proof). The weight-size filter 2·min(wa,wb) ≥ max(wa,wb) (from
+    // 3·inter ≥ wa+wb, inter ≤ min) prunes at the candidate join.
+    // Measured at sf0.1: prefix keeps 49% of shingle rows and cuts
+    // candidates 56,267 → 14,216 (−75%); on THIS corpus's small blocks
+    // the saved verification is cheaper than the added per-doc window
+    // sort, so the direct equi-join stays the declared default and this
+    // is the large-block scale path (see TUNING.md).
+    QDef("q_jaccard_weighted_prefix",
+      (s, d) => jaccardWeightedJoin(s, d, prefixFiltered = true),
+      Some(jaccardWeightedOracle)),
 
     // TF-IDF cosine document-pair similarity over the RARE vocabulary
     // (df ≤ 64 inverted index — the hot common tokens that dominate
