@@ -211,7 +211,20 @@ object ScaleProof {
       // round-9 wave-5 addition: the MG summary scans 10x tokens with
       // O(k) state per partial — the deterministic-bound twin of the
       // t-digest scan profile
-      "q_agg_heavyhitters")
+      "q_agg_heavyhitters",
+      // round-10 additions: the 64-bit simhash join (16-bit bands keep
+      // the bucket fan-out 256x finer than the 8-bit ones; exact-dup
+      // cliques still pay quadratic OUTPUT like every candidate-
+      // complete method — same documented regime as the 32-bit join);
+      // the containment-family sampled audit (candidate join shrinks
+      // with the 1/16 pair stratum even on the dup corpus; the full
+      // containment join shares q_setsim_prefix_join's quadratic-output
+      // exclusion); the weighted-prefix variant (the per-doc suffix
+      // window + pruned verify at a 10x shingle fan); and the 3-round
+      // BPE trainer (5 window passes per round, all partitioned by the
+      // 10x word-instance fan — no global sort anywhere)
+      "q_simhash64_hamming_join", "q_setsim_overlap_sampled",
+      "q_jaccard_weighted_prefix", "q_bpe_merges")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
