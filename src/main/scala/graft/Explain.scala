@@ -37,7 +37,11 @@ object Explain {
       // interval residual as its non-equi condition (no BNLJ); the
       // simhash join as a band-key equi-join; the tfidf join's dot
       // accumulation as a shared-token equi-join + hash agg
-      "q_pit_join", "q_simhash_hamming_join", "q_tfidf_cosine_join")
+      "q_pit_join", "q_simhash_hamming_join", "q_tfidf_cosine_join",
+      // round-10: the 64-bit variant must keep the same band-key
+      // equi-join shape (16-bit band values in one (band_idx, band_val)
+      // join, never a theta join on Hamming distance)
+      "q_simhash64_hamming_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

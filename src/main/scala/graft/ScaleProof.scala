@@ -224,7 +224,12 @@ object ScaleProof {
       // BPE trainer (5 window passes per round, all partitioned by the
       // 10x word-instance fan — no global sort anywhere)
       "q_simhash64_hamming_join", "q_setsim_overlap_sampled",
-      "q_jaccard_weighted_prefix", "q_bpe_merges")
+      "q_jaccard_weighted_prefix", "q_bpe_merges",
+      // the dup-profile router is one content-hash agg + one tiny agg;
+      // on the replicated corpus it must flip its verdict to
+      // exact-dedup-first (every doc is a 10-clique) — asserting the
+      // rule reacts to the profile it exists to measure
+      "q_dup_profile")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

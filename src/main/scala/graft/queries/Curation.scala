@@ -25,6 +25,117 @@ object Curation {
     filter(split(c, " "), t => t =!= "")
   private val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  private val bpeRounds = 3
+
+  /** Shared BPE trainer loop (q_bpe_merges / q_bpe_vocab): `rounds` of
+    * count-adjacent-pairs → (count desc, pair asc) winner → greedy
+    * left-to-right non-overlapping merge, computed relationally.
+    * Returns (per-round winner frames, final symbol state). Greedy
+    * semantics without a fold: matched positions (sym=x ∧ next=y) in a
+    * word form maximal runs of CONSECUTIVE positions (only possible
+    * when x=y); within a run the merge takes positions at even offset
+    * from the run start — exactly the textbook left-to-right scan —
+    * then merged-away rows (position after a merge start) drop and
+    * positions renumber. Winner selection is a total order, so both
+    * engines (and the imperative spec trainer) walk the identical
+    * trajectory. Scale: every window partitions by word instance
+    * (massively parallel, no global sort); the winner is a broadcast
+    * 1-row frame; per-round localCheckpoint truncates lineage like the
+    * k-means and connected-components fixpoints. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int): (Seq[org.apache.spark.sql.DataFrame],
+        org.apache.spark.sql.DataFrame) = {
+    val wWord = Window.partitionBy(col("doc_id"), col("widx"))
+      .orderBy(col("pos"))
+    var state = documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "widx", "w")
+      .filter(length(col("w")) >= 2)
+      .select(col("doc_id"), col("widx"),
+        posexplode(expr("slice(split(w, ''), 1, length(w))")))
+      .toDF("doc_id", "widx", "pos", "sym")
+      .localCheckpoint(true)
+    val winners = (1 to rounds).map { r =>
+      val withNext = state
+        .withColumn("nxt", lead(col("sym"), 1).over(wWord))
+      val win = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("x"), col("nxt").as("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y")).limit(1)
+        .localCheckpoint(true)
+      state = withNext.crossJoin(broadcast(win))
+        .withColumn("m",
+          (col("sym") === col("x") && col("nxt") === col("y")).cast("int"))
+        .withColumn("mrank", row_number().over(
+          Window.partitionBy(col("doc_id"), col("widx"), col("m"))
+            .orderBy(col("pos"))))
+        .withColumn("grp",
+          when(col("m") === 1, col("pos") - col("mrank")))
+        .withColumn("ms", col("m") === 1 &&
+          (col("pos") - min(col("pos")).over(
+            Window.partitionBy(col("doc_id"), col("widx"), col("grp"))))
+            % 2 === 0)
+        .withColumn("away",
+          coalesce(lag(col("ms"), 1).over(wWord), lit(false)))
+        .filter(!col("away"))
+        .select(col("doc_id"), col("widx"), col("pos").as("opos"),
+          when(col("ms"), concat(col("x"), col("y")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id"), col("widx"))
+            .orderBy(col("opos"))))
+        .select(col("doc_id"), col("widx"), col("pos"), col("sym"))
+        .localCheckpoint(true)
+      win.select(lit(r).cast("long").as("round"),
+        concat_ws(" ", col("x"), col("y")).as("pair"), col("n"))
+    }
+    (winners, state)
+  }
+
+  /** DuckDB CTE chain replaying [[bpeTrain]] — shared by both BPE
+    * oracles so they can never drift. */
+  private val bpeCtePrelude: String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS (SELECT sym AS x, nxt AS y, count(*) AS n FROM (
+            SELECT sym, lead(sym) OVER (
+              PARTITION BY doc_id, widx ORDER BY pos) AS nxt
+            FROM s${r - 1})
+          WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        w$r AS (SELECT x, y, n FROM p$r ORDER BY n DESC, x, y LIMIT 1),
+        a$r AS (SELECT s.doc_id, s.widx, s.pos, s.sym, w.x, w.y,
+            CASE WHEN s.sym = w.x AND lead(s.sym) OVER (
+                PARTITION BY s.doc_id, s.widx ORDER BY s.pos) = w.y
+              THEN 1 ELSE 0 END AS m
+          FROM s${r - 1} s CROSS JOIN w$r w),
+        b$r AS (SELECT *, CASE WHEN m = 1 THEN pos - row_number() OVER (
+              PARTITION BY doc_id, widx, m ORDER BY pos) END AS grp
+          FROM a$r),
+        c$r AS (SELECT *, CASE WHEN m = 1 AND (pos - min(pos) OVER (
+              PARTITION BY doc_id, widx, grp)) % 2 = 0
+            THEN 1 ELSE 0 END AS ms
+          FROM b$r),
+        d$r AS (SELECT *, COALESCE(lag(ms) OVER (
+              PARTITION BY doc_id, widx ORDER BY pos), 0) AS away
+          FROM c$r),
+        s$r AS (SELECT doc_id, widx, row_number() OVER (
+              PARTITION BY doc_id, widx ORDER BY pos) AS pos,
+            CASE WHEN ms = 1 THEN x || y ELSE sym END AS sym
+          FROM d$r WHERE away = 0)"""
+    val chain = (1 to bpeRounds).map(roundCtes).mkString(",\n          ")
+    s"""w0 AS (SELECT doc_id, widx, w FROM (
+            SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS widx
+            FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+          WHERE length(w) >= 2),
+        s0 AS (SELECT doc_id, widx, i + 1 AS pos, chars[i + 1] AS sym FROM (
+            SELECT doc_id, widx, string_split(w, '') AS chars,
+              unnest(range(length(w))) AS i FROM w0)),
+        $chain"""
+  }
+
+  private val bpeWinnersSelect: String = (1 to bpeRounds).map(r =>
+    s"SELECT CAST($r AS BIGINT) AS round, x || ' ' || y AS pair, n FROM w$r")
+    .mkString("\n          UNION ALL ")
+
   val all: Seq[QDef] = Seq(
 
     // Sequence packing (concat-and-chunk): documents are concatenated in
@@ -359,98 +470,30 @@ object Curation {
     // parallel, no global sort); the winner is a broadcast 1-row frame;
     // per-round localCheckpoint truncates lineage like the k-means and
     // connected-components fixpoints.
-    QDef("q_bpe_merges", {
-      val rounds = 3
-      val fn: Q.Fn = (s, d) => {
-        val wWord = Window.partitionBy(col("doc_id"), col("widx"))
-          .orderBy(col("pos"))
-        var state = documents(s, d)
-          .select(col("doc_id"), posexplode(tokens(col("text"))))
-          .toDF("doc_id", "widx", "w")
-          .filter(length(col("w")) >= 2)
-          .select(col("doc_id"), col("widx"),
-            posexplode(expr("slice(split(w, ''), 1, length(w))")))
-          .toDF("doc_id", "widx", "pos", "sym")
-          .localCheckpoint(true)
-        val out = (1 to rounds).map { r =>
-          val withNext = state
-            .withColumn("nxt", lead(col("sym"), 1).over(wWord))
-          val win = withNext.filter(col("nxt").isNotNull)
-            .groupBy(col("sym").as("x"), col("nxt").as("y"))
-            .agg(count(lit(1)).as("n"))
-            .orderBy(col("n").desc, col("x"), col("y")).limit(1)
-            .localCheckpoint(true)
-          state = withNext.crossJoin(broadcast(win))
-            .withColumn("m",
-              (col("sym") === col("x") && col("nxt") === col("y")).cast("int"))
-            .withColumn("mrank", row_number().over(
-              Window.partitionBy(col("doc_id"), col("widx"), col("m"))
-                .orderBy(col("pos"))))
-            .withColumn("grp",
-              when(col("m") === 1, col("pos") - col("mrank")))
-            .withColumn("ms", col("m") === 1 &&
-              (col("pos") - min(col("pos")).over(
-                Window.partitionBy(col("doc_id"), col("widx"), col("grp"))))
-                % 2 === 0)
-            .withColumn("away",
-              coalesce(lag(col("ms"), 1).over(wWord), lit(false)))
-            .filter(!col("away"))
-            .select(col("doc_id"), col("widx"), col("pos").as("opos"),
-              when(col("ms"), concat(col("x"), col("y")))
-                .otherwise(col("sym")).as("sym"))
-            .withColumn("pos", row_number().over(
-              Window.partitionBy(col("doc_id"), col("widx"))
-                .orderBy(col("opos"))))
-            .select(col("doc_id"), col("widx"), col("pos"), col("sym"))
-            .localCheckpoint(true)
-          win.select(lit(r).cast("long").as("round"),
-            concat_ws(" ", col("x"), col("y")).as("pair"), col("n"))
-        }
-        out.reduce(_ unionAll _).orderBy(col("round"))
-      }
-      fn
-    }, {
-      val rounds = 3
-      def roundCtes(r: Int): String =
-        s"""p$r AS (SELECT sym AS x, nxt AS y, count(*) AS n FROM (
-              SELECT sym, lead(sym) OVER (
-                PARTITION BY doc_id, widx ORDER BY pos) AS nxt
-              FROM s${r - 1})
-            WHERE nxt IS NOT NULL GROUP BY 1, 2),
-          w$r AS (SELECT x, y, n FROM p$r ORDER BY n DESC, x, y LIMIT 1),
-          a$r AS (SELECT s.doc_id, s.widx, s.pos, s.sym, w.x, w.y,
-              CASE WHEN s.sym = w.x AND lead(s.sym) OVER (
-                  PARTITION BY s.doc_id, s.widx ORDER BY s.pos) = w.y
-                THEN 1 ELSE 0 END AS m
-            FROM s${r - 1} s CROSS JOIN w$r w),
-          b$r AS (SELECT *, CASE WHEN m = 1 THEN pos - row_number() OVER (
-                PARTITION BY doc_id, widx, m ORDER BY pos) END AS grp
-            FROM a$r),
-          c$r AS (SELECT *, CASE WHEN m = 1 AND (pos - min(pos) OVER (
-                PARTITION BY doc_id, widx, grp)) % 2 = 0
-              THEN 1 ELSE 0 END AS ms
-            FROM b$r),
-          d$r AS (SELECT *, COALESCE(lag(ms) OVER (
-                PARTITION BY doc_id, widx ORDER BY pos), 0) AS away
-            FROM c$r),
-          s$r AS (SELECT doc_id, widx, row_number() OVER (
-                PARTITION BY doc_id, widx ORDER BY pos) AS pos,
-              CASE WHEN ms = 1 THEN x || y ELSE sym END AS sym
-            FROM d$r WHERE away = 0)"""
-      val chain = (1 to rounds).map(roundCtes).mkString(",\n          ")
-      val sel = (1 to rounds).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS round, x || ' ' || y AS pair, n FROM w$r")
-        .mkString("\n          UNION ALL ")
-      Some(s"""WITH w0 AS (SELECT doc_id, widx, w FROM (
-              SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS widx
-              FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
-            WHERE length(w) >= 2),
-          s0 AS (SELECT doc_id, widx, i + 1 AS pos, chars[i + 1] AS sym FROM (
-              SELECT doc_id, widx, string_split(w, '') AS chars,
-                unnest(range(length(w))) AS i FROM w0)),
-          $chain
-          SELECT * FROM ($sel) ORDER BY round""")
-    }),
+    QDef("q_bpe_merges",
+      (s, d) => {
+        val (winners, _) = bpeTrain(s, d, bpeRounds)
+        winners.reduce(_ union _).orderBy(col("round"))
+      },
+      Some(s"""WITH $bpeCtePrelude
+          SELECT * FROM ($bpeWinnersSelect) ORDER BY round""")),
+
+    // BPE VOCABULARY emission — the tokenizer ARTIFACT, not just the
+    // trajectory: after the 3 trainer rounds, the surviving symbol
+    // table (top 30 by corpus frequency, count desc / symbol asc).
+    // Shares the bpeTrain loop and the chained-CTE oracle prelude with
+    // q_bpe_merges, so the two declared outputs can never drift. A real
+    // tokenizer build materializes exactly this table (plus the merge
+    // list above) as its artifact pair.
+    QDef("q_bpe_vocab",
+      (s, d) => {
+        val (_, state) = bpeTrain(s, d, bpeRounds)
+        state.groupBy(col("sym")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("sym")).limit(30)
+      },
+      Some(s"""WITH $bpeCtePrelude
+          SELECT sym, count(*) AS n FROM s$bpeRounds
+          GROUP BY sym ORDER BY n DESC, sym LIMIT 30""")),
 
     // Incremental dedup: the arriving-batch-vs-existing-corpus shape a
     // maintained corpus needs (full re-dedup of 100 TB per delivery is

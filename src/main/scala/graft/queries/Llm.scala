@@ -1230,6 +1230,53 @@ object Llm {
         FROM c, tot WHERE cnt * 33 > total
         ORDER BY cnt DESC, tok""")),
 
+    // DUP-PROFILE ROUTER — turns TUNING.md's set-sim variant guidance
+    // into a runnable operator: one hash-agg over exact content groups
+    // measures the corpus's duplication profile (dup docs, max clique,
+    // total within-clique pair mass) and emits the declared routing
+    // verdict. Rule (integer-exact, the measured 10× regimes): if the
+    // clique pair mass alone exceeds the corpus size, candidate-
+    // complete joins pay Ω(cliques²) before any real work → run exact
+    // dedup FIRST; else prefix filtering's candidate cut beats the
+    // direct equi-join once the corpus is big enough that verification
+    // dominates (declared line: 1000 docs); small dup-sparse corpora
+    // take the direct join. One scan + one tiny agg at any scale.
+    QDef("q_dup_profile",
+      (s, d) => {
+        val nDocs = graft.tables.Tables.rowCount(s, d, "documents")
+        documents(s, d)
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("sz") > 1, col("sz")).otherwise(lit(0L)))
+              .as("dup_docs"),
+            max(col("sz")).as("max_group_sz"),
+            sum(expr("sz * (sz - 1) div 2")).as("clique_pairs"))
+          .select(lit(nDocs).as("n_docs"), col("n_groups"),
+            col("dup_docs").cast("long").as("dup_docs"),
+            col("max_group_sz"),
+            col("clique_pairs").cast("long").as("clique_pairs"))
+          .withColumn("route",
+            when(col("clique_pairs") > col("n_docs"),
+              lit("exact-dedup-first"))
+              .when(col("n_docs") >= 1000, lit("prefix-filter"))
+              .otherwise(lit("direct-equi-join")))
+      },
+      Some("""WITH g AS (SELECT md5(text) AS h, count(*) AS sz
+          FROM documents GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT n.n_docs AS n_docs,
+          count(*) AS n_groups,
+          CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+            AS dup_docs,
+          max(sz) AS max_group_sz,
+          CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS clique_pairs,
+          CASE WHEN CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) > n.n_docs
+              THEN 'exact-dedup-first'
+            WHEN n.n_docs >= 1000 THEN 'prefix-filter'
+            ELSE 'direct-equi-join' END AS route
+        FROM g, n GROUP BY n.n_docs""")),
+
     // IDF-WEIGHTED Jaccard near-dup pairs — rare shingles count for
     // more: wj(A,B) = Σ_{A∩B} w / Σ_{A∪B} w with w = the shingle's
     // global idf pre-rounded onto the 1e-2 grid (class C, one ln per

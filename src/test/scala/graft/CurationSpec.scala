@@ -290,5 +290,18 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == expect, s"bpe trajectory diverged: $got != $expect")
     assert(got.size == 3 && got.map(_._3).forall(_ > 0))
+    // the emitted vocabulary artifact must equal the replay's final
+    // symbol counts under the same (count desc, symbol asc) top-30
+    val vocabExpect = words.flatten
+      .groupBy(identity).map { case (s2, v) => (s2, v.size.toLong) }.toSeq
+      .sortBy { case (s2, n) => (-n, s2) }.take(30)
+    val vocabGot = run("q_bpe_vocab").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocabGot == vocabExpect,
+      s"bpe vocab diverged: $vocabGot != $vocabExpect")
+    // at least one merged (multi-char) symbol must have survived into
+    // the vocabulary — otherwise the trainer did nothing
+    assert(vocabGot.exists(_._1.length > 1),
+      "no merged symbol reached the vocabulary top-30")
   }
 }
