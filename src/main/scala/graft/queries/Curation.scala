@@ -27,27 +27,23 @@ object Curation {
 
   private val bpeRounds = 3
 
-  /** Shared BPE trainer loop (q_bpe_merges / q_bpe_vocab): `rounds` of
-    * count-adjacent-pairs → (count desc, pair asc) winner → greedy
-    * left-to-right non-overlapping merge, computed relationally.
-    * Returns (per-round winner frames, final symbol state). Greedy
-    * semantics without a fold: matched positions (sym=x ∧ next=y) in a
-    * word form maximal runs of CONSECUTIVE positions (only possible
-    * when x=y); within a run the merge takes positions at even offset
-    * from the run start — exactly the textbook left-to-right scan —
-    * then merged-away rows (position after a merge start) drop and
-    * positions renumber. Winner selection is a total order, so both
-    * engines (and the imperative spec trainer) walk the identical
-    * trajectory. Scale: every window partitions by word instance
-    * (massively parallel, no global sort); the winner is a broadcast
-    * 1-row frame; per-round localCheckpoint truncates lineage like the
-    * k-means and connected-components fixpoints. */
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
-      rounds: Int): (Seq[org.apache.spark.sql.DataFrame],
-        org.apache.spark.sql.DataFrame) = {
-    val wWord = Window.partitionBy(col("doc_id"), col("widx"))
-      .orderBy(col("pos"))
-    var state = documents(s, d)
+  /** Knuth-hash train bucket shared with q_split_assign (doc_id *
+    * 2654435761 mod 2³² mod 100 < 80): the tokenizer trains on the 80%
+    * train split and is APPLIED to the held-out 20% by q_bpe_tokenize,
+    * composable with the declared split assignment. */
+  private def bpeTrainPred =
+    pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100 < 80
+  private val bpeTrainPredSql =
+    "(doc_id * 2654435761) % 4294967296 % 100 < 80"
+
+  /** Initial BPE symbol state (doc_id, widx, pos, sym): one row per
+    * character of each word of length ≥ 2, optionally restricted to a
+    * document subset (train split for training, held-out for apply). */
+  private def bpeInit(s: org.apache.spark.sql.SparkSession, d: String,
+      where: Option[org.apache.spark.sql.Column]):
+      org.apache.spark.sql.DataFrame = {
+    val base = documents(s, d)
+    where.fold(base)(base.filter)
       .select(col("doc_id"), posexplode(tokens(col("text"))))
       .toDF("doc_id", "widx", "w")
       .filter(length(col("w")) >= 2)
@@ -55,7 +51,65 @@ object Curation {
         posexplode(expr("slice(split(w, ''), 1, length(w))")))
       .toDF("doc_id", "widx", "pos", "sym")
       .localCheckpoint(true)
-    val winners = (1 to rounds).map { r =>
+  }
+
+  /** One greedy left-to-right merge of winner (x, y) applied to a state
+    * frame already augmented with `nxt` — SHARED by the trainer loop and
+    * the held-out tokenizer so train-time and apply-time merge semantics
+    * cannot drift. Matched positions form maximal runs of consecutive
+    * positions (only possible when x=y); within a run the merge takes
+    * positions at even offset from the run start — the textbook
+    * left-to-right scan — then merged-away rows drop and positions
+    * renumber. */
+  private def bpeMergeStep(withNext: org.apache.spark.sql.DataFrame,
+      win: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val wWord = Window.partitionBy(col("doc_id"), col("widx"))
+      .orderBy(col("pos"))
+    withNext.crossJoin(broadcast(win.select(col("x"), col("y"))))
+      .withColumn("m",
+        (col("sym") === col("x") && col("nxt") === col("y")).cast("int"))
+      .withColumn("mrank", row_number().over(
+        Window.partitionBy(col("doc_id"), col("widx"), col("m"))
+          .orderBy(col("pos"))))
+      .withColumn("grp",
+        when(col("m") === 1, col("pos") - col("mrank")))
+      .withColumn("ms", col("m") === 1 &&
+        (col("pos") - min(col("pos")).over(
+          Window.partitionBy(col("doc_id"), col("widx"), col("grp"))))
+          % 2 === 0)
+      .withColumn("away",
+        coalesce(lag(col("ms"), 1).over(wWord), lit(false)))
+      .filter(!col("away"))
+      .select(col("doc_id"), col("widx"), col("pos").as("opos"),
+        when(col("ms"), concat(col("x"), col("y")))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id"), col("widx"))
+          .orderBy(col("opos"))))
+      .select(col("doc_id"), col("widx"), col("pos"), col("sym"))
+      .localCheckpoint(true)
+  }
+
+  /** Shared BPE trainer loop (q_bpe_merges / q_bpe_vocab /
+    * q_bpe_tokenize): `rounds` of count-adjacent-pairs → (count desc,
+    * pair asc) winner → greedy merge via [[bpeMergeStep]]. Returns
+    * (per-round raw winner frames (x, y, n), final symbol state).
+    * Winner selection is a total order, so both engines (and the
+    * imperative spec trainer) walk the identical trajectory. Scale:
+    * every window partitions by word instance (massively parallel, no
+    * global sort); the winner is a broadcast 1-row frame; per-round
+    * localCheckpoint truncates lineage like the k-means and
+    * connected-components fixpoints. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int,
+      where: Option[org.apache.spark.sql.Column] = None):
+      (Seq[org.apache.spark.sql.DataFrame],
+        org.apache.spark.sql.DataFrame) = {
+    val wWord = Window.partitionBy(col("doc_id"), col("widx"))
+      .orderBy(col("pos"))
+    var state = bpeInit(s, d, where)
+    val winners = (1 to rounds).map { _ =>
       val withNext = state
         .withColumn("nxt", lead(col("sym"), 1).over(wWord))
       val win = withNext.filter(col("nxt").isNotNull)
@@ -63,38 +117,58 @@ object Curation {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("x"), col("y")).limit(1)
         .localCheckpoint(true)
-      state = withNext.crossJoin(broadcast(win))
-        .withColumn("m",
-          (col("sym") === col("x") && col("nxt") === col("y")).cast("int"))
-        .withColumn("mrank", row_number().over(
-          Window.partitionBy(col("doc_id"), col("widx"), col("m"))
-            .orderBy(col("pos"))))
-        .withColumn("grp",
-          when(col("m") === 1, col("pos") - col("mrank")))
-        .withColumn("ms", col("m") === 1 &&
-          (col("pos") - min(col("pos")).over(
-            Window.partitionBy(col("doc_id"), col("widx"), col("grp"))))
-            % 2 === 0)
-        .withColumn("away",
-          coalesce(lag(col("ms"), 1).over(wWord), lit(false)))
-        .filter(!col("away"))
-        .select(col("doc_id"), col("widx"), col("pos").as("opos"),
-          when(col("ms"), concat(col("x"), col("y")))
-            .otherwise(col("sym")).as("sym"))
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("doc_id"), col("widx"))
-            .orderBy(col("opos"))))
-        .select(col("doc_id"), col("widx"), col("pos"), col("sym"))
-        .localCheckpoint(true)
-      win.select(lit(r).cast("long").as("round"),
-        concat_ws(" ", col("x"), col("y")).as("pair"), col("n"))
+      state = bpeMergeStep(withNext, win)
+      win
     }
     (winners, state)
   }
 
-  /** DuckDB CTE chain replaying [[bpeTrain]] — shared by both BPE
-    * oracles so they can never drift. */
-  private val bpeCtePrelude: String = {
+  /** CTEs applying winner w$r to state `$pfx${r-1}` → `$pfx$r` (the
+    * greedy runs+parity merge) — shared by the trainer chain (pfx = "s",
+    * where w$r was just computed) and the held-out apply chain
+    * (pfx = "t", referencing the TRAINED w$r), so train-time and
+    * apply-time merge SQL cannot drift. */
+  private def bpeApplyCtes(r: Int, pfx: String): String = {
+    val ip = if (pfx == "s") "" else pfx
+    s"""${ip}a$r AS (SELECT s.doc_id, s.widx, s.pos, s.sym, w.x, w.y,
+            CASE WHEN s.sym = w.x AND lead(s.sym) OVER (
+                PARTITION BY s.doc_id, s.widx ORDER BY s.pos) = w.y
+              THEN 1 ELSE 0 END AS m
+          FROM $pfx${r - 1} s CROSS JOIN w$r w),
+        ${ip}b$r AS (SELECT *, CASE WHEN m = 1 THEN pos - row_number() OVER (
+              PARTITION BY doc_id, widx, m ORDER BY pos) END AS grp
+          FROM ${ip}a$r),
+        ${ip}c$r AS (SELECT *, CASE WHEN m = 1 AND (pos - min(pos) OVER (
+              PARTITION BY doc_id, widx, grp)) % 2 = 0
+            THEN 1 ELSE 0 END AS ms
+          FROM ${ip}b$r),
+        ${ip}d$r AS (SELECT *, COALESCE(lag(ms) OVER (
+              PARTITION BY doc_id, widx ORDER BY pos), 0) AS away
+          FROM ${ip}c$r),
+        $pfx$r AS (SELECT doc_id, widx, row_number() OVER (
+              PARTITION BY doc_id, widx ORDER BY pos) AS pos,
+            CASE WHEN ms = 1 THEN x || y ELSE sym END AS sym
+          FROM ${ip}d$r WHERE away = 0)"""
+  }
+
+  /** Initial-state CTEs `<wpfx>0` / `$pfx0` (words of length ≥ 2 →
+    * per-character symbol rows), optionally WHERE-restricted. */
+  private def bpeInitCtes(pfx: String, where: String): String = {
+    val wp = if (pfx == "s") "w" else s"${pfx}w"
+    s"""${wp}0 AS (SELECT doc_id, widx, w FROM (
+            SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS widx
+            FROM (SELECT doc_id, $tokensSql AS toks FROM documents$where))
+          WHERE length(w) >= 2),
+        ${pfx}0 AS (SELECT doc_id, widx, i + 1 AS pos, chars[i + 1] AS sym FROM (
+            SELECT doc_id, widx, string_split(w, '') AS chars,
+              unnest(range(length(w))) AS i FROM ${wp}0))"""
+  }
+
+  /** DuckDB CTE chain replaying [[bpeTrain]] — shared by all BPE
+    * oracles so they can never drift. `where` restricts the TRAINING
+    * corpus ("" = all documents, the q_bpe_merges / q_bpe_vocab
+    * surface). */
+  private def bpeCtePrelude(where: String = ""): String = {
     def roundCtes(r: Int): String =
       s"""p$r AS (SELECT sym AS x, nxt AS y, count(*) AS n FROM (
             SELECT sym, lead(sym) OVER (
@@ -102,33 +176,9 @@ object Curation {
             FROM s${r - 1})
           WHERE nxt IS NOT NULL GROUP BY 1, 2),
         w$r AS (SELECT x, y, n FROM p$r ORDER BY n DESC, x, y LIMIT 1),
-        a$r AS (SELECT s.doc_id, s.widx, s.pos, s.sym, w.x, w.y,
-            CASE WHEN s.sym = w.x AND lead(s.sym) OVER (
-                PARTITION BY s.doc_id, s.widx ORDER BY s.pos) = w.y
-              THEN 1 ELSE 0 END AS m
-          FROM s${r - 1} s CROSS JOIN w$r w),
-        b$r AS (SELECT *, CASE WHEN m = 1 THEN pos - row_number() OVER (
-              PARTITION BY doc_id, widx, m ORDER BY pos) END AS grp
-          FROM a$r),
-        c$r AS (SELECT *, CASE WHEN m = 1 AND (pos - min(pos) OVER (
-              PARTITION BY doc_id, widx, grp)) % 2 = 0
-            THEN 1 ELSE 0 END AS ms
-          FROM b$r),
-        d$r AS (SELECT *, COALESCE(lag(ms) OVER (
-              PARTITION BY doc_id, widx ORDER BY pos), 0) AS away
-          FROM c$r),
-        s$r AS (SELECT doc_id, widx, row_number() OVER (
-              PARTITION BY doc_id, widx ORDER BY pos) AS pos,
-            CASE WHEN ms = 1 THEN x || y ELSE sym END AS sym
-          FROM d$r WHERE away = 0)"""
+        ${bpeApplyCtes(r, "s")}"""
     val chain = (1 to bpeRounds).map(roundCtes).mkString(",\n          ")
-    s"""w0 AS (SELECT doc_id, widx, w FROM (
-            SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS widx
-            FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
-          WHERE length(w) >= 2),
-        s0 AS (SELECT doc_id, widx, i + 1 AS pos, chars[i + 1] AS sym FROM (
-            SELECT doc_id, widx, string_split(w, '') AS chars,
-              unnest(range(length(w))) AS i FROM w0)),
+    s"""${bpeInitCtes("s", where)},
         $chain"""
   }
 
@@ -473,9 +523,12 @@ object Curation {
     QDef("q_bpe_merges",
       (s, d) => {
         val (winners, _) = bpeTrain(s, d, bpeRounds)
-        winners.reduce(_ union _).orderBy(col("round"))
+        winners.zipWithIndex.map { case (w, i) =>
+          w.select(lit(i + 1).cast("long").as("round"),
+            concat_ws(" ", col("x"), col("y")).as("pair"), col("n"))
+        }.reduce(_ union _).orderBy(col("round"))
       },
-      Some(s"""WITH $bpeCtePrelude
+      Some(s"""WITH ${bpeCtePrelude()}
           SELECT * FROM ($bpeWinnersSelect) ORDER BY round""")),
 
     // BPE VOCABULARY emission — the tokenizer ARTIFACT, not just the
@@ -491,9 +544,74 @@ object Curation {
         state.groupBy(col("sym")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("sym")).limit(30)
       },
-      Some(s"""WITH $bpeCtePrelude
+      Some(s"""WITH ${bpeCtePrelude()}
           SELECT sym, count(*) AS n FROM s$bpeRounds
           GROUP BY sym ORDER BY n DESC, sym LIMIT 30""")),
+
+    // BPE tokenizer APPLICATION — the trained merge list used as a
+    // tokenizer on data the trainer never saw: train the 3 merge rounds
+    // on the 80% Knuth-hash train split (the q_split_assign bucket,
+    // composable with the declared split), then apply the winners IN
+    // TRAINING ORDER to the held-out 20% via the SAME bpeMergeStep
+    // machinery (shared code — train/apply semantics cannot drift), and
+    // report per-lang tokenization quality: docs, words, emitted tokens
+    // (merged symbols + untouched 1-char words), characters, and
+    // compression in basis points (chars·10⁴ div tokens — >10000 means
+    // the tokenizer packs more than one char per token). This is the
+    // fertility/compression scorecard a real tokenizer build publishes
+    // beside its vocab artifact. All-integer output: class A
+    // determinism. Scale: apply is 3 broadcast-winner passes over
+    // word-instance-partitioned windows — the same massively parallel
+    // shape as training, with no corpus-global state.
+    QDef("q_bpe_tokenize",
+      (s, d) => {
+        val wWord = Window.partitionBy(col("doc_id"), col("widx"))
+          .orderBy(col("pos"))
+        val (winners, _) = bpeTrain(s, d, bpeRounds, Some(bpeTrainPred))
+        var state = bpeInit(s, d, Some(!bpeTrainPred))
+        winners.foreach { win =>
+          state = bpeMergeStep(
+            state.withColumn("nxt", lead(col("sym"), 1).over(wWord)), win)
+        }
+        val longToks = state.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("long_toks"))
+        documents(s, d).filter(!bpeTrainPred)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("w_n"),
+            aggregate(tokens(col("text")), lit(0L),
+              (acc, t) => acc + length(t).cast("long")).as("c_n"),
+            size(filter(tokens(col("text")), t => length(t) < 2))
+              .cast("long").as("short_toks"))
+          .join(longToks, Seq("doc_id"), "left")
+          .withColumn("t_n",
+            coalesce(col("long_toks"), lit(0L)) + col("short_toks"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"), sum(col("w_n")).as("words"),
+            sum(col("t_n")).as("tokens"), sum(col("c_n")).as("chars"))
+          .withColumn("compression_bp",
+            expr("chars * 10000 div tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH ${bpeCtePrelude(s" WHERE $bpeTrainPredSql")},
+          ${bpeInitCtes("t", s" WHERE NOT ($bpeTrainPredSql)")},
+          ${(1 to bpeRounds).map(bpeApplyCtes(_, "t"))
+            .mkString(",\n          ")},
+          lt AS (SELECT doc_id, count(*) AS long_toks
+            FROM t$bpeRounds GROUP BY doc_id),
+          base AS (SELECT doc_id, lang, len(toks) AS w_n,
+              COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS c_n,
+              len(list_filter(toks, t -> length(t) < 2)) AS short_toks
+            FROM (SELECT doc_id, lang, $tokensSql AS toks FROM documents
+              WHERE NOT ($bpeTrainPredSql)))
+          SELECT lang, count(*) AS docs,
+            CAST(sum(w_n) AS BIGINT) AS words,
+            CAST(sum(COALESCE(long_toks, 0) + short_toks) AS BIGINT) AS tokens,
+            CAST(sum(c_n) AS BIGINT) AS chars,
+            CAST(CAST(sum(c_n) AS BIGINT) * 10000
+              // CAST(sum(COALESCE(long_toks, 0) + short_toks) AS BIGINT)
+              AS BIGINT) AS compression_bp
+          FROM base LEFT JOIN lt USING (doc_id)
+          GROUP BY lang ORDER BY lang""")),
 
     // Incremental dedup: the arriving-batch-vs-existing-corpus shape a
     // maintained corpus needs (full re-dedup of 100 TB per delivery is

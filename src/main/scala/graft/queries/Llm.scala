@@ -410,6 +410,65 @@ object Llm {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** 128-bit simhash Hamming ≤ 3 join — the beyond-10⁹-docs fingerprint
+    * density (NEXT.md r10 candidate): at 64 bits P(random Hamming ≤ 3)
+    * ≈ 2.4·10⁻¹⁵ still admits a few thousand spurious candidate pairs
+    * per 10⁹ docs; at 128 bits (≈ 1.0·10⁻³⁴) the expected spurious count
+    * is zero at ANY corpus size — every surviving pair is structurally
+    * near-identical. The md5 token hash supplies exactly 128 bits: the
+    * fingerprint is four 32-bit words (hex chars 1–8, 9–16, 17–24,
+    * 25–32), majority-voted per bit over DISTINCT tokens. The four words
+    * themselves ARE the pigeonhole bands (Hamming ≤ 3 ⇒ ≥ 1 of the 4
+    * 32-bit words identical), so banding needs no sub-word shifts, and
+    * 32-bit band values make buckets another 65,536× finer than the
+    * 64-bit join's 16-bit bands — the band-bucket fan-out that dominated
+    * the 32-vs-64-bit 10× ScaleProof gap (462.6 s vs 17.0 s) shrinks
+    * again. Verification: Σ bit_count(xor) over the 4 words ≤ 3. */
+  private[graft] def simhash128HammingJoin(s: SparkSession, d: String): DataFrame = {
+    val md = md5(col("tok").cast("binary"))
+    val words = 4
+    val hv = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id") +: (0 until words).map(k =>
+        conv(substring(md, 1 + 8 * k, 8), 16, 10).cast("long")
+          .as(s"hv$k")): _*)
+    val voteCols = count(lit(1)).as("n") +:
+      (0 until words).flatMap(k => (0 until 32).map(j =>
+        sum(shiftright(col(s"hv$k"), j).bitwiseAND(lit(1L)))
+          .as(s"v${k}_$j")))
+    def pack(k: Int) = (0 until 32).map(j =>
+        when(col(s"v${k}_$j") * 2 > col("n"), lit(1L << j))
+          .otherwise(lit(0L)))
+      .reduce(_ + _)
+    val fp = hv.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id") +:
+        (0 until words).map(k => pack(k).as(s"fp$k")): _*)
+      .localCheckpoint(true)
+    val bands = fp.select(col("doc_id") +:
+        (0 until words).map(k => col(s"fp$k")) :+
+        posexplode(array((0 until words).map(k => col(s"fp$k")): _*)): _*)
+      .toDF(("doc_id" +: (0 until words).map(k => s"fp$k")) ++
+        Seq("band_idx", "band_val"): _*)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(Seq(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")) ++
+        (0 until words).flatMap(k => Seq(
+          col(s"a.fp$k").as(s"a$k"), col(s"b.fp$k").as(s"b$k"))): _*)
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (0 until words).map(k => expr(s"bit_count(a$k ^ b$k)"))
+          .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Horner sum over 8 md5 hex nibbles starting at 1-based `start` —
     * the DuckDB twin of Spark's conv(substr(md5, start, 8), 16, 10). */
   private def md5NibbleHorner(start: Int): String =
@@ -442,6 +501,30 @@ object Llm {
       WHERE bit_count(xor(a.fp_hi, b.fp_hi))
           + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
       ORDER BY id_a, id_b"""
+
+  /** Brute-force DuckDB oracle of the 128-bit simhash Hamming join:
+    * four Horner words over all 32 md5 hex nibbles, per-word
+    * majority-vote fingerprints, all-pairs 4-word bit_count(xor) ≤ 3. */
+  private def simhash128HammingOracle: String = {
+    val hvCols = (0 until 4).map(k =>
+      s"CAST(${md5NibbleHorner(1 + 8 * k)} AS BIGINT) AS hv$k").mkString(",\n          ")
+    val fpCols = (0 until 4).map(k =>
+      s"CAST(${simhashFpTerms(s"hv$k")} AS BIGINT) AS fp$k").mkString(",\n          ")
+    val hamming = (0 until 4).map(k =>
+      s"bit_count(xor(a.fp$k, b.fp$k))").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+          unnest(list_distinct($tokensSql)) AS tok FROM documents),
+      hv AS (SELECT doc_id,
+          $hvCols FROM toks),
+      fps AS (SELECT doc_id,
+          $fpCols
+        FROM hv GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST($hamming AS BIGINT) AS hamming
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE $hamming <= 3
+      ORDER BY id_a, id_b"""
+  }
 
   /** Brute-force DuckDB oracle of the simhash Hamming join: token hash
     * = Horner over the first 8 md5 nibbles (the same 32-bit int Spark's
@@ -1189,6 +1272,18 @@ object Llm {
     QDef("q_simhash64_hamming_join",
       (s, d) => simhash64HammingJoin(s, d),
       Some(simhash64HammingOracle)),
+
+    // 128-BIT simhash Hamming join — beyond-10⁹-docs density: expected
+    // random Hamming ≤ 3 collisions are zero at any corpus size
+    // (P ≈ 10⁻³⁴), so every emitted pair is structurally near-identical
+    // and verification never drowns. The four 32-bit md5 words are
+    // themselves the pigeonhole bands — no sub-word shifts — and the
+    // 32-bit band values cut bucket fan-out another 65,536× vs the
+    // 64-bit join's 16-bit bands (the fan-out axis that dominated the
+    // 32→64-bit 10× ScaleProof gap). All-integer (class A).
+    QDef("q_simhash128_hamming_join",
+      (s, d) => simhash128HammingJoin(s, d),
+      Some(simhash128HammingOracle)),
 
     // Misra–Gries HEAVY HITTERS — the deterministic-bound frequent-items
     // sketch beside approx_top_k/CMS: k=32 counters, estimates never

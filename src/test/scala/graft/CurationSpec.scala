@@ -304,4 +304,68 @@ class CurationSpec extends AnyFunSuite {
     assert(vocabGot.exists(_._1.length > 1),
       "no merged symbol reached the vocabulary top-30")
   }
+
+  test("bpe tokenize applies train-split merges to held-out docs exactly") {
+    // independent driver-side oracle: imperative plain-Scala trainer on
+    // the 80% Knuth-hash train bucket, then imperative APPLICATION of
+    // the trained winners (in order) to the held-out 20%, aggregated
+    // per lang — must equal q_bpe_tokenize bit for bit.
+    def mergeWord(w: Array[String], x: String, y: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == x && w(i + 1) == y) {
+          b += (x + y); i += 2
+        } else { b += w(i); i += 1 }
+      }
+      b.result()
+    }
+    def inTrain(id: Long): Boolean =
+      ((id * 2654435761L) % 4294967296L) % 100 < 80
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    var trainWords: Array[Array[String]] = docs
+      .filter(d => inTrain(d._1))
+      .flatMap(_._3.split(" ").filter(_.nonEmpty))
+      .filter(_.length >= 2).map(_.map(_.toString).toArray)
+    val winners = (1 to 3).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      trainWords.foreach { w =>
+        if (w.length >= 2) w.sliding(2).foreach { p =>
+          val k = (p(0), p(1))
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+        }
+      }
+      val ((x, y), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      trainWords = trainWords.map(w => mergeWord(w, x, y))
+      (x, y)
+    }
+    val expect = docs.filter(d => !inTrain(d._1))
+      .map { case (_, lang, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val toks = ws.map { w =>
+          if (w.length < 2) 1L
+          else winners.foldLeft(w.map(_.toString).toArray) {
+            case (st, (x, y)) => mergeWord(st, x, y)
+          }.length.toLong
+        }.sum
+        (lang, (1L, ws.length.toLong, toks, ws.map(_.length.toLong).sum))
+      }
+      .groupBy(_._1).view.mapValues { g =>
+        val vs = g.map(_._2)
+        (vs.map(_._1).sum, vs.map(_._2).sum, vs.map(_._3).sum, vs.map(_._4).sum)
+      }.toMap
+      .map { case (lang, (d2, w2, t2, c2)) =>
+        (lang, d2, w2, t2, c2, c2 * 10000 / t2)
+      }.toSeq.sortBy(_._1)
+    val got = run("q_bpe_tokenize").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"bpe tokenize diverged: $got != $expect")
+    // the tokenizer must actually compress something: at least one lang
+    // packs more than one char per token on held-out data
+    assert(got.exists(_._6 > 10000),
+      "trained merges produced no compression on held-out docs")
+  }
 }

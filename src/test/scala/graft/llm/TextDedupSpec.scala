@@ -423,6 +423,56 @@ class TextDedupSpec extends AnyFunSuite {
       s"64-bit join (${got.size}) should be more selective than 32-bit ($got32)")
   }
 
+  test("simhash128 hamming join matches a driver-side brute force") {
+    // independent oracle: JVM MessageDigest md5, fingerprint as FOUR
+    // 32-bit words (all 32 hex chars), Long.bitCount over the four —
+    // no Spark expression reuse
+    val docs = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).collect()
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val fps = docs.flatMap { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty).distinct
+      if (toks.isEmpty) None
+      else {
+        val hvs = toks.map { t =>
+          val h = md5hex(t)
+          Array.tabulate(4)(k =>
+            java.lang.Long.parseLong(h.substring(8 * k, 8 * k + 8), 16))
+        }
+        val fp = Array.tabulate(4) { k =>
+          var w = 0L
+          (0 until 32).foreach { j =>
+            if (2 * hvs.count(h => ((h(k) >> j) & 1L) == 1L) > toks.length)
+              w |= (1L << j)
+          }
+          w
+        }
+        Some((r.getLong(0), fp))
+      }
+    }
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = (0 until 4).map(k => java.lang.Long.bitCount(fa(k) ^ fb(k))).sum
+      if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val got = graft.SparkEntry.queries("q_simhash128_hamming_join")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"128-bit banding lost ${brute -- got}, invented ${got -- brute}")
+    assert(got.exists(_._3 == 0L),
+      "exact-duplicate documents must collide at hamming 0")
+    // density monotonicity across the family: each doubling of
+    // fingerprint width must not ADMIT pairs the narrower one rejected
+    // structurally — on this corpus that shows as 128-bit ≤ 64-bit
+    val got64 = graft.SparkEntry.queries("q_simhash64_hamming_join")(
+      spark, TestSpark.sf0001).count()
+    assert(got.size <= got64,
+      s"128-bit join (${got.size}) should be at most as dense as 64-bit ($got64)")
+  }
+
   test("kmeans: clusters partition the vectors; trajectory is reproducible") {
     def run() = graft.SparkEntry.queries("q_kmeans_lloyd")(
       spark, TestSpark.sf0001)
