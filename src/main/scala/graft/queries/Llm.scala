@@ -1285,6 +1285,140 @@ object Llm {
       (s, d) => simhash128HammingJoin(s, d),
       Some(simhash128HammingOracle)),
 
+    // CROSS-SOURCE overlap matrix — the corpus-level dedup planner's
+    // input: for every source pair, distinct-3-shingle set sizes,
+    // intersection, and Jaccard in basis points. This is how a mixture
+    // builder decides which source pairs need cross-source dedup at all
+    // (near-zero overlap ⇒ the expensive pairwise families can run
+    // per-source). Scale: distinct (source, shingle) is one map-side-
+    // combinable hash-agg; the intersection join keys on the shingle and
+    // fans out ≤ |sources|² per shingle — bounded by the source count,
+    // NOT the corpus, so no df cap is needed (unlike doc-level joins);
+    // the final matrix assembly is a broadcast cross of the 20-row size
+    // frame. All-integer (class A), matrix-complete (zero-overlap pairs
+    // emitted with inter = 0).
+    QDef("q_source_overlap",
+      (s, d) => {
+        val sh = documents(s, d)
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("source"), explode(array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))).as("sh"))
+          .distinct()
+          .localCheckpoint(true)
+        val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("ov"))
+        sizes.select(col("source").as("source_a"), col("sz").as("n_a"))
+          .crossJoin(broadcast(
+            sizes.select(col("source").as("source_b"), col("sz").as("n_b"))))
+          .filter(col("source_a") < col("source_b"))
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .withColumn("inter", coalesce(col("ov"), lit(0L)))
+          .withColumn("jaccard_bp",
+            expr("inter * 10000 div (n_a + n_b - inter)"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("inter"), col("jaccard_bp"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH sh AS (SELECT DISTINCT source, sh FROM (
+            SELECT source, unnest(list_distinct(
+              list_transform(range(len(toks) - 2),
+                i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+            FROM (SELECT source, $tokensSql AS toks FROM documents)
+            WHERE len(toks) >= 3)),
+          sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+          ov AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS ov
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT sa.source AS source_a, sb.source AS source_b,
+            sa.sz AS n_a, sb.sz AS n_b,
+            CAST(COALESCE(i.ov, 0) AS BIGINT) AS inter,
+            CAST(COALESCE(i.ov, 0) * 10000
+              // (sa.sz + sb.sz - COALESCE(i.ov, 0)) AS BIGINT) AS jaccard_bp
+          FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+          LEFT JOIN ov i ON i.source_a = sa.source AND i.source_b = sb.source
+          ORDER BY source_a, source_b""")),
+
+    // RECIPROCAL-RANK-FUSION hybrid retrieval — the lexical+semantic
+    // fusion every RAG/retrieval stack runs: rank the corpus against a
+    // probe document by (a) distinct-token overlap with the probe's
+    // token set and (b) embedding cosine to the probe's vector, take
+    // each top-50, and fuse with RRF (k = 60, the Cormack et al.
+    // constant): score = Σ 1/(60 + rank), absent list contributes 0.
+    // Determinism: ranks are assigned over total orders ((overlap desc,
+    // id) / (round(cos, 6) desc, id)); the 1/(60+r) terms are rounded to
+    // 10 dp before the sum, so both engines add identical doubles (the
+    // pre-rounded-terms mechanism, TUNING.md). Scale: both rankings are
+    // broadcast-probe map scans; top-50 is a distributed TakeOrdered;
+    // row_number windows only ever see the 50-row frames — no global
+    // sort anywhere.
+    QDef("q_rank_fusion",
+      (s, d) => {
+        val docs = documents(s, d)
+        val qToks = docs.filter(col("doc_id") === 0)
+          .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+        val lex = docs.filter(col("doc_id") > 0)
+          .select(col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("tok"))
+          .join(broadcast(qToks), "tok")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap"))
+          .orderBy(col("overlap").desc, col("doc_id")).limit(50)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("overlap").desc, col("doc_id"))).cast("long"))
+        val e = embeddings(s, d)
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val sem = e.filter(col("vec_id") > 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id").as("doc_id"),
+            round(graft.functions.VectorFunctions.vec_cosine(
+              col("embedding"), col("q_emb")), 6).as("sim_r"))
+          .orderBy(col("sim_r").desc, col("doc_id")).limit(50)
+          .withColumn("sem_rank", row_number().over(
+            Window.orderBy(col("sim_r").desc, col("doc_id"))).cast("long"))
+        lex.select(col("doc_id"), col("lex_rank"))
+          .join(sem.select(col("doc_id"), col("sem_rank")),
+            Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(round(lit(1.0) / (lit(60) + col("lex_rank")), 10),
+              lit(0.0)) +
+            coalesce(round(lit(1.0) / (lit(60) + col("sem_rank")), 10),
+              lit(0.0)), 10))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+      },
+      Some(s"""WITH qt AS (SELECT DISTINCT unnest(list_distinct($tokensSql)) AS tok
+            FROM documents WHERE doc_id = 0),
+          dt AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok
+            FROM documents WHERE doc_id > 0),
+          lex0 AS (SELECT doc_id, count(*) AS overlap
+            FROM dt JOIN qt USING (tok) GROUP BY doc_id
+            ORDER BY overlap DESC, doc_id LIMIT 50),
+          lex AS (SELECT doc_id, CAST(row_number() OVER (
+              ORDER BY overlap DESC, doc_id) AS BIGINT) AS lex_rank
+            FROM lex0),
+          pr AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+          sem0 AS (SELECT vec_id AS doc_id,
+              round(${cosineSql("embedding", "q_emb")}, 6) AS sim_r
+            FROM embeddings CROSS JOIN pr WHERE vec_id > 0
+            ORDER BY sim_r DESC, doc_id LIMIT 50),
+          sem AS (SELECT doc_id, CAST(row_number() OVER (
+              ORDER BY sim_r DESC, doc_id) AS BIGINT) AS sem_rank
+            FROM sem0)
+          SELECT doc_id, lex_rank, sem_rank,
+            round(COALESCE(round(CAST(1 AS DOUBLE) / (60 + lex_rank), 10),
+                CAST(0 AS DOUBLE))
+              + COALESCE(round(CAST(1 AS DOUBLE) / (60 + sem_rank), 10),
+                CAST(0 AS DOUBLE)), 10) AS rrf
+          FROM lex FULL JOIN sem USING (doc_id)
+          ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
     // Misra–Gries HEAVY HITTERS — the deterministic-bound frequent-items
     // sketch beside approx_top_k/CMS: k=32 counters, estimates never
     // overcount, undercount ≤ n/33, so every token with true count >

@@ -321,6 +321,80 @@ class QueriesSpec extends AnyFunSuite {
       s"driver replay of top pair: ${top.getLong(2)} != ${interW * 1000000L / unionW}")
   }
 
+  test("wave-r10 invariants: source-overlap matrix algebra, rrf fusion replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val ov = SparkEntry.queries("q_source_overlap")(spark, sf).collect()
+    // matrix-complete: exactly C(20,2) ordered pairs, each once
+    assert(ov.length == 190, s"expected 190 source pairs, got ${ov.length}")
+    assert(ov.map(r => (r.getString(0), r.getString(1))).distinct.length == 190)
+    ov.foreach { r =>
+      val (na, nb, inter, jbp) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getString(0) < r.getString(1), "pairs must be oriented a < b")
+      assert(inter >= 0 && inter <= math.min(na, nb),
+        s"intersection outside [0, min sizes]: $r")
+      assert(jbp == inter * 10000 / (na + nb - inter),
+        s"jaccard_bp must be recomputable from the declared counts: $r")
+    }
+    // driver-side brute recompute of one pair's shingle intersection
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def srcShingles(src: String): Set[String] = docs.filter(_._1 == src)
+      .flatMap { case (_, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      }.toSet
+    val (s0, s1) = (srcShingles("src0"), srcShingles("src1"))
+    val row01 = ov.find(r =>
+      r.getString(0) == "src0" && r.getString(1) == "src1").get
+    assert(row01.getLong(2) == s0.size && row01.getLong(3) == s1.size &&
+      row01.getLong(4) == (s0 & s1).size,
+      s"src0/src1 brute shingle counts diverge: $row01")
+
+    val fused = SparkEntry.queries("q_rank_fusion")(spark, sf).collect()
+    assert(fused.length == 20)
+    fused.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.isDefined || sem.isDefined, "fused doc in neither list")
+      (lex ++ sem).foreach(k => assert(k >= 1 && k <= 50))
+      val expectRrf = BigDecimal(
+        lex.map(k => BigDecimal(1.0 / (60 + k))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .getOrElse(0.0) +
+        sem.map(k => BigDecimal(1.0 / (60 + k))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .getOrElse(0.0))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expectRrf) < 1e-12,
+        s"rrf must be recomputable from the declared ranks: $r")
+    }
+    // fused order is non-increasing with doc_id tiebreak
+    val scores = fused.map(r => (r.getDouble(3), r.getLong(0)))
+    assert(scores.sliding(2).forall { case Array((sa2, ia), (sb2, ib)) =>
+      sa2 > sb2 || (sa2 == sb2 && ia < ib) }, "fused order violated")
+    // driver-side replay of the lexical ranking top-50
+    val docToks = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSet).toMap
+    val q = docToks(0L)
+    val lexTop = docToks.toSeq.filter(_._1 > 0)
+      .map { case (id, t) => (id, (t & q).size.toLong) }
+      .filter(_._2 > 0)
+      .sortBy { case (id, o) => (-o, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(lexTop.get(id) == lex,
+        s"lexical rank replay diverged for doc $id: ${lexTop.get(id)} != $lex")
+    }
+  }
+
   test("representative queries return rows at sf0.001") {
     val reps = Seq("q1_pricing_summary", "q5_local_supplier", "q_window_rank",
       "q_cosine_topk", "q_session_window_1h", "q_minhash_lsh",
