@@ -229,7 +229,17 @@ object ScaleProof {
       // on the replicated corpus it must flip its verdict to
       // exact-dedup-first (every doc is a 10-clique) — asserting the
       // rule reacts to the profile it exists to measure
-      "q_dup_profile")
+      "q_dup_profile",
+      // round-10 wave-2: the 128-bit simhash join's 32-bit band values
+      // cut bucket fan-out another 65,536x vs the 64-bit join's 16-bit
+      // bands — the fan-out axis the 32->64 gap already proved; the
+      // source-overlap matrix fans each (source, shingle) row out by at
+      // most |sources|^2, so the 10x corpus only deepens the per-shingle
+      // hash-agg, never the join; BPE train+apply rides the same
+      // word-instance-partitioned windows as the trainer; rank fusion is
+      // two broadcast-probe map scans + distributed TakeOrdered(50)
+      "q_simhash128_hamming_join", "q_source_overlap",
+      "q_bpe_tokenize", "q_rank_fusion")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
