@@ -41,7 +41,13 @@ object Explain {
       // round-10: the 64-bit variant must keep the same band-key
       // equi-join shape (16-bit band values in one (band_idx, band_val)
       // join, never a theta join on Hamming distance)
-      "q_simhash64_hamming_join")
+      "q_simhash64_hamming_join",
+      // round-10 wave-3: the basket self-join must be ONE orderkey
+      // exchange feeding the pair hash-agg (never a part-keyed
+      // re-shuffle of the fan-out); adamic-adar must show the semi-join
+      // hub gate BELOW the wedge self-join; ks must broadcast the pair
+      // frame into both tag joins with windows partitioned by pair
+      "q_basket_lift", "q_link_adamic_adar", "q_ks_drift")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

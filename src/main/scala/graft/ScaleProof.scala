@@ -239,7 +239,15 @@ object ScaleProof {
       // word-instance-partitioned windows as the trainer; rank fusion is
       // two broadcast-probe map scans + distributed TakeOrdered(50)
       "q_simhash128_hamming_join", "q_source_overlap",
-      "q_bpe_tokenize", "q_rank_fusion")
+      "q_bpe_tokenize", "q_rank_fusion",
+      // round-10 wave-3: KS fans each (source, length) count row out by
+      // at most |sources|-1 pairs; zipf/heaps are one token hash-agg +
+      // bounded-frame windows; basket lift and adamic-adar ride the
+      // order-key co-partitioned self-join (fan-out <= basket size
+      // squared per order); seasonal windows run on the ~1-year daily
+      // frame; dupspan shares the winnowing fingerprint scan
+      "q_ks_drift", "q_zipf_slope", "q_vocab_growth", "q_basket_lift",
+      "q_link_adamic_adar", "q_seasonal_decompose", "q_dupspan_mass")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -691,6 +691,81 @@ object Corpus {
             AS exact_inter,
           (SELECT count(DISTINCT user_id) FROM events
             WHERE event_type IN ('click', 'purchase')) AS exact_union,
-          CAST(1 AS BIGINT) AS within_band"""))
+          CAST(1 AS BIGINT) AS within_band""")),
+
+    // Two-sample KOLMOGOROV–SMIRNOV drift matrix — the distribution-shift
+    // test beside the KL/chi² family: for every source pair, D = max_v
+    // |ECDF_a(v) − ECDF_b(v)| over the doc-length distribution, kept
+    // exact-rational by cross-multiplying (|cum_a·n_b − cum_b·n_a|, ks in
+    // basis points by truncating division — no float ever exists: class
+    // A). Scale: the (source, n_chars) count agg is map-side combinable;
+    // each count row then fans out to at most |sources|−1 pairs —
+    // bounded by the source count, NOT the corpus — and the ECDF windows
+    // partition by pair over ≤ |distinct lengths| rows. Matrix-complete:
+    // every pair appears (D = 0 only for identical ECDFs).
+    QDef("q_ks_drift",
+      (s, d) => {
+        val docs = documents(s, d)
+        val cnts = docs.groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // feeds both sides of the pair fan-out
+        val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val pairs = tot.select(col("source").as("source_a"), col("n").as("n_a"))
+          .crossJoin(broadcast(tot.select(
+            col("source").as("source_b"), col("n").as("n_b"))))
+          .filter(col("source_a") < col("source_b"))
+        val tagged = cnts
+          .join(broadcast(pairs), col("source") === col("source_a"))
+          .select(col("source_a"), col("source_b"),
+            col("n_chars").as("v"), col("cnt").as("ca"), lit(0L).as("cb"))
+          .unionAll(cnts
+            .join(broadcast(pairs), col("source") === col("source_b"))
+            .select(col("source_a"), col("source_b"),
+              col("n_chars").as("v"), lit(0L).as("ca"), col("cnt").as("cb")))
+          .groupBy(col("source_a"), col("source_b"), col("v"))
+          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+        val w = Window.partitionBy(col("source_a"), col("source_b"))
+          .orderBy(col("v"))
+        tagged
+          .withColumn("cum_a", sum(col("ca")).over(w))
+          .withColumn("cum_b", sum(col("cb")).over(w))
+          .join(broadcast(pairs), Seq("source_a", "source_b"))
+          .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+          .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+            .as("d_num"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("d_num"),
+            expr("d_num * 10000 div (n_a * n_b)").as("ks_bp"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH tot AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY source),
+        cnts AS (SELECT source, n_chars AS v, count(*) AS cnt
+          FROM documents GROUP BY source, n_chars),
+        pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+            a.n AS n_a, b.n AS n_b
+          FROM tot a JOIN tot b ON a.source < b.source),
+        tagged AS (SELECT source_a, source_b, v,
+            CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+          FROM (
+            SELECT p.source_a, p.source_b, c.v, c.cnt AS ca, 0 AS cb
+            FROM cnts c JOIN pairs p ON c.source = p.source_a
+            UNION ALL
+            SELECT p.source_a, p.source_b, c.v, 0 AS ca, c.cnt AS cb
+            FROM cnts c JOIN pairs p ON c.source = p.source_b)
+          GROUP BY 1, 2, 3),
+        cum AS (SELECT source_a, source_b,
+            CAST(sum(ca) OVER (PARTITION BY source_a, source_b
+              ORDER BY v) AS BIGINT) AS cum_a,
+            CAST(sum(cb) OVER (PARTITION BY source_a, source_b
+              ORDER BY v) AS BIGINT) AS cum_b
+          FROM tagged)
+        SELECT c.source_a, c.source_b, p.n_a, p.n_b,
+          CAST(max(abs(cum_a * p.n_b - cum_b * p.n_a)) AS BIGINT) AS d_num,
+          CAST(max(abs(cum_a * p.n_b - cum_b * p.n_a)) * 10000
+            // (p.n_a * p.n_b) AS BIGINT) AS ks_bp
+        FROM cum c JOIN pairs p USING (source_a, source_b)
+        GROUP BY 1, 2, 3, 4
+        ORDER BY source_a, source_b"""))
   )
 }

@@ -27,6 +27,57 @@ object Curation {
 
   private val bpeRounds = 3
 
+  /** Winnowing fingerprint frame (Schleimer et al.) shared by
+    * q_winnowing and q_dupspan_mass — ONE definition of the k=8-char
+    * rolling-Horner-hash (mod 1e9+7), w=4 window-minimum, per-doc
+    * distinct pipeline, so the fingerprint table and the span-mass
+    * score cannot drift. The k-gram hash is the FLATTENED Horner sum:
+    * Σ c_{i+j}·31^{7-j} fits a long (≤ 255·Σ31^j ≈ 7.2e12), and one
+    * pmod at the end is congruent to the oracle's per-step
+    * (acc·31+c) mod M — identical values, but element_at instead of an
+    * aggregate(slice(...)) that would allocate a fresh 8-element array
+    * per position (3.5 s → ~1 s at sf0.1 for the same output). Any
+    * shared substring of ≥ k+w−1 = 11 chars yields a shared
+    * fingerprint; docs shorter than 11 chars are excluded by both
+    * engines (declared semantics).
+    */
+  private def winnowFps(s: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame = {
+    val horner = (1 to 8).map(j =>
+        s"element_at(codes, i + ${j - 1}) * ${math.pow(31, 8 - j).toLong}L")
+      .mkString(" + ")
+    documents(s, d)
+      .filter(length(col("text")) >= 11)
+      .select(col("doc_id"), expr(
+        """transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))""")
+        .as("codes"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, size(codes) - 7),
+             i -> pmod($horner, 1000000007L))""")
+        .as("hs"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(hs) - 3),
+             j -> least(element_at(hs, j), element_at(hs, j + 1),
+                        element_at(hs, j + 2), element_at(hs, j + 3)))""")))
+        .as("fp"))
+  }
+
+  /** DuckDB mirror of [[winnowFps]] — `sel` is (doc_id, fp). */
+  private val winnowCte: String = """codes AS (SELECT doc_id,
+            list_transform(string_split(text, ''),
+              ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+          FROM documents WHERE length(text) >= 11),
+        hs AS (SELECT doc_id,
+            list_transform(range(1, len(codes) - 7 + 1),
+              i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     codes[i:i+7]),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+          FROM codes),
+        sel AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(range(1, len(hs) - 3 + 1),
+              j -> list_min(hs[j:j+3])))) AS fp
+          FROM hs)"""
+
   /** Knuth-hash train bucket shared with q_split_assign (doc_id *
     * 2654435761 mod 2³² mod 100 < 80): the tokenizer trains on the 80%
     * train split and is APPLIED to the held-out 20% by q_bpe_tokenize,
@@ -669,29 +720,7 @@ object Curation {
     // are excluded by both engines (declared semantics).
     QDef("q_winnowing",
       (s, d) => {
-        // The k-gram hash is the FLATTENED Horner sum: Σ c_{i+j}·31^{7-j}
-        // fits a long (≤ 255·Σ31^j ≈ 7.2e12), and one pmod at the end is
-        // congruent to the oracle's per-step (acc·31+c) mod M — identical
-        // values, but element_at instead of the first cut's
-        // aggregate(slice(...)) which allocated a fresh 8-element array
-        // per position (3.5 s → ~1 s at sf0.1 for the same output).
-        val horner = (1 to 8).map(j =>
-            s"element_at(codes, i + ${j - 1}) * ${math.pow(31, 8 - j).toLong}L")
-          .mkString(" + ")
-        val fps = documents(s, d)
-          .filter(length(col("text")) >= 11)
-          .select(col("doc_id"), expr(
-            """transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))""")
-            .as("codes"))
-          .select(col("doc_id"), expr(
-            s"""transform(sequence(1, size(codes) - 7),
-                 i -> pmod($horner, 1000000007L))""")
-            .as("hs"))
-          .select(col("doc_id"), explode(array_distinct(expr(
-            """transform(sequence(1, size(hs) - 3),
-                 j -> least(element_at(hs, j), element_at(hs, j + 1),
-                            element_at(hs, j + 2), element_at(hs, j + 3)))""")))
-            .as("fp"))
+        val fps = winnowFps(s, d)
         fps.groupBy(col("fp"))
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_occ"))
@@ -699,23 +728,49 @@ object Curation {
           .orderBy(col("n_docs").desc, col("n_occ").desc, col("fp"))
           .limit(100)
       },
-      Some("""WITH codes AS (SELECT doc_id,
-            list_transform(string_split(text, ''),
-              ch -> CAST(ascii(ch) AS BIGINT)) AS codes
-          FROM documents WHERE length(text) >= 11),
-        hs AS (SELECT doc_id,
-            list_transform(range(1, len(codes) - 7 + 1),
-              i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     codes[i:i+7]),
-                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
-          FROM codes),
-        sel AS (SELECT doc_id, unnest(list_distinct(
-            list_transform(range(1, len(hs) - 3 + 1),
-              j -> list_min(hs[j:j+3])))) AS fp
-          FROM hs)
+      Some(s"""WITH $winnowCte
         SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
         ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 100""")),
+
+    // CROSS-DOC DUPLICATED-SPAN MASS — the ExactSubstr-dedup ESTIMATE
+    // from the same winnowing fingerprints: for each doc, the fraction
+    // of its (distinct) fingerprints that also occur in some OTHER doc
+    // upper-bounds how much of its text is ≥11-char spans copied across
+    // the corpus — the per-document "how much of me is boilerplate"
+    // score that span-level dedup pipelines cut on. Shared-fp set =
+    // fingerprints with ≥2 distinct docs (one map-side-combinable agg
+    // over the SAME winnowFps frame q_winnowing reads — the two cannot
+    // drift); per-doc mass is a left-semi-style flag sum; dup_bp by
+    // truncating integer division (class A, no float). Top-30 under the
+    // (dup_bp desc, doc_id) total order.
+    QDef("q_dupspan_mass",
+      (s, d) => {
+        val fps = winnowFps(s, d).localCheckpoint(true)
+        val shared = fps.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("fp"))
+        fps.join(shared.withColumn("hit", lit(1L)), Seq("fp"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fp"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+          .filter(col("n_fp") >= 5)
+          .select(col("doc_id"), col("n_fp"), col("n_shared"),
+            expr("n_shared * 10000 div n_fp").as("dup_bp"))
+          .orderBy(col("dup_bp").desc, col("doc_id"))
+          .limit(30)
+      },
+      Some(s"""WITH $winnowCte,
+        shared AS (SELECT fp FROM sel GROUP BY fp
+          HAVING count(DISTINCT doc_id) >= 2)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+          CAST(sum(CASE WHEN shared.fp IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_shared,
+          CAST(sum(CASE WHEN shared.fp IS NULL THEN 0 ELSE 1 END) * 10000
+            // count(*) AS BIGINT) AS dup_bp
+        FROM sel LEFT JOIN shared ON sel.fp = shared.fp
+        GROUP BY doc_id HAVING count(*) >= 5
+        ORDER BY dup_bp DESC, doc_id LIMIT 30""")),
 
     // Symmetric int8 embedding quantization (the serving-side compression
     // every vector store applies): per-vector scale = max|x|/127, each
@@ -959,6 +1014,126 @@ object Curation {
             AS extra,
           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
             AS alloc
-        FROM ranked ORDER BY lang"""))
+        FROM ranked ORDER BY lang""")),
+
+    // ZIPF-LAW fit — the corpus-statistics health check every tokenizer/
+    // sampling decision leans on: least-squares slope of ln(freq) vs
+    // ln(rank) over the top-1000 tokens (natural text ⇒ slope ≈ −1; a
+    // flat slope flags boilerplate/spam corpora). Determinism is the
+    // q_dsir_weights scaled-integer mechanism: each ln lands ONCE on the
+    // 1e-4 grid as a BIGINT; all five regression moments are then exact
+    // integer (DECIMAL(38,0)/HUGEINT for the cross products — n·Σxy
+    // overflows int64 at these magnitudes), and slope/R² come out by
+    // truncating division (identical toward-zero in both engines, incl.
+    // the negative slope). Scale: the token count is one map-side-
+    // combinable hash-agg; top-1000 is a distributed TakeOrdered; the
+    // rank window and moment agg only ever see the 1000-row frame.
+    QDef("q_zipf_slope",
+      (s, d) => {
+        val top = documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(1000)
+        val graded = top
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+          .select(
+            expr("CAST(round(ln(rank) * 10000) AS BIGINT)").as("x"),
+            expr("CAST(round(ln(cnt) * 10000) AS BIGINT)").as("y"))
+        graded.agg(
+            count(lit(1)).as("n_toks"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+          .select(col("n_toks"),
+            expr("""(n_toks * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+                div (n_toks * sxx - CAST(sx AS DECIMAL(38,0)) * sx)""")
+              .as("slope_e6"),
+            expr("""(n_toks * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                * (n_toks * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 10000
+                div ((n_toks * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                  * (n_toks * syy - CAST(sy AS DECIMAL(38,0)) * sy))""")
+              .as("r2_bp"))
+      },
+      Some(s"""WITH top AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest($tokensSql) AS tok FROM documents)
+          GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1000),
+        graded AS (SELECT
+            CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+              AS DOUBLE)) * 10000) AS BIGINT) AS x,
+            CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT) AS y
+          FROM top),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_toks,
+            CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM graded)
+        SELECT n_toks,
+          CAST((n_toks * sxy - sx * sy) * 1000000
+            // (n_toks * sxx - sx * sx) AS BIGINT) AS slope_e6,
+          CAST((n_toks * sxy - sx * sy) * (n_toks * sxy - sx * sy) * 10000
+            // ((n_toks * sxx - sx * sx) * (n_toks * syy - sy * sy))
+            AS BIGINT) AS r2_bp
+        FROM m""")),
+
+    // HEAPS-LAW vocabulary growth — how fast the corpus's distinct-token
+    // vocabulary grows as documents stream in, the curve that sizes
+    // tokenizer vocab and predicts OOV rates at 100 TB: docs are cut
+    // into 10 deciles by doc_id (bucket = min(id·10 div (max_id+1), 9)
+    // against a broadcast scalar — no global sort), each token's decile
+    // of FIRST occurrence is a min-agg, and the per-decile new-type /
+    // token-instance counts cumulate over the 10-row frame. The
+    // type-token ratio in basis points is the Heaps exponent's discrete
+    // trace. All-integer (class A); the only windows run on the 10-row
+    // decile frame.
+    QDef("q_vocab_growth",
+      (s, d) => {
+        val docs = documents(s, d)
+        val mx = docs.agg(max(col("doc_id")).as("max_id"))
+        val tk = docs.crossJoin(broadcast(mx))
+          .select(expr("least(doc_id * 10 div (max_id + 1), 9)")
+            .cast("long").as("decile"),
+            explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint(true) // feeds both the first-seen and volume aggs
+        val firstSeen = tk.groupBy(col("tok"))
+          .agg(min(col("decile")).as("first_d"))
+          .groupBy(col("first_d")).agg(count(lit(1)).as("new_types"))
+        val volume = tk.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_inst"))
+        val w = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        volume.join(firstSeen, col("decile") === col("first_d"), "left")
+          .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+          .select(col("decile"), col("n_inst"), col("new_types"))
+          .withColumn("inst_cum", sum(col("n_inst")).over(w))
+          .withColumn("vocab_cum", sum(col("new_types")).over(w))
+          .withColumn("ttr_bp",
+            expr("vocab_cum * 10000 div inst_cum"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        tk AS (SELECT least(doc_id * 10 // (max_id + 1), 9) AS decile,
+            unnest($tokensSql) AS tok
+          FROM documents CROSS JOIN mx),
+        fs AS (SELECT first_d, CAST(count(*) AS BIGINT) AS new_types
+          FROM (SELECT tok, min(decile) AS first_d FROM tk GROUP BY tok)
+          GROUP BY first_d),
+        vol AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_inst
+          FROM tk GROUP BY decile),
+        j AS (SELECT v.decile, v.n_inst,
+            COALESCE(f.new_types, 0) AS new_types
+          FROM vol v LEFT JOIN fs f ON v.decile = f.first_d)
+        SELECT decile, n_inst, new_types,
+          CAST(sum(n_inst) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS inst_cum,
+          CAST(sum(new_types) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum,
+          CAST(sum(new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 10000 // sum(n_inst) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ttr_bp
+        FROM j ORDER BY decile"""))
   )
 }

@@ -1102,6 +1102,62 @@ object EventWindows {
             AS n_bounced,
           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
             AS BIGINT) AS bounce_ppm
-        FROM sess GROUP BY 1 ORDER BY entry_type"""))
+        FROM sess GROUP BY 1 ORDER BY entry_type""")),
+
+    // SEASONAL DECOMPOSITION of the daily event volume — the classic
+    // trend / weekday-seasonal / remainder additive split, kept entirely
+    // in integers (class A, strongest) by working in 7× units: trend×7 is
+    // the centered 7-observed-day window SUM (no division), detrend7 =
+    // 7·cnt − sum7, the per-weekday seasonal index is the truncated
+    // integer mean of detrend7 (both engines truncate toward zero, incl.
+    // negatives — the CUSUM precedent), and the remainder closes the
+    // identity resid7 = detrend7 − seas7 exactly. Day index and weekday
+    // are pure epoch-day arithmetic from the 2024-01-01 anchor (a
+    // Monday; dow 0 = Monday via the sign-safe ((x%7)+7)%7 ≡ pmod).
+    // Scale: the daily rollup is one map-side-combinable hash-agg; every
+    // window after it runs on the bounded ~1-year daily frame (replication
+    // adds users, not days), so the global orderBy is over ≤366 rows.
+    QDef("q_seasonal_decompose",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+        val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        val trended = daily
+          .withColumn("nw", count(lit(1)).over(w7))
+          .withColumn("sum7", sum(col("cnt")).over(w7))
+          .filter(col("nw") === 7).drop("nw")
+          .withColumn("detrend7", col("cnt") * 7 - col("sum7"))
+          .withColumn("dow", pmod(col("day"), lit(7)).cast("long"))
+          .localCheckpoint(true) // bounded daily frame; feeds seas + join
+        val seas = trended.groupBy(col("dow"))
+          .agg(sum(col("detrend7")).as("snum"), count(lit(1)).as("scnt"))
+          .select(col("dow"), expr("snum div scnt").as("seas7"))
+        trended.join(broadcast(seas), Seq("dow"))
+          .select(col("day"), col("dow"), col("cnt"), col("sum7"),
+            col("detrend7"), col("seas7"),
+            (col("detrend7") - col("seas7")).as("resid7"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+          SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS day, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+        tr AS (SELECT day, cnt, count(*) OVER w AS nw,
+            CAST(sum(cnt) OVER w AS BIGINT) AS sum7
+          FROM daily WINDOW w AS (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        det AS (SELECT day, ((day % 7) + 7) % 7 AS dow, cnt, sum7,
+            cnt * 7 - sum7 AS detrend7
+          FROM tr WHERE nw = 7),
+        seas AS (SELECT dow,
+            CAST(CAST(sum(detrend7) AS BIGINT) // count(*) AS BIGINT)
+              AS seas7
+          FROM det GROUP BY dow)
+        SELECT day, d.dow, cnt, sum7, detrend7, seas7,
+          detrend7 - seas7 AS resid7
+        FROM det d JOIN seas s ON d.dow = s.dow
+        ORDER BY day"""))
   )
 }

@@ -466,6 +466,153 @@ object Relational {
                  ELSE 'unchanged' END AS status,
             coalesce(rev2, 0) - coalesce(rev1, 0) AS delta
           FROM s1 FULL JOIN s2 ON s1.o_custkey = s2.o_custkey)
-        GROUP BY 1 ORDER BY status"""))
+        GROUP BY 1 ORDER BY status""")),
+
+    // MARKET-BASKET association rules — the co-occurrence/lift analysis
+    // behind "frequently bought together": part pairs co-occurring in an
+    // order, support ≥ 2 orders, confidence and lift kept exact-rational
+    // by basis-point truncating division (lift > 10000 ⇔ positive
+    // association; class A, no float). Scale: the pair enumeration is a
+    // SELF-JOIN ON THE ORDER KEY — one co-partitioned shuffle, per-order
+    // fan-out bounded by the basket size squared (≤ 13² lines in TPC-H
+    // shape, invariant in SF), never a part×part cross; per-part counts
+    // are map-side combinable; the final top-25 is a distributed
+    // TakeOrdered, not a global sort.
+    QDef("q_basket_lift",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint(true) // feeds pair join + item counts + total
+        val nOrders = li.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val itemCnt = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val sup = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p_a"),
+            col("b.l_partkey").as("p_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        sup
+          .join(itemCnt.select(col("l_partkey").as("p_a"),
+            col("cnt").as("cnt_a")), Seq("p_a"))
+          .join(itemCnt.select(col("l_partkey").as("p_b"),
+            col("cnt").as("cnt_b")), Seq("p_b"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("p_a"), col("p_b"), col("support"),
+            col("cnt_a"), col("cnt_b"),
+            expr("support * 10000 div cnt_a").as("conf_bp"),
+            expr("support * n_orders * 10000 div (cnt_a * cnt_b)")
+              .as("lift_bp"))
+          .orderBy(col("lift_bp").desc, col("p_a"), col("p_b"))
+          .limit(25)
+      },
+      Some("""WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+          FROM li GROUP BY l_partkey),
+        sup AS (SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+            CAST(count(*) AS BIGINT) AS support
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p_a, p_b, support, ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+          CAST(support * 10000 // ia.cnt AS BIGINT) AS conf_bp,
+          CAST(support * n_orders * 10000 // (ia.cnt * ib.cnt) AS BIGINT)
+            AS lift_bp
+        FROM sup JOIN ic ia ON sup.p_a = ia.l_partkey
+        JOIN ic ib ON sup.p_b = ib.l_partkey
+        CROSS JOIN n
+        ORDER BY lift_bp DESC, p_a, p_b LIMIT 25""")),
+
+    // ADAMIC–ADAR link prediction over the co-purchase graph — the
+    // "customers who bought X also bought Y" recommender primitive: for
+    // part pairs NOT yet co-purchased but sharing co-purchase neighbors,
+    // Σ_z 1/ln(deg z) weights rare shared neighbors above promiscuous
+    // hubs (Adamic & Adar 2003). (The shingle dup graph is the wrong
+    // substrate here — at every threshold it decomposes into closed
+    // cliques with zero open wedges; the basket graph is where missing
+    // links mean something.) Determinism is the q_dsir_weights
+    // scaled-integer mechanism: ln(deg) lands ONCE on the 1e-4 grid as
+    // BIGINT (deg ≥ 2 for any common neighbor ⇒ grid value ≥ 6931,
+    // never zero), each term is the truncating div 10⁸ div lnr_e4, and
+    // the per-pair sum is exact BIGINT (class C scaled-integer + A).
+    // Scale: edges come from the q_basket_lift order-key self-join; the
+    // wedge join enumerates per-z neighbor pairs with a declared
+    // deg ≤ 64 hub cap, so fan-out is ≤ 64² per neighbor list, NOT
+    // Σ deg(z)² over unbounded hubs; the anti-join removes known edges;
+    // top-50 is a distributed TakeOrdered. Ties inside the top-50 are
+    // broken by the (aa_e4 desc, id_a, id_b) total order.
+    QDef("q_link_adamic_adar",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("id_a"),
+            col("b.l_partkey").as("id_b"))
+          .agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true) // feeds und twice + the anti-join
+        val und = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+          .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+        // deg = 1 nodes can never be a common neighbor (z adjacent to
+        // both a and b has deg ≥ 2), so dropping them BEFORE the term
+        // division is lossless — and keeps ln(1) = 0 out of the divisor.
+        // The deg ≤ 64 HUB CAP is declared semantics (the tfidf df-cap
+        // precedent): a hub's 1/ln(deg) term is the smallest signal in
+        // the score but its deg² wedge fan-out is the whole cost — the
+        // measured 10× corpus spilled 39 GB through hubs before the cap,
+        // while at the declared corpus max deg is 13, so the cap never
+        // binds (spec-asserted). Applying it BEFORE the wedge join
+        // bounds enumeration at 64² per neighbor, not Σ deg².
+        val degScored = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2 && col("deg") <= 64)
+          .select(col("u").as("z"),
+            expr("100000000 div CAST(round(ln(deg) * 10000) AS BIGINT)")
+              .as("term_e4"))
+          .localCheckpoint(true) // gates the wedge join AND scores terms
+        val nb = und.select(col("v").as("z"), col("u").as("n"))
+          .join(degScored.select(col("z")), Seq("z"), "left_semi")
+        val wedges = nb.select(col("z"), col("n").as("a"))
+          .join(nb.select(col("z"), col("n").as("b")), Seq("z"))
+          .filter(col("a") < col("b"))
+        wedges
+          .join(edges.select(col("id_a").as("ea"), col("id_b").as("eb")),
+            col("a") === col("ea") && col("b") === col("eb"), "left_anti")
+          .join(degScored, Seq("z"))
+          .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+          .agg(count(lit(1)).as("common"), sum(col("term_e4")).as("aa_e4"))
+          .orderBy(col("aa_e4").desc, col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      Some("""WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT id_a AS u, id_b AS v FROM e
+          UNION ALL SELECT id_b, id_a FROM e),
+        deg AS (SELECT u AS z,
+            CAST(100000000 // CAST(round(ln(count(*)) * 10000) AS BIGINT)
+              AS BIGINT) AS term_e4
+          FROM und GROUP BY u HAVING count(*) BETWEEN 2 AND 64),
+        nb AS (SELECT v AS z, u AS n FROM und
+          WHERE v IN (SELECT z FROM deg)),
+        wedges AS (SELECT x.z, x.n AS a, y.n AS b
+          FROM nb x JOIN nb y ON x.z = y.z WHERE x.n < y.n),
+        nonadj AS (SELECT a, b, z FROM wedges w
+          WHERE NOT EXISTS (SELECT 1 FROM e
+            WHERE e.id_a = w.a AND e.id_b = w.b))
+        SELECT a AS id_a, b AS id_b, CAST(count(*) AS BIGINT) AS common,
+          CAST(sum(term_e4) AS BIGINT) AS aa_e4
+        FROM nonadj JOIN deg USING (z)
+        GROUP BY a, b
+        ORDER BY aa_e4 DESC, id_a, id_b LIMIT 50"""))
   )
 }

@@ -404,4 +404,109 @@ class QueriesSpec extends AnyFunSuite {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("wave-r10c invariants: ks matrix, zipf fit, heaps conservation, " +
+    "basket lift identity, seasonal closure, adamic-adar bounds, dupspan") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    val docs = graft.tables.Tables.documents(spark, sf)
+
+    // KS drift: matrix-complete over source pairs; the statistic is a
+    // basis-point fraction; the cross-multiplied numerator never exceeds
+    // its denominator
+    val nSrc = docs.select(col("source")).distinct().count()
+    val ks = run("q_ks_drift").cache()
+    assert(ks.count() == nSrc * (nSrc - 1) / 2, "one row per source pair")
+    assert(ks.filter(col("ks_bp") < 0 || col("ks_bp") > 10000).count() == 0)
+    assert(ks.filter(col("d_num") > col("n_a") * col("n_b")).count() == 0)
+    // imperative replay of one pair's exact KS numerator
+    val r0 = ks.orderBy(col("source_a"), col("source_b")).head()
+    val (sa, sb) = (r0.getString(0), r0.getString(1))
+    val lens = docs.filter(col("source").isin(sa, sb))
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (la, lb) = (lens.filter(_._1 == sa).map(_._2).sorted,
+      lens.filter(_._1 == sb).map(_._2).sorted)
+    val dExp = (la ++ lb).distinct.sorted.map { v =>
+      math.abs(la.count(_ <= v).toLong * lb.length -
+        lb.count(_ <= v).toLong * la.length)
+    }.max
+    assert(r0.getAs[Long]("d_num") == dExp, "KS numerator replay")
+
+    // Zipf: natural-ish text has a negative slope; R² is a valid bp
+    val zipf = run("q_zipf_slope").head()
+    assert(zipf.getAs[Long]("slope_e6") < 0, "zipf slope must be negative")
+    val r2 = zipf.getAs[Long]("r2_bp")
+    assert(r2 >= 0 && r2 <= 10000)
+
+    // Heaps: cumulative columns are conserved — the last decile's
+    // inst_cum/vocab_cum equal the corpus totals, and both are monotone
+    val vg = run("q_vocab_growth").cache()
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val last = vg.orderBy(col("decile").desc).head()
+    assert(last.getAs[Long]("inst_cum") == toks.count())
+    assert(last.getAs[Long]("vocab_cum") ==
+      toks.select(col("t")).distinct().count())
+    val decs = vg.orderBy(col("decile")).collect()
+    assert(decs.sliding(2).forall(p => p.length < 2 ||
+      (p(0).getAs[Long]("inst_cum") <= p(1).getAs[Long]("inst_cum") &&
+        p(0).getAs[Long]("vocab_cum") <= p(1).getAs[Long]("vocab_cum"))))
+
+    // Basket lift: support bounded by both item counts, confidence is a
+    // valid bp, and the lift identity replays exactly on the head row
+    val bl = run("q_basket_lift").cache()
+    assert(bl.filter(col("support") > least(col("cnt_a"), col("cnt_b")))
+      .count() == 0)
+    assert(bl.filter(col("conf_bp") > 10000).count() == 0)
+    bl.collect().headOption.foreach { r =>
+      val li = graft.tables.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_partkey")).distinct().cache()
+      val n = li.select(col("l_orderkey")).distinct().count()
+      val lift = r.getAs[Long]("support") * n * 10000L /
+        (r.getAs[Long]("cnt_a") * r.getAs[Long]("cnt_b"))
+      assert(r.getAs[Long]("lift_bp") == lift, "lift identity replay")
+    }
+
+    // Seasonal: the 7x-unit algebra closes row-by-row, and the per-dow
+    // residual sum is the truncation remainder — strictly inside ±count
+    val sd = run("q_seasonal_decompose").cache()
+    assert(sd.filter(col("detrend7") =!= col("cnt") * 7 - col("sum7"))
+      .count() == 0)
+    assert(sd.filter(col("resid7") =!= col("detrend7") - col("seas7"))
+      .count() == 0)
+    val badDow = sd.groupBy(col("dow"))
+      .agg(sum(col("resid7")).as("rsum"), count(lit(1)).as("n"))
+      .filter(abs(col("rsum")) >= col("n")).count()
+    assert(badDow == 0, "per-dow truncation remainder must be < count")
+
+    // Adamic-Adar: predictions are non-edges with >= 1 common neighbor;
+    // each term is at most 1e8 div round(ln(2)*1e4) = 14427 (deg >= 2)
+    val aa = run("q_link_adamic_adar").cache()
+    assert(aa.filter(col("common") < 1).count() == 0)
+    assert(aa.filter(col("aa_e4") > col("common") * 14427L).count() == 0)
+    assert(aa.filter(col("aa_e4") <= 0).count() == 0)
+    // the declared deg <= 64 hub cap must NOT bind on the real corpus
+    // (it exists to bound the wedge fan-out on dup-replicated data)
+    val liAA = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val eAA = liAA.as("x").join(liAA.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("ia"), col("y.l_partkey").as("ib"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+    val maxDeg = eAA.select(col("ia").as("u"))
+      .union(eAA.select(col("ib").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg"))).head().getLong(0)
+    assert(maxDeg <= 64, s"hub cap binds at sf0.001 (max deg $maxDeg)")
+
+    // Dupspan: shared mass is a sub-fraction of the doc's fingerprints
+    val dsm = run("q_dupspan_mass").cache()
+    assert(dsm.filter(col("n_shared") > col("n_fp")).count() == 0)
+    assert(dsm.filter(col("dup_bp") < 0 || col("dup_bp") > 10000)
+      .count() == 0)
+    assert(dsm.filter(col("n_fp") < 5).count() == 0)
+  }
 }
