@@ -247,7 +247,17 @@ object ScaleProof {
       // squared per order); seasonal windows run on the ~1-year daily
       // frame; dupspan shares the winnowing fingerprint scan
       "q_ks_drift", "q_zipf_slope", "q_vocab_growth", "q_basket_lift",
-      "q_link_adamic_adar", "q_seasonal_decompose", "q_dupspan_mass")
+      "q_link_adamic_adar", "q_seasonal_decompose", "q_dupspan_mass",
+      // round-10 wave-4: the minhash signature agg carries O(16) state
+      // per source with elementwise-min merge (the zero-error mergeable
+      // sketch); the pair stage runs on the 320-row signature frame;
+      // pmi/gini are token hash-aggs + bounded-frame windows (gini's
+      // histogram identity needs no global sort at any corpus size)
+      "q_minhash_sig", "q_minhash_sig_pairs", "q_pmi_collocations",
+      "q_gini_vocab",
+      // the cumulative-distinct series unions <=366 daily sketches —
+      // state bounded by the calendar, never the 10x user fan
+      "q_hll_cum_users")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

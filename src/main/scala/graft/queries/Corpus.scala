@@ -693,6 +693,61 @@ object Corpus {
             WHERE event_type IN ('click', 'purchase')) AS exact_union,
           CAST(1 AS BIGINT) AS within_band""")),
 
+    // CUMULATIVE-DISTINCT TIME SERIES from merged HLL sketches — the
+    // "how many unique users have we EVER seen, by day" dashboard
+    // query, answered without ever rescanning history: one sketch per
+    // day, cumulative estimates by UNIONING the ≤366 daily sketches
+    // (the mergeable-over-time thesis: state is |days|·sketch-size
+    // regardless of corpus). The exact side runs the first-seen-week
+    // trick (min-agg per user + cumulative count) as the audit. Per the
+    // q_sketch_hll_merge class-D precedent the estimate leaves the
+    // output only as the ±5%-of-exact cross-multiplied integer band
+    // flag (lgK-12 RSE ≈ 1.6%, ≥3× margin, re-measured in-spec); the
+    // compared values are exact integers. The triangular sketch join is
+    // |days|²/2 rows of sketch merges — bounded by the calendar, never
+    // the corpus.
+    QDef("q_hll_cum_users",
+      (s, d) => {
+        val e = events(s, d)
+          .select(col("user_id"),
+            datediff(to_date(col("ts")),
+              lit("2024-01-01").cast("date")).cast("long").as("day"))
+        val wk = e.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .localCheckpoint(true) // feeds both sides of the triangular join
+        val est = wk.as("a").join(wk.as("b"),
+            col("b.day") <= col("a.day"))
+          .groupBy(col("a.day").as("day"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("est_cum"))
+        val newPerDay = e.groupBy(col("user_id"))
+          .agg(min(col("day")).as("fd"))
+          .groupBy(col("fd")).agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wk.select(col("day"))
+          .join(newPerDay, col("day") === col("fd"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("exact_cum", sum(col("n_new")).over(w))
+          .join(est, Seq("day"))
+          .select(col("day"), col("n_new"), col("exact_cum"),
+            (abs(col("est_cum") - col("exact_cum")) * 20 <= col("exact_cum"))
+              .cast("long").as("within_band"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+          FROM events),
+        wk AS (SELECT DISTINCT day FROM e),
+        fst AS (SELECT user_id, min(day) AS fd FROM e GROUP BY user_id),
+        npw AS (SELECT fd, CAST(count(*) AS BIGINT) AS n_new
+          FROM fst GROUP BY fd)
+        SELECT wk.day, COALESCE(npw.n_new, 0) AS n_new,
+          CAST(sum(COALESCE(npw.n_new, 0)) OVER (ORDER BY wk.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum,
+          CAST(1 AS BIGINT) AS within_band
+        FROM wk LEFT JOIN npw ON wk.day = npw.fd
+        ORDER BY day""")),
+
     // Two-sample KOLMOGOROV–SMIRNOV drift matrix — the distribution-shift
     // test beside the KL/chi² family: for every source pair, D = max_v
     // |ECDF_a(v) − ECDF_b(v)| over the doc-length distribution, kept

@@ -1134,6 +1134,127 @@ object Curation {
           CAST(sum(new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
             * 10000 // sum(n_inst) OVER (ORDER BY decile
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ttr_bp
-        FROM j ORDER BY decile"""))
+        FROM j ORDER BY decile""")),
+
+    // PMI COLLOCATIONS — top bigrams by pointwise mutual information,
+    // the collocation extractor every phrase-vocabulary / tokenizer-
+    // merge pipeline runs: PMI = ln(p(x,y) / (p(x)·p(y))) with
+    // p(x,y) = c_xy/Nb, p(x) = c_x/N. Determinism is the
+    // q_token_df_idf class-C argument: ≤30 output rows, ONE ln each
+    // over identical exact-integer ratios — both engines CAST the same
+    // integers to DOUBLE, run the same IEEE multiply/divide chain, take
+    // one ln, and round 6; the ordering key is the already-rounded
+    // value with a (x, y) tiebreak. Scale: bigram and unigram counts
+    // are map-side-combinable hash-aggs; the c_xy ≥ 5 floor prunes the
+    // join fan-in; top-30 is a distributed TakeOrdered.
+    QDef("q_pmi_collocations",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val bigAll = toks.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+                 i -> struct(element_at(toks, i) AS x,
+                             element_at(toks, i + 1) AS y))"""))
+            .as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+          .localCheckpoint(true) // feeds the total AND the floored frame
+        val big = bigAll.filter(col("c_xy") >= 5)
+        val uni = toks
+          .select(explode(col("toks")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // joined twice (x side and y side)
+        val nTok = uni.agg(sum(col("c")).as("n_uni"))
+        // p(x,y) normalizes over ALL bigram instances, not just the
+        // support-floored survivors
+        val nBig = bigAll.agg(sum(col("c_xy")).as("n_big"))
+        big
+          .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"))
+          .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"))
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+          .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+            round(log(
+              col("c_xy").cast("double") * col("n_uni").cast("double")
+                * col("n_uni").cast("double")
+                / (col("n_big").cast("double") * col("c_x").cast("double")
+                  * col("c_y").cast("double"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("x"), col("y"))
+          .limit(30)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks
+            FROM documents),
+        big_all AS (SELECT b['x'] AS x, b['y'] AS y, count(*) AS c_xy
+          FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+              i -> struct_pack(x := toks[i], y := toks[i + 1]))) AS b
+            FROM toks WHERE len(toks) >= 2)
+          GROUP BY 1, 2),
+        big AS (SELECT * FROM big_all WHERE c_xy >= 5),
+        uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(toks) AS t FROM toks) GROUP BY t),
+        nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+        nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM big_all)
+        SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
+          round(ln(CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE)
+              * CAST(n_uni AS DOUBLE)
+              / (CAST(n_big AS DOUBLE) * CAST(ux.c AS DOUBLE)
+                * CAST(uy.c AS DOUBLE))), 6) AS pmi
+        FROM big JOIN uni ux ON big.x = ux.t
+        JOIN uni uy ON big.y = uy.t
+        CROSS JOIN nt CROSS JOIN nb
+        ORDER BY pmi DESC, x, y LIMIT 30""")),
+
+    // GINI CONCENTRATION of the token-frequency distribution — the
+    // inequality scalar beside the Zipf slope (G → 1 = a few tokens
+    // dominate; natural corpora sit ~0.8-0.95, boilerplate pushes
+    // higher). NO GLOBAL SORT: Σ rank·c needs ranks under the (c, tok)
+    // ascending order, but within a count-group the SUM of ranks is
+    // fixed regardless of tok order — so the engine aggregates the
+    // count HISTOGRAM (count value → m tokens), windows over that
+    // bounded frame (distinct count values ≪ vocab ≪ corpus), and
+    // closes the exact identity Σ rank·c = Σ_v c·(m·start + m(m+1)/2).
+    // All moments in DECIMAL(38,0)/HUGEINT, G in 1e-6 units by
+    // truncating division (class A — no float anywhere).
+    QDef("q_gini_vocab",
+      (s, d) => {
+        val cnts = documents(s, d)
+          .select(explode(tokens(col("text"))).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val hist = cnts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+        val w = Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("cum_m", sum(col("m")).over(w))
+          .select(col("c"), col("m"), (col("cum_m") - col("m")).as("start"))
+          .agg(
+            sum(col("m")).as("n_types"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * m")).as("total_tokens"),
+            sum(expr("""CAST(c AS DECIMAL(38,0)) *
+              (m * start + m * (m + 1) div 2)""")).as("s_rank_c"))
+          .select(col("n_types"),
+            col("total_tokens").cast("long").as("total_tokens"),
+            expr("""CAST((2 * s_rank_c - (n_types + 1) * total_tokens)
+              * 1000000 div (CAST(n_types AS DECIMAL(38,0)) * total_tokens)
+              AS BIGINT)""").as("gini_e6"))
+      },
+      Some(s"""WITH cnts AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest($tokensSql) AS t FROM documents) GROUP BY t),
+        hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m
+          FROM cnts GROUP BY c),
+        st AS (SELECT c, m,
+            CAST(sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - m AS start
+          FROM hist),
+        agg AS (SELECT CAST(sum(m) AS BIGINT) AS n_types,
+            CAST(sum(CAST(c AS HUGEINT) * m) AS HUGEINT) AS total_tokens,
+            CAST(sum(CAST(c AS HUGEINT) *
+              (m * start + m * (m + 1) // 2)) AS HUGEINT) AS s_rank_c
+          FROM st)
+        SELECT n_types, CAST(total_tokens AS BIGINT) AS total_tokens,
+          CAST((2 * s_rank_c - (n_types + 1) * total_tokens) * 1000000
+            // (CAST(n_types AS HUGEINT) * total_tokens) AS BIGINT)
+            AS gini_e6
+        FROM agg"""))
   )
 }

@@ -1345,6 +1345,130 @@ object Llm {
           LEFT JOIN ov i ON i.source_a = sa.source AND i.source_b = sb.source
           ORDER BY source_a, source_b""")),
 
+    // MERGEABLE MINHASH SIGNATURE — the third custom
+    // TypedImperativeAggregate (beside t-digest and Misra–Gries), and
+    // the only one whose raw output the oracle reproduces EXACTLY:
+    // elementwise min is order-free, so the 16-permutation signature is
+    // a pure function of each source's token SET (class A — no band
+    // flags). The oracle replays every permutation in SQL over the
+    // identical md5-Horner base hash and fixed public (a_i, b_i)
+    // constants; a single differing long anywhere fails the hash gate.
+    // Scale: O(16) state per group, partials merge by min — per-segment
+    // signatures roll up without rescanning (the t-digest-rollup
+    // argument with zero estimation error in the compare).
+    QDef("q_minhash_sig",
+      (s, d) => {
+        import graft.functions.MinHashSigAgg.minhash_sig
+        documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("source"))
+          .agg(minhash_sig(col("tok")).as("sig"))
+          .select(col("source"), posexplode(col("sig")))
+          .select(col("source"), col("pos").cast("long").as("perm"),
+            col("col").as("sigval"))
+          .orderBy(col("source"), col("perm"))
+      },
+      Some(s"""WITH toks AS (SELECT DISTINCT source,
+            CAST(${md5NibbleHorner(1)} AS BIGINT) % 2147483647 AS h0
+          FROM (SELECT source, unnest($tokensSql) AS tok FROM documents)),
+        perms AS (SELECT CAST(i AS BIGINT) AS i,
+            ((2 * CAST(i AS BIGINT) + 3) * 40503) % 2147483647 AS a,
+            ((CAST(i AS BIGINT) + 1) * 2654435761) % 2147483647 AS b
+          FROM range(16) t(i))
+        SELECT source, i AS perm,
+          CAST(min((a * h0 + b) % 2147483647) AS BIGINT) AS sigval
+        FROM toks CROSS JOIN perms
+        GROUP BY source, i ORDER BY source, perm""")),
+
+    // MinHash signature AGREEMENT vs exact Jaccard — the signature's
+    // use case: estimate every source pair's token-set Jaccard from the
+    // 16-long signatures alone (matches·625 bp) and put the EXACT
+    // distinct-token Jaccard beside it with the absolute error, all in
+    // integers (the err distribution is the estimator's measured
+    // quality; RSE = 1/√16 = 0.25, spec re-measures the mean error
+    // floor each round). Scale: signatures make the pair stage O(|src|²
+    // ·16) on a 320-row frame — the exact side exists only as the
+    // audit; a production run ships signatures alone.
+    QDef("q_minhash_sig_pairs",
+      (s, d) => {
+        import graft.functions.MinHashSigAgg.minhash_sig
+        val sigv = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("source"))
+          .agg(minhash_sig(col("tok")).as("sig"))
+          .select(col("source"), posexplode(col("sig")))
+          .select(col("source"), col("pos").as("perm"),
+            col("col").as("sigval"))
+          .localCheckpoint(true) // 16·|sources| rows; feeds both sides
+        val matches = sigv.select(col("source").as("source_a"),
+            col("perm"), col("sigval").as("va"))
+          .join(sigv.select(col("source").as("source_b"), col("perm"),
+            col("sigval").as("vb")), Seq("perm"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(sum((col("va") === col("vb")).cast("long")).as("matches"))
+        val st = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .distinct()
+          .localCheckpoint(true)
+        val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val inter = st.as("a").join(st.as("b"),
+            col("a.tok") === col("b.tok") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("inter"))
+        matches
+          .join(sizes.select(col("source").as("source_a"),
+            col("sz").as("n_a")), Seq("source_a"))
+          .join(sizes.select(col("source").as("source_b"),
+            col("sz").as("n_b")), Seq("source_b"))
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .select(col("source_a"), col("source_b"), col("matches"),
+            (col("matches") * 625).as("est_bp"),
+            expr("inter * 10000 div (n_a + n_b - inter)").as("exact_bp"))
+          .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH toks AS (SELECT DISTINCT source, tok
+          FROM (SELECT source, unnest($tokensSql) AS tok FROM documents)),
+        h AS (SELECT DISTINCT source,
+            CAST(${md5NibbleHorner(1)} AS BIGINT) % 2147483647 AS h0
+          FROM toks),
+        perms AS (SELECT CAST(i AS BIGINT) AS i,
+            ((2 * CAST(i AS BIGINT) + 3) * 40503) % 2147483647 AS a,
+            ((CAST(i AS BIGINT) + 1) * 2654435761) % 2147483647 AS b
+          FROM range(16) t(i)),
+        sig AS (SELECT source, i AS perm,
+            min((a * h0 + b) % 2147483647) AS sigval
+          FROM h CROSS JOIN perms GROUP BY source, i),
+        m AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(sum(CASE WHEN a.sigval = b.sigval THEN 1 ELSE 0 END)
+              AS BIGINT) AS matches
+          FROM sig a JOIN sig b ON a.perm = b.perm
+            AND a.source < b.source
+          GROUP BY 1, 2),
+        sizes AS (SELECT source, count(*) AS sz FROM toks GROUP BY source),
+        iv AS (SELECT a.source AS source_a, b.source AS source_b,
+            count(*) AS inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT m.source_a, m.source_b, matches,
+          CAST(matches * 625 AS BIGINT) AS est_bp,
+          CAST(COALESCE(iv.inter, 0) * 10000
+            // (sa.sz + sb.sz - COALESCE(iv.inter, 0)) AS BIGINT)
+            AS exact_bp,
+          CAST(abs(matches * 625 - COALESCE(iv.inter, 0) * 10000
+            // (sa.sz + sb.sz - COALESCE(iv.inter, 0))) AS BIGINT)
+            AS err_bp
+        FROM m
+        JOIN sizes sa ON m.source_a = sa.source
+        JOIN sizes sb ON m.source_b = sb.source
+        LEFT JOIN iv ON iv.source_a = m.source_a
+          AND iv.source_b = m.source_b
+        ORDER BY m.source_a, m.source_b""")),
+
     // RECIPROCAL-RANK-FUSION hybrid retrieval — the lexical+semantic
     // fusion every RAG/retrieval stack runs: rank the corpus against a
     // probe document by (a) distinct-token overlap with the probe's

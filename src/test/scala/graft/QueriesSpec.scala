@@ -509,4 +509,78 @@ class QueriesSpec extends AnyFunSuite {
       .count() == 0)
     assert(dsm.filter(col("n_fp") < 5).count() == 0)
   }
+
+  test("wave-r10d invariants: pmi replay, gini full-sort replay, hll band margin") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // PMI: support floor holds, a bigram can't outnumber its parts, and
+    // the head row's score replays in plain Scala (JVM Math.log over the
+    // identical IEEE product chain)
+    val pmi = run("q_pmi_collocations").cache()
+    assert(pmi.count() > 0)
+    assert(pmi.filter(col("c_xy") < 5).count() == 0)
+    assert(pmi.filter(col("c_xy") > least(col("c_x"), col("c_y")))
+      .count() == 0)
+    val toks = graft.tables.Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("ts"))
+      .collect().map(_.getSeq[String](0).filter(_.nonEmpty))
+    val nUni = toks.map(_.length.toLong).sum
+    val bigCounts = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nBig = bigCounts.values.sum
+    val uniCounts = toks.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val h = pmi.head()
+    val expPmi = BigDecimal(math.log(
+      h.getAs[Long]("c_xy").toDouble * nUni.toDouble * nUni.toDouble /
+        (nBig.toDouble * uniCounts(h.getAs[String]("x")).toDouble *
+          uniCounts(h.getAs[String]("y")).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h.getAs[Double]("pmi") == expPmi, "head-row PMI replay")
+
+    // Gini: the histogram identity must equal the naive full-sort Gini
+    val g = run("q_gini_vocab").head()
+    val counts = toks.flatten.groupBy(identity).values
+      .map(_.length.toLong).toArray.sorted
+    val n = counts.length.toLong
+    val tot = counts.sum
+    val sRankC = counts.zipWithIndex
+      .map { case (c, i) => BigInt(c) * (i + 1L) }.sum
+    val expG = ((2 * sRankC - BigInt(n + 1) * tot) * 1000000 /
+      (BigInt(n) * tot)).toLong
+    assert(g.getAs[Long]("n_types") == n)
+    assert(g.getAs[Long]("total_tokens") == tot)
+    assert(g.getAs[Long]("gini_e6") == expG, "full-sort Gini replay")
+    assert(g.getAs[Long]("gini_e6") >= 0 &&
+      g.getAs[Long]("gini_e6") <= 1000000)
+
+    // HLL cumulative series: every day inside the ±5% band, exact_cum
+    // monotone, final row = total distinct users; re-measure the actual
+    // worst relative deviation to keep the band's >=2x margin honest
+    val hc = run("q_hll_cum_users").cache()
+    assert(hc.filter(col("within_band") =!= 1L).count() == 0)
+    val days = hc.orderBy(col("day")).collect()
+    assert(days.sliding(2).forall(p => p.length < 2 ||
+      p(0).getAs[Long]("exact_cum") <= p(1).getAs[Long]("exact_cum")))
+    val events = graft.tables.Tables.events(spark, sf)
+    assert(days.last.getAs[Long]("exact_cum") ==
+      events.select(col("user_id")).distinct().count())
+    val sk = events.select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = sk.as("a").join(sk.as("b"), col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("est"))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("est"))
+      .toMap
+    val worstDev = days.map { r =>
+      math.abs(est(r.getAs[Long]("day")) - r.getAs[Long]("exact_cum"))
+        .toDouble / r.getAs[Long]("exact_cum")
+    }.max
+    assert(worstDev <= 0.025,
+      s"measured HLL deviation $worstDev must keep 2x margin under 5%")
+  }
 }
