@@ -257,7 +257,17 @@ object ScaleProof {
       "q_gini_vocab",
       // the cumulative-distinct series unions <=366 daily sketches —
       // state bounded by the calendar, never the 10x user fan
-      "q_hll_cum_users")
+      "q_hll_cum_users",
+      // round-10 wave-5: symspell's candidate cost is the deletion-
+      // neighborhood explode (Σ(len+1) rows, linear in the name
+      // vocabulary — replication keeps names fixed so the 10x run
+      // measures the dim-side-stable regime); dupspan-pairs rides the
+      // df-capped gram equi-join (replicated docs are exact dup cliques
+      // — the cap must absorb the hot-gram fan-out); winsorize is one
+      // histogram hash-agg + bounded-frame windows; held-out perplexity
+      // is three train-side count aggs + a broadcast-vocab probe join
+      "q_symspell_join", "q_dupspan_pairs", "q_winsorize_stats",
+      "q_heldout_perplexity")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -821,6 +821,191 @@ object Corpus {
             // (p.n_a * p.n_b) AS BIGINT) AS ks_bp
         FROM cum c JOIN pairs p USING (source_a, source_b)
         GROUP BY 1, 2, 3, 4
-        ORDER BY source_a, source_b"""))
+        ORDER BY source_a, source_b""")),
+
+    // SYMSPELL FUZZY JOIN — edit-distance ≤ 1 self-join over the customer
+    // name vocabulary via the symmetric-delete neighborhood (Garbe's
+    // SymSpell): every string emits itself plus each 1-deletion variant;
+    // two strings at edit distance ≤ 1 MUST share a variant (deletion →
+    // the shorter string is a variant of both; insertion → symmetric;
+    // substitution → deleting the edited position from both yields the
+    // same string), so the variant equi-join is candidate-COMPLETE and
+    // the levenshtein verify only prunes (shared variants can also come
+    // from distance-2 pairs, e.g. transpositions). This replaces the
+    // length-blocked brute force of q_fuzzy_name_pairs with a shape
+    // whose candidate cost is Σ(len+1) exploded rows + one equi-join on
+    // the variant key — linear in the vocabulary, never quadratic; at
+    // 10⁹ names the brute force is off the table and this is the
+    // production spell-match join. Verify is the codegen'd native
+    // `levenshtein`, no UDF. Determinism: exact string algebra + integer
+    // distance (class A). Oracle: independent brute force (length band +
+    // levenshtein), NOT the delete-neighborhood — so a completeness bug
+    // in the candidate generation fails the gate.
+    QDef("q_symspell_join",
+      (s, d) => {
+        val names = customer(s, d).select(col("c_name").as("n")).distinct()
+        val variants = names.select(col("n"), explode(array_distinct(concat(
+            array(col("n")),
+            expr("""transform(sequence(1, length(n)),
+                 i -> concat(substring(n, 1, i - 1),
+                             substring(n, i + 1, length(n))))"""))))
+          .as("v"))
+          .localCheckpoint(true) // feeds both sides of the candidate join
+        variants.select(col("n").as("name_a"), col("v"))
+          .join(variants.select(col("n").as("name_b"), col("v")), Seq("v"))
+          .filter(col("name_a") < col("name_b"))
+          .select(col("name_a"), col("name_b")).distinct()
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      Some("""WITH v AS (SELECT DISTINCT c_name AS n FROM customer)
+        SELECT a.n AS name_a, b.n AS name_b,
+          CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+        FROM v a JOIN v b ON a.n < b.n
+          AND abs(length(a.n) - length(b.n)) <= 1
+          AND levenshtein(a.n, b.n) <= 1
+        ORDER BY name_a, name_b""")),
+
+    // WINSORIZED robust statistics — the outlier-tolerant mean beside
+    // z-score/MAD: clip n_chars into [p10, p90] per lang, where the
+    // cutoffs are the EXACT type-1 quantiles (value at rank ⌈0.1n⌉ /
+    // ⌈0.9n⌉ of the sorted column — k ≥ n/10 ⇔ 10k ≥ n, so the rank
+    // test is pure integer cross-multiplication). NO per-row sort: the
+    // engine aggregates the (lang, value) count histogram, windows the
+    // cumulative count over that bounded frame (distinct values ≪ rows),
+    // reads each cutoff as the min value whose cumulative count reaches
+    // the rank, and closes the winsorized sum from the same histogram —
+    // the q_gini_vocab histogram-identity pattern. Means are truncated
+    // integer division (values positive, so Spark `div` ≡ DuckDB `//`);
+    // everything BIGINT (class A).
+    QDef("q_winsorize_stats",
+      (s, d) => {
+        val docs = documents(s, d)
+        val hist = docs.groupBy(col("lang"), col("n_chars"))
+          .agg(count(lit(1)).as("m"))
+          .localCheckpoint(true) // feeds the cutoff scan AND the clipped sum
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val cuts = hist.withColumn("cum", sum(col("m")).over(w))
+          .join(broadcast(tot), Seq("lang"))
+          .groupBy(col("lang"), col("n"))
+          .agg(
+            min(when(col("cum") * 10 >= col("n"), col("n_chars"))).as("lo"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("n_chars"))).as("hi"))
+        hist.join(broadcast(cuts), Seq("lang"))
+          .groupBy(col("lang"), col("n"), col("lo"), col("hi"))
+          .agg(
+            sum(least(greatest(col("n_chars"), col("lo")), col("hi"))
+              * col("m")).as("win_sum"),
+            sum(col("n_chars") * col("m")).as("raw_sum"))
+          .select(col("lang"), col("n"), col("lo"), col("hi"),
+            col("win_sum"),
+            expr("win_sum div n").as("win_mean"),
+            expr("raw_sum div n").as("raw_mean"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH hist AS (SELECT lang, n_chars,
+            CAST(count(*) AS BIGINT) AS m
+          FROM documents GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY lang),
+        cum AS (SELECT lang, n_chars, m,
+            CAST(sum(m) OVER (PARTITION BY lang ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM hist),
+        cuts AS (SELECT c.lang, t.n,
+            min(CASE WHEN cum * 10 >= t.n THEN n_chars END) AS lo,
+            min(CASE WHEN cum * 10 >= t.n * 9 THEN n_chars END) AS hi
+          FROM cum c JOIN tot t USING (lang) GROUP BY 1, 2)
+        SELECT h.lang, cuts.n, cuts.lo, cuts.hi,
+          CAST(sum(least(greatest(h.n_chars, lo), hi) * m) AS BIGINT)
+            AS win_sum,
+          CAST(CAST(sum(least(greatest(h.n_chars, lo), hi) * m) AS BIGINT)
+            // cuts.n AS BIGINT) AS win_mean,
+          CAST(CAST(sum(h.n_chars * m) AS BIGINT) // cuts.n AS BIGINT)
+            AS raw_mean
+        FROM hist h JOIN cuts USING (lang)
+        GROUP BY 1, 2, 3, 4 ORDER BY lang""")),
+
+    // HELD-OUT perplexity — the generalization twin of
+    // q_perplexity_filter: train the add-one bigram LM on the 80%
+    // Knuth-hash split (the q_split_assign bucket, same as the BPE
+    // trainer) and score ONLY the held-out 20%, where unseen unigrams
+    // and bigrams actually occur (the self-scored variant never meets
+    // an OOV event; here c₁/c₂ arrive by LEFT join with COALESCE 0 and
+    // the per-doc unseen-bigram count is reported beside the score).
+    // This is the CCNet deployment shape — LM fitted on one corpus,
+    // filtering another. Same determinism class as the precedent: each
+    // ln term pre-rounded to 4 decimals, decimal-exact average. Scale:
+    // three map-side-combinable count aggs on the train side + one
+    // broadcast-vocab join on the scored side; nothing holds per-group
+    // state.
+    QDef("q_heldout_perplexity",
+      (s, d) => {
+        val bucket =
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+        val toksT = documents(s, d)
+          .select(col("doc_id"), (bucket < 80).as("is_train"),
+            filter(split(col("text"), " "), t => t =!= "").as("t"))
+          .localCheckpoint(true) // feeds train counts AND held-out scoring
+        val bi = toksT.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("is_train"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> named_struct('w1', a, 'bg', concat(a, ' ', b)))"""))
+            .as("p"))
+          .select(col("doc_id"), col("is_train"),
+            col("p.w1").as("w1"), col("p.bg").as("bg"))
+          .localCheckpoint(true) // train counts + held-out probe share it
+        val trainUni = toksT.filter(col("is_train"))
+          .select(explode(col("t")).as("w"))
+        val c1 = trainUni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val c2 = bi.filter(col("is_train"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        val v = trainUni.agg(countDistinct(col("w")).as("v"))
+        bi.filter(!col("is_train"))
+          .join(c2, Seq("bg"), "left")
+          .join(c1, col("w1") === col("w"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            col("c2").isNull.cast("long").as("unseen"),
+            round(lit(0.0) - log((coalesce(col("c2"), lit(0L)) + 1.0) /
+              (coalesce(col("c1"), lit(0L)) + col("v"))), 4).as("t"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("unseen")).as("n_unseen"),
+            davg(col("t")).as("nllr"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+            round(col("nllr"), 6).as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toksT AS (SELECT doc_id,
+            (doc_id * 2654435761) % 4294967296 % 100 < 80 AS is_train,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        bi AS (SELECT doc_id, is_train, toks[i] AS w1,
+            toks[i] || ' ' || toks[i + 1] AS bg
+          FROM (SELECT doc_id, is_train, toks,
+                unnest(range(1, len(toks))) AS i
+                FROM toksT WHERE len(toks) >= 2)),
+        uni AS (SELECT unnest(toks) AS w FROM toksT WHERE is_train),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+          FROM uni GROUP BY w),
+        c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+          FROM bi WHERE is_train GROUP BY bg),
+        v AS (SELECT count(DISTINCT w) AS v FROM uni),
+        terms AS (SELECT doc_id,
+            CAST(c2.c2 IS NULL AS BIGINT) AS unseen,
+            round(0.0 - ln((COALESCE(c2.c2, 0) + 1.0)
+              / (COALESCE(c1.c1, 0) + v.v)), 4) AS t
+          FROM bi LEFT JOIN c2 USING (bg)
+          LEFT JOIN c1 ON bi.w1 = c1.w CROSS JOIN v
+          WHERE NOT bi.is_train)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(unseen) AS BIGINT) AS n_unseen,
+          round(${sqlDavg("t")}, 6) AS nll
+        FROM terms GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -1255,6 +1255,81 @@ object Curation {
           CAST((2 * s_rank_c - (n_types + 1) * total_tokens) * 1000000
             // (CAST(n_types AS HUGEINT) * total_tokens) AS BIGINT)
             AS gini_e6
-        FROM agg"""))
+        FROM agg""")),
+
+    // PAIRWISE LONGEST SHARED TOKEN SPAN — the exact-substring dedup
+    // measurement of Lee et al. ("Deduplicating Training Data Makes
+    // Language Models Better"): for every doc pair sharing at least one
+    // 8-token window, the length of their longest common consecutive
+    // token run. Their suffix array is a single-machine structure; the
+    // relational form is positional k-gram chaining — explode (doc, pos,
+    // 8-gram), equi-join on the gram, and recover maximal runs as
+    // gaps-and-islands on the match DIAGONAL (pos_a − pos_b constant and
+    // pos_a consecutive ⇔ island key pos_a − row_number() constant): a
+    // run of r matched windows is a shared span of r + 7 tokens. Hot
+    // grams (boilerplate) are df-capped at 64 distinct docs before the
+    // join — the q_tfidf_cosine_join cap, mirrored by the oracle —
+    // bounding per-gram join fan-out; candidate volume is then bounded
+    // by true duplication, never the corpus square. Within a (pair,
+    // diagonal) partition pos_a is unique (pos_b = pos_a − diag), so the
+    // windows see no ties. All integers (class A).
+    QDef("q_dupspan_pairs",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val grams = toks.filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(1, size(toks) - 7),
+                 i -> array_join(slice(toks, i, 8), ' '))""")))
+          .toDF("doc_id", "pos0", "g")
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+        val hot = grams.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("gdf"))
+          .filter(col("gdf") <= 64).select(col("g"))
+        val kept = grams.join(hot, Seq("g"))
+          .localCheckpoint(true) // feeds both sides of the candidate join
+        val m = kept
+          .select(col("doc_id").as("id_a"), col("pos").as("pa"), col("g"))
+          .join(kept.select(col("doc_id").as("id_b"), col("pos").as("pb"),
+            col("g")), Seq("g"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("pa"),
+            (col("pa") - col("pb")).as("diag"))
+        val wIsl = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+          .orderBy(col("pa"))
+        m.withColumn("isl", col("pa") - row_number().over(wIsl))
+          .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(max(col("run") + 7).as("max_span"),
+            count(lit(1)).as("n_runs"), sum(col("run")).as("n_matches"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks
+            FROM documents),
+        grams AS (SELECT doc_id, unnest(list_transform(
+            range(1, len(toks) - 6),
+            i -> struct_pack(pos := i,
+              g := array_to_string(toks[i:i+7], ' ')))) AS e
+          FROM toks WHERE len(toks) >= 8),
+        g2 AS (SELECT doc_id, CAST(e['pos'] AS BIGINT) AS pos,
+            e['g'] AS g FROM grams),
+        df AS (SELECT g FROM g2 GROUP BY g
+          HAVING count(DISTINCT doc_id) <= 64),
+        kept AS (SELECT g2.* FROM g2 JOIN df USING (g)),
+        m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+            a.pos - b.pos AS diag
+          FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+        isl AS (SELECT id_a, id_b, diag,
+            pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+              ORDER BY pa) AS isl
+          FROM m),
+        runs AS (SELECT id_a, id_b, diag, isl,
+            CAST(count(*) AS BIGINT) AS run
+          FROM isl GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b, CAST(max(run + 7) AS BIGINT) AS max_span,
+          CAST(count(*) AS BIGINT) AS n_runs,
+          CAST(sum(run) AS BIGINT) AS n_matches
+        FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b"""))
   )
 }

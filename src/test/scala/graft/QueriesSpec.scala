@@ -583,4 +583,116 @@ class QueriesSpec extends AnyFunSuite {
     assert(worstDev <= 0.025,
       s"measured HLL deviation $worstDev must keep 2x margin under 5%")
   }
+
+  test("wave-r10e invariants: symspell completeness, dupspan replay, " +
+    "winsorize full-sort replay, held-out perplexity OOV") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // SymSpell: the delete-neighborhood join must equal an INDEPENDENT
+    // JVM brute force (classic DP levenshtein) over the full vocabulary
+    // — completeness (no ed<=1 pair missed by candidate generation) AND
+    // soundness (verify prunes the distance-2 collisions) in one set
+    // equality
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val names = graft.tables.Tables.customer(spark, sf)
+      .select(col("c_name")).distinct().collect().map(_.getString(0))
+    val expPairs = (for {
+      a <- names; b <- names
+      if a < b && math.abs(a.length - b.length) <= 1 && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    val gotPairs = run("q_symspell_join").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotPairs == expPairs, "symspell join != brute-force ed<=1 set")
+    assert(expPairs.nonEmpty, "fixture must actually exercise the join")
+
+    // Dupspan pairs: full imperative replay — 8-gram position maps,
+    // df-cap 64, diagonal runs — must reproduce every
+    // (pair -> max_span, n_runs, n_matches) triple exactly
+    val docToks = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+    val gramPos = docToks.flatMap { case (id, ts) =>
+      ts.sliding(8).zipWithIndex.collect {
+        case (w, i) if w.length == 8 => (w.mkString(" "), id, i + 1L)
+      }
+    }
+    val hotOk = gramPos.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size <= 64).keySet
+    val kept = gramPos.filter(g => hotOk(g._1))
+    val byGram = kept.toSeq.groupBy(_._1)
+    val matches = byGram.values.toSeq.flatMap { ps =>
+      ps.flatMap { case (_, ia, pa) =>
+        ps.collect { case (_, ib, pb) if ia < ib =>
+          ((ia, ib), (pa - pb, pa)) }
+      }
+    }
+    val expSpan = matches.groupBy(_._1).map { case (pair, ms) =>
+      val runs = ms.map(_._2).groupBy(_._1).values.flatMap { diag =>
+        val ps = diag.map(_._2).sorted
+        ps.zipWithIndex.map { case (p, i) => p - i }
+          .groupBy(identity).values.map(_.size.toLong)
+      }.toSeq
+      pair -> ((runs.max + 7, runs.size.toLong, runs.sum))
+    }
+    val gotSpan = run("q_dupspan_pairs").collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("max_span"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("n_matches")))
+    }.toMap
+    assert(gotSpan == expSpan, "dupspan pairs != imperative replay")
+    assert(expSpan.nonEmpty, "fixture must contain shared 8-gram spans")
+
+    // Winsorize: the histogram-identity cutoffs and clipped means must
+    // equal a naive full-sort winsorize per lang
+    val winGot = run("q_winsorize_stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byLang = graft.tables.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    assert(winGot.keySet == byLang.keySet)
+    byLang.foreach { case (lang, vs) =>
+      val sortedV = vs.map(_._2).sorted
+      val n = sortedV.length
+      def rankVal(num: Int, den: Int): Long =
+        sortedV((n * num + den - 1) / den - 1) // value at rank ceil(n*num/den)
+      val lo = rankVal(1, 10); val hi = rankVal(9, 10)
+      val winSum = sortedV.map(v => math.min(math.max(v, lo), hi)).sum
+      val r = winGot(lang)
+      assert(r.getAs[Long]("lo") == lo && r.getAs[Long]("hi") == hi,
+        s"$lang cutoffs")
+      assert(r.getAs[Long]("win_sum") == winSum, s"$lang clipped sum")
+      assert(r.getAs[Long]("win_mean") == winSum / n &&
+        r.getAs[Long]("raw_mean") == sortedV.sum / n, s"$lang means")
+      assert(r.getAs[Long]("lo") <= r.getAs[Long]("hi"))
+    }
+
+    // Held-out perplexity: exactly the held-out docs (with >= 2 tokens)
+    // are scored, the unseen count is bounded by the bigram count, and
+    // the OOV path is actually exercised somewhere in the fixture
+    val hp = run("q_heldout_perplexity").cache()
+    val expHeld = docToks.filter { case (id, ts) =>
+      (((id * 2654435761L) % 4294967296L + 4294967296L) % 4294967296L
+        % 100 >= 80) && ts.length >= 2
+    }.map(_._1).toSet
+    assert(hp.collect().map(_.getLong(0)).toSet == expHeld)
+    assert(hp.filter(col("n_unseen") > col("n_bigrams")).count() == 0)
+    assert(hp.filter(col("n_unseen") > 0).count() > 0,
+      "fixture must exercise the unseen-bigram path")
+    assert(hp.filter(col("nll") <= 0.0).count() == 0)
+  }
 }
