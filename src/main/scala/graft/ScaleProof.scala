@@ -267,7 +267,12 @@ object ScaleProof {
       // histogram hash-agg + bounded-frame windows; held-out perplexity
       // is three train-side count aggs + a broadcast-vocab probe join
       "q_symspell_join", "q_dupspan_pairs", "q_winsorize_stats",
-      "q_heldout_perplexity")
+      "q_heldout_perplexity",
+      // round-10 wave-6: hard negatives broadcast 50 anchors against
+      // one 10x candidate scan (windows per anchor only); MMR's corpus
+      // cost is the same broadcast-probe scan + TakeOrdered(20) — the
+      // greedy rounds run on constant 20-row frames at any scale
+      "q_hard_negatives", "q_mmr_select")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

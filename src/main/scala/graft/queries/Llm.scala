@@ -2701,6 +2701,142 @@ object Llm {
       Some("""SELECT doc_id,
         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
         lang, n_chars
-        FROM documents ORDER BY doc_id LIMIT 600"""))
+        FROM documents ORDER BY doc_id LIMIT 600""")),
+
+    // HARD-NEGATIVE MINING — the contrastive-training sampler: for each
+    // anchor vector, the top-3 most-similar candidates with a DIFFERENT
+    // label (high-cosine wrong-class examples are exactly the negatives
+    // that sharpen an embedding model; random negatives are trivially
+    // easy). Shape: the anchors are a bounded probe set broadcast
+    // against one full candidate scan (the q_rank_fusion broadcast-probe
+    // pattern — no self-join of the corpus against itself), windows only
+    // per-anchor. At production scale the candidate scan becomes the
+    // IVF/LSH-bucketed ANN probe (q_cosine_ivf) with the label filter
+    // pushed into the bucket scan; the declared exact form IS the audit
+    // for that path. Determinism: round-6 cosine + id tiebreak, the
+    // adjudicated q_cosine_blocked class.
+    QDef("q_hard_negatives",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val anchors = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val cands = e.select(col("vec_id").as("c_id"),
+          col("label").as("c_label"), col("embedding").as("c_emb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim_r").desc, col("c_id"))
+        cands.join(broadcast(anchors), col("q_label") =!= col("c_label"))
+          .withColumn("sim_r", round(
+            graft.functions.VectorFunctions.vec_cosine(
+              col("q_emb"), col("c_emb")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("c_id"),
+            col("q_label").cast("long").as("q_label"),
+            col("c_label").cast("long").as("c_label"), col("sim_r"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""SELECT q_id, rn, c_id, q_label, c_label, sim_r FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            CAST(q.label AS BIGINT) AS q_label,
+            CAST(c.label AS BIGINT) AS c_label,
+            round(${cosineSql("q.embedding", "c.embedding")}, 6) AS sim_r,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(${cosineSql("q.embedding", "c.embedding")}, 6)
+                DESC, c.vec_id) AS INT) AS rn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 50) q
+          JOIN embeddings c ON q.label <> c.label)
+        WHERE rn <= 3 ORDER BY q_id, rn""")),
+
+    // MAXIMAL-MARGINAL-RELEVANCE selection (Carbonell & Goldstein '98) —
+    // the diversity-aware retrieval/data-selection step after any
+    // similarity ranking: greedily pick 5 of the top-20 candidates
+    // maximizing 2·score = 2·sim(query) − max_{j∈selected} sim(i, j)
+    // (λ = ½ cleared to integers — every sim is a round-6 cosine scaled
+    // to e6 BIGINT once, so the 4 selection rounds are PURE INTEGER
+    // argmax chains, the q_kmeans_lloyd iterative-query precedent with
+    // a chained-CTE oracle replaying the identical trajectory).
+    // Scale: candidate generation is the broadcast-probe scan +
+    // distributed TakeOrdered(20); the selection loop touches only the
+    // 20-row candidate frame and its 20×20 pairwise-sim frame —
+    // driver-bounded constants, never the corpus.
+    QDef("q_mmr_select",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val cand = e.filter(col("vec_id") > 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id").as("c_id"), col("embedding"),
+            round(graft.functions.VectorFunctions.vec_cosine(
+              col("embedding"), col("q_emb")), 6).as("sim_q"))
+          .orderBy(col("sim_q").desc, col("c_id")).limit(20)
+          .select(col("c_id"),
+            round(col("sim_q") * 1e6).cast("long").as("simq_e6"),
+            col("embedding"))
+          .localCheckpoint(true) // pairwise frame + every selection round
+        val pairSims = cand.select(col("c_id").as("ia"),
+            col("embedding").as("ea"))
+          .join(cand.select(col("c_id").as("ib"), col("embedding").as("eb")),
+            col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            round(round(graft.functions.VectorFunctions.vec_cosine(
+              col("ea"), col("eb")), 6) * 1e6).cast("long").as("sim_e6"))
+          .localCheckpoint(true) // read by all 4 penalty rounds
+        val c0 = cand.select(col("c_id"), col("simq_e6"))
+        // round 1: no penalty — plain argmax on (simq, id)
+        var selected = c0
+          .orderBy(col("simq_e6").desc, col("c_id")).limit(1)
+          .select(col("c_id"), lit(1L).as("rn"), col("simq_e6"),
+            (col("simq_e6") * 2).as("score2_e6"))
+          .localCheckpoint(true)
+        for (r <- 2 to 5) {
+          val pen = pairSims
+            .join(selected.select(col("c_id").as("ib")), Seq("ib"))
+            .groupBy(col("ia")).agg(max(col("sim_e6")).as("pen_e6"))
+          val next = c0
+            .join(selected.select(col("c_id"), lit(1).as("sel")),
+              Seq("c_id"), "left_anti")
+            .join(pen, col("c_id") === col("ia"))
+            .select(col("c_id"), col("simq_e6"),
+              (col("simq_e6") * 2 - col("pen_e6")).as("score2_e6"))
+            .orderBy(col("score2_e6").desc, col("c_id")).limit(1)
+            .select(col("c_id"), lit(r.toLong).as("rn"), col("simq_e6"),
+              col("score2_e6"))
+          selected = selected.unionAll(next).localCheckpoint(true)
+        }
+        selected.orderBy(col("rn"))
+      },
+      Some {
+        val simE6 = (a: String, b: String) =>
+          s"CAST(round(round(${cosineSql(a, b)}, 6) * 1000000) AS BIGINT)"
+        def round_(k: Int): String = s"""
+        sel$k AS (SELECT * FROM sel${k - 1} UNION ALL
+          SELECT c_id, CAST($k AS BIGINT) AS rn, simq_e6, score2_e6
+          FROM (SELECT c.c_id, c.simq_e6,
+              c.simq_e6 * 2 - (SELECT max(p.sim_e6) FROM ps p
+                JOIN sel${k - 1} s ON p.ib = s.c_id
+                WHERE p.ia = c.c_id) AS score2_e6
+            FROM cand c
+            WHERE c.c_id NOT IN (SELECT c_id FROM sel${k - 1})
+            ORDER BY score2_e6 DESC, c_id LIMIT 1))"""
+        s"""WITH pr AS (SELECT embedding AS q_emb FROM embeddings
+            WHERE vec_id = 0),
+        cand AS (SELECT c_id, simq_e6, embedding FROM (
+            SELECT vec_id AS c_id,
+              CAST(round(round(${cosineSql("embedding", "q_emb")}, 6)
+                * 1000000) AS BIGINT) AS simq_e6,
+              embedding
+            FROM embeddings CROSS JOIN pr WHERE vec_id > 0
+            ORDER BY simq_e6 DESC, c_id LIMIT 20)),
+        ps AS (SELECT a.c_id AS ia, b.c_id AS ib,
+            ${simE6("a.embedding", "b.embedding")} AS sim_e6
+          FROM cand a JOIN cand b ON a.c_id <> b.c_id),
+        sel1 AS (SELECT c_id, CAST(1 AS BIGINT) AS rn, simq_e6,
+            simq_e6 * 2 AS score2_e6
+          FROM cand ORDER BY simq_e6 DESC, c_id LIMIT 1),
+        ${(2 to 5).map(round_).mkString(",")}
+        SELECT c_id, rn, simq_e6, score2_e6 FROM sel5 ORDER BY rn"""
+      })
   )
 }

@@ -695,4 +695,77 @@ class QueriesSpec extends AnyFunSuite {
       "fixture must exercise the unseen-bigram path")
     assert(hp.filter(col("nll") <= 0.0).count() == 0)
   }
+
+  test("wave-r10f invariants: hard-negative label disjointness + top-1 " +
+    "replay, MMR greedy trajectory replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    val embs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def e6(x: Double): Long =
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000)).toLongExact
+
+    // Hard negatives: labels always differ, exactly 3 per anchor, and
+    // the per-anchor top-1 matches the JVM brute force over the
+    // different-label candidate set
+    val hn = run("q_hard_negatives").cache()
+    assert(hn.filter(col("q_label") === col("c_label")).count() == 0)
+    val perAnchor = hn.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+    assert(perAnchor.filter(col("k") =!= 3L).count() == 0)
+    val top1 = hn.filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    embs.filter(_._1 < 50).foreach { case (qid, qe, ql) =>
+      val best = embs.filter(_._3 != ql)
+        .map { case (cid, ce, _) => (cid, e6(cos(qe, ce))) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      assert(top1(qid) == best, s"anchor $qid top-1 negative")
+    }
+
+    // MMR: replay the full greedy trajectory (top-20 candidates, e6
+    // integer scores, lambda=1/2 cleared to 2*simq - maxpen) in plain
+    // Scala and require the identical (rn, c_id, score) sequence
+    val probe = embs.find(_._1 == 0L).get._2
+    val cands = embs.filter(_._1 > 0)
+      .map { case (id, e, _) => (id, e, e6(cos(probe, e))) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val ps = (for ((ia, ea, _) <- cands; (ib, eb, _) <- cands if ia != ib)
+      yield ((ia, ib), e6(cos(ea, eb)))).toMap
+    var sel = Vector(cands.maxBy { case (id, _, s) => (s, -id) })
+    var expect = Vector((sel.head._1, 1L, sel.head._3, sel.head._3 * 2))
+    for (r <- 2 to 5) {
+      val rest = cands.filter(c => !sel.exists(_._1 == c._1))
+      val scored = rest.map { case (id, e, sq) =>
+        val pen = sel.map(s => ps((id, s._1))).max
+        (id, e, sq, sq * 2 - pen)
+      }
+      val pick = scored.maxBy { case (id, _, _, sc) => (sc, -id) }
+      sel :+= ((pick._1, pick._2, pick._3))
+      expect :+= ((pick._1, r.toLong, pick._3, pick._4))
+    }
+    val got = run("q_mmr_select").orderBy(col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toVector
+    assert(got == expect, "MMR trajectory replay")
+    // diversity must actually bind on the fixture: the MMR set differs
+    // from the plain similarity top-5
+    val plainTop5 = cands.take(5).map(_._1).toSet
+    assert(got.map(_._1).toSet != plainTop5,
+      "fixture must make MMR diverge from plain top-k")
+  }
 }
