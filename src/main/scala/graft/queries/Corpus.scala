@@ -851,11 +851,15 @@ object Corpus {
                              substring(n, i + 1, length(n))))"""))))
           .as("v"))
           .localCheckpoint(true) // feeds both sides of the candidate join
+        // verify BEFORE the pair-dedup so the distinct only shuffles
+        // true ed ≤ 1 pairs (977k candidates → 262k at sf0.1; measured
+        // equal-cost to distinct-first — the candidate join dominates —
+        // but this order also bounds the shuffle by the OUTPUT size)
         variants.select(col("n").as("name_a"), col("v"))
           .join(variants.select(col("n").as("name_b"), col("v")), Seq("v"))
-          .filter(col("name_a") < col("name_b"))
+          .filter(col("name_a") < col("name_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 1)
           .select(col("name_a"), col("name_b")).distinct()
-          .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
           .select(col("name_a"), col("name_b"),
             levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
           .orderBy(col("name_a"), col("name_b"))
