@@ -272,7 +272,13 @@ object ScaleProof {
       // one 10x candidate scan (windows per anchor only); MMR's corpus
       // cost is the same broadcast-probe scan + TakeOrdered(20) — the
       // greedy rounds run on constant 20-row frames at any scale
-      "q_hard_negatives", "q_mmr_select")
+      "q_hard_negatives", "q_mmr_select",
+      // round-10 wave-7: the skyline's phase-1 windows partition by
+      // hash bucket (local skylines are supersets of the global
+      // restriction) so only survivors reach the global pass; quantile
+      // normalization is two histogram hash-aggs + per-source rank
+      // windows + two broadcast joins (grid is 100 rows at any scale)
+      "q_skyline_pareto", "q_quantile_norm")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

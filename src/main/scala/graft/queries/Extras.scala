@@ -366,6 +366,115 @@ object Extras {
         LATERAL (SELECT c_name, c_acctbal FROM customer
                  WHERE c_nationkey = n_nationkey
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-        ORDER BY n_name, t.c_acctbal DESC, t.c_name"""))
+        ORDER BY n_name, t.c_acctbal DESC, t.c_name""")),
+
+    // SKYLINE / PARETO FRONTIER (Börzsönyi et al. ICDE'01) — the classic
+    // multi-criteria operator Spark has no primitive for: parts where no
+    // other part is both cheaper-or-equal AND larger-or-equal (strict
+    // somewhere) on (p_retailprice min, p_size max). Implemented as the
+    // DISTRIBUTED two-phase sort-filter skyline: aggregate to distinct
+    // (price, size) groups, take each hash-bucket's LOCAL skyline with
+    // one window pass (any subset's local skyline is a SUPERSET of the
+    // global skyline restricted to it — dominance is transitive, so a
+    // locally-dominated point is globally dominated), then one global
+    // pass over the few survivors. The single-pass invariant: under
+    // (price asc, size desc) order, a distinct group survives iff the
+    // running max size over STRICT predecessors is below its own size
+    // (an earlier same-price row has strictly larger size; an earlier
+    // cheaper row with size ≥ mine dominates — both collapse to
+    // maxPrev < size). Phase 1 windows partition by bucket; phase 2 sees
+    // only local survivors (≪ groups). Pure comparisons — class A.
+    QDef("q_skyline_pareto",
+      (s, d) => {
+        val g = part(s, d)
+          .groupBy(col("p_retailprice").as("price"), col("p_size").as("sz"))
+          .agg(count(lit(1)).as("m"))
+        def skyline(df: org.apache.spark.sql.DataFrame,
+            bucket: Option[org.apache.spark.sql.Column])
+            : org.apache.spark.sql.DataFrame = {
+          val w0 = bucket.fold(Window.orderBy(col("price"), col("sz").desc))(
+            b => Window.partitionBy(b)
+              .orderBy(col("price"), col("sz").desc))
+          val w = w0.rowsBetween(Window.unboundedPreceding, -1)
+          df.withColumn("mx", max(col("sz")).over(w))
+            .filter(col("mx").isNull || col("mx") < col("sz"))
+            .drop("mx")
+        }
+        val local = skyline(g, Some(pmod(col("sz"), lit(8))))
+        skyline(local, None)
+          .select(col("price"), col("sz").cast("long").as("sz"), col("m"))
+          .orderBy(col("price"))
+      },
+      Some("""WITH g AS (SELECT p_retailprice AS price,
+            CAST(p_size AS BIGINT) AS sz, CAST(count(*) AS BIGINT) AS m
+          FROM part GROUP BY 1, 2),
+        w AS (SELECT price, sz, m,
+            max(sz) OVER (ORDER BY price ASC, sz DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+          FROM g)
+        SELECT price, sz, m FROM w
+        WHERE mx IS NULL OR mx < sz
+        ORDER BY price""")),
+
+    // QUANTILE NORMALIZATION onto the global centile grid — the
+    // batch-effect correction step (microarray lineage, now corpus-mix
+    // conditioning): replace each doc's length by the GLOBAL
+    // distribution's value at the doc's within-source percentile, so
+    // every source's length distribution maps onto the corpus-wide one.
+    // Exact type-1 quantiles throughout: within-source rank r by the
+    // (n_chars, doc_id) total order, percentile p = ⌈100·r/n_s⌉ by
+    // integer division, and the 100-row global grid read off the count
+    // histogram with the 100·cum ≥ p·N cross-multiplied rank test (the
+    // q_winsorize_stats mechanism) — then one broadcast equi-join on p.
+    // No global per-row sort: ranks partition by source, the histogram
+    // window runs over distinct values, the grid is 100 rows. Class A.
+    QDef("q_quantile_norm",
+      (s, d) => {
+        val docs = documents(s, d)
+        val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("m"))
+        val wv = Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("m")).over(wv))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val grid = cum.crossJoin(broadcast(n))
+          .select(col("n_chars"), col("cum"), col("n"),
+            explode(sequence(lit(1), lit(100))).as("p"))
+          .filter(col("cum") * 100 >= col("p") * col("n"))
+          .groupBy(col("p")).agg(min(col("n_chars")).as("norm_chars"))
+        val ws = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val nS = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("r", row_number().over(ws).cast("long"))
+          .join(broadcast(nS), Seq("source"))
+          .withColumn("p",
+            expr("(100 * r + n_s - 1) div n_s").cast("int"))
+          .join(broadcast(grid), Seq("p"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("p").cast("long").as("pctl"), col("norm_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH hist AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS m
+          FROM documents GROUP BY 1),
+        cum AS (SELECT n_chars,
+            CAST(sum(m) OVER (ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM hist),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        grid AS (SELECT p, min(n_chars) AS norm_chars
+          FROM cum CROSS JOIN n CROSS JOIN range(1, 101) t(p)
+          WHERE cum * 100 >= p * n GROUP BY p),
+        ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+          FROM documents GROUP BY source),
+        ranked AS (SELECT doc_id, source, n_chars,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS BIGINT) AS r
+          FROM documents)
+        SELECT doc_id, ranked.source, n_chars,
+          CAST((100 * r + n_s - 1) // n_s AS BIGINT) AS pctl,
+          norm_chars
+        FROM ranked JOIN ns ON ranked.source = ns.source
+        JOIN grid ON grid.p = (100 * r + n_s - 1) // n_s
+        ORDER BY doc_id"""))
   )
 }

@@ -768,4 +768,56 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet != plainTop5,
       "fixture must make MMR diverge from plain top-k")
   }
+
+  test("wave-r10g invariants: skyline brute-force dominance, quantile-norm " +
+    "grid replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // Skyline: the two-phase window algorithm must equal the O(n²)
+    // dominance definition evaluated directly over the distinct groups
+    val groups = graft.tables.Tables.part(spark, sf)
+      .groupBy(col("p_retailprice"), col("p_size"))
+      .agg(count(lit(1)).as("m")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1).toLong, r.getLong(2)))
+    val expSky = groups.filter { case (p, sz, _) =>
+      !groups.exists { case (p2, sz2, _) =>
+        p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz) }
+    }.map { case (p, sz, m) => (p, sz, m) }.toSet
+    val gotSky = run("q_skyline_pareto").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSky == expSky, "skyline != brute-force dominance set")
+    assert(expSky.nonEmpty)
+    // frontier sanity: along increasing price, sizes strictly increase
+    val sky = gotSky.toSeq.sortBy(_._1)
+    assert(sky.sliding(2).forall(p => p.length < 2 || p(0)._2 < p(1)._2))
+
+    // Quantile norm: every doc mapped exactly once, percentiles valid,
+    // and the grid value replays the type-1 global quantile off the
+    // full-sort definition
+    val qn = run("q_quantile_norm").cache()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(qn.count() == docs.length)
+    assert(qn.filter(col("pctl") < 1 || col("pctl") > 100).count() == 0)
+    val globalSorted = docs.map(_._3).sorted
+    val nGlob = globalSorted.length
+    def typ1(p: Long): Long = globalSorted(((p * nGlob + 99) / 100 - 1).toInt)
+    qn.collect().foreach { r =>
+      assert(r.getAs[Long]("norm_chars") == typ1(r.getAs[Long]("pctl")),
+        s"grid value at pctl ${r.getAs[Long]("pctl")}")
+    }
+    // per-source rank replay on one source: percentile of the r-th doc
+    // in (n_chars, doc_id) order is ceil(100 r / n_s)
+    val src0 = docs.filter(_._2 == docs.head._2)
+      .sortBy(t => (t._3, t._1))
+    val gotSrc0 = qn.filter(col("source") === docs.head._2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pctl")).toMap
+    src0.zipWithIndex.foreach { case ((id, _, _), i) =>
+      val exp = (100L * (i + 1) + src0.length - 1) / src0.length
+      assert(gotSrc0(id) == exp, s"per-source percentile of doc $id")
+    }
+  }
 }
