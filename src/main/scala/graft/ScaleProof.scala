@@ -278,7 +278,12 @@ object ScaleProof {
       // restriction) so only survivors reach the global pass; quantile
       // normalization is two histogram hash-aggs + per-source rank
       // windows + two broadcast joins (grid is 100 rows at any scale)
-      "q_skyline_pareto", "q_quantile_norm")
+      "q_skyline_pareto", "q_quantile_norm",
+      // round-10 wave-8: session paths ride the established per-user
+      // sessionizer windows (10x users, fixed history each) with the
+      // per-session sort bounded by session length; welch is ONE
+      // map-side-combinable moment agg + a 5-row broadcast cross
+      "q_session_paths", "q_welch_ttest")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1158,6 +1158,118 @@ object EventWindows {
         SELECT day, d.dow, cnt, sum7, detrend7, seas7,
           detrend7 - seas7 AS resid7
         FROM det d JOIN seas s ON d.dow = s.dow
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // TOP USER JOURNEYS — frequent-path mining over the sessionizer:
+    // each 1h-gap session collapses to its ordered event-type initial
+    // string (the q_event_pattern_sets encoding on q_sessionize_lag's
+    // machinery), then one hash-agg counts sessions and distinct users
+    // per path; top-15 by frequency. The per-session sort is bounded by
+    // session length (collect + array_sort inside the session group,
+    // never a corpus sort); the (ts, event_id) struct order is the
+    // established cross-engine total order. The product-analytics
+    // "what do users actually do" rollup beside funnel/retention/Markov
+    // (those fix the pattern; this DISCOVERS the patterns).
+    QDef("q_session_paths",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            (col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 3600000000L)
+              .cast("long"))
+          .withColumn("sess_no", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(expr("""array_join(transform(
+              array_sort(collect_list(struct(unix_micros(ts) AS us,
+                event_id AS eid, substring(event_type, 1, 1) AS ini))),
+              x -> x.ini), '')""").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(15)
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM x),
+        z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sess_no
+          FROM y),
+        paths AS (SELECT user_id, sess_no,
+            string_agg(substr(event_type, 1, 1), ''
+              ORDER BY ts, event_id) AS path
+          FROM z GROUP BY user_id, sess_no)
+        SELECT path, count(*) AS n_sessions,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 15""")),
+
+    // WELCH T-STATISTIC matrix — the unequal-variance mean-difference
+    // test for every event-type pair over `value` (the A/B experiment
+    // readout beside the chi²/KS/KL distribution battery: those test
+    // SHAPE, this tests MEANS with a variance model). Per-group moments
+    // (n, Σv, Σv²) are ONE map-side-combinable hash-agg with the sums
+    // decimal-exact (each v and v·v rounds identically to the
+    // DECIMAL(30,6) grid in both engines); the 10-pair matrix is a
+    // broadcast self-cross of the 5-row moment frame. t² is then a
+    // fixed IEEE op chain over identical exact inputs, rounded once to
+    // 1e-6 (the q_pmi class-C argument); the formula is written with
+    // IDENTICAL parenthesization in both engines.
+    QDef("q_welch_ttest",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val m = events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(Dec)).as("sv"),
+            sum((col("value") * col("value")).cast(Dec)).as("svv"))
+          .localCheckpoint(true) // both sides of the pair cross
+        val a = m.select(col("event_type").as("type_a"), col("n").as("n_a"),
+          col("sv").as("sv_a"), col("svv").as("svv_a"))
+        val b = m.select(col("event_type").as("type_b"), col("n").as("n_b"),
+          col("sv").as("sv_b"), col("svv").as("svv_b"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            expr("""round(CAST(sv_a AS DOUBLE) / n_a
+              - CAST(sv_b AS DOUBLE) / n_b, 6)""").as("mean_diff"),
+            expr("""round(
+              (CAST(sv_a AS DOUBLE) / n_a - CAST(sv_b AS DOUBLE) / n_b)
+              * (CAST(sv_a AS DOUBLE) / n_a - CAST(sv_b AS DOUBLE) / n_b)
+              / ((CAST(svv_a AS DOUBLE)
+                  - CAST(sv_a AS DOUBLE) * CAST(sv_a AS DOUBLE) / n_a)
+                 / (n_a - 1) / n_a
+               + (CAST(svv_b AS DOUBLE)
+                  - CAST(sv_b AS DOUBLE) * CAST(sv_b AS DOUBLE) / n_b)
+                 / (n_b - 1) / n_b), 6)""").as("t2"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(value AS DECIMAL(30,6))) AS sv,
+            sum(CAST(value * value AS DECIMAL(30,6))) AS svv
+          FROM events GROUP BY event_type)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          a.n AS n_a, b.n AS n_b,
+          round(CAST(a.sv AS DOUBLE) / a.n
+            - CAST(b.sv AS DOUBLE) / b.n, 6) AS mean_diff,
+          round(
+            (CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
+            * (CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
+            / ((CAST(a.svv AS DOUBLE)
+                - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n)
+               / (a.n - 1) / a.n
+             + (CAST(b.svv AS DOUBLE)
+                - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n)
+               / (b.n - 1) / b.n), 6) AS t2
+        FROM m a JOIN m b ON a.event_type < b.event_type
+        ORDER BY type_a, type_b"""))
   )
 }

@@ -820,4 +820,67 @@ class QueriesSpec extends AnyFunSuite {
       assert(gotSrc0(id) == exp, s"per-source percentile of doc $id")
     }
   }
+
+  test("wave-r10h invariants: session-path replay, welch moment replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+
+    // Session paths: full JVM sessionize (1h gap, (us, event_id) order)
+    // + path counting must reproduce the top-15 exactly
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e._2 - prev > 3600000000L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._4.substring(0, 1)
+        prev = e._2
+      }
+      sessions.map(s => (uid, s.mkString))
+    }
+    val expTop = paths.groupBy(_._2).map { case (p, ss) =>
+      (p, ss.size.toLong, ss.map(_._1).distinct.size.toLong)
+    }.toSeq.sortBy { case (p, n, _) => (-n, p) }.take(15)
+    val gotTop = run("q_session_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotTop == expTop, "session-path top-15 replay")
+    assert(expTop.head._2 > 1, "fixture must have repeated journeys")
+
+    // Welch: moments via scale-6 decimal sums, identical IEEE formula,
+    // round 6 — every pair replayed
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val mom = ev.groupBy(_._4).map { case (t, es) =>
+      t -> ((es.length.toLong,
+        es.map(e => d6(e._5)).sum,
+        es.map(e => d6(e._5 * e._5)).sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotW = run("q_welch_ttest").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    for (ta <- mom.keys; tb <- mom.keys if ta < tb) {
+      val (na, sa, ssa) = mom(ta); val (nb, sb, ssb) = mom(tb)
+      val ma = sa.toDouble / na; val mb = sb.toDouble / nb
+      val va = (ssa.toDouble - sa.toDouble * sa.toDouble / na) / (na - 1) / na
+      val vb = (ssb.toDouble - sb.toDouble * sb.toDouble / nb) / (nb - 1) / nb
+      val (gn_a, gn_b, gMd, gT2) = gotW((ta, tb))
+      assert(gn_a == na && gn_b == nb)
+      assert(gMd == r6(ma - mb), s"mean_diff $ta/$tb")
+      assert(gT2 == r6((ma - mb) * (ma - mb) / (va + vb)), s"t2 $ta/$tb")
+      assert(gT2 >= 0.0)
+    }
+  }
 }
