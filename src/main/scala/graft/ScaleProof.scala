@@ -283,7 +283,13 @@ object ScaleProof {
       // sessionizer windows (10x users, fixed history each) with the
       // per-session sort bounded by session length; welch is ONE
       // map-side-combinable moment agg + a 5-row broadcast cross
-      "q_session_paths", "q_welch_ttest")
+      "q_session_paths", "q_welch_ttest",
+      // round-10 wave-9: anova is one moment agg + a 5-row rollup; the
+      // nearest as-of join co-partitions purchases and clicks on the
+      // 10x user fan (per-user history fixed); rfm's fact side is one
+      // per-customer hash-agg — the three global rank windows run on
+      // the customer DIM frame (documented bounded-dim regime)
+      "q_anova_f", "q_join_asof_nearest", "q_rfm_segments")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

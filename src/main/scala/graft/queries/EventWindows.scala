@@ -1270,6 +1270,168 @@ object EventWindows {
                 - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n)
                / (b.n - 1) / b.n), 6) AS t2
         FROM m a JOIN m b ON a.event_type < b.event_type
-        ORDER BY type_a, type_b"""))
+        ORDER BY type_a, type_b""")),
+
+    // ONE-WAY ANOVA F — completes the inference battery (chi² tests
+    // independence, KS/KL shape, Welch a PAIR of means; F tests ALL
+    // group means at once): F = (SSB/(k−1)) / (SSW/(N−k)) over `value`
+    // by event_type. Same moment machinery as q_welch_ttest — one
+    // map-side-combinable (n, Σv, Σv²) decimal-exact agg, the grand
+    // moments from re-summing the 5-row group frame (decimal sums
+    // re-aggregate exactly), then a fixed IEEE chain over identical
+    // exact inputs with identical parenthesization, rounded once.
+    QDef("q_anova_f",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val m = events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(Dec)).as("sv"),
+            sum((col("value") * col("value")).cast(Dec)).as("svv"))
+        m.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+            sum(expr("""CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n""")
+              .cast(Dec)).as("sbn"),
+            sum(col("sv")).as("sv_all"), sum(col("svv")).as("svv_all"))
+          .select(col("k"), col("n_total"),
+            expr("""round(CAST(sbn AS DOUBLE)
+              - CAST(sv_all AS DOUBLE) * CAST(sv_all AS DOUBLE) / n_total,
+              6)""").as("ssb"),
+            expr("round(CAST(svv_all AS DOUBLE) - CAST(sbn AS DOUBLE), 6)")
+              .as("ssw"),
+            expr("""round(
+              ((CAST(sbn AS DOUBLE)
+                - CAST(sv_all AS DOUBLE) * CAST(sv_all AS DOUBLE) / n_total)
+               / (k - 1))
+              / ((CAST(svv_all AS DOUBLE) - CAST(sbn AS DOUBLE))
+               / (n_total - k)), 6)""").as("f_stat"))
+      },
+      Some("""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(value AS DECIMAL(30,6))) AS sv,
+            sum(CAST(value * value AS DECIMAL(30,6))) AS svv
+          FROM events GROUP BY event_type)
+        SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(sum(n) AS BIGINT) AS n_total,
+          round(CAST(sum(CAST(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n
+              AS DECIMAL(30,6))) AS DOUBLE)
+            - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE) / sum(n),
+            6) AS ssb,
+          round(CAST(sum(svv) AS DOUBLE)
+            - CAST(sum(CAST(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n
+              AS DECIMAL(30,6))) AS DOUBLE), 6) AS ssw,
+          round(
+            ((CAST(sum(CAST(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n
+                AS DECIMAL(30,6))) AS DOUBLE)
+              - CAST(sum(sv) AS DOUBLE) * CAST(sum(sv) AS DOUBLE) / sum(n))
+             / (count(*) - 1))
+            / ((CAST(sum(svv) AS DOUBLE)
+              - CAST(sum(CAST(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n
+                AS DECIMAL(30,6))) AS DOUBLE))
+             / (sum(n) - count(*))), 6) AS f_stat
+        FROM m""")),
+
+    // NEAREST-neighbor temporal join — the |Δt|-minimizing alignment
+    // (sensor fusion / attribution when direction is unknown): each
+    // purchase pairs with its user's temporally CLOSEST click, either
+    // side. Backward/forward as-of joins fix a direction; this one
+    // resolves min |Δt| with the deterministic (|Δt|, backward-first,
+    // click-id) total order encoded as a fixed-width string min_by key
+    // (the q_session_bounce composite-key idiom — lexicographic ==
+    // numeric at fixed width, identical in both engines). Shape: one
+    // user_id co-partitioned equi-join (per-user fan bounded by
+    // history), one hash-agg — never a time-range cross join.
+    QDef("q_join_asof_nearest",
+      (s, d) => {
+        val e = events(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+            col("event_id").as("c_id"))
+        p.join(c, Seq("user_id"))
+          .withColumn("delta_us", col("c_us") - col("p_us"))
+          .withColumn("k", concat(
+            lpad(abs(col("delta_us")).cast("string"), 20, "0"),
+            when(col("delta_us") <= 0, lit("0")).otherwise(lit("1")),
+            lpad(col("c_id").cast("string"), 12, "0")))
+          .groupBy(col("p_id"), col("user_id"))
+          .agg(min_by(col("c_id"), col("k")).as("c_id"),
+            min_by(col("delta_us"), col("k")).as("delta_us"))
+          .orderBy(col("p_id"))
+      },
+      Some("""WITH p AS (SELECT event_id AS p_id, user_id,
+            epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS c_id
+          FROM events WHERE event_type = 'click'),
+        j AS (SELECT p_id, p.user_id, c_id, c_us - p_us AS delta_us,
+            lpad(CAST(abs(c_us - p_us) AS VARCHAR), 20, '0')
+              || (CASE WHEN c_us - p_us <= 0 THEN '0' ELSE '1' END)
+              || lpad(CAST(c_id AS VARCHAR), 12, '0') AS k
+          FROM p JOIN c ON p.user_id = c.user_id)
+        SELECT p_id, user_id, min_by(c_id, k) AS c_id,
+          min_by(delta_us, k) AS delta_us
+        FROM j GROUP BY p_id, user_id ORDER BY p_id""")),
+
+    // RFM SEGMENTATION — the marketing-analytics staple: score every
+    // customer 1–3 on Recency (last order date), Frequency (order
+    // count), Monetary (decimal-exact spend), concatenate to a segment
+    // code, roll up. Tercile scores are the explicit integer-rank
+    // formula score = (3·(r−1)) div n + 1 over the (metric, custkey)
+    // total order — the SAME formula both engines, no reliance on
+    // ntile internals; the global rank windows run over the CUSTOMER
+    // dimension (the documented bounded-dim global-rank regime; the
+    // fact side only feeds the per-customer hash-agg). Monetary sums
+    // are DECIMAL(30,6)-exact, so ranks never see float order.
+    QDef("q_rfm_segments",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val per = orders(s, d).groupBy(col("o_custkey"))
+          // o_orderdate reads as TIMESTAMP_NTZ; the UTC-pinned session
+          // (asserted by Tables.normalizeEventTs's contract) makes the
+          // cast an identity on the wall-clock instant
+          .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
+            .as("last_us"),
+            count(lit(1)).as("freq"),
+            sum(col("o_totalprice").cast(Dec)).as("money"))
+          .localCheckpoint(true) // three rank windows + the rollup
+        import org.apache.spark.sql.expressions.Window
+        def rank(order: org.apache.spark.sql.Column*) =
+          row_number().over(Window.orderBy(order: _*)).cast("long")
+        per
+          .withColumn("r_rank", rank(col("last_us"), col("o_custkey")))
+          .withColumn("f_rank", rank(col("freq"), col("o_custkey")))
+          .withColumn("m_rank", rank(col("money"), col("o_custkey")))
+          .crossJoin(broadcast(per.agg(count(lit(1)).as("nc"))))
+          .select(col("freq"), col("money"),
+            expr("(r_rank - 1) * 3 div nc + 1").as("r_score"),
+            expr("(f_rank - 1) * 3 div nc + 1").as("f_score"),
+            expr("(m_rank - 1) * 3 div nc + 1").as("m_score"))
+          .groupBy(concat(col("r_score"), col("f_score"), col("m_score"))
+            .as("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("freq")).as("n_orders"),
+            round(sum(col("money")).cast("double"), 4).as("spend"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+            max(epoch_us(o_orderdate)) AS last_us,
+            CAST(count(*) AS BIGINT) AS freq,
+            sum(CAST(o_totalprice AS DECIMAL(30,6))) AS money
+          FROM orders GROUP BY o_custkey),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        sc AS (SELECT o_custkey, freq, money,
+            (CAST(row_number() OVER (ORDER BY last_us, o_custkey) AS BIGINT)
+              - 1) * 3 // n.n + 1 AS r_score,
+            (CAST(row_number() OVER (ORDER BY freq, o_custkey) AS BIGINT)
+              - 1) * 3 // n.n + 1 AS f_score,
+            (CAST(row_number() OVER (ORDER BY money, o_custkey) AS BIGINT)
+              - 1) * 3 // n.n + 1 AS m_score
+          FROM per CROSS JOIN n)
+        SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+            || CAST(m_score AS VARCHAR) AS segment,
+          CAST(count(*) AS BIGINT) AS n_customers,
+          CAST(sum(freq) AS BIGINT) AS n_orders,
+          round(CAST(sum(money) AS DOUBLE), 4) AS spend
+        FROM sc GROUP BY 1 ORDER BY segment"""))
   )
 }

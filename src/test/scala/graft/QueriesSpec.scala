@@ -883,4 +883,83 @@ class QueriesSpec extends AnyFunSuite {
       assert(gT2 >= 0.0)
     }
   }
+
+  test("wave-r10i invariants: anova moment replay, nearest-asof replay, " +
+    "rfm score replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double = d6(x).toDouble
+
+    // ANOVA: replay F from the identical decimal-moment chain
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val groups = ev.groupBy(_._4).values.toSeq
+    val k = groups.size
+    val nTot = ev.length
+    val sbn = groups.map { g =>
+      val sv = g.map(e => d6(e._5)).sum
+      d6(sv.toDouble * sv.toDouble / g.length)
+    }.sum.toDouble
+    val svAll = groups.map(_.map(e => d6(e._5)).sum).sum.toDouble
+    val svvAll = groups.map(_.map(e => d6(e._5 * e._5)).sum).sum.toDouble
+    val fRow = run("q_anova_f").head()
+    assert(fRow.getAs[Long]("k") == k && fRow.getAs[Long]("n_total") == nTot)
+    assert(fRow.getAs[Double]("ssb") == r6(sbn - svAll * svAll / nTot))
+    assert(fRow.getAs[Double]("ssw") == r6(svvAll - sbn))
+    assert(fRow.getAs[Double]("f_stat") ==
+      r6(((sbn - svAll * svAll / nTot) / (k - 1)) / ((svvAll - sbn) / (nTot - k))))
+    assert(fRow.getAs[Double]("f_stat") > 0.0)
+
+    // Nearest as-of: per purchase, the (|dt|, backward-first, c_id)
+    // minimum over the user's clicks
+    val clicks = ev.filter(_._4 == "click").groupBy(_._1)
+    val expNear = ev.filter(_._4 == "purchase").flatMap { p =>
+      clicks.get(p._1).map { cs =>
+        val best = cs.map(c => (c._2 - p._2, c._3))
+          .minBy { case (dt, cid) =>
+            (math.abs(dt), if (dt <= 0) 0 else 1, cid) }
+        p._3 -> best
+      }
+    }.toMap
+    val gotNear = run("q_join_asof_nearest").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(2)))).toMap
+    assert(gotNear == expNear.map { case (p, (dt, cid)) => p -> ((dt, cid)) },
+      "nearest-asof replay")
+    assert(gotNear.nonEmpty)
+
+    // RFM: replay scores from sorted ranks over per-customer aggregates
+    val ords = graft.tables.Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val per = ords.groupBy(_._1).map { case (ck, os) =>
+      (ck, os.map(_._2).max, os.length.toLong, os.map(o => d6(o._3)).sum)
+    }.toSeq
+    val nc = per.size
+    def toScores(ranked: Seq[Long]): Map[Long, Long] =
+      ranked.zipWithIndex
+        .map { case (ck, i) => ck -> (i.toLong * 3 / nc + 1) }.toMap
+    val rS = toScores(per.sortBy(c => (c._2, c._1)).map(_._1))
+    val fS = toScores(per.sortBy(c => (c._3, c._1)).map(_._1))
+    val mS = toScores(per.sortBy(c => (c._4, c._1)).map(_._1))
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expSeg2 = per.groupBy(c => s"${rS(c._1)}${fS(c._1)}${mS(c._1)}")
+      .map { case (seg, cs) =>
+        seg -> ((cs.size.toLong, cs.map(_._3).sum,
+          round4(cs.map(_._4).sum.toDouble))) }
+    val gotSeg = run("q_rfm_segments").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotSeg == expSeg2, "rfm segment replay")
+    assert(gotSeg.size > 3, "fixture must spread customers across segments")
+  }
 }
