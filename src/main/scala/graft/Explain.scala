@@ -47,7 +47,15 @@ object Explain {
       // re-shuffle of the fan-out); adamic-adar must show the semi-join
       // hub gate BELOW the wedge self-join; ks must broadcast the pair
       // frame into both tag joins with windows partitioned by pair
-      "q_basket_lift", "q_link_adamic_adar", "q_ks_drift")
+      "q_basket_lift", "q_link_adamic_adar", "q_ks_drift",
+      // round-10 wave-5+: symspell must be a variant-key equi-join with
+      // the levenshtein verify as a post-join Filter (no BNLJ); dupspan
+      // a gram-key equi-join feeding diagonal-partitioned windows;
+      // hard negatives ONE broadcast NL probe join (anchors broadcast)
+      // + per-anchor window; the nearest as-of a user-key SMJ/hash join
+      // + hash-agg, never a BNLJ on the time predicate
+      "q_symspell_join", "q_dupspan_pairs", "q_hard_negatives",
+      "q_join_asof_nearest")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
