@@ -289,7 +289,13 @@ object ScaleProof {
       // 10x user fan (per-user history fixed); rfm's fact side is one
       // per-customer hash-agg — the three global rank windows run on
       // the customer DIM frame (documented bounded-dim regime)
-      "q_anova_f", "q_join_asof_nearest", "q_rfm_segments")
+      "q_anova_f", "q_join_asof_nearest", "q_rfm_segments",
+      // round-10 wave-10: the trim action rides the shared dupspan run
+      // frame (its covered-position explode is bounded by true
+      // duplication — on the all-dup corpus that IS the quadratic
+      // regime, same exclusion class as the pairs query); jackknife is
+      // one integer hash-agg + a |sources|-row frame
+      "q_dupspan_trim", "q_jackknife_mean")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

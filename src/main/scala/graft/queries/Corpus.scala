@@ -1010,6 +1010,59 @@ object Corpus {
         SELECT doc_id, count(*) AS n_bigrams,
           CAST(sum(unseen) AS BIGINT) AS n_unseen,
           round(${sqlDavg("t")}, 6) AS nll
-        FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
+    // DELETE-ONE-GROUP JACKKNIFE — the non-parametric standard error of
+    // the corpus mean under cluster (source) structure: θ₍ᵢ₎ = the mean
+    // with source i deleted, computed from INTEGER sums alone
+    // ((S − Sᵢ)/(N − nᵢ), one IEEE divide over exact integers, rounded
+    // 6); the jackknife variance (g−1)/g · Σ(θ₍ᵢ₎ − θ̄)² then sums its
+    // 20 squared deviations through the round-4 + decimal-exact-sum
+    // mechanism (the q_perplexity_filter class) so no float ever sums in
+    // engine order. A naive SE of the doc-level mean assumes i.i.d.
+    // docs; sources are the sampling unit a crawl actually has. Scale:
+    // one integer hash-agg per source + a 20-row frame — the totals
+    // re-aggregate from the same frame.
+    QDef("q_jackknife_mean",
+      (s, d) => {
+        val per = documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_i"), sum(col("n_chars")).as("s_i"))
+          .localCheckpoint(true) // feeds totals AND the delete-one frame
+        val tot = per.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s"),
+          count(lit(1)).as("g"))
+        val thetas = per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n"), col("g"), col("s"),
+            round((col("s") - col("s_i")).cast("double") /
+              (col("n") - col("n_i")), 6).as("theta_i"))
+          .localCheckpoint(true) // mean join + deviation sum
+        val jbar = thetas.agg(davg(col("theta_i")).as("jbar"))
+        thetas.crossJoin(broadcast(jbar))
+          .select(col("g"), col("n"),
+            round(col("s").cast("double") / col("n"), 6).as("theta_all"),
+            round(col("jbar"), 6).as("theta_jack"),
+            round((col("theta_i") - col("jbar"))
+              * (col("theta_i") - col("jbar")), 4).as("dev2"))
+          .groupBy(col("g"), col("n"), col("theta_all"), col("theta_jack"))
+          .agg(round(dsum(col("dev2")) * (col("g") - 1) / col("g"), 4)
+            .as("jack_var"))
+      },
+      Some(s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_i,
+            CAST(sum(n_chars) AS BIGINT) AS s_i
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+            CAST(sum(s_i) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS g
+          FROM per),
+        thetas AS (SELECT source, n, g, s,
+            round(CAST(s - s_i AS DOUBLE) / (n - n_i), 6) AS theta_i
+          FROM per CROSS JOIN tot),
+        jb AS (SELECT ${sqlDavg("theta_i")} AS jbar FROM thetas)
+        SELECT g, n,
+          round(CAST(s AS DOUBLE) / n, 6) AS theta_all,
+          round(jbar, 6) AS theta_jack,
+          round(${sqlDsum("round((theta_i - jbar) * (theta_i - jbar), 4)")}
+            * (g - 1) / g, 4) AS jack_var
+        FROM thetas CROSS JOIN jb
+        GROUP BY g, n, s, jbar"""))
   )
 }

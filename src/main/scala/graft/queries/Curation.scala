@@ -1274,39 +1274,111 @@ object Curation {
     // diagonal) partition pos_a is unique (pos_b = pos_a − diag), so the
     // windows see no ties. All integers (class A).
     QDef("q_dupspan_pairs",
+      (s, d) => dupspanRuns(s, d)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("run") + 7).as("max_span"),
+          count(lit(1)).as("n_runs"), sum(col("run")).as("n_matches"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $dupspanRunsCte
+        SELECT id_a, id_b, CAST(max(run + 7) AS BIGINT) AS max_span,
+          CAST(count(*) AS BIGINT) AS n_runs,
+          CAST(sum(run) AS BIGINT) AS n_matches
+        FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b""")),
+
+    // EXACTSUBSTR TRIM — the ACTION the span measurement feeds (Lee et
+    // al. remove duplicated substrings rather than whole docs): in each
+    // matched pair the HIGHER doc id loses the covered tokens (the
+    // min-id keeper rule of q_dedup_exact applied at span granularity).
+    // Covered positions explode from the shared `runs` frame (volume
+    // bounded by true duplication, never doc length × corpus), distinct
+    // per doc, and the rebuilt token list drops exactly those positions
+    // — emitted as counts + the md5 of the trimmed text so the full
+    // rewrite is hash-pinned without shipping the corpus through the
+    // gate. Shares dupspanRuns/its CTE with q_dupspan_pairs — the
+    // measurement and the action cannot drift.
+    QDef("q_dupspan_trim",
       (s, d) => {
-        val toks = documents(s, d)
+        val covered = dupspanRuns(s, d)
+          .select(col("id_b").as("doc_id"), explode(sequence(
+            col("start_a") - col("diag"),
+            col("start_a") - col("diag") + col("run") + 6)).as("pos"))
+          .distinct()
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("pos")).as("cut"))
+        documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-        val grams = toks.filter(size(col("toks")) >= 8)
-          .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(1, size(toks) - 7),
-                 i -> array_join(slice(toks, i, 8), ' '))""")))
-          .toDF("doc_id", "pos0", "g")
-          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
-        val hot = grams.groupBy(col("g"))
-          .agg(countDistinct(col("doc_id")).as("gdf"))
-          .filter(col("gdf") <= 64).select(col("g"))
-        val kept = grams.join(hot, Seq("g"))
-          .localCheckpoint(true) // feeds both sides of the candidate join
-        val m = kept
-          .select(col("doc_id").as("id_a"), col("pos").as("pa"), col("g"))
-          .join(kept.select(col("doc_id").as("id_b"), col("pos").as("pb"),
-            col("g")), Seq("g"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("pa"),
-            (col("pa") - col("pb")).as("diag"))
-        val wIsl = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
-          .orderBy(col("pa"))
-        m.withColumn("isl", col("pa") - row_number().over(wIsl))
-          .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
-          .agg(count(lit(1)).as("run"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(max(col("run") + 7).as("max_span"),
-            count(lit(1)).as("n_runs"), sum(col("run")).as("n_matches"))
-          .orderBy(col("id_a"), col("id_b"))
+          .join(covered, Seq("doc_id"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+            size(col("cut")).cast("long").as("n_removed"),
+            md5(expr("""CAST(array_join(filter(transform(toks,
+                 (t, i) -> IF(array_contains(cut, CAST(i + 1 AS BIGINT)),
+                   NULL, t)), x -> x IS NOT NULL), ' ') AS BINARY)"""))
+              .as("trimmed_md5"))
+          .orderBy(col("doc_id"))
       },
-      Some(s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks
-            FROM documents),
+      Some(s"""WITH $dupspanRunsCte,
+        cov AS (SELECT DISTINCT id_b AS doc_id, start_a - diag + off AS pos
+          FROM runs CROSS JOIN range(0, 10000) t(off)
+          WHERE off <= run + 6),
+        cutl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+            list(pos) AS cut
+          FROM cov GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          n_removed,
+          md5(COALESCE(array_to_string(list_filter(
+            list_transform(range(1, len(t.toks) + 1),
+              i -> CASE WHEN list_contains(cut, i)
+                THEN NULL ELSE t.toks[i] END),
+            x -> x IS NOT NULL), ' '), '')) AS trimmed_md5
+        FROM toks t JOIN cutl ON t.doc_id = cutl.doc_id
+        ORDER BY t.doc_id"""))
+  )
+
+  /** Shared positional-8-gram run frame of q_dupspan_pairs /
+    * q_dupspan_trim: matched (id_a < id_b) gram positions chained into
+    * maximal diagonal runs — one definition, so the pairwise
+    * measurement and the trim action cannot drift. Columns:
+    * (id_a, id_b, diag, start_a, run); a run of r matched 8-gram
+    * windows beginning at a_pos start_a (b_pos = start_a − diag)
+    * covers r + 7 tokens on each side. Hot grams (> 64 distinct docs)
+    * are dropped before the candidate join (the tfidf df-cap
+    * precedent), bounding per-gram fan-out. */
+  private def dupspanRuns(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = toks.filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(toks) - 7),
+             i -> array_join(slice(toks, i, 8), ' '))""")))
+      .toDF("doc_id", "pos0", "g")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
+    val hot = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+      .filter(col("gdf") <= 64).select(col("g"))
+    val kept = grams.join(hot, Seq("g"))
+      .localCheckpoint(true) // feeds both sides of the candidate join
+    val m = kept
+      .select(col("doc_id").as("id_a"), col("pos").as("pa"), col("g"))
+      .join(kept.select(col("doc_id").as("id_b"), col("pos").as("pb"),
+        col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val wIsl = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("isl", col("pa") - row_number().over(wIsl))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("start_a"), count(lit(1)).as("run"))
+      .select(col("id_a"), col("id_b"), col("diag"), col("start_a"),
+        col("run"))
+  }
+
+  /** DuckDB mirror of [[dupspanRuns]] — defines CTEs `toks` and `runs`
+    * (id_a, id_b, diag, start_a, run). */
+  private lazy val dupspanRunsCte: String = s"""toks AS (SELECT doc_id,
+            $tokensSql AS toks
+          FROM documents),
         grams AS (SELECT doc_id, unnest(list_transform(
             range(1, len(toks) - 6),
             i -> struct_pack(pos := i,
@@ -1320,16 +1392,12 @@ object Curation {
         m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
             a.pos - b.pos AS diag
           FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
-        isl AS (SELECT id_a, id_b, diag,
+        isl AS (SELECT id_a, id_b, diag, pa,
             pa - row_number() OVER (PARTITION BY id_a, id_b, diag
               ORDER BY pa) AS isl
           FROM m),
         runs AS (SELECT id_a, id_b, diag, isl,
+            CAST(min(pa) AS BIGINT) AS start_a,
             CAST(count(*) AS BIGINT) AS run
-          FROM isl GROUP BY 1, 2, 3, 4)
-        SELECT id_a, id_b, CAST(max(run + 7) AS BIGINT) AS max_span,
-          CAST(count(*) AS BIGINT) AS n_runs,
-          CAST(sum(run) AS BIGINT) AS n_matches
-        FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b"""))
-  )
+          FROM isl GROUP BY 1, 2, 3, 4)"""
 }

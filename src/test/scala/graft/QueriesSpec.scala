@@ -962,4 +962,77 @@ class QueriesSpec extends AnyFunSuite {
     assert(gotSeg == expSeg2, "rfm segment replay")
     assert(gotSeg.size > 3, "fixture must spread customers across segments")
   }
+
+  test("wave-r10j invariants: dupspan-trim rebuild replay, jackknife replay") {
+    import org.apache.spark.sql.functions._
+    import java.security.MessageDigest
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // Trim: recompute covered positions from the same run semantics and
+    // rebuild every trimmed doc imperatively; md5 must match exactly
+    val docToks = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+    val gramPos = docToks.flatMap { case (id, ts) =>
+      ts.sliding(8).zipWithIndex.collect {
+        case (w, i) if w.length == 8 => (w.mkString(" "), id, i + 1L) }
+    }
+    val hotOk = gramPos.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size <= 64).keySet
+    val kept = gramPos.filter(g => hotOk(g._1)).toSeq
+    val covered = kept.groupBy(_._1).values.toSeq.flatMap { ps =>
+      ps.flatMap { case (_, ia, pa) =>
+        ps.collect { case (_, ib, pb) if ia < ib => (ib, pb) } }
+    }.flatMap { case (ib, pb) => (pb to pb + 7).map(ib -> _) }
+      .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).toSet }
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expTrim = covered.map { case (id, cut) =>
+      val ts = docToks.toMap.apply(id)
+      val rebuilt = ts.zipWithIndex
+        .collect { case (t, i) if !cut((i + 1).toLong) => t }
+      id -> ((ts.length.toLong, cut.size.toLong, md5hex(rebuilt.mkString(" "))))
+    }
+    val gotTrim = run("q_dupspan_trim").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(gotTrim == expTrim, "dupspan-trim rebuild replay")
+    assert(expTrim.nonEmpty)
+    assert(expTrim.exists { case (_, (n, rm, _)) => rm < n },
+      "fixture must contain a partial trim")
+    assert(expTrim.forall { case (_, (n, rm, _)) => rm <= n })
+
+    // Note: covered positions here chain per matched WINDOW (pb..pb+7
+    // per match), which unions to exactly the run-extent semantics the
+    // query declares (consecutive matched windows = start..start+run+6).
+
+    // Jackknife: replay from integer sums with the identical rounding
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perSrc = graft.tables.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (src, vs) => (src, vs.size.toLong, vs.map(_._2).sum) }
+      .toSeq
+    val g = perSrc.size
+    val n = perSrc.map(_._2).sum
+    val sAll = perSrc.map(_._3).sum
+    val thetas = perSrc.map { case (_, ni, si) =>
+      r6((sAll - si).toDouble / (n - ni)) }
+    val jbar = (thetas.map(t => BigDecimal(t)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / g)
+    val dev2 = thetas.map(t => BigDecimal(r4((t - jbar) * (t - jbar)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val row = run("q_jackknife_mean").head()
+    assert(row.getAs[Long]("g") == g && row.getAs[Long]("n") == n)
+    assert(row.getAs[Double]("theta_all") == r6(sAll.toDouble / n))
+    assert(row.getAs[Double]("theta_jack") == r6(jbar))
+    assert(row.getAs[Double]("jack_var") == r4(dev2 * (g - 1) / g))
+    assert(row.getAs[Double]("jack_var") >= 0.0)
+  }
 }
