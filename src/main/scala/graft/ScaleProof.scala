@@ -295,7 +295,13 @@ object ScaleProof {
       // duplication — on the all-dup corpus that IS the quadratic
       // regime, same exclusion class as the pairs query); jackknife is
       // one integer hash-agg + a |sources|-row frame
-      "q_dupspan_trim", "q_jackknife_mean")
+      "q_dupspan_trim", "q_jackknife_mean",
+      // round-10 wave-11: cuped is one per-user conditional-sum agg +
+      // a 1-row moment rollup; interval union is per-user windows
+      // (state bounded by history); k-core peels the bounded
+      // co-purchase edge frame 4 times (each round one hash-agg + two
+      // semi-joins)
+      "q_abtest_cuped", "q_interval_union", "q_graph_kcore")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1063,6 +1063,72 @@ object Corpus {
           round(${sqlDsum("round((theta_i - jbar) * (theta_i - jbar), 4)")}
             * (g - 1) / g, 4) AS jack_var
         FROM thetas CROSS JOIN jb
-        GROUP BY g, n, s, jbar"""))
+        GROUP BY g, n, s, jbar""")),
+
+    // K-CORE PEELING — the graph-density operator beside CC/triangles/
+    // PageRank/Adamic–Adar: iteratively delete nodes of degree < 3
+    // from the co-purchase graph (the q_basket_lift substrate: part
+    // pairs with support ≥ 2) for 4 fixed rounds — the dense backbone
+    // that survives is where co-purchase recommendations are reliable.
+    // Fixed-round relational iteration (the q_kmeans_lloyd precedent):
+    // each round is one degree hash-agg + two semi-join edge
+    // restrictions, per-round localCheckpoint; the oracle replays the
+    // identical 4-round peel as chained CTEs. Output = the surviving
+    // edge set's degree table (declared fixed-round semantics — a
+    // node's final degree may dip below k when removals cascade inside
+    // the last round; the FIXPOINT claim is spec-asserted at sf0.001
+    // where 4 rounds suffice). All integers (class A).
+    QDef("q_graph_kcore",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        var edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("ia"), col("y.l_partkey").as("ib"))
+          .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+          .select(col("ia"), col("ib"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          val keep = edges.select(col("ia").as("u"))
+            .unionAll(edges.select(col("ib").as("u")))
+            .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select(col("u"))
+            .localCheckpoint(true) // both edge-restriction joins read it
+          edges = edges
+            .join(keep.select(col("u").as("ia")), Seq("ia"), "left_semi")
+            .join(keep.select(col("u").as("ib")), Seq("ib"), "left_semi")
+            .localCheckpoint(true)
+        }
+        edges.select(col("ia").as("u"))
+          .unionAll(edges.select(col("ib").as("u")))
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("u"))
+      },
+      Some {
+        // every CTE MATERIALIZED: each eₖ references eₖ₋₁ four times
+        // (degree union ×2 + both IN probes route through keepₖ), so
+        // DuckDB's default inlining re-expands the pair self-join
+        // 4^k times — the un-hinted form filled the temp disk at sf0.1
+        def peel(k: Int): String = s"""
+        keep$k AS MATERIALIZED (SELECT u FROM (
+            SELECT u, count(*) AS deg FROM (
+              SELECT ia AS u FROM e${k - 1}
+              UNION ALL SELECT ib FROM e${k - 1})
+            GROUP BY u) WHERE deg >= 3),
+        e$k AS MATERIALIZED (SELECT ia, ib FROM e${k - 1}
+          WHERE ia IN (SELECT u FROM keep$k)
+            AND ib IN (SELECT u FROM keep$k))"""
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem),
+        e0 AS MATERIALIZED (SELECT a.l_partkey AS ia, b.l_partkey AS ib
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        ${(1 to 4).map(peel).mkString(",")}
+        SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT ia AS u FROM e4 UNION ALL SELECT ib FROM e4)
+        GROUP BY u ORDER BY u"""
+      })
   )
 }

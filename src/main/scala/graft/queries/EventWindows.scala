@@ -1432,6 +1432,128 @@ object EventWindows {
           CAST(count(*) AS BIGINT) AS n_customers,
           CAST(sum(freq) AS BIGINT) AS n_orders,
           round(CAST(sum(money) AS DOUBLE), 4) AS spend
-        FROM sc GROUP BY 1 ORDER BY segment"""))
+        FROM sc GROUP BY 1 ORDER BY segment""")),
+
+    // CUPED variance reduction (Deng et al. WSDM'13) — the
+    // experimentation-platform staple: adjust each user's post-period
+    // metric by their PRE-period baseline (θ = cov(pre, post)/var(pre);
+    // adjusted = post − θ·(pre − mean_pre)), shrinking metric variance
+    // by exactly cov²/var_pre without biasing the mean. One
+    // per-user conditional-sum hash-agg (map-side combinable) builds
+    // the (pre, post) pairs; the five cross moments are decimal-exact
+    // (per-user sums land once on the 30,6 grid, the pairwise products
+    // are single IEEE multiplies re-grided before the exact sum); θ,
+    // variances, and the reduction are fixed IEEE chains with identical
+    // parenthesization both engines (the q_welch_ttest class), rounded
+    // once.
+    QDef("q_abtest_cuped",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val split = lit("2024-01-16").cast("timestamp")
+        val per = events(s, d).groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < split, col("value")).otherwise(0.0)
+              .cast(Dec)).as("pre"),
+            sum(when(col("ts") >= split, col("value")).otherwise(0.0)
+              .cast(Dec)).as("post"))
+        val m = per.agg(count(lit(1)).as("n"),
+          sum(col("pre")).as("sp"), sum(col("post")).as("sq"),
+          sum(expr("CAST(CAST(pre AS DOUBLE) * CAST(pre AS DOUBLE) AS DECIMAL(30,6))")).as("spp"),
+          sum(expr("CAST(CAST(post AS DOUBLE) * CAST(post AS DOUBLE) AS DECIMAL(30,6))")).as("sqq"),
+          sum(expr("CAST(CAST(pre AS DOUBLE) * CAST(post AS DOUBLE) AS DECIMAL(30,6))")).as("spq"))
+        m.select(col("n"),
+          expr("""round((CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)
+            * CAST(sq AS DOUBLE) / n)
+            / (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)
+            * CAST(sp AS DOUBLE) / n), 6)""").as("theta"),
+          expr("""round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+            * CAST(sq AS DOUBLE) / n) / (n - 1), 6)""").as("var_post"),
+          expr("""round(((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+            * CAST(sq AS DOUBLE) / n)
+            - (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)
+               * CAST(sq AS DOUBLE) / n)
+            * (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)
+               * CAST(sq AS DOUBLE) / n)
+            / (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)
+               * CAST(sp AS DOUBLE) / n)) / (n - 1), 6)""").as("var_adj"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            sum(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value
+              ELSE 0.0 END AS DECIMAL(30,6))) AS pre,
+            sum(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+              ELSE 0.0 END AS DECIMAL(30,6))) AS post
+          FROM events GROUP BY user_id),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(pre) AS sp, sum(post) AS sq,
+            sum(CAST(CAST(pre AS DOUBLE) * CAST(pre AS DOUBLE)
+              AS DECIMAL(30,6))) AS spp,
+            sum(CAST(CAST(post AS DOUBLE) * CAST(post AS DOUBLE)
+              AS DECIMAL(30,6))) AS sqq,
+            sum(CAST(CAST(pre AS DOUBLE) * CAST(post AS DOUBLE)
+              AS DECIMAL(30,6))) AS spq
+          FROM per)
+        SELECT n,
+          round((CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)
+            * CAST(sq AS DOUBLE) / n)
+            / (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)
+            * CAST(sp AS DOUBLE) / n), 6) AS theta,
+          round((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+            * CAST(sq AS DOUBLE) / n) / (n - 1), 6) AS var_post,
+          round(((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+            * CAST(sq AS DOUBLE) / n)
+            - (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)
+               * CAST(sq AS DOUBLE) / n)
+            * (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)
+               * CAST(sq AS DOUBLE) / n)
+            / (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)
+               * CAST(sp AS DOUBLE) / n)) / (n - 1), 6) AS var_adj
+        FROM m""")),
+
+    // INTERVAL UNION length — total covered activity time per user when
+    // each event opens a 5-minute window and windows overlap: the
+    // classic coverage/utilization operator (machine uptime, ad
+    // viewability, session coverage). The q_dupspan_trim interval-union
+    // mechanism declared standalone: per-user sort + running-max island
+    // assignment merges overlapping-or-touching [us, us+300s) windows,
+    // then one hash-agg sums exact µs lengths. All integers (class A);
+    // windows partition by user (state bounded by per-user history).
+    QDef("q_interval_union",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) + 300000000L).as("e0"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("s0"), col("e0"))
+        iv.withColumn("pmax", max(col("e0")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ni",
+            (col("pmax").isNull || col("s0") > col("pmax")).cast("long"))
+          .withColumn("isl", sum(col("ni")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("isl"))
+          .agg(min(col("s0")).as("s"), max(col("e0")).as("e"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("e") - col("s")).as("covered_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s0,
+            epoch_us(ts) + 300000000 AS e0
+          FROM events),
+        mk AS (SELECT user_id, s0, e0,
+            max(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM iv),
+        mc AS (SELECT user_id, s0, e0,
+            CAST(sum(CASE WHEN pmax IS NULL OR s0 > pmax
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+              ORDER BY s0, e0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+          FROM mk),
+        merged AS (SELECT user_id, isl, min(s0) AS s, max(e0) AS e
+          FROM mc GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+          CAST(sum(e - s) AS BIGINT) AS covered_us
+        FROM merged GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -1035,4 +1035,95 @@ class QueriesSpec extends AnyFunSuite {
     assert(row.getAs[Double]("jack_var") == r4(dev2 * (g - 1) / g))
     assert(row.getAs[Double]("jack_var") >= 0.0)
   }
+
+  test("wave-r10k invariants: cuped moment replay + guaranteed reduction, " +
+    "interval-union replay, k-core fixpoint") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double = d6(x).toDouble
+
+    // CUPED: replay theta/variances from the identical decimal-moment
+    // chain; var_adj = var_post - cov^2/var_pre must never exceed
+    // var_post (the guaranteed-reduction theorem)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).as("isPre"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2)))
+    val perU = ev.groupBy(_._1).map { case (_, es) =>
+      val pre = es.filter(_._2).foldLeft(BigDecimal(0))((a, e) => a + d6(e._3))
+      val post = es.filterNot(_._2).foldLeft(BigDecimal(0))((a, e) => a + d6(e._3))
+      (pre, post)
+    }.toSeq
+    val n = perU.size
+    val sp = perU.map(_._1).sum.toDouble
+    val sq = perU.map(_._2).sum.toDouble
+    val spp = perU.map(p => d6(p._1.toDouble * p._1.toDouble)).sum.toDouble
+    val sqq = perU.map(p => d6(p._2.toDouble * p._2.toDouble)).sum.toDouble
+    val spq = perU.map(p => d6(p._1.toDouble * p._2.toDouble)).sum.toDouble
+    val cov = spq - sp * sq / n
+    val varPre = spp - sp * sp / n
+    val varPost = sqq - sq * sq / n
+    val c = run("q_abtest_cuped").head()
+    assert(c.getAs[Long]("n") == n)
+    assert(c.getAs[Double]("theta") == r6(cov / varPre))
+    assert(c.getAs[Double]("var_post") == r6(varPost / (n - 1)))
+    assert(c.getAs[Double]("var_adj") ==
+      r6((varPost - cov * cov / varPre) / (n - 1)))
+    assert(c.getAs[Double]("var_adj") <= c.getAs[Double]("var_post"))
+
+    // Interval union: JVM merge replay per user
+    val byUser = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val expIv = byUser.map { case (u, es) =>
+      val ivs = es.map(_._2).sorted.map(s => (s, s + 300000000L))
+      val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (s0, e0)) => acc match {
+          case (s1, e1) :: rest if s0 <= e1 =>
+            (s1, math.max(e1, e0)) :: rest
+          case _ => (s0, e0) :: acc
+        }
+      }
+      u -> ((merged.size.toLong, merged.map(p => p._2 - p._1).sum))
+    }
+    val gotIv = run("q_interval_union").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotIv == expIv, "interval-union replay")
+    assert(expIv.exists(_._2._1 > 1), "fixture must have disjoint islands")
+
+    // K-core: peel in the JVM until FIXPOINT; 4 rounds must reach it at
+    // sf0.001, final degrees all >= 3, and the query's degree table
+    // matches exactly
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges0 = li.toSeq.groupBy(_._1).values.toSeq.flatMap { os =>
+      val ps = os.map(_._2).distinct
+      ps.flatMap(a => ps.collect { case b if a < b => (a, b) })
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    var es = edges0
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 50) {
+      val deg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+        .groupBy(identity).map { case (u, vs) => u -> vs.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next != es
+      es = next
+      rounds += 1
+    }
+    assert(rounds <= 4, s"fixpoint must be reached within 4 peels ($rounds)")
+    val expDeg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+      .groupBy(identity).map { case (u, vs) => u -> vs.size.toLong }
+    val gotDeg = run("q_graph_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDeg == expDeg, "k-core degree table replay")
+    assert(gotDeg.nonEmpty && gotDeg.values.forall(_ >= 3),
+      "fixpoint core degrees must all be >= k")
+  }
 }
