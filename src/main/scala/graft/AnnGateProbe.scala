@@ -38,6 +38,14 @@ object AnnGateProbe {
       residual = true, rerankFactor = 4))
     report("pq", graft.llm.VectorPq.topkApprox(e, "vec_id", "embedding",
       topk = 5, queries = qs, trainFraction = 0.2))
+
+    // hard-negatives IVF: exact top-1 LABEL-DISJOINT neighbor found in
+    // the label-filtered approx top-3 (the q_hard_negatives_ivf gate)
+    val hn = graft.queries.Llm.hardNegRecallMean(e,
+      graft.llm.VectorIvf.topkApproxLabelDisjoint(e, "vec_id", "embedding",
+        "label", k = 3, nlist = 16, nprobe = 4, queries = qs,
+        trainFraction = 0.2), nQ = 50).collect()(0)
+    println(f"[anngate] hardneg_ivf      n=${hn.getLong(0)} mean_hit=${hn.getDouble(1)}%.3f")
     spark.stop()
   }
 }

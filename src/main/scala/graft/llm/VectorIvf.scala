@@ -124,4 +124,39 @@ object VectorIvf {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
   }
+
+  /** Top-`k` approximate LABEL-DISJOINT neighbors (hard-negative mining
+    * at scale): identical IVF cell probing, but the candidate scan keeps
+    * each vector's label and drops same-label pairs BEFORE the exact
+    * rerank — the label filter rides the inverted-list join, so the
+    * probe cost is the filtered cell population, exactly how a
+    * production contrastive-sampling pass pushes the class predicate
+    * into the ANN bucket scan. Rerank ordering matches the exact
+    * operator (round-6 cosine desc, c_id asc). */
+  def topkApproxLabelDisjoint(vecs: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      queries: Option[DataFrame] = None,
+      trainFraction: Double = 1.0): DataFrame = {
+    val labels = vecs.select(col(idCol).as("vid"), col(labelCol).as("lbl"))
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val q = queries.getOrElse(vecs)
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val cents = train(vecs, idCol, vecCol, nlist, iters, trainFraction)
+      .localCheckpoint(true)
+    val members = assign(v, cents).join(labels, "vid")
+    val probes = probeCells(q, cents, nprobe).join(
+      labels.select(col("vid").as("q_id"), col("lbl").as("q_label")), "q_id")
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_r").desc, col("c_id"))
+    probes.join(members
+        .select(col("cid"), col("vid").as("c_id"), col("vec").as("cv"),
+          col("lbl").as("c_label")), "cid")
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("sim_r", round(vec_cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"),
+        col("q_label"), col("c_label"), col("sim_r"))
+  }
 }

@@ -1012,6 +1012,110 @@ object Corpus {
           round(${sqlDavg("t")}, 6) AS nll
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // JELINEK–MERCER INTERPOLATED held-out perplexity — the smoothing
+    // upgrade of q_heldout_perplexity's add-one bigram: p = λ·p_ML(w₂|w₁)
+    // + (1−λ)·p_uni(w₂) with λ = ½, where the ML bigram term is c₂/c₁
+    // (zero when the context is unseen — interpolation, unlike add-one,
+    // keeps the model proper there via the unigram back-off) and the
+    // unigram is add-one smoothed (c(w₂)+1)/(T+V) so OOV predicted
+    // tokens keep p > 0. Same train/held-out Knuth split; the divisions
+    // and the λ-mix are IDENTICALLY parenthesized IEEE chains over exact
+    // integer counts. Determinism mechanism UPGRADED over the add-one
+    // precedent: each −ln term is quantized straight to an INTEGER
+    // (round(t·10⁴) — both engines round the identical double exactly,
+    // no decimal-grid multiply), the per-doc score is the exact BIGINT
+    // sum of those integers, and the reported mean is ONE correctly-
+    // rounded division with NO trailing round(…, 6) — the precedent's
+    // round-of-mean flipped at sf0.1 because a mean of round-4 terms
+    // over n=80 lands exactly on a round-6 decimal midpoint 1-in-8
+    // times, where Spark's BigDecimal HALF_UP and DuckDB's
+    // multiply-then-std::round disagree (measured: doc 2798,
+    // 3.413247 vs 3.413248). Class C only through ln's ulp (term-scan
+    // verified off-boundary at all three SFs). Scale: three map-side
+    // count aggs on the train side, two broadcast joins on the scored
+    // side; per-doc state never exists.
+    QDef("q_heldout_perplexity_jm",
+      (s, d) => {
+        val bucket =
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+        val toksT = documents(s, d)
+          .select(col("doc_id"), (bucket < 80).as("is_train"),
+            filter(split(col("text"), " "), t => t =!= "").as("t"))
+          .localCheckpoint(true) // train counts AND held-out scoring
+        val bi = toksT.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("is_train"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> named_struct('w1', a, 'w2', b,
+                 'bg', concat(a, ' ', b)))""")).as("p"))
+          .select(col("doc_id"), col("is_train"), col("p.w1").as("w1"),
+            col("p.w2").as("w2"), col("p.bg").as("bg"))
+          .localCheckpoint(true) // train counts + held-out probe share it
+        val trainUni = toksT.filter(col("is_train"))
+          .select(explode(col("t")).as("w"))
+        val c1 = trainUni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val c2 = bi.filter(col("is_train"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        val vt = trainUni.agg(countDistinct(col("w")).as("v"),
+          count(lit(1)).as("tt"))
+        bi.filter(!col("is_train"))
+          .join(c2, Seq("bg"), "left")
+          .join(c1.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+          .join(c1.select(col("w").as("w2"), col("c1").as("cu")),
+            Seq("w2"), "left")
+          .crossJoin(broadcast(vt))
+          .select(col("doc_id"),
+            (coalesce(col("c2"), lit(0L)) === 0).cast("long").as("zero_ml"),
+            round((lit(0.0) - log(
+              when(coalesce(col("c1"), lit(0L)) > 0,
+                coalesce(col("c2"), lit(0L)).cast("double") / col("c1"))
+                .otherwise(lit(0.0)) * 0.5 +
+              (coalesce(col("cu"), lit(0L)) + 1.0) / (col("tt") + col("v"))
+                * 0.5)) * 10000).cast("long").as("t_e4"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("zero_ml")).as("n_zero_ml"),
+            sum(col("t_e4")).as("nll_e4"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_zero_ml"),
+            col("nll_e4"),
+            (col("nll_e4").cast("double") / (col("n_bigrams") * 10000))
+              .as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toksT AS (SELECT doc_id,
+            (doc_id * 2654435761) % 4294967296 % 100 < 80 AS is_train,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        bi AS (SELECT doc_id, is_train, toks[i] AS w1, toks[i + 1] AS w2,
+            toks[i] || ' ' || toks[i + 1] AS bg
+          FROM (SELECT doc_id, is_train, toks,
+                unnest(range(1, len(toks))) AS i
+                FROM toksT WHERE len(toks) >= 2)),
+        uni AS (SELECT unnest(toks) AS w FROM toksT WHERE is_train),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+          FROM uni GROUP BY w),
+        c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+          FROM bi WHERE is_train GROUP BY bg),
+        vt AS (SELECT count(DISTINCT w) AS v, count(*) AS tt FROM uni),
+        terms AS (SELECT doc_id,
+            CAST(COALESCE(c2.c2, 0) = 0 AS BIGINT) AS zero_ml,
+            CAST(round((0.0 - ln(
+              (CASE WHEN COALESCE(ca.c1, 0) > 0
+                THEN CAST(COALESCE(c2.c2, 0) AS DOUBLE) / ca.c1
+                ELSE 0.0 END) * 0.5 +
+              (COALESCE(cb.c1, 0) + 1.0) / (vt.tt + vt.v) * 0.5)) * 10000)
+              AS BIGINT) AS t_e4
+          FROM bi LEFT JOIN c2 USING (bg)
+          LEFT JOIN c1 ca ON bi.w1 = ca.w
+          LEFT JOIN c1 cb ON bi.w2 = cb.w
+          CROSS JOIN vt
+          WHERE NOT bi.is_train)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(zero_ml) AS BIGINT) AS n_zero_ml,
+          CAST(sum(t_e4) AS BIGINT) AS nll_e4,
+          CAST(CAST(sum(t_e4) AS BIGINT) AS DOUBLE)
+            / (count(*) * 10000) AS nll
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
     // DELETE-ONE-GROUP JACKKNIFE — the non-parametric standard error of
     // the corpus mean under cluster (source) structure: θ₍ᵢ₎ = the mean
     // with source i deleted, computed from INTEGER sums alone
@@ -1129,6 +1233,121 @@ object Corpus {
         SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
           SELECT ia AS u FROM e4 UNION ALL SELECT ib FROM e4)
         GROUP BY u ORDER BY u"""
-      })
+      }),
+
+    // ROC AUC — the threshold-free binary-classifier readout beside the
+    // chi²/KS battery and the q_lang_confusion matrix: score = n_chars,
+    // positive class = English documents (a deliberately weak scorer;
+    // the operator VALUE is the exact tie-aware rank algebra). With
+    // average ranks over ties, AUC = [Σ_s pos(s)·negBelow(s) +
+    // pos(s)·neg(s)/2] / (n_pos·n_neg); clearing ×2 keeps the numerator
+    // integral (auc_num2). Computed entirely off the (score → pos, neg)
+    // COUNT HISTOGRAM — one map-side-combinable hash-agg, then one
+    // window over the bounded distinct-score frame (the
+    // q_winsorize_stats histogram identity: never a per-row sort, the
+    // plan scales with the score DOMAIN, not the corpus). Final AUC is
+    // one IEEE divide over exact integers (class A + exact-div).
+    QDef("q_auc_roc",
+      (s, d) => {
+        val hist = documents(s, d)
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("pos"))
+          .groupBy(col("score"))
+          .agg(sum(col("pos")).as("p"),
+            (count(lit(1)) - sum(col("pos"))).as("q"))
+        val w = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("qb", coalesce(sum(col("q")).over(w), lit(0L)))
+          .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+            sum(col("p") * (col("qb") * 2 + col("q"))).as("auc_num2"))
+          .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+            round(col("auc_num2").cast("double") /
+              (col("n_pos") * col("n_neg") * 2), 6).as("auc"))
+      },
+      Some("""WITH hist AS (SELECT n_chars AS score,
+            CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS p,
+            CAST(count(*) - sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS q
+          FROM documents GROUP BY 1),
+        r AS (SELECT p, q,
+            CAST(COALESCE(sum(q) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS qb
+          FROM hist)
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+          CAST(sum(q) AS BIGINT) AS n_neg,
+          CAST(sum(p * (qb * 2 + q)) AS BIGINT) AS auc_num2,
+          round(CAST(CAST(sum(p * (qb * 2 + q)) AS BIGINT) AS DOUBLE)
+            / (CAST(sum(p) AS BIGINT) * CAST(sum(q) AS BIGINT) * 2), 6)
+            AS auc
+        FROM r""")),
+
+    // SPEARMAN RANK CORRELATION between document length (n_chars) and
+    // token count — the monotone-association twin of the Pearson-style
+    // q_agg_regression: rank-transform both sides with tie-averaged
+    // ranks, then Pearson on the ranks. Ranks come from the same
+    // bounded value-histogram prefix (2·cntBelow + cntEq + 1 = twice
+    // the average rank, so everything stays integral), broadcast-joined
+    // back onto the rows; Σ of doubled avg ranks is exactly n(n+1), so
+    // the centering constant (n+1) is an INTEGER and the three moment
+    // sums (Σdxdy, Σdx², Σdy²) are exact BIGINTs (|d| ≤ 2n ⇒ the sums
+    // stay under 2⁶³ through n ≈ 10⁶; beyond that the sums move to
+    // DECIMAL — noted in TUNING). ρ = sxy/(√sxx·√syy): BIGINT→double
+    // conversion, sqrt, mult, div are each correctly-rounded IEEE ops
+    // over identical inputs, rounded once to 1e-6 (class C).
+    QDef("q_spearman_corr",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"),
+            col("n_chars").as("x"),
+            size(filter(split(col("text"), " "), t => t =!= ""))
+              .cast("long").as("y"))
+          .localCheckpoint(true) // both rank histograms + the joined scan
+        def rankMap(c: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          base.groupBy(col(c)).agg(count(lit(1)).as("m"))
+            .withColumn("below", coalesce(sum(col("m")).over(w), lit(0L)))
+            .select(col(c), (col("below") * 2 + col("m") + 1).as(s"r2$c"))
+        }
+        val tot = base.agg(count(lit(1)).as("n"))
+        base
+          .join(broadcast(rankMap("x")), "x")
+          .join(broadcast(rankMap("y")), "y")
+          .crossJoin(broadcast(tot))
+          .select(col("n"), (col("r2x") - col("n") - 1).as("dx"),
+            (col("r2y") - col("n") - 1).as("dy"))
+          .groupBy(col("n"))
+          .agg(sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .select(col("n"), col("sxy"), col("sxx"), col("syy"),
+            round(col("sxy").cast("double") /
+              (sqrt(col("sxx").cast("double")) *
+                sqrt(col("syy").cast("double"))), 6).as("rho"))
+      },
+      Some("""WITH base AS (SELECT doc_id, n_chars AS x,
+            CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS y
+          FROM documents),
+        rx AS (SELECT x, CAST(2 * COALESCE(sum(m) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + m + 1 AS BIGINT) AS r2x
+          FROM (SELECT x, CAST(count(*) AS BIGINT) AS m
+                FROM base GROUP BY x)),
+        ry AS (SELECT y, CAST(2 * COALESCE(sum(m) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + m + 1 AS BIGINT) AS r2y
+          FROM (SELECT y, CAST(count(*) AS BIGINT) AS m
+                FROM base GROUP BY y)),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        j AS (SELECT n, r2x - n - 1 AS dx, r2y - n - 1 AS dy
+          FROM base JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN tot)
+        SELECT n, CAST(sum(dx * dy) AS BIGINT) AS sxy,
+          CAST(sum(dx * dx) AS BIGINT) AS sxx,
+          CAST(sum(dy * dy) AS BIGINT) AS syy,
+          round(CAST(CAST(sum(dx * dy) AS BIGINT) AS DOUBLE) /
+            (sqrt(CAST(CAST(sum(dx * dx) AS BIGINT) AS DOUBLE)) *
+             sqrt(CAST(CAST(sum(dy * dy) AS BIGINT) AS DOUBLE))), 6) AS rho
+        FROM j GROUP BY n"""))
   )
 }

@@ -1328,6 +1328,75 @@ object EventWindows {
              / (sum(n) - count(*))), 6) AS f_stat
         FROM m""")),
 
+    // MANN–WHITNEY U — the rank-sum (distribution-free) counterpart of
+    // q_welch_ttest for the click-vs-purchase `value` contrast: no
+    // normality assumption, exact tie handling via average ranks. With
+    // ties split ½-½, U_A = Σ_v cntA(v)·cntBbelow(v) + ½cntA(v)·cntB(v);
+    // clearing ×2 keeps u2_a integral and u2_a + u2_b = 2·n1·n2 is the
+    // spec-asserted conservation identity. The rank prefix is TWO-LEVEL
+    // over the exact-double value histogram — level 1 cumulates across
+    // the bounded floor(value) bucket frame, level 2 windows WITHIN each
+    // bucket — so no window ever orders more than one bucket's distinct
+    // values (the scalable shape of global ranking; a single global
+    // window would serialize the corpus through one partition at
+    // 100 TB). Common-language effect size = u2_a/(2n1n2), one IEEE
+    // divide over exact integers (class A + exact-div).
+    QDef("q_mannwhitney_u",
+      (s, d) => {
+        val hist = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("value").as("v"),
+            (col("event_type") === "click").cast("long").as("isa"))
+          .groupBy(col("v"))
+          .agg(sum(col("isa")).as("ca"),
+            (count(lit(1)) - sum(col("isa"))).as("cb"))
+          .withColumn("bkt", floor(col("v")).cast("long"))
+          .localCheckpoint(true) // bucket totals + in-bucket windows
+        val wB = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bktCum = hist.groupBy(col("bkt")).agg(sum(col("cb")).as("bb"))
+          .withColumn("cum_bb", coalesce(sum(col("bb")).over(wB), lit(0L)))
+          .select(col("bkt"), col("cum_bb"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("in_bb", coalesce(sum(col("cb")).over(wIn), lit(0L)))
+          .join(broadcast(bktCum), Seq("bkt"))
+          .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+            sum(col("ca") * ((col("cum_bb") + col("in_bb")) * 2 + col("cb")))
+              .as("u2_a"))
+          .select(col("n1"), col("n2"), col("u2_a"),
+            (col("n1") * col("n2") * 2 - col("u2_a")).as("u2_b"),
+            round(col("u2_a").cast("double") /
+              (col("n1") * col("n2") * 2), 6).as("cles"))
+      },
+      Some("""WITH hist AS (SELECT value AS v,
+            CAST(sum(CAST(event_type = 'click' AS BIGINT)) AS BIGINT) AS ca,
+            CAST(count(*) - sum(CAST(event_type = 'click' AS BIGINT))
+              AS BIGINT) AS cb,
+            CAST(floor(value) AS BIGINT) AS bkt
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY value),
+        bc AS (SELECT bkt, CAST(COALESCE(sum(bb) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_bb
+          FROM (SELECT bkt, CAST(sum(cb) AS BIGINT) AS bb
+                FROM hist GROUP BY bkt)),
+        r AS (SELECT ca, cb,
+            CAST(COALESCE(sum(cb) OVER (PARTITION BY h.bkt ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) + cum_bb AS below
+          FROM hist h JOIN bc ON h.bkt = bc.bkt)
+        SELECT CAST(sum(ca) AS BIGINT) AS n1,
+          CAST(sum(cb) AS BIGINT) AS n2,
+          CAST(sum(ca * (below * 2 + cb)) AS BIGINT) AS u2_a,
+          CAST(sum(ca) AS BIGINT) * CAST(sum(cb) AS BIGINT) * 2
+            - CAST(sum(ca * (below * 2 + cb)) AS BIGINT) AS u2_b,
+          round(CAST(CAST(sum(ca * (below * 2 + cb)) AS BIGINT) AS DOUBLE)
+            / (CAST(sum(ca) AS BIGINT) * CAST(sum(cb) AS BIGINT) * 2), 6)
+            AS cles
+        FROM r""")),
+
     // NEAREST-neighbor temporal join — the |Δt|-minimizing alignment
     // (sensor fusion / attribution when direction is unknown): each
     // purchase pairs with its user's temporally CLOSEST click, either

@@ -153,6 +153,135 @@ object KinesisQueries {
       Some("""SELECT count(*) AS user_records_written,
           CAST(1 AS BIGINT) AS all_shards_hit,
           CAST(1 AS BIGINT) AS received_eq_written
-        FROM orders"""))
+        FROM orders""")),
+
+    // RENDEZVOUS (highest-random-weight) ROUTING — the stateless
+    // alternative to the reference's md5-EHK shard-range routing
+    // (ShardModel.Router picks a range midpoint; HRW needs NO range
+    // table at all): every (doc, node) pair gets weight = the first 60
+    // bits of md5("n<i>:<doc_id>"), the doc routes to the argmax node,
+    // and when a node disappears exactly its own docs move (minimal
+    // disruption — each surviving node's weight order is untouched).
+    // Output pins both halves: per-node primary load AND the takeover
+    // distribution (runner-up node of n7's docs — the load n7's loss
+    // would shed onto each survivor). Shape: an 8-row broadcast node
+    // frame fans each doc to 8 weighted rows, one per-doc window (rank
+    // over 8 rows, partitioned by doc — no global ordering anywhere),
+    // two hash-aggs. Weights are exact BIGINTs in both engines (Spark
+    // conv(hex,16,10) ↔ DuckDB nibble-Horner, the simhash precedent);
+    // 60-bit ties are structurally impossible short of an md5 collision,
+    // and the (weight DESC, node) order breaks even those deterministically.
+    // Class A.
+    QDef("q_rendezvous_route",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nodes = broadcast(s.range(8)
+          .select(concat(lit("n"), col("id")).as("node")))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("wt").desc, col("node"))
+        val ranked = documents(s, d).select(col("doc_id"))
+          .crossJoin(nodes)
+          .withColumn("wt",
+            conv(substring(md5(concat(col("node"), lit(":"), col("doc_id"))),
+              1, 15), 16, 10).cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy(col("doc_id"))
+          .agg(min_by(col("node"), col("rn")).as("primary"),
+            max_by(col("node"), col("rn")).as("runner_up"))
+          .localCheckpoint(true) // primary load + takeover read it
+        val load = ranked.groupBy(col("primary").as("node"))
+          .agg(count(lit(1)).as("n_docs"))
+        val takeover = ranked.filter(col("primary") === "n7")
+          .groupBy(col("runner_up").as("node"))
+          .agg(count(lit(1)).as("n_takeover"))
+        load.join(takeover, Seq("node"), "left")
+          .select(col("node"), col("n_docs"),
+            coalesce(col("n_takeover"), lit(0L)).as("n_takeover"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val horner = (1 to 15).map(i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+            s"${1L << (4 * (15 - i))}").mkString(" + ")
+        s"""WITH pairs AS (SELECT doc_id, node,
+              md5(node || ':' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+            CROSS JOIN (SELECT 'n' || CAST(range AS VARCHAR) AS node
+              FROM range(8))),
+          wt AS (SELECT doc_id, node, CAST($horner AS BIGINT) AS wt
+            FROM pairs),
+          ranked AS (SELECT doc_id, node,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY wt DESC, node) AS rn
+            FROM wt),
+          assign AS (SELECT doc_id,
+              min_by(node, rn) AS prim, max_by(node, rn) AS runner_up
+            FROM ranked WHERE rn <= 2 GROUP BY doc_id),
+          load AS (SELECT prim AS node, CAST(count(*) AS BIGINT) AS n_docs
+            FROM assign GROUP BY 1),
+          tk AS (SELECT runner_up AS node,
+              CAST(count(*) AS BIGINT) AS n_takeover
+            FROM assign WHERE prim = 'n7' GROUP BY 1)
+          SELECT node, n_docs, COALESCE(n_takeover, 0) AS n_takeover
+          FROM load LEFT JOIN tk USING (node) ORDER BY node"""
+      }),
+
+    // CONSISTENT-HASH RING routing — the stateful sibling of HRW and
+    // the direct analog of the reference's uint128 shard ranges
+    // (ShardModel.evenRanges IS a ring with equal arcs; vnodes make the
+    // arcs stochastic): 8 nodes × 4 vnodes hash onto a 60-bit ring,
+    // each doc routes to the first ring point clockwise from its own
+    // hash (wrap = global min point). The wrap and the successor scan
+    // are ONE min over the broadcast 32-row ring frame with the
+    // ineligible half pushed 2⁶¹ up (flag·2⁶¹ + pos stays < 2⁶² —
+    // single-BIGINT min replaces an ordered scan, so the per-doc work
+    // is a 32-way broadcast fan + one hash-agg; nothing global).
+    // Output: per-node doc load + share in exact ppm. Class A.
+    QDef("q_hash_ring",
+      (s, d) => {
+        val ring = broadcast(s.range(8).crossJoin(s.range(4).select(
+            col("id").as("v")))
+          .select(concat(lit("n"), col("id")).as("node"),
+            conv(substring(md5(concat(lit("n"), col("id"), lit("#"), col("v"))),
+              1, 15), 16, 10).cast("long").as("rpos")))
+        val assigned = documents(s, d)
+          .select(col("doc_id"),
+            conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("kpos"))
+          .crossJoin(ring)
+          .withColumn("rk",
+            when(col("rpos") >= col("kpos"), lit(0L))
+              .otherwise(lit(1L << 61)) + col("rpos"))
+          .groupBy(col("doc_id")).agg(min_by(col("node"), col("rk")).as("node"))
+        val tot = assigned.agg(count(lit(1)).as("n"))
+        assigned.groupBy(col("node")).agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(tot))
+          .select(col("node"), col("n_docs"),
+            expr("(n_docs * 1000000) div n").as("share_ppm"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def horner(e: String) = (1 to 15).map(i =>
+          s"(strpos('0123456789abcdef', substr($e, $i, 1)) - 1) * " +
+            s"${1L << (4 * (15 - i))}").mkString(" + ")
+        s"""WITH ring AS (SELECT node,
+              CAST(${horner("md5(node || '#' || CAST(v AS VARCHAR))")}
+                AS BIGINT) AS rpos
+            FROM (SELECT 'n' || CAST(a.range AS VARCHAR) AS node, b.range AS v
+              FROM range(8) a CROSS JOIN range(4) b)),
+          keys_ AS (SELECT doc_id,
+              CAST(${horner("md5(CAST(doc_id AS VARCHAR))")} AS BIGINT)
+                AS kpos
+            FROM documents),
+          assign AS (SELECT doc_id, min_by(node,
+              (CASE WHEN rpos >= kpos THEN 0
+                ELSE ${1L << 61} END) + rpos) AS node
+            FROM keys_ CROSS JOIN ring GROUP BY doc_id),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM assign)
+          SELECT node, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST((count(*) * 1000000) // n AS BIGINT) AS share_ppm
+          FROM assign CROSS JOIN tot GROUP BY node, n ORDER BY node"""
+      })
   )
 }

@@ -81,6 +81,41 @@ object Llm {
   private val annGateSql: String =
     "SELECT CAST(50 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS floor_ok"
 
+  /** Hard-negatives recall gate support (the annRecallMean shape with the
+    * label-disjoint constraint): per anchor, does the TRUE top-1
+    * different-label neighbor (exact broadcast scan, round-6 cosine +
+    * c_id tiebreak — the q_hard_negatives ordering) appear in the approx
+    * top-k? One row `(n_queries, mean_hit)`. */
+  private[graft] def hardNegRecallMean(e: DataFrame, approx: DataFrame,
+      nQ: Int): DataFrame = {
+    val anchors = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_r").desc, col("c_id"))
+    val exactTop1 = e.select(col("vec_id").as("c_id"),
+        col("label").as("c_label"), col("embedding").as("c_emb"))
+      .join(broadcast(anchors), col("q_label") =!= col("c_label"))
+      .withColumn("sim_r", round(graft.functions.VectorFunctions
+        .vec_cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"))
+    exactTop1.join(approx.select(col("q_id"), col("c_id"))
+        .withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        avg(coalesce(col("hit"), lit(0))).as("mean_hit"))
+  }
+
+  /** nDCG@10 discount weights 10⁶/log₂(i+1), i = 1..10, and their prefix
+    * sums (ideal DCG for n_rel relevant items) — evaluated ONCE here and
+    * embedded as integer literals in both engine plans, so no
+    * transcendental ever runs per-engine. */
+  private[graft] val NdcgW: Array[Long] = (1 to 10).map(i =>
+    math.round(1e6 / (math.log(i + 1.0) / math.log(2.0)))).toArray
+  private[graft] val NdcgCum: Array[Long] =
+    NdcgW.scanLeft(0L)(_ + _).tail.toArray
+
   /** The dup-graph CTE chain shared by every graph-analysis oracle
     * (triangles, bounded reach, PageRank, and the MinHash exact side) —
     * ONE definition of the shingle → pair pipeline, so the oracles can't
@@ -2607,6 +2642,75 @@ object Llm {
         FROM pred GROUP BY true_lang, pred_lang
         ORDER BY true_lang, pred_lang""")),
 
+    // COHEN'S KAPPA — chance-corrected agreement between the lang-id
+    // classifier and the true label, the single-number companion of
+    // q_lang_confusion: κ = (n·Σdiag − Σᵢrowᵢ·colᵢ) / (n² − Σᵢrowᵢ·colᵢ),
+    // the standard (pₒ−pₑ)/(1−pₑ) with both fractions cleared to exact
+    // integers (kappa_num / kappa_den reported beside the rounded
+    // double). Everything derives from the ≤|langs|² confusion frame
+    // (one hash-agg over the shared langIdFrame pipeline, checkpointed
+    // once — diagonal, row marginals, and column marginals are three
+    // reads of that bounded frame, never of the corpus). A label never
+    // predicted contributes rowᵢ·0 = 0, which the marginal equi-join
+    // drops — identical algebra on both engines. Class A + exact-div.
+    QDef("q_cohens_kappa",
+      (s, d) => {
+        val conf = langIdFrame(s, d)
+          .groupBy(col("true_lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("m"))
+          .localCheckpoint(true) // diagonal + both marginals read it
+        val tot = conf.agg(sum(col("m")).as("n"),
+          sum(when(col("true_lang") === col("pred_lang"), col("m"))
+            .otherwise(lit(0L))).as("diag"))
+        val rowm = conf.groupBy(col("true_lang")).agg(sum(col("m")).as("rm"))
+        val colm = conf.groupBy(col("pred_lang")).agg(sum(col("m")).as("cm"))
+        val srcF = rowm.join(colm, col("true_lang") === col("pred_lang"))
+          .agg(sum(col("rm") * col("cm")).as("src"))
+        tot.crossJoin(broadcast(srcF))
+          .select(col("n"), col("diag"), col("src"),
+            (col("n") * col("diag") - col("src")).as("kappa_num"),
+            (col("n") * col("n") - col("src")).as("kappa_den"),
+            round((col("n") * col("diag") - col("src")).cast("double") /
+              (col("n") * col("n") - col("src")), 6).as("kappa"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, lang,
+            unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents),
+        profile AS (SELECT tok, lang, count(*) AS n FROM tok GROUP BY tok, lang),
+        toklang AS (
+          SELECT tok, lang AS tok_lang FROM (
+            SELECT tok, lang,
+              row_number() OVER (PARTITION BY tok ORDER BY n DESC, lang) AS rn
+            FROM profile) t WHERE rn = 1),
+        votes AS (
+          SELECT t.doc_id, t.lang, tl.tok_lang, count(*) AS votes
+          FROM tok t JOIN toklang tl ON t.tok = tl.tok
+          GROUP BY t.doc_id, t.lang, tl.tok_lang),
+        pred AS (
+          SELECT doc_id, lang AS true_lang, tok_lang AS pred_lang
+          FROM (SELECT doc_id, lang, tok_lang, votes,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY votes DESC, tok_lang) AS rn
+                FROM votes) v WHERE rn = 1),
+        conf AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS m
+          FROM pred GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN true_lang = pred_lang THEN m ELSE 0 END)
+              AS BIGINT) AS diag
+          FROM conf),
+        rm AS (SELECT true_lang AS l, CAST(sum(m) AS BIGINT) AS rm
+          FROM conf GROUP BY 1),
+        cm AS (SELECT pred_lang AS l, CAST(sum(m) AS BIGINT) AS cm
+          FROM conf GROUP BY 1),
+        sc AS (SELECT CAST(sum(rm * cm) AS BIGINT) AS src
+          FROM rm JOIN cm USING (l))
+        SELECT n, diag, src,
+          n * diag - src AS kappa_num,
+          n * n - src AS kappa_den,
+          round(CAST(n * diag - src AS DOUBLE) / (n * n - src), 6) AS kappa
+        FROM tot CROSS JOIN sc""")),
+
     // Rolling-hash (Rabin-Karp style) document fingerprint over chars —
     // deterministic pure-Spark expression chain; golden-tested in LlmSpec
     // AND oracle-checked: the polynomial fold is exactly expressible as a
@@ -2837,6 +2941,95 @@ object Llm {
           FROM cand ORDER BY simq_e6 DESC, c_id LIMIT 1),
         ${(2 to 5).map(round_).mkString(",")}
         SELECT c_id, rn, simq_e6, score2_e6 FROM sel5 ORDER BY rn"""
-      })
+      }),
+
+    // IVF-BUCKETED hard-negative mining — the scale path q_hard_negatives'
+    // Scaladoc promises: the label-disjoint filter rides the inverted-list
+    // join (VectorIvf.topkApproxLabelDisjoint), so each anchor scores only
+    // its nprobe cells' different-label members instead of the corpus.
+    // Engine-trained codebook ⇒ oracle-gated through the in-query recall
+    // invariant (the q_cosine_ivf pattern): per anchor, does the TRUE
+    // top-1 hard negative (recomputed in-query by the exact broadcast
+    // scan) appear in the approx top-3? AnnGateProbe-measured mean_hit:
+    // see the floor comment; the exact q_hard_negatives output remains
+    // the full-precision audit beside this gate.
+    QDef("q_hard_negatives_ivf",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val approx = graft.llm.VectorIvf.topkApproxLabelDisjoint(
+          e, "vec_id", "embedding", "label", k = 3,
+          nlist = 16, nprobe = 4,
+          queries = Some(e.filter(col("vec_id") < 50)),
+          trainFraction = 0.2)
+        // AnnGateProbe: 0.64 at sf0.01, 0.60 at sf0.1 → floor 0.45
+        hardNegRecallMean(e, approx, nQ = 50)
+          .select(col("n_queries"),
+            (col("mean_hit") >= 0.45).cast("long").as("floor_ok"))
+      },
+      Some("SELECT CAST(50 AS BIGINT) AS n_queries, " +
+        "CAST(1 AS BIGINT) AS floor_ok")),
+
+    // nDCG@10 RETRIEVAL EVAL — the ranking-quality rollup beside
+    // q_rank_fusion (which BUILDS a ranking) and q_hard_negatives (which
+    // mines failures): per anchor, rank all other vectors by round-6
+    // cosine, grade rank positions with binary same-label relevance, and
+    // report DCG@10 / ideal-DCG@10. The 10 discount weights 10⁶/log₂(i+1)
+    // are compile-time INTEGER constants embedded identically in both
+    // plans (the only transcendental is evaluated once in the builder,
+    // not per-engine), so dcg/idcg are exact BIGINT sums and nDCG is one
+    // IEEE divide (class A + exact-div). Shape: 8 broadcast anchors fan
+    // against one corpus scan, per-anchor window top-10, one hash-agg —
+    // the q_hard_negatives probe pattern.
+    QDef("q_ndcg_at_k",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val anchors = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim_r").desc, col("c_id"))
+        val graded = e.select(col("vec_id").as("c_id"),
+            col("label").as("c_label"), col("embedding").as("c_emb"))
+          .join(broadcast(anchors), col("q_id") =!= col("c_id"))
+          .withColumn("sim_r", round(graft.functions.VectorFunctions
+            .vec_cosine(col("q_emb"), col("c_emb")), 6))
+          .withColumn("rel", (col("q_label") === col("c_label")).cast("long"))
+          .withColumn("rn", row_number().over(w))
+        graded
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel")).as("n_rel"),
+            sum(when(col("rn") <= 10,
+              col("rel") * element_at(lit(NdcgW), col("rn").cast("int")))
+              .otherwise(lit(0L))).as("dcg_e6"))
+          .select(col("q_id"), col("n_rel"), col("dcg_e6"),
+            when(col("n_rel") === 0, lit(0L))
+              .otherwise(element_at(lit(NdcgCum),
+                least(col("n_rel"), lit(10L)).cast("int"))).as("idcg_e6"))
+          .withColumn("ndcg",
+            when(col("idcg_e6") === 0, lit(0.0))
+              .otherwise(round(col("dcg_e6").cast("double") /
+                col("idcg_e6"), 6)))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH g AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            CAST(q.label = c.label AS BIGINT) AS rel,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(${cosineSql("q.embedding", "c.embedding")}, 6)
+                DESC, c.vec_id) AS rn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+          JOIN embeddings c ON q.vec_id <> c.vec_id),
+        wts AS (SELECT ${NdcgW.mkString("[", ",", "]")} AS w,
+            ${NdcgCum.mkString("[", ",", "]")} AS cw),
+        agg AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+            CAST(sum(CASE WHEN rn <= 10 THEN rel * w[rn] ELSE 0 END)
+              AS BIGINT) AS dcg_e6
+          FROM g CROSS JOIN wts GROUP BY q_id)
+        SELECT q_id, n_rel, dcg_e6,
+          CAST(CASE WHEN n_rel = 0 THEN 0
+            ELSE cw[CAST(least(n_rel, 10) AS INT)] END AS BIGINT) AS idcg_e6,
+          CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(CAST(dcg_e6 AS DOUBLE) /
+              cw[CAST(least(n_rel, 10) AS INT)], 6) END AS ndcg
+        FROM agg CROSS JOIN wts ORDER BY q_id"""))
   )
 }

@@ -1126,4 +1126,227 @@ class QueriesSpec extends AnyFunSuite {
     assert(gotDeg.nonEmpty && gotDeg.values.forall(_ >= 3),
       "fixpoint core degrees must all be >= k")
   }
+
+  test("wave-r10l invariants: auc pairwise replay, spearman rank replay, " +
+    "mann-whitney conservation, kappa confusion replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // AUC: brute-force over all pos×neg pairs — 2·wins + ties must equal
+    // the histogram-prefix auc_num2 exactly
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("n_chars"), (col("lang") === "en").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val posS = docs.filter(_._2).map(_._1)
+    val negS = docs.filterNot(_._2).map(_._1)
+    val expNum2 = posS.map(p =>
+      2L * negS.count(_ < p) + negS.count(_ == p)).sum
+    val a = run("q_auc_roc").head()
+    assert(a.getAs[Long]("n_pos") == posS.length.toLong)
+    assert(a.getAs[Long]("n_neg") == negS.length.toLong)
+    assert(a.getAs[Long]("auc_num2") == expNum2, "pairwise AUC replay")
+    assert(a.getAs[Double]("auc") >= 0.0 && a.getAs[Double]("auc") <= 1.0)
+
+    // Spearman: JVM average-rank transform, exact integer moments
+    val xy = graft.tables.Tables.documents(spark, sf)
+      .select(col("n_chars"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      cnt.map { case (v, m) =>
+        v -> (2L * vs.count(_ < v) + m + 1) }
+    }
+    val rx = rank2(xy.map(_._1).toSeq); val ry = rank2(xy.map(_._2).toSeq)
+    val n = xy.length.toLong
+    val ds = xy.map { case (x, y) => (rx(x) - n - 1, ry(y) - n - 1) }
+    val (sxy, sxx, syy) = (ds.map(p => p._1 * p._2).sum,
+      ds.map(p => p._1 * p._1).sum, ds.map(p => p._2 * p._2).sum)
+    val sp = run("q_spearman_corr").head()
+    assert(sp.getAs[Long]("n") == n)
+    assert(sp.getAs[Long]("sxy") == sxy, "spearman numerator replay")
+    assert(sp.getAs[Long]("sxx") == sxx && sp.getAs[Long]("syy") == syy)
+    assert(math.abs(sp.getAs[Double]("rho")) <= 1.0)
+
+    // Mann–Whitney: brute-force cross-group pair count + conservation
+    val ev = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("value"), col("event_type"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    val as = ev.filter(_._2 == "click").map(_._1)
+    val bs = ev.filter(_._2 == "purchase").map(_._1)
+    val expU2a = as.map(x =>
+      2L * bs.count(_ < x) + bs.count(_ == x)).sum
+    val m = run("q_mannwhitney_u").head()
+    assert(m.getAs[Long]("n1") == as.length.toLong)
+    assert(m.getAs[Long]("n2") == bs.length.toLong)
+    assert(m.getAs[Long]("u2_a") == expU2a, "pairwise U replay")
+    assert(m.getAs[Long]("u2_a") + m.getAs[Long]("u2_b") ==
+      2L * as.length * bs.length, "rank-sum conservation")
+
+    // Kappa: rebuild the confusion from q_lang_id's own output — the
+    // two queries share langIdFrame, so the identity is exact
+    val pred = run("q_lang_id")
+      .select(col("true_lang"), col("pred_lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val kn = pred.length.toLong
+    val diag = pred.count(p => p._1 == p._2).toLong
+    val rowm = pred.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val colm = pred.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val src = rowm.keysIterator
+      .map(l => rowm(l) * colm.getOrElse(l, 0L)).sum
+    val k = run("q_cohens_kappa").head()
+    assert(k.getAs[Long]("n") == kn && k.getAs[Long]("diag") == diag)
+    assert(k.getAs[Long]("kappa_num") == kn * diag - src)
+    assert(k.getAs[Long]("kappa_den") == kn * kn - src)
+    assert(k.getAs[Double]("kappa") <= 1.0)
+    assert(diag > 0, "fixture: classifier must get something right")
+  }
+
+  test("wave-r10m invariants: rendezvous + ring routing replays, ndcg " +
+    "replay, label-disjoint ivf, jm perplexity replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h15(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+
+    val docIds = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+
+    // Rendezvous: JVM argmax replay + minimal-disruption accounting
+    val nodes = (0 until 8).map(i => s"n$i")
+    val assignments = docIds.map { id =>
+      val byW = nodes.map(nd => (nd, h15(s"$nd:$id")))
+        .sortBy { case (nd, w) => (-w, nd) }
+      (id, byW(0)._1, byW(1)._1)
+    }
+    val expLoad = assignments.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expTake = assignments.filter(_._2 == "n7")
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val gotRv = run("q_rendezvous_route").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotRv.keySet == expLoad.keySet)
+    gotRv.foreach { case (nd, (nDocs, nTake)) =>
+      assert(nDocs == expLoad(nd), s"rendezvous load $nd")
+      assert(nTake == expTake.getOrElse(nd, 0L), s"takeover $nd")
+    }
+    assert(gotRv.values.map(_._1).sum == docIds.length.toLong)
+    assert(gotRv.get("n7").forall(_._2 == 0L),
+      "a removed node cannot take over its own docs")
+
+    // Hash ring: JVM successor-scan replay
+    val ring = for (i <- 0 until 8; v <- 0 until 4)
+      yield (s"n$i", h15(s"n$i#$v"))
+    val expRing = docIds.map { id =>
+      val kpos = h15(id.toString)
+      val cand = ring.map { case (nd, rp) =>
+        (nd, (if (rp >= kpos) 0L else 1L << 61) + rp) }
+      cand.minBy(_._2)._1
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotRing = run("q_hash_ring").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotRing.view.mapValues(_._1).toMap == expRing, "ring loads")
+    val totDocs = docIds.length.toLong
+    gotRing.foreach { case (nd, (nDocs, ppm)) =>
+      assert(ppm == nDocs * 1000000L / totDocs, s"share_ppm identity $nd")
+    }
+
+    // nDCG: JVM ranking replay with the same round-6 cosine fold
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val embs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val W = graft.queries.Llm.NdcgW
+    val CumW = graft.queries.Llm.NdcgCum
+    val gotN = run("q_ndcg_at_k").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    embs.filter(_._1 < 8).foreach { case (qid, qlbl, qv) =>
+      val ranked = embs.filter(_._1 != qid)
+        .map { case (cid, clbl, cv) => (cid, clbl, d6(cos(qv, cv))) }
+        .sortBy { case (cid, _, s) => (-s, cid) }
+      val nRel = ranked.count(_._2 == qlbl).toLong
+      val dcg = ranked.take(10).zipWithIndex.map { case ((_, clbl, _), i) =>
+        if (clbl == qlbl) W(i) else 0L }.sum
+      val idcg = if (nRel == 0) 0L else CumW(math.min(nRel, 10L).toInt - 1)
+      val (gRel, gDcg, gIdcg, gN) = gotN(qid)
+      assert(gRel == nRel && gDcg == dcg && gIdcg == idcg,
+        s"ndcg replay q=$qid")
+      assert(gN >= 0.0 && gN <= 1.0)
+    }
+
+    // Label-disjoint IVF: structural validity + the gate row
+    val e = graft.tables.Tables.embeddings(spark, sf)
+    val approx = graft.llm.VectorIvf.topkApproxLabelDisjoint(
+      e, "vec_id", "embedding", "label", k = 3, nlist = 16, nprobe = 4,
+      queries = Some(e.filter(col("vec_id") < 50)), trainFraction = 0.2)
+      .collect()
+    assert(approx.forall(r => r.getAs[Int]("q_label") !=
+      r.getAs[Int]("c_label")), "every mined negative is label-disjoint")
+    assert(approx.groupBy(_.getLong(0)).values.forall { rs =>
+      rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.size) },
+      "per-anchor ranks are dense from 1")
+    val gate = run("q_hard_negatives_ivf").head()
+    assert(gate.getAs[Long]("n_queries") == 50L)
+    assert(gate.getAs[Long]("floor_ok") == 1L)
+
+    // JM perplexity: full JVM count + Math.log replay (Spark's log IS
+    // java.lang.Math.log, so t_e4 must match exactly)
+    val docsTx = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    def isTrain(id: Long) =
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L) % 100 < 80
+    val trainToks = docsTx.filter(p => isTrain(p._1)).flatMap(p => toks(p._2))
+    val c1 = trainToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c2 = docsTx.filter(p => isTrain(p._1))
+      .flatMap(p => toks(p._2).sliding(2).filter(_.length == 2)
+        .map(a => a(0) + " " + a(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vV = c1.size.toLong; val tT = trainToks.length.toLong
+    val expJm = docsTx.filter(p => !isTrain(p._1))
+      .filter(p => toks(p._2).length >= 2).map { case (id, tx) =>
+        val ts = toks(tx)
+        val terms = ts.sliding(2).filter(_.length == 2).map { a =>
+          val c2v = c2.getOrElse(a(0) + " " + a(1), 0L)
+          val c1v = c1.getOrElse(a(0), 0L)
+          val cuv = c1.getOrElse(a(1), 0L)
+          val p = (if (c1v > 0) c2v.toDouble / c1v else 0.0) * 0.5 +
+            (cuv + 1.0) / (tT + vV) * 0.5
+          (c2v == 0L,
+            BigDecimal((0.0 - math.log(p)) * 10000)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        }.toSeq
+        id -> ((terms.size.toLong, terms.count(_._1).toLong,
+          terms.map(_._2).sum))
+      }.toMap
+    val gotJm = run("q_heldout_perplexity_jm").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(gotJm.keySet == expJm.keySet, "held-out doc set")
+    gotJm.foreach { case (id, (nb, nz, ne4, nll)) =>
+      val (enb, enz, ene4) = expJm(id)
+      assert(nb == enb && nz == enz && ne4 == ene4, s"jm replay doc $id")
+      assert(nll == ne4.toDouble / (nb * 10000L), s"jm mean identity $id")
+    }
+    assert(expJm.values.exists(_._2 > 0),
+      "fixture must contain unseen-context bigrams")
+  }
 }
