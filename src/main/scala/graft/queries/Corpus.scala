@@ -437,6 +437,73 @@ object Corpus {
             nd_totalprice FROM m)
         ORDER BY col_name""")),
 
+    // EXPECTATION SUITE — the declarative data-quality contract
+    // (Deequ/Great-Expectations shape) beside q_profile_columns' raw
+    // profile: six named checks over orders + documents, each reporting
+    // its metric in exact ppm (integer division over the row count) and
+    // a pass flag against its declared threshold. The whole battery is
+    // TWO single-pass hash-agg scans (one per table — every check over a
+    // table shares the same agg, conditional counts only) stacked into
+    // the check table; at 100 TB this is the cheapest possible shape —
+    // one pass per source, no shuffle beyond the 1-row agg. All integer
+    // (class A).
+    QDef("q_expect_checks",
+      (s, d) => {
+        val o = orders(s, d).agg(
+          count(lit(1)).as("n"),
+          count(col("o_custkey")).as("c_complete"),
+          countDistinct(col("o_orderkey")).as("c_unique"),
+          sum((col("o_totalprice") > 0 && col("o_totalprice") < 1e7)
+            .cast("long")).as("c_range"),
+          sum(col("o_orderstatus").isin("O", "F", "P").cast("long"))
+            .as("c_inset"))
+        val doc = documents(s, d).agg(
+          count(lit(1)).as("n"),
+          sum((col("n_chars") >= 1).cast("long")).as("c_pos"),
+          sum(col("source").rlike("^src[0-9]+$").cast("long")).as("c_re"))
+        val checks = o.selectExpr(
+          """stack(4,
+            'orders.o_custkey.complete',  c_complete, n,
+            'orders.o_orderkey.unique',   c_unique,   n,
+            'orders.o_totalprice.range',  c_range,    n,
+            'orders.o_orderstatus.in_set', c_inset,   n)
+            AS (check_name, ok, n)""")
+          .unionAll(doc.selectExpr(
+            """stack(2,
+              'documents.n_chars.positive', c_pos, n,
+              'documents.source.pattern',   c_re,  n)
+              AS (check_name, ok, n)"""))
+        checks.select(col("check_name"), col("n"), col("ok"),
+            expr("(ok * 1000000) div n").as("metric_ppm"),
+            (col("ok") === col("n")).cast("long").as("passed"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH o AS (SELECT count(*) AS n,
+            count(o_custkey) AS c_complete,
+            count(DISTINCT o_orderkey) AS c_unique,
+            CAST(sum(CAST(o_totalprice > 0 AND o_totalprice < 10000000.0
+              AS BIGINT)) AS BIGINT) AS c_range,
+            CAST(sum(CAST(o_orderstatus IN ('O','F','P') AS BIGINT))
+              AS BIGINT) AS c_inset
+          FROM orders),
+        doc AS (SELECT count(*) AS n,
+            CAST(sum(CAST(n_chars >= 1 AS BIGINT)) AS BIGINT) AS c_pos,
+            CAST(sum(CAST(regexp_matches(source, '^src[0-9]+$') AS BIGINT))
+              AS BIGINT) AS c_re
+          FROM documents),
+        checks AS (
+          SELECT 'orders.o_custkey.complete' AS check_name,
+            c_complete AS ok, n FROM o
+          UNION ALL SELECT 'orders.o_orderkey.unique', c_unique, n FROM o
+          UNION ALL SELECT 'orders.o_totalprice.range', c_range, n FROM o
+          UNION ALL SELECT 'orders.o_orderstatus.in_set', c_inset, n FROM o
+          UNION ALL SELECT 'documents.n_chars.positive', c_pos, n FROM doc
+          UNION ALL SELECT 'documents.source.pattern', c_re, n FROM doc)
+        SELECT check_name, n, ok,
+          CAST((ok * 1000000) // n AS BIGINT) AS metric_ppm,
+          CAST(ok = n AS BIGINT) AS passed
+        FROM checks ORDER BY check_name""")),
+
     // CCNet-style perplexity filtering: score every document by its
     // average negative log-likelihood under the CORPUS's own add-one-
     // smoothed bigram LM — the classic "looks like the corpus" quality

@@ -1214,6 +1214,50 @@ object EventWindows {
         FROM paths GROUP BY path
         ORDER BY n_sessions DESC, path LIMIT 15""")),
 
+    // The STREAMING session-path miner on the driver gate (the 5th
+    // stateful twin, q_funnel_stream_twin pattern): EventStreams
+    // .sessionPaths runs its ListState StatefulProcessor in batch
+    // execution — each user's full history arrives in one
+    // handleInputRows call, so the re-derived session decomposition IS
+    // the batch sessionizer's — then the identical path rollup + top-15.
+    // Must hash-match q_session_paths' oracle exactly every round;
+    // StreamingSpec proves the multi-batch incremental path on
+    // MemoryStreams.
+    QDef("q_session_paths_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.sessionPaths(ev).toDF()
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(15)
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM x),
+        z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sess_no
+          FROM y),
+        paths AS (SELECT user_id, sess_no,
+            string_agg(substr(event_type, 1, 1), ''
+              ORDER BY ts, event_id) AS path
+          FROM z GROUP BY user_id, sess_no)
+        SELECT path, count(*) AS n_sessions,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 15""")),
+
     // WELCH T-STATISTIC matrix — the unequal-variance mean-difference
     // test for every event-type pair over `value` (the A/B experiment
     // readout beside the chi²/KS/KL distribution battery: those test
@@ -1396,6 +1440,146 @@ object EventWindows {
             / (CAST(sum(ca) AS BIGINT) * CAST(sum(cb) AS BIGINT) * 2), 6)
             AS cles
         FROM r""")),
+
+    // THEIL–SEN ROBUST TREND — the median-of-pairwise-slopes estimator
+    // per event type over the daily count series (the outlier-immune
+    // alternative to q_agg_regression's least squares: one wild day
+    // shifts OLS, but not the slope median). The pair frame is BOUNDED:
+    // slopes are computed on the ~30-row-per-type daily AGGREGATE, never
+    // on events (n_days² pairs per type — at any corpus scale the daily
+    // frame stays calendar-sized, so the quadratic is a constant).
+    // Median = type-1 lower (rank (n+1)÷2 under the total order
+    // (slope, d1, d2)) — SELECTION of one already-computed value, no
+    // averaging, so the result is a single exact IEEE division
+    // (y₂−y₁)/(d₂−d₁) identical in both engines (class A + exact-div).
+    QDef("q_theil_sen",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(col("event_type"), datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("y"))
+          .localCheckpoint(true) // both sides of the pair self-join
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.day").as("d1"), col("b.day").as("d2"),
+            ((col("b.y") - col("a.y")).cast("double") /
+              (col("b.day") - col("a.day"))).as("slope"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("slope"), col("d1"), col("d2"))
+        val ranked = pairs.withColumn("rn", row_number().over(w))
+          .localCheckpoint(true) // median probe + the pair count read it
+        val np = ranked.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val nd = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"))
+        ranked.join(broadcast(np), "event_type")
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+          .join(broadcast(nd), "event_type")
+          .select(col("event_type"), col("n_days"), col("n_pairs"),
+            col("slope").as("slope_med"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        pairs AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+            CAST(b.y - a.y AS DOUBLE) / (b.day - a.day) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day < b.day),
+        rn AS (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY slope, d1, d2) AS rn FROM pairs),
+        np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY 1),
+        nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1)
+        SELECT r.event_type, n_days, n_pairs, slope AS slope_med
+        FROM rn r JOIN np USING (event_type) JOIN nd USING (event_type)
+        WHERE rn = (n_pairs + 1) // 2
+        ORDER BY event_type""")),
+
+    // RANDOMIZATION (permutation) TEST — the assumption-free companion
+    // of q_welch_ttest/q_mannwhitney_u for the click-vs-purchase mean
+    // contrast: 32 deterministic re-splits of the pooled values (split r
+    // assigns each event by the parity of md5(event_id||'#'||r)'s first
+    // nibble — cross-engine, no RNG state, the pairSampleNibbles idiom),
+    // p = (#{|Δᵣ| ≥ |Δ_obs|} + 1)/(R+1) in exact ppm. Every mean is a
+    // decimal-exact conditional sum over one IEEE divide, so each Δ is
+    // bit-identical in both engines and the ≥ comparisons are exact
+    // (class A + exact-div). Shape: one 32× fan of the two-type slice
+    // (documented constant fan-out) into a single map-side-combinable
+    // hash-agg — at 100 TB the fan is the only cost and it partial-
+    // aggregates before the shuffle.
+    QDef("q_permutation_test",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val base = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("event_type"), col("value"))
+          .localCheckpoint(true) // observed split + the 32-replicate fan
+        val obsRow = base.agg(
+          ((sum(when(col("event_type") === "click", col("value"))
+            .cast(Dec)).cast("double") /
+            sum(when(col("event_type") === "click", 1L))) -
+          (sum(when(col("event_type") === "purchase", col("value"))
+            .cast(Dec)).cast("double") /
+            sum(when(col("event_type") === "purchase", 1L)))).as("d_obs"))
+        val evenNibbles = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+        val reps = base
+          .crossJoin(broadcast(s.range(1, 33).select(col("id").as("rep"))))
+          .withColumn("side_a",
+            substring(md5(concat(col("event_id").cast("string"), lit("#"),
+              col("rep"))), 1, 1).isin(evenNibbles: _*))
+          .groupBy(col("rep"))
+          .agg(
+            ((sum(when(col("side_a"), col("value")).cast(Dec))
+              .cast("double") / sum(when(col("side_a"), 1L))) -
+            (sum(when(!col("side_a"), col("value")).cast(Dec))
+              .cast("double") / sum(when(!col("side_a"), 1L))))
+              .as("d_rep"))
+        reps.crossJoin(broadcast(obsRow))
+          .groupBy(col("d_obs"))
+          .agg(count(lit(1)).as("n_reps"),
+            sum((abs(col("d_rep")) >= abs(col("d_obs"))).cast("long"))
+              .as("n_extreme"))
+          .select(col("n_reps"), col("n_extreme"),
+            expr("((n_extreme + 1) * 1000000) div (n_reps + 1)")
+              .as("p_ppm"),
+            col("d_obs"))
+      },
+      Some("""WITH base AS (SELECT event_id, event_type, value
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        obs AS (SELECT
+            CAST(sum(CAST(value AS DECIMAL(30,6)))
+                FILTER (WHERE event_type = 'click') AS DOUBLE)
+              / count(*) FILTER (WHERE event_type = 'click')
+            - CAST(sum(CAST(value AS DECIMAL(30,6)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+              / count(*) FILTER (WHERE event_type = 'purchase') AS d_obs
+          FROM base),
+        sides AS (SELECT r.range AS rep, value,
+            substr(md5(CAST(event_id AS VARCHAR) || '#'
+              || CAST(r.range AS VARCHAR)), 1, 1)
+              IN ('0','2','4','6','8','a','c','e') AS side_a
+          FROM base CROSS JOIN range(1, 33) r),
+        reps AS (SELECT rep,
+            CAST(sum(CAST(value AS DECIMAL(30,6)))
+                FILTER (WHERE side_a) AS DOUBLE)
+              / count(*) FILTER (WHERE side_a)
+            - CAST(sum(CAST(value AS DECIMAL(30,6)))
+                FILTER (WHERE NOT side_a) AS DOUBLE)
+              / count(*) FILTER (WHERE NOT side_a) AS d_rep
+          FROM sides GROUP BY rep)
+        SELECT CAST(count(*) AS BIGINT) AS n_reps,
+          CAST(sum(CAST(abs(d_rep) >= abs(d_obs) AS BIGINT)) AS BIGINT)
+            AS n_extreme,
+          CAST(((sum(CAST(abs(d_rep) >= abs(d_obs) AS BIGINT)) + 1)
+            * 1000000) // (count(*) + 1) AS BIGINT) AS p_ppm,
+          d_obs
+        FROM reps CROSS JOIN obs GROUP BY d_obs""")),
 
     // NEAREST-neighbor temporal join — the |Δt|-minimizing alignment
     // (sensor fusion / attribution when direction is unknown): each

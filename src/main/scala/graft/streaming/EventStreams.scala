@@ -433,4 +433,62 @@ object EventStreams {
       .transformWithState(new EventTimeSessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Update)
   }
+
+  final case class PathEvent(us: Long, eid: Long, ini: String)
+  final case class SessionPathRow(user_id: Long, sess_no: Long, path: String)
+
+  /** Streaming session-path miner — the stateful twin of the batch
+    * q_session_paths sessionizer: every user's (epoch-µs, event_id,
+    * initial) triples accumulate in ListState; each batch re-derives the
+    * user's FULL session decomposition (sort by (us, eid), split on 1h
+    * gaps, number sessions in order) and re-emits every (user, sess_no,
+    * path) row. Update-mode semantics: the latest emit per (user,
+    * sess_no) is the answer — a new event can only extend the LAST
+    * session or open a new one when arrival respects event-time order
+    * per user, so earlier session numbers are stable under the same
+    * watermark contract as every operator here. In batch execution the
+    * single handleInputRows call per user makes the emit set exact. */
+  class SessionPathsProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SessionPathRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var evs: org.apache.spark.sql.streaming.ListState[PathEvent] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      evs = getHandle.getListState[PathEvent]("evs",
+        org.apache.spark.sql.Encoders.product[PathEvent], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionPathRow] = {
+      rows.foreach { r =>
+        // epoch-µs, the FunnelProcessor precedent: same-millisecond
+        // events must order identically to the batch oracle
+        val t = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+          r.ts.getNanos / 1000L
+        evs.appendValue(PathEvent(t, r.event_id, r.event_type.substring(0, 1)))
+      }
+      val sorted = evs.get().toSeq.sortBy(e => (e.us, e.eid))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionPathRow]
+      var sess = 0L
+      var prev = Long.MinValue
+      val sb = new StringBuilder
+      def flush(): Unit = if (sb.nonEmpty) {
+        out += SessionPathRow(key, sess, sb.result())
+        sb.clear()
+      }
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e.us - prev > gapUs) { flush(); sess += 1 }
+        sb ++= e.ini
+        prev = e.us
+      }
+      flush()
+      out.iterator
+    }
+  }
+
+  def sessionPaths(events: Dataset[EventRow],
+      gapUs: Long = 3600000000L): Dataset[SessionPathRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionPathsProcessor(gapUs),
+        TimeMode.None(), OutputMode.Update)
+  }
 }

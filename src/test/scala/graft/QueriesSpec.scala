@@ -1349,4 +1349,80 @@ class QueriesSpec extends AnyFunSuite {
     assert(expJm.values.exists(_._2 > 0),
       "fixture must contain unseen-context bigrams")
   }
+
+  test("wave-r10n invariants: expectation battery, theil-sen replay, " +
+    "permutation replay, stream-twin equality") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+    // Expectation suite: the synthetic tables are clean by construction,
+    // so every declared check must pass with metric == n
+    val checks = run("q_expect_checks").collect()
+    assert(checks.length == 6)
+    checks.foreach { r =>
+      assert(r.getAs[Long]("passed") == 1L, s"check ${r.getString(0)}")
+      assert(r.getAs[Long]("metric_ppm") == 1000000L)
+      assert(r.getAs[Long]("ok") == r.getAs[Long]("n"))
+    }
+
+    // Theil–Sen: JVM replay of daily counts → pairwise slopes → type-1
+    // lower median under the (slope, d1, d2) total order
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gotTs = run("q_theil_sen").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    ev.groupBy(_._1).foreach { case (t, es) =>
+      val daily = es.groupBy(_._2).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      val slopes = for {
+        (d1, y1) <- daily; (d2, y2) <- daily if d1 < d2
+      } yield (((y2 - y1).toDouble / (d2 - d1)), d1, d2)
+      val sortedS = slopes.sortBy { case (sl, d1, d2) => (sl, d1, d2) }
+      val med = sortedS((sortedS.size + 1) / 2 - 1)._1
+      val (nDays, nPairs, gotMed) = gotTs(t)
+      assert(nDays == daily.size.toLong)
+      assert(nPairs == daily.size.toLong * (daily.size - 1) / 2)
+      assert(gotMed == med, s"theil-sen median $t")
+    }
+
+    // Permutation test: full 32-replicate JVM replay (md5 nibble parity,
+    // scale-6 decimal sums, one IEEE divide per mean)
+    val pe = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def md5n(s: String): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    def mean(vs: Seq[Double]): Double =
+      vs.map(d6).sum.toDouble / vs.size
+    val dObs = mean(pe.filter(_._2 == "click").map(_._3).toSeq) -
+      mean(pe.filter(_._2 == "purchase").map(_._3).toSeq)
+    val even = "02468ace".toSet
+    val dReps = (1 to 32).map { r =>
+      val (a, b) = pe.partition(p => even(md5n(s"${p._1}#$r")))
+      mean(a.map(_._3).toSeq) - mean(b.map(_._3).toSeq)
+    }
+    val nExt = dReps.count(dr => math.abs(dr) >= math.abs(dObs)).toLong
+    val pt = run("q_permutation_test").head()
+    assert(pt.getAs[Long]("n_reps") == 32L)
+    assert(pt.getAs[Double]("d_obs") == dObs, "observed delta replay")
+    assert(pt.getAs[Long]("n_extreme") == nExt, "extreme-count replay")
+    assert(pt.getAs[Long]("p_ppm") == (nExt + 1) * 1000000L / 33L)
+
+    // Stream twin: the stateful processor's rollup equals the batch
+    // sessionizer's row for row
+    val batch = run("q_session_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val twin = run("q_session_paths_stream_twin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(twin == batch, "stream twin must equal the batch top-15")
+  }
 }

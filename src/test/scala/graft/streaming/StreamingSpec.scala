@@ -640,6 +640,57 @@ class StreamingSpec extends AnyFunSuite {
       s"split children never received data: $hitShards")
     assert(throttle.totalWaitMillis > 0, "backpressure never engaged")
   }
+
+  test("session-path processor re-derives paths incrementally across batches") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.sessionPaths(mem.toDS()).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_paths")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("paths_chk").toString)
+        .start()
+      try {
+        // batch 1: one session (view, click 10 min apart)
+        mem.addData(row(1, ts(1, 9, 0), user = 1, typ = "view"),
+          row(2, ts(1, 9, 10), user = 1, typ = "click"))
+        q.processAllAvailable()
+        // batch 2: same session extends (+30 min), then a >1h gap opens
+        // session 2; a second user appears
+        mem.addData(row(3, ts(1, 9, 40), user = 1, typ = "purchase"),
+          row(4, ts(1, 12, 0), user = 1, typ = "view"),
+          row(5, ts(1, 8, 0), user = 2, typ = "signup"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // update mode: the latest emit per (user, sess_no) is the answer;
+      // event-time-ordered arrival keeps earlier session numbers stable,
+      // so the final distinct states are exactly the full decomposition
+      val rows = spark.table("t_paths")
+        .select(col("user_id"), col("sess_no"), col("path"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val lastPerKey = rows.zipWithIndex
+        .groupBy { case ((u, sNo, _), _) => (u, sNo) }
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._3 }
+      assert(lastPerKey == Map((1L, 0L) -> "vcp", (1L, 1L) -> "v",
+        (2L, 0L) -> "s"))
+      // batch-1 emit really happened and was the prefix of the session
+      assert(rows.contains((1L, 0L, "vc")),
+        "first batch must emit the partial session path")
+    }
+  }
+
+  private def withRocksDbSp[A](body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
 }
 
 object StreamingSpec {
