@@ -301,7 +301,29 @@ object ScaleProof {
       // (state bounded by history); k-core peels the bounded
       // co-purchase edge frame 4 times (each round one hash-agg + two
       // semi-joins)
-      "q_abtest_cuped", "q_interval_union", "q_graph_kcore")
+      "q_abtest_cuped", "q_interval_union", "q_graph_kcore",
+      // round-10 wave-12: the rank-statistics battery runs on COUNT
+      // HISTOGRAMS (auc/spearman join bounded rank maps back; the U
+      // statistic's two-level bucketed prefix keeps every window inside
+      // one value bucket) — none of the four ever sorts the corpus;
+      // kappa rides the lang-id pipeline + a |langs|^2 frame
+      "q_auc_roc", "q_spearman_corr", "q_mannwhitney_u", "q_cohens_kappa",
+      // round-10 wave-13: both routers are an 8/32-row broadcast fan +
+      // per-doc argmax (rendezvous windows 8 rows per doc; the ring
+      // min is one hash-agg) — the per-row cost is a constant
+      "q_rendezvous_route", "q_hash_ring",
+      // round-10 wave-14: JM perplexity = three train-side count aggs +
+      // broadcast-vocab probes (the heldout shape + one more unigram
+      // join); ndcg/hardneg-ivf broadcast bounded anchors against one
+      // candidate scan (ivf scans only probed cells)
+      "q_heldout_perplexity_jm", "q_ndcg_at_k", "q_hard_negatives_ivf",
+      // round-10 wave-15: the expectation suite is one single-pass agg
+      // per table; theil-sen's quadratic pair frame is calendar-bounded;
+      // the permutation test is a documented 32x fan into one map-side-
+      // combinable agg; the stream twin holds per-user ListState (10x
+      // users, fixed history each)
+      "q_expect_checks", "q_theil_sen", "q_permutation_test",
+      "q_session_paths_stream_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

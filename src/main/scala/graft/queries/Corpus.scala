@@ -1302,6 +1302,141 @@ object Corpus {
         GROUP BY u ORDER BY u"""
       }),
 
+    // MAJORITY LABEL PROPAGATION — the community-detection pass beside
+    // CC/PageRank/k-core on the same dup graph: seed every doc with its
+    // source label, then 2 synchronous rounds of "adopt the most common
+    // neighbor label" (ties → lexicographically smallest; isolated docs
+    // keep their seed). Near-dup clusters converge to one source tag —
+    // the provenance-consolidation step a crawl pipeline runs after
+    // dedup. Fixed-round relational iteration (the q_kmeans_lloyd /
+    // q_graph_kcore precedent): each round is one edge-labels equi-join
+    // + a (node, label) hash-agg + a per-node window argmax, oracle
+    // replayed as chained CTEs with the identical tie order. All
+    // string/integer (class A).
+    QDef("q_label_prop",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"),
+          col("source").as("lbl"))
+        val e0 = graft.llm.TextDedup
+          .jaccardEdgesShared(documents(s, d), "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
+          .select(col("id_a"), col("id_b"))
+        val edges = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .localCheckpoint(true) // read by both propagation rounds
+        var labels = docs.localCheckpoint(true)
+        for (_ <- 1 to 2) {
+          val w = Window.partitionBy(col("dst"))
+            .orderBy(col("n").desc, col("nl"))
+          val newl = edges
+            .join(labels.select(col("doc_id").as("src"),
+              col("lbl").as("nl")), "src")
+            .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("n"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("dst").as("doc_id"), col("nl"))
+          labels = labels.join(newl, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("nl"), col("lbl")).as("lbl"))
+            .localCheckpoint(true)
+        }
+        labels.orderBy(col("doc_id"))
+      },
+      Some {
+        def round_(k: Int): String = s"""
+        nl$k AS (SELECT dst AS doc_id, nl FROM (
+            SELECT e.dst, l.lbl AS nl, count(*) AS n,
+              row_number() OVER (PARTITION BY e.dst
+                ORDER BY count(*) DESC, l.lbl) AS rn
+            FROM edges e JOIN l${k - 1} l ON e.src = l.doc_id
+            GROUP BY e.dst, l.lbl) WHERE rn = 1),
+        l$k AS (SELECT d.doc_id, COALESCE(nl.nl, d.lbl) AS lbl
+          FROM l${k - 1} d LEFT JOIN nl$k nl ON d.doc_id = nl.doc_id)"""
+        s"""WITH ${Llm.dupEdgesCte("0.2")},
+        edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
+          UNION ALL SELECT id_b, id_a FROM edges0),
+        l0 AS (SELECT doc_id, source AS lbl FROM documents),
+        ${(1 to 2).map(round_).mkString(",")}
+        SELECT doc_id, lbl FROM l2 ORDER BY doc_id"""
+      }),
+
+    // EIGENVECTOR CENTRALITY by integer power iteration — the spectral
+    // importance measure beside PageRank (PageRank normalizes by degree;
+    // this is the raw dominant-eigenvector direction of the adjacency):
+    // 3 matvec rounds over the top-50-token CO-OCCURRENCE matrix
+    // (A(i,j) = docs containing both tokens, diagonal zero). Every round
+    // is EXACT BIGINT arithmetic — x₁ = A·1 and x₂ = A·x₁ directly, then
+    // one deterministic integer rescale (div by max(x₂) div 10⁶ + 1, the
+    // overflow guard both engines replay identically) before x₃ = A·x₂'.
+    // The reported score is x₃ ppm-normalized by its max — integer
+    // division, no float anywhere (class A). Scale: the matrix is a
+    // bounded 50×50 frame built by one df-capped token equi-join; the
+    // matvecs never touch the corpus again.
+    QDef("q_eigen_centrality",
+      (s, d) => {
+        val tok = documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(filter(split(col("text"), " "),
+              t => t =!= ""))).as("tok"))
+          .localCheckpoint(true) // vocab ranking + the pair join
+        val wTop = Window.orderBy(col("n").desc, col("tok"))
+        val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 50).select(col("tok"))
+        val occ = tok.join(broadcast(top), "tok")
+        val aMat = occ.as("a").join(occ.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.tok") =!= col("b.tok"))
+          .groupBy(col("a.tok").as("ti"), col("b.tok").as("tj"))
+          .agg(count(lit(1)).as("aij"))
+          .localCheckpoint(true) // three matvec rounds read it
+        def matvec(x: org.apache.spark.sql.DataFrame) =
+          aMat.join(x.select(col("tok").as("tj"), col("x")), "tj")
+            .groupBy(col("ti")).agg(sum(col("aij") * col("x")).as("x"))
+            .select(col("ti").as("tok"), col("x"))
+        val x1 = matvec(top.select(col("tok"), lit(1L).as("x")))
+          .localCheckpoint(true)
+        val x2 = matvec(x1).localCheckpoint(true)
+        val sc = x2.agg((max(col("x")).cast("long")).as("m"))
+          .select(expr("m div 1000000 + 1").as("sc"))
+        val x2s = x2.crossJoin(broadcast(sc))
+          .select(col("tok"), expr("x div sc").as("x"))
+        val x3 = matvec(x2s).localCheckpoint(true)
+        val m3 = x3.agg(max(col("x")).as("m3"))
+        x3.crossJoin(broadcast(m3))
+          .select(col("tok"), col("x").as("x3"),
+            expr("(x * 1000000) div m3").as("score_ppm"))
+          .orderBy(col("score_ppm").desc, col("tok"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(
+            list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+          FROM documents),
+        top AS (SELECT tok FROM (
+            SELECT tok, count(*) AS n,
+              row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+            FROM tok GROUP BY tok) WHERE rn <= 50),
+        occ AS (SELECT doc_id, tok FROM tok
+          WHERE tok IN (SELECT tok FROM top)),
+        am AS (SELECT a.tok AS ti, b.tok AS tj,
+            CAST(count(*) AS BIGINT) AS aij
+          FROM occ a JOIN occ b
+            ON a.doc_id = b.doc_id AND a.tok <> b.tok
+          GROUP BY 1, 2),
+        x1 AS (SELECT ti AS tok, CAST(sum(aij) AS BIGINT) AS x
+          FROM am GROUP BY ti),
+        x2 AS (SELECT am.ti AS tok, CAST(sum(aij * x1.x) AS BIGINT) AS x
+          FROM am JOIN x1 ON am.tj = x1.tok GROUP BY am.ti),
+        sc AS (SELECT CAST(max(x) AS BIGINT) // 1000000 + 1 AS sc FROM x2),
+        x2s AS (SELECT tok, CAST(x // sc AS BIGINT) AS x
+          FROM x2 CROSS JOIN sc),
+        x3 AS (SELECT am.ti AS tok, CAST(sum(aij * x2s.x) AS BIGINT) AS x
+          FROM am JOIN x2s ON am.tj = x2s.tok GROUP BY am.ti),
+        m3 AS (SELECT CAST(max(x) AS BIGINT) AS m3 FROM x3)
+        SELECT tok, x AS x3,
+          CAST((x * 1000000) // m3 AS BIGINT) AS score_ppm
+        FROM x3 CROSS JOIN m3
+        ORDER BY score_ppm DESC, tok""")),
+
     // ROC AUC — the threshold-free binary-classifier readout beside the
     // chi²/KS battery and the q_lang_confusion matrix: score = n_chars,
     // positive class = English documents (a deliberately weak scorer;

@@ -1581,6 +1581,58 @@ object EventWindows {
           d_obs
         FROM reps CROSS JOIN obs GROUP BY d_obs""")),
 
+    // BURST DETECTION — elevated-rate episode mining per event type (the
+    // discrete two-state reading of Kleinberg's burst model): an hour is
+    // bursting when its count exceeds 2× the type's mean hourly rate —
+    // tested INTEGER-cross-multiplied (cnt·n_hours > 2·n_events, no
+    // rate division ever happens) — and consecutive bursting hours
+    // collapse to episodes via the gaps-and-islands rewrite (hour −
+    // row_number is constant within a run). Episodes report span,
+    // length, total and peak count. Shape: one (type, hour) hash-agg
+    // over the corpus, then windows over the bounded burst-hour frame
+    // (≤ calendar hours per type). All integer (class A).
+    QDef("q_burst_detect",
+      (s, d) => {
+        val hourly = events(s, d)
+          .select(col("event_type"),
+            expr("(unix_micros(ts) - 1704067200000000) div 3600000000")
+              .as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // totals + the burst filter read it
+        val tot = hourly.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n_events"), count(lit(1)).as("n_hours"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        hourly.join(broadcast(tot), "event_type")
+          .filter(col("cnt") * col("n_hours") > col("n_events") * 2)
+          .withColumn("grp", col("hr") - row_number().over(w))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+            count(lit(1)).as("len_hrs"), sum(col("cnt")).as("n_burst"),
+            max(col("cnt")).as("peak"))
+          .drop("grp")
+          .orderBy(col("event_type"), col("start_hr"))
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+            (epoch_us(ts) - 1704067200000000) // 3600000000 AS hr,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+            CAST(count(*) AS BIGINT) AS n_hours
+          FROM hourly GROUP BY 1),
+        b AS (SELECT h.event_type, hr, cnt,
+            hr - row_number() OVER (PARTITION BY h.event_type
+              ORDER BY hr) AS grp
+          FROM hourly h JOIN tot t USING (event_type)
+          WHERE cnt * n_hours > n_events * 2)
+        SELECT event_type, CAST(min(hr) AS BIGINT) AS start_hr,
+          CAST(max(hr) AS BIGINT) AS end_hr,
+          CAST(count(*) AS BIGINT) AS len_hrs,
+          CAST(sum(cnt) AS BIGINT) AS n_burst,
+          CAST(max(cnt) AS BIGINT) AS peak
+        FROM b GROUP BY event_type, grp
+        ORDER BY event_type, start_hr""")),
+
     // NEAREST-neighbor temporal join — the |Δt|-minimizing alignment
     // (sensor fusion / attribution when direction is unknown): each
     // purchase pairs with its user's temporally CLOSEST click, either

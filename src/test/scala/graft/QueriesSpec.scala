@@ -1425,4 +1425,98 @@ class QueriesSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(twin == batch, "stream twin must equal the batch top-15")
   }
+
+  test("wave-r10o invariants: label-prop round replay, eigen-centrality " +
+    "integer replay, burst islands replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // Label propagation: take the ENGINE's edge frame, replay the two
+    // majority rounds in the JVM with the identical tie order
+    val docsL = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val e0 = graft.llm.TextDedup.jaccardEdgesShared(
+      graft.tables.Tables.documents(spark, sf), "doc_id", "text",
+      threshold = 0.2, corpusKey = sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (e0.map(p => (p._1, p._2)) ++ e0.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lbl = docsL.toMap
+    for (_ <- 1 to 2) {
+      lbl = lbl.map { case (id, old) =>
+        nbrs.get(id) match {
+          case None => id -> old
+          case Some(ns) =>
+            val counted = ns.map(lbl).groupBy(identity).view
+              .mapValues(_.size).toSeq
+            id -> counted.minBy { case (l, n) => (-n, l) }._1
+        }
+      }
+    }
+    val gotLp = run("q_label_prop").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotLp == lbl, "label-propagation 2-round replay")
+    assert(e0.nonEmpty, "fixture must have dup edges")
+    assert(lbl.exists { case (id, l) => l != docsL.toMap.apply(id) },
+      "propagation must actually flip some label")
+
+    // Eigenvector centrality: full integer power-iteration replay
+    val docsT = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")
+        .filter(_.nonEmpty).distinct.toSeq))
+    val cnt = docsT.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val top50 = cnt.toSeq.sortBy { case (t, n) => (-n, t) }.take(50)
+      .map(_._1).toSet
+    val aMat = scala.collection.mutable.Map.empty[(String, String), Long]
+    docsT.foreach { case (_, ts) =>
+      val in = ts.filter(top50)
+      for (a <- in; b <- in if a != b)
+        aMat((a, b)) = aMat.getOrElse((a, b), 0L) + 1L
+    }
+    def matvec(x: Map[String, Long]): Map[String, Long] =
+      aMat.toSeq.flatMap { case ((i, j), a) =>
+        x.get(j).map(xj => i -> a * xj) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val x1 = matvec(top50.map(_ -> 1L).toMap)
+    val x2 = matvec(x1)
+    val sc = x2.values.max / 1000000L + 1L
+    val x3 = matvec(x2.view.mapValues(_ / sc).toMap)
+    val m3 = x3.values.max
+    val gotEc = run("q_eigen_centrality").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotEc.keySet == x3.keySet, "centrality token set")
+    x3.foreach { case (t, v) =>
+      assert(gotEc(t) == ((v, v * 1000000L / m3)), s"eigen replay $t")
+    }
+
+    // Burst detection: hourly threshold + islands replay
+    val evH = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1) - 1704067200000000L) / 3600000000L))
+    val expBursts = evH.groupBy(_._1).flatMap { case (t, es) =>
+      val hourly = es.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val nEv = hourly.map(_._2).sum; val nHr = hourly.size.toLong
+      val burst = hourly.filter { case (_, c) => c * nHr > nEv * 2 }
+      burst.zipWithIndex.groupBy { case ((h, _), i) => h - i }
+        .map { case (_, run) =>
+          val hs = run.map(_._1)
+          (t, hs.map(_._1).min, hs.map(_._1).max, hs.size.toLong,
+            hs.map(_._2).sum, hs.map(_._2).max)
+        }
+    }.toSet
+    val gotB = run("q_burst_detect").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(gotB == expBursts, "burst islands replay")
+    assert(expBursts.nonEmpty, "fixture must contain burst hours")
+    // multi-hour episodes appear from sf0.01 up (sparse sf0.001 hours
+    // burst singly); the islands arithmetic is covered by the replay
+  }
 }
