@@ -323,7 +323,17 @@ object ScaleProof {
       // combinable agg; the stream twin holds per-user ListState (10x
       // users, fixed history each)
       "q_expect_checks", "q_theil_sen", "q_permutation_test",
-      "q_session_paths_stream_twin")
+      "q_session_paths_stream_twin",
+      // round-10 wave-17/18: label propagation iterates the (clique-
+      // dense) dup edge frame twice; eigen-centrality's matvecs run on
+      // the bounded 50x50 co-occurrence frame (the corpus is touched
+      // once to build it); bursts are one (type, hour) hash-agg +
+      // calendar-bounded windows; KN adds two distinct-count train aggs
+      // to the heldout shape; dbscan's 3x3 cell probe join is the grid
+      // partition strategy itself (10x points deepen cells, never the
+      // probe fan)
+      "q_label_prop", "q_eigen_centrality", "q_burst_detect",
+      "q_kneser_ney", "q_dbscan_core")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1183,6 +1183,114 @@ object Corpus {
             / (count(*) * 10000) AS nll
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // KNESER–NEY held-out scoring — the state-of-the-art n-gram smoother
+    // beside add-one (q_heldout_perplexity) and Jelinek–Mercer
+    // (…_jm): absolute discount d = ¾ on the ML bigram, with the
+    // discount mass redistributed by CONTINUATION counts (how many
+    // distinct contexts a word follows — "Francisco" is frequent but
+    // only ever follows "San", so its unigram back-off weight should be
+    // tiny; raw-frequency back-off gets that wrong, continuation counts
+    // get it right; Kneser & Ney 1995). p_KN(w|v) = max(c(vw)−d, 0)/c(v·)
+    // + d·N₁₊(v·)/c(v·) · N₁₊(·w)/N₁₊(··); unseen contexts back off to
+    // the continuation unigram, and a 1/(2·N₁₊(··)) floor keeps p > 0
+    // for OOV continuations. d = ¾ clears through ×4 so every numerator
+    // is integer; the divisions and the mix are identically parenthesized
+    // IEEE chains; the per-term → integer quantization and the unrounded
+    // mean reuse the JM mechanism verbatim. Scale: four train-side count
+    // aggs (two of them distinct-counts) + broadcast probe joins.
+    QDef("q_kneser_ney",
+      (s, d) => {
+        val bucket =
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+        val toksT = documents(s, d)
+          .select(col("doc_id"), (bucket < 80).as("is_train"),
+            filter(split(col("text"), " "), t => t =!= "").as("t"))
+        val bi = toksT.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("is_train"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> named_struct('w1', a, 'w2', b,
+                 'bg', concat(a, ' ', b)))""")).as("p"))
+          .select(col("doc_id"), col("is_train"), col("p.w1").as("w1"),
+            col("p.w2").as("w2"), col("p.bg").as("bg"))
+          .localCheckpoint(true) // all four train counts + the probe
+        val tr = bi.filter(col("is_train"))
+        val c2 = tr.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        val ctx = tr.groupBy(col("w1"))
+          .agg(count(lit(1)).as("cv"), countDistinct(col("w2")).as("n1f"))
+        val cont = tr.groupBy(col("w2"))
+          .agg(countDistinct(col("w1")).as("n1r"))
+        val n1allF = tr.agg(countDistinct(col("bg")).as("n1all"))
+        val floorP = lit(1.0) / (col("n1all") * 2)
+        val pKn = when(coalesce(col("cv"), lit(0L)) > 0,
+          greatest(
+            (greatest(coalesce(col("c2"), lit(0L)) * 4 - 3, lit(0L))
+              .cast("double") / (col("cv") * 4)) +
+            ((col("n1f") * 3).cast("double") / (col("cv") * 4)) *
+              (coalesce(col("n1r"), lit(0L)).cast("double") / col("n1all")),
+            floorP))
+          .otherwise(greatest(
+            coalesce(col("n1r"), lit(0L)).cast("double") / col("n1all"),
+            floorP))
+        bi.filter(!col("is_train"))
+          .join(c2, Seq("bg"), "left")
+          .join(ctx, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(n1allF))
+          .select(col("doc_id"),
+            (coalesce(col("cv"), lit(0L)) === 0).cast("long").as("backoff"),
+            round((lit(0.0) - log(pKn)) * 10000).cast("long").as("t_e4"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("backoff")).as("n_backoff"),
+            sum(col("t_e4")).as("nll_e4"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+            col("nll_e4"),
+            (col("nll_e4").cast("double") / (col("n_bigrams") * 10000))
+              .as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toksT AS (SELECT doc_id,
+            (doc_id * 2654435761) % 4294967296 % 100 < 80 AS is_train,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        bi AS (SELECT doc_id, is_train, toks[i] AS w1, toks[i + 1] AS w2,
+            toks[i] || ' ' || toks[i + 1] AS bg
+          FROM (SELECT doc_id, is_train, toks,
+                unnest(range(1, len(toks))) AS i
+                FROM toksT WHERE len(toks) >= 2)),
+        tr AS (SELECT * FROM bi WHERE is_train),
+        c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+          FROM tr GROUP BY bg),
+        ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cv,
+            CAST(count(DISTINCT w2) AS BIGINT) AS n1f
+          FROM tr GROUP BY w1),
+        cont AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1r
+          FROM tr GROUP BY w2),
+        n1a AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS n1all FROM tr),
+        terms AS (SELECT doc_id,
+            CAST(COALESCE(cv, 0) = 0 AS BIGINT) AS backoff,
+            CAST(round((0.0 - ln(
+              CASE WHEN COALESCE(cv, 0) > 0 THEN
+                greatest(
+                  (CAST(greatest(COALESCE(c2, 0) * 4 - 3, 0) AS DOUBLE)
+                    / (cv * 4)) +
+                  (CAST(n1f * 3 AS DOUBLE) / (cv * 4)) *
+                    (CAST(COALESCE(n1r, 0) AS DOUBLE) / n1all),
+                  1.0 / (n1all * 2))
+              ELSE greatest(CAST(COALESCE(n1r, 0) AS DOUBLE) / n1all,
+                  1.0 / (n1all * 2)) END)) * 10000) AS BIGINT) AS t_e4
+          FROM bi LEFT JOIN c2 USING (bg)
+          LEFT JOIN ctx USING (w1)
+          LEFT JOIN cont USING (w2)
+          CROSS JOIN n1a
+          WHERE NOT bi.is_train)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(backoff) AS BIGINT) AS n_backoff,
+          CAST(sum(t_e4) AS BIGINT) AS nll_e4,
+          CAST(CAST(sum(t_e4) AS BIGINT) AS DOUBLE)
+            / (count(*) * 10000) AS nll
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
     // DELETE-ONE-GROUP JACKKNIFE — the non-parametric standard error of
     // the corpus mean under cluster (source) structure: θ₍ᵢ₎ = the mean
     // with source i deleted, computed from INTEGER sums alone

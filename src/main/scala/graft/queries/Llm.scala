@@ -3030,6 +3030,93 @@ object Llm {
           CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
             ELSE round(CAST(dcg_e6 AS DOUBLE) /
               cw[CAST(least(n_rel, 10) AS INT)], 6) END AS ndcg
-        FROM agg CROSS JOIN wts ORDER BY q_id"""))
+        FROM agg CROSS JOIN wts ORDER BY q_id""")),
+
+    // GRID-BLOCKED DBSCAN point classification — the density-based
+    // clustering step (Ester et al. 1996) over the embedding table's
+    // first two dimensions, quantized to exact e6 integers: a point is
+    // CORE when ≥ 4 neighbors sit within ε = 0.02, BORDER when a core
+    // point is within ε, NOISE otherwise. The ε-neighbor join is the
+    // classic grid block: each point probes its 3×3 cell neighborhood
+    // (cell = coord div ε — both engines truncate toward zero, and a
+    // length-ε interval crosses at most one cell boundary, so the probe
+    // grid is candidate-complete), then an integer squared-distance
+    // verify — never an all-pairs join. At 100 TB the cell equi-join IS
+    // the partition strategy (points co-locate by cell). All integer
+    // (class A).
+    QDef("q_dbscan_core",
+      (s, d) => {
+        val eps = 20000L
+        val pts = embeddings(s, d).select(col("vec_id"),
+            round(col("embedding").getItem(0).cast("double") * 1e6)
+              .cast("long").as("x"),
+            round(col("embedding").getItem(1).cast("double") * 1e6)
+              .cast("long").as("y"))
+          .withColumn("cx", expr(s"x div $eps"))
+          .withColumn("cy", expr(s"y div $eps"))
+          .localCheckpoint(true) // probe fan + member side + point list
+        val probes = pts.select(col("vec_id"), col("x"), col("y"),
+            explode(expr("""flatten(transform(array(-1, 0, 1),
+              dx -> transform(array(-1, 0, 1),
+                dy -> named_struct('px', cx + dx, 'py', cy + dy))))"""))
+              .as("p"))
+          .select(col("vec_id"), col("x"), col("y"),
+            col("p.px").as("px"), col("p.py").as("py"))
+        val nbrPairs = probes.join(pts.select(col("vec_id").as("b_id"),
+            col("x").as("bx"), col("y").as("by"),
+            col("cx").as("px"), col("cy").as("py")), Seq("px", "py"))
+          .filter(col("vec_id") =!= col("b_id") &&
+            (col("x") - col("bx")) * (col("x") - col("bx")) +
+              (col("y") - col("by")) * (col("y") - col("by")) <=
+              lit(eps * eps))
+          .select(col("vec_id").as("a_id"), col("b_id"))
+          .localCheckpoint(true) // degree count + the border probe
+        val nnb = nbrPairs.groupBy(col("a_id")).agg(count(lit(1)).as("n_nb"))
+        val flags = pts.select(col("vec_id"))
+          .join(nnb, col("vec_id") === col("a_id"), "left")
+          .select(col("vec_id"), coalesce(col("n_nb"), lit(0L)).as("n_nb"))
+          .withColumn("is_core", col("n_nb") >= 4)
+          .localCheckpoint(true) // core set + final classification
+        val hasCoreNbr = nbrPairs
+          .join(flags.filter(col("is_core"))
+            .select(col("vec_id").as("b_id")), Seq("b_id"))
+          .select(col("a_id")).distinct()
+        flags.join(hasCoreNbr.withColumn("hc", lit(1L)),
+            col("vec_id") === col("a_id"), "left")
+          .select(col("vec_id"), col("n_nb"),
+            when(col("is_core"), "core")
+              .when(col("hc").isNotNull, "border")
+              .otherwise("noise").as("kind"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH pts AS (SELECT vec_id,
+            CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+              AS x,
+            CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+              AS y
+          FROM embeddings),
+        cells AS (SELECT vec_id, x, y,
+            x // 20000 AS cx, y // 20000 AS cy FROM pts),
+        probes AS (SELECT vec_id, x, y, cx + dx.range AS px,
+            cy + dy.range AS py
+          FROM cells CROSS JOIN range(-1, 2) dx CROSS JOIN range(-1, 2) dy),
+        np AS (SELECT p.vec_id AS a_id, b.vec_id AS b_id
+          FROM probes p JOIN cells b
+            ON p.px = b.cx AND p.py = b.cy AND p.vec_id <> b.vec_id
+          WHERE (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y)
+            <= 400000000),
+        nnb AS (SELECT a_id, CAST(count(*) AS BIGINT) AS n_nb
+          FROM np GROUP BY a_id),
+        flags AS (SELECT c.vec_id, COALESCE(n_nb, 0) AS n_nb,
+            COALESCE(n_nb, 0) >= 4 AS is_core
+          FROM cells c LEFT JOIN nnb ON c.vec_id = nnb.a_id),
+        hc AS (SELECT DISTINCT np.a_id FROM np
+          JOIN flags f ON np.b_id = f.vec_id WHERE f.is_core)
+        SELECT f.vec_id, f.n_nb,
+          CASE WHEN f.is_core THEN 'core'
+            WHEN hc.a_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS kind
+        FROM flags f LEFT JOIN hc ON f.vec_id = hc.a_id
+        ORDER BY f.vec_id"""))
   )
 }

@@ -1519,4 +1519,98 @@ class QueriesSpec extends AnyFunSuite {
     // multi-hour episodes appear from sf0.01 up (sparse sf0.001 hours
     // burst singly); the islands arithmetic is covered by the replay
   }
+
+  test("wave-r10p invariants: kneser-ney count+log replay, dbscan " +
+    "brute-force classification replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // Kneser–Ney: full JVM replay — continuation/context counts, the
+    // ×4-cleared discount formula, Math.log, integer quantization
+    val docsTx = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    def isTrain(id: Long) =
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L) % 100 < 80
+    val trBis = docsTx.filter(p => isTrain(p._1))
+      .flatMap(p => toks(p._2).sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))))
+    val c2 = trBis.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cv = trBis.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1f = trBis.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val n1r = trBis.distinct.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.length.toLong).toMap
+    val n1all = trBis.distinct.length.toLong
+    val expKn = docsTx.filter(p => !isTrain(p._1))
+      .filter(p => toks(p._2).length >= 2).map { case (id, tx) =>
+        val terms = toks(tx).sliding(2).filter(_.length == 2).map { a =>
+          val cvv = cv.getOrElse(a(0), 0L)
+          val floor = 1.0 / (n1all * 2)
+          val p =
+            if (cvv > 0)
+              math.max(
+                math.max(c2.getOrElse((a(0), a(1)), 0L) * 4 - 3, 0L)
+                  .toDouble / (cvv * 4) +
+                (n1f(a(0)) * 3).toDouble / (cvv * 4) *
+                  (n1r.getOrElse(a(1), 0L).toDouble / n1all), floor)
+            else math.max(n1r.getOrElse(a(1), 0L).toDouble / n1all, floor)
+          (cvv == 0L,
+            BigDecimal((0.0 - math.log(p)) * 10000)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        }.toSeq
+        id -> ((terms.size.toLong, terms.count(_._1).toLong,
+          terms.map(_._2).sum))
+      }.toMap
+    val gotKn = run("q_kneser_ney").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(gotKn.keySet == expKn.keySet)
+    gotKn.foreach { case (id, (nb, nbk, ne4, nll)) =>
+      val (enb, enbk, ene4) = expKn(id)
+      assert(nb == enb && nbk == enbk && ne4 == ene4, s"kn replay doc $id")
+      assert(nll == ne4.toDouble / (nb * 10000L))
+    }
+    // KN and JM must be DIFFERENT models on this corpus (continuation
+    // weighting has to move at least one doc's score)
+    val jm = run("q_heldout_perplexity_jm").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotKn.exists { case (id, (_, _, ne4, _)) => jm(id) != ne4 },
+      "KN must differ from JM somewhere")
+
+    // DBSCAN: brute-force all-pairs classification replay
+    val pts = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        def q(v: Float): Long =
+          BigDecimal(v.toDouble * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (r.getLong(0), q(e.head), q(e(1)))
+      }
+    val eps2 = 400000000L
+    val nnb = pts.map { case (id, x, y) =>
+      id -> pts.count { case (id2, x2, y2) =>
+        id2 != id && (x - x2) * (x - x2) + (y - y2) * (y - y2) <= eps2
+      }.toLong
+    }.toMap
+    val core = nnb.filter(_._2 >= 4).keySet
+    val expKind = pts.map { case (id, x, y) =>
+      val kind =
+        if (core(id)) "core"
+        else if (pts.exists { case (id2, x2, y2) => id2 != id &&
+          core(id2) &&
+          (x - x2) * (x - x2) + (y - y2) * (y - y2) <= eps2 }) "border"
+        else "noise"
+      id -> ((nnb(id), kind))
+    }.toMap
+    val gotDb = run("q_dbscan_core").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(gotDb == expKind, "dbscan classification replay")
+    val kinds = gotDb.values.map(_._2).toSet
+    assert(kinds == Set("core", "border", "noise"),
+      "fixture must exercise all three point classes")
+  }
 }
