@@ -333,7 +333,12 @@ object ScaleProof {
       // partition strategy itself (10x points deepen cells, never the
       // probe fan)
       "q_label_prop", "q_eigen_centrality", "q_burst_detect",
-      "q_kneser_ney", "q_dbscan_core")
+      "q_kneser_ney", "q_dbscan_core",
+      // round-10 wave-19: srm is one distinct-user agg + a 1-row
+      // rollup; hits matvecs the distinct (cust, part) edge frame
+      // (fact side 10x, both score tables dimension-bounded);
+      // calibration rides the q_auc_roc histogram-rank machinery
+      "q_ab_srm", "q_hits_scores", "q_calibration_brier")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1545,6 +1545,145 @@ object Corpus {
         FROM x3 CROSS JOIN m3
         ORDER BY score_ppm DESC, tok""")),
 
+    // HITS HUBS & AUTHORITIES — Kleinberg's bipartite spectral pair
+    // beside PageRank/eigen-centrality: over the distinct (customer,
+    // part) purchase graph, a part's AUTHORITY is the summed hub weight
+    // of its buyers and a customer's HUB score the summed authority of
+    // their basket — broad buyers boost the parts they touch, widely-
+    // bought parts boost their buyers. Two half-iterations (a¹ = Aᵀ1,
+    // h¹ = A·a¹, rescale, a² = Aᵀh¹') in EXACT BIGINT arithmetic with
+    // the q_eigen_centrality deterministic div-rescale as the overflow
+    // guard; both score tables ppm-normalize by their max (integer
+    // division) and report the top 20 per side. Shape: one distinct
+    // hash-agg builds the edge frame; every matvec is an equi-join +
+    // hash-agg on it (class A).
+    QDef("q_hits_scores",
+      (s, d) => {
+        val edges = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(true) // three matvec passes read it
+        val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a"))
+        val h1 = edges.join(a1, "p").groupBy(col("c"))
+          .agg(sum(col("a")).as("h"))
+        val sc = h1.agg(max(col("h")).as("m"))
+          .select(expr("m div 1000000 + 1").as("sc"))
+        val h1s = h1.crossJoin(broadcast(sc))
+          .select(col("c"), expr("h div sc").as("h"))
+          .localCheckpoint(true) // hub output + the a² matvec
+        val a2 = edges.join(h1s, "c").groupBy(col("p"))
+          .agg(sum(col("h")).as("a"))
+          .localCheckpoint(true) // max + the authority output
+        val ma = a2.agg(max(col("a")).as("ma"))
+        val mh = h1s.agg(max(col("h")).as("mh"))
+        val auth = a2.crossJoin(broadcast(ma))
+          .select(lit("authority").as("kind"), col("p").as("id"),
+            expr("(a * 1000000) div ma").as("score_ppm"))
+        val hub = h1s.crossJoin(broadcast(mh))
+          .select(lit("hub").as("kind"), col("c").as("id"),
+            expr("(h * 1000000) div mh").as("score_ppm"))
+        auth.withColumn("rn", row_number().over(
+            Window.partitionBy(col("kind"))
+              .orderBy(col("score_ppm").desc, col("id"))))
+          .unionAll(hub.withColumn("rn", row_number().over(
+            Window.partitionBy(col("kind"))
+              .orderBy(col("score_ppm").desc, col("id")))))
+          .filter(col("rn") <= 20)
+          .select(col("kind"), col("rn"), col("id"), col("score_ppm"))
+          .orderBy(col("kind"), col("rn"))
+      },
+      Some("""WITH edges AS (SELECT DISTINCT o_custkey AS c,
+            l_partkey AS p
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a
+          FROM edges GROUP BY p),
+        h1 AS (SELECT c, CAST(sum(a) AS BIGINT) AS h
+          FROM edges JOIN a1 USING (p) GROUP BY c),
+        sc AS (SELECT CAST(max(h) AS BIGINT) // 1000000 + 1 AS sc FROM h1),
+        h1s AS (SELECT c, CAST(h // sc AS BIGINT) AS h
+          FROM h1 CROSS JOIN sc),
+        a2 AS (SELECT p, CAST(sum(h) AS BIGINT) AS a
+          FROM edges JOIN h1s USING (c) GROUP BY p),
+        ma AS (SELECT CAST(max(a) AS BIGINT) AS ma FROM a2),
+        mh AS (SELECT CAST(max(h) AS BIGINT) AS mh FROM h1s),
+        both_ AS (
+          SELECT 'authority' AS kind, p AS id,
+            CAST((a * 1000000) // ma AS BIGINT) AS score_ppm
+          FROM a2 CROSS JOIN ma
+          UNION ALL
+          SELECT 'hub', c, CAST((h * 1000000) // mh AS BIGINT)
+          FROM h1s CROSS JOIN mh),
+        rk AS (SELECT kind, id, score_ppm,
+            CAST(row_number() OVER (PARTITION BY kind
+              ORDER BY score_ppm DESC, id) AS INT) AS rn
+          FROM both_)
+        SELECT kind, rn, id, score_ppm FROM rk
+        WHERE rn <= 20 ORDER BY kind, rn""")),
+
+    // CALIBRATION TABLE + BRIER DECOMPOSITION — the probability-quality
+    // readout beside q_auc_roc's pure ranking: the "model" scores each
+    // doc with its tie-averaged n_chars percentile in exact ppm (the
+    // Spearman rank map re-used as a monotone calibrated-ish scorer),
+    // the positive class is English, and the decile reliability table
+    // reports per-bin mean predicted vs observed ppm plus the exact
+    // integer squared-error mass Σ(p_ppm − y·10⁶)² (global Brier·10¹²·n
+    // = the sum over bins — no float anywhere; class A). Histogram-
+    // prefix ranks as in q_auc_roc: one hash-agg + one bounded-domain
+    // window, broadcast-joined back; never a corpus sort.
+    QDef("q_calibration_brier",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"),
+            col("n_chars").as("v"),
+            (col("lang") === "en").cast("long").as("y"))
+          .localCheckpoint(true) // rank histogram + the scored scan
+        val wCum = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val hist = base.groupBy(col("v")).agg(count(lit(1)).as("m"))
+          .withColumn("below", coalesce(sum(col("m")).over(wCum), lit(0L)))
+        val tot = base.agg(count(lit(1)).as("n"))
+        val scored = base.join(broadcast(hist), "v")
+          .crossJoin(broadcast(tot))
+          .select(col("y"),
+            expr("((below * 2 + m) * 1000000) div (n * 2)").as("p_ppm"))
+        scored
+          .withColumn("bin", least(expr("p_ppm div 100000"), lit(9L)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_b"),
+            expr("sum(p_ppm) div count(1)").as("mean_p_ppm"),
+            expr("(sum(y) * 1000000) div count(1)").as("frac_pos_ppm"),
+            sum((col("p_ppm") - col("y") * 1000000L) *
+              (col("p_ppm") - col("y") * 1000000L)).as("sq_e12"))
+          .select(col("bin"), col("n_b"), col("mean_p_ppm"),
+            col("frac_pos_ppm"),
+            (col("mean_p_ppm") - col("frac_pos_ppm")).as("gap_ppm"),
+            col("sq_e12"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH base AS (SELECT doc_id, n_chars AS v,
+            CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+        hist AS (SELECT v, m,
+            CAST(COALESCE(sum(m) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+          FROM (SELECT v, CAST(count(*) AS BIGINT) AS m
+                FROM base GROUP BY v)),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        scored AS (SELECT y,
+            CAST(((below * 2 + m) * 1000000) // (n * 2) AS BIGINT) AS p_ppm
+          FROM base JOIN hist USING (v) CROSS JOIN tot),
+        binned AS (SELECT least(p_ppm // 100000, 9) AS bin, y, p_ppm
+          FROM scored)
+        SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_b,
+          CAST(CAST(sum(p_ppm) AS BIGINT) // count(*) AS BIGINT)
+            AS mean_p_ppm,
+          CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS frac_pos_ppm,
+          CAST(CAST(sum(p_ppm) AS BIGINT) // count(*)
+            - (sum(y) * 1000000) // count(*) AS BIGINT) AS gap_ppm,
+          CAST(sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+            AS BIGINT) AS sq_e12
+        FROM binned GROUP BY bin ORDER BY bin""")),
+
     // ROC AUC — the threshold-free binary-classifier readout beside the
     // chi²/KS battery and the q_lang_confusion matrix: score = n_chars,
     // positive class = English documents (a deliberately weak scorer;

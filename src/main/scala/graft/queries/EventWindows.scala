@@ -1751,6 +1751,49 @@ object EventWindows {
     // variances, and the reduction are fixed IEEE chains with identical
     // parenthesization both engines (the q_welch_ttest class), rounded
     // once.
+    // SAMPLE-RATIO MISMATCH — the experiment-integrity guard that runs
+    // BEFORE any A/B readout (CUPED/Welch/permutation are meaningless if
+    // the randomizer is broken): users split 80/20 by the Knuth-hash
+    // bucket (the q_split_assign assignment), and the 1-df chi² against
+    // the designed ratio is computed with CLEARED denominators —
+    // χ² = [(5·o_a − 4n)² + 4·(5·o_b − n)²] / (20n), so the numerator is
+    // an exact BIGINT and the flag "χ² > 3.84" (95th pct) is the
+    // integer cross-multiplication num·100 > 7680·n — no float enters
+    // the decision. One user-level hash-agg + a 1-row rollup (class A +
+    // exact-div on the reported χ²).
+    QDef("q_ab_srm",
+      (s, d) => {
+        val arm = pmod(col("user_id") * lit(2654435761L),
+          lit(4294967296L)) % 100 < 80
+        events(s, d).select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n"),
+            sum(when(arm, 1L).otherwise(0L)).as("o_a"))
+          .select(col("n"), col("o_a"), (col("n") - col("o_a")).as("o_b"),
+            ((col("o_a") * 5 - col("n") * 4) * (col("o_a") * 5 - col("n") * 4)
+              + ((col("n") - col("o_a")) * 5 - col("n"))
+              * ((col("n") - col("o_a")) * 5 - col("n")) * 4)
+              .as("chi2_num"))
+          .select(col("n"), col("o_a"), col("o_b"), col("chi2_num"),
+            (col("chi2_num").cast("double") / (col("n") * 20)).as("chi2"),
+            (col("chi2_num") * 100 > col("n") * 7680).cast("long")
+              .as("srm_flag"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST((user_id * 2654435761) % 4294967296 % 100 < 80
+              AS BIGINT)) AS BIGINT) AS o_a
+          FROM u)
+        SELECT n, o_a, n - o_a AS o_b,
+          (o_a * 5 - n * 4) * (o_a * 5 - n * 4)
+            + ((n - o_a) * 5 - n) * ((n - o_a) * 5 - n) * 4 AS chi2_num,
+          CAST((o_a * 5 - n * 4) * (o_a * 5 - n * 4)
+            + ((n - o_a) * 5 - n) * ((n - o_a) * 5 - n) * 4 AS DOUBLE)
+            / (n * 20) AS chi2,
+          CAST(((o_a * 5 - n * 4) * (o_a * 5 - n * 4)
+            + ((n - o_a) * 5 - n) * ((n - o_a) * 5 - n) * 4) * 100
+            > n * 7680 AS BIGINT) AS srm_flag
+        FROM c""")),
+
     QDef("q_abtest_cuped",
       (s, d) => {
         val Dec = org.apache.spark.sql.types.DecimalType(30, 6)

@@ -1613,4 +1613,83 @@ class QueriesSpec extends AnyFunSuite {
     assert(kinds == Set("core", "border", "noise"),
       "fixture must exercise all three point classes")
   }
+
+  test("wave-r10q invariants: srm chi2 replay, hits integer replay, " +
+    "calibration bin replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // SRM: replay the arm counts + cleared-denominator chi2
+    val users = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val oA = users.count(u =>
+      java.lang.Math.floorMod(u * 2654435761L, 4294967296L) % 100 < 80).toLong
+    val n = users.length.toLong; val oB = n - oA
+    val num = (oA * 5 - n * 4) * (oA * 5 - n * 4) +
+      (oB * 5 - n) * (oB * 5 - n) * 4
+    val srm = run("q_ab_srm").head()
+    assert(srm.getAs[Long]("n") == n && srm.getAs[Long]("o_a") == oA)
+    assert(srm.getAs[Long]("chi2_num") == num, "chi2 numerator replay")
+    assert(srm.getAs[Double]("chi2") == num.toDouble / (n * 20))
+    assert(srm.getAs[Long]("srm_flag") ==
+      (if (num * 100 > n * 7680) 1L else 0L))
+    assert(srm.getAs[Long]("srm_flag") == 0L,
+      "a correct Knuth-hash randomizer must not trip SRM")
+
+    // HITS: full integer replay over the distinct purchase graph
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .join(graft.tables.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val h1 = li.groupBy(_._1).view
+      .mapValues(_.map(e => a1(e._2)).sum).toMap
+    val hsc = h1.values.max / 1000000L + 1L
+    val h1s = h1.view.mapValues(_ / hsc).toMap
+    val a2 = li.groupBy(_._2).view
+      .mapValues(_.map(e => h1s(e._1)).sum).toMap
+    val ma = a2.values.max; val mh = h1s.values.max
+    def top20(m: Map[Long, Long], mx: Long) =
+      m.toSeq.map { case (id, v) => (id, v * 1000000L / mx) }
+        .sortBy { case (id, s) => (-s, id) }.take(20)
+        .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+    val expHits = top20(a2, ma).map(t => ("authority", t._1, t._2, t._3)) ++
+      top20(h1s, mh).map(t => ("hub", t._1, t._2, t._3))
+    val gotHits = run("q_hits_scores").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(gotHits == expHits, "hits top-20 replay")
+
+    // Calibration: replay decile bins from the rank-ppm scorer
+    val docsC = graft.tables.Tables.documents(spark, sf)
+      .select(col("n_chars"), (col("lang") === "en").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nC = docsC.length.toLong
+    val cBelow = docsC.map(_._1).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    def pppm(v: Long): Long = {
+      val below = docsC.count(_._1 < v).toLong
+      (below * 2 + cBelow(v)) * 1000000L / (nC * 2)
+    }
+    val expBins = docsC.map { case (v, y) => (pppm(v), y) }
+      .groupBy { case (p, _) => math.min(p / 100000L, 9L) }
+      .map { case (b, vs) =>
+        b -> ((vs.length.toLong, vs.map(_._1).sum / vs.length,
+          vs.map(_._2).sum * 1000000L / vs.length,
+          vs.map { case (p, y) =>
+            (p - y * 1000000L) * (p - y * 1000000L) }.sum))
+      }
+    val gotCal = run("q_calibration_brier").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))).toMap
+    assert(gotCal.keySet == expBins.keySet)
+    expBins.foreach { case (b, (nb, mp, fp, sq)) =>
+      val (gn, gm, gf, gs) = gotCal(b)
+      assert(gn == nb && gm == mp && gf == fp && gs == sq,
+        s"calibration bin $b replay")
+    }
+    assert(expBins.size >= 5, "score deciles must spread across bins")
+  }
 }
