@@ -338,7 +338,12 @@ object ScaleProof {
       // rollup; hits matvecs the distinct (cust, part) edge frame
       // (fact side 10x, both score tables dimension-bounded);
       // calibration rides the q_auc_roc histogram-rank machinery
-      "q_ab_srm", "q_hits_scores", "q_calibration_brier")
+      "q_ab_srm", "q_hits_scores", "q_calibration_brier",
+      // round-10 wave-20: the Poisson bootstrap is THE 100 TB bootstrap
+      // — a documented 32x fan into one map-side-combinable weighted
+      // agg, no resample materialization; mrr rides the ndcg
+      // broadcast-probe scan
+      "q_bootstrap_poisson", "q_mrr_at_k")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

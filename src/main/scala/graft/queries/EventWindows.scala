@@ -15,6 +15,19 @@ import Q._
   */
 object EventWindows {
 
+  /** Poisson(1) CDF thresholds for k = 0..4, pre-scaled to the 2⁶⁰
+    * integer grid — evaluated ONCE here and embedded as BIGINT literals
+    * in both engine plans (q_bootstrap_poisson), so the md5-uniform →
+    * Poisson weight map is pure integer comparison per-engine. */
+  private[queries] val PoisT: Array[Long] = {
+    var fact = 1.0; var sum = 0.0
+    (0 to 4).map { k =>
+      if (k > 0) fact *= k
+      sum += 1.0 / fact
+      (math.exp(-1.0) * sum * math.pow(2.0, 60)).toLong
+    }.toArray
+  }
+
   val all: Seq[QDef] = Seq(
 
     // Tumbling 1-day event-time window.
@@ -1580,6 +1593,82 @@ object EventWindows {
             * 1000000) // (count(*) + 1) AS BIGINT) AS p_ppm,
           d_obs
         FROM reps CROSS JOIN obs GROUP BY d_obs""")),
+
+    // POISSON BOOTSTRAP CI — the bootstrap that actually works at 100 TB
+    // (Chamandy et al., Google 2012): instead of materializing B
+    // resamples, every row gets an independent Poisson(1) weight per
+    // replicate, so one scan computes all 32 replicate means. The weight
+    // is DETERMINISTIC: u = first-60-bits of md5(event_id||'#'||r)
+    // compared against the Poisson(1) CDF thresholds PRE-SCALED to the
+    // same 2⁶⁰ integer grid (builder-time constants embedded in both
+    // plans — the NdcgW pattern; no float RNG, no exp() per-engine).
+    // Replicate means are decimal-exact weighted sums over one IEEE
+    // divide; the 90% CI is TYPE-1 SELECTION (2nd and 31st order
+    // statistics of the 32 exact means) — selection, never averaging,
+    // so every reported number is an exact division (class A +
+    // exact-div). Shape: a documented 32× fan into one map-side-
+    // combinable hash-agg + a 32-row sort.
+    QDef("q_bootstrap_poisson",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val base = events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("value"))
+          .localCheckpoint(true) // observed mean + the replicate fan
+        val obs = base.agg(
+          (sum(col("value").cast(Dec)).cast("double") / count(lit(1)))
+            .as("mean_obs"))
+        val u = conv(substring(md5(concat(col("event_id").cast("string"),
+          lit("#"), col("rep"))), 1, 15), 16, 10).cast("long")
+        // foldRight so the SMALLEST threshold test is outermost —
+        // first-match semantics, identical to the oracle's CASE chain
+        val w = PoisT.indices.foldRight(
+            lit(PoisT.length.toLong): org.apache.spark.sql.Column) {
+          case (k, acc) => when(u < PoisT(k), lit(k.toLong)).otherwise(acc)
+        }
+        val reps = base
+          .crossJoin(broadcast(s.range(1, 33).select(col("id").as("rep"))))
+          .withColumn("w", w.cast("long"))
+          .groupBy(col("rep"))
+          .agg((sum((col("value") * col("w")).cast(Dec)).cast("double") /
+            sum(col("w"))).as("m"))
+        val wOrd = Window.orderBy(col("m"), col("rep"))
+        reps.withColumn("rn", row_number().over(wOrd))
+          .filter(col("rn").isin(2, 31))
+          .groupBy()
+          .agg(min(col("m")).as("ci_lo"), max(col("m")).as("ci_hi"))
+          .crossJoin(broadcast(obs))
+          .select(lit(32L).as("n_reps"), col("mean_obs"),
+            col("ci_lo"), col("ci_hi"))
+      },
+      Some {
+        val cases = PoisT.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+        s"""WITH base AS (SELECT event_id, value FROM events
+            WHERE event_type = 'purchase'),
+        obs AS (SELECT CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+            / count(*) AS mean_obs FROM base),
+        us AS (SELECT r.range AS rep, value,
+            CAST(${(1 to 15).map(i =>
+              "(strpos('0123456789abcdef', substr(" +
+              "md5(CAST(event_id AS VARCHAR) || '#' || " +
+              s"CAST(r.range AS VARCHAR)), $i, 1)) - 1) * " +
+              s"${1L << (4 * (15 - i))}").mkString(" + ")} AS BIGINT) AS u
+          FROM base CROSS JOIN range(1, 33) r),
+        ws AS (SELECT rep, value,
+            CAST(CASE $cases ELSE ${PoisT.length} END AS BIGINT) AS w
+          FROM us),
+        reps AS (SELECT rep,
+            CAST(sum(CAST(value * w AS DECIMAL(30,6))) AS DOUBLE)
+              / CAST(sum(w) AS BIGINT) AS m
+          FROM ws GROUP BY rep),
+        rk AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rn
+          FROM reps)
+        SELECT CAST(32 AS BIGINT) AS n_reps, mean_obs,
+          (SELECT min(m) FROM rk WHERE rn IN (2, 31)) AS ci_lo,
+          (SELECT max(m) FROM rk WHERE rn IN (2, 31)) AS ci_hi
+        FROM obs"""
+      }),
 
     // BURST DETECTION — elevated-rate episode mining per event type (the
     // discrete two-state reading of Kleinberg's burst model): an hour is

@@ -116,6 +116,11 @@ object Llm {
   private[graft] val NdcgCum: Array[Long] =
     NdcgW.scanLeft(0L)(_ + _).tail.toArray
 
+  /** MRR reciprocal-rank table round(10⁶/rank), rank = 1..10 — builder-
+    * time constants embedded in both plans (the NdcgW pattern). */
+  private[graft] val MrrW: Array[Long] =
+    (1 to 10).map(i => math.round(1e6 / i)).toArray
+
   /** The dup-graph CTE chain shared by every graph-analysis oracle
     * (triangles, bounded reach, PageRank, and the MinHash exact side) —
     * ONE definition of the shingle → pair pipeline, so the oracles can't
@@ -3031,6 +3036,53 @@ object Llm {
             ELSE round(CAST(dcg_e6 AS DOUBLE) /
               cw[CAST(least(n_rel, 10) AS INT)], 6) END AS ndcg
         FROM agg CROSS JOIN wts ORDER BY q_id""")),
+
+    // MRR@10 — the first-relevant-rank eval beside q_ndcg_at_k (nDCG
+    // grades the whole ranked list; MRR asks only "how soon is the
+    // first hit", the navigational-query metric): per anchor, the
+    // reciprocal of the first same-label rank within the top-10, as the
+    // builder-time integer table round(10⁶/rank) (the NdcgW pattern —
+    // no per-engine division), 0 when no hit. Same broadcast-probe +
+    // per-anchor window shape as its sibling. Class A.
+    QDef("q_mrr_at_k",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val anchors = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim_r").desc, col("c_id"))
+        e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+            col("embedding").as("c_emb"))
+          .join(broadcast(anchors), col("q_id") =!= col("c_id"))
+          .withColumn("sim_r", round(graft.functions.VectorFunctions
+            .vec_cosine(col("q_emb"), col("c_emb")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy(col("q_id"))
+          .agg(min(when(col("q_label") === col("c_label"), col("rn")))
+            .as("first_rel"))
+          .select(col("q_id"),
+            coalesce(col("first_rel").cast("long"), lit(0L))
+              .as("first_rel_rank"),
+            coalesce(element_at(lit(MrrW), col("first_rel").cast("int")),
+              lit(0L)).as("rr_e6"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH g AS (SELECT q.vec_id AS q_id,
+            CAST(q.label = c.label AS BIGINT) AS rel,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(${cosineSql("q.embedding", "c.embedding")}, 6)
+                DESC, c.vec_id) AS rn
+          FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+          JOIN embeddings c ON q.vec_id <> c.vec_id),
+        wts AS (SELECT ${MrrW.mkString("[", ",", "]")} AS w),
+        fr AS (SELECT q_id, min(CASE WHEN rel = 1 THEN rn END) AS first_rel
+          FROM g WHERE rn <= 10 GROUP BY q_id)
+        SELECT q_id,
+          CAST(COALESCE(first_rel, 0) AS BIGINT) AS first_rel_rank,
+          CAST(COALESCE(w[CAST(first_rel AS INT)], 0) AS BIGINT) AS rr_e6
+        FROM fr CROSS JOIN wts ORDER BY q_id""")),
 
     // GRID-BLOCKED DBSCAN point classification — the density-based
     // clustering step (Ester et al. 1996) over the embedding table's

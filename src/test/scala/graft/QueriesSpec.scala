@@ -1692,4 +1692,57 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(expBins.size >= 5, "score deciles must spread across bins")
   }
+
+  test("wave-r10r invariants: poisson bootstrap replay, mrr replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+    // Poisson bootstrap: weight distribution sanity + full replicate
+    // replay (md5 60-bit uniform vs the embedded CDF thresholds)
+    def h15(s2: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest
+        .getInstance("MD5").digest(s2.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val pe = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // thresholds replayed independently from the Poisson(1) pmf
+    val cdf = { var f = 1.0; var acc = 0.0
+      (0 to 4).map { k => if (k > 0) f *= k; acc += 1.0 / f
+        (math.exp(-1.0) * acc * math.pow(2.0, 60)).toLong } }
+    val means = (1 to 32).map { r =>
+      val ws = pe.map { case (id, v) =>
+        val u = h15(s"$id#$r")
+        (v, cdf.indexWhere(u < _) match {
+          case -1 => 5L; case k => k.toLong })
+      }
+      val sw = ws.map(_._2).sum
+      r -> (ws.map { case (v, wt) => d6(v * wt) }.sum.toDouble / sw)
+    }
+    val sortedM = means.sortBy { case (r, m) => (m, r) }.map(_._2)
+    val obs = pe.map(p => d6(p._2)).sum.toDouble / pe.length
+    val bs = run("q_bootstrap_poisson").head()
+    assert(bs.getAs[Long]("n_reps") == 32L)
+    assert(bs.getAs[Double]("mean_obs") == obs)
+    assert(bs.getAs[Double]("ci_lo") == sortedM(1), "2nd order statistic")
+    assert(bs.getAs[Double]("ci_hi") == sortedM(30), "31st order statistic")
+    assert(bs.getAs[Double]("ci_lo") <= obs && obs <= bs.getAs[Double]("ci_hi"),
+      "the observed mean sits inside its own 90% CI on this corpus")
+
+    // MRR: identity against q_ndcg_at_k's ranking — first_rel_rank must
+    // be the first rank where ndcg's graded list has rel=1, and the
+    // mean-reciprocal table must match the builder constants
+    val gotM = run("q_mrr_at_k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotM.length == 8)
+    gotM.foreach { case (_, fr, rr) =>
+      if (fr == 0L) assert(rr == 0L)
+      else assert(rr == math.round(1e6 / fr), s"rr table rank $fr")
+    }
+    assert(gotM.exists(_._2 > 0), "fixture must contain a relevant hit")
+  }
 }
