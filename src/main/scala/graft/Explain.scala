@@ -55,7 +55,14 @@ object Explain {
       // + per-anchor window; the nearest as-of a user-key SMJ/hash join
       // + hash-agg, never a BNLJ on the time predicate
       "q_symspell_join", "q_dupspan_pairs", "q_hard_negatives",
-      "q_join_asof_nearest")
+      "q_join_asof_nearest",
+      // round-10 waves 12-20: mann-whitney must window WITHIN buckets
+      // (two-level prefix — no single global sort of the histogram);
+      // dbscan a (px, py) cell equi-join with the distance verify as a
+      // post-join Filter (no BNLJ); hits three edge equi-joins + hash
+      // aggs; the bootstrap ONE hash-agg over the broadcast 32-rep fan
+      "q_mannwhitney_u", "q_dbscan_core", "q_hits_scores",
+      "q_bootstrap_poisson")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
