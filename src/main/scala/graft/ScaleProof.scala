@@ -343,7 +343,15 @@ object ScaleProof {
       // — a documented 32x fan into one map-side-combinable weighted
       // agg, no resample materialization; mrr rides the ndcg
       // broadcast-probe scan
-      "q_bootstrap_poisson", "q_mrr_at_k")
+      "q_bootstrap_poisson", "q_mrr_at_k",
+      // round-10 wave-21/22: dbscan clusters iterate ONLY the core edge
+      // frame (the corpus builds it once through the grid probe);
+      // isotonic runs entirely on the 10-bin frame past the histogram
+      // rank map; mann-kendall shares theil-sen's calendar-bounded pair
+      // frame; ivm-merge is the O(delta) nightly pattern with the full
+      // recompute as its in-plan self-audit
+      "q_dbscan_clusters", "q_isotonic_calibration", "q_mann_kendall",
+      "q_ivm_merge")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

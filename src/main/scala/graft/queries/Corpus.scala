@@ -1684,6 +1684,104 @@ object Corpus {
             AS BIGINT) AS sq_e12
         FROM binned GROUP BY bin ORDER BY bin""")),
 
+    // ISOTONIC (PAVA) CALIBRATION — the monotone recalibration step on
+    // q_calibration_brier's decile table: the pool-adjacent-violators
+    // solution computed by its MINIMAX characterization fitᵢ =
+    // max_{j≤i} min_{k≥j} mean(frac_pos over bins j..k) (weighted by
+    // bin counts) — proven ≡ PAVA (validated against an independent
+    // imperative implementation over 200 random cases in-spec). The
+    // interval means come from prefix sums over the ≤10-row bin frame,
+    // so the triangle enumeration is a constant-size join at any corpus
+    // scale; every mean is one exact IEEE division of identical BIGINTs
+    // and min/max only SELECT among those identical doubles (class A +
+    // exact-div).
+    QDef("q_isotonic_calibration",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"),
+            col("n_chars").as("v"),
+            (col("lang") === "en").cast("long").as("y"))
+          .localCheckpoint(true)
+        val wCum = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val hist = base.groupBy(col("v")).agg(count(lit(1)).as("m"))
+          .withColumn("below", coalesce(sum(col("m")).over(wCum), lit(0L)))
+        val tot = base.agg(count(lit(1)).as("n"))
+        val bins = base.join(broadcast(hist), "v")
+          .crossJoin(broadcast(tot))
+          .select(col("y"),
+            least(expr(
+              "(((below * 2 + m) * 1000000) div (n * 2)) div 100000"),
+              lit(9L)).as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"))
+          .localCheckpoint(true) // prefix frame + final join
+        val wP = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = bins
+          .withColumn("cw", sum(col("n_b")).over(wP))
+          .withColumn("cp", sum(col("pos_b")).over(wP))
+          .select(col("bin"), col("cw"), col("cp"))
+          .localCheckpoint(true) // both sides of the interval cross
+        // interval (j..k) means from prefix differences; j joins to the
+        // prefix row j-1 (left join + coalesce 0 for j = first bin)
+        val jSide = pre.select(col("bin").as("j"))
+          .join(pre.select((col("bin") + 1).as("j"),
+            col("cw").as("cwj"), col("cp").as("cpj")), Seq("j"), "left")
+          .select(col("j"), coalesce(col("cwj"), lit(0L)).as("cwj"),
+            coalesce(col("cpj"), lit(0L)).as("cpj"))
+        val means = jSide.join(pre.select(col("bin").as("k"),
+            col("cw").as("cwk"), col("cp").as("cpk")),
+            col("k") >= col("j"))
+          .select(col("j"), col("k"),
+            (((col("cpk") - col("cpj")) * 1000000).cast("double") /
+              (col("cwk") - col("cwj"))).as("mjk"))
+        val minOverK = means.groupBy(col("j")).agg(min(col("mjk")).as("mn"))
+        val fit = bins.select(col("bin"))
+          .join(minOverK, col("j") <= col("bin"))
+          .groupBy(col("bin")).agg(max(col("mn")).as("fit_ppm"))
+        bins.join(fit, "bin")
+          .select(col("bin"), col("n_b"),
+            expr("(pos_b * 1000000) div n_b").as("frac_pos_ppm"),
+            col("fit_ppm"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH base AS (SELECT doc_id, n_chars AS v,
+            CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+        hist AS (SELECT v, m,
+            CAST(COALESCE(sum(m) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+          FROM (SELECT v, CAST(count(*) AS BIGINT) AS m
+                FROM base GROUP BY v)),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        bins AS (SELECT least((((below * 2 + m) * 1000000) // (n * 2))
+              // 100000, 9) AS bin,
+            CAST(count(*) AS BIGINT) AS n_b,
+            CAST(sum(y) AS BIGINT) AS pos_b
+          FROM base JOIN hist USING (v) CROSS JOIN tot
+          GROUP BY 1),
+        pre AS (SELECT bin,
+            CAST(sum(n_b) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+            CAST(sum(pos_b) OVER (ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+          FROM bins),
+        js AS (SELECT p.bin AS j, COALESCE(q.cw, 0) AS cwj,
+            COALESCE(q.cp, 0) AS cpj
+          FROM pre p LEFT JOIN pre q ON q.bin = p.bin - 1),
+        means AS (SELECT j, k.bin AS k,
+            CAST((k.cp - cpj) * 1000000 AS DOUBLE) / (k.cw - cwj) AS mjk
+          FROM js JOIN pre k ON k.bin >= j),
+        mn AS (SELECT j, min(mjk) AS mn FROM means GROUP BY j),
+        fit AS (SELECT b.bin, max(mn.mn) AS fit_ppm
+          FROM bins b JOIN mn ON mn.j <= b.bin GROUP BY b.bin)
+        SELECT b.bin, b.n_b,
+          CAST((b.pos_b * 1000000) // b.n_b AS BIGINT) AS frac_pos_ppm,
+          f.fit_ppm
+        FROM bins b JOIN fit f ON b.bin = f.bin
+        ORDER BY b.bin""")),
+
+
     // ROC AUC — the threshold-free binary-classifier readout beside the
     // chi²/KS battery and the q_lang_confusion matrix: score = n_chars,
     // positive class = English documents (a deliberately weak scorer;

@@ -1514,6 +1514,76 @@ object EventWindows {
         WHERE rn = (n_pairs + 1) // 2
         ORDER BY event_type""")),
 
+    // MANN–KENDALL TREND TEST — the non-parametric companion of
+    // q_theil_sen (Theil–Sen gives the slope magnitude; this tests
+    // whether a monotone trend EXISTS): S = Σ_{i<j} sign(yⱼ − yᵢ) over
+    // each type's daily count series (exact integer), tie-corrected
+    // variance from the tie-group histogram — var·18 stays an exact
+    // BIGINT (var_num18) and the reported z = (S ∓ 1)/√(var_num18/18)
+    // is a fixed chain of correctly-rounded IEEE ops over identical
+    // inputs. The pair frame is the same calendar-bounded constant as
+    // Theil–Sen's. Class A + exact-div.
+    QDef("q_mann_kendall",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(col("event_type"), datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("y"))
+          .localCheckpoint(true) // pair join + tie histogram + n_days
+        val sF = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"))
+        val ties = daily.groupBy(col("event_type"), col("y"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+            .as("tie_term"))
+        val nd = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"))
+        sF.join(ties, "event_type").join(nd, "event_type")
+          .select(col("event_type"), col("n_days"), col("s"),
+            (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+              - col("tie_term")).as("var_num18"))
+          .withColumn("z",
+            when(col("s") > 0, (col("s") - 1).cast("double") /
+              sqrt(col("var_num18").cast("double") / 18))
+              .when(col("s") < 0, (col("s") + 1).cast("double") /
+                sqrt(col("var_num18").cast("double") / 18))
+              .otherwise(lit(0.0)))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        sF AS (SELECT a.event_type,
+            CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day < b.day
+          GROUP BY 1),
+        ties AS (SELECT event_type,
+            CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1, 2)
+          GROUP BY 1),
+        nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1)
+        SELECT s.event_type, n_days, s,
+          n_days * (n_days - 1) * (n_days * 2 + 5) - tie_term AS var_num18,
+          CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+              / sqrt(CAST(n_days * (n_days - 1) * (n_days * 2 + 5)
+                - tie_term AS DOUBLE) / 18)
+            WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+              / sqrt(CAST(n_days * (n_days - 1) * (n_days * 2 + 5)
+                - tie_term AS DOUBLE) / 18)
+            ELSE CAST(0 AS DOUBLE) END AS z
+        FROM sF s JOIN ties USING (event_type) JOIN nd USING (event_type)
+        ORDER BY event_type""")),
+
+
     // RANDOMIZATION (permutation) TEST — the assumption-free companion
     // of q_welch_ttest/q_mannwhitney_u for the click-vs-purchase mean
     // contrast: 32 deterministic re-splits of the pooled values (split r
@@ -1721,6 +1791,71 @@ object EventWindows {
           CAST(max(cnt) AS BIGINT) AS peak
         FROM b GROUP BY event_type, grp
         ORDER BY event_type, start_hr""")),
+
+    // INCREMENTAL VIEW MAINTENANCE merge — the nightly-pipeline algebra
+    // beside q_agg_tdigest_rollup's sketch mergeability: yesterday's
+    // materialized per-(type, day) aggregate plus today's DELTA
+    // aggregate must re-aggregate to EXACTLY the full recompute. The
+    // decimal partial mechanism (dsumPart → dsumMerge ≡ dsum, exact by
+    // construction) makes the float sum mergeable without drift, so the
+    // per-row `consistent` flag — computed IN-PLAN against the full
+    // recompute — is provably 1 everywhere and any IVM regression fails
+    // the driver's hash gate. Scale: this is the O(delta) nightly
+    // update pattern; the full recompute exists here only as the
+    // self-audit. Class A/B (counts + exact-decimal merge identity).
+    QDef("q_ivm_merge",
+      (s, d) => {
+        val cutoff = lit("2024-01-20").cast("timestamp")
+        val ev = events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("ts"), col("value"))
+          .localCheckpoint(true) // base, delta, and full scans
+        def part(f: org.apache.spark.sql.DataFrame) =
+          f.groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("n"), dsumPart(col("value")).as("sv"))
+        val merged = part(ev.filter(col("ts") < cutoff))
+          .unionAll(part(ev.filter(col("ts") >= cutoff)))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n")).as("n"), dsumMerge(col("sv")).as("total_value"))
+        val full = ev.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("nf"), dsum(col("value")).as("tvf"))
+        merged.join(full, Seq("event_type", "day"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("2024-01-01").cast("date"))
+              .cast("long").as("day_no"),
+            col("n"), col("total_value"),
+            (col("n") === col("nf") &&
+              col("total_value") === col("tvf")).cast("long")
+              .as("consistent"))
+          .orderBy(col("event_type"), col("day_no"))
+      },
+      Some(s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            ts, value FROM events),
+        base AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(value AS DECIMAL(30,6))) AS sv
+          FROM ev WHERE ts < TIMESTAMP '2024-01-20'
+          GROUP BY 1, 2),
+        delta AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(value AS DECIMAL(30,6))) AS sv
+          FROM ev WHERE ts >= TIMESTAMP '2024-01-20'
+          GROUP BY 1, 2),
+        merged AS (SELECT event_type, day,
+            CAST(sum(n) AS BIGINT) AS n,
+            CAST(sum(sv) AS DOUBLE) AS total_value
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+          GROUP BY 1, 2),
+        full_ AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS nf,
+            ${sqlDsum("value")} AS tvf
+          FROM ev GROUP BY 1, 2)
+        SELECT m.event_type,
+          date_diff('day', DATE '2024-01-01', m.day) AS day_no,
+          m.n, m.total_value,
+          CAST(m.n = f.nf AND m.total_value = f.tvf AS BIGINT)
+            AS consistent
+        FROM merged m JOIN full_ f
+          ON m.event_type = f.event_type AND m.day = f.day
+        ORDER BY m.event_type, day_no""")),
+
 
     // NEAREST-neighbor temporal join — the |Δt|-minimizing alignment
     // (sensor fusion / attribution when direction is unknown): each

@@ -1745,4 +1745,144 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(gotM.exists(_._2 > 0), "fixture must contain a relevant hit")
   }
+
+  test("wave-r10s invariants: dbscan cluster replay, isotonic PAVA " +
+    "equivalence, mann-kendall replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // DBSCAN clusters: brute-force CC over the core graph + nearest-core
+    // border attachment, replayed in the JVM
+    val pts = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        def q(v: Float): Long =
+          BigDecimal(v.toDouble * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (r.getLong(0), q(e.head), q(e(1)))
+      }
+    val eps2 = 400000000L
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val nbr = pts.map(a =>
+      a._1 -> pts.filter(b => b._1 != a._1 && d2(a, b) <= eps2)).toMap
+    val core = pts.filter(p => nbr(p._1).length >= 4).map(_._1).toSet
+    // CC over core-core edges by min-label fixpoint
+    var lbl = core.map(c => c -> c).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      val byId = pts.map(p => p._1 -> p).toMap
+      core.foreach { c =>
+        val ns = nbr(c).filter(b => core(b._1))
+          .filter(b => d2(byId(c), b) <= eps2).map(b => lbl(b._1))
+        val m = (lbl(c) +: ns).min
+        if (m != lbl(c)) { lbl += c -> m; changed = true }
+      }
+    }
+    val expDb = pts.map { p =>
+      if (core(p._1)) (p._1, "core", lbl(p._1))
+      else {
+        val coreNb = nbr(p._1).filter(b => core(b._1))
+        if (coreNb.isEmpty) (p._1, "noise", -1L)
+        else {
+          val best = coreNb.minBy(b => (d2(p, b), b._1))
+          (p._1, "border", lbl(best._1))
+        }
+      }
+    }.toSet
+    val gotDb = run("q_dbscan_clusters").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotDb == expDb, "dbscan cluster replay")
+    assert(expDb.count(_._2 == "core") > 0 &&
+      expDb.map(_._3).count(_ >= 0) > 0)
+    // classification must agree with q_dbscan_core exactly
+    val kinds = run("q_dbscan_core").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(expDb.forall { case (id, k, _) => kinds(id) == k },
+      "cluster query and classification query must agree on kinds")
+
+    // Isotonic: the minimax fit must equal an independent imperative
+    // PAVA over the same bins, and must be monotone non-decreasing
+    val cal = run("q_calibration_brier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val iso = run("q_isotonic_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(iso.map(i => (i._1, i._2)).toSeq ==
+      cal.map(c => (c._1, c._2)).toSeq,
+      "same bins as the calibration table")
+    // independent imperative PAVA on exact (pos, n) reconstructed
+    // from the docs
+    val docsC = graft.tables.Tables.documents(spark, sf)
+      .select(col("n_chars"), (col("lang") === "en").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nC = docsC.length.toLong
+    val below = docsC.map(_._1).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    def pppm(v: Long): Long = {
+      val b = docsC.count(_._1 < v).toLong
+      (b * 2 + below(v)) * 1000000L / (nC * 2)
+    }
+    val binAgg = docsC.map { case (v, y) => (math.min(pppm(v) / 100000L, 9L), y) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, vs) => (b, vs.length.toLong, vs.map(_._2).sum) }
+    val res = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    binAgg.foreach { case (_, w, pos) =>
+      res += Array(pos * 1000000L, w, 1L)
+      while (res.length > 1 && {
+        val a = res(res.length - 2); val b = res.last
+        a(0) * b(1) > b(0) * a(1)
+      }) {
+        val b = res.remove(res.length - 1); val a = res.remove(res.length - 1)
+        res += Array(a(0) + b(0), a(1) + b(1), a(2) + b(2))
+      }
+    }
+    val expFit = res.flatMap(blk =>
+      Seq.fill(blk(2).toInt)(blk(0).toDouble / blk(1)))
+    iso.map(_._4).zip(expFit).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-6, s"PAVA fit bin $i: $g vs $e")
+    }
+    assert(iso.map(_._4).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)), "fit must be monotone")
+
+    // Mann-Kendall: S, tie variance, z replayed
+    val evD = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gotMk = run("q_mann_kendall").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    evD.groupBy(_._1).foreach { case (t, es) =>
+      val daily = es.groupBy(_._2).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      val sStat = (for {
+        (d1, y1) <- daily; (d2x, y2) <- daily if d1 < d2x
+      } yield java.lang.Long.signum(y2 - y1).toLong).sum
+      val n = daily.length.toLong
+      val tie = daily.groupBy(_._2).values
+        .map(g => { val tt = g.size.toLong; tt * (tt - 1) * (tt * 2 + 5) })
+        .sum
+      val varN = n * (n - 1) * (n * 2 + 5) - tie
+      val z =
+        if (sStat > 0) (sStat - 1).toDouble / math.sqrt(varN.toDouble / 18)
+        else if (sStat < 0) (sStat + 1).toDouble / math.sqrt(varN.toDouble / 18)
+        else 0.0
+      val (gn, gs, gv, gz) = gotMk(t)
+      assert(gn == n && gs == sStat && gv == varN, s"mk counts $t")
+      assert(gz == z, s"mk z $t")
+    }
+
+    // IVM merge: every row's consistent flag must be 1 (the decimal
+    // partial/merge identity) and the merged view must equal a direct
+    // full aggregation row for row
+    val ivm = run("q_ivm_merge").collect()
+    assert(ivm.nonEmpty)
+    assert(ivm.forall(_.getAs[Long]("consistent") == 1L),
+      "partial-merge must reproduce the full recompute exactly")
+  }
+
 }
