@@ -351,7 +351,11 @@ object ScaleProof {
       // frame; ivm-merge is the O(delta) nightly pattern with the full
       // recompute as its in-plan self-audit
       "q_dbscan_clusters", "q_isotonic_calibration", "q_mann_kendall",
-      "q_ivm_merge")
+      "q_ivm_merge",
+      // round-10 wave-23: modified-KN adds one 4-row count-of-counts
+      // agg to the KN shape; the stratified ATE is one per-user
+      // conditional agg + the bounded-dim rank window + a 3-row rollup
+      "q_kn_modified", "q_propensity_strata")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

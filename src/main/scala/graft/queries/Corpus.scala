@@ -1291,6 +1291,164 @@ object Corpus {
             / (count(*) * 10000) AS nll
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // MODIFIED KNESER–NEY (Chen & Goodman 1998) — the n-gram smoother
+    // that actually ships in production LMs: THREE count-dependent
+    // discounts D₁/D₂/D₃₊ estimated from the corpus's own
+    // count-of-counts (Y = n₁/(n₁+2n₂); Dᵢ = i − (i+1)·Y·nᵢ₊₁/nᵢ)
+    // instead of KN's single d = ¾, with the back-off weight γ(v) =
+    // [D₁N₁(v) + D₂N₂(v) + D₃₊N₃₊(v)]/c(v·) carrying exactly the mass
+    // the discounts removed. Continuation unigram + positive floor as
+    // in q_kneser_ney; every D and every term is an IDENTICALLY
+    // parenthesized IEEE chain over exact integer counts, and the
+    // per-term integer quantization + unrounded mean reuse the JM
+    // mechanism. Scale: one extra count-of-counts agg (4 rows) over
+    // the KN shape.
+    QDef("q_kn_modified",
+      (s, d) => {
+        val bucket =
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+        val toksT = documents(s, d)
+          .select(col("doc_id"), (bucket < 80).as("is_train"),
+            filter(split(col("text"), " "), t => t =!= "").as("t"))
+        val bi = toksT.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("is_train"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> named_struct('w1', a, 'w2', b,
+                 'bg', concat(a, ' ', b)))""")).as("p"))
+          .select(col("doc_id"), col("is_train"), col("p.w1").as("w1"),
+            col("p.w2").as("w2"), col("p.bg").as("bg"))
+          .localCheckpoint(true) // all train counts + the probe
+        val tr = bi.filter(col("is_train"))
+        val c2 = tr.groupBy(col("bg"))
+          .agg(count(lit(1)).as("c2"), first(col("w1")).as("cw1"))
+          .localCheckpoint(true) // probe join + ctx aggs + count-of-counts
+        val cc = c2.agg(
+          sum((col("c2") === 1).cast("long")).as("n1"),
+          sum((col("c2") === 2).cast("long")).as("n2"),
+          sum((col("c2") === 3).cast("long")).as("n3"),
+          sum((col("c2") === 4).cast("long")).as("n4"),
+          count(lit(1)).as("n1all_b"))
+        // greatest(nᵢ, 1) guards: an EMPTY count-of-counts bucket makes
+        // the Chen–Goodman estimator undefined (and trips ANSI
+        // divide-by-zero — n₃ = 0 at sf0.1); when nᵢ = 0 the discount
+        // Dᵢ is never applied to any count anyway (no bigram has that
+        // count) except D₃₊'s n₃, where the guard is the standard
+        // fallback. Identical greatest() in both engines.
+        val yD = col("n1").cast("double") /
+          greatest(col("n1") + col("n2") * 2, lit(1L))
+        val disc = cc.select(col("n1"), col("n2"), col("n3"), col("n4"),
+          (lit(1.0) - yD * 2 * (col("n2").cast("double") /
+            greatest(col("n1"), lit(1L)))).as("d1"),
+          (lit(2.0) - yD * 3 * (col("n3").cast("double") /
+            greatest(col("n2"), lit(1L)))).as("d2"),
+          (lit(3.0) - yD * 4 * (col("n4").cast("double") /
+            greatest(col("n3"), lit(1L)))).as("d3"))
+        val ctx = c2.groupBy(col("cw1").as("w1"))
+          .agg(sum(col("c2")).as("cv"),
+            sum((col("c2") === 1).cast("long")).as("n1v"),
+            sum((col("c2") === 2).cast("long")).as("n2v"),
+            sum((col("c2") >= 3).cast("long")).as("n3pv"))
+        val cont = tr.groupBy(col("w2"))
+          .agg(countDistinct(col("w1")).as("n1r"))
+        val n1allF = tr.agg(countDistinct(col("bg")).as("n1all"))
+        val dOf = when(coalesce(col("c2"), lit(0L)) === 1, col("d1"))
+          .when(coalesce(col("c2"), lit(0L)) === 2, col("d2"))
+          .when(coalesce(col("c2"), lit(0L)) >= 3, col("d3"))
+          .otherwise(lit(0.0))
+        val floorP = lit(1.0) / (col("n1all") * 2)
+        val pMkn = when(coalesce(col("cv"), lit(0L)) > 0,
+          greatest(
+            greatest(coalesce(col("c2"), lit(0L)).cast("double") - dOf,
+              lit(0.0)) / col("cv") +
+            ((col("d1") * col("n1v") + col("d2") * col("n2v") +
+              col("d3") * col("n3pv")) / col("cv")) *
+              (coalesce(col("n1r"), lit(0L)).cast("double") / col("n1all")),
+            floorP))
+          .otherwise(greatest(
+            coalesce(col("n1r"), lit(0L)).cast("double") / col("n1all"),
+            floorP))
+        bi.filter(!col("is_train"))
+          .join(c2.select(col("bg"), col("c2")), Seq("bg"), "left")
+          .join(ctx, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(n1allF))
+          .crossJoin(broadcast(disc))
+          .select(col("doc_id"),
+            (coalesce(col("cv"), lit(0L)) === 0).cast("long").as("backoff"),
+            round((lit(0.0) - log(pMkn)) * 10000).cast("long").as("t_e4"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("backoff")).as("n_backoff"),
+            sum(col("t_e4")).as("nll_e4"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+            col("nll_e4"),
+            (col("nll_e4").cast("double") / (col("n_bigrams") * 10000))
+              .as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toksT AS (SELECT doc_id,
+            (doc_id * 2654435761) % 4294967296 % 100 < 80 AS is_train,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        bi AS (SELECT doc_id, is_train, toks[i] AS w1, toks[i + 1] AS w2,
+            toks[i] || ' ' || toks[i + 1] AS bg
+          FROM (SELECT doc_id, is_train, toks,
+                unnest(range(1, len(toks))) AS i
+                FROM toksT WHERE len(toks) >= 2)),
+        tr AS (SELECT * FROM bi WHERE is_train),
+        c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+            min(w1) AS cw1
+          FROM tr GROUP BY bg),
+        cc AS (SELECT
+            CAST(sum(CAST(c2 = 1 AS BIGINT)) AS BIGINT) AS n1,
+            CAST(sum(CAST(c2 = 2 AS BIGINT)) AS BIGINT) AS n2,
+            CAST(sum(CAST(c2 = 3 AS BIGINT)) AS BIGINT) AS n3,
+            CAST(sum(CAST(c2 = 4 AS BIGINT)) AS BIGINT) AS n4
+          FROM c2),
+        disc AS (SELECT n1, n2, n3, n4,
+            1.0 - (CAST(n1 AS DOUBLE) / greatest(n1 + n2 * 2, 1)) * 2
+              * (CAST(n2 AS DOUBLE) / greatest(n1, 1)) AS d1,
+            2.0 - (CAST(n1 AS DOUBLE) / greatest(n1 + n2 * 2, 1)) * 3
+              * (CAST(n3 AS DOUBLE) / greatest(n2, 1)) AS d2,
+            3.0 - (CAST(n1 AS DOUBLE) / greatest(n1 + n2 * 2, 1)) * 4
+              * (CAST(n4 AS DOUBLE) / greatest(n3, 1)) AS d3
+          FROM cc),
+        ctx AS (SELECT cw1 AS w1, CAST(sum(c2) AS BIGINT) AS cv,
+            CAST(sum(CAST(c2 = 1 AS BIGINT)) AS BIGINT) AS n1v,
+            CAST(sum(CAST(c2 = 2 AS BIGINT)) AS BIGINT) AS n2v,
+            CAST(sum(CAST(c2 >= 3 AS BIGINT)) AS BIGINT) AS n3pv
+          FROM c2 GROUP BY cw1),
+        cont AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1r
+          FROM tr GROUP BY w2),
+        n1a AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS n1all FROM tr),
+        terms AS (SELECT doc_id,
+            CAST(COALESCE(cv, 0) = 0 AS BIGINT) AS backoff,
+            CAST(round((0.0 - ln(
+              CASE WHEN COALESCE(cv, 0) > 0 THEN
+                greatest(
+                  greatest(CAST(COALESCE(c2.c2, 0) AS DOUBLE) -
+                    (CASE WHEN COALESCE(c2.c2, 0) = 1 THEN d1
+                      WHEN COALESCE(c2.c2, 0) = 2 THEN d2
+                      WHEN COALESCE(c2.c2, 0) >= 3 THEN d3
+                      ELSE 0.0 END), 0.0) / cv +
+                  ((d1 * n1v + d2 * n2v + d3 * n3pv) / cv) *
+                    (CAST(COALESCE(n1r, 0) AS DOUBLE) / n1all),
+                  1.0 / (n1all * 2))
+              ELSE greatest(CAST(COALESCE(n1r, 0) AS DOUBLE) / n1all,
+                  1.0 / (n1all * 2)) END)) * 10000) AS BIGINT) AS t_e4
+          FROM bi LEFT JOIN c2 USING (bg)
+          LEFT JOIN ctx USING (w1)
+          LEFT JOIN cont USING (w2)
+          CROSS JOIN n1a
+          CROSS JOIN disc
+          WHERE NOT bi.is_train)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(backoff) AS BIGINT) AS n_backoff,
+          CAST(sum(t_e4) AS BIGINT) AS nll_e4,
+          CAST(CAST(sum(t_e4) AS BIGINT) AS DOUBLE)
+            / (count(*) * 10000) AS nll
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
     // DELETE-ONE-GROUP JACKKNIFE — the non-parametric standard error of
     // the corpus mean under cluster (source) structure: θ₍ᵢ₎ = the mean
     // with source i deleted, computed from INTEGER sums alone

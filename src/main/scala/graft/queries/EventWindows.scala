@@ -2018,6 +2018,85 @@ object EventWindows {
             > n * 7680 AS BIGINT) AS srm_flag
         FROM c""")),
 
+    // STRATIFIED TREATMENT-EFFECT estimate — the observational-causal
+    // companion of CUPED/SRM: users split into Knuth-hash arms, the
+    // post-period outcome contrast is computed WITHIN pre-period
+    // activity terciles and combined with stratum weights (classic
+    // stratification/post-stratification — removes the confounding a
+    // raw arm contrast inherits when pre-activity predicts outcome).
+    // Terciles use the explicit (3·(rank−1)) div n + 1 rank formula
+    // over the (pre, user_id) total order on the user DIM frame (the
+    // q_rfm_segments bounded-dim global-rank regime); per-(stratum,
+    // arm) means are decimal-exact sums over one IEEE divide; the
+    // per-stratum diff and weight ship exactly (round-6 diff, exact
+    // ppm weight) so the weighted ATE is reproducible from the output.
+    QDef("q_propensity_strata",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val split = lit("2024-01-16").cast("timestamp")
+        val arm = (pmod(col("user_id") * lit(2654435761L),
+          lit(4294967296L)) % 100 < 80).cast("long")
+        val per = events(s, d).groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < split, col("value")).otherwise(0.0)
+              .cast(Dec)).as("pre"),
+            sum(when(col("ts") >= split, col("value")).otherwise(0.0)
+              .cast(Dec)).as("post"))
+          .withColumn("treat", arm)
+          .localCheckpoint(true) // rank window + the stratum rollup
+        val n = per.agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("pre"), col("user_id"))
+        val strat = per.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(n))
+          .withColumn("stratum", expr("(3 * (rk - 1)) div n + 1"))
+        strat.groupBy(col("stratum"))
+          .agg(count(lit(1)).as("n_s"),
+            sum(col("treat")).as("n_treat"),
+            (sum(when(col("treat") === 1, col("post"))).cast("double") /
+              sum(col("treat"))).as("m_treat"),
+            (sum(when(col("treat") === 0, col("post"))).cast("double") /
+              sum(lit(1L) - col("treat"))).as("m_ctrl"),
+            first(col("n")).as("n"))
+          // NO trailing round: every mean is one correctly-rounded
+          // division of identical exact decimals (the JM midpoint-hazard
+          // lesson — a round-6 of a 1e-6-grid quotient can sit on a
+          // decimal midpoint where the engines' round implementations
+          // disagree; the raw doubles are bit-identical)
+          .select(col("stratum"), col("n_s"), col("n_treat"),
+            (col("n_s") - col("n_treat")).as("n_ctrl"),
+            col("m_treat"), col("m_ctrl"),
+            (col("m_treat") - col("m_ctrl")).as("diff"),
+            expr("(n_s * 1000000) div n").as("w_ppm"))
+          .orderBy(col("stratum"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            sum(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN value ELSE 0.0 END AS DECIMAL(30,6))) AS pre,
+            sum(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN value ELSE 0.0 END AS DECIMAL(30,6))) AS post,
+            CAST((user_id * 2654435761) % 4294967296 % 100 < 80
+              AS BIGINT) AS treat
+          FROM events GROUP BY user_id),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        strat AS (SELECT *,
+            (3 * (row_number() OVER (ORDER BY pre, user_id) - 1)) // n + 1
+              AS stratum
+          FROM per CROSS JOIN nn)
+        SELECT CAST(stratum AS BIGINT) AS stratum,
+          CAST(count(*) AS BIGINT) AS n_s,
+          CAST(sum(treat) AS BIGINT) AS n_treat,
+          CAST(count(*) - sum(treat) AS BIGINT) AS n_ctrl,
+          CAST(sum(CASE WHEN treat = 1 THEN post END) AS DOUBLE)
+            / CAST(sum(treat) AS BIGINT) AS m_treat,
+          CAST(sum(CASE WHEN treat = 0 THEN post END) AS DOUBLE)
+            / CAST(sum(1 - treat) AS BIGINT) AS m_ctrl,
+          CAST(sum(CASE WHEN treat = 1 THEN post END) AS DOUBLE)
+              / CAST(sum(treat) AS BIGINT)
+            - CAST(sum(CASE WHEN treat = 0 THEN post END) AS DOUBLE)
+              / CAST(sum(1 - treat) AS BIGINT) AS diff,
+          CAST((count(*) * 1000000) // max(n) AS BIGINT) AS w_ppm
+        FROM strat GROUP BY stratum ORDER BY stratum""")),
+
     QDef("q_abtest_cuped",
       (s, d) => {
         val Dec = org.apache.spark.sql.types.DecimalType(30, 6)

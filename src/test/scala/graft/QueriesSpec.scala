@@ -1885,4 +1885,118 @@ class QueriesSpec extends AnyFunSuite {
       "partial-merge must reproduce the full recompute exactly")
   }
 
+
+  test("wave-r10t invariants: modified-KN replay, stratified-ATE replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+    // Modified KN: full JVM replay — count-of-counts discounts, context
+    // gammas, continuation back-off, integer quantization
+    val docsTx = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    def isTrain(id: Long) =
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L) % 100 < 80
+    val trBis = docsTx.filter(p => isTrain(p._1))
+      .flatMap(p => toks(p._2).sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))))
+    val c2 = trBis.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val Seq(n1c, n2c, n3c, n4c) = (1 to 4).map(k =>
+      c2.values.count(_ == k).toLong)
+    val y = n1c.toDouble / math.max(n1c + n2c * 2, 1L)
+    val d1 = 1.0 - y * 2 * (n2c.toDouble / math.max(n1c, 1L))
+    val d2 = 2.0 - y * 3 * (n3c.toDouble / math.max(n2c, 1L))
+    val d3 = 3.0 - y * 4 * (n4c.toDouble / math.max(n3c, 1L))
+    val cvM = c2.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n1vM = c2.toSeq.groupBy(_._1._1).view
+      .mapValues(_.count(_._2 == 1L).toLong).toMap
+    val n2vM = c2.toSeq.groupBy(_._1._1).view
+      .mapValues(_.count(_._2 == 2L).toLong).toMap
+    val n3pM = c2.toSeq.groupBy(_._1._1).view
+      .mapValues(_.count(_._2 >= 3L).toLong).toMap
+    val n1rM = trBis.distinct.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.length.toLong).toMap
+    val n1all = trBis.distinct.length.toLong
+    val expMkn = docsTx.filter(p => !isTrain(p._1))
+      .filter(p => toks(p._2).length >= 2).map { case (id, tx) =>
+        val terms = toks(tx).sliding(2).filter(_.length == 2).map { a =>
+          val cvv = cvM.getOrElse(a(0), 0L)
+          val floor = 1.0 / (n1all * 2)
+          val p =
+            if (cvv > 0) {
+              val c = c2.getOrElse((a(0), a(1)), 0L)
+              val dOf = if (c == 1) d1 else if (c == 2) d2
+                else if (c >= 3) d3 else 0.0
+              math.max(
+                math.max(c.toDouble - dOf, 0.0) / cvv +
+                ((d1 * n1vM.getOrElse(a(0), 0L) +
+                  d2 * n2vM.getOrElse(a(0), 0L) +
+                  d3 * n3pM.getOrElse(a(0), 0L)) / cvv) *
+                  (n1rM.getOrElse(a(1), 0L).toDouble / n1all), floor)
+            } else
+              math.max(n1rM.getOrElse(a(1), 0L).toDouble / n1all, floor)
+          (cvv == 0L,
+            BigDecimal((0.0 - math.log(p)) * 10000)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        }.toSeq
+        id -> ((terms.size.toLong, terms.count(_._1).toLong,
+          terms.map(_._2).sum))
+      }.toMap
+    val gotMkn = run("q_kn_modified").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(gotMkn == expMkn, "modified-KN full replay")
+    // the smoothers must produce genuinely different models
+    val kn = run("q_kneser_ney").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gotMkn.exists { case (id, (_, _, ne4)) => kn(id) != ne4 },
+      "MKN must differ from single-discount KN somewhere")
+
+    // Stratified ATE: JVM replay of arms, terciles, per-stratum means
+    def d6s(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val splitUs = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      .toEpochMilli * 1000L
+    val perU = ev.groupBy(_._1).map { case (u, es) =>
+      val pre = es.filter(_._2 < splitUs).map(e => d6s(e._3)).sum
+      val post = es.filterNot(_._2 < splitUs).map(e => d6s(e._3)).sum
+      (u, pre, post,
+        if (java.lang.Math.floorMod(u * 2654435761L, 4294967296L) % 100 < 80)
+          1L else 0L)
+    }.toSeq.sortBy(p => (p._2, p._1))
+    val nU = perU.size.toLong
+    val strata = perU.zipWithIndex.groupBy { case (_, i) =>
+      3L * i / nU + 1L }
+    // a tiny-SF stratum can have ZERO controls (15 users at sf0.001) —
+    // the mean is then NULL in BOTH engines (parity-identical); the
+    // replay asserts the null logic and compares values where defined
+    val gotPs = run("q_propensity_strata").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        r.getLong(7))))
+      .toMap
+    strata.foreach { case (st, members) =>
+      val t = members.filter(_._1._4 == 1L)
+      val c = members.filter(_._1._4 == 0L)
+      val mT = if (t.isEmpty) None
+        else Some(t.map(_._1._3).sum.toDouble / t.size)
+      val mC = if (c.isEmpty) None
+        else Some(c.map(_._1._3).sum.toDouble / c.size)
+      val (nS, nT, gT, gC, gD, wPpm) = gotPs(st)
+      assert(nS == members.size.toLong && nT == t.size.toLong, s"stratum $st")
+      assert(gT == mT && gC == mC, s"stratum $st means")
+      assert(gD == (for (a <- mT; b <- mC) yield a - b), s"stratum $st diff")
+      assert(wPpm == members.size.toLong * 1000000L / nU)
+    }
+    assert(strata.size == 3, "three terciles")
+  }
 }
+
