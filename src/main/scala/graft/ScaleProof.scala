@@ -355,7 +355,10 @@ object ScaleProof {
       // round-10 wave-23: modified-KN adds one 4-row count-of-counts
       // agg to the KN shape; the stratified ATE is one per-user
       // conditional agg + the bounded-dim rank window + a 3-row rollup
-      "q_kn_modified", "q_propensity_strata")
+      "q_kn_modified", "q_propensity_strata",
+      // round-10 wave-24 (#300): the lag fan is a 15-row broadcast
+      // cross against the calendar-bounded daily frame
+      "q_cross_correlation")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1740,6 +1740,70 @@ object EventWindows {
         FROM obs"""
       }),
 
+    // LEAD–LAG CROSS-CORRELATION — "do clicks lead purchases, and by
+    // how many days?": Pearson r between the click and purchase daily
+    // count series at every lag in −7..+7 (the alignment operator
+    // beside q_seasonal_decompose/q_agg_regression; the argmax lag IS
+    // the conversion latency estimate at day granularity). Each lag's
+    // moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs over the
+    // calendar-bounded daily frame — the 15-lag fan is a broadcast
+    // cross of a 15-row frame against ≤31 daily rows — and r is one
+    // identically-parenthesized sqrt/divide chain per lag (class A +
+    // exact-div). Guard: a zero-variance window yields NULL identically
+    // in both engines.
+    QDef("q_cross_correlation",
+      (s, d) => {
+        val daily = events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"), datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("y"))
+          .localCheckpoint(true) // both series read it
+        val xs = daily.filter(col("event_type") === "click")
+          .select(col("day"), col("y").as("xv"))
+        val ys = daily.filter(col("event_type") === "purchase")
+          .select(col("day").as("yday"), col("y").as("yv"))
+        val lags = broadcast(s.range(-7, 8).select(col("id").as("lag")))
+        xs.crossJoin(lags)
+          .join(ys, col("day") + col("lag") === col("yday"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+            sum(col("xv") * col("yv")).as("sxy"),
+            sum(col("xv") * col("xv")).as("sxx"),
+            sum(col("yv") * col("yv")).as("syy"))
+          .select(col("lag"), col("n_pairs"),
+            ((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("r"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2),
+        xs AS (SELECT day, y AS xv FROM daily WHERE event_type = 'click'),
+        ys AS (SELECT day AS yday, y AS yv FROM daily
+          WHERE event_type = 'purchase'),
+        m AS (SELECT l.range AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+            CAST(sum(xv * yv) AS BIGINT) AS sxy,
+            CAST(sum(xv * xv) AS BIGINT) AS sxx,
+            CAST(sum(yv * yv) AS BIGINT) AS syy
+          FROM xs CROSS JOIN range(-7, 8) l
+          JOIN ys ON xs.day + l.range = ys.yday
+          GROUP BY 1)
+        SELECT lag, n_pairs,
+          CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+            (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+             sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS r
+        FROM m ORDER BY lag""")),
+
     // BURST DETECTION — elevated-rate episode mining per event type (the
     // discrete two-state reading of Kleinberg's burst model): an hour is
     // bursting when its count exceeds 2× the type's mean hourly rate —

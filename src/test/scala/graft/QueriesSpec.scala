@@ -1998,5 +1998,44 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(strata.size == 3, "three terciles")
   }
+
+  test("wave-r10u invariants: cross-correlation moment replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val ev = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def series(t: String) = ev.filter(_._1 == t).groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap
+    val xs = series("click"); val ys = series("purchase")
+    val got = SparkEntry.queries("q_cross_correlation")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    (-7L to 7L).foreach { lag =>
+      val pairs = xs.keys.toSeq.sorted.flatMap(d =>
+        ys.get(d + lag).map(yv => (xs(d), yv)))
+      if (pairs.nonEmpty) {
+        val n = pairs.length.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val r = (n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+           math.sqrt((n * syy - sy * sy).toDouble))
+        val (gn, gr) = got(lag)
+        assert(gn == n, s"lag $lag n")
+        if (n * sxx - sx * sx > 0 && n * syy - sy * sy > 0) {
+          assert(gr.contains(r), s"lag $lag r")
+          assert(math.abs(gr.get) <= 1.0 + 1e-12)
+        }
+      }
+    }
+    assert(got.size == 15, "all 15 lags present at sf0.001")
+  }
 }
+
 
