@@ -358,7 +358,10 @@ object ScaleProof {
       "q_kn_modified", "q_propensity_strata",
       // round-10 wave-24 (#300): the lag fan is a 15-row broadcast
       // cross against the calendar-bounded daily frame
-      "q_cross_correlation")
+      "q_cross_correlation",
+      // the burst twin holds a (type -> hour-count map) in MapState —
+      // state bounded by |types| x calendar hours at any corpus scale
+      "q_burst_stream_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1740,6 +1740,47 @@ object EventWindows {
         FROM obs"""
       }),
 
+    // The STREAMING burst detector on the driver gate (the 6th stateful
+    // twin, q_session_paths_stream_twin pattern): EventStreams
+    // .burstEpisodes runs its MapState StatefulProcessor in batch
+    // execution — each type's full history arrives in one
+    // handleInputRows call, so the re-derived episode set IS the batch
+    // q_burst_detect's — against the identical oracle. State is the
+    // (hour → count) map, bounded by the calendar per type;
+    // StreamingSpec proves the multi-batch incremental path.
+    QDef("q_burst_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.burstEpisodes(ev).toDF()
+          .select(col("event_type"), col("start_hr"), col("end_hr"),
+            col("len_hrs"), col("n_burst"), col("peak"))
+          .orderBy(col("event_type"), col("start_hr"))
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+            (epoch_us(ts) - 1704067200000000) // 3600000000 AS hr,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+            CAST(count(*) AS BIGINT) AS n_hours
+          FROM hourly GROUP BY 1),
+        b AS (SELECT h.event_type, hr, cnt,
+            hr - row_number() OVER (PARTITION BY h.event_type
+              ORDER BY hr) AS grp
+          FROM hourly h JOIN tot t USING (event_type)
+          WHERE cnt * n_hours > n_events * 2)
+        SELECT event_type, CAST(min(hr) AS BIGINT) AS start_hr,
+          CAST(max(hr) AS BIGINT) AS end_hr,
+          CAST(count(*) AS BIGINT) AS len_hrs,
+          CAST(sum(cnt) AS BIGINT) AS n_burst,
+          CAST(max(cnt) AS BIGINT) AS peak
+        FROM b GROUP BY event_type, grp
+        ORDER BY event_type, start_hr""")),
+
     // LEAD–LAG CROSS-CORRELATION — "do clicks lead purchases, and by
     // how many days?": Pearson r between the click and purchase daily
     // count series at every lag in −7..+7 (the alignment operator

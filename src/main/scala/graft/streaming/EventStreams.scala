@@ -491,4 +491,56 @@ object EventStreams {
       .transformWithState(new SessionPathsProcessor(gapUs),
         TimeMode.None(), OutputMode.Update)
   }
+
+  final case class BurstEpisode(event_type: String, start_hr: Long,
+      end_hr: Long, len_hrs: Long, n_burst: Long, peak: Long)
+
+  /** Streaming burst detector — the stateful twin of the batch
+    * q_burst_detect: per event type, hourly counts accumulate in
+    * MapState (hour → count, state bounded by the calendar); each batch
+    * re-derives the full episode set from the current counts (threshold
+    * cnt·n_hours > 2·n_events integer-cross-multiplied, islands over
+    * the sorted burst hours) and re-emits it — update-mode latest-wins,
+    * the SessionPathsProcessor contract. In batch execution the single
+    * handleInputRows call per type makes the emit set exact. */
+  class BurstProcessor(epochUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, EventRow, BurstEpisode] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("hourly",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[BurstEpisode] = {
+      rows.foreach { r =>
+        val us = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+          r.ts.getNanos / 1000L
+        val hr = Math.floorDiv(us - epochUs, 3600000000L)
+        counts.updateValue(hr,
+          (if (counts.containsKey(hr)) counts.getValue(hr) else 0L) + 1L)
+      }
+      val hourly = counts.iterator().map(p => (p._1, p._2)).toSeq.sortBy(_._1)
+      val nEv = hourly.map(_._2).sum
+      val nHr = hourly.size.toLong
+      val burst = hourly.filter { case (_, c) => c * nHr > nEv * 2 }
+      val out = scala.collection.mutable.ArrayBuffer.empty[BurstEpisode]
+      burst.zipWithIndex.groupBy { case ((h, _), i) => h - i }.values
+        .foreach { run =>
+          val hs = run.map(_._1)
+          out += BurstEpisode(key, hs.map(_._1).min, hs.map(_._1).max,
+            hs.size.toLong, hs.map(_._2).sum, hs.map(_._2).max)
+        }
+      out.iterator
+    }
+  }
+
+  def burstEpisodes(events: Dataset[EventRow],
+      epochUs: Long = 1704067200000000L): Dataset[BurstEpisode] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.event_type)
+      .transformWithState(new BurstProcessor(epochUs),
+        TimeMode.None(), OutputMode.Update)
+  }
 }

@@ -2035,6 +2035,16 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
     assert(got.size == 15, "all 15 lags present at sf0.001")
+
+    // burst stream twin: the stateful processor's episode set must
+    // equal the batch islands query's rows exactly
+    val bb = SparkEntry.queries("q_burst_detect")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val bt = SparkEntry.queries("q_burst_stream_twin")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(bt == bb, "burst stream twin must equal the batch episodes")
   }
 }
 

@@ -680,6 +680,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("burst processor re-derives episodes incrementally across batches") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      // epoch at 2024-01-01T00:00Z, matching the batch query
+      val df = EventStreams.burstEpisodes(mem.toDS()).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_burst")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("burst_chk").toString)
+        .start()
+      try {
+        // batch 1: 6 hours with counts (3,1,1,1,1,1) — mean = 8/6, so
+        // only hour 0 (count 3) bursts: 3·6 > 2·8
+        val b1 = (1 to 3).map(i => row(i, ts(1, 0), typ = "view")) ++
+          (1 to 5).map(i => row(10 + i, ts(1, i), typ = "view"))
+        mem.addData(b1: _*)
+        q.processAllAvailable()
+        // batch 2: hour 0 gains 2 (now 5) and hour 1 gains 4 (now 5) —
+        // mean = 14/6, burst needs c·6 > 28, so hours 0 AND 1 burst and
+        // must MERGE into one 2-hour episode on re-derivation
+        mem.addData((1 to 2).map(i => row(20 + i, ts(1, 0), typ = "view")) ++
+          (1 to 4).map(i => row(30 + i, ts(1, 1), typ = "view")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("t_burst")
+        .select(col("event_type"), col("start_hr"), col("end_hr"),
+          col("len_hrs"), col("n_burst"), col("peak"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      // batch-1 emit: the single-hour episode
+      assert(rows.contains(("view", 0L, 0L, 1L, 3L, 3L)),
+        "first batch must emit the single-hour episode")
+      // final emit: the merged 2-hour episode (last rows win)
+      assert(rows.last == (("view", 0L, 1L, 2L, 10L, 5L)),
+        s"re-derivation must merge the episode, got ${rows.toSeq}")
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
