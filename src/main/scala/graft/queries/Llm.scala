@@ -164,6 +164,23 @@ object Llm {
   private val pairSampleSql =
     "substr(md5(CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)), 1, 1) = '0'"
 
+  /** PER-DOC sample nibble — first md5 hex digit of the id string as an
+    * integer 0–15, computed ONCE per document (in whatever frame gets
+    * checkpointed) so a pair-level stratum can be the integer test
+    * (nib_a + nib_b) % 16 = 0 at join time instead of a per-candidate
+    * md5 over the id pair. Exactly 1/16 of nibble pairs satisfy it (for
+    * each nib_a there is exactly one qualifying nib_b), it is symmetric
+    * (orientation-free), deterministic, and cross-engine (the DuckDB
+    * twin is [[docSampleNibbleSql]]). Use this form when the per-
+    * candidate work the sample skips is CHEAP (one bit_count, one gram
+    * equality) — the pair-md5 form's hash cost can exceed what it
+    * saves there (the round-10 simhash-audit inversion, VERDICT r10). */
+  private[graft] def docSampleNibble(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("long")
+  private[graft] def docSampleNibbleSql(idExpr: String): String =
+    s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1)"
+
   /** Shared body of q_setsim_prefix_join / q_setsim_prefix_sampled: the
     * AllPairs/PPJoin prefix-filtered set-similarity join, with an optional
     * pair-sampling predicate applied AT THE CANDIDATE JOIN — upstream of
@@ -336,13 +353,20 @@ object Llm {
   /** Shared body of q_simhash_hamming_join / q_simhash_hamming_sampled:
     * 32-bit simhash over distinct tokens, 4×8-bit band pigeonhole
     * candidates (Hamming ≤ 3 ⇒ ≥1 identical band), bit_count(xor)
-    * verify. The optional 1/16 md5-nibble pair sample is injected AT
-    * the candidate join — upstream of distinct and verification — so
-    * the sampled audit pays ~1/16 of the whole pipeline past the
-    * fingerprint scan. */
+    * verify. The optional 1/16 pair sample is injected AT the candidate
+    * join — upstream of distinct and verification — so the sampled
+    * audit pays ~1/16 of the whole pipeline past the fingerprint scan.
+    * Unlike the shingle families (where the join-time work per
+    * candidate is a whole verification sub-join, so a per-candidate
+    * md5 over the id pair is cheap relative to what it skips), the
+    * simhash verify is ONE bit_count — so the sample predicate here
+    * must be cheaper still: each doc's md5 nibble is computed ONCE in
+    * the checkpointed fingerprint frame, and the pair stratum is the
+    * integer test (nib_a + nib_b) % 16 = 0 at the join (exactly 1/16
+    * of nibble pairs: sum ≡ 0 (mod 16) has 16 of the 256 outcomes).
+    * Deterministic, cross-engine, and join-time cost = one add+mod. */
   private[graft] def simhashHammingJoin(s: SparkSession, d: String,
-      sampled: Boolean,
-      sampleNibbles: Seq[String] = Seq("0")): DataFrame = {
+      sampled: Boolean): DataFrame = {
     val hv = documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
@@ -364,18 +388,19 @@ object Llm {
         (0 until 32).map(j =>
             when(col(s"s$j") * 2 > col("n"), lit(1L << j))
               .otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
+          .reduce(_ + _).as("fp"),
+        docSampleNibble(col("doc_id")).as("nib"))
       .localCheckpoint(true)
-    val bands = fp.select(col("doc_id"), col("fp"),
+    val bands = fp.select(col("doc_id"), col("fp"), col("nib"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 8).bitwiseAND(lit(255L))): _*)))
-      .toDF("doc_id", "fp", "band_idx", "band_val")
+      .toDF("doc_id", "fp", "nib", "band_idx", "band_val")
     val baseCond = col("a.band_idx") === col("b.band_idx") &&
       col("a.band_val") === col("b.band_val") &&
       col("a.doc_id") < col("b.doc_id")
     val joinCond =
-      if (sampled) baseCond && pairSampleNibbles(
-        col("a.doc_id"), col("b.doc_id"), sampleNibbles)
+      if (sampled) baseCond &&
+        (col("a.nib") + col("b.nib")) % 16 === lit(0L)
       else baseCond
     val cand = bands.as("a")
       .join(bands.as("b"), joinCond)
@@ -570,18 +595,19 @@ object Llm {
     * = Horner over the first 8 md5 nibbles (the same 32-bit int Spark's
     * conv(substr(md5, 1, 8), 16, 10) produces), majority-vote
     * fingerprint, all-pairs bit_count(xor) ≤ 3 — with the optional
-    * md5-nibble sample stratum. */
+    * per-doc-nibble sample stratum ((nib_a + nib_b) % 16 = 0, the
+    * cheap-predicate form: see [[docSampleNibble]]). */
   private def simhashHammingOracle(sampled: Boolean): String = {
     val nib = md5NibbleHorner(1)
     val fpTerms = simhashFpTerms("hv")
     val sample = if (sampled)
-      "\n          AND substr(md5(CAST(a.doc_id AS VARCHAR) || '_' || " +
-        "CAST(b.doc_id AS VARCHAR)), 1, 1) = '0'"
+      "\n          AND (a.nib + b.nib) % 16 = 0"
     else ""
     s"""WITH toks AS (SELECT doc_id,
             unnest(list_distinct($tokensSql)) AS tok FROM documents),
         hv AS (SELECT doc_id, CAST($nib AS BIGINT) AS hv FROM toks),
-        fps AS (SELECT doc_id, CAST($fpTerms AS BIGINT) AS fp
+        fps AS (SELECT doc_id, CAST($fpTerms AS BIGINT) AS fp,
+            ${docSampleNibbleSql("doc_id")} AS nib
           FROM hv GROUP BY doc_id)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
@@ -1296,10 +1322,14 @@ object Llm {
       (s, d) => simhashHammingJoin(s, d, sampled = false),
       Some(simhashHammingOracle(sampled = false))),
 
-    // SAMPLED simhash-join audit — the same 1/16 md5-nibble pair
-    // stratum as the set-sim/minhash audits, injected at the band
-    // candidate join (the bounded-cost daily QA cadence for the
-    // bit-fingerprint family; the bench-tail relief valve at sf0.1).
+    // SAMPLED simhash-join audit — a deterministic 1/16 pair stratum
+    // injected at the band candidate join, but in the CHEAP-PREDICATE
+    // form: per-doc md5 nibbles precomputed once in the checkpointed
+    // fingerprint frame, join-time test (nib_a + nib_b) % 16 = 0
+    // (integer add + mod). The pair-md5 form the set-sim audits use
+    // costs a hash per enumerated band candidate, which here exceeded
+    // the one-bit_count verify it skips (the r10 inversion: sampled
+    // 3.73 s vs full 3.00 s at sf0.1 — VERDICT r10 item 1).
     QDef("q_simhash_hamming_sampled",
       (s, d) => simhashHammingJoin(s, d, sampled = true),
       Some(simhashHammingOracle(sampled = true))),

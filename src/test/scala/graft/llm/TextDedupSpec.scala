@@ -316,8 +316,15 @@ class TextDedupSpec extends AnyFunSuite {
     val estSampled = rows("q_minhash_est_sampled")
     assert(estSampled == estExact,
       s"sampled minhash est != exact∩sample: ${estSampled.size} vs ${estExact.size}")
+    // simhash uses the CHEAP-PREDICATE stratum (per-doc md5 nibbles,
+    // (nib_a + nib_b) % 16 = 0 — r10 verdict item 1), not the pair-md5
+    // one: the independent predicate here recomputes it from scratch
+    def docNib(c: org.apache.spark.sql.Column) = conv(
+      substring(md5(c.cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("long")
+    val shPred = (docNib(col("id_a")) + docNib(col("id_b"))) % 16 === 0L
     val shExact = graft.SparkEntry.queries("q_simhash_hamming_join")(
-      spark, TestSpark.sf0001).filter(samplePred)
+      spark, TestSpark.sf0001).filter(shPred)
       .collect().map(_.toSeq).toSet
     val shSampled = rows("q_simhash_hamming_sampled")
     assert(shSampled == shExact,
