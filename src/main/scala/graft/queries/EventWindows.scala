@@ -28,6 +28,41 @@ object EventWindows {
     }.toArray
   }
 
+  /** q_fdr_bh p-value chains, shared VERBATIM between the Spark plan
+    * (`expr`) and the DuckDB oracle so both engines execute the
+    * identical IEEE op sequence over identical exact integer inputs —
+    * the q_pmi class-C argument: +,-,*,/ and sqrt are correctly-rounded
+    * IEEE ops (bit-identical given identical operand order); only
+    * `exp` is libm-dependent, and its final-ulp wobble is absorbed by
+    * the single 1e-6 ppm rounding at the end of each chain. */
+  // KS two-sample asymptotic p = min(1, 2·exp(−2·D²·n_a n_b/(n_a+n_b)))
+  // over the exact integer D numerator (D = d_num/(n_a·n_b)).
+  private val ksPpmSql: String =
+    "CAST(round(least(1.0, 2.0 * exp(-2.0" +
+      " * (CAST(d_num AS DOUBLE) / n_a / n_b)" +
+      " * (CAST(d_num AS DOUBLE) / n_a / n_b)" +
+      " * (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))) * 1000000, 0)" +
+      " AS BIGINT)"
+  // |z| of the tie-corrected Mann–Whitney normal approximation over the
+  // exact integers (u2_a = 2·U_a, tie = Σ(t³−t)):
+  //   z = (U_a − n1n2/2) / sqrt(n1n2/12 · ((n+1) − tie/(n(n−1))))
+  private val mwAzSql: String =
+    "abs((CAST(u2_a AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)" +
+      " / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)" +
+      " * ((n1 + n2 + 1) - CAST(tie AS DOUBLE)" +
+      " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))))"
+  private val mwTnSql: String = "1.0 / (1.0 + 0.2316419 * az)"
+  // Two-sided normal p via Abramowitz–Stegun 26.2.17 (|err| < 7.5e-8,
+  // two orders under the ppm grid): 1−Φ(z) = φ(z)·Σ bᵢtⁱ, φ's 1/√(2π)
+  // embedded as a literal so neither engine computes a transcendental
+  // constant.
+  private val normPpmSql: String =
+    "CAST(round(least(1.0, 2.0 * (exp(-az * az / 2.0)" +
+      " * 0.3989422804014327" +
+      " * (tn * (0.319381530 + tn * (-0.356563782 + tn * (1.781477937" +
+      " + tn * (-1.821255978 + tn * 1.330274429))))))) * 1000000, 0)" +
+      " AS BIGINT)"
+
   val all: Seq[QDef] = Seq(
 
     // Tumbling 1-day event-time window.
@@ -1663,6 +1698,297 @@ object EventWindows {
             * 1000000) // (count(*) + 1) AS BIGINT) AS p_ppm,
           d_obs
         FROM reps CROSS JOIN obs GROUP BY d_obs""")),
+
+    // BENJAMINI–HOCHBERG FDR (Benjamini & Hochberg 1995, JRSS-B) — the
+    // multiple-comparisons step-up every real A/B platform runs over
+    // its test battery. Three of the repo's inference families are
+    // re-derived as a POOLED m-hypothesis frame, each hypothesis with a
+    // deterministic cross-engine p in ppm:
+    //   perm_mean (10): the q_permutation_test machinery generalized to
+    //     every event-type pair — ONE 32× md5-resplit fan computes
+    //     per-(type, rep, side) decimal-exact moments, every pair's
+    //     Δ_rep is then algebra over that 160-row frame; p is EXACT
+    //     ((#extreme+1)·1e6 div 33 — class A).
+    //   ks_nchars (190): the q_ks_drift statistic per source pair +
+    //     the asymptotic two-sample p = min(1, 2·exp(−2D²·n_eff)) over
+    //     the exact integer D numerator (class C: one exp, rounded
+    //     once to the ppm grid — ksPpmSql above).
+    //   mw_rank (10): the q_mannwhitney_u two-level bucketed rank
+    //     prefix per event-type pair (windows partitioned by pair —
+    //     never a global value sort), tie-corrected normal z, p via
+    //     the Abramowitz–Stegun Φ chain (normPpmSql above).
+    // The step-up itself is INTEGER arithmetic with cleared
+    // denominators: rank the m p-values ascending (total order
+    // (p_ppm, family, test_id)), k* = max{k : p_ppm·m ≤ k·50000}
+    // (α = 0.05), reject ranks ≤ k*. Ties in p can never straddle k*:
+    // if p_(k*+1) = p_(k*) satisfies at k*, it satisfies at k*+1 too,
+    // contradicting maximality — so the rejection set is well-defined.
+    // Scale: each family's corpus-side work is the already-proven
+    // shape (map-side-combinable fans, pair-partitioned windows); the
+    // pooled battery is SCHEMA-bounded (type pairs + source pairs =
+    // 210 rows at any corpus size), so the single-partition rank
+    // window is a declared bounded-derived-frame site. BH assumes
+    // independence or PRDS across hypotheses; the shared-resplit perm
+    // family is positively dependent, which BH tolerates
+    // conservatively (Benjamini–Yekutieli 2001) — documented, not
+    // hidden.
+    QDef("q_fdr_bh",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val evenNibbles = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+        val ev = events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .localCheckpoint(true) // perm fan + MW histogram share it
+        // family 1: permutation mean contrast per event-type pair
+        val obsT = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("sv"))
+          .localCheckpoint(true) // pair frame + MW pair frame read it
+        val pairObs = obsT.select(col("event_type").as("type_a"),
+            col("n").as("n_a"), col("sv").as("sv_a"))
+          .join(broadcast(obsT.select(col("event_type").as("type_b"),
+            col("n").as("n_b"), col("sv").as("sv_b"))),
+            col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            expr("CAST(sv_a AS DOUBLE) / n_a - CAST(sv_b AS DOUBLE) / n_b")
+              .as("d_obs"))
+        val repT = ev
+          .crossJoin(broadcast(s.range(1, 33).select(col("id").as("rep"))))
+          .withColumn("side_a",
+            substring(md5(concat(col("event_id").cast("string"), lit("#"),
+              col("rep"))), 1, 1).isin(evenNibbles: _*))
+          .groupBy(col("event_type"), col("rep"))
+          .agg(sum(when(col("side_a"), col("value")).cast(Dec)).as("sa"),
+            sum(when(col("side_a"), 1L)).as("na"),
+            sum(when(!col("side_a"), col("value")).cast(Dec)).as("sb"),
+            sum(when(!col("side_a"), 1L)).as("nb"))
+        val pairRep = repT.select(col("event_type").as("type_a"),
+            col("rep"), col("sa").as("sa_a"), col("na").as("na_a"),
+            col("sb").as("sb_a"), col("nb").as("nb_a"))
+          .join(repT.select(col("event_type").as("type_b"),
+            col("rep").as("rep_b"), col("sa").as("sa_b"),
+            col("na").as("na_b"), col("sb").as("sb_b"),
+            col("nb").as("nb_b")),
+            col("type_a") < col("type_b") && col("rep") === col("rep_b"))
+          .select(col("type_a"), col("type_b"),
+            expr("CAST(sa_a + sa_b AS DOUBLE) / (na_a + na_b)" +
+              " - CAST(sb_a + sb_b AS DOUBLE) / (nb_a + nb_b)").as("d_rep"))
+        val permP = pairRep.join(broadcast(pairObs), Seq("type_a", "type_b"))
+          .groupBy(col("type_a"), col("type_b"), col("d_obs"))
+          .agg(sum((abs(col("d_rep")) >= abs(col("d_obs"))).cast("long"))
+            .as("ne"))
+          .select(lit("perm_mean").as("family"),
+            concat(col("type_a"), lit("|"), col("type_b")).as("test_id"),
+            expr("((ne + 1) * 1000000) div 33").as("p_ppm"))
+        // family 2: KS per source pair over the n_chars histogram
+        val docs = documents(s, d)
+        val cnts = docs.groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // feeds both sides of the pair fan-out
+        val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val pairsK = tot.select(col("source").as("source_a"),
+            col("n").as("n_a"))
+          .crossJoin(broadcast(tot.select(
+            col("source").as("source_b"), col("n").as("n_b"))))
+          .filter(col("source_a") < col("source_b"))
+        val taggedK = cnts
+          .join(broadcast(pairsK), col("source") === col("source_a"))
+          .select(col("source_a"), col("source_b"),
+            col("n_chars").as("v"), col("cnt").as("ca"), lit(0L).as("cb"))
+          .unionAll(cnts
+            .join(broadcast(pairsK), col("source") === col("source_b"))
+            .select(col("source_a"), col("source_b"),
+              col("n_chars").as("v"), lit(0L).as("ca"), col("cnt").as("cb")))
+          .groupBy(col("source_a"), col("source_b"), col("v"))
+          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+        val wK = Window.partitionBy(col("source_a"), col("source_b"))
+          .orderBy(col("v"))
+        val ksP = taggedK
+          .withColumn("cum_a", sum(col("ca")).over(wK))
+          .withColumn("cum_b", sum(col("cb")).over(wK))
+          .join(broadcast(pairsK), Seq("source_a", "source_b"))
+          .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+          .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+            .as("d_num"))
+          .select(lit("ks_nchars").as("family"),
+            concat(col("source_a"), lit("|"), col("source_b")).as("test_id"),
+            expr(ksPpmSql).as("p_ppm"))
+        // family 3: Mann–Whitney per event-type pair (two-level rank
+        // prefix partitioned by pair — the q_mannwhitney_u shape ×10)
+        val vt = ev.select(col("value").as("v"), col("event_type"))
+          .groupBy(col("v"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val tpairs = obsT.select(col("event_type").as("type_a"))
+          .join(broadcast(obsT.select(col("event_type").as("type_b"))),
+            col("type_a") < col("type_b"))
+        val taggedM = vt
+          .join(broadcast(tpairs), col("event_type") === col("type_a"))
+          .select(col("type_a"), col("type_b"), col("v"),
+            col("cnt").as("ca"), lit(0L).as("cb"))
+          .unionAll(vt
+            .join(broadcast(tpairs), col("event_type") === col("type_b"))
+            .select(col("type_a"), col("type_b"), col("v"),
+              lit(0L).as("ca"), col("cnt").as("cb")))
+          .groupBy(col("type_a"), col("type_b"), col("v"))
+          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+          .withColumn("bkt", floor(col("v")).cast("long"))
+          .localCheckpoint(true) // bucket totals + in-bucket windows
+        val wBm = Window.partitionBy(col("type_a"), col("type_b"))
+          .orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bktCumM = taggedM
+          .groupBy(col("type_a"), col("type_b"), col("bkt"))
+          .agg(sum(col("cb")).as("bb"))
+          .withColumn("cum_bb", coalesce(sum(col("bb")).over(wBm), lit(0L)))
+          .select(col("type_a"), col("type_b"), col("bkt"), col("cum_bb"))
+        val wInM = Window.partitionBy(col("type_a"), col("type_b"),
+            col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val mwP = taggedM
+          .withColumn("in_bb", coalesce(sum(col("cb")).over(wInM), lit(0L)))
+          .join(broadcast(bktCumM), Seq("type_a", "type_b", "bkt"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+            sum(col("ca") * ((col("cum_bb") + col("in_bb")) * 2 + col("cb")))
+              .as("u2_a"),
+            sum(expr("(ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)"))
+              .as("tie"))
+          .withColumn("az", expr(mwAzSql))
+          .withColumn("tn", expr(mwTnSql))
+          .select(lit("mw_rank").as("family"),
+            concat(col("type_a"), lit("|"), col("type_b")).as("test_id"),
+            expr(normPpmSql).as("p_ppm"))
+        // pooled battery + integer step-up
+        val battery = permP.unionAll(ksP).unionAll(mwP)
+          .localCheckpoint(true) // rank window, m count, k* scan share it
+        val mTests = battery.agg(count(lit(1)).as("m_tests"))
+        val wR = Window.orderBy(col("p_ppm"), col("family"), col("test_id"))
+        val ranked = battery
+          .withColumn("rnk", row_number().over(wR).cast("long"))
+          .crossJoin(broadcast(mTests))
+          .localCheckpoint(true) // k* scan + final projection read it
+        val kStar = ranked.agg(max(when(
+            col("p_ppm") * col("m_tests") <= col("rnk") * lit(50000L),
+            col("rnk")).otherwise(0L)).as("k_star"))
+        ranked.crossJoin(broadcast(kStar))
+          .select(col("family"), col("test_id"), col("p_ppm"),
+            col("m_tests"), col("rnk"), col("k_star"),
+            (col("p_ppm") <= lit(50000L)).cast("long").as("reject_raw"),
+            (col("rnk") <= col("k_star")).cast("long").as("reject_bh"))
+          .orderBy(col("rnk"))
+      },
+      Some(s"""WITH fb_ev AS (SELECT event_id, event_type, value FROM events),
+        obs_t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(value AS DECIMAL(30,6))) AS sv
+          FROM fb_ev GROUP BY 1),
+        pair_obs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n AS d_obs
+          FROM obs_t a JOIN obs_t b ON a.event_type < b.event_type),
+        rep_t AS (SELECT event_type, rep,
+            sum(CAST(value AS DECIMAL(30,6))) FILTER (WHERE side_a) AS sa,
+            CAST(count(*) FILTER (WHERE side_a) AS BIGINT) AS na,
+            sum(CAST(value AS DECIMAL(30,6))) FILTER (WHERE NOT side_a)
+              AS sb,
+            CAST(count(*) FILTER (WHERE NOT side_a) AS BIGINT) AS nb
+          FROM (SELECT event_type, value, r.range AS rep,
+              substr(md5(CAST(event_id AS VARCHAR) || '#' ||
+                CAST(r.range AS VARCHAR)), 1, 1)
+                IN ('0','2','4','6','8','a','c','e') AS side_a
+            FROM fb_ev CROSS JOIN range(1, 33) r)
+          GROUP BY 1, 2),
+        pair_rep AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            CAST(a.sa + b.sa AS DOUBLE) / (a.na + b.na)
+              - CAST(a.sb + b.sb AS DOUBLE) / (a.nb + b.nb) AS d_rep
+          FROM rep_t a JOIN rep_t b
+            ON a.event_type < b.event_type AND a.rep = b.rep),
+        perm_p AS (SELECT 'perm_mean' AS family,
+            type_a || '|' || type_b AS test_id,
+            CAST(((sum(CAST(abs(d_rep) >= abs(d_obs) AS BIGINT)) + 1)
+              * 1000000) // 33 AS BIGINT) AS p_ppm
+          FROM pair_rep JOIN pair_obs USING (type_a, type_b)
+          GROUP BY type_a, type_b, d_obs),
+        kd_tot AS (SELECT source, count(*) AS n
+          FROM documents GROUP BY source),
+        kd_cnts AS (SELECT source, n_chars AS v, count(*) AS cnt
+          FROM documents GROUP BY source, n_chars),
+        kd_pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+            a.n AS n_a, b.n AS n_b
+          FROM kd_tot a JOIN kd_tot b ON a.source < b.source),
+        kd_tagged AS (SELECT source_a, source_b, v,
+            CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+          FROM (
+            SELECT p.source_a, p.source_b, c.v, c.cnt AS ca, 0 AS cb
+            FROM kd_cnts c JOIN kd_pairs p ON c.source = p.source_a
+            UNION ALL
+            SELECT p.source_a, p.source_b, c.v, 0 AS ca, c.cnt AS cb
+            FROM kd_cnts c JOIN kd_pairs p ON c.source = p.source_b)
+          GROUP BY 1, 2, 3),
+        kd_cum AS (SELECT source_a, source_b,
+            CAST(sum(ca) OVER (PARTITION BY source_a, source_b
+              ORDER BY v) AS BIGINT) AS cum_a,
+            CAST(sum(cb) OVER (PARTITION BY source_a, source_b
+              ORDER BY v) AS BIGINT) AS cum_b
+          FROM kd_tagged),
+        kd_stat AS (SELECT c.source_a, c.source_b, p.n_a, p.n_b,
+            CAST(max(abs(cum_a * p.n_b - cum_b * p.n_a)) AS BIGINT)
+              AS d_num
+          FROM kd_cum c JOIN kd_pairs p USING (source_a, source_b)
+          GROUP BY 1, 2, 3, 4),
+        ks_p AS (SELECT 'ks_nchars' AS family,
+            source_a || '|' || source_b AS test_id,
+            $ksPpmSql AS p_ppm
+          FROM kd_stat),
+        mw_vt AS (SELECT value AS v, event_type,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM fb_ev GROUP BY 1, 2),
+        mw_pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM obs_t a JOIN obs_t b ON a.event_type < b.event_type),
+        mw_tagged AS (SELECT type_a, type_b, v,
+            CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb,
+            CAST(floor(v) AS BIGINT) AS bkt
+          FROM (SELECT p.type_a, p.type_b, t.v, t.cnt AS ca, 0 AS cb
+              FROM mw_vt t JOIN mw_pairs p ON t.event_type = p.type_a
+            UNION ALL
+            SELECT p.type_a, p.type_b, t.v, 0 AS ca, t.cnt AS cb
+              FROM mw_vt t JOIN mw_pairs p ON t.event_type = p.type_b)
+          GROUP BY type_a, type_b, v),
+        mw_bc AS (SELECT type_a, type_b, bkt,
+            CAST(COALESCE(sum(bb) OVER (PARTITION BY type_a, type_b
+              ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND
+              1 PRECEDING), 0) AS BIGINT) AS cum_bb
+          FROM (SELECT type_a, type_b, bkt, CAST(sum(cb) AS BIGINT) AS bb
+            FROM mw_tagged GROUP BY 1, 2, 3)),
+        mw_r AS (SELECT h.type_a, h.type_b, ca, cb,
+            CAST(COALESCE(sum(cb) OVER (PARTITION BY h.type_a, h.type_b,
+              h.bkt ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+              1 PRECEDING), 0) AS BIGINT) + cum_bb AS below
+          FROM mw_tagged h JOIN mw_bc b ON h.type_a = b.type_a
+            AND h.type_b = b.type_b AND h.bkt = b.bkt),
+        mw_stat AS (SELECT type_a, type_b, CAST(sum(ca) AS BIGINT) AS n1,
+            CAST(sum(cb) AS BIGINT) AS n2,
+            CAST(sum(ca * (below * 2 + cb)) AS BIGINT) AS u2_a,
+            CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+              AS BIGINT) AS tie
+          FROM mw_r GROUP BY 1, 2),
+        mw_az AS (SELECT type_a, type_b, $mwAzSql AS az FROM mw_stat),
+        mw_tn AS (SELECT type_a, type_b, az, $mwTnSql AS tn FROM mw_az),
+        mw_p AS (SELECT 'mw_rank' AS family,
+            type_a || '|' || type_b AS test_id,
+            $normPpmSql AS p_ppm
+          FROM mw_tn),
+        battery AS (SELECT * FROM perm_p UNION ALL SELECT * FROM ks_p
+          UNION ALL SELECT * FROM mw_p),
+        ranked AS (SELECT family, test_id, p_ppm,
+            CAST(row_number() OVER (ORDER BY p_ppm, family, test_id)
+              AS BIGINT) AS rnk,
+            (SELECT CAST(count(*) AS BIGINT) FROM battery) AS m_tests
+          FROM battery),
+        kst AS (SELECT CAST(max(CASE WHEN p_ppm * m_tests <= rnk * 50000
+              THEN rnk ELSE 0 END) AS BIGINT) AS k_star FROM ranked)
+        SELECT family, test_id, p_ppm, m_tests, rnk, k_star,
+          CAST(p_ppm <= 50000 AS BIGINT) AS reject_raw,
+          CAST(rnk <= k_star AS BIGINT) AS reject_bh
+        FROM ranked CROSS JOIN kst
+        ORDER BY rnk""")),
 
     // POISSON BOOTSTRAP CI — the bootstrap that actually works at 100 TB
     // (Chamandy et al., Google 2012): instead of materializing B

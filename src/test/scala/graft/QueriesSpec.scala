@@ -2046,6 +2046,75 @@ class QueriesSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq
     assert(bt == bb, "burst stream twin must equal the batch episodes")
   }
+
+  test("wave-r11 q_fdr_bh: joint battery, integer step-up replay, " +
+    "normal-p replay, BH conservatism") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q_fdr_bh")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val m = rows.length.toLong
+    assert(rows.forall(_._4 == m), "m_tests column = battery size")
+    // three families, schema-bounded widths
+    val fam = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(fam("perm_mean") == 10 && fam("mw_rank") == 10)
+    val nSrc = graft.tables.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count().toInt
+    assert(fam("ks_nchars") == nSrc * (nSrc - 1) / 2)
+    // ranks are exactly 1..m and p is nondecreasing along them
+    val byRank = rows.sortBy(_._5)
+    assert(byRank.map(_._5).toSeq == (1L to m).toSeq)
+    assert(byRank.sliding(2).forall(w => w(0)._3 <= w(1)._3))
+    // step-up replay: k* = max{k : p_(k)·m ≤ k·α_ppm}
+    def bhKstar(ps: Seq[Long], alphaPpm: Long): Long =
+      ps.zipWithIndex.foldLeft(0L) { case (k, (p, i)) =>
+        if (p * ps.length <= (i + 1) * alphaPpm) i + 1L else k }
+    val kStar = bhKstar(byRank.map(_._3).toSeq, 50000L)
+    assert(rows.forall(_._6 == kStar), "engine k_star replay")
+    rows.foreach { r =>
+      assert(r._7 == (if (r._3 <= 50000L) 1L else 0L), "reject_raw replay")
+      assert(r._8 == (if (r._5 <= kStar) 1L else 0L), "reject_bh replay")
+    }
+    // BH at m tests is never more liberal than the per-test α cut
+    assert(rows.forall(r => r._8 <= r._7), "reject_bh under reject_raw")
+    // the permutation family's p floor is (0+1)/33 — resolution-bounded
+    assert(rows.filter(_._1 == "perm_mean").forall(_._3 >= 1000000L / 33),
+      "perm p floor")
+    // textbook step-up fixtures — exercise the reject branch, which the
+    // observed synthetic corpus does not reach (its battery yields
+    // k* = 0 at every SF: the 5–18 marginal raw rejections are exactly
+    // what BH exists to adjust away at m = 210)
+    assert(bhKstar(Seq(1000L, 5000L, 40000L, 900000L), 50000L) == 2L)
+    assert(bhKstar(Seq(60000L, 70000L, 80000L, 90000L), 50000L) == 0L)
+    // Mann–Whitney normal-p replay: brute-force U + tie term in the
+    // JVM, then the IDENTICAL A&S chain — must land on the same ppm
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val types = ev.map(_._1).distinct.sorted
+    for (ta <- types; tb <- types if ta < tb) {
+      val as = ev.filter(_._1 == ta).map(_._2)
+      val bs = ev.filter(_._1 == tb).map(_._2)
+      val u2a = as.map(x => 2L * bs.count(_ < x) + bs.count(_ == x)).sum
+      val pooled = (as ++ bs).groupBy(identity).values.map(_.size.toLong)
+      val tie = pooled.map(t => t * t * t - t).sum
+      val n1 = as.length.toDouble; val n2 = bs.length.toDouble
+      val nn = n1 + n2
+      val az = math.abs((u2a - n1 * n2) /
+        (2.0 * math.sqrt((n1 * n2 / 12.0) *
+          ((nn + 1) - tie / (nn * (nn - 1))))))
+      val tn = 1.0 / (1.0 + 0.2316419 * az)
+      val p = math.min(1.0, 2.0 * (math.exp(-az * az / 2.0) *
+        0.3989422804014327 *
+        (tn * (0.319381530 + tn * (-0.356563782 + tn * (1.781477937 +
+          tn * (-1.821255978 + tn * 1.330274429)))))))
+      val ppm = math.round(p * 1000000)
+      val got = rows.find(r => r._1 == "mw_rank" && r._2 == s"$ta|$tb")
+        .get._3
+      assert(math.abs(got - ppm) <= 1L, s"mw $ta|$tb: $got vs $ppm")
+    }
+  }
 }
 
 
