@@ -1279,7 +1279,34 @@ object Curation {
         .agg(max(col("run") + 7).as("max_span"),
           count(lit(1)).as("n_runs"), sum(col("run")).as("n_matches"))
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH $dupspanRunsCte
+      Some(s"""WITH ${dupspanRunsCte()}
+        SELECT id_a, id_b, CAST(max(run + 7) AS BIGINT) AS max_span,
+          CAST(count(*) AS BIGINT) AS n_runs,
+          CAST(sum(run) AS BIGINT) AS n_matches
+        FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b""")),
+
+    // SAMPLED dupspan audit — the bounded-cost QA cadence for the
+    // exact-substring family (its largest 10× entry had no twin: r10
+    // verdict item 7). Unlike the set-sim/simhash audits, the stratum
+    // here is DOC-level AT THE SCAN (md5 nibble ≤ 3: a deterministic
+    // 1/4 of docs ⇒ 1/16 of pairs), because this family's cost
+    // profile inverts the pair-stratum assumption: the gram explode +
+    // df agg + checkpoint floor carries ~everything and the candidate
+    // join almost nothing (stage-measured in dupspanRuns's doc), so a
+    // join-time pair predicate was MEASURED dearer than the full join
+    // (2.91 vs 2.56 s at sf0.1) while the scan stratum prunes every
+    // stage. The df-cap runs on the subsample (the audited pipeline
+    // on a corpus sample — the daily-QA design); since sample df ≤
+    // global df, surviving pairs can only gain matches vs the full
+    // run: pairs(full ∩ stratum) ⊆ pairs(sampled) with max_span and
+    // n_matches monotone ≥ (spec-asserted containment law).
+    QDef("q_dupspan_pairs_sampled",
+      (s, d) => dupspanRuns(s, d, sampled = true)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(max(col("run") + 7).as("max_span"),
+          count(lit(1)).as("n_runs"), sum(col("run")).as("n_matches"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH ${dupspanRunsCte(sampled = true)}
         SELECT id_a, id_b, CAST(max(run + 7) AS BIGINT) AS max_span,
           CAST(count(*) AS BIGINT) AS n_runs,
           CAST(sum(run) AS BIGINT) AS n_matches
@@ -1338,7 +1365,7 @@ object Curation {
               .as("trimmed_md5"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH $dupspanRunsCte,
+      Some(s"""WITH ${dupspanRunsCte()},
         iv AS (SELECT id_b AS doc_id, start_a - diag AS s0,
             start_a - diag + run + 6 AS e0
           FROM runs),
@@ -1379,9 +1406,25 @@ object Curation {
     * covers r + 7 tokens on each side. Hot grams (> 64 distinct docs)
     * are dropped before the candidate join (the tfidf df-cap
     * precedent), bounding per-gram fan-out. */
-  private def dupspanRuns(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val toks = documents(s, d)
+  private def dupspanRuns(s: org.apache.spark.sql.SparkSession, d: String,
+      sampled: Boolean = false): org.apache.spark.sql.DataFrame = {
+    // The sampled audit's stratum is DOC-level, applied AT THE SCAN:
+    // this family's cost is corpus-side (measured at sf0.1: gram
+    // explode + df agg + gram-frame checkpoint carry essentially the
+    // whole 2.6 s; the candidate join is 0.6 s and the output 25
+    // pairs), so a pair-level predicate at the join — the set-sim /
+    // simhash audit form — cannot be bounded-cost here: it was
+    // measured at 2.91 s vs 2.56 s full. Docs with md5 nibble ≤ 3
+    // (a deterministic 1/4 of docs ⇒ 1/16 of PAIRS) prune the
+    // tokenize, the explode, the df agg, and the checkpoint alike.
+    // The df-cap is part of the audited pipeline and runs ON the
+    // subsample; sample df ≤ global df, so every gram the full run
+    // keeps survives in-sample — the audit can only see MORE matches
+    // per surviving pair (monotone containment law, spec-asserted).
+    val docs0 = documents(s, d)
+    val docs = if (sampled)
+      docs0.filter(Llm.docSampleNibble(col("doc_id")) <= 3L) else docs0
+    val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val grams = toks.filter(size(col("toks")) >= 8)
       .select(col("doc_id"), posexplode(expr(
@@ -1411,10 +1454,15 @@ object Curation {
   }
 
   /** DuckDB mirror of [[dupspanRuns]] — defines CTEs `toks` and `runs`
-    * (id_a, id_b, diag, start_a, run). */
-  private lazy val dupspanRunsCte: String = s"""toks AS (SELECT doc_id,
+    * (id_a, id_b, diag, start_a, run). `sampled` restricts the scan to
+    * the deterministic 1/4 doc stratum (nibble ≤ 3 ⇒ 1/16 of pairs). */
+  private def dupspanRunsCte(sampled: Boolean = false): String =
+    s"""toks AS (SELECT doc_id,
             $tokensSql AS toks
-          FROM documents),
+          FROM documents${
+            if (sampled)
+              s" WHERE ${Llm.docSampleNibbleSql("doc_id")} <= 3"
+            else ""}),
         grams AS (SELECT doc_id, unnest(list_transform(
             range(1, len(toks) - 6),
             i -> struct_pack(pos := i,

@@ -657,6 +657,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(gotSpan == expSpan, "dupspan pairs != imperative replay")
     assert(expSpan.nonEmpty, "fixture must contain shared 8-gram spans")
 
+    // sampled dupspan audit: monotone containment law. The stratum is
+    // doc-level (nibble ≤ 3, recomputed independently here) and the
+    // df-cap runs on the subsample, so every full-run pair whose docs
+    // are both in the stratum must appear in the audit with max_span
+    // and n_matches ≥ the full run's (sample df ≤ global df — the
+    // subsample can only keep MORE grams), and every audit pair's
+    // docs are in the stratum.
+    def spanNib(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf).toLong
+    }
+    val gotSampled = run("q_dupspan_pairs_sampled").collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("max_span"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("n_matches")))
+    }.toMap
+    assert(gotSampled.keys.forall { case (ia, ib) =>
+      spanNib(ia) <= 3 && spanNib(ib) <= 3 },
+      "audit emitted a pair outside the doc stratum")
+    gotSpan.foreach { case ((ia, ib), (span, _, nm)) =>
+      if (spanNib(ia) <= 3 && spanNib(ib) <= 3) {
+        val s2 = gotSampled.get((ia, ib))
+        assert(s2.isDefined, s"full pair ($ia,$ib) missing from audit")
+        assert(s2.get._1 >= span && s2.get._3 >= nm,
+          s"audit stats must dominate the full run's for ($ia,$ib)")
+      }
+    }
+
     // Winsorize: the histogram-identity cutoffs and clipped means must
     // equal a naive full-sort winsorize per lang
     val winGot = run("q_winsorize_stats").collect()
