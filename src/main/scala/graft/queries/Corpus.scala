@@ -1631,13 +1631,18 @@ object Corpus {
     // this is the raw dominant-eigenvector direction of the adjacency):
     // 3 matvec rounds over the top-50-token CO-OCCURRENCE matrix
     // (A(i,j) = docs containing both tokens, diagonal zero). Every round
-    // is EXACT BIGINT arithmetic — x₁ = A·1 and x₂ = A·x₁ directly, then
-    // one deterministic integer rescale (div by max(x₂) div 10⁶ + 1, the
-    // overflow guard both engines replay identically) before x₃ = A·x₂'.
-    // The reported score is x₃ ppm-normalized by its max — integer
-    // division, no float anywhere (class A). Scale: the matrix is a
-    // bounded 50×50 frame built by one df-capped token equi-join; the
-    // matvecs never touch the corpus again.
+    // is EXACT BIGINT arithmetic: after EACH matvec the vector is
+    // deterministically rescaled (div by max div 10⁶ + 1 — the same
+    // integer both engines compute), so iterates stay ≤ ~10⁶ and the
+    // next matvec's entries stay ≤ 50·max(aij)·10⁶ ≤ 5·10⁷·ndocs —
+    // under 2⁶³ to ~1.8·10¹¹ documents. (Rescaling only after x₂, the
+    // r10 form, let x₂ = A·(A·1) grow ~2500·ndocs² and silently wrap
+    // past ~6·10⁷ docs while DuckDB widened to HUGEINT — the r10
+    // ADVICE divergence hazard, closed here.) The reported score is x₃
+    // ppm-normalized by its max — integer division, no float anywhere
+    // (class A). Scale: the matrix is a bounded 50×50 frame built by
+    // one df-capped token equi-join; the matvecs never touch the
+    // corpus again.
     QDef("q_eigen_centrality",
       (s, d) => {
         val tok = documents(s, d)
@@ -1660,13 +1665,16 @@ object Corpus {
           aMat.join(x.select(col("tok").as("tj"), col("x")), "tj")
             .groupBy(col("ti")).agg(sum(col("aij") * col("x")).as("x"))
             .select(col("ti").as("tok"), col("x"))
-        val x1 = matvec(top.select(col("tok"), lit(1L).as("x")))
+        def rescale(x: org.apache.spark.sql.DataFrame) = {
+          val sc = x.agg((max(col("x")).cast("long")).as("m"))
+            .select(expr("m div 1000000 + 1").as("sc"))
+          x.crossJoin(broadcast(sc))
+            .select(col("tok"), expr("x div sc").as("x"))
+        }
+        val x1 = rescale(matvec(top.select(col("tok"), lit(1L).as("x"))))
           .localCheckpoint(true)
         val x2 = matvec(x1).localCheckpoint(true)
-        val sc = x2.agg((max(col("x")).cast("long")).as("m"))
-          .select(expr("m div 1000000 + 1").as("sc"))
-        val x2s = x2.crossJoin(broadcast(sc))
-          .select(col("tok"), expr("x div sc").as("x"))
+        val x2s = rescale(x2)
         val x3 = matvec(x2s).localCheckpoint(true)
         val m3 = x3.agg(max(col("x")).as("m3"))
         x3.crossJoin(broadcast(m3))
@@ -1688,8 +1696,12 @@ object Corpus {
           FROM occ a JOIN occ b
             ON a.doc_id = b.doc_id AND a.tok <> b.tok
           GROUP BY 1, 2),
-        x1 AS (SELECT ti AS tok, CAST(sum(aij) AS BIGINT) AS x
+        x1r AS (SELECT ti AS tok, CAST(sum(aij) AS BIGINT) AS x
           FROM am GROUP BY ti),
+        sc1 AS (SELECT CAST(max(x) AS BIGINT) // 1000000 + 1 AS sc
+          FROM x1r),
+        x1 AS (SELECT tok, CAST(x // sc AS BIGINT) AS x
+          FROM x1r CROSS JOIN sc1),
         x2 AS (SELECT am.ti AS tok, CAST(sum(aij * x1.x) AS BIGINT) AS x
           FROM am JOIN x1 ON am.tj = x1.tok GROUP BY am.ti),
         sc AS (SELECT CAST(max(x) AS BIGINT) // 1000000 + 1 AS sc FROM x2),

@@ -502,7 +502,18 @@ object EventStreams {
     * cnt·n_hours > 2·n_events integer-cross-multiplied, islands over
     * the sorted burst hours) and re-emits it — update-mode latest-wins,
     * the SessionPathsProcessor contract. In batch execution the single
-    * handleInputRows call per type makes the emit set exact. */
+    * handleInputRows call per type makes the emit set exact.
+    *
+    * INCREMENTAL-CONSUMER CAVEAT (r10 ADVICE): latest-wins keying by
+    * (event_type, start_hr) is NOT stable across batches — later data
+    * can merge, extend leftward, or dissolve an episode, changing its
+    * start_hr, and the previously emitted row under the old start_hr
+    * is never overwritten or retracted. A consumer maintaining
+    * incremental state must therefore treat each batch's emit set as a
+    * FULL REPLACEMENT of that event_type's episodes (the processor
+    * re-emits the complete per-type set every batch precisely to make
+    * that cheap), not as per-episode upserts. Exactness of the gated
+    * q_burst_stream_twin holds in single-batch execution either way. */
   class BurstProcessor(epochUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, EventRow, BurstEpisode] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}

@@ -1511,10 +1511,13 @@ class QueriesSpec extends AnyFunSuite {
       aMat.toSeq.flatMap { case ((i, j), a) =>
         x.get(j).map(xj => i -> a * xj) }
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    val x1 = matvec(top50.map(_ -> 1L).toMap)
+    def rescale(x: Map[String, Long]): Map[String, Long] = {
+      val sc = x.values.max / 1000000L + 1L
+      x.view.mapValues(_ / sc).toMap
+    }
+    val x1 = rescale(matvec(top50.map(_ -> 1L).toMap))
     val x2 = matvec(x1)
-    val sc = x2.values.max / 1000000L + 1L
-    val x3 = matvec(x2.view.mapValues(_ / sc).toMap)
+    val x3 = matvec(rescale(x2))
     val m3 = x3.values.max
     val gotEc = run("q_eigen_centrality").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
