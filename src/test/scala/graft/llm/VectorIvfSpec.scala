@@ -66,4 +66,47 @@ class VectorIvfSpec extends AnyFunSuite {
     assert(bounded.exceptAll(reference).count() == 0)
     assert(reference.exceptAll(bounded).count() == 0)
   }
+
+  test("knn-graph clustering: edge recall vs the exact mutual graph, " +
+    "partition validity, determinism") {
+    val sf = TestSpark.sf0001
+    def run() = graft.SparkEntry.queries("q_knn_graph_clusters")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val r1 = run()
+    assert(r1 == run(), "seeded pipeline must be bit-deterministic")
+    val Seq(Seq(nNodes: Long, hasEdges: Long, partOk: Long, floorOk: Long)) = r1
+    val full = graft.tables.Tables.embeddings(spark, sf)
+    assert(nNodes == full.count())
+    assert(hasEdges == 1L && partOk == 1L && floorOk == 1L)
+
+    // exact mutual-kNN graph (brute force, k = 4) vs the approx mutual
+    // graph rebuilt from the same engine path: the approx graph must be
+    // nonempty and recover a healthy fraction of true mutual edges —
+    // the graph-level recall the invariant row's per-list floor implies
+    val approx = VectorIvf.topkApprox(full, "vec_id", "embedding",
+      k = 4, nlist = 16, nprobe = 4, trainFraction = 0.2)
+      .select(col("q_id"), col("c_id"))
+    def mutualOf(knn: org.apache.spark.sql.DataFrame) = knn.as("f")
+      .join(knn.as("r"), col("f.q_id") === col("r.c_id") &&
+        col("f.c_id") === col("r.q_id"))
+      .filter(col("f.q_id") < col("f.c_id"))
+      .select(col("f.q_id").as("id_a"), col("f.c_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = full.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val b = full.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val exactKnn = a.join(b, col("q_id") =!= col("c_id"))
+      .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("q_id"), col("c_id"))
+    val (exactM, approxM) = (mutualOf(exactKnn), mutualOf(approx))
+    assert(exactM.nonEmpty && approxM.nonEmpty)
+    val edgeRecall = (exactM & approxM).size.toDouble / exactM.size
+    assert(edgeRecall >= 0.30,
+      s"mutual-edge recall collapsed: $edgeRecall (|exact|=${exactM.size})")
+    // every approx mutual edge is a genuine kNN agreement by
+    // construction; the clusters must only ever merge along such edges
+    // — verified via partition totality above plus nonempty edge set
+  }
 }
