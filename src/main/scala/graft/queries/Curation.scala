@@ -237,6 +237,191 @@ object Curation {
     s"SELECT CAST($r AS BIGINT) AS round, x || ' ' || y AS pair, n FROM w$r")
     .mkString("\n          UNION ALL ")
 
+  // ---------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — hard-EM trainer
+  // ---------------------------------------------------------------
+
+  /** Builder-time segmentation table for the unigram-LM trainer: ONE
+    * ROW PER PIECE SLOT of every ordered composition of a word length
+    * n = 1..8 into pieces of length 1..4 — (wlen, cid, off, plen,
+    * n_pieces), cid ordered lexicographically by the part sequence so
+    * both engines and the spec replay walk identical composition ids.
+    * Embedded as the SAME literal in the Spark plan (local frame) and
+    * the DuckDB oracle (VALUES): the Viterbi E-step is then a pure
+    * equi-join — no engine-side DP state. Words longer than 8 chars
+    * (none in this corpus at any SF — the max is pinned by the
+    * generator's fixed word list; the table regenerates from this one
+    * constant if that changes) fall to the declared OOV bucket rather
+    * than silently mis-segmenting. 223 compositions, 723 slot rows. */
+  private[queries] val unigramPieces: Seq[(Int, Int, Int, Int, Int)] = {
+    def comps(n: Int): Seq[Seq[Int]] =
+      if (n == 0) Seq(Seq.empty[Int])
+      else (1 to math.min(4, n)).flatMap(p => comps(n - p).map(p +: _))
+    (1 to 8).flatMap { n =>
+      comps(n).sortBy(_.mkString).zipWithIndex.flatMap { case (c, ci) =>
+        c.zipWithIndex.map { case (len, k) =>
+          (n, ci, c.take(k).sum, len, c.length) }
+      }
+    }
+  }
+  private val unigramPiecesSql: String = unigramPieces
+    .map { case (n, ci, off, plen, np) => s"($n,$ci,$off,$plen,$np)" }
+    .mkString(", ")
+
+  /** Add-one-smoothed scaled-integer piece score over a (piece, cnt)
+    * vocab frame: lp = round(ln((cnt+1)/(tot+|V|))·10⁶). The ln runs
+    * per VOCAB entry (bounded frame, never the corpus) and is rounded
+    * to the 1e-6 grid before any comparison — the class-C single-
+    * transcendental argument (KS/normal-p precedent). Identical
+    * expression text in both engines. */
+  private val unigramLpExpr: String =
+    "CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / (tot + nv)) * 1000000, 0)" +
+      " AS BIGINT)"
+  private def unigramScore(vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    vocab.crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("tot"),
+        count(lit(1)).as("nv"))))
+      .select(col("piece"), expr(unigramLpExpr).as("lp"))
+
+  /** Viterbi E-step as a relational argmax: candidate (word ×
+    * composition × slot) rows from the literal piece table, inner-join
+    * the scored vocab (slots whose piece is unknown disappear, so
+    * n_found < n_pieces marks an invalid composition), then the
+    * per-word best under the TOTAL order (Σlp desc, fewer pieces, cid
+    * asc). Words with no valid composition (unseen char / length > 8)
+    * are absent — the caller's OOV bucket. Everything is bounded by
+    * the DISTINCT-WORD frame. */
+  private def unigramBest(words: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame,
+      pieceTab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val segScore = words.join(broadcast(pieceTab), Seq("wlen"))
+      .select(col("w"), col("wlen"), col("cid"), col("n_pieces"),
+        expr("substring(w, off + 1, plen)").as("piece"))
+      .join(broadcast(scored), Seq("piece"))
+      .groupBy(col("w"), col("wlen"), col("cid"), col("n_pieces"))
+      .agg(count(lit(1)).as("n_found"), sum(col("lp")).as("s_lp"))
+      .filter(col("n_found") === col("n_pieces"))
+    val wBest = Window.partitionBy(col("w"))
+      .orderBy(col("s_lp").desc, col("n_pieces"), col("cid"))
+    segScore.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("w"), col("wlen"), col("cid"), col("n_pieces"))
+  }
+
+  /** Hard-EM unigram trainer (Kudo, "Subword Regularization", ACL 2018
+    * — the EM reduced to Viterbi hard counts; the production trainer's
+    * E-step differs only in using expected rather than argmax counts):
+    * seed vocab = every single char + top-64 substrings (length 2–4)
+    * by corpus frequency, then `unigramRounds` rounds of score →
+    * per-word Viterbi → piece-count re-estimate. THE ONLY CORPUS-SCALE
+    * WORK IS THE INITIAL WORD-COUNT AGG (map-side combinable); every
+    * EM round runs on the distinct-word histogram weighted by counts —
+    * exactly how SentencePiece trains at scale (it ingests a word
+    * histogram, not the corpus). Returns the vocab frame (piece, cnt)
+    * after the final M-step, plus the broadcast piece table. */
+  private val unigramRounds = 3
+  private def unigramTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val pieceTab = unigramPieces
+      .toDF("wlen", "cid", "off", "plen", "n_pieces")
+      .withColumn("wlen", col("wlen").cast("long"))
+    val wc = documents(s, d).filter(bpeTrainPred)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .withColumn("wlen", length(col("w")).cast("long"))
+      .localCheckpoint(true) // the corpus is touched exactly once
+    val seed = wc.select(col("wcnt"), explode(expr(
+        """flatten(transform(sequence(0, cast(wlen as int) - 1),
+             i -> transform(sequence(1, least(4, cast(wlen as int) - i)),
+               l -> substring(w, i + 1, l))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("freq"))
+      .localCheckpoint(true) // chars + top-64 + nothing else reads it
+    // top-64 multi-char window: vocab-bounded single-partition frame
+    // (the top-k vocab precedent — never the corpus)
+    val wTop = Window.orderBy(col("freq").desc, col("piece"))
+    var vocab = seed.filter(length(col("piece")) === 1)
+      .unionAll(seed.filter(length(col("piece")) >= 2)
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 64).drop("rn"))
+      .select(col("piece"), col("freq").as("cnt"))
+      .localCheckpoint(true)
+    (1 to unigramRounds).foreach { _ =>
+      val best = unigramBest(wc, unigramScore(vocab), pieceTab)
+      val usage = best.join(wc.select(col("w"), col("wcnt")), Seq("w"))
+        .join(broadcast(pieceTab), Seq("wlen", "cid"))
+        .select(expr("substring(w, off + 1, plen)").as("piece"),
+          col("wcnt"))
+        .groupBy(col("piece")).agg(sum(col("wcnt")).as("used"))
+      vocab = vocab.select(col("piece"))
+        .join(usage, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
+        .localCheckpoint(true) // per-round lineage cut (the bpeTrain /
+                               // k-means / CC fixpoint discipline)
+    }
+    (vocab, pieceTab)
+  }
+
+  /** DuckDB CTE chain replaying [[unigramTrain]] — shared by both
+    * unigram oracles so train and apply can never drift. Defines
+    * `comps`, `wc`, `v0..v$unigramRounds` and the final score table
+    * `scf` (piece, lp). */
+  private def unigramCtePrelude: String = {
+    def lp(src: String) = unigramLpExpr
+      .replace("cnt + 1", s"$src.cnt + 1")
+    def roundCtes(r: Int): String = s"""
+        sc$r AS (SELECT piece, ${lp("v")} AS lp
+          FROM v${r - 1} v CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT)
+              AS tot, CAST(count(*) AS BIGINT) AS nv FROM v${r - 1}) t),
+        seg$r AS (SELECT w, wlen, cid, n_pieces,
+            CAST(sum(lp) AS BIGINT) AS s_lp
+          FROM (SELECT c.w, c.wlen, c.cid, c.n_pieces,
+              substr(c.w, c.off + 1, c.plen) AS piece
+            FROM (SELECT wc.w, wc.wlen, p.cid, p.off, p.plen, p.n_pieces
+              FROM wc JOIN comps p ON wc.wlen = p.wlen) c)
+          JOIN sc$r USING (piece)
+          GROUP BY w, wlen, cid, n_pieces
+          HAVING count(*) = n_pieces),
+        best$r AS (SELECT w, wlen, cid, n_pieces FROM (
+            SELECT *, row_number() OVER (PARTITION BY w
+              ORDER BY s_lp DESC, n_pieces, cid) AS rn FROM seg$r)
+          WHERE rn = 1),
+        v$r AS (SELECT v.piece, CAST(COALESCE(u.used, 0) AS BIGINT) AS cnt
+          FROM (SELECT piece FROM v${r - 1}) v LEFT JOIN (
+            SELECT substr(b.w, p.off + 1, p.plen) AS piece,
+              CAST(sum(b.wcnt) AS BIGINT) AS used
+            FROM (SELECT bb.*, wc.wcnt FROM best$r bb
+              JOIN wc ON bb.w = wc.w) b
+            JOIN comps p ON b.wlen = p.wlen AND b.cid = p.cid
+            GROUP BY 1) u ON v.piece = u.piece)"""
+    s"""comps AS (SELECT * FROM (VALUES $unigramPiecesSql)
+          AS t(wlen, cid, off, plen, n_pieces)),
+        wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wcnt,
+            CAST(length(w) AS BIGINT) AS wlen
+          FROM (SELECT unnest(toks) AS w FROM
+            (SELECT $tokensSql AS toks FROM documents
+             WHERE $bpeTrainPredSql))
+          GROUP BY w),
+        seed AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS freq FROM (
+            SELECT wcnt, unnest(flatten(list_transform(range(wlen),
+              i -> list_transform(range(1, least(4, wlen - i) + 1),
+                l -> substr(w, i + 1, l))))) AS piece
+          FROM wc) GROUP BY piece),
+        v0 AS (SELECT piece, freq AS cnt FROM seed
+            WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, freq FROM (
+            SELECT piece, freq, row_number() OVER (
+              ORDER BY freq DESC, piece) AS rn
+            FROM seed WHERE length(piece) >= 2) WHERE rn <= 64),
+        ${(1 to unigramRounds).map(roundCtes).mkString(",")},
+        scf AS (SELECT piece, ${lp("v")} AS lp
+          FROM v$unigramRounds v CROSS JOIN (
+            SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+              CAST(count(*) AS BIGINT) AS nv FROM v$unigramRounds) t)"""
+  }
+
   val all: Seq[QDef] = Seq(
 
     // Sequence packing (concat-and-chunk): documents are concatenated in
@@ -662,6 +847,106 @@ object Curation {
               // CAST(sum(COALESCE(long_toks, 0) + short_toks) AS BIGINT)
               AS BIGINT) AS compression_bp
           FROM base LEFT JOIN lt USING (doc_id)
+          GROUP BY lang ORDER BY lang""")),
+
+    // UNIGRAM-LM (SentencePiece) TRAINER — the OTHER production
+    // tokenizer family beside BPE (Kudo 2018: a unigram language model
+    // over pieces, trained by EM, here the Viterbi hard-count
+    // reduction): seed = chars + top-64 substrings, 3 rounds of
+    // score → per-word best segmentation → count re-estimate. The
+    // E-step is a pure equi-join against the builder-time composition
+    // table (unigramPieces — no engine-side DP), the argmax a total
+    // order, the scores add-one-smoothed scaled-integer logs rounded
+    // before comparison. The only corpus-scale work is the word-count
+    // agg; EM runs on the distinct-word histogram — the actual
+    // SentencePiece-at-scale shape (it ingests a word histogram, not
+    // the corpus). Trains on the same Knuth-hash 80% split as BPE.
+    // Output: the trained piece table with final hard counts and
+    // scores. Imperative JVM replay of the full EM in CurationSpec.
+    QDef("q_unigram_lm",
+      (s, d) => {
+        val (vocab, _) = unigramTrain(s, d)
+        vocab.crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("tot"),
+            count(lit(1)).as("nv"))))
+          .select(col("piece"),
+            length(col("piece")).cast("long").as("piece_len"),
+            col("cnt"), expr(unigramLpExpr).as("lp_e6"))
+          .orderBy(col("cnt").desc, col("piece"))
+      },
+      Some(s"""WITH $unigramCtePrelude
+          SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt,
+            lp AS lp_e6
+          FROM (SELECT v.piece, v.cnt, s.lp
+            FROM v$unigramRounds v JOIN scf s USING (piece))
+          ORDER BY cnt DESC, piece""")),
+
+    // UNIGRAM-LM HELD-OUT APPLY — the trained piece scores segment the
+    // 20% held-out split (train/apply share unigramBest + the scored
+    // vocab, so the two surfaces cannot drift — the q_bpe_tokenize
+    // pattern): per lang, word/piece/char counts and the chars-per-
+    // piece compression ratio, with words that admit NO valid
+    // segmentation (unseen char, length > 8) counted in the declared
+    // OOV bucket instead of silently dropped. Corpus-scale work = one
+    // per-(lang, word) count agg; segmentation joins run on the
+    // distinct held-out word frame.
+    QDef("q_unigram_tokenize",
+      (s, d) => {
+        val (vocab, pieceTab) = unigramTrain(s, d)
+        val scored = unigramScore(vocab)
+        val hw = documents(s, d).filter(!bpeTrainPred)
+          .select(col("lang"), explode(tokens(col("text"))).as("w"))
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wcnt"))
+          .withColumn("wlen", length(col("w")).cast("long"))
+          .localCheckpoint(true) // distinct-word seg + per-lang rollup
+        val best = unigramBest(
+          hw.select(col("w"), col("wlen")).distinct(), scored, pieceTab)
+        hw.join(best.select(col("w"), col("n_pieces")), Seq("w"), "left")
+          .groupBy(col("lang"))
+          .agg(sum(col("wcnt")).as("n_words"),
+            sum(when(col("n_pieces").isNull, col("wcnt")).otherwise(0L))
+              .as("n_oov"),
+            sum(when(col("n_pieces").isNotNull,
+              col("wcnt") * col("n_pieces")).otherwise(0L)).as("n_pieces"),
+            sum(when(col("n_pieces").isNotNull,
+              col("wcnt") * col("wlen")).otherwise(0L)).as("n_chars"))
+          .withColumn("chars_per_piece_bp",
+            expr("n_chars * 10000 div n_pieces"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH $unigramCtePrelude,
+          hw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS wcnt,
+              CAST(length(w) AS BIGINT) AS wlen
+            FROM (SELECT lang, unnest(toks) AS w FROM
+              (SELECT lang, $tokensSql AS toks FROM documents
+               WHERE NOT ($bpeTrainPredSql)))
+            GROUP BY lang, w),
+          hseg AS (SELECT w, wlen, cid, n_pieces,
+              CAST(sum(lp) AS BIGINT) AS s_lp
+            FROM (SELECT c.w, c.wlen, c.cid, c.n_pieces,
+                substr(c.w, c.off + 1, c.plen) AS piece
+              FROM (SELECT hd.w, hd.wlen, p.cid, p.off, p.plen, p.n_pieces
+                FROM (SELECT DISTINCT w, wlen FROM hw) hd
+                JOIN comps p ON hd.wlen = p.wlen) c)
+            JOIN scf USING (piece)
+            GROUP BY w, wlen, cid, n_pieces
+            HAVING count(*) = n_pieces),
+          hbest AS (SELECT w, n_pieces FROM (
+              SELECT *, row_number() OVER (PARTITION BY w
+                ORDER BY s_lp DESC, n_pieces, cid) AS rn FROM hseg)
+            WHERE rn = 1)
+          SELECT lang, CAST(sum(wcnt) AS BIGINT) AS n_words,
+            CAST(sum(CASE WHEN b.n_pieces IS NULL THEN wcnt ELSE 0 END)
+              AS BIGINT) AS n_oov,
+            CAST(sum(CASE WHEN b.n_pieces IS NOT NULL
+              THEN wcnt * b.n_pieces ELSE 0 END) AS BIGINT) AS n_pieces,
+            CAST(sum(CASE WHEN b.n_pieces IS NOT NULL
+              THEN wcnt * wlen ELSE 0 END) AS BIGINT) AS n_chars,
+            CAST(CAST(sum(CASE WHEN b.n_pieces IS NOT NULL
+                THEN wcnt * wlen ELSE 0 END) AS BIGINT) * 10000
+              // CAST(sum(CASE WHEN b.n_pieces IS NOT NULL
+                THEN wcnt * b.n_pieces ELSE 0 END) AS BIGINT) AS BIGINT)
+              AS chars_per_piece_bp
+          FROM hw LEFT JOIN hbest b USING (w)
           GROUP BY lang ORDER BY lang""")),
 
     // Incremental dedup: the arriving-batch-vs-existing-corpus shape a

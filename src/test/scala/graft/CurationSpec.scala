@@ -368,4 +368,101 @@ class CurationSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 10000),
       "trained merges produced no compression on held-out docs")
   }
+
+  test("unigram-lm hard-EM replays the imperative trainer exactly; " +
+    "held-out apply matches") {
+    // independent driver-side oracle: plain-Scala hard-EM with its own
+    // composition enumeration, seed, scoring, and Viterbi — the
+    // relational trainer must reproduce every count and score exactly
+    def comps(n: Int): Seq[Seq[Int]] =
+      if (n == 0) Seq(Seq.empty[Int])
+      else (1 to math.min(4, n)).flatMap(p => comps(n - p).map(p +: _))
+    val compTab: Map[Int, Seq[(Int, Seq[Int])]] =
+      (1 to 8).map(n => n -> comps(n).sortBy(_.mkString).zipWithIndex
+        .map { case (c, i) => (i, c) }).toMap
+    def trainPred(id: Long): Boolean =
+      ((id * 2654435761L) % 4294967296L) % 100 < 80
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val wc: Map[String, Long] = docs.filter(d => trainPred(d._1))
+      .flatMap(_._3.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, n) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)) {
+        val p = w.substring(i, i + l)
+        seed.update(p, seed.getOrElse(p, 0L) + n)
+      }
+    }
+    val top64 = seed.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(64)
+    var vocab: Map[String, Long] =
+      (seed.filter(_._1.length == 1).toSeq ++ top64).toMap
+    def lpOf(v: Map[String, Long]): Map[String, Long] = {
+      val tot = v.values.sum; val nv = v.size.toLong
+      v.map { case (p, c) =>
+        val x = math.log((c + 1).toDouble / (tot + nv)) * 1000000.0
+        p -> new java.math.BigDecimal(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      }
+    }
+    def pieces(w: String, parts: Seq[Int]): Seq[String] = {
+      var off = 0
+      parts.map { l => val p = w.substring(off, off + l); off += l; p }
+    }
+    def best(w: String, lp: Map[String, Long]): Option[(Int, Int, Long)] = {
+      val cands = compTab(w.length).flatMap { case (cid, parts) =>
+        val ps = pieces(w, parts)
+        if (ps.forall(lp.contains))
+          Some((cid, parts.length, ps.map(lp).sum))
+        else None
+      }
+      if (cands.isEmpty) None
+      else Some(cands.minBy { case (cid, np, s) => (-s, np, cid) })
+    }
+    (1 to 3).foreach { _ =>
+      val lp = lpOf(vocab)
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      wc.foreach { case (w, n) =>
+        if (w.length <= 8) best(w, lp).foreach { case (cid, _, _) =>
+          pieces(w, compTab(w.length).find(_._1 == cid).get._2)
+            .foreach(p => usage.update(p, usage.getOrElse(p, 0L) + n))
+        }
+      }
+      vocab = vocab.map { case (p, _) => p -> usage.getOrElse(p, 0L) }
+    }
+    val lpF = lpOf(vocab)
+    val expect = vocab.toSeq
+      .map { case (p, c) => (p, p.length.toLong, c, lpF(p)) }
+      .sortBy { case (p, _, c, _) => (-c, p) }
+    val got = run("q_unigram_lm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"unigram EM diverged: $got != $expect")
+    assert(got.exists(t => t._2 > 1 && t._3 > 0),
+      "no multi-char piece earned hard counts")
+    // held-out apply replay through the SAME final scores
+    val perLang = docs.filter(d => !trainPred(d._1))
+      .flatMap { case (_, lang, text) =>
+        text.split(" ").filter(_.nonEmpty).map(w => (lang, w)) }
+      .groupBy(_._1).toSeq.map { case (lang, ws) =>
+        var (nw, noov, np, nc) = (0L, 0L, 0L, 0L)
+        ws.foreach { case (_, w) =>
+          nw += 1
+          (if (w.length <= 8) best(w, lpF) else None) match {
+            case Some((_, k, _)) => np += k; nc += w.length
+            case None => noov += 1
+          }
+        }
+        (lang, nw, noov, np, nc, nc * 10000L / np)
+      }.sortBy(_._1)
+    val gotTok = run("q_unigram_tokenize").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(gotTok == perLang,
+      s"unigram held-out apply diverged: $gotTok != $perLang")
+    assert(gotTok.forall(_._6 >= 10000),
+      "unigram pieces can never average shorter than one char")
+  }
 }
