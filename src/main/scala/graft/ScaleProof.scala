@@ -361,7 +361,20 @@ object ScaleProof {
       "q_cross_correlation",
       // the burst twin holds a (type -> hour-count map) in MapState —
       // state bounded by |types| x calendar hours at any corpus scale
-      "q_burst_stream_twin")
+      "q_burst_stream_twin",
+      // round-11: the BH battery's corpus-side work is the perm
+      // family's documented 32x fan into one map-side-combinable
+      // moment agg + the KS/MW histogram fans (pair-bounded); the
+      // step-up itself runs on the schema-bounded 210-row frame. The
+      // unigram trainer touches the corpus ONCE (word-count agg) and
+      // EMs on the distinct-word histogram; the word list is fixed
+      // under replication, so the 10x run measures the corpus-scan
+      // side. The knn-graph rides the IVF probe path (10x vectors
+      // deepen cells; CC iterates only the mutual edge frame). The
+      // dupspan sampled audit prunes the SCAN (1/4 doc stratum), so
+      // its cost must track ~1/4 of the full family's floor
+      "q_fdr_bh", "q_unigram_lm", "q_unigram_tokenize",
+      "q_knn_graph_clusters", "q_dupspan_pairs_sampled")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
