@@ -154,7 +154,8 @@ object Curation {
     * connected-components fixpoints. */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int,
-      where: Option[org.apache.spark.sql.Column] = None):
+      where: Option[org.apache.spark.sql.Column] = None,
+      wordpieceScore: Boolean = false):
       (Seq[org.apache.spark.sql.DataFrame],
         org.apache.spark.sql.DataFrame) = {
     val wWord = Window.partitionBy(col("doc_id"), col("widx"))
@@ -163,10 +164,29 @@ object Curation {
     val winners = (1 to rounds).map { _ =>
       val withNext = state
         .withColumn("nxt", lead(col("sym"), 1).over(wWord))
-      val win = withNext.filter(col("nxt").isNotNull)
+      val pairCnt = withNext.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("x"), col("nxt").as("y"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("x"), col("y")).limit(1)
+      // WordPiece winner: likelihood gain count(xy)/(count(x)·count(y))
+      // instead of BPE's raw count — the only difference between the
+      // two trainer families (Schuster & Nakajima 2012; the merge step
+      // and everything downstream is shared verbatim). Cleared to the
+      // exact 1e12 integer grid; ties under the declared grid break on
+      // (x, y) — a total order both engines and the spec replay walk.
+      val win = (if (wordpieceScore) {
+        val symCnt = state.groupBy(col("sym")).agg(count(lit(1)).as("ns"))
+          .localCheckpoint(true) // both unigram probes read it
+        pairCnt
+          .join(broadcast(symCnt.select(col("sym").as("x"),
+            col("ns").as("nx"))), Seq("x"))
+          .join(broadcast(symCnt.select(col("sym").as("y"),
+            col("ns").as("ny"))), Seq("y"))
+          .select(col("x"), col("y"), col("n"),
+            expr("CAST(n AS DECIMAL(38,0)) * 1000000000000" +
+              " div (CAST(nx AS DECIMAL(38,0)) * ny)").as("score_e12"))
+          .orderBy(col("score_e12").desc, col("x"), col("y"))
+      } else pairCnt.orderBy(col("n").desc, col("x"), col("y")))
+        .limit(1)
         .localCheckpoint(true)
       state = bpeMergeStep(withNext, win)
       win
@@ -236,6 +256,32 @@ object Curation {
   private val bpeWinnersSelect: String = (1 to bpeRounds).map(r =>
     s"SELECT CAST($r AS BIGINT) AS round, x || ' ' || y AS pair, n FROM w$r")
     .mkString("\n          UNION ALL ")
+
+  /** DuckDB CTE chain replaying the WORDPIECE-scored trainer — the
+    * bpeCtePrelude shape with the likelihood-gain winner; the merge
+    * CTEs are shared verbatim via [[bpeApplyCtes]], so the two trainer
+    * families differ in exactly one CTE per round. */
+  private def wordpieceCtePrelude(where: String = ""): String = {
+    def roundCtes(r: Int): String =
+      s"""p$r AS (SELECT sym AS x, nxt AS y, count(*) AS n FROM (
+            SELECT sym, lead(sym) OVER (
+              PARTITION BY doc_id, widx ORDER BY pos) AS nxt
+            FROM s${r - 1})
+          WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        u$r AS (SELECT sym, CAST(count(*) AS BIGINT) AS ns
+          FROM s${r - 1} GROUP BY sym),
+        w$r AS (SELECT x, y, n, score_e12 FROM (
+            SELECT p.x, p.y, p.n,
+              CAST(CAST(p.n AS HUGEINT) * 1000000000000
+                // (CAST(ux.ns AS HUGEINT) * uy.ns) AS BIGINT)
+                AS score_e12
+            FROM p$r p JOIN u$r ux ON p.x = ux.sym
+            JOIN u$r uy ON p.y = uy.sym)
+          ORDER BY score_e12 DESC, x, y LIMIT 1),
+        ${bpeApplyCtes(r, "s")}"""
+    s"""${bpeInitCtes("s", where)},
+        ${(1 to bpeRounds).map(roundCtes).mkString(",\n          ")}"""
+  }
 
   // ---------------------------------------------------------------
   // Unigram-LM (SentencePiece-style) tokenizer — hard-EM trainer
@@ -848,6 +894,33 @@ object Curation {
               AS BIGINT) AS compression_bp
           FROM base LEFT JOIN lt USING (doc_id)
           GROUP BY lang ORDER BY lang""")),
+
+    // WORDPIECE TRAINER — the THIRD production tokenizer family
+    // (Schuster & Nakajima 2012; BERT's tokenizer): identical greedy
+    // merge machinery to BPE, but the winner maximizes the LIKELIHOOD
+    // GAIN count(xy)/(count(x)·count(y)) instead of the raw pair count
+    // — the one-CTE-per-round difference, with bpeMergeStep and the
+    // apply CTEs shared verbatim so the three families' merge
+    // semantics cannot drift. The score is cleared to the exact 1e12
+    // integer grid (DECIMAL(38)/HUGEINT cross-multiplication — class
+    // A); ties under the declared grid break on (x, y). Output: the
+    // 3-round merge trajectory with counts and scores. Imperative
+    // replay beside the BPE one in CurationSpec.
+    QDef("q_wordpiece_merges",
+      (s, d) => {
+        val (winners, _) =
+          bpeTrain(s, d, bpeRounds, wordpieceScore = true)
+        winners.zipWithIndex.map { case (w, i) =>
+          w.select(lit(i + 1).cast("long").as("round"),
+            concat_ws(" ", col("x"), col("y")).as("pair"), col("n"),
+            col("score_e12"))
+        }.reduce(_ union _).orderBy(col("round"))
+      },
+      Some(s"""WITH ${wordpieceCtePrelude()}
+          SELECT * FROM (${(1 to bpeRounds).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, x || ' ' || y AS pair," +
+              s" n, score_e12 FROM w$r").mkString("\n          UNION ALL ")})
+          ORDER BY round""")),
 
     // UNIGRAM-LM (SentencePiece) TRAINER — the OTHER production
     // tokenizer family beside BPE (Kudo 2018: a unigram language model

@@ -369,6 +369,57 @@ class CurationSpec extends AnyFunSuite {
       "trained merges produced no compression on held-out docs")
   }
 
+  test("wordpiece merge rounds replay the likelihood-gain trainer exactly") {
+    // independent driver-side oracle: the BPE replay's merge scan with
+    // the WordPiece winner — argmax of n_xy·1e12 / (n_x·n_y) under
+    // exact BigInt division, ties (x, y)
+    def mergeWord(w: Array[String], x: String, y: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == x && w(i + 1) == y) {
+          b += (x + y); i += 2
+        } else { b += w(i); i += 1 }
+      }
+      b.result()
+    }
+    var words: Array[Array[String]] = graft.tables.Tables
+      .documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+      .map(_.map(_.toString).toArray)
+    val expect = (1 to 3).map { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sc2 = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { w =>
+        w.foreach(s2 => sc2.update(s2, sc2.getOrElse(s2, 0L) + 1L))
+        if (w.length >= 2) w.sliding(2).foreach { p =>
+          val k = (p(0), p(1))
+          pc.update(k, pc.getOrElse(k, 0L) + 1L)
+        }
+      }
+      val scoredPairs = pc.toSeq.map { case ((x, y), n) =>
+        val score = (BigInt(n) * BigInt(1000000000000L) /
+          (BigInt(sc2(x)) * BigInt(sc2(y)))).toLong
+        ((x, y), n, score)
+      }
+      val ((x, y), n, score) = scoredPairs
+        .minBy { case ((a, b), _, sc3) => (-sc3, a, b) }
+      words = words.map(w => mergeWord(w, x, y))
+      (r.toLong, s"$x $y", n, score)
+    }
+    val got = run("q_wordpiece_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"wordpiece trajectory diverged: $got != $expect")
+    // the two families must actually DISAGREE on this corpus — the
+    // likelihood winner is not the count winner (else the score CTE
+    // proves nothing)
+    val bpe = run("q_bpe_merges").collect().map(_.getString(1)).toSet
+    assert(got.map(_._2).toSet != bpe,
+      "wordpiece and bpe picked identical merges — scoring untested")
+  }
+
   test("unigram-lm hard-EM replays the imperative trainer exactly; " +
     "held-out apply matches") {
     // independent driver-side oracle: plain-Scala hard-EM with its own
