@@ -1141,6 +1141,111 @@ object Llm {
         FROM ($unions) ORDER BY i, j""")
     }),
 
+    // PCA TOP COMPONENT by integer power iteration — the projection
+    // the covariance matrix exists for (whitening/dimensionality
+    // reduction over the embedding table): 3 exact matvec rounds on
+    // the full 8×8 pico-unit covariance matrix (the q_embed_covariance
+    // moment machinery, mirrored to both triangles), with the
+    // q_eigen_centrality deterministic div-rescale after EVERY matvec
+    // (sc = max(|y|) div 10⁶ + 1; `div` truncates toward zero for
+    // negatives identically in both engines) so iterates stay ~10⁶
+    // and DECIMAL(38)/HUGEINT accumulation never wraps. Output: the
+    // 8 component loadings ppm-normalized by max |loading| plus the
+    // Rayleigh-quotient eigenvalue estimate λ = (x₃ᵀx₂ₛ)/(x₂ₛᵀx₂ₛ) in
+    // pico units — one truncating integer division over exact dot
+    // products (class A, no float anywhere). Scale: the corpus is
+    // touched ONCE by the 44-moment map-side agg; the matvecs run on
+    // the constant 8×8 frame. JVM power-iteration replay in-spec.
+    QDef("q_pca_power", {
+      val dims = 8
+      val fn: Q.Fn = (s, d) => {
+        val xCols = (0 until dims).map(i =>
+          round(element_at(col("embedding"), i + 1).cast("double")
+            * lit(1000000), 0).cast("long").as(s"x$i"))
+        val base = embeddings(s, d).select(xCols: _*)
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          (0 until dims).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+          (for { i <- 0 until dims; j <- i until dims }
+            yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j"))
+        val m = base.agg(aggs.head, aggs.tail: _*)
+        val entries = (for { i <- 0 until dims; j <- i until dims }
+          yield s"$i, $j, p${i}_$j, s$i, s$j").mkString(", ")
+        val cov = m.selectExpr("n",
+            s"stack(${dims * (dims + 1) / 2}, $entries) AS (i, j, pij, si, sj)")
+          .select(col("i"), col("j"),
+            expr("(CAST(n AS DECIMAL(38,0)) * pij" +
+              " - CAST(si AS DECIMAL(38,0)) * sj)" +
+              " div (CAST(n AS DECIMAL(38,0)) * n)").as("a"))
+        val aFull = cov.unionAll(cov.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("a")))
+          .localCheckpoint(true) // three matvec rounds read it
+        def matvec(x: org.apache.spark.sql.DataFrame) =
+          aFull.join(x.select(col("i").as("j"), col("x")), "j")
+            .groupBy(col("i"))
+            .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+              .as("y"))
+        def rescale(y: org.apache.spark.sql.DataFrame) = {
+          val sc = y.agg(max(abs(col("y"))).as("m"))
+            .select(expr("CAST(m div 1000000 + 1 AS DECIMAL(38,0))").as("sc"))
+          y.crossJoin(broadcast(sc))
+            .select(col("i"), expr("CAST(y div sc AS BIGINT)").as("x"))
+        }
+        val x0 = cov.select(col("i")).distinct()
+          .select(col("i"), lit(1L).as("x"))
+        val x1 = rescale(matvec(x0)).localCheckpoint(true)
+        val x2 = rescale(matvec(x1)).localCheckpoint(true)
+        val x3 = matvec(x2)
+          .select(col("i"), expr("CAST(y AS DECIMAL(38,0))").as("y"))
+          .localCheckpoint(true)
+        val lam = x3.join(x2.select(col("i"), col("x")), "i")
+          .agg(expr("CAST(sum(y * x) div sum(CAST(x AS DECIMAL(38,0)) * x)" +
+            " AS BIGINT)").as("lam_pico"))
+        val mx = x3.agg(max(abs(col("y"))).as("m3"))
+        x3.crossJoin(broadcast(mx)).crossJoin(broadcast(lam))
+          .select(col("i").cast("long").as("dim"),
+            expr("CAST((y * 1000000) div m3 AS BIGINT)").as("loading_ppm"),
+            col("lam_pico"))
+          .orderBy(col("dim"))
+      }
+      fn
+    }, {
+      val dims = 8
+      val xDefs = (0 until dims).map(i =>
+        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
+          s" AS BIGINT) AS x$i").mkString(", ")
+      val sDefs = (0 until dims).map(i => s"sum(x$i) AS s$i").mkString(", ")
+      val pDefs = (for { i <- 0 until dims; j <- i until dims }
+        yield s"sum(x$i * x$j) AS p${i}_$j").mkString(", ")
+      val covUnions = (for { i <- 0 until dims; j <- i until dims } yield
+        s"SELECT $i AS i, $j AS j, (CAST(n AS HUGEINT) * p${i}_$j" +
+          s" - CAST(s$i AS HUGEINT) * s$j) // (CAST(n AS HUGEINT) * n)" +
+          s" AS a FROM m").mkString(" UNION ALL ")
+      Some(s"""WITH x AS (SELECT $xDefs FROM embeddings),
+        m AS (SELECT count(*) AS n, $sDefs, $pDefs FROM x),
+        covu AS ($covUnions),
+        af AS (SELECT i, j, a FROM covu
+          UNION ALL SELECT j, i, a FROM covu WHERE i <> j),
+        x0 AS (SELECT DISTINCT i, CAST(1 AS HUGEINT) AS x FROM af),
+        y1 AS (SELECT af.i, sum(CAST(a AS HUGEINT) * x0.x) AS y
+          FROM af JOIN x0 ON af.j = x0.i GROUP BY af.i),
+        s1 AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM y1),
+        x1 AS (SELECT i, y // sc AS x FROM y1 CROSS JOIN s1),
+        y2 AS (SELECT af.i, sum(CAST(a AS HUGEINT) * x1.x) AS y
+          FROM af JOIN x1 ON af.j = x1.i GROUP BY af.i),
+        s2 AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM y2),
+        x2 AS (SELECT i, y // sc AS x FROM y2 CROSS JOIN s2),
+        y3 AS (SELECT af.i, sum(CAST(a AS HUGEINT) * x2.x) AS y
+          FROM af JOIN x2 ON af.j = x2.i GROUP BY af.i),
+        lam AS (SELECT CAST(sum(y3.y * x2.x)
+            // sum(CAST(x2.x AS HUGEINT) * x2.x) AS BIGINT) AS lam_pico
+          FROM y3 JOIN x2 USING (i)),
+        m3 AS (SELECT max(abs(y)) AS m3 FROM y3)
+        SELECT CAST(i AS BIGINT) AS dim,
+          CAST((y * 1000000) // m3 AS BIGINT) AS loading_ppm, lam_pico
+        FROM y3 CROSS JOIN m3 CROSS JOIN lam
+        ORDER BY dim""")
+    }),
+
     // Lloyd k-means as a DECLARED, oracle-checkable iterative query —
     // k=8 centroids over the first 8 dims, 3 assign/update rounds.
     // Integer-exact end to end: vectors quantize once onto the 1e-6

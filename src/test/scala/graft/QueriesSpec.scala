@@ -2079,6 +2079,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(bt == bb, "burst stream twin must equal the batch episodes")
   }
 
+  test("wave-r11 q_pca_power: full integer power-iteration replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    val dims = 8
+    // quantize exactly as the engine does (HALF_UP on the double)
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).take(dims).map(f =>
+        new java.math.BigDecimal(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toArray)
+    val n = BigInt(vecs.length)
+    val s2 = Array.tabulate(dims)(i => BigInt(vecs.map(_(i)).sum))
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val pij = vecs.map(v => BigInt(v(i)) * v(j)).sum
+      (n * pij - s2(i) * s2(j)) / (n * n) // BigInt / truncates to zero
+    }
+    def matvec(x: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j) * x(j)).sum)
+    def rescale(y: Array[BigInt]): Array[BigInt] = {
+      val sc = y.map(_.abs).max / 1000000 + 1
+      y.map(_ / sc)
+    }
+    val x1 = rescale(matvec(Array.fill(dims)(BigInt(1))))
+    val x2 = rescale(matvec(x1))
+    val y3 = matvec(x2)
+    val m3 = y3.map(_.abs).max
+    val lam = (y3.zip(x2).map { case (a, b) => a * b }.sum /
+      x2.map(b => b * b).sum).toLong
+    val expect = (0 until dims).map(i =>
+      (i.toLong, (y3(i) * 1000000 / m3).toLong, lam))
+    val got = run("q_pca_power").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"pca replay diverged: $got != $expect")
+    assert(got.exists(_._2 == 1000000L),
+      "some dimension must carry the max |loading|")
+    assert(lam > 0, "top eigenvalue of a covariance matrix is positive")
+  }
+
   test("wave-r11 q_fdr_bh: joint battery, integer step-up replay, " +
     "normal-p replay, BH conservatism") {
     import org.apache.spark.sql.functions._
