@@ -1500,6 +1500,103 @@ object EventWindows {
     // (slope, d1, d2)) — SELECTION of one already-computed value, no
     // averaging, so the result is a single exact IEEE division
     // (y₂−y₁)/(d₂−d₁) identical in both engines (class A + exact-div).
+    // KAPLAN–MEIER SURVIVAL — the time-to-event operator the
+    // funnel/retention battery lacks (product-limit estimator, Kaplan
+    // & Meier 1958): subject = user, origin = first event, event =
+    // first purchase, administrative censoring at the corpus's last
+    // timestamp. Each user contributes ONE (t_days, event?) row from a
+    // single map-side-combinable per-user agg; the KM table then lives
+    // on the STUDY-LENGTH-bounded day frame (risk set by prefix
+    // subtraction, at-risk includes same-day censorings — the standard
+    // convention). The survival product is carried in log domain as an
+    // exact cumulative BIGINT of per-step round(ln((n−d)/n)·10⁶) terms
+    // (d = 0 steps contribute exactly 0), with a cumulative dead flag
+    // handling the d = n boundary (S → 0; ln undefined) explicitly
+    // instead of NaN-ing — surv_ppm is the single exp at the end (the
+    // class-C one-transcendental chain, identical text both engines).
+    // Scale: per-user agg + calendar-bounded windows, the
+    // q_retention_cohorts profile. JVM product-limit replay in-spec.
+    QDef("q_survival_km",
+      (s, d) => {
+        val ev = events(s, d)
+        val gmax = ev.agg(max(col("ts")).as("gm"))
+        val users = ev.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("fe"),
+            min(when(col("event_type") === "purchase", col("ts")))
+              .as("fp"))
+          .crossJoin(broadcast(gmax))
+          .select(
+            when(col("fp").isNotNull,
+              datediff(to_date(col("fp")), to_date(col("fe"))))
+              .otherwise(datediff(to_date(col("gm")), to_date(col("fe"))))
+              .cast("long").as("t"),
+            col("fp").isNotNull.cast("long").as("ev"))
+        val daily = users.groupBy(col("t"))
+          .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+          .localCheckpoint(true) // risk/cum windows + the total read it
+        val wPrev = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = daily.agg(sum(col("d") + col("c")).as("n_all"))
+        daily.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("n_all") -
+            coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          .withColumn("dead",
+            max(when(col("d") >= col("n_risk"), 1L).otherwise(0L))
+              .over(wCum))
+          .withColumn("term", when(col("d") < col("n_risk"),
+            expr("CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)" +
+              " * 1000000, 0) AS BIGINT)")).otherwise(lit(0L)))
+          .withColumn("km_ln_e6",
+            when(col("dead") === 1L, lit(null).cast("long"))
+              .otherwise(sum(col("term")).over(wCum)))
+          .select(col("t").as("t_day"), col("n_risk"),
+            col("d").as("d_events"), col("c").as("c_censored"),
+            col("km_ln_e6"),
+            when(col("dead") === 1L, lit(0L)).otherwise(
+              expr("CAST(round(exp(CAST(km_ln_e6 AS DOUBLE) / 1000000)" +
+                " * 1000000, 0) AS BIGINT)")).as("surv_ppm"))
+          .orderBy(col("t_day"))
+      },
+      Some("""WITH gm AS (SELECT max(ts) AS gm FROM events),
+        u AS (SELECT user_id, min(ts) AS fe,
+            min(ts) FILTER (WHERE event_type = 'purchase') AS fp
+          FROM events GROUP BY user_id),
+        tt AS (SELECT CASE WHEN fp IS NOT NULL
+              THEN date_diff('day', CAST(fe AS DATE), CAST(fp AS DATE))
+              ELSE date_diff('day', CAST(fe AS DATE), CAST(gm AS DATE))
+              END AS t,
+            CAST(fp IS NOT NULL AS BIGINT) AS ev
+          FROM u CROSS JOIN gm),
+        daily AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+            CAST(sum(1 - ev) AS BIGINT) AS c FROM tt GROUP BY t),
+        tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_all FROM daily),
+        r AS (SELECT t, d, c,
+            n_all - CAST(COALESCE(sum(d + c) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+          FROM daily CROSS JOIN tot),
+        r2 AS (SELECT *,
+            CAST(max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS BIGINT) AS dead,
+            CASE WHEN d < n_risk
+              THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                * 1000000, 0) AS BIGINT)
+              ELSE 0 END AS term
+          FROM r),
+        r3 AS (SELECT *, CASE WHEN dead = 1 THEN NULL
+            ELSE CAST(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) END AS km_ln_e6
+          FROM r2)
+        SELECT t AS t_day, n_risk, d AS d_events, c AS c_censored,
+          km_ln_e6,
+          CASE WHEN dead = 1 THEN 0
+            ELSE CAST(round(exp(CAST(km_ln_e6 AS DOUBLE) / 1000000)
+              * 1000000, 0) AS BIGINT) END AS surv_ppm
+        FROM r3 ORDER BY t_day""")),
+
     QDef("q_theil_sen",
       (s, d) => {
         val daily = events(s, d)

@@ -2120,6 +2120,58 @@ class QueriesSpec extends AnyFunSuite {
     assert(lam > 0, "top eigenvalue of a covariance matrix is positive")
   }
 
+  test("wave-r11 q_survival_km: product-limit replay, risk-set algebra") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime))
+    val gmax = ev.map(_._3).max
+    def day(ms: Long): Long = Math.floorDiv(ms, 86400000L)
+    val perUser = ev.groupBy(_._1).values.map { rows =>
+      val fe = rows.map(_._3).min
+      val fp = rows.filter(_._2 == "purchase").map(_._3)
+        .minOption
+      fp match {
+        case Some(p) => (day(p) - day(fe), 1L)
+        case None => (day(gmax) - day(fe), 0L)
+      }
+    }.toSeq
+    val daily = perUser.groupBy(_._1).toSeq.map { case (t, us) =>
+      (t, us.map(_._2).sum, us.size.toLong - us.map(_._2).sum)
+    }.sortBy(_._1)
+    val nAll = perUser.size.toLong
+    var cum = 0L; var lnSum = 0L; var dead = false
+    val expect = daily.map { case (t, d2, c2) =>
+      val nRisk = nAll - cum
+      cum += d2 + c2
+      if (d2 >= nRisk) dead = true
+      if (!dead && d2 < nRisk)
+        lnSum += new java.math.BigDecimal(
+          math.log((nRisk - d2).toDouble / nRisk) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      val kmLn: Option[Long] = if (dead) None else Some(lnSum)
+      val surv = if (dead) 0L else new java.math.BigDecimal(
+        math.exp(lnSum.toDouble / 1e6) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      (t, nRisk, d2, c2, kmLn, surv)
+    }
+    val got = run("q_survival_km").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toSeq
+    assert(got == expect, s"KM replay diverged: $got != $expect")
+    // structural: risk sets strictly decrease, subjects conserve,
+    // survival is monotone non-increasing
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    assert(got.map(r => r._3 + r._4).sum == nAll)
+    val survs = got.map(_._6)
+    assert(survs.zip(survs.tail).forall { case (a, b) => b <= a },
+      "survival curve must be non-increasing")
+  }
+
   test("wave-r11 q_fdr_bh: joint battery, integer step-up replay, " +
     "normal-p replay, BH conservatism") {
     import org.apache.spark.sql.functions._
