@@ -435,6 +435,97 @@ object Joins {
         JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer) c USING (k)
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // JOIN-KEY SKEW PROFILER — the decision operator in front of the
+    // two mitigations above (the q_dup_profile pattern: TUNING's
+    // measured skew guidance as a runnable router): per key, group
+    // sizes → a size HISTOGRAM (bounded by distinct sizes, never the
+    // corpus), exact p50/p99 by type-1 selection over the cumulative
+    // histogram, skew = max/mean cleared to ppm via DECIMAL(38)
+    // cross-multiplication, and the declared integer verdict rule —
+    // skew ≥ 10× mean → salt_hot_keys (q_join_skew_salted /
+    // q_join_skew_aqe); ≤ 1024 keys → broadcast_keys; else
+    // plain_shuffle. Profiled over BOTH key regimes in one unioned
+    // scan: the natural user_id key and the same manufactured
+    // click-rerouted hot key the mitigation queries use — so the rule
+    // provably flips on the input it exists to detect. Scale: one
+    // map-side-combinable (profile, key) agg + histogram windows on
+    // the bounded size frame. Replay + rule assertions in JoinsSpec.
+    QDef("q_skew_profile",
+      (s, d) => {
+        val ev = events(s, d)
+        val keyed = ev.select(lit("natural_user_id").as("profile"),
+            col("user_id").as("k"))
+          .unionAll(ev.select(lit("click_rerouted").as("profile"),
+            when(col("event_type") === "click", lit(1L))
+              .otherwise(col("user_id")).as("k")))
+        val hist = keyed.groupBy(col("profile"), col("k"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("profile"), col("sz"))
+          .agg(count(lit(1)).as("m"))
+          .localCheckpoint(true) // totals + both quantile probes read it
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("profile")).orderBy(col("sz"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val tot = hist.groupBy(col("profile"))
+          .agg(sum(col("m")).as("n_keys"),
+            sum(col("sz") * col("m")).as("n_rows"),
+            max(col("sz")).as("max_sz"))
+        val cum = hist.withColumn("cum", sum(col("m")).over(wCum))
+          .join(broadcast(tot), Seq("profile"))
+        val p50 = cum.filter(col("cum") * 2 >= col("n_keys"))
+          .groupBy(col("profile")).agg(min(col("sz")).as("p50_sz"))
+        val p99 = cum.filter(col("cum") * 100 >= col("n_keys") * 99)
+          .groupBy(col("profile")).agg(min(col("sz")).as("p99_sz"))
+        tot.join(broadcast(p50), Seq("profile"))
+          .join(broadcast(p99), Seq("profile"))
+          .withColumn("skew_ppm",
+            expr("CAST(max_sz AS DECIMAL(38,0)) * n_keys * 1000000" +
+              " div n_rows"))
+          .withColumn("verdict",
+            when(col("skew_ppm") >= 10000000L, lit("salt_hot_keys"))
+              .when(col("n_keys") <= 1024L, lit("broadcast_keys"))
+              .otherwise(lit("plain_shuffle")))
+          .select(col("profile"), col("n_rows"), col("n_keys"),
+            col("max_sz"), col("p50_sz"), col("p99_sz"),
+            col("skew_ppm"), col("verdict"))
+          .orderBy(col("profile"))
+      },
+      Some("""WITH keyed AS (
+          SELECT 'natural_user_id' AS profile, user_id AS k FROM events
+          UNION ALL
+          SELECT 'click_rerouted' AS profile,
+            CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS k
+          FROM events),
+        hist AS (SELECT profile, sz, CAST(count(*) AS BIGINT) AS m
+          FROM (SELECT profile, k, CAST(count(*) AS BIGINT) AS sz
+            FROM keyed GROUP BY profile, k)
+          GROUP BY profile, sz),
+        tot AS (SELECT profile, CAST(sum(m) AS BIGINT) AS n_keys,
+            CAST(sum(sz * m) AS BIGINT) AS n_rows,
+            CAST(max(sz) AS BIGINT) AS max_sz
+          FROM hist GROUP BY profile),
+        cum AS (SELECT h.profile, h.sz,
+            CAST(sum(m) OVER (PARTITION BY h.profile ORDER BY h.sz
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            t.n_keys
+          FROM hist h JOIN tot t ON h.profile = t.profile),
+        p50 AS (SELECT profile, CAST(min(sz) AS BIGINT) AS p50_sz
+          FROM cum WHERE cum * 2 >= n_keys GROUP BY profile),
+        p99 AS (SELECT profile, CAST(min(sz) AS BIGINT) AS p99_sz
+          FROM cum WHERE cum * 100 >= n_keys * 99 GROUP BY profile)
+        SELECT t.profile, n_rows, n_keys, max_sz, p50_sz, p99_sz,
+          CAST(CAST(max_sz AS HUGEINT) * n_keys * 1000000 // n_rows
+            AS BIGINT) AS skew_ppm,
+          CASE WHEN CAST(max_sz AS HUGEINT) * n_keys * 1000000 // n_rows
+              >= 10000000 THEN 'salt_hot_keys'
+            WHEN n_keys <= 1024 THEN 'broadcast_keys'
+            ELSE 'plain_shuffle' END AS verdict
+        FROM tot t JOIN p50 USING (profile) JOIN p99 USING (profile)
+        ORDER BY profile""")),
+
     // AQE skew join: the NATIVE twin of q_join_skew_salted — Spark's
     // OptimizeSkewedJoin splits the hot reducer at runtime from shuffle
     // statistics, no salt column in user code (the operator a 100 TB

@@ -159,4 +159,52 @@ class JoinsSpec extends AnyFunSuite {
     assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
     assert(joined.count() == l.join(o, "l_orderkey").count())
   }
+
+  test("skew profiler: stats replay and the verdict rule flips on the " +
+    "manufactured hot key") {
+    val rows = graft.SparkEntry.queries("q_skew_profile")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7)))).toMap
+    // driver-side replay over the raw events
+    val ev = graft.tables.Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def profile(key: ((Long, String)) => Long) = {
+      val sizes = ev.groupBy(key).values.map(_.size.toLong).toSeq
+      val nKeys = sizes.size.toLong; val nRows = sizes.sum
+      val maxSz = sizes.max
+      val sorted = sizes.sorted
+      def sel(cond: (Long, Long) => Boolean): Long = {
+        // smallest size whose cumulative key count satisfies cond —
+        // over the value-sorted list, identical to the histogram scan
+        var cum = 0L
+        sorted.foreach { s2 => cum += 1
+          if (cond(cum, nKeys)) return s2 }
+        sorted.last
+      }
+      val p50 = sel((c, n) => c * 2 >= n)
+      val p99 = sel((c, n) => c * 100 >= n * 99)
+      val skew = (BigInt(maxSz) * nKeys * 1000000 / nRows).toLong
+      val verdict = if (skew >= 10000000L) "salt_hot_keys"
+        else if (nKeys <= 1024L) "broadcast_keys" else "plain_shuffle"
+      (nRows, nKeys, maxSz, p50, p99, skew, verdict)
+    }
+    assert(rows("natural_user_id") == profile(_._1))
+    assert(rows("click_rerouted") ==
+      profile(e => if (e._2 == "click") 1L else e._1))
+    // the profiler must separate the two regimes on this corpus (at
+    // sf0.001 the mean is high — 15 users — so even the 20% hot key
+    // sits under the 10× salt threshold; the verdict flip to
+    // salt_hot_keys is exercised at sf0.01+, where the driver gate
+    // pins it through the oracle)
+    assert(rows("click_rerouted")._6 > rows("natural_user_id")._6 * 2,
+      "manufactured hot key must register clearly higher skew")
+    assert(rows("natural_user_id")._7 != "salt_hot_keys",
+      "the natural key is not skewed and must not route to salting")
+    // threshold fixtures for the branch the corpus does not reach
+    assert({ val nKeys = 2000L; val skew = 1500000L
+      !(skew >= 10000000L) && !(nKeys <= 1024L) }, "plain_shuffle branch")
+  }
 }
