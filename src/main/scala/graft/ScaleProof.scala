@@ -374,7 +374,15 @@ object ScaleProof {
       // dupspan sampled audit prunes the SCAN (1/4 doc stratum), so
       // its cost must track ~1/4 of the full family's floor
       "q_fdr_bh", "q_unigram_lm", "q_unigram_tokenize",
-      "q_knn_graph_clusters", "q_dupspan_pairs_sampled")
+      "q_knn_graph_clusters", "q_dupspan_pairs_sampled",
+      // round-11 wave 2: wordpiece shares the BPE trainer's
+      // word-instance-partitioned windows (+ one symbol hash-agg per
+      // round); pca is ONE 44-moment map-side agg + constant 8x8
+      // matvecs; survival is one per-user agg + calendar-bounded
+      // windows; the skew profiler is one (profile, key) hash-agg +
+      // bounded size-histogram windows
+      "q_wordpiece_merges", "q_pca_power", "q_survival_km",
+      "q_skew_profile")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

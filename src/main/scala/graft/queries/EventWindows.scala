@@ -1500,6 +1500,106 @@ object EventWindows {
     // (slope, d1, d2)) — SELECTION of one already-computed value, no
     // averaging, so the result is a single exact IEEE division
     // (y₂−y₁)/(d₂−d₁) identical in both engines (class A + exact-div).
+    // SPLIT-CONFORMAL PREDICTION INTERVAL (Vovk et al.; Lei et al.
+    // 2018) — distribution-free 90% intervals for a fitted model, the
+    // uncertainty layer the regression battery lacks: OLS value ~ hour
+    // fit on the Knuth-hash 80% split (decimal-exact moments, slope/
+    // intercept as identical IEEE chains), absolute residuals on the
+    // held-out 20%, and the conformal quantile = the
+    // ⌈0.9·(n_cal+1)⌉-th smallest residual by TYPE-1 SELECTION over
+    // the residual histogram (two-level bucketed rank — the
+    // q_mannwhitney_u shape; no corpus sort, no interpolation: the
+    // selected value is one already-computed double). Calibration
+    // coverage ships as exact ppm and is ≥ 900000 BY CONSTRUCTION of
+    // the selection rank (spec-asserted). Scale: one moment agg + one
+    // residual map scan + bounded-frame windows. Class B + exact
+    // selection.
+    QDef("q_conformal_interval",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_id"), hour(col("ts")).cast("long").as("x"),
+            col("value").as("y"))
+          .withColumn("is_train",
+            pmod(col("event_id") * lit(2654435761L),
+              lit(4294967296L)) % 100 < 80)
+          .localCheckpoint(true) // moment agg + residual scan share it
+        val fit = ev.filter(col("is_train"))
+          .agg(count(lit(1)).as("n_train"),
+            dsum(col("x").cast("double")).as("sx"), dsum(col("y")).as("sy"),
+            dsum((col("x") * col("x")).cast("double")).as("sxx"),
+            dsum(col("x").cast("double") * col("y")).as("sxy"))
+          .withColumn("slope",
+            expr("(CAST(n_train AS DOUBLE) * sxy - sx * sy)" +
+              " / (CAST(n_train AS DOUBLE) * sxx - sx * sx)"))
+          .withColumn("icept", expr("(sy - slope * sx) / n_train"))
+          .select(col("n_train"), col("slope"), col("icept"))
+        val hist = ev.filter(!col("is_train"))
+          .crossJoin(broadcast(fit))
+          .select(expr("abs(y - (icept + slope * x))").as("r"))
+          .groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+          .withColumn("bkt", floor(col("r")).cast("long"))
+          .localCheckpoint(true) // bucket totals + in-bucket windows
+        val wB = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bktCum = hist.groupBy(col("bkt")).agg(sum(col("cnt")).as("bc"))
+          .withColumn("cum_b", coalesce(sum(col("bc")).over(wB), lit(0L)))
+          .select(col("bkt"), col("cum_b"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nCal = hist.agg(sum(col("cnt")).as("n_cal"))
+          .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+        val sel = hist.withColumn("in_c", sum(col("cnt")).over(wIn))
+          .join(broadcast(bktCum), Seq("bkt"))
+          .crossJoin(broadcast(nCal))
+          .withColumn("cum", col("cum_b") + col("in_c"))
+          .filter(col("cum") >= col("k"))
+          .orderBy(col("r")).limit(1)
+          .select(col("r").as("q90"), col("cum").as("n_le_q"))
+        fit.crossJoin(broadcast(nCal)).crossJoin(broadcast(sel))
+          .select(col("n_train"), col("n_cal"), col("k"),
+            round(col("slope"), 6).as("slope_r6"),
+            round(col("icept"), 6).as("icept_r6"),
+            round(col("q90"), 6).as("q90_halfwidth"),
+            expr("n_le_q * 1000000 div n_cal").as("cal_cov_ppm"))
+      },
+      Some(s"""WITH ev AS (SELECT event_id,
+            CAST(hour(ts) AS BIGINT) AS x, value AS y,
+            (event_id * 2654435761) % 4294967296 % 100 < 80 AS is_train
+          FROM events),
+        fit0 AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+            ${sqlDsum("x")} AS sx, ${sqlDsum("y")} AS sy,
+            ${sqlDsum("x * x")} AS sxx, ${sqlDsum("x * y")} AS sxy
+          FROM ev WHERE is_train),
+        fit1 AS (SELECT n_train,
+            (CAST(n_train AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n_train AS DOUBLE) * sxx - sx * sx) AS slope,
+            sx, sy FROM fit0),
+        fit AS (SELECT n_train, slope,
+            (sy - slope * sx) / n_train AS icept FROM fit1),
+        hist AS (SELECT r, CAST(count(*) AS BIGINT) AS cnt,
+            CAST(floor(r) AS BIGINT) AS bkt
+          FROM (SELECT abs(y - (icept + slope * x)) AS r
+            FROM ev CROSS JOIN fit WHERE NOT is_train)
+          GROUP BY r),
+        bc AS (SELECT bkt, CAST(COALESCE(sum(bc2) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_b
+          FROM (SELECT bkt, CAST(sum(cnt) AS BIGINT) AS bc2
+            FROM hist GROUP BY bkt)),
+        nc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cal,
+            CAST((9 * (sum(cnt) + 1) + 9) // 10 AS BIGINT) AS k
+          FROM hist),
+        sel AS (SELECT r AS q90, cum AS n_le_q FROM (
+            SELECT h.r, cum_b + CAST(sum(cnt) OVER (PARTITION BY h.bkt
+              ORDER BY h.r ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS BIGINT) AS cum
+            FROM hist h JOIN bc ON h.bkt = bc.bkt) CROSS JOIN nc
+          WHERE cum >= k ORDER BY r LIMIT 1)
+        SELECT n_train, n_cal, k, round(slope, 6) AS slope_r6,
+          round(icept, 6) AS icept_r6, round(q90, 6) AS q90_halfwidth,
+          CAST(n_le_q * 1000000 // n_cal AS BIGINT) AS cal_cov_ppm
+        FROM fit CROSS JOIN nc CROSS JOIN sel""")),
+
     // KAPLAN–MEIER SURVIVAL — the time-to-event operator the
     // funnel/retention battery lacks (product-limit estimator, Kaplan
     // & Meier 1958): subject = user, origin = first event, event =

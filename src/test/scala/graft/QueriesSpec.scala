@@ -2120,6 +2120,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(lam > 0, "top eigenvalue of a covariance matrix is positive")
   }
 
+  test("wave-r11 q_conformal_interval: split + fit + selection replay, " +
+    "guaranteed calibration coverage") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    def d6(x: Double): Double = {
+      val b = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      b.doubleValue
+    }
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_id"), hour(col("ts")).cast("long"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def train(id: Long) = ((id * 2654435761L) % 4294967296L) % 100 < 80
+    val tr = ev.filter(e => train(e._1)); val cal = ev.filterNot(e => train(e._1))
+    val n = tr.length.toDouble
+    // decimal-exact sums as the engine's dsum does (round each term to
+    // the 1e-6 grid, sum exactly)
+    def ds(vs: Seq[Double]): Double =
+      vs.map(v => BigDecimal(d6(v))).sum.toDouble
+    val sx = ds(tr.map(_._2.toDouble)); val sy = ds(tr.map(_._3))
+    val sxx = ds(tr.map(e => (e._2 * e._2).toDouble))
+    val sxy = ds(tr.map(e => e._2.toDouble * e._3))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val rs = cal.map(e => math.abs(e._3 - (icept + slope * e._2))).sorted
+    val nCal = rs.length.toLong
+    val k = (9 * (nCal + 1) + 9) / 10
+    val q90 = rs((k - 1).toInt)
+    val nLeQ = rs.count(_ <= q90).toLong
+    val got = run("q_conformal_interval").head()
+    assert(got.getLong(0) == tr.length.toLong && got.getLong(1) == nCal)
+    assert(got.getLong(2) == k, "conformal rank k = ceil(0.9 (n+1))")
+    assert(got.getDouble(3) == d6(slope) && got.getDouble(4) == d6(icept),
+      "fit replay")
+    assert(got.getDouble(5) == d6(q90), "type-1 selected quantile replay")
+    assert(got.getLong(6) == nLeQ * 1000000L / nCal)
+    assert(got.getLong(6) >= 900000L,
+      "conformal calibration coverage must hold by construction")
+  }
+
   test("wave-r11 q_survival_km: product-limit replay, risk-set algebra") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
