@@ -382,7 +382,10 @@ object ScaleProof {
       // windows; the skew profiler is one (profile, key) hash-agg +
       // bounded size-histogram windows
       "q_wordpiece_merges", "q_pca_power", "q_survival_km",
-      "q_skew_profile")
+      "q_skew_profile",
+      // conformal = one moment agg + one residual map scan + bounded
+      // histogram windows (the selection never sorts the corpus)
+      "q_conformal_interval")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -2432,13 +2432,18 @@ object Llm {
       (s, d) => {
         val e = embeddings(s, d)
         // nlist ≈ √n from parquet footer stats (the topkApproxAuto /
-        // TUNING bits-from-n rule): per-query candidates then scale as
-        // nprobe·√n, not n/nlist-at-16 — measured 122 → ~14 s at the
-        // 10× corpus; nprobe grows with nlist to hold probed mass
+        // TUNING bits-from-n rule) with CONSTANT nprobe: per-query
+        // candidates then scale as nprobe·√n. The first cut grew
+        // nprobe with nlist (nprobe = nlist/8) to hold probed MASS —
+        // which silently makes candidates n/8 per query, quadratic in
+        // total: measured 657.8 s / 180 GB spill at the 100× corpus.
+        // A fixed nprobe = 8 restores the √n bound (3% of cells at
+        // nlist = 256) at equal-or-better recall than the measured
+        // floors (more probes than the 4/5 the floors were set under).
         val n = graft.tables.Tables.rowCount(s, d, "embeddings")
         val nlist = math.max(16, math.min(256,
           math.ceil(math.sqrt(n.toDouble)).toInt))
-        val nprobe = math.max(4, nlist / 8)
+        val nprobe = 8
         val approx = graft.llm.VectorIvf.topkApprox(e, "vec_id",
             "embedding", k = 4, nlist = nlist, nprobe = nprobe,
             trainFraction = 0.2)
@@ -2481,9 +2486,9 @@ object Llm {
             (col("n_labeled") === col("n_nodes") &&
               col("n_distinct") === col("n_nodes")).cast("long")
               .as("partition_ok"),
-            // measured k-recall@4 at the √n operating point: 0.455 at
-            // sf0.001, 0.535 at sf0.01, 0.450 at sf0.1, 1.000 at the
-            // replicated 10× corpus → floor 0.30 (~0.15 under weakest)
+            // measured k-recall@4 at (√n nlist, nprobe = 8): 0.615 at
+            // sf0.001, 0.705 at sf0.01, 0.555 at sf0.1, 1.000 at the
+            // replicated 10× corpus → floor 0.30 (~0.25 under weakest)
             (col("mean_hit") >= 0.30).cast("long").as("floor_ok"))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_nodes,

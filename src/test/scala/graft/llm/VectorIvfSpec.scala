@@ -83,13 +83,12 @@ class VectorIvfSpec extends AnyFunSuite {
     // graph rebuilt from the same engine path: the approx graph must be
     // nonempty and recover a healthy fraction of true mutual edges —
     // the graph-level recall the invariant row's per-list floor implies
-    // same √n operating point as the declared query
+    // same √n operating point as the declared query (constant nprobe)
     val nQ = full.count()
     val nlist = math.max(16, math.min(256,
       math.ceil(math.sqrt(nQ.toDouble)).toInt))
     val approx = VectorIvf.topkApprox(full, "vec_id", "embedding",
-      k = 4, nlist = nlist, nprobe = math.max(4, nlist / 8),
-      trainFraction = 0.2)
+      k = 4, nlist = nlist, nprobe = 8, trainFraction = 0.2)
       .select(col("q_id"), col("c_id"))
     def mutualOf(knn: org.apache.spark.sql.DataFrame) = knn.as("f")
       .join(knn.as("r"), col("f.q_id") === col("r.c_id") &&
