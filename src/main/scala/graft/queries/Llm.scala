@@ -181,6 +181,83 @@ object Llm {
   private[graft] def docSampleNibbleSql(idExpr: String): String =
     s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1)"
 
+  /** Shared integer Lloyd k-means (q_kmeans_lloyd / q_semantic_dedup):
+    * e6-quantized first-8-dim vectors, 8 centroids seeded from the 8
+    * lowest vec_ids, 3 assign/update rounds with BIGINT argmin (ties →
+    * lowest centroid) and truncating-mean updates — both engines (and
+    * the spec replay) walk the identical trajectory. Returns the final
+    * assignment frame (vec_id, q0..q7, ck, dist). */
+  private val kmDims = 8
+  private val kmK = 8
+  private val kmIters = 3
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d).select(
+      col("vec_id") +: (0 until kmDims).map(i =>
+        round(element_at(col("embedding"), i + 1).cast("double")
+          * lit(1000000), 0).cast("long").as(s"q$i")): _*)
+      .localCheckpoint(true)
+    var cent = q.filter(col("vec_id") < kmK)
+      .select(col("vec_id").as("ck") +:
+        (0 until kmDims).map(i => col(s"q$i").as(s"m$i")): _*)
+    val dist = (0 until kmDims)
+      .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
+      .reduce(_ + _)
+    def assign(c: DataFrame) =
+      q.crossJoin(broadcast(c))
+        .withColumn("dist", dist)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id"))
+            .orderBy(col("dist"), col("ck"))))
+        .filter(col("rk") === 1)
+    for (_ <- 1 to kmIters) {
+      val mCols = (0 until kmDims).map(i =>
+        expr(s"sum(q$i) div count(1)").as(s"m$i"))
+      cent = assign(cent).groupBy(col("ck"))
+        .agg(mCols.head, mCols.tail: _*)
+        .localCheckpoint(true)
+    }
+    assign(cent)
+  }
+
+  /** DuckDB mirror of [[kmeansAssign]]: CTEs `x` (quantized vectors)
+    * through `fin` (vec_id, ck, dist) — shared by both k-means-backed
+    * oracles so the trajectories cannot drift. */
+  private val kmeansCtePrelude: String = {
+    val qDefs = (0 until kmDims).map(i =>
+      s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
+        s" AS BIGINT) AS q$i").mkString(", ")
+    val qList = (0 until kmDims).map(i => s"q$i").mkString(", ")
+    def distSql(v: String, c: String) = (0 until kmDims)
+      .map(i => s"($v.q$i - $c.m$i) * ($v.q$i - $c.m$i)").mkString(" + ")
+    def assignCte(name: String, prev: String) =
+      s"""$name AS (SELECT vec_id, ck, $qList, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, ck) AS rk FROM (
+            SELECT v.vec_id, c.ck, ${(0 until kmDims)
+        .map(i => s"v.q$i").mkString(", ")},
+              ${distSql("v", "c")} AS dist
+            FROM x v CROSS JOIN $prev c))
+        WHERE rk = 1)"""
+    def updateCte(name: String, prev: String) =
+      s"""$name AS (SELECT ck, ${(0 until kmDims)
+        .map(i => s"sum(q$i) // count(*) AS m$i").mkString(", ")}
+        FROM $prev GROUP BY ck)"""
+    val rounds = (1 to kmIters).flatMap(r => Seq(
+      assignCte(s"a$r", s"c${r - 1}"),
+      updateCte(s"c$r", s"a$r"))).mkString(",\n        ")
+    s"""x AS (SELECT vec_id, $qDefs FROM embeddings),
+        c0 AS (SELECT vec_id AS ck, ${(0 until kmDims)
+      .map(i => s"q$i AS m$i").mkString(", ")} FROM x WHERE vec_id < $kmK),
+        $rounds,
+        fin AS (SELECT vec_id, ck, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist, ck) AS rk FROM (
+              SELECT v.vec_id, c.ck, ${distSql("v", "c")} AS dist
+              FROM x v CROSS JOIN c$kmIters c))
+          WHERE rk = 1)"""
+  }
+
   /** Shared body of q_setsim_prefix_join / q_setsim_prefix_sampled: the
     * AllPairs/PPJoin prefix-filtered set-similarity join, with an optional
     * pair-sampling predicate applied AT THE CANDIDATE JOIN — upstream of
@@ -1246,7 +1323,8 @@ object Llm {
         ORDER BY dim""")
     }),
 
-    // Lloyd k-means as a DECLARED, oracle-checkable iterative query —
+    // Lloyd k-means as a DECLARED, oracle-checkable iterative query
+    // (shared kmeansAssign machinery with q_semantic_dedup below) —
     // k=8 centroids over the first 8 dims, 3 assign/update rounds.
     // Integer-exact end to end: vectors quantize once onto the 1e-6
     // grid, assignment is BIGINT argmin (ties → lowest centroid id),
@@ -1257,81 +1335,91 @@ object Llm {
     // Scale: each round is one broadcast-k crossJoin + one hash agg —
     // the canonical Spark k-means profile; per-round localCheckpoint
     // truncates lineage exactly like the connected-components fixpoint.
-    QDef("q_kmeans_lloyd", {
-      val dims = 8; val k = 8; val iters = 3
-      val fn: Q.Fn = (s, d) => {
-        val q = embeddings(s, d).select(
-          col("vec_id") +: (0 until dims).map(i =>
-            round(element_at(col("embedding"), i + 1).cast("double")
-              * lit(1000000), 0).cast("long").as(s"q$i")): _*)
-          .localCheckpoint(true)
-        var cent = q.filter(col("vec_id") < k)
-          .select(col("vec_id").as("ck") +:
-            (0 until dims).map(i => col(s"q$i").as(s"m$i")): _*)
-        val dist = (0 until dims)
-          .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
-          .reduce(_ + _)
-        def assign(c: org.apache.spark.sql.DataFrame) =
-          q.crossJoin(broadcast(c))
-            .withColumn("dist", dist)
-            .withColumn("rk", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("vec_id"))
-                .orderBy(col("dist"), col("ck"))))
-            .filter(col("rk") === 1)
-        for (_ <- 1 to iters) {
-          val mCols = (0 until dims).map(i =>
-            expr(s"sum(q$i) div count(1)").as(s"m$i"))
-          cent = assign(cent).groupBy(col("ck"))
-            .agg(mCols.head, mCols.tail: _*)
-            .localCheckpoint(true)
-        }
-        assign(cent).groupBy(col("ck"))
-          .agg(count(lit(1)).as("n"),
-            expr("CAST(sum(CAST(dist AS DECIMAL(38,0))) div count(1)" +
-              " AS BIGINT)").as("mean_dist2"))
-          .select(col("ck").as("k"), col("n"), col("mean_dist2"))
-          .orderBy(col("k"))
-      }
-      fn
-    }, {
-      val dims = 8; val k = 8; val iters = 3
-      val qDefs = (0 until dims).map(i =>
-        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
-          s" AS BIGINT) AS q$i").mkString(", ")
-      val qList = (0 until dims).map(i => s"q$i").mkString(", ")
-      def distSql(v: String, c: String) = (0 until dims)
-        .map(i => s"($v.q$i - $c.m$i) * ($v.q$i - $c.m$i)").mkString(" + ")
-      def assignCte(name: String, prev: String) =
-        s"""$name AS (SELECT vec_id, ck, $qList, dist FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id
-              ORDER BY dist, ck) AS rk FROM (
-              SELECT v.vec_id, c.ck, ${(0 until dims)
-          .map(i => s"v.q$i").mkString(", ")},
-                ${distSql("v", "c")} AS dist
-              FROM x v CROSS JOIN $prev c))
-          WHERE rk = 1)"""
-      def updateCte(name: String, prev: String) =
-        s"""$name AS (SELECT ck, ${(0 until dims)
-          .map(i => s"sum(q$i) // count(*) AS m$i").mkString(", ")}
-          FROM $prev GROUP BY ck)"""
-      val rounds = (1 to iters).flatMap(r => Seq(
-        assignCte(s"a$r", s"c${r - 1}"),
-        updateCte(s"c$r", s"a$r"))).mkString(",\n        ")
-      Some(s"""WITH x AS (SELECT vec_id, $qDefs FROM embeddings),
-        c0 AS (SELECT vec_id AS ck, ${(0 until dims)
-          .map(i => s"q$i AS m$i").mkString(", ")} FROM x WHERE vec_id < $k),
-        $rounds,
-        fin AS (SELECT vec_id, ck, dist FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id
-              ORDER BY dist, ck) AS rk FROM (
-              SELECT v.vec_id, c.ck, ${distSql("v", "c")} AS dist
-              FROM x v CROSS JOIN c$iters c))
-          WHERE rk = 1)
+    QDef("q_kmeans_lloyd",
+      (s, d) => kmeansAssign(s, d).groupBy(col("ck"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(dist AS DECIMAL(38,0))) div count(1)" +
+            " AS BIGINT)").as("mean_dist2"))
+        .select(col("ck").as("k"), col("n"), col("mean_dist2"))
+        .orderBy(col("k")),
+      Some(s"""WITH $kmeansCtePrelude
         SELECT ck AS k, count(*) AS n,
           CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist2
-        FROM fin GROUP BY ck ORDER BY k""")
-    }),
+        FROM fin GROUP BY ck ORDER BY k""")),
+
+    // SEMANTIC DEDUP SCREEN (SemDeDup, Abbas et al. 2023) — embedding-
+    // space redundancy the token-level families cannot see: partition
+    // the corpus with the DECLARED integer k-means (the exact
+    // q_kmeans_lloyd trajectory — shared kmeansAssign/kmeansCtePrelude
+    // machinery, so the clustering and the dedup can never drift),
+    // then screen WITHIN each semantic cluster for the most redundant
+    // pair: all within-cluster cosines on the e6-quantized vectors
+    // (exact integer dot/norms; one identical IEEE sqrt/÷ chain,
+    // rounded once), per-cluster argmax under the (cos desc, id_a,
+    // id_b) total order. This corpus has no semantic near-dups (max
+    // pairwise cosine 0.51 over the full 64 dims — measured; the 8-dim
+    // screening projection inflates cosines to ~0.9-0.98, which is
+    // why SemDeDup thresholds are calibrated per embedding space), so
+    // the declared output is the per-cluster screening REPORT (size +
+    // top pair + its cosine) rather than a thresholded pair list that
+    // would be honestly empty; the SemDeDup production action applies
+    // a threshold to exactly this frame. Scale: the pair fan is
+    // bounded by cell population (k ≈ n/target_cell keeps cells
+    // constant — the paper's design); the cluster sizes come from the
+    // one assignment pass. Pair replay + cluster-agreement in-spec.
+    QDef("q_semantic_dedup",
+      (s, d) => {
+        val asg = kmeansAssign(s, d)
+          .withColumn("n2", (0 until kmDims)
+            .map(i => col(s"q$i") * col(s"q$i")).reduce(_ + _))
+          .localCheckpoint(true) // both pair sides + sizes read it
+        val pairs = asg.as("a").join(asg.as("b"),
+            col("a.ck") === col("b.ck") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.ck").as("ck"), col("a.vec_id").as("id_a"),
+            col("b.vec_id").as("id_b"),
+            (0 until kmDims).map(i => col(s"a.q$i") * col(s"b.q$i"))
+              .reduce(_ + _).as("dot"),
+            col("a.n2").as("na2"), col("b.n2").as("nb2"))
+          .withColumn("cos_r6",
+            expr("round(CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE))" +
+              " * sqrt(CAST(nb2 AS DOUBLE))), 6)"))
+        val wTop = Window.partitionBy(col("ck"))
+          .orderBy(col("cos_r6").desc, col("id_a"), col("id_b"))
+        val top = pairs.withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") === 1)
+          .select(col("ck"), col("id_a"), col("id_b"), col("cos_r6"))
+        asg.groupBy(col("ck")).agg(count(lit(1)).as("n_members"))
+          .join(top, Seq("ck"), "left")
+          .select(col("ck").as("cluster"), col("n_members"),
+            col("id_a"), col("id_b"), col("cos_r6").as("top_cos"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH $kmeansCtePrelude,
+        xa AS (SELECT f.vec_id, f.ck, ${(0 until kmDims)
+          .map(i => s"x.q$i").mkString(", ")},
+            ${(0 until kmDims).map(i => s"x.q$i * x.q$i")
+          .mkString(" + ")} AS n2
+          FROM fin f JOIN x ON f.vec_id = x.vec_id),
+        prs AS (SELECT a.ck, a.vec_id AS id_a, b.vec_id AS id_b,
+            ${(0 until kmDims).map(i => s"a.q$i * b.q$i")
+          .mkString(" + ")} AS dot,
+            a.n2 AS na2, b.n2 AS nb2
+          FROM xa a JOIN xa b
+            ON a.ck = b.ck AND a.vec_id < b.vec_id),
+        scored AS (SELECT ck, id_a, id_b,
+            round(CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE))
+              * sqrt(CAST(nb2 AS DOUBLE))), 6) AS cos_r6
+          FROM prs),
+        top AS (SELECT ck, id_a, id_b, cos_r6 FROM (
+            SELECT *, row_number() OVER (PARTITION BY ck
+              ORDER BY cos_r6 DESC, id_a, id_b) AS rk FROM scored)
+          WHERE rk = 1),
+        sz AS (SELECT ck, count(*) AS n_members FROM fin GROUP BY ck)
+        SELECT sz.ck AS cluster, n_members, id_a, id_b,
+          cos_r6 AS top_cos
+        FROM sz LEFT JOIN top ON sz.ck = top.ck
+        ORDER BY cluster""")),
 
     // Set-similarity join via PREFIX FILTERING (AllPairs/PPJoin,
     // Bayardo et al. WWW'07): the lossless alternative to LSH candidate

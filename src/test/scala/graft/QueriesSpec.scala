@@ -2079,6 +2079,66 @@ class QueriesSpec extends AnyFunSuite {
     assert(bt == bb, "burst stream twin must equal the batch episodes")
   }
 
+  test("wave-r11 q_semantic_dedup: shared k-means trajectory, " +
+    "per-cluster top-pair replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    val rows = run("q_semantic_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    // cluster sizes must agree with the declared k-means query's own
+    // rollup — the shared-machinery identity
+    val km = run("q_kmeans_lloyd").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(r => (r._1, r._2)).toMap == km,
+      "semantic-dedup cluster sizes must equal q_kmeans_lloyd's")
+    // full JVM replay: quantize, walk the identical Lloyd trajectory,
+    // enumerate within-cluster pairs, argmax the rounded cosine
+    def d6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(8).map(f =>
+        new java.math.BigDecimal(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toArray).sortBy(_._1)
+    var cents: Seq[(Long, Array[Long])] = vecs.take(8)
+      .map { case (id, q2) => (id, q2.clone) }.toSeq
+    def assign(): Map[Long, Long] = vecs.map { case (id, q2) =>
+      id -> cents.map { case (ck, m) =>
+        ((0 until 8).map(i => (q2(i) - m(i)) * (q2(i) - m(i))).sum, ck)
+      }.min._2
+    }.toMap
+    (1 to 3).foreach { _ =>
+      val a = assign()
+      cents = a.values.toSeq.distinct.sorted.map { ck =>
+        val members = vecs.filter(v => a(v._1) == ck)
+        ck -> Array.tabulate(8)(i =>
+          members.map(_._2(i)).sum / members.length)
+      }
+    }
+    val a = assign()
+    val byCluster = vecs.groupBy(v => a(v._1))
+    val expect = byCluster.toSeq.map { case (ck, ms) =>
+      val pairs = for {
+        x <- ms; y <- ms if x._1 < y._1
+      } yield {
+        val dot = (0 until 8).map(i => x._2(i) * y._2(i)).sum
+        val na = math.sqrt((0 until 8).map(i => x._2(i) * x._2(i)).sum
+          .toDouble)
+        val nb = math.sqrt((0 until 8).map(i => y._2(i) * y._2(i)).sum
+          .toDouble)
+        (x._1, y._1, d6(dot.toDouble / (na * nb)))
+      }
+      val best = pairs.minBy(p => (-p._3, p._1, p._2))
+      (ck, ms.length.toLong, Some(best._1), Some(best._2), Some(best._3))
+    }.sortBy(_._1)
+    assert(rows == expect, s"semantic-dedup replay diverged")
+  }
+
   test("wave-r11 q_pca_power: full integer power-iteration replay") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
