@@ -385,7 +385,12 @@ object ScaleProof {
       "q_skew_profile",
       // conformal = one moment agg + one residual map scan + bounded
       // histogram windows (the selection never sorts the corpus)
-      "q_conformal_interval")
+      "q_conformal_interval",
+      // semantic dedup rides the shared k-means assignment (broadcast
+      // codebook scans); the within-cluster pair fan is bounded by
+      // cell population — on the replicated corpus cells hold the dup
+      // groups, the designed worst case
+      "q_semantic_dedup")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
