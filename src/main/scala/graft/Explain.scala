@@ -62,7 +62,16 @@ object Explain {
       // post-join Filter (no BNLJ); hits three edge equi-joins + hash
       // aggs; the bootstrap ONE hash-agg over the broadcast 32-rep fan
       "q_mannwhitney_u", "q_dbscan_core", "q_hits_scores",
-      "q_bootstrap_poisson")
+      "q_bootstrap_poisson",
+      // round-11: the FDR battery must keep each family's fan shape
+      // (32-rep broadcast fan into one hash-agg; pair-broadcast tag
+      // joins; bucket-partitioned rank windows) with the 210-row
+      // step-up window at the top; the unigram trainer a broadcast
+      // composition-table equi-join per round (no DP recursion); the
+      // knn graph an IVF cell equi-join + mutual self-join; semantic
+      // dedup a cluster-key self-join below the per-cluster window
+      "q_fdr_bh", "q_unigram_lm", "q_knn_graph_clusters",
+      "q_semantic_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -390,7 +390,9 @@ object ScaleProof {
       // codebook scans); the within-cluster pair fan is bounded by
       // cell population — on the replicated corpus cells hold the dup
       // groups, the designed worst case
-      "q_semantic_dedup")
+      "q_semantic_dedup",
+      // DID is ONE per-user conditional agg + a 4-cell rollup
+      "q_did_effect")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -2725,6 +2725,105 @@ object EventWindows {
           CAST((count(*) * 1000000) // max(n) AS BIGINT) AS w_ppm
         FROM strat GROUP BY stratum ORDER BY stratum""")),
 
+    // DIFFERENCE-IN-DIFFERENCES — the causal battery's parallel-trends
+    // estimator beside CUPED (variance reduction), SRM (integrity),
+    // and the stratified effect (confounding): per-user pre/post value
+    // sums (the CUPED decimal-exact machinery and its 2024-01-16
+    // split), Knuth 80/20 arms (the q_ab_srm assignment), DID =
+    // (T̄post − T̄pre) − (C̄post − C̄pre) over user-level means as
+    // UNROUNDED exact divisions (the JM midpoint lesson), rounded once
+    // at emission. A PLACEBO DID re-runs the identical estimator
+    // entirely inside the pre period (split 2024-01-08) — the standard
+    // parallel-trends falsification. No treatment exists in this
+    // synthetic corpus, so BOTH estimates are null noise (neither
+    // bounds the other — the spec replays the estimator exactly and
+    // checks only the algebra, never a magnitude the null does not
+    // promise).
+    // One map-side-combinable per-user agg + a 4-cell rollup: the
+    // 100 TB shape is a single scan. Class B + exact-div.
+    QDef("q_did_effect",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val split = lit("2024-01-16").cast("timestamp")
+        val psplit = lit("2024-01-08").cast("timestamp")
+        val arm = pmod(col("user_id") * lit(2654435761L),
+          lit(4294967296L)) % 100 < 80
+        val per = events(s, d).groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts") < split, col("value")).otherwise(0.0)
+              .cast(Dec)).as("pre"),
+            sum(when(col("ts") >= split, col("value")).otherwise(0.0)
+              .cast(Dec)).as("post"),
+            sum(when(col("ts") < psplit, col("value")).otherwise(0.0)
+              .cast(Dec)).as("ppre"),
+            sum(when(col("ts") >= psplit && col("ts") < split,
+              col("value")).otherwise(0.0).cast(Dec)).as("ppost"))
+          .withColumn("t", arm.cast("long"))
+        per.groupBy(col("t"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("pre")).as("sp"), sum(col("post")).as("sq"),
+            sum(col("ppre")).as("spp"), sum(col("ppost")).as("spq"))
+          .agg(
+            sum(when(col("t") === 1, col("n"))).as("n_t"),
+            sum(when(col("t") === 0, col("n"))).as("n_c"),
+            sum(when(col("t") === 1, col("sp"))).as("sp_t"),
+            sum(when(col("t") === 1, col("sq"))).as("sq_t"),
+            sum(when(col("t") === 0, col("sp"))).as("sp_c"),
+            sum(when(col("t") === 0, col("sq"))).as("sq_c"),
+            sum(when(col("t") === 1, col("spp"))).as("pp_t"),
+            sum(when(col("t") === 1, col("spq"))).as("pq_t"),
+            sum(when(col("t") === 0, col("spp"))).as("pp_c"),
+            sum(when(col("t") === 0, col("spq"))).as("pq_c"))
+          .select(col("n_t"), col("n_c"),
+            expr("""round((CAST(sq_t AS DOUBLE) / n_t
+                - CAST(sp_t AS DOUBLE) / n_t)
+              - (CAST(sq_c AS DOUBLE) / n_c
+                - CAST(sp_c AS DOUBLE) / n_c), 6)""").as("did_r6"),
+            expr("""round((CAST(pq_t AS DOUBLE) / n_t
+                - CAST(pp_t AS DOUBLE) / n_t)
+              - (CAST(pq_c AS DOUBLE) / n_c
+                - CAST(pp_c AS DOUBLE) / n_c), 6)""")
+              .as("placebo_did_r6"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            CAST((user_id * 2654435761) % 4294967296 % 100 < 80
+              AS BIGINT) AS t,
+            sum(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value
+              ELSE 0.0 END AS DECIMAL(30,6))) AS pre,
+            sum(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+              ELSE 0.0 END AS DECIMAL(30,6))) AS post,
+            sum(CAST(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN value
+              ELSE 0.0 END AS DECIMAL(30,6))) AS ppre,
+            sum(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                AND ts < TIMESTAMP '2024-01-16' THEN value
+              ELSE 0.0 END AS DECIMAL(30,6))) AS ppost
+          FROM events GROUP BY user_id),
+        g AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+            sum(pre) AS sp, sum(post) AS sq,
+            sum(ppre) AS spp, sum(ppost) AS spq
+          FROM per GROUP BY t)
+        SELECT
+          CAST(sum(CASE WHEN t = 1 THEN n END) AS BIGINT) AS n_t,
+          CAST(sum(CASE WHEN t = 0 THEN n END) AS BIGINT) AS n_c,
+          round((CAST(sum(CASE WHEN t = 1 THEN sq END) AS DOUBLE)
+              / sum(CASE WHEN t = 1 THEN n END)
+            - CAST(sum(CASE WHEN t = 1 THEN sp END) AS DOUBLE)
+              / sum(CASE WHEN t = 1 THEN n END))
+            - (CAST(sum(CASE WHEN t = 0 THEN sq END) AS DOUBLE)
+              / sum(CASE WHEN t = 0 THEN n END)
+            - CAST(sum(CASE WHEN t = 0 THEN sp END) AS DOUBLE)
+              / sum(CASE WHEN t = 0 THEN n END)), 6) AS did_r6,
+          round((CAST(sum(CASE WHEN t = 1 THEN spq END) AS DOUBLE)
+              / sum(CASE WHEN t = 1 THEN n END)
+            - CAST(sum(CASE WHEN t = 1 THEN spp END) AS DOUBLE)
+              / sum(CASE WHEN t = 1 THEN n END))
+            - (CAST(sum(CASE WHEN t = 0 THEN spq END) AS DOUBLE)
+              / sum(CASE WHEN t = 0 THEN n END)
+            - CAST(sum(CASE WHEN t = 0 THEN spp END) AS DOUBLE)
+              / sum(CASE WHEN t = 0 THEN n END)), 6)
+            AS placebo_did_r6
+        FROM g""")),
+
     QDef("q_abtest_cuped",
       (s, d) => {
         val Dec = org.apache.spark.sql.types.DecimalType(30, 6)

@@ -2221,6 +2221,45 @@ class QueriesSpec extends AnyFunSuite {
       "conformal calibration coverage must hold by construction")
   }
 
+  test("wave-r11 q_did_effect: four-cell estimator replay") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    def d6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def arm(u: Long) = ((u * 2654435761L) % 4294967296L) % 100 < 80
+    val splitUs = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      .toEpochMilli * 1000L
+    val psplitUs = java.time.Instant.parse("2024-01-08T00:00:00Z")
+      .toEpochMilli * 1000L
+    // per-user decimal-exact period sums (round each value to the
+    // 1e-6 grid, sum exactly), as the engine's DECIMAL(30,6) cast does
+    def per(pred: ((Long, Long, Double)) => Boolean): Map[Long, BigDecimal] =
+      ev.groupBy(_._1).map { case (u, rows) =>
+        u -> rows.filter(pred).map(r => BigDecimal(d6(r._3))).sum }
+    val pre = per(_._2 < splitUs); val post = per(_._2 >= splitUs)
+    val ppre = per(_._2 < psplitUs)
+    val ppost = per(r => r._2 >= psplitUs && r._2 < splitUs)
+    val users = ev.map(_._1).distinct
+    def cells(m: Map[Long, BigDecimal], t: Boolean): (Double, Long) = {
+      val us = users.filter(u => arm(u) == t)
+      (us.map(u => m(u)).sum.toDouble, us.length.toLong)
+    }
+    def did(a: Map[Long, BigDecimal], b: Map[Long, BigDecimal]): Double = {
+      val (sqT, nT) = cells(b, true); val (spT, _) = cells(a, true)
+      val (sqC, nC) = cells(b, false); val (spC, _) = cells(a, false)
+      d6((sqT / nT - spT / nT) - (sqC / nC - spC / nC))
+    }
+    val got = run("q_did_effect").head()
+    assert(got.getLong(0) == users.count(arm) &&
+      got.getLong(1) == users.count(u => !arm(u)))
+    assert(got.getDouble(2) == did(pre, post), "DID replay")
+    assert(got.getDouble(3) == did(ppre, ppost), "placebo DID replay")
+  }
+
   test("wave-r11 q_survival_km: product-limit replay, risk-set algebra") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
