@@ -258,6 +258,112 @@ object Llm {
           WHERE rk = 1)"""
   }
 
+  // ---- PCA family shared machinery (q_pca_power / q_pca_deflate /
+  // q_pca_whiten) — integer power iteration on the exact covariance of
+  // the e6-quantized first 8 embedding dims. Everything below is exact
+  // integer arithmetic replayed verbatim by the DuckDB CTE builders, so
+  // the three queries walk the identical eigenvector trajectory.
+  private val pcaDims = 8
+
+  /** Exact integer covariance, both triangles: one 44-moment map-side
+    * agg over the corpus, then a_ij = (n·p_ij − s_i·s_j) div n² on the
+    * constant 8×8 frame (checkpointed — every matvec round reads it). */
+  private def pcaCovFull(s: SparkSession, d: String): DataFrame = {
+    val xCols = (0 until pcaDims).map(i =>
+      round(element_at(col("embedding"), i + 1).cast("double")
+        * lit(1000000), 0).cast("long").as(s"x$i"))
+    val base = embeddings(s, d).select(xCols: _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (0 until pcaDims).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+      (for { i <- 0 until pcaDims; j <- i until pcaDims }
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j"))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val entries = (for { i <- 0 until pcaDims; j <- i until pcaDims }
+      yield s"$i, $j, p${i}_$j, s$i, s$j").mkString(", ")
+    val cov = m.selectExpr("n",
+        s"stack(${pcaDims * (pcaDims + 1) / 2}, $entries)" +
+          " AS (i, j, pij, si, sj)")
+      .select(col("i"), col("j"),
+        expr("(CAST(n AS DECIMAL(38,0)) * pij" +
+          " - CAST(si AS DECIMAL(38,0)) * sj)" +
+          " div (CAST(n AS DECIMAL(38,0)) * n)").as("a"))
+    cov.unionAll(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("a")))
+      .localCheckpoint(true)
+  }
+
+  private def pcaMatvec(aFull: DataFrame, x: DataFrame): DataFrame =
+    aFull.join(x.select(col("i").as("j"), col("x")), "j")
+      .groupBy(col("i"))
+      .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+        .as("y"))
+
+  /** Deterministic div-rescale: iterate entries back under ~1e6 so the
+    * next matvec cannot overflow (mechanical overflow guard — the
+    * q_eigen_centrality lesson). */
+  private def pcaRescale(y: DataFrame): DataFrame = {
+    val sc = y.agg(max(abs(col("y"))).as("m"))
+      .select(expr("CAST(m div 1000000 + 1 AS DECIMAL(38,0))").as("sc"))
+    y.crossJoin(broadcast(sc))
+      .select(col("i"), expr("CAST(y div sc AS BIGINT)").as("x"))
+  }
+
+  /** Three power-iteration rounds from the all-ones start: returns
+    * (x2 rescaled iterate, y3 = A·x2 checkpointed, λ_pico Rayleigh
+    * quotient as a 1-row frame). */
+  private def pcaChain(aFull: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val x0 = aFull.select(col("i")).distinct()
+      .select(col("i"), lit(1L).as("x"))
+    val x1 = pcaRescale(pcaMatvec(aFull, x0)).localCheckpoint(true)
+    val x2 = pcaRescale(pcaMatvec(aFull, x1)).localCheckpoint(true)
+    val x3 = pcaMatvec(aFull, x2)
+      .select(col("i"), expr("CAST(y AS DECIMAL(38,0))").as("y"))
+      .localCheckpoint(true)
+    val lam = x3.join(x2.select(col("i"), col("x")), "i")
+      .agg(expr("CAST(sum(y * x) div sum(CAST(x AS DECIMAL(38,0)) * x)" +
+        " AS BIGINT)").as("lam_pico"))
+    (x2, x3, lam)
+  }
+
+  /** DuckDB mirror of [[pcaCovFull]]: CTEs `x`, `m`, `covu`, `af`. */
+  private val pcaCovCte: String = {
+    val xDefs = (0 until pcaDims).map(i =>
+      s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
+        s" AS BIGINT) AS x$i").mkString(", ")
+    val sDefs = (0 until pcaDims).map(i => s"sum(x$i) AS s$i").mkString(", ")
+    val pDefs = (for { i <- 0 until pcaDims; j <- i until pcaDims }
+      yield s"sum(x$i * x$j) AS p${i}_$j").mkString(", ")
+    val covUnions = (for { i <- 0 until pcaDims; j <- i until pcaDims } yield
+      s"SELECT $i AS i, $j AS j, (CAST(n AS HUGEINT) * p${i}_$j" +
+        s" - CAST(s$i AS HUGEINT) * s$j) // (CAST(n AS HUGEINT) * n)" +
+        s" AS a FROM m").mkString(" UNION ALL ")
+    s"""x AS (SELECT $xDefs FROM embeddings),
+        m AS MATERIALIZED (SELECT count(*) AS n, $sDefs, $pDefs FROM x),
+        covu AS ($covUnions),
+        af AS MATERIALIZED (SELECT i, j, a FROM covu
+          UNION ALL SELECT j, i, a FROM covu WHERE i <> j)"""
+  }
+
+  /** DuckDB mirror of [[pcaChain]] over matrix CTE `$af`: defines
+    * `${p}x0..${p}y3` plus `${p}lam(lam_pico)` — the prefix lets the
+    * deflated second chain coexist with the first in one WITH list. */
+  private def pcaChainCte(af: String, p: String): String =
+    s"""${p}x0 AS (SELECT DISTINCT i, CAST(1 AS HUGEINT) AS x FROM $af),
+        ${p}y1 AS MATERIALIZED (SELECT $af.i, sum(CAST(a AS HUGEINT) * ${p}x0.x) AS y
+          FROM $af JOIN ${p}x0 ON $af.j = ${p}x0.i GROUP BY $af.i),
+        ${p}s1 AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM ${p}y1),
+        ${p}x1 AS MATERIALIZED (SELECT i, y // sc AS x FROM ${p}y1 CROSS JOIN ${p}s1),
+        ${p}y2 AS MATERIALIZED (SELECT $af.i, sum(CAST(a AS HUGEINT) * ${p}x1.x) AS y
+          FROM $af JOIN ${p}x1 ON $af.j = ${p}x1.i GROUP BY $af.i),
+        ${p}s2 AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM ${p}y2),
+        ${p}x2 AS MATERIALIZED (SELECT i, y // sc AS x FROM ${p}y2 CROSS JOIN ${p}s2),
+        ${p}y3 AS MATERIALIZED (SELECT $af.i, sum(CAST(a AS HUGEINT) * ${p}x2.x) AS y
+          FROM $af JOIN ${p}x2 ON $af.j = ${p}x2.i GROUP BY $af.i),
+        ${p}lam AS MATERIALIZED (SELECT CAST(sum(${p}y3.y * ${p}x2.x)
+            // sum(CAST(${p}x2.x AS HUGEINT) * ${p}x2.x) AS BIGINT)
+            AS lam_pico
+          FROM ${p}y3 JOIN ${p}x2 USING (i))"""
+
   /** Shared body of q_setsim_prefix_join / q_setsim_prefix_sampled: the
     * AllPairs/PPJoin prefix-filtered set-similarity join, with an optional
     * pair-sampling predicate applied AT THE CANDIDATE JOIN — upstream of
@@ -1233,95 +1339,111 @@ object Llm {
     // products (class A, no float anywhere). Scale: the corpus is
     // touched ONCE by the 44-moment map-side agg; the matvecs run on
     // the constant 8×8 frame. JVM power-iteration replay in-spec.
-    QDef("q_pca_power", {
-      val dims = 8
-      val fn: Q.Fn = (s, d) => {
-        val xCols = (0 until dims).map(i =>
-          round(element_at(col("embedding"), i + 1).cast("double")
-            * lit(1000000), 0).cast("long").as(s"x$i"))
-        val base = embeddings(s, d).select(xCols: _*)
-        val aggs = Seq(count(lit(1)).as("n")) ++
-          (0 until dims).map(i => sum(col(s"x$i")).as(s"s$i")) ++
-          (for { i <- 0 until dims; j <- i until dims }
-            yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j"))
-        val m = base.agg(aggs.head, aggs.tail: _*)
-        val entries = (for { i <- 0 until dims; j <- i until dims }
-          yield s"$i, $j, p${i}_$j, s$i, s$j").mkString(", ")
-        val cov = m.selectExpr("n",
-            s"stack(${dims * (dims + 1) / 2}, $entries) AS (i, j, pij, si, sj)")
-          .select(col("i"), col("j"),
-            expr("(CAST(n AS DECIMAL(38,0)) * pij" +
-              " - CAST(si AS DECIMAL(38,0)) * sj)" +
-              " div (CAST(n AS DECIMAL(38,0)) * n)").as("a"))
-        val aFull = cov.unionAll(cov.filter(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("a")))
-          .localCheckpoint(true) // three matvec rounds read it
-        def matvec(x: org.apache.spark.sql.DataFrame) =
-          aFull.join(x.select(col("i").as("j"), col("x")), "j")
-            .groupBy(col("i"))
-            .agg(expr("CAST(sum(CAST(a AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
-              .as("y"))
-        def rescale(y: org.apache.spark.sql.DataFrame) = {
-          val sc = y.agg(max(abs(col("y"))).as("m"))
-            .select(expr("CAST(m div 1000000 + 1 AS DECIMAL(38,0))").as("sc"))
-          y.crossJoin(broadcast(sc))
-            .select(col("i"), expr("CAST(y div sc AS BIGINT)").as("x"))
-        }
-        val x0 = cov.select(col("i")).distinct()
-          .select(col("i"), lit(1L).as("x"))
-        val x1 = rescale(matvec(x0)).localCheckpoint(true)
-        val x2 = rescale(matvec(x1)).localCheckpoint(true)
-        val x3 = matvec(x2)
-          .select(col("i"), expr("CAST(y AS DECIMAL(38,0))").as("y"))
-          .localCheckpoint(true)
-        val lam = x3.join(x2.select(col("i"), col("x")), "i")
-          .agg(expr("CAST(sum(y * x) div sum(CAST(x AS DECIMAL(38,0)) * x)" +
-            " AS BIGINT)").as("lam_pico"))
+    QDef("q_pca_power",
+      (s, d) => {
+        val aFull = pcaCovFull(s, d)
+        val (_, x3, lam) = pcaChain(aFull)
         val mx = x3.agg(max(abs(col("y"))).as("m3"))
         x3.crossJoin(broadcast(mx)).crossJoin(broadcast(lam))
           .select(col("i").cast("long").as("dim"),
             expr("CAST((y * 1000000) div m3 AS BIGINT)").as("loading_ppm"),
             col("lam_pico"))
           .orderBy(col("dim"))
-      }
-      fn
-    }, {
-      val dims = 8
-      val xDefs = (0 until dims).map(i =>
-        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
-          s" AS BIGINT) AS x$i").mkString(", ")
-      val sDefs = (0 until dims).map(i => s"sum(x$i) AS s$i").mkString(", ")
-      val pDefs = (for { i <- 0 until dims; j <- i until dims }
-        yield s"sum(x$i * x$j) AS p${i}_$j").mkString(", ")
-      val covUnions = (for { i <- 0 until dims; j <- i until dims } yield
-        s"SELECT $i AS i, $j AS j, (CAST(n AS HUGEINT) * p${i}_$j" +
-          s" - CAST(s$i AS HUGEINT) * s$j) // (CAST(n AS HUGEINT) * n)" +
-          s" AS a FROM m").mkString(" UNION ALL ")
-      Some(s"""WITH x AS (SELECT $xDefs FROM embeddings),
-        m AS (SELECT count(*) AS n, $sDefs, $pDefs FROM x),
-        covu AS ($covUnions),
-        af AS (SELECT i, j, a FROM covu
-          UNION ALL SELECT j, i, a FROM covu WHERE i <> j),
-        x0 AS (SELECT DISTINCT i, CAST(1 AS HUGEINT) AS x FROM af),
-        y1 AS (SELECT af.i, sum(CAST(a AS HUGEINT) * x0.x) AS y
-          FROM af JOIN x0 ON af.j = x0.i GROUP BY af.i),
-        s1 AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM y1),
-        x1 AS (SELECT i, y // sc AS x FROM y1 CROSS JOIN s1),
-        y2 AS (SELECT af.i, sum(CAST(a AS HUGEINT) * x1.x) AS y
-          FROM af JOIN x1 ON af.j = x1.i GROUP BY af.i),
-        s2 AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM y2),
-        x2 AS (SELECT i, y // sc AS x FROM y2 CROSS JOIN s2),
-        y3 AS (SELECT af.i, sum(CAST(a AS HUGEINT) * x2.x) AS y
-          FROM af JOIN x2 ON af.j = x2.i GROUP BY af.i),
-        lam AS (SELECT CAST(sum(y3.y * x2.x)
-            // sum(CAST(x2.x AS HUGEINT) * x2.x) AS BIGINT) AS lam_pico
-          FROM y3 JOIN x2 USING (i)),
+      },
+      Some(s"""WITH $pcaCovCte,
+        ${pcaChainCte("af", "")},
         m3 AS (SELECT max(abs(y)) AS m3 FROM y3)
         SELECT CAST(i AS BIGINT) AS dim,
           CAST((y * 1000000) // m3 AS BIGINT) AS loading_ppm, lam_pico
         FROM y3 CROSS JOIN m3 CROSS JOIN lam
-        ORDER BY dim""")
-    }),
+        ORDER BY dim""")),
+
+    // PCA SECOND COMPONENT BY DEFLATION — the round-12 candidate riding
+    // q_pca_power's machinery (shared pcaCovFull/pcaChain, so the first
+    // component can never drift between the two queries): rescale the
+    // converged first iterate v₁ back under ~1e6 (the overflow guard
+    // doubles as the deflation scale), deflate A′ = A − λ₁·v₁v₁ᵀ/v₁ᵀv₁
+    // entirely in integer arithmetic (one div per cell on the constant
+    // 8×8 frame), and re-run the identical three-round power chain on
+    // A′. Output carries both loadings, both eigenvalues, and the
+    // components' cosine in r6 — the orthogonality certificate, bounded
+    // by the power-iteration residual: deflation annihilates v₁ exactly
+    // only at convergence, and this corpus's near-isotropic spectrum
+    // (λ₂/λ₁ ≈ 0.92 at sf0.1) converges slowly, so |cos| is small but
+    // nonzero (0.069 at sf0.1; asserted < 0.1 in-spec alongside the
+    // full BigInt trajectory replay). Scale: the corpus is touched by ONE
+    // 44-moment map-side agg (shared with q_pca_power); everything
+    // after is 8×8-constant — the literal 100 TB PCA plan. Class A.
+    QDef("q_pca_deflate",
+      (s, d) => {
+        val aFull = pcaCovFull(s, d)
+        val (_, x3a, lam1) = pcaChain(aFull)
+        val v1 = pcaRescale(x3a.select(col("i"), col("y")))
+          .localCheckpoint(true) // deflation reads it twice (i and j side)
+        val vtv = v1.agg(expr(
+          "CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+          .as("vtv"))
+        val af2 = aFull
+          .join(v1.select(col("i"), col("x").as("vi")), "i")
+          .join(v1.select(col("i").as("j"), col("x").as("vj")), "j")
+          .crossJoin(broadcast(lam1)).crossJoin(broadcast(vtv))
+          .select(col("i"), col("j"),
+            expr("CAST(CAST(a AS DECIMAL(38,0))" +
+              " - (CAST(lam_pico AS DECIMAL(38,0)) * vi * vj) div vtv" +
+              " AS DECIMAL(38,0))").as("a"))
+          .localCheckpoint(true) // second chain's three matvecs read it
+        val (_, x3b, lam2r) = pcaChain(af2)
+        val lam2 = lam2r.withColumnRenamed("lam_pico", "lam2_pico")
+        val mxa = x3a.agg(max(abs(col("y"))).as("m3"))
+        val l1 = x3a.crossJoin(broadcast(mxa))
+          .select(col("i"),
+            expr("CAST((y * 1000000) div m3 AS BIGINT)").as("l1_ppm"))
+        val mxb = x3b.agg(max(abs(col("y"))).as("m3"))
+        val l2 = x3b.crossJoin(broadcast(mxb))
+          .select(col("i"),
+            expr("CAST((y * 1000000) div m3 AS BIGINT)").as("l2_ppm"))
+        val both = l1.join(l2, "i").localCheckpoint(true) // ortho + output
+        val ortho = both.agg(
+          expr("""round(CAST(sum(l1_ppm * l2_ppm) AS DOUBLE)
+              / (sqrt(CAST(sum(l1_ppm * l1_ppm) AS DOUBLE))
+                 * sqrt(CAST(sum(l2_ppm * l2_ppm) AS DOUBLE))), 6)""")
+            .as("ortho_cos_r6"))
+        both.crossJoin(broadcast(lam1)).crossJoin(broadcast(lam2))
+          .crossJoin(broadcast(ortho))
+          .select(col("i").cast("long").as("dim"),
+            col("l1_ppm"), col("l2_ppm"),
+            col("lam_pico").as("lam1_pico"), col("lam2_pico"),
+            col("ortho_cos_r6"))
+          .orderBy(col("dim"))
+      },
+      Some(s"""WITH $pcaCovCte,
+        ${pcaChainCte("af", "")},
+        v1sc AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM y3),
+        v1 AS MATERIALIZED (SELECT i, y // sc AS x FROM y3 CROSS JOIN v1sc),
+        vtv AS MATERIALIZED (SELECT sum(CAST(x AS HUGEINT) * x) AS vtv FROM v1),
+        af2 AS MATERIALIZED (SELECT af.i, af.j,
+            CAST(a AS HUGEINT)
+              - (CAST(lam_pico AS HUGEINT) * va.x * vb.x) // vtv AS a
+          FROM af JOIN v1 va ON af.i = va.i JOIN v1 vb ON af.j = vb.i
+          CROSS JOIN lam CROSS JOIN vtv),
+        ${pcaChainCte("af2", "d")},
+        m3a AS (SELECT max(abs(y)) AS m3 FROM y3),
+        m3b AS (SELECT max(abs(y)) AS m3 FROM dy3),
+        l1 AS (SELECT i, CAST((y * 1000000) // m3 AS BIGINT) AS l1_ppm
+          FROM y3 CROSS JOIN m3a),
+        l2 AS (SELECT i, CAST((y * 1000000) // m3 AS BIGINT) AS l2_ppm
+          FROM dy3 CROSS JOIN m3b),
+        ortho AS (SELECT round(CAST(sum(l1_ppm * l2_ppm) AS DOUBLE)
+            / (sqrt(CAST(sum(l1_ppm * l1_ppm) AS DOUBLE))
+               * sqrt(CAST(sum(l2_ppm * l2_ppm) AS DOUBLE))), 6)
+            AS ortho_cos_r6
+          FROM l1 JOIN l2 USING (i))
+        SELECT CAST(i AS BIGINT) AS dim, l1_ppm, l2_ppm,
+          CAST(lam.lam_pico AS BIGINT) AS lam1_pico,
+          CAST(dlam.lam_pico AS BIGINT) AS lam2_pico, ortho_cos_r6
+        FROM l1 JOIN l2 USING (i)
+        CROSS JOIN lam CROSS JOIN dlam CROSS JOIN ortho
+        ORDER BY dim""")),
 
     // Lloyd k-means as a DECLARED, oracle-checkable iterative query
     // (shared kmeansAssign machinery with q_semantic_dedup below) —
