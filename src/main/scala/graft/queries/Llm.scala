@@ -268,11 +268,15 @@ object Llm {
   /** Exact integer covariance, both triangles: one 44-moment map-side
     * agg over the corpus, then a_ij = (n·p_ij − s_i·s_j) div n² on the
     * constant 8×8 frame (checkpointed — every matvec round reads it). */
-  private def pcaCovFull(s: SparkSession, d: String): DataFrame = {
-    val xCols = (0 until pcaDims).map(i =>
+  /** The e6-quantized first-8-dim frame (x0..x7) — the one corpus scan
+    * the moment agg and the whitening score scan share. */
+  private def pcaQuant(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select((0 until pcaDims).map(i =>
       round(element_at(col("embedding"), i + 1).cast("double")
-        * lit(1000000), 0).cast("long").as(s"x$i"))
-    val base = embeddings(s, d).select(xCols: _*)
+        * lit(1000000), 0).cast("long").as(s"x$i")): _*)
+
+  private def pcaCovFull(s: SparkSession, d: String): DataFrame = {
+    val base = pcaQuant(s, d)
     val aggs = Seq(count(lit(1)).as("n")) ++
       (0 until pcaDims).map(i => sum(col(s"x$i")).as(s"s$i")) ++
       (for { i <- 0 until pcaDims; j <- i until pcaDims }
