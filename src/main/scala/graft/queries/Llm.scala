@@ -265,22 +265,28 @@ object Llm {
   // the three queries walk the identical eigenvector trajectory.
   private val pcaDims = 8
 
-  /** Exact integer covariance, both triangles: one 44-moment map-side
-    * agg over the corpus, then a_ij = (n·p_ij − s_i·s_j) div n² on the
-    * constant 8×8 frame (checkpointed — every matvec round reads it). */
   /** The e6-quantized first-8-dim frame (x0..x7) — the one corpus scan
-    * the moment agg and the whitening score scan share. */
+    * the moment agg and q_pca_whiten's projection scan share. */
   private def pcaQuant(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select((0 until pcaDims).map(i =>
       round(element_at(col("embedding"), i + 1).cast("double")
         * lit(1000000), 0).cast("long").as(s"x$i")): _*)
 
+  /** Exact integer covariance, both triangles: one 44-moment map-side
+    * agg over the corpus, then a_ij = (n·p_ij − s_i·s_j) div n² on the
+    * constant 8×8 frame (checkpointed — every matvec round reads it).
+    * The x_i·x_j products are summed as DECIMAL(38,0), not Long: with
+    * |x| up to 1e6 each product reaches ~1e12, so a Long sum would wrap
+    * silently past ~9e6 rows while the DuckDB mirror auto-promotes to
+    * HUGEINT — the decimal cast keeps the engines aligned at any row
+    * count instead of only below the wrap point. */
   private def pcaCovFull(s: SparkSession, d: String): DataFrame = {
     val base = pcaQuant(s, d)
     val aggs = Seq(count(lit(1)).as("n")) ++
       (0 until pcaDims).map(i => sum(col(s"x$i")).as(s"s$i")) ++
       (for { i <- 0 until pcaDims; j <- i until pcaDims }
-        yield sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j"))
+        yield sum(col(s"x$i").cast("decimal(38,0)") * col(s"x$j"))
+          .as(s"p${i}_$j"))
     val m = base.agg(aggs.head, aggs.tail: _*)
     val entries = (for { i <- 0 until pcaDims; j <- i until pcaDims }
       yield s"$i, $j, p${i}_$j, s$i, s$j").mkString(", ")
@@ -313,9 +319,10 @@ object Llm {
   }
 
   /** Three power-iteration rounds from the all-ones start: returns
-    * (x2 rescaled iterate, y3 = A·x2 checkpointed, λ_pico Rayleigh
-    * quotient as a 1-row frame). */
-  private def pcaChain(aFull: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    * (y3 = A·x2 checkpointed, λ_pico Rayleigh quotient as a 1-row
+    * frame). The intermediate iterates stay internal — callers consume
+    * only the converged direction and its eigenvalue. */
+  private def pcaChain(aFull: DataFrame): (DataFrame, DataFrame) = {
     val x0 = aFull.select(col("i")).distinct()
       .select(col("i"), lit(1L).as("x"))
     val x1 = pcaRescale(pcaMatvec(aFull, x0)).localCheckpoint(true)
@@ -326,7 +333,39 @@ object Llm {
     val lam = x3.join(x2.select(col("i"), col("x")), "i")
       .agg(expr("CAST(sum(y * x) div sum(CAST(x AS DECIMAL(38,0)) * x)" +
         " AS BIGINT)").as("lam_pico"))
-    (x2, x3, lam)
+    (x3, lam)
+  }
+
+  /** Deflated matrix A′ = A − λ₁·v₁v₁ᵀ/v₁ᵀv₁ entirely in integer
+    * arithmetic (one div per cell on the constant 8×8 frame); v₁ is the
+    * converged first iterate rescaled back under ~1e6 (the overflow
+    * guard doubles as the deflation scale). Shared by q_pca_deflate and
+    * q_pca_whiten so the second component cannot drift between them. */
+  private def pcaDeflate(aFull: DataFrame, x3a: DataFrame,
+      lam1: DataFrame): DataFrame = {
+    val v1 = pcaRescale(x3a.select(col("i"), col("y")))
+      .localCheckpoint(true) // deflation reads it twice (i and j side)
+    val vtv = v1.agg(expr(
+      "CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+      .as("vtv"))
+    aFull
+      .join(v1.select(col("i"), col("x").as("vi")), "i")
+      .join(v1.select(col("i").as("j"), col("x").as("vj")), "j")
+      .crossJoin(broadcast(lam1)).crossJoin(broadcast(vtv))
+      .select(col("i"), col("j"),
+        expr("CAST(CAST(a AS DECIMAL(38,0))" +
+          " - (CAST(lam_pico AS DECIMAL(38,0)) * vi * vj) div vtv" +
+          " AS DECIMAL(38,0))").as("a"))
+      .localCheckpoint(true) // second chain's three matvecs read it
+  }
+
+  /** Loadings of a converged iterate, ppm-normalized by max |entry|:
+    * (i, <name>) — the family's one output normalization. */
+  private def pcaLoadPpm(x3: DataFrame, name: String): DataFrame = {
+    val mx = x3.agg(max(abs(col("y"))).as("m3"))
+    x3.crossJoin(broadcast(mx))
+      .select(col("i"),
+        expr("CAST((y * 1000000) div m3 AS BIGINT)").as(name))
   }
 
   /** DuckDB mirror of [[pcaCovFull]]: CTEs `x`, `m`, `covu`, `af`. */
@@ -367,6 +406,19 @@ object Llm {
             // sum(CAST(${p}x2.x AS HUGEINT) * ${p}x2.x) AS BIGINT)
             AS lam_pico
           FROM ${p}y3 JOIN ${p}x2 USING (i))"""
+
+  /** DuckDB mirror of [[pcaDeflate]]: CTEs `v1sc`/`v1`/`vtv`/`af2` over
+    * the first chain's `y3`/`lam` and matrix `af` — shared verbatim by
+    * the q_pca_deflate and q_pca_whiten oracles. */
+  private val pcaDeflateCte: String =
+    """v1sc AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM y3),
+        v1 AS MATERIALIZED (SELECT i, y // sc AS x FROM y3 CROSS JOIN v1sc),
+        vtv AS MATERIALIZED (SELECT sum(CAST(x AS HUGEINT) * x) AS vtv FROM v1),
+        af2 AS MATERIALIZED (SELECT af.i, af.j,
+            CAST(a AS HUGEINT)
+              - (CAST(lam_pico AS HUGEINT) * va.x * vb.x) // vtv AS a
+          FROM af JOIN v1 va ON af.i = va.i JOIN v1 vb ON af.j = vb.i
+          CROSS JOIN lam CROSS JOIN vtv)"""
 
   /** Shared body of q_setsim_prefix_join / q_setsim_prefix_sampled: the
     * AllPairs/PPJoin prefix-filtered set-similarity join, with an optional
@@ -1346,7 +1398,7 @@ object Llm {
     QDef("q_pca_power",
       (s, d) => {
         val aFull = pcaCovFull(s, d)
-        val (_, x3, lam) = pcaChain(aFull)
+        val (x3, lam) = pcaChain(aFull)
         val mx = x3.agg(max(abs(col("y"))).as("m3"))
         x3.crossJoin(broadcast(mx)).crossJoin(broadcast(lam))
           .select(col("i").cast("long").as("dim"),
@@ -1381,31 +1433,12 @@ object Llm {
     QDef("q_pca_deflate",
       (s, d) => {
         val aFull = pcaCovFull(s, d)
-        val (_, x3a, lam1) = pcaChain(aFull)
-        val v1 = pcaRescale(x3a.select(col("i"), col("y")))
-          .localCheckpoint(true) // deflation reads it twice (i and j side)
-        val vtv = v1.agg(expr(
-          "CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
-          .as("vtv"))
-        val af2 = aFull
-          .join(v1.select(col("i"), col("x").as("vi")), "i")
-          .join(v1.select(col("i").as("j"), col("x").as("vj")), "j")
-          .crossJoin(broadcast(lam1)).crossJoin(broadcast(vtv))
-          .select(col("i"), col("j"),
-            expr("CAST(CAST(a AS DECIMAL(38,0))" +
-              " - (CAST(lam_pico AS DECIMAL(38,0)) * vi * vj) div vtv" +
-              " AS DECIMAL(38,0))").as("a"))
-          .localCheckpoint(true) // second chain's three matvecs read it
-        val (_, x3b, lam2r) = pcaChain(af2)
+        val (x3a, lam1) = pcaChain(aFull)
+        val af2 = pcaDeflate(aFull, x3a, lam1)
+        val (x3b, lam2r) = pcaChain(af2)
         val lam2 = lam2r.withColumnRenamed("lam_pico", "lam2_pico")
-        val mxa = x3a.agg(max(abs(col("y"))).as("m3"))
-        val l1 = x3a.crossJoin(broadcast(mxa))
-          .select(col("i"),
-            expr("CAST((y * 1000000) div m3 AS BIGINT)").as("l1_ppm"))
-        val mxb = x3b.agg(max(abs(col("y"))).as("m3"))
-        val l2 = x3b.crossJoin(broadcast(mxb))
-          .select(col("i"),
-            expr("CAST((y * 1000000) div m3 AS BIGINT)").as("l2_ppm"))
+        val l1 = pcaLoadPpm(x3a, "l1_ppm")
+        val l2 = pcaLoadPpm(x3b, "l2_ppm")
         val both = l1.join(l2, "i").localCheckpoint(true) // ortho + output
         val ortho = both.agg(
           expr("""round(CAST(sum(l1_ppm * l2_ppm) AS DOUBLE)
@@ -1422,14 +1455,7 @@ object Llm {
       },
       Some(s"""WITH $pcaCovCte,
         ${pcaChainCte("af", "")},
-        v1sc AS (SELECT max(abs(y)) // 1000000 + 1 AS sc FROM y3),
-        v1 AS MATERIALIZED (SELECT i, y // sc AS x FROM y3 CROSS JOIN v1sc),
-        vtv AS MATERIALIZED (SELECT sum(CAST(x AS HUGEINT) * x) AS vtv FROM v1),
-        af2 AS MATERIALIZED (SELECT af.i, af.j,
-            CAST(a AS HUGEINT)
-              - (CAST(lam_pico AS HUGEINT) * va.x * vb.x) // vtv AS a
-          FROM af JOIN v1 va ON af.i = va.i JOIN v1 vb ON af.j = vb.i
-          CROSS JOIN lam CROSS JOIN vtv),
+        $pcaDeflateCte,
         ${pcaChainCte("af2", "d")},
         m3a AS (SELECT max(abs(y)) AS m3 FROM y3),
         m3b AS (SELECT max(abs(y)) AS m3 FROM dy3),
@@ -1448,6 +1474,131 @@ object Llm {
         FROM l1 JOIN l2 USING (i)
         CROSS JOIN lam CROSS JOIN dlam CROSS JOIN ortho
         ORDER BY dim""")),
+
+    // PCA WHITENING CERTIFICATE — the projection scan the family was
+    // built for: project every corpus row onto BOTH converged components
+    // (shared pcaCovFull/pcaChain/pcaDeflate — the components cannot
+    // drift from q_pca_power/q_pca_deflate), downscale the projection by
+    // 1e6 (|t| ≤ 8e12 pre-scale; the truncation is ppm-level on the
+    // score's own magnitude and identical in both engines), and emit the
+    // whitening identities as exact integers: var(t_k)·1e18 div
+    // (λ_k·|l_k|²) ≈ 1e6 ppm per component (variance along an eigen
+    // direction equals its eigenvalue — the ratio's distance from 1e6
+    // measures power-iteration residual, not noise), plus the projected
+    // components' correlation rounded at 6dp from sub-2^53 exact-integer
+    // moments (decorrelation is the other half of whitening). Precision
+    // budget: moments sum t² ≤ 6.4e13/row as DECIMAL(38,0) ⇒ n·q stays
+    // under 1e38 to ~1.8e11 rows, the same bound as the covariance agg.
+    // Scale: TWO corpus scans total (the shared 44-moment agg + this
+    // projection scan), both map-side aggs against broadcast 1-row
+    // frames; everything else is 8×8-constant. Class A + one round6
+    // double from exact ≤2^53 integers (the ortho_cos_r6 precedent).
+    QDef("q_pca_whiten",
+      (s, d) => {
+        val aFull = pcaCovFull(s, d)
+        val (x3a, lam1) = pcaChain(aFull)
+        val af2 = pcaDeflate(aFull, x3a, lam1)
+        val (x3b, lam2r) = pcaChain(af2)
+        val lam2 = lam2r.withColumnRenamed("lam_pico", "lam2_pico")
+        val l1 = pcaLoadPpm(x3a, "l_ppm")
+        val l2 = pcaLoadPpm(x3b, "l_ppm")
+        def pivot(l: DataFrame, p: String): DataFrame = {
+          val cs = (0 until pcaDims).map(dd =>
+            sum(when(col("i") === dd, col("l_ppm")).otherwise(lit(0L)))
+              .as(s"$p$dd"))
+          l.agg(cs.head, cs.tail: _*)
+        }
+        def dot(p: String) =
+          (0 until pcaDims).map(dd => s"$p$dd * x$dd").mkString(" + ")
+        val proj = pcaQuant(s, d)
+          .crossJoin(broadcast(pivot(l1, "a")))
+          .crossJoin(broadcast(pivot(l2, "b")))
+          .select(
+            expr(s"CAST((${dot("a")}) div 1000000 AS BIGINT)").as("t1"),
+            expr(s"CAST((${dot("b")}) div 1000000 AS BIGINT)").as("t2"))
+        val mom = proj.agg(
+          count(lit(1)).as("n"),
+          sum(col("t1").cast("decimal(38,0)")).as("st1"),
+          sum(col("t1").cast("decimal(38,0)") * col("t1")).as("q1"),
+          sum(col("t2").cast("decimal(38,0)")).as("st2"),
+          sum(col("t2").cast("decimal(38,0)") * col("t2")).as("q2"),
+          sum(col("t1").cast("decimal(38,0)") * col("t2")).as("c12"))
+        def ll(l: DataFrame, name: String): DataFrame =
+          l.agg(expr(
+            "CAST(sum(CAST(l_ppm AS DECIMAL(38,0)) * l_ppm)" +
+              " AS DECIMAL(38,0))").as(name))
+        val vr = mom.select(col("n"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * q1 - st1 * st1)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0))")
+            .as("var1"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * q2 - st2 * st2)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0))")
+            .as("var2"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * c12 - st1 * st2)" +
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0))")
+            .as("cov12"))
+        vr.crossJoin(broadcast(ll(l1, "ll1")))
+          .crossJoin(broadcast(ll(l2, "ll2")))
+          .crossJoin(broadcast(lam1)).crossJoin(broadcast(lam2))
+          .select(col("n").cast("long").as("n"),
+            expr("CAST((var1 * 1000000000000000000)" +
+              " div (CAST(lam_pico AS DECIMAL(38,0)) * ll1) AS BIGINT)")
+              .as("var1_ratio_ppm"),
+            expr("CAST((var2 * 1000000000000000000)" +
+              " div (CAST(lam2_pico AS DECIMAL(38,0)) * ll2) AS BIGINT)")
+              .as("var2_ratio_ppm"),
+            expr("round(CAST(cov12 AS DOUBLE)" +
+              " / sqrt(CAST(var1 AS DOUBLE) * CAST(var2 AS DOUBLE)), 6)")
+              .as("whiten_corr_r6"),
+            col("lam_pico").as("lam1_pico"), col("lam2_pico"))
+      },
+      Some(s"""WITH $pcaCovCte,
+        ${pcaChainCte("af", "")},
+        $pcaDeflateCte,
+        ${pcaChainCte("af2", "d")},
+        m3a AS (SELECT max(abs(y)) AS m3 FROM y3),
+        m3b AS (SELECT max(abs(y)) AS m3 FROM dy3),
+        l1 AS (SELECT i, CAST((y * 1000000) // m3 AS BIGINT) AS l_ppm
+          FROM y3 CROSS JOIN m3a),
+        l2 AS (SELECT i, CAST((y * 1000000) // m3 AS BIGINT) AS l_ppm
+          FROM dy3 CROSS JOIN m3b),
+        l1w AS (SELECT ${(0 until pcaDims).map(dd =>
+          s"sum(CASE WHEN i = $dd THEN l_ppm ELSE 0 END) AS a$dd")
+          .mkString(", ")} FROM l1),
+        l2w AS (SELECT ${(0 until pcaDims).map(dd =>
+          s"sum(CASE WHEN i = $dd THEN l_ppm ELSE 0 END) AS b$dd")
+          .mkString(", ")} FROM l2),
+        proj AS (SELECT
+            (${(0 until pcaDims).map(dd => s"a$dd * x$dd").mkString(" + ")})
+              // 1000000 AS t1,
+            (${(0 until pcaDims).map(dd => s"b$dd * x$dd").mkString(" + ")})
+              // 1000000 AS t2
+          FROM x CROSS JOIN l1w CROSS JOIN l2w),
+        mom AS (SELECT count(*) AS n,
+            sum(t1) AS st1, sum(t1 * t1) AS q1,
+            sum(t2) AS st2, sum(t2 * t2) AS q2,
+            sum(t1 * t2) AS c12 FROM proj),
+        ll AS (SELECT
+            (SELECT sum(CAST(l_ppm AS HUGEINT) * l_ppm) FROM l1) AS ll1,
+            (SELECT sum(CAST(l_ppm AS HUGEINT) * l_ppm) FROM l2) AS ll2),
+        vr AS (SELECT n,
+            (n * q1 - st1 * st1) // (CAST(n AS HUGEINT) * n) AS var1,
+            (n * q2 - st2 * st2) // (CAST(n AS HUGEINT) * n) AS var2,
+            (n * c12 - st1 * st2) // (CAST(n AS HUGEINT) * n) AS cov12
+          FROM mom)
+        SELECT CAST(n AS BIGINT) AS n,
+          CAST((var1 * 1000000000000000000)
+            // (CAST(lam.lam_pico AS HUGEINT) * ll1) AS BIGINT)
+            AS var1_ratio_ppm,
+          CAST((var2 * 1000000000000000000)
+            // (CAST(dlam.lam_pico AS HUGEINT) * ll2) AS BIGINT)
+            AS var2_ratio_ppm,
+          round(CAST(cov12 AS DOUBLE)
+            / sqrt(CAST(var1 AS DOUBLE) * CAST(var2 AS DOUBLE)), 6)
+            AS whiten_corr_r6,
+          CAST(lam.lam_pico AS BIGINT) AS lam1_pico,
+          CAST(dlam.lam_pico AS BIGINT) AS lam2_pico
+        FROM vr CROSS JOIN ll CROSS JOIN lam CROSS JOIN dlam""")),
 
     // Lloyd k-means as a DECLARED, oracle-checkable iterative query
     // (shared kmeansAssign machinery with q_semantic_dedup below) —

@@ -2245,6 +2245,83 @@ class QueriesSpec extends AnyFunSuite {
       "deflated component must be near-orthogonal to the first")
   }
 
+  test("wave-r12 q_pca_whiten: projection-moment replay, variance ratio " +
+    "near 1e6 ppm") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    val dims = 8
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).take(dims).map(f =>
+        new java.math.BigDecimal(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toArray)
+    val n = BigInt(vecs.length)
+    val s2 = Array.tabulate(dims)(i => BigInt(vecs.map(_(i)).sum))
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val pij = vecs.map(v => BigInt(v(i)) * v(j)).sum
+      (n * pij - s2(i) * s2(j)) / (n * n)
+    }
+    def matvec(a: Array[Array[BigInt]], x: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dims)(i => (0 until dims).map(j => a(i)(j) * x(j)).sum)
+    def rescale(y: Array[BigInt]): Array[BigInt] = {
+      val sc = y.map(_.abs).max / 1000000 + 1
+      y.map(_ / sc)
+    }
+    def chain(a: Array[Array[BigInt]]): (Array[BigInt], BigInt) = {
+      val x1 = rescale(matvec(a, Array.fill(dims)(BigInt(1))))
+      val x2 = rescale(matvec(a, x1))
+      val y3 = matvec(a, x2)
+      (y3, y3.zip(x2).map { case (p, q) => p * q }.sum /
+        x2.map(b => b * b).sum)
+    }
+    val (y3a, lam1) = chain(cov)
+    val v1 = rescale(y3a)
+    val vtv = v1.map(b => b * b).sum
+    val cov2 = Array.tabulate(dims, dims) { (i, j) =>
+      cov(i)(j) - (lam1 * v1(i) * v1(j)) / vtv
+    }
+    val (y3b, lam2) = chain(cov2)
+    val m3a = y3a.map(_.abs).max
+    val m3b = y3b.map(_.abs).max
+    val l1 = y3a.map(y => y * 1000000 / m3a)
+    val l2 = y3b.map(y => y * 1000000 / m3b)
+    // per-row projections, downscaled exactly as the engine (div 1e6)
+    val ts = vecs.map { v =>
+      val t1 = (0 until dims).map(i => l1(i) * v(i)).sum / 1000000
+      val t2 = (0 until dims).map(i => l2(i) * v(i)).sum / 1000000
+      (t1, t2)
+    }
+    val (st1, st2) = (ts.map(_._1).sum, ts.map(_._2).sum)
+    val q1 = ts.map(t => t._1 * t._1).sum
+    val q2 = ts.map(t => t._2 * t._2).sum
+    val c12 = ts.map(t => t._1 * t._2).sum
+    val var1 = (n * q1 - st1 * st1) / (n * n)
+    val var2 = (n * q2 - st2 * st2) / (n * n)
+    val cov12 = (n * c12 - st1 * st2) / (n * n)
+    val ll1 = l1.map(v => v * v).sum
+    val ll2 = l2.map(v => v * v).sum
+    val r1 = (var1 * BigInt("1000000000000000000") / (lam1 * ll1)).toLong
+    val r2 = (var2 * BigInt("1000000000000000000") / (lam2 * ll2)).toLong
+    def d6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val corr = d6(cov12.toDouble /
+      math.sqrt(var1.toDouble * var2.toDouble))
+    val got = run("q_pca_whiten").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val expect = Seq((n.toLong, r1, r2, corr, lam1.toLong, lam2.toLong))
+    assert(got == expect, s"whiten replay diverged: $got != $expect")
+    // the whitening identity: variance along an eigen direction equals
+    // its eigenvalue, so each ratio sits near 1e6 ppm up to the
+    // power-iteration residual (flat spectrum ⇒ percent-level, not ppm)
+    assert(math.abs(r1 - 1000000L) < 100000, s"var1 ratio off: $r1")
+    assert(math.abs(r2 - 1000000L) < 100000, s"var2 ratio off: $r2")
+    assert(math.abs(corr) < 0.5,
+      "projected components must be far from collinear")
+  }
+
   test("wave-r11 q_conformal_interval: split + fit + selection replay, " +
     "guaranteed calibration coverage") {
     import org.apache.spark.sql.functions._
