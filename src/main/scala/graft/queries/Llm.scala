@@ -190,13 +190,14 @@ object Llm {
   private val kmDims = 8
   private val kmK = 8
   private val kmIters = 3
-  private def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+  private def kmeansAssign(s: SparkSession, d: String,
+      k: Long = kmK): DataFrame = {
     val q = embeddings(s, d).select(
       col("vec_id") +: (0 until kmDims).map(i =>
         round(element_at(col("embedding"), i + 1).cast("double")
           * lit(1000000), 0).cast("long").as(s"q$i")): _*)
       .localCheckpoint(true)
-    var cent = q.filter(col("vec_id") < kmK)
+    var cent = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("ck") +:
         (0 until kmDims).map(i => col(s"q$i").as(s"m$i")): _*)
     val dist = (0 until kmDims)
@@ -222,8 +223,10 @@ object Llm {
 
   /** DuckDB mirror of [[kmeansAssign]]: CTEs `x` (quantized vectors)
     * through `fin` (vec_id, ck, dist) — shared by both k-means-backed
-    * oracles so the trajectories cannot drift. */
-  private val kmeansCtePrelude: String = {
+    * oracles so the trajectories cannot drift. `kExpr` is the centroid
+    * count as a SQL expression (a literal for q_kmeans_lloyd, a scalar
+    * subquery over `x` for q_semantic_dedup's auto-k point). */
+  private def kmeansCte(kExpr: String): String = {
     val qDefs = (0 until kmDims).map(i =>
       s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
         s" AS BIGINT) AS q$i").mkString(", ")
@@ -248,7 +251,7 @@ object Llm {
       updateCte(s"c$r", s"a$r"))).mkString(",\n        ")
     s"""x AS (SELECT vec_id, $qDefs FROM embeddings),
         c0 AS (SELECT vec_id AS ck, ${(0 until kmDims)
-      .map(i => s"q$i AS m$i").mkString(", ")} FROM x WHERE vec_id < $kmK),
+      .map(i => s"q$i AS m$i").mkString(", ")} FROM x WHERE vec_id < $kExpr),
         $rounds,
         fin AS (SELECT vec_id, ck, dist FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -257,6 +260,26 @@ object Llm {
               FROM x v CROSS JOIN c$kmIters c))
           WHERE rk = 1)"""
   }
+  private val kmeansCtePrelude: String = kmeansCte(kmK.toString)
+
+  /** SemDeDup operating point (VERDICT r11 directive 4): k ≈ n /
+    * target-cell so the expected within-cluster pair fan stays constant
+    * as the corpus grows — the paper's own production rule, folded into
+    * the operator the way q_knn_graph_clusters carries its √n point.
+    * n comes from parquet footer statistics (no Spark job); the floor
+    * keeps the small-SF trajectory identical to q_kmeans_lloyd's k=8. */
+  private val semTargetCell = 200L
+  private def semK(s: SparkSession, d: String): Long =
+    // SPARK_GRAFT_SEM_K: measurement-only override (ScaleProof's
+    // fixed-k-vs-auto-k comparison rows in TUNING.md); the oracle knows
+    // nothing of it, so correctness runs must leave it unset.
+    sys.env.get("SPARK_GRAFT_SEM_K").map(_.toLong).getOrElse(
+      math.max(kmK.toLong,
+        graft.tables.Tables.rowCount(s, d, "embeddings") / semTargetCell))
+  /** Oracle form of [[semK]]: a scalar subquery over the quantized CTE
+    * `x`, so both engines derive k from the same corpus. */
+  private val semKSql: String =
+    s"(SELECT greatest($kmK, count(*) // $semTargetCell) FROM x)"
 
   // ---- PCA family shared machinery (q_pca_power / q_pca_deflate /
   // q_pca_whiten) — integer power iteration on the exact covariance of
@@ -1640,13 +1663,17 @@ object Llm {
     // the declared output is the per-cluster screening REPORT (size +
     // top pair + its cosine) rather than a thresholded pair list that
     // would be honestly empty; the SemDeDup production action applies
-    // a threshold to exactly this frame. Scale: the pair fan is
-    // bounded by cell population (k ≈ n/target_cell keeps cells
-    // constant — the paper's design); the cluster sizes come from the
-    // one assignment pass. Pair replay + cluster-agreement in-spec.
+    // a threshold to exactly this frame. Scale: the operator CARRIES
+    // its operating point — k = max(8, n div 200) from parquet footer
+    // stats (semK; the oracle derives the same k by scalar subquery),
+    // so the expected cell population is capped at ~200 and the
+    // within-cluster pair fan stays constant as the corpus grows (the
+    // SemDeDup paper's k ≈ n/target_cell rule; the fixed-k n²/k worst
+    // case is kept as a measured TUNING row, not as the shipped
+    // shape). Pair replay + cell-boundedness law in-spec.
     QDef("q_semantic_dedup",
       (s, d) => {
-        val asg = kmeansAssign(s, d)
+        val asg = kmeansAssign(s, d, semK(s, d))
           .withColumn("n2", (0 until kmDims)
             .map(i => col(s"q$i") * col(s"q$i")).reduce(_ + _))
           .localCheckpoint(true) // both pair sides + sizes read it
@@ -1672,7 +1699,7 @@ object Llm {
             col("id_a"), col("id_b"), col("cos_r6").as("top_cos"))
           .orderBy(col("cluster"))
       },
-      Some(s"""WITH $kmeansCtePrelude,
+      Some(s"""WITH ${kmeansCte(semKSql)},
         xa AS (SELECT f.vec_id, f.ck, ${(0 until kmDims)
           .map(i => s"x.q$i").mkString(", ")},
             ${(0 until kmDims).map(i => s"x.q$i * x.q$i")

@@ -2139,6 +2139,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows == expect, s"semantic-dedup replay diverged")
   }
 
+  test("wave-r12 q_semantic_dedup auto-k: operating point engages and " +
+    "bounds expected cell population") {
+    // r11 verdict directive 4: the SemDeDup k ≈ n/target_cell rule is
+    // part of the operator. sf0.001 (n=20) sits on the k=8 floor — the
+    // shared-trajectory identity above proves that branch; sf0.1
+    // (n=2000) must take the auto branch: k = n/200 = 10 > 8.
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf01
+    val n = graft.tables.Tables.rowCount(spark, sf, "embeddings")
+    val target = 200L
+    val k = math.max(8L, n / target)
+    assert(k > 8, s"sf0.1 must engage the auto-k branch (n=$n, k=$k)")
+    assert(n / k <= target,
+      "expected cell population is bounded by the target by construction")
+    val rows = SparkEntry.queries("q_semantic_dedup")(spark, sf).collect()
+    assert(rows.length.toLong <= k,
+      s"at most k=$k clusters, got ${rows.length}")
+    assert(rows.length > 8,
+      "auto-k must produce more clusters than the fixed-k floor here")
+    assert(rows.map(_.getLong(1)).sum == n,
+      "cluster sizes must partition the corpus")
+  }
+
   test("wave-r11 q_pca_power: full integer power-iteration replay") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001

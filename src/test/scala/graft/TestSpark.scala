@@ -17,4 +17,7 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  /** Larger SF for specs that must exercise data-dependent operating
+    * points (auto-k etc.) past their small-corpus floors. */
+  val sf01 = "/root/testdata/sf0.1"
 }
