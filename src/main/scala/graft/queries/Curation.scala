@@ -1752,7 +1752,146 @@ object Curation {
                 THEN NULL ELSE t.toks[i] END),
             x -> x IS NOT NULL), ' '), '')) AS trimmed_md5
         FROM toks t JOIN cutl ON t.doc_id = cutl.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // NAIVE-BAYES LEARNED QUALITY/LANG FILTER — the one curation stage
+    // the pipeline lacked (heuristic rules and perplexity exist; a
+    // TRAINED classifier didn't): multinomial naive Bayes (McCallum &
+    // Nigam 1998 — the fastText-style linear baseline production
+    // pipelines use as the learned quality gate) over token counts,
+    // trained on the Knuth-hash 80% split with `lang` as the declared
+    // label, scored on the held-out 20%. Add-one smoothing; every
+    // compared score is a pre-rounded scaled-integer log
+    // (round(ln·1e6) — the unigram-LM mechanism), summed as exact
+    // BIGINTs, so both engines walk the identical decision boundary
+    // and the per-doc argmax is a total order (score desc, lang).
+    // Held-out tokens unseen in training score the per-lang OOV floor
+    // ln(1/(n_l+|V|)) — never silently dropped; held-out docs with no
+    // tokens at all are excluded (no evidence to score — both engines
+    // agree by construction). Output: the held-out confusion matrix
+    // (the q_lang_confusion readout — κ/accuracy machinery applies
+    // downstream) + per-cell ppm share. Scale: two token explodes
+    // (train count, held-out count) — corpus-linear map-side aggs; the
+    // model itself is the |V|×|langs| score frame (vocabulary-bounded,
+    // NOT corpus-bounded); held-out scoring fans each distinct
+    // (doc, tok) by |langs| = 5 through one shuffle join against the
+    // score table; priors/OOV floors/langs ride broadcast. Held-out
+    // confusion replay in CurationSpec.
+    QDef("q_nb_quality",
+      (s, d) => {
+        val docs = documents(s, d)
+        val tr = docs.filter(bpeTrainPred)
+        val ho = docs.filter(!bpeTrainPred)
+        val trTok = tr.select(col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint(true) // c_lt, n_l and V all read it
+        val clt = trTok.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val nl = trTok.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val v = trTok.select(col("tok")).distinct()
+        val nv = v.agg(count(lit(1)).as("nv"))
+        val langs = tr.select(col("lang")).distinct()
+        val sc = v.crossJoin(broadcast(langs))
+          .join(clt, Seq("tok", "lang"), "left")
+          .join(broadcast(nl), "lang")
+          .crossJoin(broadcast(nv))
+          .select(col("tok"), col("lang"),
+            expr("CAST(round(ln((COALESCE(c, 0) + 1.0) / (n + nv))" +
+              " * 1000000, 0) AS BIGINT)").as("lp"))
+        val oov = langs.join(nl, "lang").crossJoin(nv)
+          .select(col("lang"),
+            expr("CAST(round(ln(1.0 / (n + nv)) * 1000000, 0) AS BIGINT)")
+              .as("lp_oov"))
+        val prior = tr.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+          .crossJoin(tr.agg(count(lit(1)).as("dd")))
+          .select(col("lang"),
+            expr("CAST(round(ln(CAST(dl AS DOUBLE) / dd) * 1000000, 0)" +
+              " AS BIGINT)").as("lp_pri"))
+        val hoTok = ho.select(col("doc_id"), col("lang").as("true_lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("true_lang"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // scoring join + anti-join + doc list
+        val inv = hoTok.join(sc, "tok")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("cnt") * col("lp")).as("s_in"))
+        val unseen = hoTok.join(v, Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(sum(col("cnt")).as("u"))
+        val scored = hoTok.select(col("doc_id"), col("true_lang")).distinct()
+          .crossJoin(broadcast(langs))
+          .join(inv, Seq("doc_id", "lang"), "left")
+          .join(broadcast(prior), "lang")
+          .join(broadcast(oov), "lang")
+          .join(unseen, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("true_lang"), col("lang"),
+            (coalesce(col("s_in"), lit(0L)) + col("lp_pri")
+              + coalesce(col("u"), lit(0L)) * col("lp_oov")).as("score"))
+        val pred = scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("lang"))))
+          .filter(col("rn") === 1)
+        pred.groupBy(col("true_lang"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(pred.agg(count(lit(1)).as("nho"))))
+          .select(col("true_lang"), col("lang").as("pred_lang"),
+            col("n_docs"), expr("n_docs * 1000000 div nho").as("share_ppm"))
+          .orderBy(col("true_lang"), col("pred_lang"))
+      },
+      Some(s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+          WHERE $bpeTrainPredSql),
+        ho AS (SELECT doc_id, lang, text FROM documents
+          WHERE NOT ($bpeTrainPredSql)),
+        trtok AS (SELECT lang, unnest(toks) AS tok
+          FROM (SELECT lang, $tokensSql AS toks FROM tr)),
+        clt AS (SELECT lang, tok, count(*) AS c FROM trtok GROUP BY 1, 2),
+        nl AS (SELECT lang, count(*) AS n FROM trtok GROUP BY 1),
+        v AS (SELECT DISTINCT tok FROM trtok),
+        nv AS (SELECT count(*) AS nv FROM v),
+        langs AS (SELECT DISTINCT lang FROM tr),
+        sc AS (SELECT v.tok, l.lang,
+            CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (nl.n + nv.nv))
+              * 1000000, 0) AS BIGINT) AS lp
+          FROM v CROSS JOIN langs l
+          JOIN nl ON nl.lang = l.lang CROSS JOIN nv
+          LEFT JOIN clt c ON c.tok = v.tok AND c.lang = l.lang),
+        oov AS (SELECT l.lang,
+            CAST(round(ln(1.0 / (nl.n + nv.nv)) * 1000000, 0) AS BIGINT)
+              AS lp_oov
+          FROM langs l JOIN nl ON nl.lang = l.lang CROSS JOIN nv),
+        pri AS (SELECT lang,
+            CAST(round(ln(CAST(count(*) AS DOUBLE)
+              / (SELECT count(*) FROM tr)) * 1000000, 0) AS BIGINT)
+              AS lp_pri
+          FROM tr GROUP BY lang),
+        hotok AS (SELECT doc_id, true_lang, tok,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
+            FROM (SELECT doc_id, lang, $tokensSql AS toks FROM ho))
+          GROUP BY 1, 2, 3),
+        inv AS (SELECT h.doc_id, s.lang,
+            CAST(sum(h.cnt * s.lp) AS BIGINT) AS s_in
+          FROM hotok h JOIN sc s ON h.tok = s.tok GROUP BY 1, 2),
+        unseen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS u
+          FROM hotok h
+          WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.tok = h.tok)
+          GROUP BY 1),
+        scored AS (SELECT hd.doc_id, hd.true_lang, l.lang,
+            COALESCE(i.s_in, 0) + p.lp_pri
+              + COALESCE(u.u, 0) * o.lp_oov AS score
+          FROM (SELECT DISTINCT doc_id, true_lang FROM hotok) hd
+          CROSS JOIN langs l
+          LEFT JOIN inv i ON i.doc_id = hd.doc_id AND i.lang = l.lang
+          JOIN pri p ON p.lang = l.lang
+          JOIN oov o ON o.lang = l.lang
+          LEFT JOIN unseen u ON u.doc_id = hd.doc_id),
+        pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, lang) AS rn FROM scored)
+          WHERE rn = 1)
+        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(*) * 1000000 // (SELECT count(*) FROM pred)
+            AS BIGINT) AS share_ppm
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Shared positional-8-gram run frame of q_dupspan_pairs /

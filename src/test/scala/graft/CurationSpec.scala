@@ -516,4 +516,55 @@ class CurationSpec extends AnyFunSuite {
     assert(gotTok.forall(_._6 >= 10000),
       "unigram pieces can never average shorter than one char")
   }
+
+  test("naive-bayes quality filter: full train + held-out confusion replay") {
+    // imperative multinomial-NB replay of q_nb_quality: same Knuth 80/20
+    // split, add-one smoothing, round(ln·1e6) integer scores, (score
+    // desc, lang) argmax — the query must reproduce it cell for cell
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def isTrain(id: Long) =
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L) % 100 < 80
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    def rnd6(x: Double) = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val tr = docs.filter(d => isTrain(d._1))
+    val ho = docs.filterNot(d => isTrain(d._1))
+    assert(tr.nonEmpty && ho.nonEmpty, "both splits must be populated")
+    val trTok = tr.flatMap(d => toks(d._3).map(t => (d._2, t)))
+    val clt = trTok.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nl = trTok.groupBy(_._1).map { case (l, v) => l -> v.length.toLong }
+    val vocab = trTok.map(_._2).toSet
+    val nv = vocab.size.toLong
+    val langs = tr.map(_._2).distinct.sorted
+    val lp = (for { l <- langs; t <- vocab } yield (l, t) ->
+      rnd6(math.log((clt.getOrElse((l, t), 0L) + 1.0) / (nl(l) + nv)))).toMap
+    val oov = langs.map(l => l -> rnd6(math.log(1.0 / (nl(l) + nv)))).toMap
+    val dd = tr.length.toLong
+    val pri = langs.map(l =>
+      l -> rnd6(math.log(tr.count(_._2 == l).toDouble / dd))).toMap
+    val preds = ho.flatMap { case (_, trueLang, text) =>
+      val cnt = toks(text).groupBy(identity)
+        .map { case (t, v) => t -> v.length.toLong }
+      if (cnt.isEmpty) None else {
+        val best = langs.map { l =>
+          val s = pri(l) + cnt.map { case (t, c) =>
+            if (vocab(t)) c * lp((l, t)) else c * oov(l) }.sum
+          (-s, l)
+        }.min._2
+        Some((trueLang, best))
+      }
+    }
+    val nho = preds.length.toLong
+    val expect = preds.groupBy(identity).toSeq.map { case ((t, p), v) =>
+      (t, p, v.length.toLong, v.length.toLong * 1000000L / nho)
+    }.sorted
+    val got = run("q_nb_quality").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(got == expect, s"NB confusion replay diverged: $got != $expect")
+    assert(got.map(_._3).sum == nho,
+      "confusion cells must partition the scored held-out docs")
+  }
 }
