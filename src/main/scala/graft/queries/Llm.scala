@@ -203,14 +203,23 @@ object Llm {
     val dist = (0 until kmDims)
       .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
       .reduce(_ + _)
+    // argmin as a map-side-combinable hash agg over min(struct(dist, ck,
+    // q*)) — lexicographic struct order IS the (dist asc, ck asc) tie
+    // rule, so the result is identical to a row_number window, but each
+    // partition reduces its n·k candidate rows to ≤ n BEFORE any
+    // exchange. The window form sort-buffered the full n·k fan (85 GB
+    // spill at the 100× auto-k point, k = n/200); the agg form's state
+    // is one struct per vec_id per partition.
     def assign(c: DataFrame) =
       q.crossJoin(broadcast(c))
         .withColumn("dist", dist)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("vec_id"))
-            .orderBy(col("dist"), col("ck"))))
-        .filter(col("rk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(
+          (col("dist") +: col("ck") +:
+            (0 until kmDims).map(i => col(s"q$i"))): _*)).as("mm"))
+        .select(col("vec_id") +:
+          (0 until kmDims).map(i => col(s"mm.q$i").as(s"q$i")) :+
+          col("mm.ck").as("ck") :+ col("mm.dist").as("dist"): _*)
     for (_ <- 1 to kmIters) {
       val mCols = (0 until kmDims).map(i =>
         expr(s"sum(q$i) div count(1)").as(s"m$i"))
