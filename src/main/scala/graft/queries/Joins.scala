@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
 import Q._
@@ -14,6 +15,89 @@ import Q._
   * aggregate on the same key where possible. AQE handles skew at runtime.
   */
 object Joins {
+
+  /** DuckDB mirror of [[skewProfileFrame]]: CTEs `keyed` through `prof`
+    * (profile, n_rows, n_keys, max_sz, p50_sz, p99_sz, skew_ppm,
+    * verdict) — shared by the q_skew_profile and q_skew_routed oracles
+    * so the rule cannot drift from its dispatcher. */
+  private val skewProfileCte: String =
+    """keyed AS (
+          SELECT 'natural_user_id' AS profile, user_id AS k FROM events
+          UNION ALL
+          SELECT 'click_rerouted' AS profile,
+            CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS k
+          FROM events),
+        hist AS (SELECT profile, sz, CAST(count(*) AS BIGINT) AS m
+          FROM (SELECT profile, k, CAST(count(*) AS BIGINT) AS sz
+            FROM keyed GROUP BY profile, k)
+          GROUP BY profile, sz),
+        tot AS (SELECT profile, CAST(sum(m) AS BIGINT) AS n_keys,
+            CAST(sum(sz * m) AS BIGINT) AS n_rows,
+            CAST(max(sz) AS BIGINT) AS max_sz
+          FROM hist GROUP BY profile),
+        cum AS (SELECT h.profile, h.sz,
+            CAST(sum(m) OVER (PARTITION BY h.profile ORDER BY h.sz
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            t.n_keys
+          FROM hist h JOIN tot t ON h.profile = t.profile),
+        p50 AS (SELECT profile, CAST(min(sz) AS BIGINT) AS p50_sz
+          FROM cum WHERE cum * 2 >= n_keys GROUP BY profile),
+        p99 AS (SELECT profile, CAST(min(sz) AS BIGINT) AS p99_sz
+          FROM cum WHERE cum * 100 >= n_keys * 99 GROUP BY profile),
+        prof AS (SELECT t.profile, n_rows, n_keys, max_sz, p50_sz, p99_sz,
+            CAST(CAST(max_sz AS HUGEINT) * n_keys * 1000000 // n_rows
+              AS BIGINT) AS skew_ppm,
+            CASE WHEN CAST(max_sz AS HUGEINT) * n_keys * 1000000 // n_rows
+                >= 10000000 THEN 'salt_hot_keys'
+              WHEN n_keys <= 1024 THEN 'broadcast_keys'
+              ELSE 'plain_shuffle' END AS verdict
+          FROM tot t JOIN p50 USING (profile) JOIN p99 USING (profile))"""
+
+  /** Shared body of q_skew_profile / q_skew_routed: the per-regime key
+    * profile (size histogram, exact quantiles, ppm skew) and the declared
+    * integer verdict rule. One map-side-combinable (profile, key) agg +
+    * histogram windows on the bounded size frame. */
+  private def skewProfileFrame(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val keyed = ev.select(lit("natural_user_id").as("profile"),
+        col("user_id").as("k"))
+      .unionAll(ev.select(lit("click_rerouted").as("profile"),
+        when(col("event_type") === "click", lit(1L))
+          .otherwise(col("user_id")).as("k")))
+    val hist = keyed.groupBy(col("profile"), col("k"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("profile"), col("sz"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint(true) // totals + both quantile probes read it
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("profile")).orderBy(col("sz"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = hist.groupBy(col("profile"))
+      .agg(sum(col("m")).as("n_keys"),
+        sum(col("sz") * col("m")).as("n_rows"),
+        max(col("sz")).as("max_sz"))
+    val cum = hist.withColumn("cum", sum(col("m")).over(wCum))
+      .join(broadcast(tot), Seq("profile"))
+    val p50 = cum.filter(col("cum") * 2 >= col("n_keys"))
+      .groupBy(col("profile")).agg(min(col("sz")).as("p50_sz"))
+    val p99 = cum.filter(col("cum") * 100 >= col("n_keys") * 99)
+      .groupBy(col("profile")).agg(min(col("sz")).as("p99_sz"))
+    tot.join(broadcast(p50), Seq("profile"))
+      .join(broadcast(p99), Seq("profile"))
+      .withColumn("skew_ppm",
+        expr("CAST(max_sz AS DECIMAL(38,0)) * n_keys * 1000000" +
+          " div n_rows"))
+      .withColumn("verdict",
+        when(col("skew_ppm") >= 10000000L, lit("salt_hot_keys"))
+          .when(col("n_keys") <= 1024L, lit("broadcast_keys"))
+          .otherwise(lit("plain_shuffle")))
+      .select(col("profile"), col("n_rows"), col("n_keys"),
+        col("max_sz"), col("p50_sz"), col("p99_sz"),
+        col("skew_ppm"), col("verdict"))
+  }
 
   val all: Seq[QDef] = Seq(
 
@@ -451,80 +535,71 @@ object Joins {
     // map-side-combinable (profile, key) agg + histogram windows on
     // the bounded size frame. Replay + rule assertions in JoinsSpec.
     QDef("q_skew_profile",
+      (s, d) => skewProfileFrame(s, d).orderBy(col("profile")),
+      Some(s"""WITH $skewProfileCte
+        SELECT profile, n_rows, n_keys, max_sz, p50_sz, p99_sz,
+          skew_ppm, verdict
+        FROM prof ORDER BY profile""")),
+
+    // SKEW-ROUTER ROUND TRIP (r12 directive 6) — the profiler's verdict
+    // actually DISPATCHES: for each key regime, compute the declared
+    // verdict with the SHARED skewProfileFrame machinery and execute the
+    // join in the form it picks (salt_hot_keys → saltedEquiJoin ×8;
+    // broadcast_keys → broadcast dim; plain_shuffle → shuffle join).
+    // The profile agg is fully distributed; only the 2-row (profile,
+    // verdict) frame crosses to the driver to choose each physical form
+    // — the same runtime-stats→plan bridge AQE performs, made explicit
+    // and declared. The chosen form rides the output as a column, so
+    // the gate verifies the ROUTING DECISION and the join result in one
+    // hash; all three forms are result-invariant by construction (the
+    // mitigation queries' own oracles prove each against the plain
+    // join), which is what makes the router safe to ship. Plan-switch
+    // assertions (salt fan vs broadcast vs shuffle) in JoinsSpec.
+    QDef("q_skew_routed",
       (s, d) => {
+        val verdicts = skewProfileFrame(s, d)
+          .select(col("profile"), col("verdict"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         val ev = events(s, d)
-        val keyed = ev.select(lit("natural_user_id").as("profile"),
-            col("user_id").as("k"))
-          .unionAll(ev.select(lit("click_rerouted").as("profile"),
+        def keyed(p: String) = ev.select(
+          (if (p == "click_rerouted")
             when(col("event_type") === "click", lit(1L))
-              .otherwise(col("user_id")).as("k")))
-        val hist = keyed.groupBy(col("profile"), col("k"))
-          .agg(count(lit(1)).as("sz"))
-          .groupBy(col("profile"), col("sz"))
-          .agg(count(lit(1)).as("m"))
-          .localCheckpoint(true) // totals + both quantile probes read it
-        val wCum = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("profile")).orderBy(col("sz"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val tot = hist.groupBy(col("profile"))
-          .agg(sum(col("m")).as("n_keys"),
-            sum(col("sz") * col("m")).as("n_rows"),
-            max(col("sz")).as("max_sz"))
-        val cum = hist.withColumn("cum", sum(col("m")).over(wCum))
-          .join(broadcast(tot), Seq("profile"))
-        val p50 = cum.filter(col("cum") * 2 >= col("n_keys"))
-          .groupBy(col("profile")).agg(min(col("sz")).as("p50_sz"))
-        val p99 = cum.filter(col("cum") * 100 >= col("n_keys") * 99)
-          .groupBy(col("profile")).agg(min(col("sz")).as("p99_sz"))
-        tot.join(broadcast(p50), Seq("profile"))
-          .join(broadcast(p99), Seq("profile"))
-          .withColumn("skew_ppm",
-            expr("CAST(max_sz AS DECIMAL(38,0)) * n_keys * 1000000" +
-              " div n_rows"))
-          .withColumn("verdict",
-            when(col("skew_ppm") >= 10000000L, lit("salt_hot_keys"))
-              .when(col("n_keys") <= 1024L, lit("broadcast_keys"))
-              .otherwise(lit("plain_shuffle")))
-          .select(col("profile"), col("n_rows"), col("n_keys"),
-            col("max_sz"), col("p50_sz"), col("p99_sz"),
-            col("skew_ppm"), col("verdict"))
-          .orderBy(col("profile"))
+              .otherwise(col("user_id"))
+          else col("user_id")).as("k"), col("value"))
+        val cust = customer(s, d)
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        def routed(p: String): DataFrame = verdicts(p) match {
+          case "salt_hot_keys" => graft.operators.Joins
+            .saltedEquiJoin(keyed(p), cust.hint("shuffle_hash"), "k",
+              salt = 8)
+          case "broadcast_keys" => keyed(p).join(broadcast(cust), "k")
+          case _ => keyed(p).join(cust.hint("shuffle_hash"), "k")
+        }
+        Seq("click_rerouted", "natural_user_id").map { p =>
+          routed(p).groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+            .select(lit(p).as("profile"), lit(verdicts(p)).as("verdict"),
+              col("c_mktsegment"), col("n"), col("sv"))
+        }.reduce(_ unionAll _)
+          .orderBy(col("profile"), col("c_mktsegment"))
       },
-      Some("""WITH keyed AS (
-          SELECT 'natural_user_id' AS profile, user_id AS k FROM events
+      Some(s"""WITH $skewProfileCte,
+        ev AS (SELECT 'natural_user_id' AS profile, user_id AS k, value
+            FROM events
           UNION ALL
           SELECT 'click_rerouted' AS profile,
-            CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS k
+            CASE WHEN event_type = 'click' THEN 1 ELSE user_id END AS k,
+            value
           FROM events),
-        hist AS (SELECT profile, sz, CAST(count(*) AS BIGINT) AS m
-          FROM (SELECT profile, k, CAST(count(*) AS BIGINT) AS sz
-            FROM keyed GROUP BY profile, k)
-          GROUP BY profile, sz),
-        tot AS (SELECT profile, CAST(sum(m) AS BIGINT) AS n_keys,
-            CAST(sum(sz * m) AS BIGINT) AS n_rows,
-            CAST(max(sz) AS BIGINT) AS max_sz
-          FROM hist GROUP BY profile),
-        cum AS (SELECT h.profile, h.sz,
-            CAST(sum(m) OVER (PARTITION BY h.profile ORDER BY h.sz
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS cum,
-            t.n_keys
-          FROM hist h JOIN tot t ON h.profile = t.profile),
-        p50 AS (SELECT profile, CAST(min(sz) AS BIGINT) AS p50_sz
-          FROM cum WHERE cum * 2 >= n_keys GROUP BY profile),
-        p99 AS (SELECT profile, CAST(min(sz) AS BIGINT) AS p99_sz
-          FROM cum WHERE cum * 100 >= n_keys * 99 GROUP BY profile)
-        SELECT t.profile, n_rows, n_keys, max_sz, p50_sz, p99_sz,
-          CAST(CAST(max_sz AS HUGEINT) * n_keys * 1000000 // n_rows
-            AS BIGINT) AS skew_ppm,
-          CASE WHEN CAST(max_sz AS HUGEINT) * n_keys * 1000000 // n_rows
-              >= 10000000 THEN 'salt_hot_keys'
-            WHEN n_keys <= 1024 THEN 'broadcast_keys'
-            ELSE 'plain_shuffle' END AS verdict
-        FROM tot t JOIN p50 USING (profile) JOIN p99 USING (profile)
-        ORDER BY profile""")),
+        jn AS (SELECT profile, c_mktsegment,
+            CAST(count(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sv
+          FROM ev
+          JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer) c
+            USING (k)
+          GROUP BY profile, c_mktsegment)
+        SELECT jn.profile, p.verdict, c_mktsegment, n, sv
+        FROM jn JOIN prof p ON jn.profile = p.profile
+        ORDER BY jn.profile, c_mktsegment""")),
 
     // AQE skew join: the NATIVE twin of q_join_skew_salted — Spark's
     // OptimizeSkewedJoin splits the hot reducer at runtime from shuffle

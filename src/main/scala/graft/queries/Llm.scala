@@ -203,23 +203,29 @@ object Llm {
     val dist = (0 until kmDims)
       .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
       .reduce(_ + _)
-    // argmin as a map-side-combinable hash agg over min(struct(dist, ck,
-    // q*)) — lexicographic struct order IS the (dist asc, ck asc) tie
-    // rule, so the result is identical to a row_number window, but each
-    // partition reduces its n·k candidate rows to ≤ n BEFORE any
-    // exchange. The window form sort-buffered the full n·k fan (85 GB
-    // spill at the 100× auto-k point, k = n/200); the agg form's state
-    // is one struct per vec_id per partition.
+    // argmin as a PRIMITIVE map-side-combinable hash agg: encode
+    // (dist, ck) into one BIGINT key = dist·2^18 + ck — strictly
+    // monotone in the (dist asc, ck asc) tie rule since ck < 2^18 —
+    // and take min(key). A row_number window sort-buffered the whole
+    // n·k candidate fan (85 GB spill at the 100× auto-k point); a
+    // min(struct(...)) agg routed through ObjectHashAggregate, whose
+    // 128-group sort fallback spilled almost as much. min(BIGINT) stays
+    // in whole-stage-codegen HashAggregate with true partial
+    // aggregation: each partition holds one long per vector, and only
+    // ≤ n combined rows cross the exchange. Bounds: dist ≤ 8·(2·10⁶)²
+    // ≈ 3.2e13 on the e6 grid, so key ≤ 8.4e18 < 2^63; the shift caps
+    // k at 2^18 centroids (≈ 5e7 vectors at the n/200 rule) — asserted.
+    val encK = 262144L
+    require(k < encK, s"k=$k exceeds the 2^18 argmin encoding")
     def assign(c: DataFrame) =
       q.crossJoin(broadcast(c))
-        .withColumn("dist", dist)
-        .groupBy(col("vec_id"))
-        .agg(min(struct(
-          (col("dist") +: col("ck") +:
-            (0 until kmDims).map(i => col(s"q$i"))): _*)).as("mm"))
+        .select(col("vec_id"), (dist * encK + col("ck")).as("key"))
+        .groupBy(col("vec_id")).agg(min(col("key")).as("key"))
+        .join(q, "vec_id") // restore q0..q7 (co-partitioned by vec_id)
         .select(col("vec_id") +:
-          (0 until kmDims).map(i => col(s"mm.q$i").as(s"q$i")) :+
-          col("mm.ck").as("ck") :+ col("mm.dist").as("dist"): _*)
+          (0 until kmDims).map(i => col(s"q$i")) :+
+          (col("key") % encK).as("ck") :+
+          expr(s"key div $encK").as("dist"): _*)
     for (_ <- 1 to kmIters) {
       val mCols = (0 until kmDims).map(i =>
         expr(s"sum(q$i) div count(1)").as(s"m$i"))

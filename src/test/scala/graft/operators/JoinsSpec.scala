@@ -207,4 +207,30 @@ class JoinsSpec extends AnyFunSuite {
     assert({ val nKeys = 2000L; val skew = 1500000L
       !(skew >= 10000000L) && !(nKeys <= 1024L) }, "plain_shuffle branch")
   }
+
+  test("q_skew_routed dispatches on the profiled regimes: salt fan for " +
+    "the hot key, broadcast for the small-key side") {
+    // sf0.01 is the smallest SF where the two regimes' verdicts diverge
+    // (sf0.001's corpus is too small to trip the 10x skew rule): the
+    // manufactured hot key must route through the salted join (Generate
+    // x8 salt fan, __salt in the keys) while the natural sub-1024-key
+    // regime broadcasts the dim — both visible in ONE executed plan.
+    val sf = "/root/testdata/sf0.01"
+    val prof = graft.SparkEntry.queries("q_skew_profile")(spark, sf)
+      .select(col("profile"), col("verdict"))
+      .as[(String, String)].collect().toMap
+    assert(prof("click_rerouted") == "salt_hot_keys", prof.toString)
+    assert(prof("natural_user_id") == "broadcast_keys", prof.toString)
+    val routed = graft.SparkEntry.queries("q_skew_routed")(spark, sf)
+    val p = routed.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode") && p.contains("__salt"),
+      "salt branch missing from the routed plan: " + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "broadcast branch missing from the routed plan: " + p.take(800))
+    // the emitted verdict column is the routing decision under the gate's
+    // hash — it must agree with the profiler row for row
+    val emitted = routed.select(col("profile"), col("verdict")).distinct()
+      .as[(String, String)].collect().toMap
+    assert(emitted == prof, s"routed verdicts $emitted != profiler $prof")
+  }
 }
