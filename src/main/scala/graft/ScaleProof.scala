@@ -392,7 +392,13 @@ object ScaleProof {
       // groups, the designed worst case
       "q_semantic_dedup",
       // DID is ONE per-user conditional agg + a 4-cell rollup
-      "q_did_effect")
+      "q_did_effect",
+      // round-12 additions: the NB filter is two token-explode aggs +
+      // a vocabulary-bounded x5 scoring join; the PCA whitening
+      // certificate adds ONE projection scan to the family's moment
+      // agg; the skew router re-runs the profiler then dispatches the
+      // verdict-chosen join per regime
+      "q_nb_quality", "q_pca_whiten", "q_skew_routed")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

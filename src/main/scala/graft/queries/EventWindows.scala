@@ -63,6 +63,85 @@ object EventWindows {
       " + tn * (-1.821255978 + tn * 1.330274429))))))) * 1000000, 0)" +
       " AS BIGINT)"
 
+  /** Shared product-limit machinery of q_survival_km /
+    * q_survival_stream_twin: from the per-user (t, ev) frame, the
+    * study-length-bounded daily frame, risk sets by prefix subtraction,
+    * the log-domain survival sum with the explicit d = n dead flag, and
+    * the single exp at the end. ONE definition, so the batch query and
+    * the stateful twin cannot drift. */
+  private def kmTable(users: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val daily = users.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+      .localCheckpoint(true) // risk/cum windows + the total read it
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("d") + col("c")).as("n_all"))
+    daily.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_all") -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("dead",
+        max(when(col("d") >= col("n_risk"), 1L).otherwise(0L))
+          .over(wCum))
+      .withColumn("term", when(col("d") < col("n_risk"),
+        expr("CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)" +
+          " * 1000000, 0) AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("km_ln_e6",
+        when(col("dead") === 1L, lit(null).cast("long"))
+          .otherwise(sum(col("term")).over(wCum)))
+      .select(col("t").as("t_day"), col("n_risk"),
+        col("d").as("d_events"), col("c").as("c_censored"),
+        col("km_ln_e6"),
+        when(col("dead") === 1L, lit(0L)).otherwise(
+          expr("CAST(round(exp(CAST(km_ln_e6 AS DOUBLE) / 1000000)" +
+            " * 1000000, 0) AS BIGINT)")).as("surv_ppm"))
+      .orderBy(col("t_day"))
+  }
+
+  /** The q_survival_km oracle — shared verbatim with
+    * q_survival_stream_twin (state replayed in one batch IS the batch
+    * computation, so the twin's reference result is identical). */
+  private val survivalKmSql: String =
+    """WITH gm AS (SELECT max(ts) AS gm FROM events),
+        u AS (SELECT user_id, min(ts) AS fe,
+            min(ts) FILTER (WHERE event_type = 'purchase') AS fp
+          FROM events GROUP BY user_id),
+        tt AS (SELECT CASE WHEN fp IS NOT NULL
+              THEN date_diff('day', CAST(fe AS DATE), CAST(fp AS DATE))
+              ELSE date_diff('day', CAST(fe AS DATE), CAST(gm AS DATE))
+              END AS t,
+            CAST(fp IS NOT NULL AS BIGINT) AS ev
+          FROM u CROSS JOIN gm),
+        daily AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+            CAST(sum(1 - ev) AS BIGINT) AS c FROM tt GROUP BY t),
+        tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_all FROM daily),
+        r AS (SELECT t, d, c,
+            n_all - CAST(COALESCE(sum(d + c) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+          FROM daily CROSS JOIN tot),
+        r2 AS (SELECT *,
+            CAST(max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS BIGINT) AS dead,
+            CASE WHEN d < n_risk
+              THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                * 1000000, 0) AS BIGINT)
+              ELSE 0 END AS term
+          FROM r),
+        r3 AS (SELECT *, CASE WHEN dead = 1 THEN NULL
+            ELSE CAST(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) END AS km_ln_e6
+          FROM r2)
+        SELECT t AS t_day, n_risk, d AS d_events, c AS c_censored,
+          km_ln_e6,
+          CASE WHEN dead = 1 THEN 0
+            ELSE CAST(round(exp(CAST(km_ln_e6 AS DOUBLE) / 1000000)
+              * 1000000, 0) AS BIGINT) END AS surv_ppm
+        FROM r3 ORDER BY t_day"""
+
   val all: Seq[QDef] = Seq(
 
     // Tumbling 1-day event-time window.
@@ -1631,71 +1710,45 @@ object EventWindows {
               .otherwise(datediff(to_date(col("gm")), to_date(col("fe"))))
               .cast("long").as("t"),
             col("fp").isNotNull.cast("long").as("ev"))
-        val daily = users.groupBy(col("t"))
-          .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
-          .localCheckpoint(true) // risk/cum windows + the total read it
-        val wPrev = Window.orderBy(col("t"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wCum = Window.orderBy(col("t"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = daily.agg(sum(col("d") + col("c")).as("n_all"))
-        daily.crossJoin(broadcast(tot))
-          .withColumn("n_risk", col("n_all") -
-            coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-          .withColumn("dead",
-            max(when(col("d") >= col("n_risk"), 1L).otherwise(0L))
-              .over(wCum))
-          .withColumn("term", when(col("d") < col("n_risk"),
-            expr("CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)" +
-              " * 1000000, 0) AS BIGINT)")).otherwise(lit(0L)))
-          .withColumn("km_ln_e6",
-            when(col("dead") === 1L, lit(null).cast("long"))
-              .otherwise(sum(col("term")).over(wCum)))
-          .select(col("t").as("t_day"), col("n_risk"),
-            col("d").as("d_events"), col("c").as("c_censored"),
-            col("km_ln_e6"),
-            when(col("dead") === 1L, lit(0L)).otherwise(
-              expr("CAST(round(exp(CAST(km_ln_e6 AS DOUBLE) / 1000000)" +
-                " * 1000000, 0) AS BIGINT)")).as("surv_ppm"))
-          .orderBy(col("t_day"))
+        kmTable(users)
       },
-      Some("""WITH gm AS (SELECT max(ts) AS gm FROM events),
-        u AS (SELECT user_id, min(ts) AS fe,
-            min(ts) FILTER (WHERE event_type = 'purchase') AS fp
-          FROM events GROUP BY user_id),
-        tt AS (SELECT CASE WHEN fp IS NOT NULL
-              THEN date_diff('day', CAST(fe AS DATE), CAST(fp AS DATE))
-              ELSE date_diff('day', CAST(fe AS DATE), CAST(gm AS DATE))
-              END AS t,
-            CAST(fp IS NOT NULL AS BIGINT) AS ev
-          FROM u CROSS JOIN gm),
-        daily AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
-            CAST(sum(1 - ev) AS BIGINT) AS c FROM tt GROUP BY t),
-        tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_all FROM daily),
-        r AS (SELECT t, d, c,
-            n_all - CAST(COALESCE(sum(d + c) OVER (ORDER BY t
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS n_risk
-          FROM daily CROSS JOIN tot),
-        r2 AS (SELECT *,
-            CAST(max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
-              OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
-              CURRENT ROW) AS BIGINT) AS dead,
-            CASE WHEN d < n_risk
-              THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
-                * 1000000, 0) AS BIGINT)
-              ELSE 0 END AS term
-          FROM r),
-        r3 AS (SELECT *, CASE WHEN dead = 1 THEN NULL
-            ELSE CAST(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
-              PRECEDING AND CURRENT ROW) AS BIGINT) END AS km_ln_e6
-          FROM r2)
-        SELECT t AS t_day, n_risk, d AS d_events, c AS c_censored,
-          km_ln_e6,
-          CASE WHEN dead = 1 THEN 0
-            ELSE CAST(round(exp(CAST(km_ln_e6 AS DOUBLE) / 1000000)
-              * 1000000, 0) AS BIGINT) END AS surv_ppm
-        FROM r3 ORDER BY t_day""")),
+      Some(survivalKmSql)),
+
+    // The STREAMING Kaplan–Meier twin (the 7th stateful twin,
+    // q_burst_stream_twin pattern): EventStreams.survivalFirsts runs a
+    // per-user ValueState StatefulProcessor — the running (first event,
+    // first purchase) pair, min-merged per batch, latest-wins re-emit —
+    // and the product-limit table is derived DOWNSTREAM from that state
+    // through the SHARED kmTable machinery (administrative censoring
+    // times move with the corpus horizon, so they are computed at read,
+    // never stored). In batch execution each user's full history arrives
+    // in one handleInputRows call, so the emitted firsts ARE the batch
+    // per-user agg's and the twin shares q_survival_km's oracle
+    // verbatim. State = two longs + a flag per user (the
+    // q_counter_state_twin bound); StreamingSpec proves the multi-batch
+    // censored→event flip.
+    QDef("q_survival_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        val firsts = graft.streaming.EventStreams.survivalFirsts(ev).toDF()
+        val gmax = events(s, d).agg(max(col("ts")).as("gm"))
+        val users = firsts.crossJoin(broadcast(gmax))
+          .select(
+            when(col("has_p"),
+              datediff(to_date(timestamp_micros(col("fp_us"))),
+                to_date(timestamp_micros(col("fe_us")))))
+              .otherwise(datediff(to_date(col("gm")),
+                to_date(timestamp_micros(col("fe_us")))))
+              .cast("long").as("t"),
+            col("has_p").cast("long").as("ev"))
+        kmTable(users)
+      },
+      Some(survivalKmSql)),
 
     QDef("q_theil_sen",
       (s, d) => {

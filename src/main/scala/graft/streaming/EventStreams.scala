@@ -554,4 +554,59 @@ object EventStreams {
       .transformWithState(new BurstProcessor(epochUs),
         TimeMode.None(), OutputMode.Update)
   }
+
+  /** Per-user time-to-event firsts for the Kaplan–Meier twin: first
+    * event instant, first purchase instant (µs; has_p = false ⇒ fp_us
+    * is a placeholder and the user is administratively censored
+    * downstream). */
+  final case class SurvivalFirsts(user_id: Long, fe_us: Long,
+      fp_us: Long, has_p: Boolean)
+
+  /** The stateful half of the streaming Kaplan–Meier twin
+    * (q_survival_stream_twin): per-user ValueState carries the running
+    * (first event, first purchase) pair; each batch folds its rows in
+    * by min-merge (order-independent, so multi-batch and single-batch
+    * execution converge to identical state) and re-emits the user's
+    * current row — update-mode latest-wins, the SessionPathsProcessor
+    * contract. A later batch can flip a user from censored to event
+    * (first purchase arrives) or move fe_us earlier; the emitted row
+    * replaces the previous one wholesale. The product-limit table
+    * itself is DOWNSTREAM of this operator (shared with the batch
+    * query), because administrative censoring times move with the
+    * corpus horizon and are therefore not per-user state. State is two
+    * longs + a flag per user — the q_counter_state_twin bound. */
+  class SurvivalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SurvivalFirsts] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SurvivalFirsts] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SurvivalFirsts]("firsts",
+        org.apache.spark.sql.Encoders.product[SurvivalFirsts],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SurvivalFirsts] = {
+      def us(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      var cur = Option(state.get())
+        .getOrElse(SurvivalFirsts(key, Long.MaxValue, Long.MaxValue, false))
+      rows.foreach { r =>
+        val u = us(r.ts)
+        val fe = math.min(cur.fe_us, u)
+        val (fp, hp) =
+          if (r.event_type == "purchase") (math.min(cur.fp_us, u), true)
+          else (cur.fp_us, cur.has_p)
+        cur = SurvivalFirsts(key, fe, fp, hp)
+      }
+      state.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  def survivalFirsts(events: Dataset[EventRow]): Dataset[SurvivalFirsts] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new SurvivalProcessor,
+        TimeMode.None(), OutputMode.Update)
+  }
 }

@@ -719,6 +719,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("survival processor: censored user flips to event across batches, " +
+    "firsts min-merge incrementally") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.survivalFirsts(mem.toDS()).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_surv")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("surv_chk").toString)
+        .start()
+      try {
+        // batch 1: user 1 and user 2 each click on day 1 — both are
+        // administratively censored (no purchase yet)
+        mem.addData(row(1, ts(1), user = 1), row(2, ts(1), user = 2))
+        q.processAllAvailable()
+        // batch 2: user 1 purchases on day 4 (flips censored → event);
+        // user 2 clicks EARLIER (day 1 00:00 was batch 1; an hour-0
+        // pre-dating click moves fe back — min-merge, not overwrite)
+        mem.addData(row(3, ts(4), user = 1, typ = "purchase"),
+          row(4, Timestamp.valueOf("2023-12-31 12:00:00"), user = 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("t_surv")
+        .select(col("user_id"), col("fe_us"), col("fp_us"), col("has_p"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      def us(t: Timestamp) =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      // batch-1 emits: both censored with fe at day 1
+      assert(rows.contains((1L, us(ts(1)), Long.MaxValue, false)),
+        s"user 1 must start censored: ${rows.toSeq}")
+      assert(rows.contains((2L, us(ts(1)), Long.MaxValue, false)),
+        s"user 2 must start censored: ${rows.toSeq}")
+      // latest-wins finals: user 1 has the purchase, user 2 the earlier fe
+      val fin = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last }
+      assert(fin(1L) == ((1L, us(ts(1)), us(ts(4)), true)),
+        s"user 1 must flip to event: ${fin(1L)}")
+      assert(fin(2L) ==
+        ((2L, us(Timestamp.valueOf("2023-12-31 12:00:00")),
+          Long.MaxValue, false)),
+        s"user 2's first-event must min-merge backward: ${fin(2L)}")
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
