@@ -1891,7 +1891,117 @@ object Curation {
         SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(count(*) * 1000000 // (SELECT count(*) FROM pred)
             AS BIGINT) AS share_ppm
-        FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // N-GRAM DECONTAMINATION SCREEN — the eval-leakage gate every
+    // production pretraining pipeline runs before training (GPT-3
+    // appendix C removes docs colliding with eval on 13-grams; PaLM
+    // flags docs with ≥ 70% of 8-grams seen in eval): here the
+    // Knuth-hash 20% held-out split stands in as the declared eval set
+    // and the 80% train split is screened against it IN REVERSE —
+    // train-side grams are the candidate contaminators; the eval-side
+    // distinct gram set is the reference. Per train doc: total 8-gram
+    // occurrences, occurrences present in the eval set, contamination
+    // ppm, and the PaLM-style ≥ 700000 ppm verdict. Same 8-gram
+    // construction as the dupspan family (one definition per engine).
+    // Docs under 8 tokens carry no grams and are excluded (nothing to
+    // test — both engines agree by construction). Scale: two
+    // corpus-linear gram explodes + one equi-join on the gram string;
+    // the reference side is DISTINCT eval grams (bounded by eval size,
+    // the small side at production scale — broadcast or bloom there);
+    // per-doc rollup is map-side-combinable.
+    QDef("q_ngram_contamination",
+      (s, d) => {
+        val docs = documents(s, d)
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 7),
+                 i -> array_join(slice(toks, i, 8), ' '))""")).as("g"))
+        val evalG = grams(docs.filter(!bpeTrainPred))
+          .select(col("g")).distinct()
+        grams(docs.filter(bpeTrainPred))
+          .join(evalG.withColumn("hit", lit(1L)), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            expr("n_hit * 1000000 div n_grams").as("contam_ppm"),
+            when(expr("n_hit * 1000000 div n_grams") >= 700000L,
+              lit("contaminated")).otherwise(lit("clean")).as("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH eg AS (SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(range(1, len(toks) - 6),
+                i -> array_to_string(toks[i:i+7], ' '))) AS g
+            FROM (SELECT $tokensSql AS toks FROM documents
+              WHERE NOT ($bpeTrainPredSql))
+            WHERE len(toks) >= 8)),
+        tg AS (SELECT doc_id, unnest(list_transform(
+              range(1, len(toks) - 6),
+              i -> array_to_string(toks[i:i+7], ' '))) AS g
+          FROM (SELECT doc_id, $tokensSql AS toks FROM documents
+            WHERE $bpeTrainPredSql)
+          WHERE len(toks) >= 8),
+        agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+          FROM tg t LEFT JOIN eg e ON t.g = e.g GROUP BY t.doc_id)
+        SELECT doc_id, n_grams, n_hit,
+          n_hit * 1000000 // n_grams AS contam_ppm,
+          CASE WHEN n_hit * 1000000 // n_grams >= 700000
+            THEN 'contaminated' ELSE 'clean' END AS verdict
+        FROM agg ORDER BY doc_id""")),
+
+    // TEMPERATURE-SAMPLING MIXTURE WEIGHTS — the multilingual sampling
+    // rule (mT5/XLM-R: p_l ∝ n_l^α with α = 0.3) beside the epoch-based
+    // q_mixture_plan: per-lang token counts from one corpus scan, the
+    // temperature weight as ONE exp(α·ln n) chain pre-rounded to the
+    // 1e-6 grid per lang (class C: the single transcendental chain is
+    // identical text in both engines and rounds once), then every
+    // derived share is integer arithmetic over the rounded weights —
+    // the 5-term normalizing sum is a BIGINT sum, never a float sum,
+    // so no ordering hazard. boost_ppm = (temperature share / natural
+    // share): > 1e6 means the rule up-samples the lang (the low-resource
+    // boost the rule exists for — provably the smallest lang here).
+    QDef("q_mixture_temperature",
+      (s, d) => {
+        val wExpr = "CAST(round(exp(0.3 * ln(CAST(n_tokens AS DOUBLE)))" +
+          " * 1000000, 0) AS BIGINT)"
+        val nl = documents(s, d)
+          .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+          .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+          .localCheckpoint(true) // weights + both totals read it
+        val tot = nl.agg(sum(col("n_tokens")).as("n_all"),
+          sum(expr(wExpr)).as("w_all"))
+        nl.withColumn("w_e6", expr(wExpr))
+          .crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_tokens"),
+            expr("n_tokens * 1000000 div n_all").as("natural_ppm"),
+            col("w_e6"),
+            expr("w_e6 * 1000000 div w_all").as("temp_ppm"),
+            expr("CAST((CAST(w_e6 AS DECIMAL(38,0)) * 1000000 * n_all)" +
+              " div (CAST(w_all AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+              .as("boost_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH nl AS (SELECT lang,
+            CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+          FROM (SELECT lang, $tokensSql AS toks FROM documents)
+          GROUP BY lang),
+        w AS (SELECT lang, n_tokens,
+            CAST(round(exp(0.3 * ln(CAST(n_tokens AS DOUBLE)))
+              * 1000000, 0) AS BIGINT) AS w_e6
+          FROM nl),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_all,
+            CAST(sum(w_e6) AS BIGINT) AS w_all FROM w)
+        SELECT lang, n_tokens,
+          n_tokens * 1000000 // n_all AS natural_ppm, w_e6,
+          w_e6 * 1000000 // w_all AS temp_ppm,
+          CAST((CAST(w_e6 AS HUGEINT) * 1000000 * n_all)
+            // (CAST(w_all AS HUGEINT) * n_tokens) AS BIGINT) AS boost_ppm
+        FROM w CROSS JOIN tot ORDER BY lang"""))
   )
 
   /** Shared positional-8-gram run frame of q_dupspan_pairs /

@@ -68,6 +68,47 @@ object Relational {
         WHERE sn.n_name <> cn.n_name
         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""")),
 
+    // TPC-H q9 shape (r12): product-type profit by supplier nation and
+    // order year — the remaining partsupp-free member of the TPC-H
+    // battery (this testdata ships no partsupp table, so ps_supplycost
+    // is substituted by the DECLARED proxy cost 0.1·p_retailprice per
+    // unit; the SHAPE — name-filtered part dim, 5-way join, nation ×
+    // year rollup over a signed amount — is Q9's). Amount is exact
+    // DECIMAL(30,6) per line (identical cast text both engines), summed
+    // to micro-unit BIGINTs; part and supplier→nation ride broadcast,
+    // the only big join is lineitem ⋈ orders.
+    QDef("q9_profit_style",
+      (s, d) => {
+        val supNation = supplier(s, d)
+          .join(broadcast(nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+        val parts = part(s, d).filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg((sum(expr("CAST(l_extendedprice * (1 - l_discount)" +
+              " - p_retailprice * l_quantity * 0.1 AS DECIMAL(30,6))"))
+              * lit(1000000)).cast("long").as("profit_micro"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("nation"), col("o_year"))
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+            - p_retailprice * l_quantity * 0.1 AS DECIMAL(30,6)))
+            * 1000000 AS BIGINT) AS profit_micro,
+          count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY nation, o_year""")),
+
     // TPC-H q8 shape: each supplier nation's market share of a customer
     // region's yearly revenue, in exact integer ppm. The per-(region,
     // year) total is a window sum over the already-aggregated BIGINT

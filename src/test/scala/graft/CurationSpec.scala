@@ -567,4 +567,66 @@ class CurationSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == nho,
       "confusion cells must partition the scored held-out docs")
   }
+
+  test("n-gram contamination: imperative 8-gram screen replay") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def isTrain(id: Long) =
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L) % 100 < 80
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < 8) Seq.empty
+      else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" "))
+    }
+    val evalSet = docs.filterNot(d => isTrain(d._1))
+      .flatMap(d => grams(d._2)).toSet
+    val expect = docs.filter(d => isTrain(d._1)).flatMap { case (id, t) =>
+      val gs = grams(t)
+      if (gs.isEmpty) None else {
+        val hit = gs.count(evalSet)
+        val ppm = hit.toLong * 1000000L / gs.length
+        Some((id, gs.length.toLong, hit.toLong, ppm,
+          if (ppm >= 700000L) "contaminated" else "clean"))
+      }
+    }.sortBy(_._1).toSeq
+    val got = run("q_ngram_contamination").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == expect, s"contamination replay diverged")
+    assert(got.forall(r => r._3 <= r._2), "hits cannot exceed grams")
+  }
+
+  test("temperature mixture: weight-chain replay; the rule provably " +
+    "up-samples the smallest lang and down-samples the largest") {
+    def rnd6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val nl = graft.tables.Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n0"),
+        col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).sum }
+    val w = nl.map { case (l, n) =>
+      l -> rnd6(math.exp(0.3 * math.log(n.toDouble)) * 1e6) }
+    val nAll = nl.values.sum
+    val wAll = w.values.sum
+    val expect = nl.keys.toSeq.sorted.map { l =>
+      (l, nl(l), nl(l) * 1000000L / nAll, w(l), w(l) * 1000000L / wAll,
+        (BigInt(w(l)) * 1000000 * nAll / (BigInt(wAll) * nl(l))).toLong)
+    }
+    val got = run("q_mixture_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"temperature replay diverged: $got != $expect")
+    val byN = got.sortBy(_._2)
+    assert(byN.head._6 > 1000000L,
+      "smallest lang must be up-sampled (boost > 1e6 ppm)")
+    assert(byN.last._6 < 1000000L,
+      "largest lang must be down-sampled (boost < 1e6 ppm)")
+    // rounded shares must still sum to ~1e6 (integer-truncation slack
+    // bounded by the number of langs)
+    assert(math.abs(got.map(_._5).sum - 1000000L) <= got.length,
+      "temperature shares must partition ppm space")
+  }
 }
