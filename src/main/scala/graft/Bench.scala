@@ -82,6 +82,9 @@ object Bench {
       val ckpt = spark.sparkContext.getPersistentRDDs.values
         .filter(_.isCheckpointed).toSeq
       ckpt.foreach(_.unpersist(blocking = true))
+      // the shared-edges memo holds checkpointed frames by reference;
+      // after their blocks are gone it must rebuild, not replay
+      graft.llm.TextDedup.invalidateSharedEdges()
       ckpt.size
     }
     case class PassStats(total: Double, loadAvg: Double,

@@ -149,6 +149,15 @@ object TextDedup {
   private val sharedEdges = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Int, Double), DataFrame]()
 
+  /** Drop every memoized shared edge frame. A harness that reclaims
+    * checkpoint blocks between passes (graft.Bench's inter-pass cleanup)
+    * MUST call this afterwards: the memo holds eagerly-checkpointed
+    * frames whose lineage is truncated, so a survivor would throw
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on its next scan instead of
+    * recomputing. Rebuilding on the next call is the memo's normal
+    * first-caller cost. */
+  def invalidateSharedEdges(): Unit = sharedEdges.clear()
+
   def jaccardEdgesShared(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, corpusKey: String, shingleK: Int = 3): DataFrame =
     // compute (not computeIfAbsent): a cached frame whose checkpoint

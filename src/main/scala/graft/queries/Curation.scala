@@ -1893,10 +1893,16 @@ object Curation {
             AS BIGINT) AS share_ppm
         FROM pred GROUP BY 1, 2 ORDER BY 1, 2""")),
 
-    // N-GRAM DECONTAMINATION SCREEN — the eval-leakage gate every
-    // production pretraining pipeline runs before training (GPT-3
+    // N-GRAM DECONTAMINATION SCREEN, fractional form — the second
+    // member of the decontamination family: q_contamination (Llm.scala)
+    // implements the COUNT rule (≥ 5 shared 3-shingles with a doc_id%20
+    // eval set flags a doc); this one implements the FRACTION rule over
+    // long grams that production pipelines actually ship (GPT-3
     // appendix C removes docs colliding with eval on 13-grams; PaLM
-    // flags docs with ≥ 70% of 8-grams seen in eval): here the
+    // flags docs with ≥ 70% of 8-grams seen in eval), measured against
+    // the SAME Knuth-hash held-out split the tokenizer/classifier
+    // family trains around — so one split definition governs the whole
+    // train-side pipeline: here the
     // Knuth-hash 20% held-out split stands in as the declared eval set
     // and the 80% train split is screened against it IN REVERSE —
     // train-side grams are the candidate contaminators; the eval-side

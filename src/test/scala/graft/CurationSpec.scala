@@ -602,10 +602,9 @@ class CurationSpec extends AnyFunSuite {
     def rnd6(x: Double) = new java.math.BigDecimal(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val nl = graft.tables.Tables.documents(spark, sf)
-      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n0"),
-        col("text")).collect()
+      .select(col("lang"), col("text")).collect()
       .map(r => (r.getString(0),
-        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+        r.getString(1).split(" ").count(_.nonEmpty).toLong))
       .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).sum }
     val w = nl.map { case (l, n) =>
       l -> rnd6(math.exp(0.3 * math.log(n.toDouble)) * 1e6) }
