@@ -468,7 +468,7 @@ object Curation {
               CAST(count(*) AS BIGINT) AS nv FROM v$unigramRounds) t)"""
   }
 
-  val all: Seq[QDef] = Seq(
+  private val base: Seq[QDef] = Seq(
 
     // Sequence packing (concat-and-chunk): documents are concatenated in
     // doc_id order within each lang shard and sliced into fixed
@@ -2097,4 +2097,63 @@ object Curation {
             CAST(min(pa) AS BIGINT) AS start_a,
             CAST(count(*) AS BIGINT) AS run
           FROM isl GROUP BY 1, 2, 3, 4)"""
+
+  /** TOKENIZER FERTILITY COMPARISON (r12) — the capstone over the three
+    * trained families: the BPE and Unigram-LM held-out applies joined
+    * per lang on the SHARED Knuth 20% split, emitting each family's
+    * chars-per-emitted-token (basis points), the delta, and the winner
+    * under the (higher chars/token = fewer tokens = better compression)
+    * total order. Built FROM the two declared queries' own fn/sql —
+    * zero new tokenizer machinery, so the comparison can never drift
+    * from the surfaces it compares (WordPiece has no held-out apply
+    * query; its apply shares BPE's CTEs verbatim, so the BPE column is
+    * its fertility proxy). Caveat carried in the output: unigram
+    * chars-per-piece excludes its declared OOV bucket (reported beside
+    * it), while BPE segments every held-out word; words_agree
+    * cross-checks the two pipelines' word accounting row for row.
+    * Scale = the union of the two constituent plans (both bounded by
+    * the held-out scan + distinct-word frames). */
+  private def tokenizerCompare(defs: Seq[QDef]): QDef = {
+    def d0(n: String) = defs.find(_.name == n).get
+    val bpeSql = d0("q_bpe_tokenize").sql.get
+    val uniSql = d0("q_unigram_tokenize").sql.get
+    QDef("q_tokenizer_compare",
+      (s, d) => {
+        val bpe = d0("q_bpe_tokenize").fn(s, d)
+          .select(col("lang"), col("words").as("bpe_words"),
+            col("tokens").as("bpe_tokens"),
+            col("compression_bp").as("bpe_cpt_bp"))
+        val uni = d0("q_unigram_tokenize").fn(s, d)
+          .select(col("lang"), col("n_words").as("uni_words"),
+            col("n_oov").as("uni_oov"),
+            col("n_pieces").as("uni_pieces"),
+            col("chars_per_piece_bp").as("uni_cpp_bp"))
+        bpe.join(uni, "lang")
+          .select(col("lang"), col("bpe_words"), col("uni_words"),
+            (col("bpe_words") === col("uni_words")).cast("long")
+              .as("words_agree"),
+            col("bpe_tokens"), col("uni_pieces"), col("uni_oov"),
+            col("bpe_cpt_bp"), col("uni_cpp_bp"),
+            (col("bpe_cpt_bp") - col("uni_cpp_bp")).as("delta_bp"),
+            when(col("bpe_cpt_bp") > col("uni_cpp_bp"), lit("bpe"))
+              .when(col("uni_cpp_bp") > col("bpe_cpt_bp"), lit("unigram"))
+              .otherwise(lit("tie")).as("winner"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT b.lang, b.words AS bpe_words,
+          u.n_words AS uni_words,
+          CAST(b.words = u.n_words AS BIGINT) AS words_agree,
+          b.tokens AS bpe_tokens, u.n_pieces AS uni_pieces,
+          u.n_oov AS uni_oov,
+          b.compression_bp AS bpe_cpt_bp,
+          u.chars_per_piece_bp AS uni_cpp_bp,
+          b.compression_bp - u.chars_per_piece_bp AS delta_bp,
+          CASE WHEN b.compression_bp > u.chars_per_piece_bp THEN 'bpe'
+            WHEN u.chars_per_piece_bp > b.compression_bp THEN 'unigram'
+            ELSE 'tie' END AS winner
+        FROM ($bpeSql) b JOIN ($uniSql) u USING (lang)
+        ORDER BY b.lang"""))
+  }
+
+  val all: Seq[QDef] = base :+ tokenizerCompare(base)
 }

@@ -628,4 +628,20 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._5).sum - 1000000L) <= got.length,
       "temperature shares must partition ppm space")
   }
+
+  test("tokenizer compare: word accounting agrees across families; " +
+    "winner column follows the fertility totals") {
+    val rows = run("q_tokenizer_compare").collect()
+    assert(rows.nonEmpty, "comparison must cover the held-out langs")
+    rows.foreach { r =>
+      // the BPE and unigram pipelines count held-out words independently
+      // (token explode vs word histogram) — they must agree exactly
+      assert(r.getLong(3) == 1L,
+        s"word accounting diverged for lang ${r.getString(0)}")
+      val (b, u) = (r.getLong(7), r.getLong(8))
+      assert(r.getLong(9) == b - u, "delta must be the bp difference")
+      val expect = if (b > u) "bpe" else if (u > b) "unigram" else "tie"
+      assert(r.getString(10) == expect, "winner must follow the totals")
+    }
+  }
 }
