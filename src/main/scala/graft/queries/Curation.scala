@@ -283,6 +283,73 @@ object Curation {
         ${(1 to bpeRounds).map(roundCtes).mkString(",\n          ")}"""
   }
 
+  /** Held-out tokenizer application shared by q_bpe_tokenize and
+    * q_wordpiece_tokenize (the two merge-list families — they differ
+    * only in the trainer's winner rule): train `bpeRounds` winners on
+    * the 80% Knuth-hash split, apply them IN TRAINING ORDER to the 20%
+    * held-out split via the SAME [[bpeMergeStep]], and roll up per-lang
+    * docs / words / emitted tokens / chars / compression basis points.
+    * Scale: apply is `bpeRounds` broadcast-winner passes over
+    * word-instance-partitioned windows — the training shape, no
+    * corpus-global state. */
+  private def heldOutTokenize(s: org.apache.spark.sql.SparkSession,
+      d: String, wordpieceScore: Boolean):
+      org.apache.spark.sql.DataFrame = {
+    val wWord = Window.partitionBy(col("doc_id"), col("widx"))
+      .orderBy(col("pos"))
+    val (winners, _) = bpeTrain(s, d, bpeRounds, Some(bpeTrainPred),
+      wordpieceScore)
+    var state = bpeInit(s, d, Some(!bpeTrainPred))
+    winners.foreach { win =>
+      state = bpeMergeStep(
+        state.withColumn("nxt", lead(col("sym"), 1).over(wWord)), win)
+    }
+    val longToks = state.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("long_toks"))
+    documents(s, d).filter(!bpeTrainPred)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("w_n"),
+        aggregate(tokens(col("text")), lit(0L),
+          (acc, t) => acc + length(t).cast("long")).as("c_n"),
+        size(filter(tokens(col("text")), t => length(t) < 2))
+          .cast("long").as("short_toks"))
+      .join(longToks, Seq("doc_id"), "left")
+      .withColumn("t_n",
+        coalesce(col("long_toks"), lit(0L)) + col("short_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("w_n")).as("words"),
+        sum(col("t_n")).as("tokens"), sum(col("c_n")).as("chars"))
+      .withColumn("compression_bp",
+        expr("chars * 10000 div tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB mirror of [[heldOutTokenize]]: `prelude` is the trainer CTE
+    * chain restricted to the train split (bpeCtePrelude or
+    * wordpieceCtePrelude) — the held-out apply chain and rollup tail
+    * are shared verbatim between the two families. */
+  private def heldOutTokenizeSql(prelude: String): String =
+    s"""WITH $prelude,
+          ${bpeInitCtes("t", s" WHERE NOT ($bpeTrainPredSql)")},
+          ${(1 to bpeRounds).map(bpeApplyCtes(_, "t"))
+            .mkString(",\n          ")},
+          lt AS (SELECT doc_id, count(*) AS long_toks
+            FROM t$bpeRounds GROUP BY doc_id),
+          base AS (SELECT doc_id, lang, len(toks) AS w_n,
+              COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS c_n,
+              len(list_filter(toks, t -> length(t) < 2)) AS short_toks
+            FROM (SELECT doc_id, lang, $tokensSql AS toks FROM documents
+              WHERE NOT ($bpeTrainPredSql)))
+          SELECT lang, count(*) AS docs,
+            CAST(sum(w_n) AS BIGINT) AS words,
+            CAST(sum(COALESCE(long_toks, 0) + short_toks) AS BIGINT) AS tokens,
+            CAST(sum(c_n) AS BIGINT) AS chars,
+            CAST(CAST(sum(c_n) AS BIGINT) * 10000
+              // CAST(sum(COALESCE(long_toks, 0) + short_toks) AS BIGINT)
+              AS BIGINT) AS compression_bp
+          FROM base LEFT JOIN lt USING (doc_id)
+          GROUP BY lang ORDER BY lang"""
+
   // ---------------------------------------------------------------
   // Unigram-LM (SentencePiece-style) tokenizer — hard-EM trainer
   // ---------------------------------------------------------------
@@ -846,54 +913,8 @@ object Curation {
     // word-instance-partitioned windows — the same massively parallel
     // shape as training, with no corpus-global state.
     QDef("q_bpe_tokenize",
-      (s, d) => {
-        val wWord = Window.partitionBy(col("doc_id"), col("widx"))
-          .orderBy(col("pos"))
-        val (winners, _) = bpeTrain(s, d, bpeRounds, Some(bpeTrainPred))
-        var state = bpeInit(s, d, Some(!bpeTrainPred))
-        winners.foreach { win =>
-          state = bpeMergeStep(
-            state.withColumn("nxt", lead(col("sym"), 1).over(wWord)), win)
-        }
-        val longToks = state.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("long_toks"))
-        documents(s, d).filter(!bpeTrainPred)
-          .select(col("doc_id"), col("lang"),
-            size(tokens(col("text"))).cast("long").as("w_n"),
-            aggregate(tokens(col("text")), lit(0L),
-              (acc, t) => acc + length(t).cast("long")).as("c_n"),
-            size(filter(tokens(col("text")), t => length(t) < 2))
-              .cast("long").as("short_toks"))
-          .join(longToks, Seq("doc_id"), "left")
-          .withColumn("t_n",
-            coalesce(col("long_toks"), lit(0L)) + col("short_toks"))
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("docs"), sum(col("w_n")).as("words"),
-            sum(col("t_n")).as("tokens"), sum(col("c_n")).as("chars"))
-          .withColumn("compression_bp",
-            expr("chars * 10000 div tokens"))
-          .orderBy(col("lang"))
-      },
-      Some(s"""WITH ${bpeCtePrelude(s" WHERE $bpeTrainPredSql")},
-          ${bpeInitCtes("t", s" WHERE NOT ($bpeTrainPredSql)")},
-          ${(1 to bpeRounds).map(bpeApplyCtes(_, "t"))
-            .mkString(",\n          ")},
-          lt AS (SELECT doc_id, count(*) AS long_toks
-            FROM t$bpeRounds GROUP BY doc_id),
-          base AS (SELECT doc_id, lang, len(toks) AS w_n,
-              COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS c_n,
-              len(list_filter(toks, t -> length(t) < 2)) AS short_toks
-            FROM (SELECT doc_id, lang, $tokensSql AS toks FROM documents
-              WHERE NOT ($bpeTrainPredSql)))
-          SELECT lang, count(*) AS docs,
-            CAST(sum(w_n) AS BIGINT) AS words,
-            CAST(sum(COALESCE(long_toks, 0) + short_toks) AS BIGINT) AS tokens,
-            CAST(sum(c_n) AS BIGINT) AS chars,
-            CAST(CAST(sum(c_n) AS BIGINT) * 10000
-              // CAST(sum(COALESCE(long_toks, 0) + short_toks) AS BIGINT)
-              AS BIGINT) AS compression_bp
-          FROM base LEFT JOIN lt USING (doc_id)
-          GROUP BY lang ORDER BY lang""")),
+      (s, d) => heldOutTokenize(s, d, wordpieceScore = false),
+      Some(heldOutTokenizeSql(bpeCtePrelude(s" WHERE $bpeTrainPredSql")))),
 
     // WORDPIECE TRAINER — the THIRD production tokenizer family
     // (Schuster & Nakajima 2012; BERT's tokenizer): identical greedy
@@ -921,6 +942,21 @@ object Curation {
             s"SELECT CAST($r AS BIGINT) AS round, x || ' ' || y AS pair," +
               s" n, score_e12 FROM w$r").mkString("\n          UNION ALL ")})
           ORDER BY round""")),
+
+    // WORDPIECE tokenizer APPLICATION — the held-out apply completing
+    // the third family (the q_bpe_tokenize contract with the
+    // likelihood-gain trainer): train the 3 wordpiece-scored merge
+    // rounds on the 80% Knuth-hash split, apply IN TRAINING ORDER to
+    // the held-out 20% via the shared heldOutTokenize/[[bpeMergeStep]]
+    // machinery (merge semantics provably identical across families),
+    // and report the same per-lang fertility scorecard. With this, all
+    // three trained families (BPE / WordPiece / Unigram-LM) carry a
+    // train→held-out-apply pair, and q_tokenizer_compare can rank them
+    // three-way. Scale: identical plan shape to q_bpe_tokenize.
+    QDef("q_wordpiece_tokenize",
+      (s, d) => heldOutTokenize(s, d, wordpieceScore = true),
+      Some(heldOutTokenizeSql(
+        wordpieceCtePrelude(s" WHERE $bpeTrainPredSql")))),
 
     // UNIGRAM-LM (SentencePiece) TRAINER — the OTHER production
     // tokenizer family beside BPE (Kudo 2018: a unigram language model
@@ -2098,24 +2134,25 @@ object Curation {
             CAST(count(*) AS BIGINT) AS run
           FROM isl GROUP BY 1, 2, 3, 4)"""
 
-  /** TOKENIZER FERTILITY COMPARISON (r12) — the capstone over the three
-    * trained families: the BPE and Unigram-LM held-out applies joined
-    * per lang on the SHARED Knuth 20% split, emitting each family's
-    * chars-per-emitted-token (basis points), the delta, and the winner
-    * under the (higher chars/token = fewer tokens = better compression)
-    * total order. Built FROM the two declared queries' own fn/sql —
-    * zero new tokenizer machinery, so the comparison can never drift
-    * from the surfaces it compares (WordPiece has no held-out apply
-    * query; its apply shares BPE's CTEs verbatim, so the BPE column is
-    * its fertility proxy). Caveat carried in the output: unigram
+  /** TOKENIZER FERTILITY COMPARISON (r12; three-way since the
+    * WordPiece held-out apply landed) — the capstone over the three
+    * trained families: the BPE, WordPiece, and Unigram-LM held-out
+    * applies joined per lang on the SHARED Knuth 20% split, emitting
+    * each family's chars-per-emitted-token (basis points) and the
+    * winner under the (higher chars/token = fewer tokens = better
+    * compression; ties break bpe < unigram < wordpiece by name) total
+    * order. Built FROM the three declared queries' own fn/sql — zero
+    * new tokenizer machinery, so the comparison can never drift from
+    * the surfaces it compares. Caveat carried in the output: unigram
     * chars-per-piece excludes its declared OOV bucket (reported beside
-    * it), while BPE segments every held-out word; words_agree
-    * cross-checks the two pipelines' word accounting row for row.
-    * Scale = the union of the two constituent plans (both bounded by
-    * the held-out scan + distinct-word frames). */
+    * it), while the merge families segment every held-out word;
+    * words_agree cross-checks all three pipelines' independent word
+    * accounting row for row. Scale = the union of the constituent
+    * plans (all bounded by the held-out scan + distinct-word frames). */
   private def tokenizerCompare(defs: Seq[QDef]): QDef = {
     def d0(n: String) = defs.find(_.name == n).get
     val bpeSql = d0("q_bpe_tokenize").sql.get
+    val wpSql = d0("q_wordpiece_tokenize").sql.get
     val uniSql = d0("q_unigram_tokenize").sql.get
     QDef("q_tokenizer_compare",
       (s, d) => {
@@ -2123,35 +2160,45 @@ object Curation {
           .select(col("lang"), col("words").as("bpe_words"),
             col("tokens").as("bpe_tokens"),
             col("compression_bp").as("bpe_cpt_bp"))
+        val wp = d0("q_wordpiece_tokenize").fn(s, d)
+          .select(col("lang"), col("words").as("wp_words"),
+            col("tokens").as("wp_tokens"),
+            col("compression_bp").as("wp_cpt_bp"))
         val uni = d0("q_unigram_tokenize").fn(s, d)
           .select(col("lang"), col("n_words").as("uni_words"),
             col("n_oov").as("uni_oov"),
             col("n_pieces").as("uni_pieces"),
             col("chars_per_piece_bp").as("uni_cpp_bp"))
-        bpe.join(uni, "lang")
-          .select(col("lang"), col("bpe_words"), col("uni_words"),
-            (col("bpe_words") === col("uni_words")).cast("long")
+        bpe.join(wp, "lang").join(uni, "lang")
+          .select(col("lang"), col("bpe_words"), col("wp_words"),
+            col("uni_words"),
+            (col("bpe_words") === col("uni_words") &&
+              col("bpe_words") === col("wp_words")).cast("long")
               .as("words_agree"),
-            col("bpe_tokens"), col("uni_pieces"), col("uni_oov"),
-            col("bpe_cpt_bp"), col("uni_cpp_bp"),
-            (col("bpe_cpt_bp") - col("uni_cpp_bp")).as("delta_bp"),
-            when(col("bpe_cpt_bp") > col("uni_cpp_bp"), lit("bpe"))
-              .when(col("uni_cpp_bp") > col("bpe_cpt_bp"), lit("unigram"))
-              .otherwise(lit("tie")).as("winner"))
+            col("bpe_tokens"), col("wp_tokens"), col("uni_pieces"),
+            col("uni_oov"),
+            col("bpe_cpt_bp"), col("wp_cpt_bp"), col("uni_cpp_bp"),
+            when(col("bpe_cpt_bp") >= col("wp_cpt_bp") &&
+              col("bpe_cpt_bp") >= col("uni_cpp_bp"), lit("bpe"))
+              .when(col("uni_cpp_bp") >= col("wp_cpt_bp"), lit("unigram"))
+              .otherwise(lit("wordpiece")).as("winner"))
           .orderBy(col("lang"))
       },
       Some(s"""SELECT b.lang, b.words AS bpe_words,
-          u.n_words AS uni_words,
-          CAST(b.words = u.n_words AS BIGINT) AS words_agree,
-          b.tokens AS bpe_tokens, u.n_pieces AS uni_pieces,
-          u.n_oov AS uni_oov,
+          w.words AS wp_words, u.n_words AS uni_words,
+          CAST(b.words = u.n_words AND b.words = w.words AS BIGINT)
+            AS words_agree,
+          b.tokens AS bpe_tokens, w.tokens AS wp_tokens,
+          u.n_pieces AS uni_pieces, u.n_oov AS uni_oov,
           b.compression_bp AS bpe_cpt_bp,
+          w.compression_bp AS wp_cpt_bp,
           u.chars_per_piece_bp AS uni_cpp_bp,
-          b.compression_bp - u.chars_per_piece_bp AS delta_bp,
-          CASE WHEN b.compression_bp > u.chars_per_piece_bp THEN 'bpe'
-            WHEN u.chars_per_piece_bp > b.compression_bp THEN 'unigram'
-            ELSE 'tie' END AS winner
-        FROM ($bpeSql) b JOIN ($uniSql) u USING (lang)
+          CASE WHEN b.compression_bp >= w.compression_bp
+              AND b.compression_bp >= u.chars_per_piece_bp THEN 'bpe'
+            WHEN u.chars_per_piece_bp >= w.compression_bp THEN 'unigram'
+            ELSE 'wordpiece' END AS winner
+        FROM ($bpeSql) b JOIN ($wpSql) w USING (lang)
+        JOIN ($uniSql) u USING (lang)
         ORDER BY b.lang"""))
   }
 

@@ -420,6 +420,75 @@ class CurationSpec extends AnyFunSuite {
       "wordpiece and bpe picked identical merges — scoring untested")
   }
 
+  test("wordpiece tokenize applies train-split likelihood merges to " +
+    "held-out docs exactly") {
+    // independent driver-side oracle: imperative likelihood-gain
+    // trainer on the 80% Knuth-hash bucket (the wordpiece winner rule
+    // over the bpe merge scan), then imperative application of the
+    // trained winners in order to the held-out 20%, per-lang rollup —
+    // must equal q_wordpiece_tokenize bit for bit.
+    def mergeWord(w: Array[String], x: String, y: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == x && w(i + 1) == y) {
+          b += (x + y); i += 2
+        } else { b += w(i); i += 1 }
+      }
+      b.result()
+    }
+    def inTrain(id: Long): Boolean =
+      ((id * 2654435761L) % 4294967296L) % 100 < 80
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    var trainWords: Array[Array[String]] = docs
+      .filter(d => inTrain(d._1))
+      .flatMap(_._3.split(" ").filter(_.nonEmpty))
+      .filter(_.length >= 2).map(_.map(_.toString).toArray)
+    val winners = (1 to 3).map { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sc2 = scala.collection.mutable.Map.empty[String, Long]
+      trainWords.foreach { w =>
+        w.foreach(s2 => sc2.update(s2, sc2.getOrElse(s2, 0L) + 1L))
+        if (w.length >= 2) w.sliding(2).foreach { p =>
+          val k = (p(0), p(1))
+          pc.update(k, pc.getOrElse(k, 0L) + 1L)
+        }
+      }
+      val ((x, y), _) = pc.toSeq.map { case ((a, b), n) =>
+        ((a, b), (BigInt(n) * BigInt(1000000000000L) /
+          (BigInt(sc2(a)) * BigInt(sc2(b)))).toLong)
+      }.minBy { case ((a, b), sc3) => (-sc3, a, b) }
+      trainWords = trainWords.map(w => mergeWord(w, x, y))
+      (x, y)
+    }
+    val expect = docs.filter(d => !inTrain(d._1))
+      .map { case (_, lang, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val toks = ws.map { w =>
+          if (w.length < 2) 1L
+          else winners.foldLeft(w.map(_.toString).toArray) {
+            case (st, (x, y)) => mergeWord(st, x, y)
+          }.length.toLong
+        }.sum
+        (lang, (1L, ws.length.toLong, toks, ws.map(_.length.toLong).sum))
+      }
+      .groupBy(_._1).view.mapValues { g =>
+        val vs = g.map(_._2)
+        (vs.map(_._1).sum, vs.map(_._2).sum, vs.map(_._3).sum, vs.map(_._4).sum)
+      }.toMap
+      .map { case (lang, (d2, w2, t2, c2)) =>
+        (lang, d2, w2, t2, c2, c2 * 10000 / t2)
+      }.toSeq.sortBy(_._1)
+    val got = run("q_wordpiece_tokenize").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"wordpiece tokenize diverged: $got != $expect")
+    assert(got.exists(_._6 > 10000),
+      "trained wordpiece merges produced no compression on held-out docs")
+  }
+
   test("unigram-lm hard-EM replays the imperative trainer exactly; " +
     "held-out apply matches") {
     // independent driver-side oracle: plain-Scala hard-EM with its own
@@ -629,19 +698,26 @@ class CurationSpec extends AnyFunSuite {
       "temperature shares must partition ppm space")
   }
 
-  test("tokenizer compare: word accounting agrees across families; " +
-    "winner column follows the fertility totals") {
+  test("tokenizer compare: word accounting agrees across all three " +
+    "families; winner column follows the fertility totals") {
     val rows = run("q_tokenizer_compare").collect()
     assert(rows.nonEmpty, "comparison must cover the held-out langs")
     rows.foreach { r =>
-      // the BPE and unigram pipelines count held-out words independently
-      // (token explode vs word histogram) — they must agree exactly
-      assert(r.getLong(3) == 1L,
+      // the three pipelines count held-out words independently (token
+      // explode ×2 vs word histogram) — they must agree exactly
+      assert(r.getLong(4) == 1L,
         s"word accounting diverged for lang ${r.getString(0)}")
-      val (b, u) = (r.getLong(7), r.getLong(8))
-      assert(r.getLong(9) == b - u, "delta must be the bp difference")
-      val expect = if (b > u) "bpe" else if (u > b) "unigram" else "tie"
-      assert(r.getString(10) == expect, "winner must follow the totals")
+      val (b, w, u) = (r.getLong(9), r.getLong(10), r.getLong(11))
+      val expect =
+        if (b >= w && b >= u) "bpe" else if (u >= w) "unigram"
+        else "wordpiece"
+      assert(r.getString(12) == expect, "winner must follow the totals")
     }
+    // the wordpiece column must come from the wordpiece apply, not a
+    // copy of BPE's: on this corpus the two trainers pick different
+    // merges (asserted in the trainer spec), so at least one lang's
+    // token totals must differ
+    assert(rows.exists(r => r.getLong(5) != r.getLong(6)),
+      "wordpiece apply column identical to bpe everywhere — suspicious")
   }
 }
