@@ -1750,6 +1750,57 @@ object EventWindows {
       },
       Some(survivalKmSql)),
 
+    // TTL'd STREAMING DEDUP — the 8th stateful twin: EventStreams
+    // .dedupKeepers runs a StatefulProcessor keyed by the DEDUP KEY
+    // (user, event_type, event-day) — "admit at most one event per
+    // user/type/day", the production frequency-cap/throttle shape —
+    // with ValueState carrying the keeper (lexicographic (µs,
+    // event_id) min-merge, order-independent ⇒ multi-batch ≡
+    // single-batch) and the additive arrival count; per-state TTL
+    // (exercised in StreamingSpec) is the production state bound:
+    // state ∝ keys active within the TTL window, never corpus history.
+    // The gate runs ttl = None: in batch execution each key's full
+    // arrival set lands in one handleInputRows call, so the emitted
+    // keepers ARE the batch argmin and the oracle replays them as a
+    // (ts, event_id) window rank. Downstream rollup per (event_type,
+    // day): admitted keys, total arrivals, suppressed duplicates, and
+    // the keeper-id sum as an identity checksum (hash-verifies WHICH
+    // event won each key, not just how many).
+    QDef("q_dedup_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.dedupKeepers(ev).toDF()
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_events"),
+            sum(col("keep_eid")).as("keeper_id_sum"))
+          .select(col("event_type"), col("day"), col("n_keys"),
+            col("n_events"),
+            (col("n_events") - col("n_keys")).as("n_suppressed"),
+            col("keeper_id_sum"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH r AS (SELECT event_type,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            event_id,
+            row_number() OVER (PARTITION BY user_id, event_type,
+              date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              ORDER BY ts, event_id) AS rn,
+            CAST(count(*) OVER (PARTITION BY user_id, event_type,
+              date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+              AS BIGINT) AS n
+          FROM events)
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(n) AS BIGINT) AS n_events,
+          CAST(sum(n) - count(*) AS BIGINT) AS n_suppressed,
+          CAST(sum(event_id) AS BIGINT) AS keeper_id_sum
+        FROM r WHERE rn = 1
+        GROUP BY event_type, day ORDER BY event_type, day""")),
+
     QDef("q_theil_sen",
       (s, d) => {
         val daily = events(s, d)

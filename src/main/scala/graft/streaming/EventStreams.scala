@@ -609,4 +609,74 @@ object EventStreams {
       .transformWithState(new SurvivalProcessor,
         TimeMode.None(), OutputMode.Update)
   }
+
+  /** Dedup keeper emitted by [[DedupProcessor]]: the admitted (first)
+    * event per (user, event_type, event-day) key plus the additive
+    * arrival count — n − 1 arrivals were suppressed as duplicates. */
+  final case class DedupKeeper(user_id: Long, event_type: String,
+    day: Long, keep_us: Long, keep_eid: Long, n: Long)
+
+  /** TTL'd streaming dedup — the stateful half of the 8th twin
+    * (q_dedup_stream_twin): frequency-cap dedup keyed by the DEDUP KEY
+    * itself ((user, event_type, event-day) — "admit at most one event
+    * per user/type/day", the production event-throttling shape).
+    * ValueState carries the keeper (lexicographic min on (µs,
+    * event_id) — order-independent min-merge, so multi-batch ≡
+    * single-batch state, the SurvivalProcessor contract) and the
+    * ADDITIVE arrival count; each batch re-emits the key's current row,
+    * update-mode latest-wins (an out-of-order earlier arrival REPLACES
+    * the keeper wholesale — consumers treat emits per key as full
+    * replacement). `ttlMs` is the production state bound: a key's
+    * keeper silently expires after the duration (requires
+    * TimeMode.ProcessingTime), so a duplicate arriving past the TTL
+    * re-admits — the standard bounded-state dedup trade (state size ∝
+    * keys active within the TTL window, not corpus history). The gated
+    * batch query runs ttl = None (TimeMode.None): single-batch
+    * execution sees every arrival in one handleInputRows call, so the
+    * emit set is exactly the batch argmin — the oracle's window rank. */
+  class DedupProcessor(ttlMs: Option[Long] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String, Long), EventRow, DedupKeeper] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[DedupKeeper] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      val ttl = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
+        .getOrElse(TTLConfig.NONE)
+      state = getHandle.getValueState[DedupKeeper]("keeper",
+        org.apache.spark.sql.Encoders.product[DedupKeeper], ttl)
+    }
+    override def handleInputRows(key: (Long, String, Long),
+        rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DedupKeeper] = {
+      val (u, t, day) = key
+      var cur = Option(state.get())
+        .getOrElse(DedupKeeper(u, t, day, Long.MaxValue, Long.MaxValue, 0L))
+      rows.foreach { r =>
+        val us = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+          r.ts.getNanos / 1000L
+        val keep =
+          if (us < cur.keep_us ||
+            (us == cur.keep_us && r.event_id < cur.keep_eid))
+            (us, r.event_id)
+          else (cur.keep_us, cur.keep_eid)
+        cur = DedupKeeper(u, t, day, keep._1, keep._2, cur.n + 1L)
+      }
+      state.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  def dedupKeepers(events: Dataset[EventRow],
+      ttlMs: Option[Long] = None,
+      epochUs: Long = 1704067200000000L): Dataset[DedupKeeper] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val timeMode =
+      if (ttlMs.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey { r =>
+      val us = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+        r.ts.getNanos / 1000L
+      (r.user_id, r.event_type, Math.floorDiv(us - epochUs, 86400000000L))
+    }.transformWithState(new DedupProcessor(ttlMs), timeMode,
+      OutputMode.Update)
+  }
 }

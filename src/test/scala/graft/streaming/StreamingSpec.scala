@@ -764,6 +764,87 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup processor: keeper min-merges backward across batches; " +
+    "duplicate count accumulates per key") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.dedupKeepers(mem.toDS()).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_dedup")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("dedup_chk").toString)
+        .start()
+      try {
+        // batch 1: user 1 clicks twice on day 1 (10:00 eid=5, 09:00
+        // eid=3) — same dedup key, keeper = the 09:00 arrival
+        mem.addData(row(5, ts(1, 10), user = 1), row(3, ts(1, 9), user = 1))
+        q.processAllAvailable()
+        // batch 2: an OUT-OF-ORDER earlier click (08:00 eid=9) for the
+        // same key — keeper must min-merge BACKWARD and replace the
+        // emitted row wholesale; plus a view (different type → its own
+        // key, untouched count)
+        mem.addData(row(9, ts(1, 8), user = 1),
+          row(7, ts(1, 11), user = 1, typ = "view"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("t_dedup")
+        .select(col("user_id"), col("event_type"), col("day"),
+          col("keep_us"), col("keep_eid"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      def us(t: java.sql.Timestamp) =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      // batch-1 emit: keeper (09:00, 3) with both arrivals counted
+      assert(rows.contains((1L, "click", 0L, us(ts(1, 9)), 3L, 2L)),
+        s"batch-1 keeper must be the 09:00 arrival: ${rows.toSeq}")
+      // latest-wins finals per key
+      val fin = rows.groupBy(r => (r._1, r._2, r._3))
+        .map { case (k, rs) => k -> rs.last }
+      assert(fin((1L, "click", 0L)) ==
+        ((1L, "click", 0L, us(ts(1, 8)), 9L, 3L)),
+        s"keeper must min-merge backward with n=3: ${fin.toSeq}")
+      assert(fin((1L, "view", 0L)) ==
+        ((1L, "view", 0L, us(ts(1, 11)), 7L, 1L)),
+        s"distinct event_type must key separately: ${fin.toSeq}")
+    }
+  }
+
+  test("dedup processor TTL: a duplicate past the state TTL re-admits") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.dedupKeepers(mem.toDS(), ttlMs = Some(250L)).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_dedup_ttl")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("dedup_ttl_chk").toString)
+        .start()
+      // ProcessingTime mode keeps scheduling batches (the counter-TTL
+      // test precedent): poll instead of processAllAvailable settling.
+      def got() = spark.table("t_dedup_ttl")
+        .select(col("keep_eid"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def awaitContains(t: (Long, Long)): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!got().contains(t) && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(got().contains(t), s"never saw $t in ${got()}")
+      }
+      try {
+        mem.addData(row(5, ts(1, 10), user = 1))
+        awaitContains((5L, 1L))
+        Thread.sleep(700) // keeper state passes its TTL
+        // same dedup key arrives again: expired state → RE-ADMITTED as
+        // a fresh keeper (n restarts at 1), the documented TTL trade
+        mem.addData(row(8, ts(1, 11), user = 1))
+        awaitContains((8L, 1L))
+      } finally q.stop()
+      assert(!got().contains((5L, 2L)),
+        s"TTL never expired — duplicate was suppressed: ${got()}")
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
