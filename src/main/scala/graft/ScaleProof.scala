@@ -398,7 +398,23 @@ object ScaleProof {
       // certificate adds ONE projection scan to the family's moment
       // agg; the skew router re-runs the profiler then dispatches the
       // verdict-chosen join per regime
-      "q_nb_quality", "q_pca_whiten", "q_skew_routed")
+      "q_nb_quality", "q_pca_whiten", "q_skew_routed",
+      // round-12 wave 2: the decontamination screen joins the train
+      // split's gram explode against the held-out distinct-8-gram set;
+      // temperature sampling is one per-lang agg + a bounded weight
+      // chain; q9 is the 5-way star at a 10x fact side; the wordpiece
+      // apply + 3-way compare ride the shared BPE-window machinery
+      // (the family's sort-buffer profile); the two stateful twins run
+      // batch-mode TWS with RocksDB state ∝ 10x keys
+      "q_ngram_contamination", "q_mixture_temperature",
+      "q9_profit_style", "q_wordpiece_tokenize", "q_tokenizer_compare",
+      "q_survival_stream_twin", "q_dedup_stream_twin",
+      // the IVF-seeded Lloyd: candidate fan n·(k/8) vs the exact
+      // family's n·k — compare against q_kmeans_lloyd / the
+      // q_semantic_dedup auto-k assignment at the same corpus; the
+      // silhouette certificate adds one broadcast-codebook scan to the
+      // Lloyd round profile
+      "q_kmeans_seeded", "q_kmeans_silhouette")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -190,8 +190,40 @@ object Llm {
   private val kmDims = 8
   private val kmK = 8
   private val kmIters = 3
-  private def kmeansAssign(s: SparkSession, d: String,
-      k: Long = kmK): DataFrame = {
+  // argmin as a PRIMITIVE map-side-combinable hash agg: encode
+  // (dist, ck) into one BIGINT key = dist·2^18 + ck — strictly
+  // monotone in the (dist asc, ck asc) tie rule since ck < 2^18 —
+  // and take min(key). A row_number window sort-buffered the whole
+  // n·k candidate fan (85 GB spill at the 100× auto-k point); a
+  // min(struct(...)) agg routed through ObjectHashAggregate, whose
+  // 128-group sort fallback spilled almost as much. min(BIGINT) stays
+  // in whole-stage-codegen HashAggregate with true partial
+  // aggregation: each partition holds one long per vector, and only
+  // ≤ n combined rows cross the exchange. Bounds: dist ≤ 8·(2·10⁶)²
+  // ≈ 3.2e13 on the e6 grid, so key ≤ 8.4e18 < 2^63; the shift caps
+  // k at 2^18 centroids (≈ 5e7 vectors at the n/200 rule) — asserted.
+  private val kmEncK = 262144L
+  /** Exact nearest-centroid assignment against codebook `c` (columns
+    * ck, m0..m7) for quantized vectors `q` (vec_id, q0..q7) via the
+    * encoded-BIGINT argmin above. Returns (vec_id, q0..q7, ck, dist). */
+  private def kmAssignFrame(q: DataFrame, c: DataFrame): DataFrame = {
+    val dist = (0 until kmDims)
+      .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
+      .reduce(_ + _)
+    q.crossJoin(broadcast(c))
+      .select(col("vec_id"), (dist * kmEncK + col("ck")).as("key"))
+      .groupBy(col("vec_id")).agg(min(col("key")).as("key"))
+      .join(q, "vec_id") // restore q0..q7 (co-partitioned by vec_id)
+      .select(col("vec_id") +:
+        (0 until kmDims).map(i => col(s"q$i")) :+
+        (col("key") % kmEncK).as("ck") :+
+        expr(s"key div $kmEncK").as("dist"): _*)
+  }
+  /** Trainer half: returns (quantized vector frame, final centroid
+    * frame after kmIters assign/update rounds). */
+  private def kmeansTrain(s: SparkSession, d: String,
+      k: Long = kmK): (DataFrame, DataFrame) = {
+    require(k < kmEncK, s"k=$k exceeds the 2^18 argmin encoding")
     val q = embeddings(s, d).select(
       col("vec_id") +: (0 until kmDims).map(i =>
         round(element_at(col("embedding"), i + 1).cast("double")
@@ -200,40 +232,142 @@ object Llm {
     var cent = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("ck") +:
         (0 until kmDims).map(i => col(s"q$i").as(s"m$i")): _*)
-    val dist = (0 until kmDims)
-      .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
-      .reduce(_ + _)
-    // argmin as a PRIMITIVE map-side-combinable hash agg: encode
-    // (dist, ck) into one BIGINT key = dist·2^18 + ck — strictly
-    // monotone in the (dist asc, ck asc) tie rule since ck < 2^18 —
-    // and take min(key). A row_number window sort-buffered the whole
-    // n·k candidate fan (85 GB spill at the 100× auto-k point); a
-    // min(struct(...)) agg routed through ObjectHashAggregate, whose
-    // 128-group sort fallback spilled almost as much. min(BIGINT) stays
-    // in whole-stage-codegen HashAggregate with true partial
-    // aggregation: each partition holds one long per vector, and only
-    // ≤ n combined rows cross the exchange. Bounds: dist ≤ 8·(2·10⁶)²
-    // ≈ 3.2e13 on the e6 grid, so key ≤ 8.4e18 < 2^63; the shift caps
-    // k at 2^18 centroids (≈ 5e7 vectors at the n/200 rule) — asserted.
-    val encK = 262144L
-    require(k < encK, s"k=$k exceeds the 2^18 argmin encoding")
-    def assign(c: DataFrame) =
-      q.crossJoin(broadcast(c))
-        .select(col("vec_id"), (dist * encK + col("ck")).as("key"))
-        .groupBy(col("vec_id")).agg(min(col("key")).as("key"))
-        .join(q, "vec_id") // restore q0..q7 (co-partitioned by vec_id)
-        .select(col("vec_id") +:
-          (0 until kmDims).map(i => col(s"q$i")) :+
-          (col("key") % encK).as("ck") :+
-          expr(s"key div $encK").as("dist"): _*)
     for (_ <- 1 to kmIters) {
       val mCols = (0 until kmDims).map(i =>
         expr(s"sum(q$i) div count(1)").as(s"m$i"))
-      cent = assign(cent).groupBy(col("ck"))
+      cent = kmAssignFrame(q, cent).groupBy(col("ck"))
         .agg(mCols.head, mCols.tail: _*)
         .localCheckpoint(true)
     }
-    assign(cent)
+    (q, cent)
+  }
+  private def kmeansAssign(s: SparkSession, d: String,
+      k: Long = kmK): DataFrame = {
+    val (q, cent) = kmeansTrain(s, d, k)
+    kmAssignFrame(q, cent)
+  }
+
+  /** IVF-SEEDED two-level Lloyd (q_kmeans_seeded) — the 100×+ escape
+    * for the auto-k assignment fan: the full Lloyd scan enumerates
+    * n·k candidates per round, and with the SemDeDup rule k ∝ n that
+    * fan is quadratic in corpus size (TUNING's residual growth axis).
+    * Here a STATIC coarse codebook (the declared k=8 trajectory —
+    * kmeansTrain shared verbatim with q_kmeans_lloyd) partitions the
+    * space once; each round the moving fine centroids re-assign to
+    * coarse cells (k·8 rows — tiny) and every vector's candidate set
+    * becomes an EQUI-JOIN on its cell: expected n·(k/8) scored rows
+    * instead of n·k. Vectors whose cell holds no fine centroid fall
+    * back to the full broadcast scan (the declared orphan rule —
+    * bounded by the orphan fraction, reported per cluster in the
+    * output, never silent). The trajectory is a DECLARED deterministic
+    * variant of Lloyd (the q_knn_graph_clusters precedent: the
+    * operating point is part of the operator): same integer grid, same
+    * encoded-BIGINT argmin/tie rule within the candidate set, same
+    * truncating-mean updates — both engines and the spec replay walk
+    * it identically. Returns (vec_id, q0..q7, fk, dist, orphan). */
+  private def kmeansSeededAssign(s: SparkSession, d: String): DataFrame = {
+    val (q, coarse) = kmeansTrain(s, d, kmK)
+    // static IVF structure: every vector's coarse cell, computed once
+    val vcell = kmAssignFrame(q, coarse)
+      .select(col("vec_id") +: (0 until kmDims).map(i => col(s"q$i")) :+
+        col("ck").as("cell"): _*)
+      .localCheckpoint(true) // candidate join + orphan anti-join + q restore
+    val k = semK(s, d)
+    require(k < kmEncK, s"k=$k exceeds the 2^18 argmin encoding")
+    var fine = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("fk") +:
+        (0 until kmDims).map(i => col(s"q$i").as(s"m$i")): _*)
+    val dist = (0 until kmDims)
+      .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
+      .reduce(_ + _)
+    def seededAssign(f: DataFrame): DataFrame = {
+      val fc = f.localCheckpoint(true) // cell-assign + both dist probes
+      // moving fine codebook → static coarse cells (k·8 rows)
+      val fcell = kmAssignFrame(
+        fc.select(col("fk").as("vec_id") +:
+          (0 until kmDims).map(i => col(s"m$i").as(s"q$i")): _*), coarse)
+        .select(col("vec_id").as("fk"), col("ck").as("cell"))
+        .join(fc, "fk") // restore m0..m7
+        .localCheckpoint(true)
+      // the fine codebook is ≤ 2^18 rows (the argmin-encoding cap) —
+      // broadcast-sized by construction, so the candidate equi-join
+      // never shuffles the corpus side
+      val cand = vcell.join(broadcast(fcell), "cell")
+        .select(col("vec_id"), (dist * kmEncK + col("fk")).as("key"))
+        .groupBy(col("vec_id")).agg(min(col("key")).as("key"))
+        .withColumn("orphan", lit(0L))
+      val orph = vcell
+        .join(fcell.select(col("cell")).distinct(), Seq("cell"), "left_anti")
+        .crossJoin(broadcast(fc))
+        .select(col("vec_id"), (dist * kmEncK + col("fk")).as("key"))
+        .groupBy(col("vec_id")).agg(min(col("key")).as("key"))
+        .withColumn("orphan", lit(1L))
+      cand.union(orph).join(vcell, "vec_id")
+        .select(col("vec_id") +: (0 until kmDims).map(i => col(s"q$i")) :+
+          (col("key") % kmEncK).as("fk") :+
+          expr(s"key div $kmEncK").as("dist") :+ col("orphan"): _*)
+    }
+    for (_ <- 1 to kmIters) {
+      val mCols = (0 until kmDims).map(i =>
+        expr(s"sum(q$i) div count(1)").as(s"m$i"))
+      fine = seededAssign(fine).groupBy(col("fk"))
+        .agg(mCols.head, mCols.tail: _*)
+    }
+    seededAssign(fine)
+  }
+
+  /** DuckDB mirror of [[kmeansSeededAssign]]: extends kmeansCte(8)
+    * (the shared coarse trajectory — c$kmIters is the static coarse
+    * codebook, fin the vectors' cells) with the fine chain: per round,
+    * fine→cell argmin (fc$r), cell-equi-join candidate argmin (ca$r),
+    * full-scan orphan fallback (or$r), union (a$r), truncating-mean
+    * update (f$r); round kmIters+1 is the final assignment. */
+  // lazy: references semKSql, which is declared later in this object —
+  // a plain val would capture null at object-init order
+  private lazy val kmeansSeededCtes: String = {
+    val qList = (0 until kmDims).map(i => s"q$i").mkString(", ")
+    val mList = (0 until kmDims).map(i => s"m$i").mkString(", ")
+    def distSql(v: String, c: String) = (0 until kmDims)
+      .map(i => s"($v.q$i - $c.m$i) * ($v.q$i - $c.m$i)").mkString(" + ")
+    def distMm(v: String, c: String) = (0 until kmDims)
+      .map(i => s"($v.m$i - $c.m$i) * ($v.m$i - $c.m$i)").mkString(" + ")
+    def roundCtes(r: Int): String =
+      s"""fc$r AS (SELECT fk, cell, $mList FROM (
+            SELECT *, row_number() OVER (PARTITION BY fk
+              ORDER BY fdist, cell) AS rk FROM (
+              SELECT f.fk, c.ck AS cell, ${(0 until kmDims)
+        .map(i => s"f.m$i").mkString(", ")},
+                ${distMm("f", "c")} AS fdist
+              FROM f${r - 1} f CROSS JOIN c$kmIters c))
+          WHERE rk = 1),
+        ca$r AS (SELECT vec_id, fk, dist, 0 AS orphan FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist, fk) AS rk FROM (
+              SELECT v.vec_id, g.fk, ${distSql("v", "g")} AS dist
+              FROM vc v JOIN fc$r g ON v.cell = g.cell))
+          WHERE rk = 1),
+        or$r AS (SELECT vec_id, fk, dist, 1 AS orphan FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist, fk) AS rk FROM (
+              SELECT v.vec_id, f.fk, ${distSql("v", "f")} AS dist
+              FROM vc v CROSS JOIN f${r - 1} f
+              WHERE v.cell NOT IN (SELECT cell FROM fc$r)))
+          WHERE rk = 1),
+        sa$r AS (SELECT u.vec_id, u.fk, u.dist, u.orphan, $qList
+          FROM (SELECT * FROM ca$r UNION ALL SELECT * FROM or$r) u
+          JOIN vc v USING (vec_id))"""
+    val updates = (1 to kmIters).map(r =>
+      s"""${roundCtes(r)},
+        f$r AS (SELECT fk, ${(0 until kmDims)
+        .map(i => s"sum(q$i) // count(*) AS m$i").mkString(", ")}
+          FROM sa$r GROUP BY fk)""").mkString(",\n        ")
+    s"""vc AS (SELECT x.vec_id, $qList, f.ck AS cell
+          FROM x JOIN fin f USING (vec_id)),
+        f0 AS (SELECT vec_id AS fk, ${(0 until kmDims)
+      .map(i => s"q$i AS m$i").mkString(", ")}
+          FROM x WHERE vec_id < $semKSql),
+        $updates,
+        ${roundCtes(kmIters + 1)}"""
   }
 
   /** DuckDB mirror of [[kmeansAssign]]: CTEs `x` (quantized vectors)
@@ -1661,6 +1795,92 @@ object Llm {
         SELECT ck AS k, count(*) AS n,
           CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist2
         FROM fin GROUP BY ck ORDER BY k""")),
+
+    // IVF-SEEDED LLOYD — the auto-k assignment fan's 100×+ escape as a
+    // DECLARED operator (NEXT r13 #1): with k ∝ n (the SemDeDup rule)
+    // the exact Lloyd scan is n·k ∝ n² per round; here the declared
+    // coarse k=8 trajectory (kmeansTrain shared VERBATIM with
+    // q_kmeans_lloyd) becomes a static IVF partition, the moving fine
+    // centroids re-assign to coarse cells each round (k·8 rows), and
+    // every vector scores only its cell's fine centroids via an
+    // EQUI-JOIN — expected n·(k/8) candidates. Cells holding no fine
+    // centroid fall back to the full broadcast scan (the declared
+    // orphan rule; per-cluster orphan counts ride the output, so the
+    // approximation cost is visible, never silent). Same integer grid,
+    // same encoded-argmin tie rule, same truncating-mean updates as the
+    // exact family — a deterministic declared trajectory both engines
+    // and the spec replay walk identically. Output: per fine cluster,
+    // members, orphan-assigned members, truncated mean squared
+    // distance.
+    QDef("q_kmeans_seeded",
+      (s, d) => kmeansSeededAssign(s, d).groupBy(col("fk"))
+        .agg(count(lit(1)).as("n"), sum(col("orphan")).as("n_orphan"),
+          expr("CAST(sum(CAST(dist AS DECIMAL(38,0))) div count(1)" +
+            " AS BIGINT)").as("mean_dist2"))
+        .select(col("fk").as("k"), col("n"), col("n_orphan"),
+          col("mean_dist2"))
+        .orderBy(col("k")),
+      Some(s"""WITH $kmeansCtePrelude,
+        $kmeansSeededCtes
+        SELECT fk AS k, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(orphan) AS BIGINT) AS n_orphan,
+          CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist2
+        FROM sa${kmIters + 1} GROUP BY fk ORDER BY k""")),
+
+    // CENTROID SILHOUETTE — the cluster-quality certificate over the
+    // declared k-means (the standard O(n·k) simplification of
+    // Rousseeuw 1987's O(n²) silhouette: a = squared distance to the
+    // OWN centroid — the assignment's dist, already computed — b =
+    // min squared distance to any OTHER centroid): s = (√b − √a) /
+    // √max(a, b) per vector, rounded ONCE onto the e6 grid (the
+    // quantizer's round(x·1e6, 0) pattern — identical IEEE sqrt/÷
+    // chain both engines), per-cluster truncated integer mean. The
+    // max(a,b) = 0 duplicate-centroid corner is declared s = 0, never
+    // NaN. This is the "did the clustering help" gate a production
+    // pipeline runs before acting on cluster structure (e.g. before
+    // the SemDeDup screen). Scale: ONE extra broadcast-codebook scan
+    // over the assignment frame — the Lloyd round profile, no new
+    // shuffle shape.
+    QDef("q_kmeans_silhouette",
+      (s, d) => {
+        val (q, cent) = kmeansTrain(s, d)
+        val asg = kmAssignFrame(q, cent)
+        val db = (0 until kmDims)
+          .map(i => (col(s"q$i") - col(s"m$i")) *
+            (col(s"q$i") - col(s"m$i"))).reduce(_ + _)
+        val second = asg
+          .crossJoin(broadcast(cent.withColumnRenamed("ck", "ok")))
+          .filter(col("ok") =!= col("ck"))
+          .groupBy(col("vec_id")).agg(min(db).as("b2"))
+        asg.select(col("vec_id"), col("ck"), col("dist"))
+          .join(second, "vec_id")
+          .select(col("ck"), expr("""CASE WHEN greatest(dist, b2) = 0
+              THEN 0 ELSE CAST(round((sqrt(CAST(b2 AS DOUBLE))
+                - sqrt(CAST(dist AS DOUBLE)))
+              / sqrt(CAST(greatest(dist, b2) AS DOUBLE))
+              * 1000000, 0) AS BIGINT) END""").as("s_e6"))
+          .groupBy(col("ck"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(s_e6) div count(1)").as("mean_sil_e6"))
+          .select(col("ck").as("k"), col("n"), col("mean_sil_e6"))
+          .orderBy(col("k"))
+      },
+      Some(s"""WITH $kmeansCtePrelude,
+        sb AS (SELECT x.vec_id, min(${(0 until kmDims)
+          .map(i => s"(x.q$i - c.m$i) * (x.q$i - c.m$i)")
+          .mkString(" + ")}) AS b2
+          FROM x JOIN fin f USING (vec_id)
+          JOIN c$kmIters c ON c.ck <> f.ck
+          GROUP BY x.vec_id),
+        sil AS (SELECT f.ck, CASE WHEN greatest(f.dist, s.b2) = 0
+            THEN 0 ELSE CAST(round((sqrt(CAST(s.b2 AS DOUBLE))
+              - sqrt(CAST(f.dist AS DOUBLE)))
+            / sqrt(CAST(greatest(f.dist, s.b2) AS DOUBLE))
+            * 1000000, 0) AS BIGINT) END AS s_e6
+          FROM fin f JOIN sb s USING (vec_id))
+        SELECT ck AS k, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_sil_e6
+        FROM sil GROUP BY ck ORDER BY k""")),
 
     // SEMANTIC DEDUP SCREEN (SemDeDup, Abbas et al. 2023) — embedding-
     // space redundancy the token-level families cannot see: partition

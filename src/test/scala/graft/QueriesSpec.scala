@@ -2162,6 +2162,119 @@ class QueriesSpec extends AnyFunSuite {
       "cluster sizes must partition the corpus")
   }
 
+  test("wave-r12 q_kmeans_seeded: full two-level IVF-seeded Lloyd " +
+    "replay, orphan accounting included") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q_kmeans_seeded")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(8).map(f =>
+        new java.math.BigDecimal(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toArray).sortBy(_._1)
+    def assignTo(cs: Seq[(Long, Array[Long])],
+        q2: Array[Long]): (Long, Long) = {
+      val (dd, ck) = cs.map { case (ck2, m) =>
+        ((0 until 8).map(i => (q2(i) - m(i)) * (q2(i) - m(i))).sum, ck2)
+      }.min
+      (ck, dd)
+    }
+    // coarse trajectory — byte-identical to the q_kmeans_lloyd replay
+    var cents: Seq[(Long, Array[Long])] = vecs.take(8)
+      .map { case (id, q2) => (id, q2.clone) }.toSeq
+    (1 to 3).foreach { _ =>
+      val a = vecs.map { case (id, q2) => id -> assignTo(cents, q2)._1 }
+        .toMap
+      cents = a.values.toSeq.distinct.sorted.map { ck =>
+        val ms = vecs.filter(v => a(v._1) == ck)
+        ck -> Array.tabulate(8)(i => ms.map(_._2(i)).sum / ms.length)
+      }
+    }
+    val cell = vecs.map { case (id, q2) => id -> assignTo(cents, q2)._1 }
+      .toMap
+    val n = vecs.length.toLong
+    val k = math.max(8L, n / 200L)
+    var fine: Seq[(Long, Array[Long])] = vecs.filter(_._1 < k)
+      .map { case (id, q2) => (id, q2.clone) }.toSeq
+    // seeded assignment: candidates = fine centroids sharing the
+    // vector's coarse cell; empty cell → full-scan orphan fallback
+    def seededAssign(f: Seq[(Long, Array[Long])])
+        : Map[Long, (Long, Long, Long)] = {
+      val fcell = f.map { case (fk, m) => (fk, assignTo(cents, m)._1, m) }
+      vecs.map { case (id, q2) =>
+        val cand = fcell.filter(_._2 == cell(id))
+        val (cs, orphan) =
+          if (cand.nonEmpty) (cand, 0L) else (fcell, 1L)
+        val (dd, fk) = cs.map { case (fk2, _, m) =>
+          ((0 until 8).map(i => (q2(i) - m(i)) * (q2(i) - m(i))).sum, fk2)
+        }.min
+        id -> ((fk, dd, orphan))
+      }.toMap
+    }
+    (1 to 3).foreach { _ =>
+      val a = seededAssign(fine)
+      fine = a.values.map(_._1).toSeq.distinct.sorted.map { fk =>
+        val ms = vecs.filter(v => a(v._1)._1 == fk)
+        fk -> Array.tabulate(8)(i => ms.map(_._2(i)).sum / ms.length)
+      }
+    }
+    val fa = seededAssign(fine)
+    val expect = fa.groupBy(_._2._1).toSeq.map { case (fk, g) =>
+      val ds = g.values.toSeq
+      (fk, ds.size.toLong, ds.map(_._3).sum, ds.map(_._2).sum / ds.size)
+    }.sortBy(_._1)
+    assert(rows == expect, s"seeded replay diverged: $rows != $expect")
+    assert(rows.map(_._2).sum == n,
+      "seeded clusters must partition the corpus")
+  }
+
+  test("wave-r12 q_kmeans_silhouette: centroid-silhouette replay on " +
+    "the shared Lloyd trajectory") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q_kmeans_silhouette")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(8).map(f =>
+        new java.math.BigDecimal(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toArray).sortBy(_._1)
+    var cents: Seq[(Long, Array[Long])] = vecs.take(8)
+      .map { case (id, q2) => (id, q2.clone) }.toSeq
+    def d2(q2: Array[Long], m: Array[Long]): Long =
+      (0 until 8).map(i => (q2(i) - m(i)) * (q2(i) - m(i))).sum
+    (1 to 3).foreach { _ =>
+      val a = vecs.map { case (id, q2) =>
+        id -> cents.map { case (ck, m) => (d2(q2, m), ck) }.min._2 }.toMap
+      cents = a.values.toSeq.distinct.sorted.map { ck =>
+        val ms = vecs.filter(v => a(v._1) == ck)
+        ck -> Array.tabulate(8)(i => ms.map(_._2(i)).sum / ms.length)
+      }
+    }
+    val expect = vecs.map { case (id, q2) =>
+      val scored = cents.map { case (ck, m) => (d2(q2, m), ck) }
+      val (a2, ck) = scored.min
+      val b2 = scored.filter(_._2 != ck).map(_._1).min
+      val s2 =
+        if (math.max(a2, b2) == 0L) 0L
+        else new java.math.BigDecimal(
+          (math.sqrt(b2.toDouble) - math.sqrt(a2.toDouble)) /
+            math.sqrt(math.max(a2, b2).toDouble) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      (ck, s2)
+    }.groupBy(_._1).toSeq.map { case (ck, g) =>
+      (ck, g.length.toLong, g.map(_._2).sum / g.length)
+    }.sortBy(_._1)
+    assert(rows == expect, s"silhouette replay diverged: $rows != $expect")
+    // silhouette values live in [-1, 1] by construction
+    assert(rows.forall(r => r._3 >= -1000000L && r._3 <= 1000000L))
+  }
+
   test("wave-r11 q_pca_power: full integer power-iteration replay") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
