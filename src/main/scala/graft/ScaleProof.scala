@@ -414,7 +414,11 @@ object ScaleProof {
       // q_semantic_dedup auto-k assignment at the same corpus; the
       // silhouette certificate adds one broadcast-codebook scan to the
       // Lloyd round profile
-      "q_kmeans_seeded", "q_kmeans_silhouette")
+      "q_kmeans_seeded", "q_kmeans_silhouette",
+      // round-12 wave 3: modularity adds a degree agg + edge-labels
+      // equi-join on the shared dup graph; PSI is two passes over
+      // lineitem (min/max + binned counts); Benford is one count agg
+      "q_graph_modularity", "q_psi_drift", "q_benford_digits")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -890,6 +890,118 @@ object Corpus {
         GROUP BY 1, 2, 3, 4
         ORDER BY source_a, source_b""")),
 
+    // PSI DRIFT (population stability index) — the scorecard-monitoring
+    // drift metric beside q_ks_drift (KS compares CDF sup-distance
+    // between source slices; PSI compares BINNED mass between the train
+    // and held-out splits, the form model-monitoring dashboards track):
+    // Σ_bins (p_tr − p_te)·ln(p_tr/p_te) over 10 equal-width integer
+    // bins of the l_extendedprice cents on the Knuth 80/20 split
+    // (l_orderkey % 10 < 8 — the established split key). Determinism:
+    // values land ONCE on the cents grid (round(x·100) — identical IEEE
+    // multiply + half-up round both engines); bin = least(9, (c − mn)·10
+    // div (mx − mn + 1)) is exact integer algebra off a 1-row broadcast
+    // min/max agg; each ln lands ONCE on the 1e-4 grid from an exact
+    // integer rational (add-one-smoothed counts — the q_dsir_weights
+    // mechanism) and the (p_tr − p_te) factor is the truncating-div ppm
+    // difference, so term_e10 = dp_e6·ln_e4 is exact BIGINT. Scale: one
+    // pass for min/max + one binned count agg — map-side combinable,
+    // 10-row result at any corpus size.
+    QDef("q_psi_drift",
+      (s, d) => {
+        val li = lineitem(s, d).select(
+          round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
+          (col("l_orderkey") % 10 < 8).cast("long").as("is_tr"))
+        val mm = li.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+        val binned = li.crossJoin(broadcast(mm))
+          .select(expr("least(9, (c - mn) * 10 div (mx - mn + 1))")
+            .as("bin"), col("is_tr"))
+          .groupBy(col("bin"))
+          .agg(sum(col("is_tr")).as("c_tr"),
+            sum(lit(1L) - col("is_tr")).as("c_te"))
+        val w = Window.partitionBy()
+        binned
+          .select(col("bin"), col("c_tr"), col("c_te"),
+            (sum(col("c_tr")).over(w) + 10L).as("d_tr"),
+            (sum(col("c_te")).over(w) + 10L).as("d_te"))
+          .select(col("bin"), col("c_tr"), col("c_te"),
+            (expr("(c_tr + 1) * 1000000 div d_tr") -
+              expr("(c_te + 1) * 1000000 div d_te")).as("dp_e6"),
+            round(log(((col("c_tr") + lit(1.0)) * col("d_te")) /
+              ((col("c_te") + lit(1.0)) * col("d_tr"))) * 10000, 0)
+              .cast("long").as("lnr_e4"))
+          .select(col("bin"), col("c_tr"), col("c_te"), col("dp_e6"),
+            col("lnr_e4"),
+            (col("dp_e6") * col("lnr_e4")).as("term_e10"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH li AS (SELECT
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+            CAST(l_orderkey % 10 < 8 AS BIGINT) AS is_tr FROM lineitem),
+        mm AS (SELECT min(c) AS mn, max(c) AS mx FROM li),
+        binned AS (SELECT least(9, (c - mn) * 10 // (mx - mn + 1)) AS bin,
+            CAST(sum(is_tr) AS BIGINT) AS c_tr,
+            CAST(sum(1 - is_tr) AS BIGINT) AS c_te
+          FROM li CROSS JOIN mm GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_tr) + 10 AS BIGINT) AS d_tr,
+            CAST(sum(c_te) + 10 AS BIGINT) AS d_te FROM binned),
+        terms AS (SELECT bin, c_tr, c_te,
+            (c_tr + 1) * 1000000 // d_tr
+              - (c_te + 1) * 1000000 // d_te AS dp_e6,
+            CAST(round(ln(((c_tr + 1.0) * d_te) / ((c_te + 1.0) * d_tr))
+              * 10000) AS BIGINT) AS lnr_e4
+          FROM binned CROSS JOIN tot)
+        SELECT bin, c_tr, c_te, CAST(dp_e6 AS BIGINT) AS dp_e6, lnr_e4,
+          CAST(dp_e6 * lnr_e4 AS BIGINT) AS term_e10
+        FROM terms ORDER BY bin""")),
+
+    // BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data screen a
+    // production ingest runs over monetary columns: the leading digit of
+    // naturally occurring amounts follows P(d) = log₁₀(1 + 1/d); a flat
+    // or spiked distribution flags generated or truncated data (this
+    // synthetic corpus's uniform prices fail it loudly — that is the
+    // point of an audit). The 9 expected ppm masses are BUILDER-TIME
+    // constants embedded in both plans (the NdcgW pattern — no
+    // transcendental runs per-engine); the leading digit comes from the
+    // exact BIGINT-cents decimal string (identical integer-to-string in
+    // both engines, no per-row log10). One map-side count agg, 9-row
+    // result, |actual − benford| deviation in ppm plus the χ²-style
+    // scaled statistic Σ dev²/expected per digit.
+    QDef("q_benford_digits",
+      (s, d) => {
+        val digits = orders(s, d).select(
+          substring(round(col("o_totalprice") * 100, 0).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+        val w = Window.partitionBy()
+        digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000 div sum(n) over ()").as("actual_ppm"),
+            element_at(typedLit(BenfordPpm), col("digit").cast("int"))
+              .as("benford_ppm"))
+          .select(col("digit"), col("n"), col("actual_ppm"),
+            col("benford_ppm"),
+            (col("actual_ppm") - col("benford_ppm")).as("dev_ppm"),
+            expr("""(actual_ppm - benford_ppm)
+              * (actual_ppm - benford_ppm) div benford_ppm""")
+              .as("chi2_term"))
+          .orderBy(col("digit"))
+      },
+      Some(s"""WITH d AS (SELECT CAST(substr(CAST(
+            CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+            AS BIGINT) AS digit FROM orders),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        b(digit, benford_ppm) AS (VALUES ${BenfordPpm.zipWithIndex
+          .map { case (p, i) => s"(${i + 1}, ${p}::BIGINT)" }
+          .mkString(", ")}),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        SELECT c.digit, CAST(n AS BIGINT) AS n,
+          n * 1000000 // tot AS actual_ppm, benford_ppm,
+          n * 1000000 // tot - benford_ppm AS dev_ppm,
+          (n * 1000000 // tot - benford_ppm)
+            * (n * 1000000 // tot - benford_ppm)
+            // benford_ppm AS chi2_term
+        FROM c JOIN b ON c.digit = b.digit CROSS JOIN t
+        ORDER BY c.digit""")),
+
     // SYMSPELL FUZZY JOIN — edit-distance ≤ 1 self-join over the customer
     // name vocabulary via the symmetric-delete neighborhood (Garbe's
     // SymSpell): every string emits itself plus each 1-deletion variant;
@@ -1580,51 +1692,81 @@ object Corpus {
     // replayed as chained CTEs with the identical tie order. All
     // string/integer (class A).
     QDef("q_label_prop",
+      (s, d) => labelProp2(s, d)._2.orderBy(col("doc_id")),
+      Some(s"""WITH ${Llm.dupEdgesCte("0.2")},
+        $labelPropCtes
+        SELECT doc_id, lbl FROM l2 ORDER BY doc_id""")),
+
+    // GRAPH MODULARITY CERTIFICATE — the "did community detection help"
+    // gate over the label-propagation partition (the q_kmeans_silhouette
+    // precedent for the vector side: a quality score is part of the
+    // operator family, not a comment). Newman–Girvan modularity
+    // Q = Σ_c [e_c/m − (d_c/2m)²] evaluated EXACTLY: per community the
+    // contribution's cleared form 4m·e_c − d_c² is DECIMAL(38,0)/HUGEINT
+    // integer arithmetic (BIGINT d_c² overflows past ~3·10⁹ total
+    // degree — the pcaCovFull lesson), scaled to the e12 grid by ONE
+    // truncating division (both engines truncate toward zero, verified
+    // on negatives — sparse communities go negative). The propagation
+    // rounds are labelProp2 shared VERBATIM with q_label_prop, the
+    // edges the memoized shared dup graph — partition and certificate
+    // cannot drift. Scale: one degree agg + one edge-labels equi-join +
+    // a per-community rollup on top of the propagation's own joins — no
+    // new shuffle shape; the 1-row m frame rides a broadcast.
+    QDef("q_graph_modularity",
       (s, d) => {
-        val docs = documents(s, d).select(col("doc_id"),
-          col("source").as("lbl"))
-        val e0 = graft.llm.TextDedup
-          .jaccardEdgesShared(documents(s, d), "doc_id", "text",
-            threshold = 0.2, corpusKey = d)
-          .select(col("id_a"), col("id_b"))
-        val edges = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .localCheckpoint(true) // read by both propagation rounds
-        var labels = docs.localCheckpoint(true)
-        for (_ <- 1 to 2) {
-          val w = Window.partitionBy(col("dst"))
-            .orderBy(col("n").desc, col("nl"))
-          val newl = edges
-            .join(labels.select(col("doc_id").as("src"),
-              col("lbl").as("nl")), "src")
-            .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("n"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("dst").as("doc_id"), col("nl"))
-          labels = labels.join(newl, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("nl"), col("lbl")).as("lbl"))
-            .localCheckpoint(true)
-        }
-        labels.orderBy(col("doc_id"))
+        val (e0c, labels) = labelProp2(s, d)
+        val e0 = e0c.localCheckpoint(true) // degrees + intra + m
+        val deg = e0.select(col("id_a").as("doc_id"))
+          .unionAll(e0.select(col("id_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+        val dC = labels.join(deg, Seq("doc_id"), "left")
+          .groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"),
+            sum(coalesce(col("deg"), lit(0L))).as("deg_sum"))
+        val eC = e0
+          .join(labels.select(col("doc_id").as("id_a"),
+            col("lbl").as("lbl_a")), "id_a")
+          .join(labels.select(col("doc_id").as("id_b"),
+            col("lbl").as("lbl_b")), "id_b")
+          .filter(col("lbl_a") === col("lbl_b"))
+          .groupBy(col("lbl_a").as("lbl"))
+          .agg(count(lit(1)).as("e_in"))
+        val mF = e0.agg(count(lit(1)).as("m"))
+        dC.join(eC, Seq("lbl"), "left")
+          .crossJoin(broadcast(mF))
+          .select(col("lbl").as("community"), col("n_nodes"),
+            coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+            expr("""CAST((4 * CAST(m AS DECIMAL(38,0))
+                * coalesce(e_in, 0)
+                - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum)
+              * 1000000000000
+              div (4 * CAST(m AS DECIMAL(38,0)) * m)
+              AS BIGINT)""").as("q_contrib_e12"))
+          .orderBy(col("community"))
       },
-      Some {
-        def round_(k: Int): String = s"""
-        nl$k AS (SELECT dst AS doc_id, nl FROM (
-            SELECT e.dst, l.lbl AS nl, count(*) AS n,
-              row_number() OVER (PARTITION BY e.dst
-                ORDER BY count(*) DESC, l.lbl) AS rn
-            FROM edges e JOIN l${k - 1} l ON e.src = l.doc_id
-            GROUP BY e.dst, l.lbl) WHERE rn = 1),
-        l$k AS (SELECT d.doc_id, COALESCE(nl.nl, d.lbl) AS lbl
-          FROM l${k - 1} d LEFT JOIN nl$k nl ON d.doc_id = nl.doc_id)"""
-        s"""WITH ${Llm.dupEdgesCte("0.2")},
-        edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
-          UNION ALL SELECT id_b, id_a FROM edges0),
-        l0 AS (SELECT doc_id, source AS lbl FROM documents),
-        ${(1 to 2).map(round_).mkString(",")}
-        SELECT doc_id, lbl FROM l2 ORDER BY doc_id"""
-      }),
+      Some(s"""WITH ${Llm.dupEdgesCte("0.2")},
+        $labelPropCtes,
+        deg AS (SELECT doc_id, count(*) AS deg FROM (
+            SELECT id_a AS doc_id FROM edges0
+            UNION ALL SELECT id_b FROM edges0)
+          GROUP BY doc_id),
+        mm AS (SELECT count(*) AS m FROM edges0),
+        dc AS (SELECT l.lbl, count(*) AS n_nodes,
+            sum(coalesce(deg.deg, 0)) AS deg_sum
+          FROM l2 l LEFT JOIN deg ON l.doc_id = deg.doc_id
+          GROUP BY l.lbl),
+        ec AS (SELECT la.lbl, count(*) AS e_in
+          FROM edges0 e
+          JOIN l2 la ON e.id_a = la.doc_id
+          JOIN l2 lb ON e.id_b = lb.doc_id
+          WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+        SELECT dc.lbl AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+          CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+          CAST(deg_sum AS BIGINT) AS deg_sum,
+          CAST((4 * CAST(m AS HUGEINT) * coalesce(e_in, 0)
+              - CAST(deg_sum AS HUGEINT) * deg_sum) * 1000000000000
+            // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_contrib_e12
+        FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl CROSS JOIN mm
+        ORDER BY community""")),
 
     // EIGENVECTOR CENTRALITY by integer power iteration — the spectral
     // importance measure beside PageRank (PageRank normalizes by degree;
@@ -2067,4 +2209,69 @@ object Corpus {
              sqrt(CAST(CAST(sum(dy * dy) AS BIGINT) AS DOUBLE))), 6) AS rho
         FROM j GROUP BY n"""))
   )
+
+  /** Benford first-digit expected masses round(log₁₀(1 + 1/d)·10⁶),
+    * d = 1..9 — evaluated ONCE at builder time and embedded as integer
+    * literals in both engine plans (the NdcgW pattern), so no
+    * transcendental ever runs per-engine. */
+  private[queries] lazy val BenfordPpm: Seq[Long] =
+    (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** Two synchronous majority-label-propagation rounds over the shared
+    * dup graph (Jaccard ≥ 0.2, memoized) — shared VERBATIM by
+    * q_label_prop and the q_graph_modularity certificate so the
+    * partition and its quality score cannot drift. Ties → smallest
+    * label; isolated docs keep their seed `source`. Returns (the
+    * undirected edge frame (id_a, id_b), the converged (doc_id, lbl)
+    * frame). */
+  private def labelProp2(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val docs = documents(s, d).select(col("doc_id"),
+      col("source").as("lbl"))
+    val e0 = graft.llm.TextDedup
+      .jaccardEdgesShared(documents(s, d), "doc_id", "text",
+        threshold = 0.2, corpusKey = d)
+      .select(col("id_a"), col("id_b"))
+    val edges = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // read by both propagation rounds
+    var labels = docs.localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("n").desc, col("nl"))
+      val newl = edges
+        .join(labels.select(col("doc_id").as("src"),
+          col("lbl").as("nl")), "src")
+        .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("doc_id"), col("nl"))
+      labels = labels.join(newl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    (e0, labels)
+  }
+
+  /** DuckDB mirror of [[labelProp2]] (append after [[Llm.dupEdgesCte]]):
+    * CTEs edges (both orientations), l0 (seed labels), l1/l2 (the two
+    * majority rounds with the identical (count desc, label) tie order).
+    * Shared by the q_label_prop and q_graph_modularity oracles. */
+  private lazy val labelPropCtes: String = {
+    def round_(k: Int): String = s"""
+        nl$k AS (SELECT dst AS doc_id, nl FROM (
+            SELECT e.dst, l.lbl AS nl, count(*) AS n,
+              row_number() OVER (PARTITION BY e.dst
+                ORDER BY count(*) DESC, l.lbl) AS rn
+            FROM edges e JOIN l${k - 1} l ON e.src = l.doc_id
+            GROUP BY e.dst, l.lbl) WHERE rn = 1),
+        l$k AS (SELECT d.doc_id, COALESCE(nl.nl, d.lbl) AS lbl
+          FROM l${k - 1} d LEFT JOIN nl$k nl ON d.doc_id = nl.doc_id)"""
+    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
+          UNION ALL SELECT id_b, id_a FROM edges0),
+        l0 AS (SELECT doc_id, source AS lbl FROM documents),
+        ${(1 to 2).map(round_).mkString(",")}"""
+  }
 }

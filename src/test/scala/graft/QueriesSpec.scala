@@ -2275,6 +2275,99 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.forall(r => r._3 >= -1000000L && r._3 <= 1000000L))
   }
 
+  test("wave-r12b q_graph_modularity: exact integer modularity replay " +
+    "on the shared label-prop partition") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    // labels: the engine's OWN converged partition (q_label_prop is
+    // replay-verified against the JVM propagation separately)
+    val lbl = SparkEntry.queries("q_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val e0 = graft.llm.TextDedup.jaccardEdgesShared(
+      graft.tables.Tables.documents(spark, sf), "doc_id", "text",
+      threshold = 0.2, corpusKey = sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = BigInt(e0.length)
+    val deg = (e0.map(_._1) ++ e0.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = lbl.groupBy(_._2).toSeq.map { case (c, members) =>
+      val ids = members.keySet
+      val eIn = e0.count(p => lbl(p._1) == c && lbl(p._2) == c).toLong
+      val degSum = ids.toSeq.map(id => deg.getOrElse(id, 0L)).sum
+      val contrib = (4 * m * eIn - BigInt(degSum) * degSum) *
+        BigInt(1000000000000L) / (4 * m * m)
+      (c, ids.size.toLong, eIn, degSum, contrib.toLong)
+    }.sortBy(_._1)
+    val rows = SparkEntry.queries("q_graph_modularity")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == expect, s"modularity replay diverged")
+    // partition identity: degree sums add to 2m, intra edges <= m
+    assert(rows.map(_._4).sum == 2 * m.toLong)
+    assert(rows.map(_._3).sum <= m.toLong)
+    // Q = sum of contributions is a valid modularity in [-1, 1]
+    val q = rows.map(_._5).sum
+    assert(q >= -1000000000000L && q <= 1000000000000L)
+  }
+
+  test("wave-r12b q_psi_drift: scaled-integer PSI replay on the " +
+    "80/20 split") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice")).collect()
+      .map(r => (new java.math.BigDecimal(r.getDouble(1) * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact(),
+        if (r.getLong(0) % 10 < 8) 1L else 0L))
+    val mn = li.map(_._1).min; val mx = li.map(_._1).max
+    val binned = li.groupBy { case (c, _) =>
+      math.min(9L, (c - mn) * 10 / (mx - mn + 1)) }
+    val nTr = li.map(_._2).sum + 10L
+    val nTe = li.count(_._2 == 0L) + 10L
+    val expect = binned.toSeq.map { case (bin, vs) =>
+      val cTr = vs.map(_._2).sum
+      val cTe = vs.length - cTr
+      val dp = (cTr + 1) * 1000000L / nTr - (cTe + 1) * 1000000L / nTe
+      val lnr = math.round(math.log(((cTr + 1.0) * nTe) /
+        ((cTe + 1.0) * nTr)) * 10000)
+      (bin, cTr, cTe, dp, lnr, dp * lnr)
+    }.sortBy(_._1)
+    val rows = SparkEntry.queries("q_psi_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows == expect, s"PSI replay diverged: $rows != $expect")
+    // same-direction invariant: every term is non-negative (dp and
+    // ln(p/q) share sign by construction of the smoothed ratio)
+    assert(rows.forall(r => r._6 >= 0L), "PSI terms must be >= 0")
+  }
+
+  test("wave-r12b q_benford_digits: first-digit audit replay with " +
+    "builder-time expected masses") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val cents = graft.tables.Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect()
+      .map(r => new java.math.BigDecimal(r.getDouble(0) * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    val tot = cents.length.toLong
+    val expect = cents.map(_.toString.charAt(0).asDigit.toLong)
+      .groupBy(identity).toSeq.map { case (d, g) =>
+        val n = g.length.toLong
+        val actual = n * 1000000L / tot
+        val benford = math.round(math.log10(1.0 + 1.0 / d) * 1e6)
+        (d, n, actual, benford, actual - benford,
+          (actual - benford) * (actual - benford) / benford)
+      }.sortBy(_._1)
+    val rows = SparkEntry.queries("q_benford_digits")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows == expect, s"Benford replay diverged: $rows != $expect")
+    // the benford_ppm column is the embedded constant table
+    assert(rows.map(r => (r._1, r._4)).forall { case (d, p) =>
+      p == math.round(math.log10(1.0 + 1.0 / d) * 1e6) })
+  }
+
   test("wave-r11 q_pca_power: full integer power-iteration replay") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
