@@ -418,7 +418,10 @@ object ScaleProof {
       // round-12 wave 3: modularity adds a degree agg + edge-labels
       // equi-join on the shared dup graph; PSI is two passes over
       // lineitem (min/max + binned counts); Benford is one count agg
-      "q_graph_modularity", "q_psi_drift", "q_benford_digits")
+      "q_graph_modularity", "q_psi_drift", "q_benford_digits",
+      // the 9th twin: batch-mode TWS, per-day HLL ValueState (state =
+      // |days| x <= 2^lgK bytes) + the shared triangular cumulative union
+      "q_hll_stream_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

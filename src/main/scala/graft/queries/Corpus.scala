@@ -775,45 +775,42 @@ object Corpus {
     // the corpus.
     QDef("q_hll_cum_users",
       (s, d) => {
-        val e = events(s, d)
-          .select(col("user_id"),
-            datediff(to_date(col("ts")),
-              lit("2024-01-01").cast("date")).cast("long").as("day"))
-        val wk = e.groupBy(col("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
-          .localCheckpoint(true) // feeds both sides of the triangular join
-        val est = wk.as("a").join(wk.as("b"),
-            col("b.day") <= col("a.day"))
-          .groupBy(col("a.day").as("day"))
-          .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("est_cum"))
-        val newPerDay = e.groupBy(col("user_id"))
-          .agg(min(col("day")).as("fd"))
-          .groupBy(col("fd")).agg(count(lit(1)).as("n_new"))
-        val w = Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        wk.select(col("day"))
-          .join(newPerDay, col("day") === col("fd"), "left")
-          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-          .withColumn("exact_cum", sum(col("n_new")).over(w))
-          .join(est, Seq("day"))
-          .select(col("day"), col("n_new"), col("exact_cum"),
-            (abs(col("est_cum") - col("exact_cum")) * 20 <= col("exact_cum"))
-              .cast("long").as("within_band"))
-          .orderBy(col("day"))
+        val e = hllEventDays(s, d)
+        hllCumFrame(e, e.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk")))
       },
-      Some("""WITH e AS (SELECT user_id,
-            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
-          FROM events),
-        wk AS (SELECT DISTINCT day FROM e),
-        fst AS (SELECT user_id, min(day) AS fd FROM e GROUP BY user_id),
-        npw AS (SELECT fd, CAST(count(*) AS BIGINT) AS n_new
-          FROM fst GROUP BY fd)
-        SELECT wk.day, COALESCE(npw.n_new, 0) AS n_new,
-          CAST(sum(COALESCE(npw.n_new, 0)) OVER (ORDER BY wk.day
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum,
-          CAST(1 AS BIGINT) AS within_band
-        FROM wk LEFT JOIN npw ON wk.day = npw.fd
-        ORDER BY day""")),
+      Some(hllCumSql)),
+
+    // STREAMING HLL TWIN — the 9th stateful twin, and the production
+    // "live distinct-users dashboard" shape: EventStreams
+    // .hllDaySketches keys by event-day and holds ONE serialized
+    // DataSketches HLL per day in ValueState (lgK 12 / HLL_8 — the
+    // exact hll_sketch_agg defaults, so the bytes are interchangeable
+    // with the batch aggregate's), folding each batch's user_ids in by
+    // heapify → update → re-serialize. HLL state is a register
+    // MAX-merge (exact coupon sets below the promotion threshold), so
+    // the final sketch depends only on the SET of users seen — arrival
+    // order and batch boundaries cannot move the estimate: multi-batch
+    // ≡ single-batch, proven in StreamingSpec beside the cross-API
+    // equality against hll_sketch_agg's own estimates. The cumulative
+    // series derives DOWNSTREAM via hllCumFrame shared VERBATIM with
+    // q_hll_cum_users (cumulative union is a read-time concern — per-
+    // day state stays calendar-bounded), and the twin shares the batch
+    // oracle: the hashed columns are the exact first-seen audit plus
+    // the ±5% cross-multiplied band flag (the class-D sketch contract).
+    QDef("q_hll_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        hllCumFrame(hllEventDays(s, d),
+          graft.streaming.EventStreams.hllDaySketches(ev).toDF()
+            .select(col("day"), col("sk")))
+      },
+      Some(hllCumSql)),
 
     // Two-sample KOLMOGOROV–SMIRNOV drift matrix — the distribution-shift
     // test beside the KL/chi² family: for every source pair, D = max_v
@@ -2209,6 +2206,62 @@ object Corpus {
              sqrt(CAST(CAST(sum(dy * dy) AS BIGINT) AS DOUBLE))), 6) AS rho
         FROM j GROUP BY n"""))
   )
+
+  /** (user_id, event-day) projection shared by the HLL cumulative
+    * family — day = datediff from the 2024-01-01 epoch, the same
+    * integer the streaming twin's floorDiv key computes under the UTC
+    * session. */
+  private def hllEventDays(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    events(s, d).select(col("user_id"),
+      datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long").as("day"))
+
+  /** Downstream of the HLL cumulative time series, shared VERBATIM by
+    * q_hll_cum_users (per-day hll_sketch_agg) and q_hll_stream_twin
+    * (the StatefulProcessor's emitted day sketches): triangular
+    * cumulative union + estimate over the ≤366 day sketches, exact
+    * first-seen audit, ±5% cross-multiplied band flag. */
+  private def hllCumFrame(e: org.apache.spark.sql.DataFrame,
+      wk0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wk = wk0.localCheckpoint(true) // feeds both sides of the triangular join
+    val est = wk.as("a").join(wk.as("b"),
+        col("b.day") <= col("a.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("est_cum"))
+    val newPerDay = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk.select(col("day"))
+      .join(newPerDay, col("day") === col("fd"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("exact_cum", sum(col("n_new")).over(w))
+      .join(est, Seq("day"))
+      .select(col("day"), col("n_new"), col("exact_cum"),
+        (abs(col("est_cum") - col("exact_cum")) * 20 <= col("exact_cum"))
+          .cast("long").as("within_band"))
+      .orderBy(col("day"))
+  }
+
+  /** Shared oracle of the HLL cumulative pair: the exact first-seen
+    * audit columns plus the band flag (the estimate side is class-D —
+    * the flag is the declared contract, re-measured in-spec). */
+  private lazy val hllCumSql: String =
+    """WITH e AS (SELECT user_id,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+          FROM events),
+        wk AS (SELECT DISTINCT day FROM e),
+        fst AS (SELECT user_id, min(day) AS fd FROM e GROUP BY user_id),
+        npw AS (SELECT fd, CAST(count(*) AS BIGINT) AS n_new
+          FROM fst GROUP BY fd)
+        SELECT wk.day, COALESCE(npw.n_new, 0) AS n_new,
+          CAST(sum(COALESCE(npw.n_new, 0)) OVER (ORDER BY wk.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum,
+          CAST(1 AS BIGINT) AS within_band
+        FROM wk LEFT JOIN npw ON wk.day = npw.fd
+        ORDER BY day"""
 
   /** Benford first-digit expected masses round(log₁₀(1 + 1/d)·10⁶),
     * d = 1..9 — evaluated ONCE at builder time and embedded as integer

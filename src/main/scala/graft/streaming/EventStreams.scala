@@ -679,4 +679,58 @@ object EventStreams {
     }.transformWithState(new DedupProcessor(ttlMs), timeMode,
       OutputMode.Update)
   }
+
+  /** Per-day distinct-user HLL sketch emitted by [[HllDayProcessor]] —
+    * the serialized DataSketches HLL (lgK 12, HLL_8: the exact
+    * parameters of Spark's `hll_sketch_agg` default, so the batch
+    * query's union/estimate machinery reads these bytes verbatim). */
+  final case class HllDaySketch(day: Long, sk: Array[Byte])
+
+  /** Streaming cardinality sketches — the stateful half of the 9th
+    * twin (q_hll_stream_twin): per event-day key, ValueState holds ONE
+    * serialized HLL sketch; each batch heapifies it, folds the batch's
+    * user_ids in, re-serializes, and re-emits the day's sketch —
+    * update-mode latest-wins, the SessionPathsProcessor contract. HLL
+    * registers are a MAX-merge (and the small-n LIST/SET modes hold
+    * exact coupon sets), so the final state depends only on the SET of
+    * user_ids seen, never on arrival order or batch boundaries:
+    * multi-batch ≡ single-batch estimates (proven in StreamingSpec).
+    * State is |days| × ≤ 2^lgK bytes — bounded by the calendar, never
+    * the corpus: the mergeable-sketch thesis, streamed. This is the
+    * production "live distinct-users dashboard" shape: the cumulative
+    * time series derives DOWNSTREAM by unioning the emitted day
+    * sketches (shared verbatim with the batch q_hll_cum_users), because
+    * cumulative state would re-aggregate history per batch. */
+  class HllDayProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, HllDaySketch] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("sk",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HllDaySketch] = {
+      val sk =
+        if (state.exists())
+          org.apache.datasketches.hll.HllSketch.heapify(state.get())
+        else new org.apache.datasketches.hll.HllSketch(12,
+          org.apache.datasketches.hll.TgtHllType.HLL_8)
+      rows.foreach(r => sk.update(r.user_id))
+      val bytes = sk.toUpdatableByteArray
+      state.update(bytes)
+      Iterator.single(HllDaySketch(key, bytes))
+    }
+  }
+
+  def hllDaySketches(events: Dataset[EventRow],
+      epochUs: Long = 1704067200000000L): Dataset[HllDaySketch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey { r =>
+      val us = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+        r.ts.getNanos / 1000L
+      Math.floorDiv(us - epochUs, 86400000000L)
+    }.transformWithState(new HllDayProcessor, TimeMode.None(),
+      OutputMode.Update)
+  }
 }

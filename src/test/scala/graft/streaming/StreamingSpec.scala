@@ -845,6 +845,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL day processor: multi-batch sketches equal the single-pass " +
+    "set estimate and Spark's hll_sketch_agg") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.hllDaySketches(mem.toDS()).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_hll")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("hll_chk").toString)
+        .start()
+      try {
+        // batch 1: users 1,2,3 on day 1; user 1 again on day 2
+        mem.addData(row(1, ts(1), user = 1), row(2, ts(1), user = 2),
+          row(3, ts(1), user = 3), row(4, ts(2), user = 1))
+        q.processAllAvailable()
+        // batch 2: user 2 REPEATS on day 1 (estimate must not move) and
+        // user 4 is new on day 1 (estimate must absorb it)
+        mem.addData(row(5, ts(1, 5), user = 2), row(6, ts(1, 7), user = 4))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("t_hll")
+        .select(col("day"), col("sk")).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      // latest-wins final sketch per day
+      val fin = rows.groupBy(_._1).map { case (d, rs) => d -> rs.last._2 }
+      def est(bytes: Array[Byte]): Double =
+        org.apache.datasketches.hll.HllSketch.heapify(bytes).getEstimate
+      // single-pass reference: one JVM sketch over each day's DISTINCT
+      // user set — order/batch/dup-insensitivity means equality
+      def ref(users: Seq[Long]): Double = {
+        val sk = new org.apache.datasketches.hll.HllSketch(12,
+          org.apache.datasketches.hll.TgtHllType.HLL_8)
+        users.foreach(sk.update)
+        sk.getEstimate
+      }
+      assert(est(fin(0L)) == ref(Seq(1L, 2L, 3L, 4L)),
+        "day-1 estimate must equal the single-pass set estimate")
+      assert(est(fin(1L)) == ref(Seq(1L)),
+        "day-2 estimate must equal the single-pass set estimate")
+      // the batch-1 emit for day 1 covered only {1,2,3}
+      assert(est(rows.filter(_._1 == 0L).head._2) == ref(Seq(1L, 2L, 3L)),
+        "batch-1 day-1 sketch must cover exactly the first batch's users")
+      // cross-API: Spark's hll_sketch_agg over the same users produces
+      // the same estimate (lgK/HLL_8 parameters match by construction;
+      // Spark's hll_sketch_estimate rounds to LongType)
+      val sparkEst = Seq(1L, 2L, 3L, 4L, 2L).toDF("u")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(u))")).head.getLong(0)
+      assert(Math.round(est(fin(0L))) == sparkEst,
+        "processor sketch must match hll_sketch_agg's estimate")
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
