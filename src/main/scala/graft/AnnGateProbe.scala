@@ -39,6 +39,13 @@ object AnnGateProbe {
     report("pq", graft.llm.VectorPq.topkApprox(e, "vec_id", "embedding",
       topk = 5, queries = qs, trainFraction = 0.2))
 
+    // recall sweep at a SHARED codebook (the q_ivf_recall_sweep floors)
+    graft.llm.VectorIvf.topkApproxSweep(e, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobes = Seq(1, 2, 4, 8), queries = qs,
+      trainFraction = 0.2).foreach { case (np, approx) =>
+      report(f"ivf_sweep_np$np", approx)
+    }
+
     // hard-negatives IVF: exact top-1 LABEL-DISJOINT neighbor found in
     // the label-filtered approx top-3 (the q_hard_negatives_ivf gate)
     val hn = graft.queries.Llm.hardNegRecallMean(e,

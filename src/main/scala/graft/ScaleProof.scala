@@ -421,7 +421,10 @@ object ScaleProof {
       "q_graph_modularity", "q_psi_drift", "q_benford_digits",
       // the 9th twin: batch-mode TWS, per-day HLL ValueState (state =
       // |days| x <= 2^lgK bytes) + the shared triangular cumulative union
-      "q_hll_stream_twin")
+      "q_hll_stream_twin",
+      // the sweep shares one codebook + assignment across 4 probe
+      // depths (costs ~the deepest point); k-anonymity is two hash-aggs
+      "q_ivf_recall_sweep", "q_k_anonymity")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -125,6 +125,41 @@ object VectorIvf {
       .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
   }
 
+  /** Operating-point sweep support: ONE trained codebook + ONE
+    * inverted-list assignment, probed at several nprobe values. The
+    * per-point approx frames share the same partition of space, which
+    * is what makes cross-point recall comparisons meaningful — and
+    * makes recall PROVABLY monotone in nprobe: a larger probe set
+    * yields a candidate SUPERSET, and the exact top-1 (globally
+    * maximal (sim, −id)) can never be displaced from a top-k once a
+    * candidate — whereas independently retrained codebooks (float-sum
+    * row order moves centroids between jobs) could flip it. */
+  def topkApproxSweep(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobes: Seq[Int], iters: Int = 2,
+      queries: Option[DataFrame] = None,
+      trainFraction: Double = 1.0): Seq[(Int, DataFrame)] = {
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val q = queries.getOrElse(vecs)
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    val cents = train(vecs, idCol, vecCol, nlist, iters, trainFraction)
+      .localCheckpoint(true)
+    val members = assign(v, cents).localCheckpoint(true)
+    nprobes.map { np =>
+      val probes = probeCells(q, cents, np)
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      np -> probes.join(members
+          .select(col("cid"), col("vid").as("c_id"), col("vec").as("cv")),
+          "cid")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("sim", vec_cosine(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("rn"), col("c_id"),
+          round(col("sim"), 6).as("sim_r"))
+    }
+  }
+
   /** Top-`k` approximate LABEL-DISJOINT neighbors (hard-negative mining
     * at scale): identical IVF cell probing, but the candidate scan keeps
     * each vector's label and drops same-label pairs BEFORE the exact

@@ -660,6 +660,43 @@ object Curation {
             '[0-9]{6,}', '[ID]', 'g') AS redacted
         FROM c ORDER BY c_custkey LIMIT 1000""")),
 
+    // K-ANONYMITY AUDIT (Sweeney 2002) — the privacy gate beside
+    // q_pii_redact's content scrub: before a dataset (or the metadata
+    // columns of a training corpus) is released, every record must hide
+    // in a crowd of ≥ k records sharing its QUASI-IDENTIFIER tuple —
+    // here (c_nationkey, c_mktsegment, $1000 account-balance band;
+    // cents land once on the e2 grid, the band by truncating div —
+    // negative balances truncate toward zero identically both engines).
+    // The audit emits the equivalence-class SIZE DISTRIBUTION: per
+    // class size, how many classes and records, and whether that size
+    // violates the k = 5 policy — the dataset's k-anonymity level is
+    // the first row's class_size, the re-identification exposure is
+    // sum(n_records where risky5 = 1). Two hash-aggs, output bounded by
+    // |distinct class sizes| — the same shape at any corpus size.
+    QDef("q_k_anonymity",
+      (s, d) => customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+            .as("bal_band"))
+        .groupBy(col("nat"), col("seg"), col("bal_band"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("class_size"))
+        .agg(count(lit(1)).as("n_classes"))
+        .select(col("class_size"), col("n_classes"),
+          (col("class_size") * col("n_classes")).as("n_records"),
+          (col("class_size") < 5).cast("long").as("risky5"))
+        .orderBy(col("class_size")),
+      Some("""WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+            CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+          FROM customer),
+        cls AS (SELECT nat, seg, bal_band, count(*) AS sz
+          FROM q GROUP BY 1, 2, 3)
+        SELECT sz AS class_size, CAST(count(*) AS BIGINT) AS n_classes,
+          CAST(sz * count(*) AS BIGINT) AS n_records,
+          CAST(sz < 5 AS BIGINT) AS risky5
+        FROM cls GROUP BY sz ORDER BY class_size""")),
+
     // Mixture re-weighting: per-language corpus shares vs a uniform
     // target mixture, as parts-per-million INTEGER arithmetic (weight =
     // how much to over/under-sample each shard so the training mix hits

@@ -2368,6 +2368,43 @@ class QueriesSpec extends AnyFunSuite {
       p == math.round(math.log10(1.0 + 1.0 / d) * 1e6) })
   }
 
+  test("wave-r12b q_k_anonymity: equivalence-class replay; records " +
+    "partition; k-level is the first row") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val cust = graft.tables.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal")).collect()
+      .map { r =>
+        val cents = new java.math.BigDecimal(r.getDouble(3) * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        (r.getInt(1).toLong, r.getString(2), cents / 100000L)
+      }
+    val expect = cust.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).toSeq.map { case (sz, cs) =>
+        (sz, cs.size.toLong, sz * cs.size, if (sz < 5) 1L else 0L)
+      }.sortBy(_._1)
+    val rows = SparkEntry.queries("q_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows == expect, s"k-anonymity replay diverged")
+    assert(rows.map(_._3).sum == cust.length.toLong,
+      "class sizes must partition the records")
+  }
+
+  test("wave-r12b q_ivf_recall_sweep: four operating points, floors " +
+    "hold, recall monotone at the shared codebook") {
+    val sf = TestSpark.sf0001
+    val rows = SparkEntry.queries("q_ivf_recall_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L, 4L, 8L), "the declared points")
+    assert(rows.forall(_._2 == 50L), "the bounded 50-query audit")
+    assert(rows.forall(_._3 == 1L), s"every floor must hold: $rows")
+    // monotone by the candidate-superset argument — a flag per point
+    assert(rows.forall(_._4 == 1L), s"recall must be monotone: $rows")
+  }
+
   test("wave-r11 q_pca_power: full integer power-iteration replay") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
