@@ -424,7 +424,9 @@ object ScaleProof {
       "q_hll_stream_twin",
       // the sweep shares one codebook + assignment across 4 probe
       // depths (costs ~the deepest point); k-anonymity is two hash-aggs
-      "q_ivf_recall_sweep", "q_k_anonymity")
+      "q_ivf_recall_sweep", "q_k_anonymity",
+      // greedy k-center: 9 linear passes against a <=8-row broadcast
+      "q_coreset_kcenter")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1882,6 +1882,90 @@ object Llm {
           CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_sil_e6
         FROM sil GROUP BY ck ORDER BY k""")),
 
+    // K-CENTER GREEDY CORESET (Gonzalez 1985; the Sener–Savarese
+    // core-set selection rule) — DIVERSITY sampling for curation, the
+    // complement of the dedup ladder (dedup removes the redundant;
+    // this SELECTS the maximally spread): seed with the lowest vec_id,
+    // then 7 greedy rounds of "pick the vector farthest from the
+    // chosen set" (exact integer min-distance on the shared e6 grid,
+    // ties → lowest vec_id; already-chosen vectors are anti-joined out
+    // so the duplicate-vector corner cannot re-pick). The 2-approx
+    // guarantee of greedy k-center is the declared contract, and the
+    // 9th row IS the coverage certificate: the first vector a 9th pick
+    // would take — its dist2 is the exact k-center coverage radius²
+    // (every vector lies within √dist2 of some pick; is_pick = 0 marks
+    // it as certificate, not selection). Scale: one corpus scan per
+    // round against a ≤ 8-row broadcast — 9 linear passes, no shuffle
+    // beyond the per-vector min agg; the global argmax is a 1-group
+    // max_by (partial-agg combinable). Radii are non-increasing by
+    // construction (greedy invariant, spec-asserted).
+    QDef("q_coreset_kcenter",
+      (s, d) => {
+        val q = embeddings(s, d).select(
+          col("vec_id") +: (0 until kmDims).map(i =>
+            round(element_at(col("embedding"), i + 1).cast("double")
+              * 1000000, 0).cast("long").as(s"q$i")): _*)
+          .localCheckpoint(true) // read by all 9 rounds
+        val dist = (0 until kmDims)
+          .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
+          .reduce(_ + _)
+        var chosen = q.orderBy(col("vec_id")).limit(1)
+          .select(Seq(lit(1L).as("pick_no"), col("vec_id"),
+            lit(0L).as("dist2")) ++
+            (0 until kmDims).map(i => col(s"q$i").as(s"m$i")): _*)
+          .localCheckpoint(true)
+        for (r <- 2 to 9) {
+          val dmin = q
+            .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .crossJoin(broadcast(chosen.select(
+              (0 until kmDims).map(i => col(s"m$i")): _*)))
+            .groupBy(col("vec_id")).agg(min(dist).as("dd"))
+          val pick = dmin.join(q, "vec_id")
+            .agg(max_by(
+              struct(Seq(col("vec_id"), col("dd")) ++
+                (0 until kmDims).map(i => col(s"q$i")): _*),
+              struct(col("dd"), (-col("vec_id")).as("tie"))).as("p"))
+            .select(Seq(lit(r.toLong).as("pick_no"),
+              col("p.vec_id").as("vec_id"), col("p.dd").as("dist2")) ++
+              (0 until kmDims).map(i => col(s"p.q$i").as(s"m$i")): _*)
+          chosen = chosen.unionAll(pick).localCheckpoint(true)
+        }
+        chosen.select(col("pick_no"), col("vec_id"), col("dist2"),
+            (col("pick_no") <= 8L).cast("long").as("is_pick"))
+          .orderBy(col("pick_no"))
+      },
+      Some {
+        val qDefs = (0 until kmDims).map(i =>
+          s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
+            s" AS BIGINT) AS q$i").mkString(", ")
+        val mList = (0 until kmDims).map(i => s"q$i AS m$i").mkString(", ")
+        def distSql = (0 until kmDims)
+          .map(i => s"(x.q$i - c.m$i) * (x.q$i - c.m$i)").mkString(" + ")
+        // MATERIALIZED: each ch$r is referenced three times by round
+        // r+1 (candidate cross join, NOT IN, and the next union) — an
+        // inlining planner would re-expand the chain exponentially
+        def round_(r: Int): String = s"""
+        dm$r AS MATERIALIZED (SELECT x.vec_id, min($distSql) AS dd
+          FROM x CROSS JOIN ch${r - 1} c
+          WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+          GROUP BY x.vec_id),
+        p$r AS (SELECT $r AS pick_no, d.vec_id, d.dd AS dist2, ${(0 until kmDims)
+          .map(i => s"x.q$i AS m$i").mkString(", ")}
+          FROM (SELECT *, row_number() OVER (ORDER BY dd DESC, vec_id)
+              AS rn FROM dm$r) d
+          JOIN x ON d.vec_id = x.vec_id WHERE d.rn = 1),
+        ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1}
+          UNION ALL SELECT * FROM p$r)"""
+        s"""WITH x AS MATERIALIZED (SELECT vec_id, $qDefs FROM embeddings),
+        ch1 AS MATERIALIZED (SELECT 1 AS pick_no, vec_id, 0 AS dist2, $mList
+          FROM x WHERE vec_id = (SELECT min(vec_id) FROM x)),
+        ${(2 to 9).map(round_).mkString(",")}
+        SELECT CAST(pick_no AS BIGINT) AS pick_no, vec_id,
+          CAST(dist2 AS BIGINT) AS dist2,
+          CAST(pick_no <= 8 AS BIGINT) AS is_pick
+        FROM ch9 ORDER BY pick_no"""
+      }),
+
     // SEMANTIC DEDUP SCREEN (SemDeDup, Abbas et al. 2023) — embedding-
     // space redundancy the token-level families cannot see: partition
     // the corpus with the DECLARED integer k-means (the exact

@@ -2405,6 +2405,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.forall(_._4 == 1L), s"recall must be monotone: $rows")
   }
 
+  test("wave-r12b q_coreset_kcenter: full greedy replay; radii " +
+    "non-increasing; certificate row covers") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(8).map(f =>
+        new java.math.BigDecimal(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toArray).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 8).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var chosen = Vector((1L, vecs.head._1, 0L))
+    var centers = Vector(vecs.head._2)
+    val chosenIds = scala.collection.mutable.Set(vecs.head._1)
+    for (r <- 2 to 9) {
+      val (id, dd) = vecs.filterNot(v => chosenIds(v._1))
+        .map { case (id, q) => (id, centers.map(c => d2(q, c)).min) }
+        .maxBy { case (id, dd) => (dd, -id) }
+      chosen :+= ((r.toLong, id, dd))
+      centers :+= vecs.find(_._1 == id).get._2
+      chosenIds += id
+    }
+    val expect = chosen.map { case (p, id, dd) =>
+      (p, id, dd, if (p <= 8) 1L else 0L) }
+    val rows = SparkEntry.queries("q_coreset_kcenter")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rows == expect, s"greedy replay diverged: $rows != $expect")
+    // greedy invariant: pick radii never increase after the seed
+    val radii = rows.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radii must be non-increasing: $radii")
+    // certificate: row 9's dist2 is the exact coverage radius^2 of the
+    // 8 picks (every vector within it)
+    val picks = rows.filter(_._4 == 1L).map(_._2)
+      .map(id => vecs.find(_._1 == id).get._2)
+    val cover = vecs.filterNot(v => rows.take(8).exists(_._2 == v._1))
+      .map { case (_, q) => picks.map(c => d2(q, c)).min }.max
+    assert(cover == rows.last._3, "certificate row must be the coverage")
+  }
+
   test("wave-r11 q_pca_power: full integer power-iteration replay") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
