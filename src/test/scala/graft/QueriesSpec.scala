@@ -2447,6 +2447,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(cover == rows.last._3, "certificate row must be the coverage")
   }
 
+  test("wave-r12b plan pin: the Lloyd/SemDeDup argmin stays in codegen " +
+    "HashAggregate — no ObjectHashAggregate, no Window") {
+    // The round-12 measured lesson (TUNING argmin ladder, 137.4 s /
+    // 85 GB spill → 23.5 s / zero at 100×): a row_number window
+    // sort-buffers the n·k assignment fan and min(struct) falls into
+    // ObjectHashAggregate's sort fallback; the shipped encoded-BIGINT
+    // min must stay in whole-stage-codegen HashAggregate with true
+    // partial aggregation. This pins the PLAN so a refactor can't
+    // silently reintroduce either regression.
+    for (name <- Seq("q_kmeans_lloyd", "q_kmeans_seeded")) {
+      val plan = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ObjectHashAggregate"),
+        s"$name argmin fell into ObjectHashAggregate")
+      assert(!plan.contains("WindowExec") && !plan.contains("Window ("),
+        s"$name argmin fell back to a window sort")
+      assert(plan.contains("HashAggregate"),
+        s"$name lost the hash-agg argmin entirely")
+    }
+  }
+
   test("wave-r11 q_pca_power: full integer power-iteration replay") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf0001
