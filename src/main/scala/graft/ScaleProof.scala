@@ -426,7 +426,9 @@ object ScaleProof {
       // depths (costs ~the deepest point); k-anonymity is two hash-aggs
       "q_ivf_recall_sweep", "q_k_anonymity",
       // greedy k-center: 9 linear passes against a <=8-row broadcast
-      "q_coreset_kcenter")
+      "q_coreset_kcenter",
+      // per-day PSI: two event passes + a calendar-bounded grid
+      "q_psi_timeseries")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

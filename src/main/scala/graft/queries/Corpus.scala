@@ -951,6 +951,94 @@ object Corpus {
           CAST(dp_e6 * lnr_e4 AS BIGINT) AS term_e10
         FROM terms ORDER BY bin""")),
 
+    // PSI OVER TIME — q_psi_drift's one-shot audit turned into the
+    // production drift DASHBOARD: every event-day's value distribution
+    // scored against a FIXED reference window (days 0–6, the deploy
+    // baseline), one PSI per day — the time series a model-monitoring
+    // page plots, with the standard 0.2 alert threshold as a declared
+    // integer flag (psi_e10 > 2·10⁹ on the e10 grid). Same determinism
+    // contract as q_psi_drift: cents once on the e2 grid, 10 equal-width
+    // bins from the REFERENCE window's min/max (later days clamp into
+    // [0,9] — out-of-range drift lands in the edge bins, where PSI sees
+    // it), one e4-grid ln per (day, bin) from exact add-one-smoothed
+    // integer rationals, truncating ppm differences, BIGINT terms. The
+    // (day × 10-bin) grid is built explicitly (explode(sequence)) so
+    // empty cells score with count 0 instead of silently dropping.
+    // Scale: two passes over events (reference min/max + the (day, bin)
+    // count agg); everything downstream is |days|×10 rows — calendar-
+    // bounded, the q_hll_cum_users thesis.
+    QDef("q_psi_timeseries",
+      (s, d) => {
+        val e = events(s, d).select(
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+        val mm = e.filter(col("day") <= 6)
+          .agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+        val binned = e.crossJoin(broadcast(mm))
+          .select(col("day"),
+            expr("least(9, greatest(0, (c - mn) * 10 div (mx - mn + 1)))")
+              .as("bin"))
+          .groupBy(col("day"), col("bin")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // grid join + ref slice + day totals
+        val ref = binned.filter(col("day") <= 6)
+          .groupBy(col("bin")).agg(sum(col("n")).as("r"))
+        val refTot = binned.filter(col("day") <= 6)
+          .agg((sum(col("n")) + 10L).as("d_r"))
+        val dayTot = binned.groupBy(col("day"))
+          .agg((sum(col("n")) + 10L).as("d_d"))
+        val grid = binned.select(col("day")).distinct()
+          .select(col("day"), explode(expr("sequence(0, 9)")).as("bin0"))
+          .select(col("day"), col("bin0").cast("long").as("bin"))
+        grid.join(binned, Seq("day", "bin"), "left")
+          .join(broadcast(ref), Seq("bin"), "left")
+          .join(broadcast(dayTot), "day")
+          .crossJoin(broadcast(refTot))
+          .select(col("day"),
+            (coalesce(col("n"), lit(0L)) + 1L).as("cd"),
+            (coalesce(col("r"), lit(0L)) + 1L).as("cr"),
+            col("d_d"), col("d_r"))
+          .select(col("day"),
+            ((expr("cd * 1000000 div d_d") - expr("cr * 1000000 div d_r"))
+              * round(log((col("cd") * col("d_r")).cast("double") /
+                  (col("cr") * col("d_d"))) * 10000, 0).cast("long"))
+              .as("term_e10"))
+          .groupBy(col("day"))
+          .agg(sum(col("term_e10")).as("psi_e10"))
+          .select(col("day"), col("psi_e10"),
+            (col("psi_e10") > 2000000000L).cast("long").as("alert"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        mm AS (SELECT min(c) AS mn, max(c) AS mx FROM e WHERE day <= 6),
+        binned AS (SELECT day,
+            least(9, greatest(0, (c - mn) * 10 // (mx - mn + 1))) AS bin,
+            CAST(count(*) AS BIGINT) AS n
+          FROM e CROSS JOIN mm GROUP BY 1, 2),
+        ref AS (SELECT bin, CAST(sum(n) AS BIGINT) AS r FROM binned
+          WHERE day <= 6 GROUP BY bin),
+        reft AS (SELECT CAST(sum(n) + 10 AS BIGINT) AS d_r FROM binned
+          WHERE day <= 6),
+        dayt AS (SELECT day, CAST(sum(n) + 10 AS BIGINT) AS d_d
+          FROM binned GROUP BY day),
+        grid AS (SELECT DISTINCT day, unnest(generate_series(0, 9)) AS bin
+          FROM binned),
+        terms AS (SELECT g.day,
+            (COALESCE(b.n, 0) + 1) * 1000000 // t.d_d
+              - (COALESCE(ref.r, 0) + 1) * 1000000 // rt.d_r AS dp_e6,
+            CAST(round(ln(CAST((COALESCE(b.n, 0) + 1) * rt.d_r AS DOUBLE)
+              / ((COALESCE(ref.r, 0) + 1) * t.d_d)) * 10000) AS BIGINT)
+              AS lnr_e4
+          FROM grid g
+          LEFT JOIN binned b ON g.day = b.day AND g.bin = b.bin
+          LEFT JOIN ref ON g.bin = ref.bin
+          JOIN dayt t ON g.day = t.day CROSS JOIN reft rt)
+        SELECT day, CAST(sum(dp_e6 * lnr_e4) AS BIGINT) AS psi_e10,
+          CAST(sum(dp_e6 * lnr_e4) > 2000000000 AS BIGINT) AS alert
+        FROM terms GROUP BY day ORDER BY day""")),
+
     // BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data screen a
     // production ingest runs over monetary columns: the leading digit of
     // naturally occurring amounts follows P(d) = log₁₀(1 + 1/d); a flat

@@ -2447,6 +2447,49 @@ class QueriesSpec extends AnyFunSuite {
     assert(cover == rows.last._3, "certificate row must be the coverage")
   }
 
+  test("wave-r12b q_psi_timeseries: per-day PSI replay against the " +
+    "fixed reference window") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long").as("day"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), new java.math.BigDecimal(r.getDouble(1) * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()))
+    val refC = ev.filter(_._1 <= 6).map(_._2)
+    val (mn, mx) = (refC.min, refC.max)
+    def bin(c: Long): Long =
+      math.min(9L, math.max(0L, (c - mn) * 10 / (mx - mn + 1)))
+    val binned = ev.map { case (d, c) => (d, bin(c)) }
+    val ref = binned.filter(_._1 <= 6).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val dR = binned.count(_._1 <= 6).toLong + 10L
+    val expect = binned.groupBy(_._1).toSeq.map { case (day, rows) =>
+      val dD = rows.length.toLong + 10L
+      val cnt = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val psi = (0L to 9L).map { b =>
+        val cd = cnt.getOrElse(b, 0L) + 1L
+        val cr = ref.getOrElse(b, 0L) + 1L
+        val dp = cd * 1000000L / dD - cr * 1000000L / dR
+        val lnr = math.round(math.log((cd * dR).toDouble / (cr * dD))
+          * 10000)
+        dp * lnr
+      }.sum
+      (day, psi, if (psi > 2000000000L) 1L else 0L)
+    }.sortBy(_._1)
+    val rows = SparkEntry.queries("q_psi_timeseries")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows == expect, s"PSI time-series replay diverged")
+    // one row per day, alert = declared threshold on psi_e10 (NOTE:
+    // single days DO sometimes alert against the pooled reference at
+    // this tiny SF — ~200 events/day makes PSI noise O(bins/n) ≈ 0.05
+    // with a heavy tail — so alert VALUES are data, not an invariant)
+    assert(rows.map(_._1) == binned.map(_._1).distinct.sorted.toSeq)
+    assert(rows.forall(r => (r._2 > 2000000000L) == (r._3 == 1L)))
+  }
+
   test("wave-r12b plan pin: the Lloyd/SemDeDup argmin stays in codegen " +
     "HashAggregate — no ObjectHashAggregate, no Window") {
     // The round-12 measured lesson (TUNING argmin ladder, 137.4 s /
