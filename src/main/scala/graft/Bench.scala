@@ -82,13 +82,17 @@ object Bench {
       val ckpt = spark.sparkContext.getPersistentRDDs.values
         .filter(_.isCheckpointed).toSeq
       ckpt.foreach(_.unpersist(blocking = true))
-      // the shared-edges memo holds checkpointed frames by reference;
-      // after their blocks are gone it must rebuild, not replay
-      graft.llm.TextDedup.invalidateSharedEdges()
+      // cross-query memos hold checkpointed frames by reference; after
+      // their blocks are gone they must rebuild, not replay. The Memo
+      // registry clears every registered memo — modules register their
+      // invalidator at object-init, so new memos cannot silently miss
+      // this hook (ADVICE r12).
+      graft.Memo.invalidateAll()
       ckpt.size
     }
     case class PassStats(total: Double, loadAvg: Double,
-      storageBeforeMb: Long, storageAfterMb: Long, ckptFreed: Int)
+      storageBeforeMb: Long, storageAfterMb: Long, ckptFreed: Int,
+      sharedEdgesBuildSec: Double)
     val passStats = scala.collection.mutable.ArrayBuffer.empty[PassStats]
     val samples: Map[String, Seq[Double]] = {
       val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
@@ -108,8 +112,13 @@ object Bench {
         val passSec = (System.nanoTime() - passT0) / 1e9
         val before = storageMb
         val freed = dropCheckpoints()
+        // shared fixed cost attribution (VERDICT r12 directive 6): the
+        // memo invalidation means each pass's FIRST dup-graph consumer
+        // pays the edge build; recording the build seconds per pass
+        // keeps the per-query numbers comparable across rounds
         passStats += PassStats(passSec, osBean.getSystemLoadAverage,
-          before, storageMb, freed)
+          before, storageMb, freed,
+          graft.llm.TextDedup.sharedEdgesBuildSecAndReset())
       }
       acc.toMap
     }
@@ -135,7 +144,8 @@ object Bench {
       s"""{"pass":${i + 1},"total":${p.total},"load_avg":${p.loadAvg},""" +
         s""""storage_mb_before":${p.storageBeforeMb},""" +
         s""""storage_mb_after":${p.storageAfterMb},""" +
-        s""""ckpt_rdds_freed":${p.ckptFreed}}"""
+        s""""ckpt_rdds_freed":${p.ckptFreed},""" +
+        s""""shared_edges_build_sec":${p.sharedEdgesBuildSec}}"""
     }.mkString("[", ",", "]")
     val minTotal = mins.map(_._2).sum
     val json =

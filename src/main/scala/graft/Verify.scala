@@ -9,6 +9,13 @@ object Verify {
     // queries and emit only their oracle entries — fast single-query parity
     // iteration; the driver always calls with exactly two args.
     val Array(sfDir, outDir) = args.take(2)
+    // Fail fast (ADVICE r12): SPARK_GRAFT_SEM_K is a measurement-only
+    // override that moves the Spark engine's k while the DuckDB oracle
+    // derives k from the corpus — a gated run with it set would produce
+    // silently engine-divergent results, so the gate refuses to start.
+    require(!sys.env.contains("SPARK_GRAFT_SEM_K"),
+      "SPARK_GRAFT_SEM_K is a ScaleProof measurement knob; unset it " +
+        "for correctness runs (the oracle derives k from the corpus)")
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args.drop(2).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

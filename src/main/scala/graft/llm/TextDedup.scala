@@ -148,6 +148,20 @@ object TextDedup {
     * the MinHash coverage check reads ≥ 0.9 out of the ≥ 0.2 table). */
   private val sharedEdges = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String, Int, Double), DataFrame]()
+  // structural cleanup contract: the harness clears ALL checkpoint-backed
+  // memos via graft.Memo — registering here (object body runs before any
+  // memo insert) means Bench cannot miss this memo
+  graft.Memo.registerInvalidator(() => invalidateSharedEdges())
+
+  /** Wall-clock seconds spent BUILDING shared edge frames since the last
+    * reset — the memo's first-caller cost. graft.Bench reads-and-resets
+    * this per pass so the shared fixed cost is attributed in the bench
+    * artifact instead of silently riding whichever dup-graph query
+    * happens to run first (VERDICT r12 directive 6). */
+  private val sharedBuildNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  def sharedEdgesBuildSecAndReset(): Double =
+    sharedBuildNanos.getAndSet(0L) / 1e9
 
   /** Drop every memoized shared edge frame. A harness that reclaims
     * checkpoint blocks between passes (graft.Bench's inter-pass cleanup)
@@ -166,8 +180,13 @@ object TextDedup {
     sharedEdges.compute((corpusKey, idCol, textCol, shingleK, threshold),
       (_, cached) =>
         if (cached != null && (cached.sparkSession eq docs.sparkSession)) cached
-        else jaccardPairs(docs, idCol, textCol, shingleK, threshold)
-          .localCheckpoint(true))
+        else {
+          val t0 = System.nanoTime()
+          val built = jaccardPairs(docs, idCol, textCol, shingleK, threshold)
+            .localCheckpoint(true)
+          sharedBuildNanos.addAndGet(System.nanoTime() - t0)
+          built
+        })
 
   /** Connected components over an undirected dup-pair edge list —
     * near-dup PAIRS are not actionable until they become CLUSTERS (keep

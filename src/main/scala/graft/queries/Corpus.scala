@@ -900,21 +900,29 @@ object Corpus {
     // min/max agg; each ln lands ONCE on the 1e-4 grid from an exact
     // integer rational (add-one-smoothed counts — the q_dsir_weights
     // mechanism) and the (p_tr − p_te) factor is the truncating-div ppm
-    // difference, so term_e10 = dp_e6·ln_e4 is exact BIGINT. Scale: one
-    // pass for min/max + one binned count agg — map-side combinable,
-    // 10-row result at any corpus size.
+    // difference, so term_e10 = dp_e6·ln_e4 is exact BIGINT. The 10-bin
+    // grid is EXPLICIT (the q_psi_timeseries contract): an empty bin
+    // still contributes its smoothed (1/d_tr vs 1/d_te) term instead of
+    // silently dropping — the +10 add-one denominator assumes all 10
+    // bins exist. Scale: one pass for min/max + one binned count agg —
+    // map-side combinable, 10-row result at any corpus size.
     QDef("q_psi_drift",
       (s, d) => {
         val li = lineitem(s, d).select(
           round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
           (col("l_orderkey") % 10 < 8).cast("long").as("is_tr"))
         val mm = li.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
-        val binned = li.crossJoin(broadcast(mm))
+        val binned0 = li.crossJoin(broadcast(mm))
           .select(expr("least(9, (c - mn) * 10 div (mx - mn + 1))")
             .as("bin"), col("is_tr"))
           .groupBy(col("bin"))
           .agg(sum(col("is_tr")).as("c_tr"),
             sum(lit(1L) - col("is_tr")).as("c_te"))
+        val binned = s.range(0, 10).select(col("id").as("bin"))
+          .join(binned0, Seq("bin"), "left")
+          .select(col("bin"),
+            coalesce(col("c_tr"), lit(0L)).as("c_tr"),
+            coalesce(col("c_te"), lit(0L)).as("c_te"))
         val w = Window.partitionBy()
         binned
           .select(col("bin"), col("c_tr"), col("c_te"),
@@ -935,10 +943,16 @@ object Corpus {
             CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
             CAST(l_orderkey % 10 < 8 AS BIGINT) AS is_tr FROM lineitem),
         mm AS (SELECT min(c) AS mn, max(c) AS mx FROM li),
-        binned AS (SELECT least(9, (c - mn) * 10 // (mx - mn + 1)) AS bin,
+        binned0 AS (SELECT least(9, (c - mn) * 10 // (mx - mn + 1)) AS bin,
             CAST(sum(is_tr) AS BIGINT) AS c_tr,
             CAST(sum(1 - is_tr) AS BIGINT) AS c_te
           FROM li CROSS JOIN mm GROUP BY 1),
+        grid AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT)
+          AS bin),
+        binned AS (SELECT g.bin,
+            CAST(COALESCE(b.c_tr, 0) AS BIGINT) AS c_tr,
+            CAST(COALESCE(b.c_te, 0) AS BIGINT) AS c_te
+          FROM grid g LEFT JOIN binned0 b USING (bin)),
         tot AS (SELECT CAST(sum(c_tr) + 10 AS BIGINT) AS d_tr,
             CAST(sum(c_te) + 10 AS BIGINT) AS d_te FROM binned),
         terms AS (SELECT bin, c_tr, c_te,
@@ -1000,8 +1014,9 @@ object Corpus {
             col("d_d"), col("d_r"))
           .select(col("day"),
             ((expr("cd * 1000000 div d_d") - expr("cr * 1000000 div d_r"))
-              * round(log((col("cd") * col("d_r")).cast("double") /
-                  (col("cr") * col("d_d"))) * 10000, 0).cast("long"))
+              * round(log((col("cd").cast("double") * col("d_r")) /
+                  (col("cr").cast("double") * col("d_d"))) * 10000, 0)
+                .cast("long"))
               .as("term_e10"))
           .groupBy(col("day"))
           .agg(sum(col("term_e10")).as("psi_e10"))
@@ -1028,8 +1043,9 @@ object Corpus {
         terms AS (SELECT g.day,
             (COALESCE(b.n, 0) + 1) * 1000000 // t.d_d
               - (COALESCE(ref.r, 0) + 1) * 1000000 // rt.d_r AS dp_e6,
-            CAST(round(ln(CAST((COALESCE(b.n, 0) + 1) * rt.d_r AS DOUBLE)
-              / ((COALESCE(ref.r, 0) + 1) * t.d_d)) * 10000) AS BIGINT)
+            CAST(round(ln((CAST(COALESCE(b.n, 0) + 1 AS DOUBLE) * rt.d_r)
+              / (CAST(COALESCE(ref.r, 0) + 1 AS DOUBLE) * t.d_d)) * 10000)
+              AS BIGINT)
               AS lnr_e4
           FROM grid g
           LEFT JOIN binned b ON g.day = b.day AND g.bin = b.bin

@@ -421,7 +421,8 @@ object Llm {
   private def semK(s: SparkSession, d: String): Long =
     // SPARK_GRAFT_SEM_K: measurement-only override (ScaleProof's
     // fixed-k-vs-auto-k comparison rows in TUNING.md); the oracle knows
-    // nothing of it, so correctness runs must leave it unset.
+    // nothing of it, so Verify.main REFUSES to run while it is set —
+    // the gate can never see an engine-divergent k.
     sys.env.get("SPARK_GRAFT_SEM_K").map(_.toLong).getOrElse(
       math.max(kmK.toLong,
         graft.tables.Tables.rowCount(s, d, "embeddings") / semTargetCell))
@@ -3163,11 +3164,17 @@ object Llm {
               .cast("long").as("mono_ok"))
           .orderBy(col("nprobe"))
       },
-      Some("""SELECT * FROM (VALUES
-          (CAST(1 AS BIGINT), CAST(50 AS BIGINT),
-           CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-          (2, 50, 1, 1), (4, 50, 1, 1), (8, 50, 1, 1))
-        t(nprobe, n_queries, floor_ok, mono_ok) ORDER BY nprobe""")),
+      // n_queries is DERIVED (ADVICE r12): the query set is vec_id < 50,
+      // i.e. least(50, |embeddings|) under the dense-id corpus — 50 was
+      // an accident of the test corpora, not a contract, so a <50-row
+      // corpus must still gate on the floor/mono flags alone.
+      Some("""WITH nq AS (SELECT CAST(least(50, count(*)) AS BIGINT) AS n
+          FROM embeddings)
+        SELECT t.nprobe, nq.n AS n_queries, t.floor_ok, t.mono_ok
+        FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+          (2, 1, 1), (4, 1, 1), (8, 1, 1)) t(nprobe, floor_ok, mono_ok)
+        CROSS JOIN nq ORDER BY t.nprobe""")),
 
     // k-NN-GRAPH CLUSTERING — the production escape from fixed-ε
     // density that TUNING's own DBSCAN 100× row names (grid-cell DBSCAN

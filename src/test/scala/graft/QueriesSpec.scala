@@ -2325,14 +2325,16 @@ class QueriesSpec extends AnyFunSuite {
       math.min(9L, (c - mn) * 10 / (mx - mn + 1)) }
     val nTr = li.map(_._2).sum + 10L
     val nTe = li.count(_._2 == 0L) + 10L
-    val expect = binned.toSeq.map { case (bin, vs) =>
+    // explicit 0-9 grid: empty bins still contribute their smoothed term
+    val expect = (0L to 9L).map { bin =>
+      val vs = binned.getOrElse(bin, Array.empty[(Long, Long)])
       val cTr = vs.map(_._2).sum
       val cTe = vs.length - cTr
       val dp = (cTr + 1) * 1000000L / nTr - (cTe + 1) * 1000000L / nTe
       val lnr = math.round(math.log(((cTr + 1.0) * nTe) /
         ((cTe + 1.0) * nTr)) * 10000)
       (bin, cTr, cTe, dp, lnr, dp * lnr)
-    }.sortBy(_._1)
+    }.toSeq
     val rows = SparkEntry.queries("q_psi_drift")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
