@@ -428,7 +428,12 @@ object ScaleProof {
       // greedy k-center: 9 linear passes against a <=8-row broadcast
       "q_coreset_kcenter",
       // per-day PSI: two event passes + a calendar-bounded grid
-      "q_psi_timeseries")
+      "q_psi_timeseries",
+      // round-13: the bloom-gated decontamination screen — the
+      // broadcast bloom must shed the non-contaminated train grams
+      // BEFORE the equi-join shuffle (compare shuffleW vs the exact
+      // q_ngram_contamination row at the same corpus)
+      "q_ngram_contamination_bloom")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -87,22 +87,47 @@ object Curation {
   private val bpeTrainPredSql =
     "(doc_id * 2654435761) % 4294967296 % 100 < 80"
 
-  /** Initial BPE symbol state (doc_id, widx, pos, sym): one row per
-    * character of each word of length ≥ 2, optionally restricted to a
-    * document subset (train split for training, held-out for apply). */
-  private def bpeInit(s: org.apache.spark.sql.SparkSession, d: String,
+  /** Distinct-word histogram (w, cnt) of a document subset — the
+    * SentencePiece-at-scale input shape (its trainer ingests a word
+    * histogram, not the corpus), and since r13 the BPE/WordPiece
+    * trainers' too: every merge round runs on word TYPES weighted by
+    * count, so the per-round shuffle is vocabulary-sized instead of
+    * corpus-sized (VERDICT r12 directive 1 — the instance-level form
+    * measured 447.7 s / 142 GB mem-spill at 100×). The corpus is
+    * touched exactly once, by this one map-side-combinable agg. */
+  private def wordHist(s: org.apache.spark.sql.SparkSession, d: String,
       where: Option[org.apache.spark.sql.Column]):
       org.apache.spark.sql.DataFrame = {
     val base = documents(s, d)
     where.fold(base)(base.filter)
-      .select(col("doc_id"), posexplode(tokens(col("text"))))
-      .toDF("doc_id", "widx", "w")
-      .filter(length(col("w")) >= 2)
-      .select(col("doc_id"), col("widx"),
-        posexplode(expr("slice(split(w, ''), 1, length(w))")))
-      .toDF("doc_id", "widx", "pos", "sym")
-      .localCheckpoint(true)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
   }
+
+  /** Per-(lang, word) instance histogram of the HELD-OUT split — the
+    * apply-side rollup basis: tokenizing each distinct word once and
+    * joining token counts back here reproduces the instance-level
+    * per-lang scorecard exactly (Σ cnt·tokens(w) ≡ the per-instance
+    * sum), with the only corpus-sized work being this agg itself. */
+  private def heldLangWordHist(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d).filter(!bpeTrainPred)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Initial BPE symbol state from a word histogram: one row per
+    * character of each DISTINCT word of length ≥ 2, its corpus count
+    * riding along — (w, cnt, pos, sym). Every instance of a word has
+    * the identical symbol sequence at every merge round (merges depend
+    * only on the sequence), so training on types with count weights
+    * walks the exact instance-level trajectory. */
+  private def bpeInitFromHist(hist: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    hist.filter(length(col("w")) >= 2)
+      .select(col("w"), col("cnt"),
+        posexplode(expr("slice(split(w, ''), 1, length(w))")))
+      .toDF("w", "cnt", "pos", "sym")
+      .localCheckpoint(true)
 
   /** One greedy left-to-right merge of winner (x, y) applied to a state
     * frame already augmented with `nxt` — SHARED by the trainer loop and
@@ -115,30 +140,26 @@ object Curation {
   private def bpeMergeStep(withNext: org.apache.spark.sql.DataFrame,
       win: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
-    val wWord = Window.partitionBy(col("doc_id"), col("widx"))
-      .orderBy(col("pos"))
+    val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
     withNext.crossJoin(broadcast(win.select(col("x"), col("y"))))
       .withColumn("m",
         (col("sym") === col("x") && col("nxt") === col("y")).cast("int"))
       .withColumn("mrank", row_number().over(
-        Window.partitionBy(col("doc_id"), col("widx"), col("m"))
-          .orderBy(col("pos"))))
+        Window.partitionBy(col("w"), col("m")).orderBy(col("pos"))))
       .withColumn("grp",
         when(col("m") === 1, col("pos") - col("mrank")))
       .withColumn("ms", col("m") === 1 &&
         (col("pos") - min(col("pos")).over(
-          Window.partitionBy(col("doc_id"), col("widx"), col("grp"))))
-          % 2 === 0)
+          Window.partitionBy(col("w"), col("grp")))) % 2 === 0)
       .withColumn("away",
         coalesce(lag(col("ms"), 1).over(wWord), lit(false)))
       .filter(!col("away"))
-      .select(col("doc_id"), col("widx"), col("pos").as("opos"),
+      .select(col("w"), col("cnt"), col("pos").as("opos"),
         when(col("ms"), concat(col("x"), col("y")))
           .otherwise(col("sym")).as("sym"))
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id"), col("widx"))
-          .orderBy(col("opos"))))
-      .select(col("doc_id"), col("widx"), col("pos"), col("sym"))
+        Window.partitionBy(col("w")).orderBy(col("opos"))))
+      .select(col("w"), col("cnt"), col("pos"), col("sym"))
       .localCheckpoint(true)
   }
 
@@ -147,26 +168,28 @@ object Curation {
     * pair asc) winner → greedy merge via [[bpeMergeStep]]. Returns
     * (per-round raw winner frames (x, y, n), final symbol state).
     * Winner selection is a total order, so both engines (and the
-    * imperative spec trainer) walk the identical trajectory. Scale:
-    * every window partitions by word instance (massively parallel, no
-    * global sort); the winner is a broadcast 1-row frame; per-round
-    * localCheckpoint truncates lineage like the k-means and
-    * connected-components fixpoints. */
+    * imperative spec trainer) walk the identical trajectory. Scale
+    * (r13): the state is the DISTINCT-WORD histogram exploded to
+    * symbols — pair and symbol counts are Σ cnt over word types, so
+    * every per-round window/shuffle is vocabulary-sized, never
+    * corpus-sized (the q_unigram_lm shape; the oracle replays the
+    * instance-level definition, proving type-weighted ≡ instance
+    * counting through the gate); the winner is a broadcast 1-row
+    * frame; per-round localCheckpoint truncates lineage like the
+    * k-means and connected-components fixpoints. */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
-      rounds: Int,
-      where: Option[org.apache.spark.sql.Column] = None,
+      rounds: Int, hist: org.apache.spark.sql.DataFrame,
       wordpieceScore: Boolean = false):
       (Seq[org.apache.spark.sql.DataFrame],
         org.apache.spark.sql.DataFrame) = {
-    val wWord = Window.partitionBy(col("doc_id"), col("widx"))
-      .orderBy(col("pos"))
-    var state = bpeInit(s, d, where)
+    val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
+    var state = bpeInitFromHist(hist)
     val winners = (1 to rounds).map { _ =>
       val withNext = state
         .withColumn("nxt", lead(col("sym"), 1).over(wWord))
       val pairCnt = withNext.filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("x"), col("nxt").as("y"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("cnt")).as("n"))
       // WordPiece winner: likelihood gain count(xy)/(count(x)·count(y))
       // instead of BPE's raw count — the only difference between the
       // two trainer families (Schuster & Nakajima 2012; the merge step
@@ -174,7 +197,7 @@ object Curation {
       // exact 1e12 integer grid; ties under the declared grid break on
       // (x, y) — a total order both engines and the spec replay walk.
       val win = (if (wordpieceScore) {
-        val symCnt = state.groupBy(col("sym")).agg(count(lit(1)).as("ns"))
+        val symCnt = state.groupBy(col("sym")).agg(sum(col("cnt")).as("ns"))
           .localCheckpoint(true) // both unigram probes read it
         pairCnt
           .join(broadcast(symCnt.select(col("sym").as("x"),
@@ -289,36 +312,48 @@ object Curation {
     * the 80% Knuth-hash split, apply them IN TRAINING ORDER to the 20%
     * held-out split via the SAME [[bpeMergeStep]], and roll up per-lang
     * docs / words / emitted tokens / chars / compression basis points.
-    * Scale: apply is `bpeRounds` broadcast-winner passes over
-    * word-instance-partitioned windows — the training shape, no
-    * corpus-global state. */
+    * Scale (r13): train AND apply run on distinct-word histograms —
+    * each distinct held-out word is tokenized ONCE and its token count
+    * joined back to the (lang, word) instance histogram, so the merge
+    * windows are vocabulary-sized and the only corpus-sized work is
+    * the two histogram aggs (Σ cnt·tokens(w) ≡ the per-instance sum —
+    * the unchanged instance-level oracle proves it through the gate).
+    * `trainHist`/`heldHist` let q_tokenizer_compare inject ONE shared
+    * Knuth-split histogram pair across all three families (VERDICT r12
+    * directive 2) instead of recomputing the split prelude per family. */
   private def heldOutTokenize(s: org.apache.spark.sql.SparkSession,
-      d: String, wordpieceScore: Boolean):
+      d: String, wordpieceScore: Boolean,
+      trainHist: Option[org.apache.spark.sql.DataFrame] = None,
+      heldHist: Option[org.apache.spark.sql.DataFrame] = None):
       org.apache.spark.sql.DataFrame = {
-    val wWord = Window.partitionBy(col("doc_id"), col("widx"))
-      .orderBy(col("pos"))
-    val (winners, _) = bpeTrain(s, d, bpeRounds, Some(bpeTrainPred),
-      wordpieceScore)
-    var state = bpeInit(s, d, Some(!bpeTrainPred))
+    val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val th = trainHist.getOrElse(wordHist(s, d, Some(bpeTrainPred)))
+    val (winners, _) = bpeTrain(s, d, bpeRounds, th, wordpieceScore)
+    val hh = heldHist.getOrElse(heldLangWordHist(s, d))
+      .localCheckpoint(true) // apply init + the per-lang rollup read it
+    // tokenize each DISTINCT held-out word once (cnt rides along unused
+    // — the trained winners, not weights, drive the apply merges)
+    var state = bpeInitFromHist(
+      hh.groupBy(col("w")).agg(sum(col("cnt")).as("cnt")))
     winners.foreach { win =>
       state = bpeMergeStep(
         state.withColumn("nxt", lead(col("sym"), 1).over(wWord)), win)
     }
-    val longToks = state.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("long_toks"))
-    documents(s, d).filter(!bpeTrainPred)
-      .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("w_n"),
-        aggregate(tokens(col("text")), lit(0L),
-          (acc, t) => acc + length(t).cast("long")).as("c_n"),
-        size(filter(tokens(col("text")), t => length(t) < 2))
-          .cast("long").as("short_toks"))
-      .join(longToks, Seq("doc_id"), "left")
-      .withColumn("t_n",
-        coalesce(col("long_toks"), lit(0L)) + col("short_toks"))
+    val perWord = state.groupBy(col("w")).agg(count(lit(1)).as("wtoks"))
+    val docs = documents(s, d).filter(!bpeTrainPred)
+      .groupBy(col("lang")).agg(count(lit(1)).as("docs"))
+    val stats = hh.withColumn("wlen", length(col("w")).cast("long"))
+      .join(perWord, Seq("w"), "left")
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("docs"), sum(col("w_n")).as("words"),
-        sum(col("t_n")).as("tokens"), sum(col("c_n")).as("chars"))
+      .agg(sum(col("cnt")).as("words"),
+        sum(when(col("wlen") < 2, col("cnt"))
+          .otherwise(col("cnt") * col("wtoks"))).as("tokens"),
+        sum(col("cnt") * col("wlen")).as("chars"))
+    docs.join(stats, Seq("lang"), "left")
+      .select(col("lang"), col("docs"),
+        coalesce(col("words"), lit(0L)).as("words"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("chars"), lit(0L)).as("chars"))
       .withColumn("compression_bp",
         expr("chars * 10000 div tokens"))
       .orderBy(col("lang"))
@@ -434,15 +469,18 @@ object Curation {
     * histogram, not the corpus). Returns the vocab frame (piece, cnt)
     * after the final M-step, plus the broadcast piece table. */
   private val unigramRounds = 3
-  private def unigramTrain(s: org.apache.spark.sql.SparkSession, d: String)
+  private def unigramTrain(s: org.apache.spark.sql.SparkSession, d: String,
+      wcOpt: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     val pieceTab = unigramPieces
       .toDF("wlen", "cid", "off", "plen", "n_pieces")
       .withColumn("wlen", col("wlen").cast("long"))
-    val wc = documents(s, d).filter(bpeTrainPred)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    // wcOpt: q_tokenizer_compare's SHARED train-split histogram (r13 —
+    // one split prelude feeds all three families); standalone runs
+    // build their own via the same wordHist definition
+    val wc = wcOpt.getOrElse(wordHist(s, d, Some(bpeTrainPred)))
+      .select(col("w"), col("cnt").as("wcnt"))
       .withColumn("wlen", length(col("w")).cast("long"))
       .localCheckpoint(true) // the corpus is touched exactly once
     val seed = wc.select(col("wcnt"), explode(expr(
@@ -474,6 +512,39 @@ object Curation {
                                // k-means / CC fixpoint discipline)
     }
     (vocab, pieceTab)
+  }
+
+  /** Unigram-LM held-out apply (q_unigram_tokenize's fn, extracted so
+    * q_tokenizer_compare can inject the SHARED split histograms —
+    * VERDICT r12 directive 2): segment each distinct held-out word via
+    * the trained piece scores, roll up per lang with the declared OOV
+    * bucket. `wcOpt` = train-split (w, cnt); `hwOpt` = held-out
+    * (lang, w, cnt). */
+  private def unigramTokenizeFn(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      wcOpt: Option[org.apache.spark.sql.DataFrame] = None,
+      hwOpt: Option[org.apache.spark.sql.DataFrame] = None):
+      org.apache.spark.sql.DataFrame = {
+    val (vocab, pieceTab) = unigramTrain(s, d, wcOpt)
+    val scored = unigramScore(vocab)
+    val hw = hwOpt.getOrElse(heldLangWordHist(s, d))
+      .select(col("lang"), col("w"), col("cnt").as("wcnt"))
+      .withColumn("wlen", length(col("w")).cast("long"))
+      .localCheckpoint(true) // distinct-word seg + per-lang rollup
+    val best = unigramBest(
+      hw.select(col("w"), col("wlen")).distinct(), scored, pieceTab)
+    hw.join(best.select(col("w"), col("n_pieces")), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(col("wcnt")).as("n_words"),
+        sum(when(col("n_pieces").isNull, col("wcnt")).otherwise(0L))
+          .as("n_oov"),
+        sum(when(col("n_pieces").isNotNull,
+          col("wcnt") * col("n_pieces")).otherwise(0L)).as("n_pieces"),
+        sum(when(col("n_pieces").isNotNull,
+          col("wcnt") * col("wlen")).otherwise(0L)).as("n_chars"))
+      .withColumn("chars_per_piece_bp",
+        expr("n_chars * 10000 div n_pieces"))
+      .orderBy(col("lang"))
   }
 
   /** DuckDB CTE chain replaying [[unigramTrain]] — shared by both
@@ -901,14 +972,17 @@ object Curation {
     // merge start) drop and positions renumber. Winner selection is a
     // total order (count desc, pair asc): class A, both engines walk
     // the identical trajectory and the oracle replays all three rounds
-    // as chained CTEs. Scale: state is (word-instance, position,
-    // symbol) — every window partitions by word instance (massively
-    // parallel, no global sort); the winner is a broadcast 1-row frame;
-    // per-round localCheckpoint truncates lineage like the k-means and
+    // as chained CTEs (instance-level — proving the r13 type-weighted
+    // trainer counts through the gate). Scale: state is the
+    // distinct-word histogram exploded to (word-type, position, symbol)
+    // with the corpus count riding along — every window partitions by
+    // word TYPE, so per-round shuffles are vocabulary-sized, never
+    // corpus-sized; the winner is a broadcast 1-row frame; per-round
+    // localCheckpoint truncates lineage like the k-means and
     // connected-components fixpoints.
     QDef("q_bpe_merges",
       (s, d) => {
-        val (winners, _) = bpeTrain(s, d, bpeRounds)
+        val (winners, _) = bpeTrain(s, d, bpeRounds, wordHist(s, d, None))
         winners.zipWithIndex.map { case (w, i) =>
           w.select(lit(i + 1).cast("long").as("round"),
             concat_ws(" ", col("x"), col("y")).as("pair"), col("n"))
@@ -926,8 +1000,8 @@ object Curation {
     // list above) as its artifact pair.
     QDef("q_bpe_vocab",
       (s, d) => {
-        val (_, state) = bpeTrain(s, d, bpeRounds)
-        state.groupBy(col("sym")).agg(count(lit(1)).as("n"))
+        val (_, state) = bpeTrain(s, d, bpeRounds, wordHist(s, d, None))
+        state.groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
           .orderBy(col("n").desc, col("sym")).limit(30)
       },
       Some(s"""WITH ${bpeCtePrelude()}
@@ -966,8 +1040,8 @@ object Curation {
     // replay beside the BPE one in CurationSpec.
     QDef("q_wordpiece_merges",
       (s, d) => {
-        val (winners, _) =
-          bpeTrain(s, d, bpeRounds, wordpieceScore = true)
+        val (winners, _) = bpeTrain(s, d, bpeRounds,
+          wordHist(s, d, None), wordpieceScore = true)
         winners.zipWithIndex.map { case (w, i) =>
           w.select(lit(i + 1).cast("long").as("round"),
             concat_ws(" ", col("x"), col("y")).as("pair"), col("n"),
@@ -1036,29 +1110,7 @@ object Curation {
     // per-(lang, word) count agg; segmentation joins run on the
     // distinct held-out word frame.
     QDef("q_unigram_tokenize",
-      (s, d) => {
-        val (vocab, pieceTab) = unigramTrain(s, d)
-        val scored = unigramScore(vocab)
-        val hw = documents(s, d).filter(!bpeTrainPred)
-          .select(col("lang"), explode(tokens(col("text"))).as("w"))
-          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wcnt"))
-          .withColumn("wlen", length(col("w")).cast("long"))
-          .localCheckpoint(true) // distinct-word seg + per-lang rollup
-        val best = unigramBest(
-          hw.select(col("w"), col("wlen")).distinct(), scored, pieceTab)
-        hw.join(best.select(col("w"), col("n_pieces")), Seq("w"), "left")
-          .groupBy(col("lang"))
-          .agg(sum(col("wcnt")).as("n_words"),
-            sum(when(col("n_pieces").isNull, col("wcnt")).otherwise(0L))
-              .as("n_oov"),
-            sum(when(col("n_pieces").isNotNull,
-              col("wcnt") * col("n_pieces")).otherwise(0L)).as("n_pieces"),
-            sum(when(col("n_pieces").isNotNull,
-              col("wcnt") * col("wlen")).otherwise(0L)).as("n_chars"))
-          .withColumn("chars_per_piece_bp",
-            expr("n_chars * 10000 div n_pieces"))
-          .orderBy(col("lang"))
-      },
+      (s, d) => unigramTokenizeFn(s, d),
       Some(s"""WITH $unigramCtePrelude,
           hw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS wcnt,
               CAST(length(w) AS BIGINT) AS wlen
@@ -2033,6 +2085,86 @@ object Curation {
             THEN 'contaminated' ELSE 'clean' END AS verdict
         FROM agg ORDER BY doc_id""")),
 
+    // BLOOM-GATED DECONTAMINATION — q_ngram_contamination's "broadcast/
+    // bloom at production" promise made a DECLARED operator (VERDICT r12
+    // directive 3): the eval split's distinct 8-gram set collapses into
+    // a broadcast bloom (xxhash64'd grams through the q_join_bloom_pruned
+    // machinery — a few MB at any eval size), which pre-filters the
+    // train-side gram stream BEFORE the equi-join shuffle; the exact
+    // join over the survivors is the residual verify, so the result is
+    // byte-identical to the exact screen at any fpp (bloom false
+    // positives die in the join; a bloom has NO false negatives, and
+    // per-doc gram totals come from a map-side agg that never joins).
+    // At 100 TB this is the production shape: the train side — the
+    // overwhelming bulk — sheds ~(1 − fpp) of its non-contaminated
+    // grams pre-shuffle for a broadcast-sized filter. The probe is a
+    // codegen'd Catalyst expression; its survival in the physical plan
+    // is asserted in-query (the q_join_bloom_pruned contract). Oracle =
+    // the exact screen's SQL verbatim (same output is the point).
+    QDef("q_ngram_contamination_bloom",
+      (s, d) => {
+        import graft.functions.BloomFunctions._
+        val docs = documents(s, d)
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 7),
+                 i -> array_join(slice(toks, i, 8), ' '))""")).as("g"))
+        val evalG = grams(docs.filter(!bpeTrainPred))
+          .select(col("g")).distinct()
+          .localCheckpoint(true) // bloom build + residual exact join
+        // expectedItems from footer stats: distinct eval grams are
+        // bounded by ~(tokens per doc) grams/doc over the 20% split —
+        // 64·|docs| oversizes safely (oversizing only wastes bits; the
+        // 8 MB cap bounds the broadcast regardless)
+        val bloomBytes = buildLongBloom(
+          evalG.select(xxhash64(col("g")).as("h")), "h",
+          expectedItems =
+            graft.tables.Tables.rowCount(s, d, "documents") * 64)
+        val tg = grams(docs.filter(bpeTrainPred))
+        val nG = tg.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        val hits = tg
+          .filter(bloom_might_contain(xxhash64(col("g")), bloomBytes))
+          .join(evalG, Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        val out = nG.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .select(col("doc_id"), col("n_grams"), col("n_hit"),
+            expr("n_hit * 1000000 div n_grams").as("contam_ppm"),
+            when(expr("n_hit * 1000000 div n_grams") >= 700000L,
+              lit("contaminated")).otherwise(lit("clean")).as("verdict"))
+          .orderBy(col("doc_id"))
+        val plan = out.queryExecution.executedPlan.toString
+        if (!plan.contains("graft_bloom_might_contain"))
+          throw new IllegalStateException("q_ngram_contamination_bloom: " +
+            s"probe missing from physical plan:\n${plan.take(4000)}")
+        out
+      },
+      Some(s"""WITH eg AS (SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(range(1, len(toks) - 6),
+                i -> array_to_string(toks[i:i+7], ' '))) AS g
+            FROM (SELECT $tokensSql AS toks FROM documents
+              WHERE NOT ($bpeTrainPredSql))
+            WHERE len(toks) >= 8)),
+        tg AS (SELECT doc_id, unnest(list_transform(
+              range(1, len(toks) - 6),
+              i -> array_to_string(toks[i:i+7], ' '))) AS g
+          FROM (SELECT doc_id, $tokensSql AS toks FROM documents
+            WHERE $bpeTrainPredSql)
+          WHERE len(toks) >= 8),
+        agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
+          FROM tg t LEFT JOIN eg e ON t.g = e.g GROUP BY t.doc_id)
+        SELECT doc_id, n_grams, n_hit,
+          n_hit * 1000000 // n_grams AS contam_ppm,
+          CASE WHEN n_hit * 1000000 // n_grams >= 700000
+            THEN 'contaminated' ELSE 'clean' END AS verdict
+        FROM agg ORDER BY doc_id""")),
+
     // TEMPERATURE-SAMPLING MIXTURE WEIGHTS — the multilingual sampling
     // rule (mT5/XLM-R: p_l ∝ n_l^α with α = 0.3) beside the epoch-based
     // q_mixture_plan: per-lang token counts from one corpus scan, the
@@ -2193,15 +2325,27 @@ object Curation {
     val uniSql = d0("q_unigram_tokenize").sql.get
     QDef("q_tokenizer_compare",
       (s, d) => {
-        val bpe = d0("q_bpe_tokenize").fn(s, d)
+        // r13 (VERDICT directive 2): the Knuth 80/20 split histograms
+        // are computed ONCE and fed to all three family pipelines —
+        // previously the DAG recomputed the split scan + word counts
+        // per family (Spark does not dedupe common subtrees), making
+        // this the suite's most expensive query. The pipelines are the
+        // same fns the three declared QDefs run, with the shared frames
+        // injected, so the comparison still cannot drift.
+        val trainWc = wordHist(s, d, Some(bpeTrainPred))
+          .localCheckpoint(true)
+        val heldWc = heldLangWordHist(s, d).localCheckpoint(true)
+        val bpe = heldOutTokenize(s, d, wordpieceScore = false,
+            Some(trainWc), Some(heldWc))
           .select(col("lang"), col("words").as("bpe_words"),
             col("tokens").as("bpe_tokens"),
             col("compression_bp").as("bpe_cpt_bp"))
-        val wp = d0("q_wordpiece_tokenize").fn(s, d)
+        val wp = heldOutTokenize(s, d, wordpieceScore = true,
+            Some(trainWc), Some(heldWc))
           .select(col("lang"), col("words").as("wp_words"),
             col("tokens").as("wp_tokens"),
             col("compression_bp").as("wp_cpt_bp"))
-        val uni = d0("q_unigram_tokenize").fn(s, d)
+        val uni = unigramTokenizeFn(s, d, Some(trainWc), Some(heldWc))
           .select(col("lang"), col("n_words").as("uni_words"),
             col("n_oov").as("uni_oov"),
             col("n_pieces").as("uni_pieces"),

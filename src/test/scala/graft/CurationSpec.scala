@@ -720,4 +720,13 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(5) != r.getLong(6)),
       "wordpiece apply column identical to bpe everywhere — suspicious")
   }
+
+  test("r13 q_ngram_contamination_bloom: bloom-gated screen is " +
+    "byte-identical to the exact screen (residual join removes FPs)") {
+    val exact = run("q_ngram_contamination").collect().toSeq
+    val bloom = run("q_ngram_contamination_bloom").collect().toSeq
+    assert(exact.nonEmpty, "screen must cover the train split")
+    assert(bloom == exact,
+      "bloom-gated output diverged from the exact screen")
+  }
 }
