@@ -433,7 +433,11 @@ object ScaleProof {
       // broadcast bloom must shed the non-contaminated train grams
       // BEFORE the equi-join shuffle (compare shuffleW vs the exact
       // q_ngram_contamination row at the same corpus)
-      "q_ngram_contamination_bloom")
+      "q_ngram_contamination_bloom",
+      // the sampled label-prop twin: 1/4 doc stratum => 1/16 of the
+      // edge-build pair work - the bounded instrument where the exact
+      // build exceeds single-node scratch
+      "q_label_prop_sampled")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1798,6 +1798,26 @@ object Corpus {
         $labelPropCtes
         SELECT doc_id, lbl FROM l2 ORDER BY doc_id""")),
 
+    // SAMPLED LABEL-PROPAGATION AUDIT TWIN (r13, VERDICT directive 5) —
+    // the dup-graph family's bounded-cost instrument at scales where
+    // the EXACT pairwise edge build exceeds single-node scratch
+    // (TUNING's measured q_label_prop 100× storage exclusion): the
+    // identical two-round majority propagation over the deterministic
+    // 1/4 doc stratum (first md5 nibble of doc_id ≤ 3 ⇒ 1/16 of the
+    // pair work — the q_dupspan_pairs_sampled cadence). Node set, edge
+    // build (Jaccard ≥ 0.2), tie order, and round structure are the
+    // SHARED labelProp2/CTE machinery with only the document WHERE
+    // injected, so the audit cannot drift from the operator it bounds.
+    QDef("q_label_prop_sampled",
+      (s, d) => labelProp2(s, d, sampled = true)._2
+        .orderBy(col("doc_id")),
+      Some {
+        val w = s" WHERE ${Llm.docSampleNibbleSql("doc_id")} <= 3"
+        s"""WITH ${Llm.dupEdgesCteW("0.2", w)},
+        ${labelPropCtesW(w)}
+        SELECT doc_id, lbl FROM l2 ORDER BY doc_id"""
+      }),
+
     // GRAPH MODULARITY CERTIFICATE — the "did community detection help"
     // gate over the label-propagation partition (the q_kmeans_silhouette
     // precedent for the vector side: a quality score is part of the
@@ -2382,13 +2402,19 @@ object Corpus {
     * undirected edge frame (id_a, id_b), the converged (doc_id, lbl)
     * frame). */
   private def labelProp2(s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame,
+      d: String, sampled: Boolean = false):
+      (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val docs = documents(s, d).select(col("doc_id"),
-      col("source").as("lbl"))
+    // sampled: the deterministic 1/4 doc stratum (first md5 nibble ≤ 3
+    // ⇒ 1/16 of pairs) — the established audit cadence; the stratum's
+    // edge frame memoizes under its own corpus key
+    val base = documents(s, d)
+    val dset = if (sampled)
+      base.filter(Llm.docSampleNibble(col("doc_id")) <= 3) else base
+    val docs = dset.select(col("doc_id"), col("source").as("lbl"))
     val e0 = graft.llm.TextDedup
-      .jaccardEdgesShared(documents(s, d), "doc_id", "text",
-        threshold = 0.2, corpusKey = d)
+      .jaccardEdgesShared(dset, "doc_id", "text",
+        threshold = 0.2, corpusKey = if (sampled) s"$d#nib3" else d)
       .select(col("id_a"), col("id_b"))
     val edges = e0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(e0.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -2416,7 +2442,7 @@ object Corpus {
     * CTEs edges (both orientations), l0 (seed labels), l1/l2 (the two
     * majority rounds with the identical (count desc, label) tie order).
     * Shared by the q_label_prop and q_graph_modularity oracles. */
-  private lazy val labelPropCtes: String = {
+  private def labelPropCtesW(where: String): String = {
     def round_(k: Int): String = s"""
         nl$k AS (SELECT dst AS doc_id, nl FROM (
             SELECT e.dst, l.lbl AS nl, count(*) AS n,
@@ -2428,7 +2454,8 @@ object Corpus {
           FROM l${k - 1} d LEFT JOIN nl$k nl ON d.doc_id = nl.doc_id)"""
     s"""edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
           UNION ALL SELECT id_b, id_a FROM edges0),
-        l0 AS (SELECT doc_id, source AS lbl FROM documents),
+        l0 AS (SELECT doc_id, source AS lbl FROM documents$where),
         ${(1 to 2).map(round_).mkString(",")}"""
   }
+  private lazy val labelPropCtes: String = labelPropCtesW("")
 }

@@ -126,10 +126,10 @@ object Llm {
     * ONE definition of the shingle → pair pipeline, so the oracles can't
     * drift from each other or from the `jaccardEdgesShared` frame the
     * engine side reads. */
-  private[queries] val dupPairsCte: String = """
+  private[queries] def dupPairsCteW(where: String): String = s"""
         toks AS (SELECT doc_id,
             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-          FROM documents),
+          FROM documents$where),
         shingles AS (SELECT doc_id, unnest(list_distinct(
             list_transform(range(len(toks) - 2),
               i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
@@ -140,15 +140,20 @@ object Llm {
           FROM shingles a JOIN shingles b
             ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2)"""
+  private[queries] val dupPairsCte: String = dupPairsCteW("")
 
-  /** [[dupPairsCte]] + the undirected edge set at `threshold`. */
-  private[queries] def dupEdgesCte(threshold: String): String =
-    s"""$dupPairsCte,
+  /** [[dupPairsCte]] + the undirected edge set at `threshold`;
+    * `where` restricts the document set (the sampled-stratum twins). */
+  private[queries] def dupEdgesCteW(threshold: String,
+      where: String): String =
+    s"""${dupPairsCteW(where)},
         edges0 AS (
           SELECT id_a, id_b FROM pairs
           JOIN sizes sa ON id_a = sa.doc_id
           JOIN sizes sb ON id_b = sb.doc_id
           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold)"""
+  private[queries] def dupEdgesCte(threshold: String): String =
+    dupEdgesCteW(threshold, "")
 
   /** Deterministic 1/16 pair sample for the sampled-audit variants:
     * first hex nibble of md5("id_a_id_b") — the same value in Spark and
@@ -251,12 +256,14 @@ object Llm {
     * for the auto-k assignment fan: the full Lloyd scan enumerates
     * n·k candidates per round, and with the SemDeDup rule k ∝ n that
     * fan is quadratic in corpus size (TUNING's residual growth axis).
-    * Here a STATIC coarse codebook (the declared k=8 trajectory —
-    * kmeansTrain shared verbatim with q_kmeans_lloyd) partitions the
-    * space once; each round the moving fine centroids re-assign to
-    * coarse cells (k·8 rows — tiny) and every vector's candidate set
-    * becomes an EQUI-JOIN on its cell: expected n·(k/8) scored rows
-    * instead of n·k. Vectors whose cell holds no fine centroid fall
+    * Here a STATIC coarse codebook (the declared kc-round trajectory,
+    * kc = max(8, ⌈√k⌉) — kmeansTrain shared verbatim with
+    * q_kmeans_lloyd, identical to its k=8 trajectory until k > 64)
+    * partitions the space once; each round the moving fine centroids
+    * re-assign to coarse cells (k·kc rows — tiny) and every vector's
+    * candidate set becomes an EQUI-JOIN on its cell: expected n·(k/kc)
+    * scored rows instead of n·k, and with kc = √k the total
+    * coarse-assign + candidate work is n·2√k — sublinear in k. Vectors whose cell holds no fine centroid fall
     * back to the full broadcast scan (the declared orphan rule —
     * bounded by the orphan fraction, reported per cluster in the
     * output, never silent). The trajectory is a DECLARED deterministic
@@ -266,7 +273,16 @@ object Llm {
     * truncating-mean updates — both engines and the spec replay walk
     * it identically. Returns (vec_id, q0..q7, fk, dist, orphan). */
   private def kmeansSeededAssign(s: SparkSession, d: String): DataFrame = {
-    val (q, coarse) = kmeansTrain(s, d, kmK)
+    // √k coarse book (VERDICT r12 directive 4): with kc fixed at 8 the
+    // candidate fan n·(k/8) grows linearly in k — under the auto-k rule
+    // k ∝ n that is the residual growth axis TUNING named. kc = max(8,
+    // ⌈√k⌉) balances the two costs (coarse assign n·kc + candidate join
+    // n·k/kc minimizes at kc = √k → n·2√k total), restoring a bound
+    // that is SUBLINEAR in k. Same footer-stats derivation as auto-k;
+    // the floor keeps the small-SF trajectory identical to the r12
+    // fixed-8 form (kc = 8 until k > 64, i.e. n > 12,800).
+    val kc = semKc(s, d)
+    val (q, coarse) = kmeansTrain(s, d, kc)
     // static IVF structure: every vector's coarse cell, computed once
     val vcell = kmAssignFrame(q, coarse)
       .select(col("vec_id") +: (0 until kmDims).map(i => col(s"q$i")) :+
@@ -418,6 +434,13 @@ object Llm {
     * n comes from parquet footer statistics (no Spark job); the floor
     * keeps the small-SF trajectory identical to q_kmeans_lloyd's k=8. */
   private val semTargetCell = 200L
+  /** √k coarse-book size for [[kmeansSeededAssign]] (r13): kc = max(8,
+    * ⌈√k⌉) from the same footer-stats k as [[semK]]. ceil∘sqrt over an
+    * exact integer < 2⁵² is correctly-rounded IEEE in both engines —
+    * the [[semKcSql]] scalar subquery derives the identical value. */
+  private def semKc(s: SparkSession, d: String): Long =
+    math.max(kmK.toLong,
+      math.ceil(math.sqrt(semK(s, d).toDouble)).toLong)
   private def semK(s: SparkSession, d: String): Long =
     // SPARK_GRAFT_SEM_K: measurement-only override (ScaleProof's
     // fixed-k-vs-auto-k comparison rows in TUNING.md); the oracle knows
@@ -430,6 +453,11 @@ object Llm {
     * `x`, so both engines derive k from the same corpus. */
   private val semKSql: String =
     s"(SELECT greatest($kmK, count(*) // $semTargetCell) FROM x)"
+  /** Oracle form of [[semKc]]: the √k coarse-book size from the same
+    * scalar subquery over `x`. */
+  private val semKcSql: String =
+    s"(SELECT greatest($kmK, CAST(ceil(sqrt(CAST(greatest($kmK," +
+      s" count(*) // $semTargetCell) AS DOUBLE))) AS BIGINT)) FROM x)"
 
   // ---- PCA family shared machinery (q_pca_power / q_pca_deflate /
   // q_pca_whiten) — integer power iteration on the exact covariance of
@@ -1800,11 +1828,14 @@ object Llm {
     // IVF-SEEDED LLOYD — the auto-k assignment fan's 100×+ escape as a
     // DECLARED operator (NEXT r13 #1): with k ∝ n (the SemDeDup rule)
     // the exact Lloyd scan is n·k ∝ n² per round; here the declared
-    // coarse k=8 trajectory (kmeansTrain shared VERBATIM with
-    // q_kmeans_lloyd) becomes a static IVF partition, the moving fine
-    // centroids re-assign to coarse cells each round (k·8 rows), and
-    // every vector scores only its cell's fine centroids via an
-    // EQUI-JOIN — expected n·(k/8) candidates. Cells holding no fine
+    // coarse kc = max(8, ⌈√k⌉) trajectory (r13 — the √k book that
+    // balances coarse-assign n·kc against the candidate join n·k/kc;
+    // kmeansTrain shared VERBATIM with q_kmeans_lloyd, identical to
+    // its k=8 trajectory until k > 64) becomes a static IVF partition,
+    // the moving fine centroids re-assign to coarse cells each round
+    // (k·kc rows), and every vector scores only its cell's fine
+    // centroids via an EQUI-JOIN — expected n·(k/kc) candidates,
+    // n·2√k total work at the balanced point. Cells holding no fine
     // centroid fall back to the full broadcast scan (the declared
     // orphan rule; per-cluster orphan counts ride the output, so the
     // approximation cost is visible, never silent). Same integer grid,
@@ -1821,7 +1852,9 @@ object Llm {
         .select(col("fk").as("k"), col("n"), col("n_orphan"),
           col("mean_dist2"))
         .orderBy(col("k")),
-      Some(s"""WITH $kmeansCtePrelude,
+      // prelude at the √k coarse size (semKcSql — r13): c$kmIters is
+      // the kc-sized static coarse book, fin the vectors' coarse cells
+      Some(s"""WITH ${kmeansCte(semKcSql)},
         $kmeansSeededCtes
         SELECT fk AS k, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(orphan) AS BIGINT) AS n_orphan,

@@ -2182,8 +2182,13 @@ class QueriesSpec extends AnyFunSuite {
       }.min
       (ck, dd)
     }
-    // coarse trajectory — byte-identical to the q_kmeans_lloyd replay
-    var cents: Seq[(Long, Array[Long])] = vecs.take(8)
+    val n = vecs.length.toLong
+    val k = math.max(8L, n / 200L)
+    // r13: √k coarse book — kc = max(8, ceil(sqrt(k))), same floor rule
+    // as the operator (identical to the k=8 trajectory until k > 64)
+    val kc = math.max(8L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    // coarse trajectory — the q_kmeans_lloyd replay shape at size kc
+    var cents: Seq[(Long, Array[Long])] = vecs.take(kc.toInt)
       .map { case (id, q2) => (id, q2.clone) }.toSeq
     (1 to 3).foreach { _ =>
       val a = vecs.map { case (id, q2) => id -> assignTo(cents, q2)._1 }
@@ -2195,8 +2200,6 @@ class QueriesSpec extends AnyFunSuite {
     }
     val cell = vecs.map { case (id, q2) => id -> assignTo(cents, q2)._1 }
       .toMap
-    val n = vecs.length.toLong
-    val k = math.max(8L, n / 200L)
     var fine: Seq[(Long, Array[Long])] = vecs.filter(_._1 < k)
       .map { case (id, q2) => (id, q2.clone) }.toSeq
     // seeded assignment: candidates = fine centroids sharing the
