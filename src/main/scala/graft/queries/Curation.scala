@@ -27,6 +27,30 @@ object Curation {
 
   private val bpeRounds = 3
 
+  /** The Gopher-rule verdict frame (doc_id, n_toks, nsp, top_freq,
+    * r_wc, r_mwl, r_stop, r_dom, pass) — SHARED by q_gopher_rules and
+    * q_filter_ablation (r13) so the gate and the audit over it cannot
+    * drift. */
+  private def gopherFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = documents(s, d)
+    .select(col("doc_id"), tokens(col("text")).as("t"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("nsp"))
+    .select(col("doc_id"), col("nsp"),
+      size(col("t")).cast("long").as("n_toks"),
+      expr("""CAST(array_max(transform(array_distinct(t),
+        w -> size(filter(t, x -> x = w)))) AS BIGINT)""").as("top_freq"),
+      (array_contains(col("t"), "the") || array_contains(col("t"), "a"))
+        .cast("long").as("r_stop"))
+    .select(col("doc_id"), col("n_toks"), col("nsp"), col("top_freq"),
+      (col("n_toks") >= 30 && col("n_toks") <= 1000).cast("long").as("r_wc"),
+      (col("nsp") >= col("n_toks") * 3 && col("nsp") <= col("n_toks") * 10)
+        .cast("long").as("r_mwl"),
+      col("r_stop"),
+      (col("top_freq") * 5 <= col("n_toks")).cast("long").as("r_dom"))
+    .withColumn("pass",
+      (col("r_wc") === 1 && col("r_mwl") === 1 && col("r_stop") === 1 &&
+        col("r_dom") === 1).cast("long"))
+
   /** Winnowing fingerprint frame (Schleimer et al.) shared by
     * q_winnowing and q_dupspan_mass — ONE definition of the k=8-char
     * rolling-Horner-hash (mod 1e9+7), w=4 window-minimum, per-doc
@@ -653,25 +677,7 @@ object Curation {
     // q_token_df_idf). One narrow scan-side pass; a Gopher-rule gate
     // over 100 TB is embarrassingly parallel.
     QDef("q_gopher_rules",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("t"),
-          length(regexp_replace(col("text"), " ", "")).cast("long").as("nsp"))
-        .select(col("doc_id"), col("nsp"),
-          size(col("t")).cast("long").as("n_toks"),
-          expr("""CAST(array_max(transform(array_distinct(t),
-            w -> size(filter(t, x -> x = w)))) AS BIGINT)""").as("top_freq"),
-          (array_contains(col("t"), "the") || array_contains(col("t"), "a"))
-            .cast("long").as("r_stop"))
-        .select(col("doc_id"), col("n_toks"), col("nsp"), col("top_freq"),
-          (col("n_toks") >= 30 && col("n_toks") <= 1000).cast("long").as("r_wc"),
-          (col("nsp") >= col("n_toks") * 3 && col("nsp") <= col("n_toks") * 10)
-            .cast("long").as("r_mwl"),
-          col("r_stop"),
-          (col("top_freq") * 5 <= col("n_toks")).cast("long").as("r_dom"))
-        .withColumn("pass",
-          (col("r_wc") === 1 && col("r_mwl") === 1 && col("r_stop") === 1 &&
-            col("r_dom") === 1).cast("long"))
-        .orderBy(col("doc_id")),
+      (s, d) => gopherFrame(s, d).orderBy(col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS toks,
             CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp
           FROM documents),
@@ -691,6 +697,74 @@ object Curation {
             AND nsp >= n_toks * 3 AND nsp <= n_toks * 10
             AND r_stop = 1 AND top_freq * 5 <= n_toks AS BIGINT) AS pass
         FROM m ORDER BY doc_id""")),
+
+    // FILTER-COMPOSITION ABLATION (r13) — the joint-yield audit every
+    // curation pipeline publishes before committing a filter stack:
+    // the 2×2 (Gopher pass × exact-dup keeper) cell matrix with doc
+    // and token counts — "how much survives quality-only, dedup-only,
+    // both, neither". The quality axis is the SHARED gopherFrame
+    // verdict (q_gopher_rules' own frame — the gate and its audit
+    // cannot drift); the dedup axis is q_dedup_exact's declared keeper
+    // rule (min doc_id per identical text, partitioned by the md5 the
+    // dedup query groups on). The grid is explicit, so empty cells
+    // report 0 instead of vanishing (the q_psi_drift contract). Scale:
+    // one rule scan + one text-hash window + a 4-row rollup.
+    QDef("q_filter_ablation",
+      (s, d) => {
+        import s.implicits._
+        val g = gopherFrame(s, d).select(col("doc_id"), col("n_toks"),
+          col("pass"))
+        val k = documents(s, d)
+          .select(col("doc_id"),
+            (col("doc_id") === min(col("doc_id")).over(
+              Window.partitionBy(md5(col("text").cast("binary")))))
+              .cast("long").as("keeper"))
+        val cells = g.join(k, "doc_id")
+          .groupBy(col("pass"), col("keeper"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"))
+        Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+          .toDF("pass", "keeper")
+          .join(cells, Seq("pass", "keeper"), "left")
+          .select(col("pass"), col("keeper"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+          .orderBy(col("pass"), col("keeper"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokensSql AS toks,
+            CAST(length(replace(text, ' ', '')) AS BIGINT) AS nsp
+          FROM documents),
+        m AS (SELECT doc_id, nsp,
+            CAST(len(toks) AS BIGINT) AS n_toks,
+            CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS BIGINT)
+              AS top_freq,
+            CAST(list_contains(toks, 'the') OR list_contains(toks, 'a')
+              AS BIGINT) AS r_stop
+          FROM t),
+        g AS (SELECT doc_id, n_toks,
+            CAST(n_toks >= 30 AND n_toks <= 1000
+              AND nsp >= n_toks * 3 AND nsp <= n_toks * 10
+              AND r_stop = 1 AND top_freq * 5 <= n_toks AS BIGINT)
+              AS pass
+          FROM m),
+        k AS (SELECT doc_id,
+            CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+              AS BIGINT) AS keeper
+          FROM documents),
+        cells AS (SELECT g.pass, k.keeper,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(g.n_toks) AS BIGINT) AS n_tokens
+          FROM g JOIN k USING (doc_id) GROUP BY 1, 2),
+        grid AS (SELECT a.p AS pass, b.k AS keeper
+          FROM (VALUES (CAST(0 AS BIGINT)), (1)) a(p)
+          CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1)) b(k))
+        SELECT grid.pass, grid.keeper,
+          COALESCE(c.n_docs, 0) AS n_docs,
+          COALESCE(c.n_tokens, 0) AS n_tokens
+        FROM grid LEFT JOIN cells c
+          ON grid.pass = c.pass AND grid.keeper = c.keeper
+        ORDER BY grid.pass, grid.keeper""")),
 
     // PII scrubbing: compose a contact-card string from real customer
     // columns (the synthetic table has no phone/address, so the
@@ -767,6 +841,62 @@ object Curation {
           CAST(sz * count(*) AS BIGINT) AS n_records,
           CAST(sz < 5 AS BIGINT) AS risky5
         FROM cls GROUP BY sz ORDER BY class_size""")),
+
+    // DIFFERENTIAL-PRIVACY COUNT RELEASE (r13) — the MECHANISM beside
+    // q_k_anonymity's audit (Dwork et al. 2006): per-nation customer
+    // counts released with Laplace(1/ε) noise, ε = 1, sensitivity 1
+    // (one customer moves one count by one). The engine twist is the
+    // SEEDED noise: production DP uses a stored per-release seed so
+    // re-runs are reproducible, and here the seed is the md5-Horner
+    // uniform over "dp:<nationkey>" (the q_rendezvous_route hash —
+    // byte-identical both engines): u = (h mod 999998 + 1)/10⁶ ∈
+    // (0,1), then the exact inverse CDF −sgn(u−½)·ln(1−2|u−½|)/ε as
+    // ONE transcendental chain per nation rounded once onto the e2
+    // grid (class C — 25 rows, identical IEEE ln both engines; every
+    // downstream byte is integer). bound_ok pins |noise| ≤ ln(5·10⁵)/ε
+    // — the mechanism's hard tail cap under this seed grid. Scale: one
+    // map-side count agg; the noise chain runs on the 25-row result.
+    QDef("q_dp_counts",
+      (s, d) => {
+        customer(s, d)
+          .groupBy(col("c_nationkey").cast("long").as("nat"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("u_pp",
+            conv(substring(md5(concat(lit("dp:"), col("nat"))
+              .cast("binary")), 1, 8), 16, 10).cast("long")
+              % 999998L + 1L)
+          .withColumn("t", col("u_pp") - 500000L)
+          .withColumn("arg_e6", lit(1000000L) - abs(col("t")) * 2L)
+          .withColumn("noise_e2",
+            expr("CAST(round(-sign(t) * ln(arg_e6 / 1000000.0) * 100," +
+              " 0) AS BIGINT)"))
+          .select(col("nat"), col("n"), col("u_pp"), col("noise_e2"),
+            (col("n") * 100L + col("noise_e2")).as("released_e2"),
+            (abs(col("noise_e2")) <= 1320L).cast("long").as("bound_ok"))
+          .orderBy(col("nat"))
+      },
+      Some {
+        val horner = (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+            s"${1L << (4 * (8 - i))}").mkString(" + ")
+        s"""WITH cnt AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+              CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1),
+          seeded AS (SELECT nat, n,
+              md5('dp:' || CAST(nat AS VARCHAR)) AS h FROM cnt),
+          u AS (SELECT nat, n,
+              CAST($horner AS BIGINT) % 999998 + 1 AS u_pp FROM seeded),
+          nz AS (SELECT nat, n, u_pp, u_pp - 500000 AS t,
+              1000000 - abs(u_pp - 500000) * 2 AS arg_e6 FROM u)
+          SELECT nat, n, CAST(u_pp AS BIGINT) AS u_pp,
+            CAST(round(-sign(t) * ln(arg_e6 / 1000000.0) * 100)
+              AS BIGINT) AS noise_e2,
+            CAST(n * 100 + round(-sign(t) * ln(arg_e6 / 1000000.0)
+              * 100) AS BIGINT) AS released_e2,
+            CAST(abs(round(-sign(t) * ln(arg_e6 / 1000000.0) * 100))
+              <= 1320 AS BIGINT) AS bound_ok
+          FROM nz ORDER BY nat"""
+      }),
 
     // Mixture re-weighting: per-language corpus shares vs a uniform
     // target mixture, as parts-per-million INTEGER arithmetic (weight =

@@ -1392,6 +1392,91 @@ object Llm {
           CAST(min(r) = id AS BIGINT) AS keep
         FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    // DEDUP CASCADE FUNNEL (r13) — the production LADDER as one
+    // declared audit: raw → exact-dedup keepers → near-dup cluster
+    // keepers, with doc/token yield per stage and the removed count —
+    // the funnel chart a curation run publishes before training
+    // (pipelines always run exact first BECAUSE it is cheap and
+    // shrinks the near-dup stage's input; this operator measures
+    // exactly that composition). Stage 1 is q_dedup_exact's keeper
+    // rule (min doc_id per identical text); stage 2 runs the
+    // connected-components keeper over the SHARED memoized Jaccard
+    // ≥ 0.2 edge frame RESTRICTED to stage-1 survivors (both
+    // endpoints) — the same clusters machinery as q_dedup_clusters,
+    // oracle-replayed with a recursive CTE. Scale: one text-hash
+    // window + the memoized edge frame + CC on the survivor subgraph.
+    QDef("q_dedup_cascade",
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("doc_id"),
+            size(filter(split(col("text"), " "), t => t =!= ""))
+              .cast("long").as("n_toks"),
+            md5(col("text").cast("binary")).as("h"))
+          .localCheckpoint(true) // stage-0 rollup + the keeper window
+        val k1 = base
+          .withColumn("kid", min(col("doc_id")).over(
+            Window.partitionBy(col("h"))))
+          .filter(col("doc_id") === col("kid"))
+          .select(col("doc_id"), col("n_toks"))
+          .localCheckpoint(true) // edge restriction (×2) + CC + rollup
+        val e = graft.llm.TextDedup
+          .jaccardEdgesShared(documents(s, d), "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
+          .select(col("id_a"), col("id_b"))
+        val e1 = e
+          .join(k1.select(col("doc_id").as("id_a")), "id_a")
+          .join(k1.select(col("doc_id").as("id_b")), "id_b")
+          .select(col("id_a"), col("id_b"))
+        val cl = graft.llm.TextDedup
+          .clusters(k1.select(col("doc_id")), "doc_id", e1)
+        val k2 = cl.filter(col("doc_id") === col("cluster"))
+          .select(col("doc_id")).join(k1, "doc_id")
+        val stages = Seq("0_raw" -> base.select(col("doc_id"),
+          col("n_toks")), "1_exact" -> k1, "2_neardup" -> k2)
+        val w = Window.orderBy(col("stage"))
+        stages.map { case (nm, f) =>
+          f.agg(count(lit(1)).as("n_docs"), sum(col("n_toks"))
+            .as("n_tokens"))
+            .select(lit(nm).as("stage"), col("n_docs"), col("n_tokens"))
+        }.reduce(_ unionAll _)
+          .withColumn("removed_docs",
+            coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"),
+              lit(0L)))
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH RECURSIVE base AS (SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> t <> '')) AS BIGINT) AS n_toks,
+            md5(text) AS h
+          FROM documents),
+        k1 AS (SELECT doc_id, n_toks FROM (SELECT *,
+            min(doc_id) OVER (PARTITION BY h) AS kid FROM base)
+          WHERE doc_id = kid),
+        ${Llm.dupEdgesCte("0.2")},
+        e1 AS (SELECT id_a, id_b FROM edges0
+          WHERE id_a IN (SELECT doc_id FROM k1)
+            AND id_b IN (SELECT doc_id FROM k1)),
+        eb AS (SELECT id_a AS a, id_b AS b FROM e1
+          UNION ALL SELECT id_b, id_a FROM e1),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM k1
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN eb e ON e.a = reach.id),
+        k2 AS (SELECT k1.doc_id, k1.n_toks
+          FROM (SELECT id, min(r) AS c FROM reach GROUP BY id) cc
+          JOIN k1 ON cc.id = k1.doc_id WHERE cc.c = cc.id),
+        st AS (
+          SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM base
+          UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT),
+            CAST(sum(n_toks) AS BIGINT) FROM k1
+          UNION ALL SELECT '2_neardup', CAST(count(*) AS BIGINT),
+            CAST(sum(n_toks) AS BIGINT) FROM k2)
+        SELECT stage, n_docs, n_tokens,
+          CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0)
+            AS BIGINT) AS removed_docs
+        FROM st ORDER BY stage""")),
+
     // Canonical KEEPER SELECTION per dup cluster — the step after
     // clustering in a real dedup pipeline: instead of the min-id
     // representative, keep the highest-QUALITY member (distinct-token
@@ -2000,6 +2085,94 @@ object Llm {
         FROM ch9 ORDER BY pick_no"""
       }),
 
+    // QUALITY-WEIGHTED k-CENTER (r13; NEXT r12 candidate 6) — greedy
+    // facility location: the plain coreset maximizes SPREAD alone, but
+    // curation wants "the best spread OF THE GOOD docs" — each greedy
+    // round picks the point maximizing w(v)·dmin(v)² (quality-weighted
+    // farthest-point; the weighted Gonzalez form of the Sener–Savarese
+    // core-set rule), so a far-but-junk outlier loses to a slightly
+    // nearer high-quality doc. The weight is a DECLARED integer
+    // quality band over the aligned documents table (vec_id ≡ doc_id):
+    // w = least(4, n_chars div 100) + 1 ∈ [1, 5] — the length-quality
+    // heuristic banded to exact integers, so every compared byte stays
+    // class A (score = w·dist² is a BIGINT product, ≤ 5·3.2e13). Seed,
+    // tie rule (score desc, lowest id), anti-join, 9th-row coverage
+    // certificate, and the MATERIALIZED-CTE oracle discipline are the
+    // q_coreset_kcenter machinery with the one scored line changed.
+    QDef("q_coreset_weighted",
+      (s, d) => {
+        val q = embeddings(s, d).select(
+            col("vec_id") +: (0 until kmDims).map(i =>
+              round(element_at(col("embedding"), i + 1).cast("double")
+                * 1000000, 0).cast("long").as(s"q$i")): _*)
+          .join(documents(s, d).select(col("doc_id").as("vec_id"),
+            expr("least(4, n_chars div 100) + 1").as("w")), "vec_id")
+          .localCheckpoint(true) // read by all 9 rounds
+        val dist = (0 until kmDims)
+          .map(i => (col(s"q$i") - col(s"m$i")) * (col(s"q$i") - col(s"m$i")))
+          .reduce(_ + _)
+        var chosen = q.orderBy(col("vec_id")).limit(1)
+          .select(Seq(lit(1L).as("pick_no"), col("vec_id"), col("w"),
+            lit(0L).as("dist2")) ++
+            (0 until kmDims).map(i => col(s"q$i").as(s"m$i")): _*)
+          .localCheckpoint(true)
+        for (r <- 2 to 9) {
+          val dmin = q
+            .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .crossJoin(broadcast(chosen.select(
+              (0 until kmDims).map(i => col(s"m$i")): _*)))
+            .groupBy(col("vec_id")).agg(min(dist).as("dd"))
+          val pick = dmin.join(q, "vec_id")
+            .agg(max_by(
+              struct(Seq(col("vec_id"), col("w"), col("dd")) ++
+                (0 until kmDims).map(i => col(s"q$i")): _*),
+              struct((col("dd") * col("w")).as("sc"),
+                (-col("vec_id")).as("tie"))).as("p"))
+            .select(Seq(lit(r.toLong).as("pick_no"),
+              col("p.vec_id").as("vec_id"), col("p.w").as("w"),
+              col("p.dd").as("dist2")) ++
+              (0 until kmDims).map(i => col(s"p.q$i").as(s"m$i")): _*)
+          chosen = chosen.unionAll(pick).localCheckpoint(true)
+        }
+        chosen.select(col("pick_no"), col("vec_id"), col("w"),
+            col("dist2"), (col("w") * col("dist2")).as("wscore"),
+            (col("pick_no") <= 8L).cast("long").as("is_pick"))
+          .orderBy(col("pick_no"))
+      },
+      Some {
+        val qDefs = (0 until kmDims).map(i =>
+          s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
+            s" AS BIGINT) AS q$i").mkString(", ")
+        val mList = (0 until kmDims).map(i => s"q$i AS m$i").mkString(", ")
+        def distSql = (0 until kmDims)
+          .map(i => s"(x.q$i - c.m$i) * (x.q$i - c.m$i)").mkString(" + ")
+        def round_(r: Int): String = s"""
+        dm$r AS MATERIALIZED (SELECT x.vec_id, min($distSql) AS dd
+          FROM x CROSS JOIN ch${r - 1} c
+          WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+          GROUP BY x.vec_id),
+        p$r AS (SELECT $r AS pick_no, d.vec_id, x.w, d.dd AS dist2,
+            ${(0 until kmDims).map(i => s"x.q$i AS m$i").mkString(", ")}
+          FROM (SELECT dm.*, row_number() OVER (
+                ORDER BY dm.dd * x2.w DESC, dm.vec_id) AS rn
+              FROM dm$r dm JOIN x x2 ON dm.vec_id = x2.vec_id) d
+          JOIN x ON d.vec_id = x.vec_id WHERE d.rn = 1),
+        ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1}
+          UNION ALL SELECT * FROM p$r)"""
+        s"""WITH x AS MATERIALIZED (SELECT e.vec_id, $qDefs,
+          least(4, doc.n_chars // 100) + 1 AS w
+          FROM embeddings e JOIN documents doc ON e.vec_id = doc.doc_id),
+        ch1 AS MATERIALIZED (SELECT 1 AS pick_no, vec_id, w, 0 AS dist2,
+            $mList
+          FROM x WHERE vec_id = (SELECT min(vec_id) FROM x)),
+        ${(2 to 9).map(round_).mkString(",")}
+        SELECT CAST(pick_no AS BIGINT) AS pick_no, vec_id,
+          CAST(w AS BIGINT) AS w, CAST(dist2 AS BIGINT) AS dist2,
+          CAST(w * dist2 AS BIGINT) AS wscore,
+          CAST(pick_no <= 8 AS BIGINT) AS is_pick
+        FROM ch9 ORDER BY pick_no"""
+      }),
+
     // SEMANTIC DEDUP SCREEN (SemDeDup, Abbas et al. 2023) — embedding-
     // space redundancy the token-level families cannot see: partition
     // the corpus with the DECLARED integer k-means (the exact
@@ -2276,6 +2449,116 @@ object Llm {
     // Scale: O(16) state per group, partials merge by min — per-segment
     // signatures roll up without rescanning (the t-digest-rollup
     // argument with zero estimation error in the compare).
+    // LSH BAND-CONFIGURATION SWEEP (r13) — the (b, r) operating curve
+    // AS A DECLARED OPERATOR, the q_ivf_recall_sweep pattern for the
+    // MinHash side: ONE 16-permutation signature set banded FOUR ways
+    // with NESTED band boundaries (b ∈ {2,4,8,16}, r = 16/b; each
+    // coarser band is a concatenation of finer ones), which upgrades
+    // the usual probabilistic monotonicity to a DETERMINISTIC superset
+    // law — a pair matching an r-row band necessarily matches every
+    // sub-band, so candidates(b) ⊆ candidates(2b) pair-for-pair and
+    // recall against the exact Jaccard ≥ 0.5 edge set is monotone as
+    // a mathematical invariant (superset_ok / mono_ok), not a
+    // statistical tendency. floor_ok carries the measured per-config
+    // recall floors; n_exact (the exact ≥ 0.5 edge count off the
+    // shared memoized ≥ 0.2 frame — a free filter) is the
+    // exactly-oracled anchor column. Scale: signatures amortize across
+    // all four configs; each config adds only its band-bucket
+    // equi-join — the sweep costs ~the finest config, not the sum.
+    QDef("q_lsh_band_sweep",
+      (s, d) => {
+        val docs = documents(s, d)
+        val sig = graft.llm.TextDedup
+          .minhashSignatures(docs, "doc_id", "text", nPerm = 16)
+          .localCheckpoint(true) // banded four ways below
+        val exact = graft.llm.TextDedup
+          .jaccardEdgesShared(docs, "doc_id", "text",
+            threshold = 0.2, corpusKey = d)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true) // recall denominator + per-config hits
+        def cands(bands: Int) = {
+          val rows = 16 / bands
+          val bandCols = (0 until bands).map { b =>
+            val hs = (0 until rows).map(r => col(s"h${b * rows + r}"))
+            struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+          }
+          val buckets = sig
+            .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          buckets.as("a").join(buckets.as("b"),
+              col("a.bk") === col("b.bk") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .distinct()
+        }
+        val configs = Seq(2, 4, 8, 16)
+        val cand = configs.map(b => b -> cands(b).localCheckpoint(true))
+          .toMap
+        // measured recall floors vs exact J ≥ 0.5 (AnnGateProbe
+        // cadence across sf0.001/0.01/0.1: b=2 0.88–0.93, b≥4 = 1.00 —
+        // the ≥0.5 pairs are near-identical, so bands hit; floors at
+        // the established ~2/3 margin). The nested-band law guarantees
+        // MONOTONE; the floors pin the LEVEL.
+        val floors = Map(2 -> 600000L, 4 -> 650000L, 8 -> 650000L,
+          16 -> 650000L)
+        import s.implicits._
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val tagged = configs.map { b =>
+          cand(b).select(lit(b.toLong).as("n_bands"), col("id_a"),
+            col("id_b"))
+        }.reduce(_ unionAll _)
+        // left-join from the static config frame so a candidate-less
+        // config still emits its row (n_true = 0) instead of vanishing
+        val confFrame = configs.map(b => (b.toLong, (16 / b).toLong))
+          .toDF("n_bands", "rows_per_band")
+        val per = confFrame
+          .join(tagged
+            .join(exact.withColumn("hit", lit(1L)), Seq("id_a", "id_b"),
+              "left")
+            .groupBy(col("n_bands"))
+            .agg(sum(coalesce(col("hit"), lit(0L))).as("n_true")),
+            Seq("n_bands"), "left")
+          .crossJoin(broadcast(nExact))
+          .select(col("n_bands"), col("rows_per_band"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            col("n_exact"))
+        // deterministic superset law: candidates(b) \ candidates(2b)
+        // must be EMPTY (nested bands) — asserted pairwise
+        val vio = Seq((2, 4), (4, 8), (8, 16)).map { case (lo, hi) =>
+          cand(lo).join(cand(hi), Seq("id_a", "id_b"), "left_anti")
+            .agg(count(lit(1)).as("v"))
+            .select(lit(hi.toLong).as("n_bands"), col("v"))
+        }.reduce(_ unionAll _)
+        val floorCol = configs.map(b =>
+          when(col("n_bands") === b.toLong,
+            col("n_true") * 1000000L >= lit(floors(b)) * col("n_exact")))
+          .reduceRight(_ otherwise _) // right-nested: one when per config
+        val w = Window.orderBy(col("n_bands"))
+        per.join(vio, Seq("n_bands"), "left")
+          .select(col("n_bands"), col("rows_per_band"), col("n_true"),
+            col("n_exact"), coalesce(col("v"), lit(0L)).as("v"))
+          .select(col("n_bands"), col("rows_per_band"),
+            col("n_exact"),
+            floorCol.cast("long").as("floor_ok"),
+            (col("v") === 0L).cast("long").as("superset_ok"),
+            coalesce(col("n_true") >= lag(col("n_true"), 1).over(w),
+              lit(true)).cast("long").as("mono_ok"))
+          .orderBy(col("n_bands"))
+      },
+      Some(s"""WITH $dupPairsCte,
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pairs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
+        SELECT t.n_bands, t.rows_per_band, ne.n_exact, t.floor_ok,
+          t.superset_ok, t.mono_ok
+        FROM (VALUES
+          (CAST(2 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+          (4, 4, 1, 1, 1), (8, 2, 1, 1, 1), (16, 1, 1, 1, 1))
+          t(n_bands, rows_per_band, floor_ok, superset_ok, mono_ok)
+        CROSS JOIN ne ORDER BY t.n_bands""")),
+
     QDef("q_minhash_sig",
       (s, d) => {
         import graft.functions.MinHashSigAgg.minhash_sig

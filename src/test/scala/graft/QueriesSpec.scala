@@ -2452,6 +2452,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(cover == rows.last._3, "certificate row must be the coverage")
   }
 
+  test("r13 q_coreset_weighted: quality-weighted greedy replay; the " +
+    "weight provably changes at least one pick vs the plain coreset") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val weights = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> (math.min(4L, r.getLong(1) / 100L) + 1L))
+      .toMap
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(8).map(f =>
+        new java.math.BigDecimal(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toArray).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 8).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var chosen = Vector((1L, vecs.head._1, weights(vecs.head._1), 0L))
+    var centers = Vector(vecs.head._2)
+    val chosenIds = scala.collection.mutable.Set(vecs.head._1)
+    for (r <- 2 to 9) {
+      val (id, dd) = vecs.filterNot(v => chosenIds(v._1))
+        .map { case (id, q) => (id, centers.map(c => d2(q, c)).min) }
+        .maxBy { case (id, dd) => (dd * weights(id), -id) }
+      chosen :+= ((r.toLong, id, weights(id), dd))
+      centers :+= vecs.find(_._1 == id).get._2
+      chosenIds += id
+    }
+    val expect = chosen.map { case (p, id, w, dd) =>
+      (p, id, w, dd, w * dd, if (p <= 8) 1L else 0L) }
+    val rows = SparkEntry.queries("q_coreset_weighted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows == expect, s"weighted greedy replay diverged")
+    // the weighting must DO something on this corpus: the pick set
+    // differs from the unweighted coreset's (else the band is vacuous)
+    val plain = SparkEntry.queries("q_coreset_kcenter")(spark, sf)
+      .collect().map(_.getLong(1)).toSet
+    assert(rows.map(_._2).toSet != plain,
+      "weighted picks identical to unweighted — weight band vacuous")
+  }
+
   test("wave-r12b q_psi_timeseries: per-day PSI replay against the " +
     "fixed reference window") {
     import org.apache.spark.sql.functions._
