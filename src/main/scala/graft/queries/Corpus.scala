@@ -812,6 +812,57 @@ object Corpus {
       },
       Some(hllCumSql)),
 
+    // STREAMING QUANTILE TWIN — the 10th stateful twin (NEXT r12
+    // candidate 8), and the mergeable-quantile answer: t-digest merges
+    // are insertion-order-dependent and GK is batch-boundary-dependent,
+    // so the twin's state is the trivially mergeable EXACT form — an
+    // additive count histogram on the declared e2 cents grid, clamped
+    // to [0, 65535] (edge keys absorb outliers; state hard-bounded at
+    // 65536 entries per day at ANY corpus size — the calendar × grid
+    // bound, the q_hll_stream_twin thesis with exactness instead of
+    // class-D estimates). EventStreams.quantileDayHist keys by
+    // event-day, MapState[cents → count] folds each batch additively
+    // (order/batch-insensitive by construction — multi-batch ≡
+    // single-batch proven in StreamingSpec), and each batch re-emits
+    // the day's n + p50/p90/p99 derived from the state-bounded
+    // histogram, update-mode latest-wins. Quantile rule (declared,
+    // class A): p-th percentile = smallest cents value whose
+    // cumulative count reaches ⌈p·n/100⌉ — identical integer
+    // arithmetic in the oracle's inverse-ECDF window form.
+    QDef("q_quantile_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.quantileDayHist(ev).toDF()
+          .select(col("day"), col("n"), col("p50_c"), col("p90_c"),
+            col("p99_c"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            least(65535, greatest(0,
+              CAST(round(value * 100) AS BIGINT))) AS c
+          FROM events),
+        h AS (SELECT day, c, CAST(count(*) AS BIGINT) AS cnt
+          FROM e GROUP BY 1, 2),
+        cum AS (SELECT day, c,
+            CAST(sum(cnt) OVER (PARTITION BY day ORDER BY c)
+              AS BIGINT) AS cum,
+            CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+          FROM h)
+        SELECT day, n,
+          CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN c END)
+            AS BIGINT) AS p50_c,
+          CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN c END)
+            AS BIGINT) AS p90_c,
+          CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN c END)
+            AS BIGINT) AS p99_c
+        FROM cum GROUP BY day, n ORDER BY day""")),
+
     // Two-sample KOLMOGOROV–SMIRNOV drift matrix — the distribution-shift
     // test beside the KL/chi² family: for every source pair, D = max_v
     // |ECDF_a(v) − ECDF_b(v)| over the doc-length distribution, kept

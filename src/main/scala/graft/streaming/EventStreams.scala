@@ -733,4 +733,76 @@ object EventStreams {
     }.transformWithState(new HllDayProcessor, TimeMode.None(),
       OutputMode.Update)
   }
+
+  /** Per-day EXACT value quantiles emitted by [[QuantileHistProcessor]]
+    * — the live latency/value-dashboard row (n, p50/p90/p99 on the
+    * declared cents grid). */
+  final case class DayQuantiles(day: Long, n: Long, p50_c: Long,
+    p90_c: Long, p99_c: Long)
+
+  /** Streaming exact quantiles — the stateful half of the 10th twin
+    * (q_quantile_stream_twin), and the answer to "which quantile state
+    * is mergeable": t-digest is insertion-order-dependent and GK is
+    * batch-boundary-dependent, but an ADDITIVE COUNT HISTOGRAM on a
+    * declared bounded grid is the trivially mergeable exact form —
+    * per event-day key, MapState[cents → count] (values land once on
+    * the e2 cents grid, clamped to [0, 65535] so out-of-range mass
+    * sits in the edge key and state is hard-bounded at 65536 entries
+    * per day regardless of corpus size). Counts are additive, so the
+    * final state depends only on the MULTISET of values seen — arrival
+    * order and batch boundaries cannot move it: multi-batch ≡
+    * single-batch, proven in StreamingSpec. Each batch folds its rows
+    * into the map, then derives the day's quantiles from the full
+    * (state-bounded, ≤65536-entry) histogram and re-emits — update-
+    * mode latest-wins. Quantile rule (declared, integer-exact): p-th
+    * percentile = the smallest c whose cumulative count reaches
+    * ⌈p·n/100⌉ — the classic inverse-ECDF definition, identical
+    * integer arithmetic in the DuckDB oracle. */
+  class QuantileHistProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, DayQuantiles] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var hist: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[Long, Long]("hist",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DayQuantiles] = {
+      rows.foreach { r =>
+        // the engine-wide cents rule: round(value·100) HALF_UP, then
+        // the declared [0, 65535] clamp (edge keys absorb outliers)
+        val cRaw = new java.math.BigDecimal(r.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        val c = math.min(65535L, math.max(0L, cRaw))
+        val cur = if (hist.containsKey(c)) hist.getValue(c) else 0L
+        hist.updateValue(c, cur + 1L)
+      }
+      val entries = hist.iterator().toArray.sortBy(_._1)
+      val n = entries.map(_._2).sum
+      def q(p: Long): Long = {
+        val target = (p * n + 99L) / 100L // ⌈p·n/100⌉ for positive n
+        var cum = 0L
+        var i = 0
+        while (i < entries.length) {
+          cum += entries(i)._2
+          if (cum >= target) return entries(i)._1
+          i += 1
+        }
+        entries.last._1
+      }
+      Iterator.single(DayQuantiles(key, n, q(50), q(90), q(99)))
+    }
+  }
+
+  def quantileDayHist(events: Dataset[EventRow],
+      epochUs: Long = 1704067200000000L): Dataset[DayQuantiles] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey { r =>
+      val us = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+        r.ts.getNanos / 1000L
+      Math.floorDiv(us - epochUs, 86400000000L)
+    }.transformWithState(new QuantileHistProcessor, TimeMode.None(),
+      OutputMode.Update)
+  }
 }

@@ -898,6 +898,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile hist processor: multi-batch exact quantiles equal " +
+    "the single-pass inverse-ECDF, clamp included") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.quantileDayHist(mem.toDS()).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_quant")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("quant_chk").toString)
+        .start()
+      try {
+        // batch 1: day-0 values out of order; day-1 value past the
+        // clamp (700.00 → 70000 cents → edge key 65535)
+        mem.addData(row(1, ts(1), v = 3.0), row(2, ts(1), v = 1.0),
+          row(3, ts(1), v = 5.0), row(4, ts(2), v = 700.0))
+        q.processAllAvailable()
+        // batch 2: day-0 gains a DUPLICATE value and a new low one —
+        // additive counts must absorb both
+        mem.addData(row(5, ts(1, 5), v = 3.0), row(6, ts(1, 7), v = 2.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("t_quant")
+        .select(col("day"), col("n"), col("p50_c"), col("p90_c"),
+          col("p99_c")).collect()
+        .map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      val fin = rows.groupBy(_._1).map { case (d, rs) => d -> rs.last._2 }
+      // single-pass reference: the declared inverse-ECDF rule over the
+      // sorted cents multiset — order/batch-insensitivity means equality
+      def ref(cents: Seq[Long]): (Long, Long, Long, Long) = {
+        val s = cents.sorted; val n = s.length.toLong
+        def qq(p: Long) = s(((p * n + 99L) / 100L - 1L).toInt)
+        (n, qq(50), qq(90), qq(99))
+      }
+      assert(fin(0L) == ref(Seq(300L, 100L, 500L, 300L, 200L)),
+        s"day-0 multi-batch quantiles diverged: ${fin(0L)}")
+      assert(fin(1L) == ref(Seq(65535L)),
+        "out-of-range value must land in the clamp edge key")
+      // the batch-1 emit for day 0 covered only the first three values
+      assert(rows.filter(_._1 == 0L).head._2 ==
+        ref(Seq(300L, 100L, 500L)),
+        "batch-1 day-0 emit must cover exactly the first batch")
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
