@@ -437,7 +437,19 @@ object ScaleProof {
       // the sampled label-prop twin: 1/4 doc stratum => 1/16 of the
       // edge-build pair work - the bounded instrument where the exact
       // build exceeds single-node scratch
-      "q_label_prop_sampled")
+      "q_label_prop_sampled",
+      // round-13 wave 2: the cascade reuses the memoized edge frame +
+      // one text-hash window; the weighted k-center is the plain
+      // coreset's 9 broadcast passes with one scored line changed; the
+      // band sweep amortizes ONE signature set across 4 band joins;
+      // dp_counts is a map-side count agg + a 25-row noise chain; the
+      // ablation is one rule scan + one window + a 4-row rollup; the
+      // quantile twin runs batch-mode TWS with state = |days| x grid
+      "q_dedup_cascade", "q_coreset_weighted", "q_lsh_band_sweep",
+      "q_dp_counts", "q_filter_ablation", "q_quantile_stream_twin",
+      // Bradley–Terry: one map-side (user, day, type) agg + a pairwise
+      // self-join fanned <=|types| per key; MM rounds on <=56-row frames
+      "q_bradley_terry")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

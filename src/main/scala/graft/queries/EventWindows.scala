@@ -3036,6 +3036,119 @@ object EventWindows {
           FROM mc GROUP BY 1, 2)
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
           CAST(sum(e - s) AS BIGINT) AS covered_us
-        FROM merged GROUP BY user_id ORDER BY user_id"""))
+        FROM merged GROUP BY user_id ORDER BY user_id""")),
+
+    // BRADLEY–TERRY PREFERENCE STRENGTHS (r13) — the pairwise-
+    // comparison rating model behind RLHF preference data, reward-model
+    // analysis, and offline eval leaderboards (Bradley & Terry 1952),
+    // fitted with Hunter's MM update (Hunter 2004: p_i ← W_i / Σ_j
+    // n_ij/(p_i+p_j)) as a DECLARED 5-round trajectory. Comparisons
+    // are mined from events: within each (user, event-day), every pair
+    // of event types both present "plays", and the larger exact cents
+    // sum wins (ties are no-contests, dropped — the BT likelihood has
+    // no tie term). Every update is pure Long integer floor-division
+    // on declared grids (p on e6, the per-opponent term on e3:
+    // term = n_ij·10⁹ div (p_i+p_j); p' = W_i·10⁹ div Σterm), so both
+    // engines replay bit-identical rounds — overflow-safe to ~9·10⁹
+    // comparisons per pair (PB-scale event logs; past that the
+    // DECIMAL(38,0)/HUGEINT widening of pcaCovFull applies). A type
+    // with no decided games keeps p = 10⁶ by declared rule. Scale:
+    // ONE map-side-combinable (user, day, type) agg, a pairwise
+    // self-join fanned ≤|types| per key, then everything lives on
+    // |types|²-bounded broadcast frames; the 5 MM rounds touch ≤56
+    // rows each.
+    QDef("q_bradley_terry",
+      (s, d) => {
+        val g = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+          .groupBy(col("user_id"), col("day"), col("event_type"))
+          .agg(sum(col("c")).as("v"))
+        val pr = g.as("a").join(g.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") &&
+              col("a.event_type") < col("b.event_type"))
+          .filter(col("a.v") =!= col("b.v"))
+          .select(col("a.event_type").as("ta"),
+            col("b.event_type").as("tb"),
+            (col("a.v") > col("b.v")).cast("long").as("wa"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("games"), sum(col("wa")).as("wins_a"))
+          .localCheckpoint(true) // ≤ |types|² rows, read 2× per MM round
+        val sym = pr.select(col("ta").as("i"), col("tb").as("j"),
+            col("games"), col("wins_a").as("w"))
+          .unionAll(pr.select(col("tb").as("i"), col("ta").as("j"),
+            col("games"), (col("games") - col("wins_a")).as("w")))
+        val wt = sym.groupBy(col("i"))
+          .agg(sum(col("w")).as("wins"), sum(col("games")).as("games"))
+          .localCheckpoint(true)
+        val types = events(s, d).select(col("event_type").as("i"))
+          .distinct().localCheckpoint(true)
+        var p = types.select(col("i"), lit(1000000L).as("p"))
+        for (_ <- 1 to 5) {
+          val se3 = sym
+            .join(broadcast(p.select(col("i"), col("p").as("pi"))), "i")
+            .join(broadcast(p.select(col("i").as("j"), col("p").as("pj"))),
+              "j")
+            .groupBy(col("i"))
+            .agg(sum(expr("games * 1000000000 div greatest(pi + pj, 1)"))
+              .as("se3"))
+          p = types
+            .join(wt, Seq("i"), "left").join(se3, Seq("i"), "left")
+            .select(col("i"),
+              when(col("se3").isNull || col("se3") === 0L, lit(1000000L))
+                .otherwise(expr("wins * 1000000000 div se3")).as("p"))
+            .localCheckpoint(true)
+        }
+        p.join(wt, Seq("i"), "left")
+          .select(col("i").as("event_type"),
+            coalesce(col("games"), lit(0L)).as("games"),
+            coalesce(col("wins"), lit(0L)).as("wins"),
+            col("p").as("strength_e6"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("strength_e6").desc, col("event_type")))
+            .cast("long"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        def round_(r: Int): String = s"""
+        s$r AS (SELECT s.i, CAST(sum(s.games * 1000000000 //
+              greatest(pi.p + pj.p, 1)) AS BIGINT) AS se3
+          FROM sym s JOIN p${r - 1} pi ON s.i = pi.i
+            JOIN p${r - 1} pj ON s.j = pj.i
+          GROUP BY s.i),
+        p$r AS (SELECT t.i, CAST(CASE WHEN se3 IS NULL OR se3 = 0
+              THEN 1000000 ELSE wins * 1000000000 // se3 END
+            AS BIGINT) AS p
+          FROM t LEFT JOIN wt ON t.i = wt.i
+            LEFT JOIN s$r ON t.i = s$r.i)"""
+        s"""WITH g AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            event_type,
+            sum(CAST(round(value * 100) AS BIGINT)) AS v
+          FROM events GROUP BY 1, 2, 3),
+        pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+            CAST(count(*) AS BIGINT) AS games,
+            CAST(sum(CASE WHEN a.v > b.v THEN 1 ELSE 0 END)
+              AS BIGINT) AS wins_a
+          FROM g a JOIN g b ON a.user_id = b.user_id AND a.day = b.day
+            AND a.event_type < b.event_type
+          WHERE a.v <> b.v GROUP BY 1, 2),
+        sym AS (SELECT ta AS i, tb AS j, games, wins_a AS w FROM pr
+          UNION ALL SELECT tb, ta, games, games - wins_a FROM pr),
+        wt AS (SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+            CAST(sum(games) AS BIGINT) AS games FROM sym GROUP BY i),
+        t AS (SELECT DISTINCT event_type AS i FROM events),
+        p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM t),
+        ${(1 to 5).map(round_).mkString(",")}
+        SELECT p5.i AS event_type,
+          CAST(COALESCE(wt.games, 0) AS BIGINT) AS games,
+          CAST(COALESCE(wt.wins, 0) AS BIGINT) AS wins,
+          p5.p AS strength_e6,
+          CAST(row_number() OVER (ORDER BY p5.p DESC, p5.i)
+            AS BIGINT) AS rank
+        FROM p5 LEFT JOIN wt ON p5.i = wt.i
+        ORDER BY rank"""
+      })
   )
 }

@@ -2940,6 +2940,56 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(got - ppm) <= 1L, s"mw $ta|$tb: $got vs $ppm")
     }
   }
+
+  test("r13 q_bradley_terry: full imperative MM replay (comparison " +
+    "mining + 5 integer floor-div rounds) matches the declared query") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"),
+        col("event_type"), round(col("value") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    val g = ev.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byUD = g.toSeq.map { case ((u, d, t), v) => ((u, d), (t, v)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    val pair = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    for ((_, ms) <- byUD; c <- ms.combinations(2)) {
+      val Seq((ta, va), (tb, vb)) = c
+      if (va != vb) {
+        val (g0, w0) = pair.getOrElse((ta, tb), (0L, 0L))
+        pair((ta, tb)) = (g0 + 1, w0 + (if (va > vb) 1L else 0L))
+      }
+    }
+    val types = g.keys.map(_._3).toSeq.distinct.sorted
+    val wins = types.map(t => t -> pair.collect {
+      case ((a, b), (n, wa)) if a == t => wa
+      case ((a, b), (n, wa)) if b == t => n - wa
+    }.sum).toMap
+    val nGames = types.map(t => t -> pair.collect {
+      case ((a, b), (n, _)) if a == t || b == t => n }.sum).toMap
+    var p = types.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val s = types.map { i => i -> types.filter(_ != i).map { j =>
+        val key = if (i < j) (i, j) else (j, i)
+        pair.get(key).map { case (n, _) =>
+          n * 1000000000L / math.max(p(i) + p(j), 1L) }.getOrElse(0L)
+      }.sum }.toMap
+      p = types.map(i => i -> (if (s(i) == 0L) 1000000L
+        else wins(i) * 1000000000L / s(i))).toMap
+    }
+    val expect = types.map(t => (t, nGames(t), wins(t), p(t)))
+      .sortBy { case (t, _, _, st) => (-st, t) }
+      .zipWithIndex.map { case ((t, n, w, st), k) =>
+        (t, n, w, st, k + 1L) }
+    val rows = SparkEntry.queries("q_bradley_terry")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == expect, s"BT MM replay diverged:\n$rows\nvs\n$expect")
+    // every decided game contributes exactly one win
+    assert(rows.map(_._3).sum * 2 == rows.map(_._2).sum,
+      "wins/games identity broken")
+  }
 }
 
 
