@@ -449,7 +449,9 @@ object ScaleProof {
       "q_dp_counts", "q_filter_ablation", "q_quantile_stream_twin",
       // Bradley–Terry: one map-side (user, day, type) agg + a pairwise
       // self-join fanned <=|types| per key; MM rounds on <=56-row frames
-      "q_bradley_terry")
+      "q_bradley_terry",
+      // the 11th twin: batch-mode TWS, state = |days| x k MG counters
+      "q_heavyhitters_stream_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

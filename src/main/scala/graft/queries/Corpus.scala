@@ -863,6 +863,41 @@ object Corpus {
             AS BIGINT) AS p99_c
         FROM cum GROUP BY day, n ORDER BY day""")),
 
+    // STREAMING HEAVY-HITTERS TWIN — the 11th stateful twin: per
+    // event-day, ONE serialized Misra–Gries summary (k = 32) in
+    // ValueState; each batch folds into a batch-local summary then
+    // summary-MERGES into state (the PODS'12 mergeable path — the
+    // 100 TB segment-rollup shape). MG contents are processing-order-
+    // specific in general, so the GATE runs the item domain BELOW k
+    // (event_type, |types| ≤ 5 « 32): no decrement can ever fire and
+    // the summary is provably the EXACT count map — order- and
+    // batch-insensitive (multi-batch ≡ single-batch in StreamingSpec;
+    // the quantile-twin exactness thesis applied to the frequent-items
+    // sketch), oracled by the exact per-day ranked type counts.
+    // Above-k domains keep the deterministic MG bounds, asserted
+    // in-spec on a k = 2 synthetic stream. State ∝ |days| × k — never
+    // corpus-bounded.
+    QDef("q_heavyhitters_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.mgDayTop(ev).toDF()
+          .select(col("day"), col("item"), col("cnt"), col("rank"))
+          .orderBy(col("day"), col("rank"))
+      },
+      Some("""WITH c AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT day, item, cnt,
+          CAST(row_number() OVER (PARTITION BY day
+            ORDER BY cnt DESC, item) AS BIGINT) AS rank
+        FROM c ORDER BY day, rank""")),
+
     // Two-sample KOLMOGOROV–SMIRNOV drift matrix — the distribution-shift
     // test beside the KL/chi² family: for every source pair, D = max_v
     // |ECDF_a(v) − ECDF_b(v)| over the doc-length distribution, kept

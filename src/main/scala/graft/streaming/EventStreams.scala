@@ -805,4 +805,60 @@ object EventStreams {
     }.transformWithState(new QuantileHistProcessor, TimeMode.None(),
       OutputMode.Update)
   }
+
+  /** Per-day heavy-hitter row emitted by [[MgDayProcessor]] — the live
+    * "top items today" dashboard row. */
+  final case class DayTopItem(day: Long, item: String, cnt: Long,
+    rank: Long)
+
+  /** Streaming Misra–Gries heavy hitters — the stateful half of the
+    * 11th twin (q_heavyhitters_stream_twin): per event-day key, ONE
+    * serialized [[graft.functions.MGSummary]] in ValueState (≤ k
+    * counters — state hard-bounded at k entries per day at ANY corpus
+    * size). Each batch folds its rows into a BATCH-LOCAL summary and
+    * then summary-MERGES it into the state — deliberately exercising
+    * the PODS'12 mergeable path (the 100 TB segment-rollup shape), not
+    * pointwise adds. MG contents are processing-order-specific in
+    * general, so the GATE runs the item domain BELOW k (event_type,
+    * \|types\| ≤ 5 « k = 32), where no decrement can ever fire and the
+    * summary is provably the EXACT count map — order- and
+    * batch-insensitive (multi-batch ≡ single-batch, proven in
+    * StreamingSpec), the quantile-twin exactness thesis applied to the
+    * frequent-items sketch. Above-k domains keep only the deterministic
+    * BOUNDS (presence of every item with true count > n/(k+1);
+    * estimates never overcount; undercount ≤ n/(k+1)) — asserted in
+    * StreamingSpec on a k = 2 synthetic stream. Each batch re-emits the
+    * day's full ranked counter table, update-mode latest-wins. */
+  class MgDayProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, DayTopItem] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("mg",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DayTopItem] = {
+      val batch = new graft.functions.MGSummary(k)
+      rows.foreach(r => batch.add(r.event_type))
+      val cur =
+        if (state.exists()) graft.functions.MGSummary.deserialize(state.get())
+        else new graft.functions.MGSummary(k)
+      cur.mergeIn(batch)
+      state.update(cur.serialize())
+      cur.counts.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+        .iterator.map { case ((t, c), i) => DayTopItem(key, t, c, i + 1L) }
+    }
+  }
+
+  def mgDayTop(events: Dataset[EventRow], k: Int = 32,
+      epochUs: Long = 1704067200000000L): Dataset[DayTopItem] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey { r =>
+      val us = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+        r.ts.getNanos / 1000L
+      Math.floorDiv(us - epochUs, 86400000000L)
+    }.transformWithState(new MgDayProcessor(k), TimeMode.None(),
+      OutputMode.Update)
+  }
 }

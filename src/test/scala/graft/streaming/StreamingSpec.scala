@@ -944,6 +944,77 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MG day processor: below-k domain is exact and batch-split-" +
+    "insensitive (the gate contract)") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.mgDayTop(mem.toDS()).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_mg")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("mg_chk").toString)
+        .start()
+      try {
+        mem.addData(row(1, ts(1), typ = "click"), row(2, ts(1), typ = "view"),
+          row(3, ts(1), typ = "click"))
+        q.processAllAvailable()
+        // batch 2: same day gains more of BOTH types + a new one —
+        // with |items| ≤ k the merged summary must be the exact counts
+        mem.addData(row(4, ts(1, 5), typ = "view"),
+          row(5, ts(1, 6), typ = "click"), row(6, ts(1, 7), typ = "buy"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val fin = spark.table("t_mg")
+        .select(col("day"), col("item"), col("cnt"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (k2, vs) => k2 -> vs.last._2 }
+      assert(fin((0L, "click")) == ((3L, 1L)) &&
+        fin((0L, "view")) == ((2L, 2L)) && fin((0L, "buy")) == ((1L, 3L)),
+        s"below-k MG must equal exact ranked counts: $fin")
+    }
+  }
+
+  test("MG day processor: above-k domain keeps the deterministic " +
+    "Misra-Gries bounds across batch splits (k = 2)") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.mgDayTop(mem.toDS(), k = 2).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_mg_k2")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("mg2_chk").toString)
+        .start()
+      // true counts: a=5, b=2, c=1, d=1 (n=9); split mid-stream
+      val types = Seq("a", "a", "b", "c", "a", "a", "d", "b", "a")
+      try {
+        mem.addData(types.take(4).zipWithIndex.map { case (t, i) =>
+          row(i + 1L, ts(1, i), typ = t) }: _*)
+        q.processAllAvailable()
+        mem.addData(types.drop(4).zipWithIndex.map { case (t, i) =>
+          row(i + 10L, ts(1, 10 + i), typ = t) }: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val fin = spark.table("t_mg_k2")
+        .select(col("day"), col("item"), col("cnt"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(r => (r._1, r._2)).map(_._2.last)
+        .filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+      val truth = Map("a" -> 5L, "b" -> 2L, "c" -> 1L, "d" -> 1L)
+      val n = 9L
+      assert(fin.size <= 2, s"state must hold <= k counters: $fin")
+      // every item with true count > n/(k+1) = 3 is GUARANTEED present
+      assert(fin.contains("a"), s"guaranteed heavy hitter missing: $fin")
+      fin.foreach { case (t, est) =>
+        assert(est <= truth(t), s"MG must never overcount: $t $est")
+        assert((truth(t) - est) * 3L <= n,
+          s"undercount bound broken for $t: est $est true ${truth(t)}")
+      }
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
