@@ -451,7 +451,9 @@ object ScaleProof {
       // self-join fanned <=|types| per key; MM rounds on <=56-row frames
       "q_bradley_terry",
       // the 11th twin: batch-mode TWS, state = |days| x k MG counters
-      "q_heavyhitters_stream_twin")
+      "q_heavyhitters_stream_twin",
+      // linear MMD2: one scan + one 2-row agg; 8-row frames after
+      "q_mmd_embedding")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1613,6 +1613,105 @@ object Llm {
         FROM deg LEFT JOIN tpn USING (u)
         WHERE deg >= 2 ORDER BY doc_id""")),
 
+    // EMBEDDING-SPACE SPLIT DRIFT via linear-kernel MMD² (r13) — the
+    // representation-level companion to q_split_drift's lang-mix KL:
+    // "did the 80/20 split move the embedding DISTRIBUTION", the check
+    // a retrieval/ANN pipeline runs before trusting a held-out eval.
+    // For the linear kernel the maximum-mean-discrepancy estimate
+    // collapses to ‖μ_train − μ_test‖² (Gretton et al. 2012, the
+    // biased V-statistic), so the whole operator is two mean vectors:
+    // each float lands ONCE on the e6 integer grid, the per-split
+    // (n, Σq_i) agg is ONE map-side-combinable hash agg, means are
+    // truncating integer division (Spark `div` ≡ DuckDB `//`,
+    // negatives included — the q_embed_covariance contract), and
+    // mmd2_e12 = Σ_i (m_tr,i − m_te,i)² is an exact BIGINT certificate
+    // (|Σq| ≤ n·2e6 keeps every intermediate Long-safe past 10⁹ rows).
+    // The split is the SHARED Knuth rule (vec_id ≡ doc_id, the
+    // q_split_assign bucket), so the audit composes with every other
+    // split-keyed operator. Output: one row per dim (means + delta)
+    // plus the dim = −1 certificate row carrying split sizes and the
+    // summed MMD². Scale: one scan, one 2-row agg — everything after
+    // is an 8-row broadcast frame.
+    QDef("q_mmd_embedding", {
+      val dims = 8
+      val fn: Q.Fn = (s, d) => {
+        val q = embeddings(s, d).select(
+          pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+            .mod(100).lt(80).cast("long").as("tr") +:
+            (0 until dims).map(i =>
+              round(element_at(col("embedding"), i + 1).cast("double")
+                * 1000000, 0).cast("long").as(s"q$i")): _*)
+        val a = q.groupBy(col("tr"))
+          .agg(count(lit(1)).as("n"),
+            (0 until dims).map(i => sum(col(s"q$i")).as(s"s$i")): _*)
+        val oneCols = max(when(col("tr") === 1L, col("n"))).as("n_tr") +:
+          max(when(col("tr") === 0L, col("n"))).as("n_te") +:
+          (0 until dims).flatMap(i => Seq(
+            max(when(col("tr") === 1L, col(s"s$i"))).as(s"sa$i"),
+            max(when(col("tr") === 0L, col(s"s$i"))).as(s"sb$i")))
+        val one = a.agg(oneCols.head, oneCols.tail: _*)
+          .localCheckpoint(true) // read by 8 dim rows + the certificate
+        import s.implicits._
+        val dimsDf = (0 until dims).map(_.toLong).toDF("dim")
+        val per = dimsDf.crossJoin(broadcast(one))
+          .select(col("dim"), col("n_tr"), col("n_te"),
+            expr(s"element_at(array(${(0 until dims).map(i => s"sa$i")
+              .mkString(",")}), cast(dim + 1 as int)) div n_tr")
+              .as("mean_tr_e6"),
+            expr(s"element_at(array(${(0 until dims).map(i => s"sb$i")
+              .mkString(",")}), cast(dim + 1 as int)) div n_te")
+              .as("mean_te_e6"))
+          .withColumn("delta_e6", col("mean_tr_e6") - col("mean_te_e6"))
+          .withColumn("delta2", col("delta_e6") * col("delta_e6"))
+        val cert = per.groupBy()
+          .agg(max(col("n_tr")).as("n_tr"), max(col("n_te")).as("n_te"),
+            sum(col("delta2")).as("delta2"))
+          .select(lit(-1L).as("dim"), col("n_tr"), col("n_te"),
+            lit(0L).as("mean_tr_e6"), lit(0L).as("mean_te_e6"),
+            lit(0L).as("delta_e6"), col("delta2"))
+        per.unionAll(cert).orderBy(col("dim"))
+      }
+      fn
+    }, {
+      val dims = 8
+      val qDefs = (0 until dims).map(i =>
+          s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000, 0)" +
+            s" AS BIGINT) AS q$i").mkString(", ")
+        val sDefs = (0 until dims).map(i =>
+          s"CAST(sum(q$i) AS BIGINT) AS s$i").mkString(", ")
+        val oneDefs = (0 until dims).map(i =>
+          s"max(CASE WHEN tr = 1 THEN s$i END) AS sa$i, " +
+            s"max(CASE WHEN tr = 0 THEN s$i END) AS sb$i").mkString(", ")
+        val saList = (0 until dims).map(i => s"sa$i").mkString(", ")
+        val sbList = (0 until dims).map(i => s"sb$i").mkString(", ")
+        Some(s"""WITH q AS (SELECT
+            CASE WHEN (vec_id * 2654435761) % 4294967296 % 100 < 80
+              THEN 1 ELSE 0 END AS tr, $qDefs
+          FROM embeddings),
+        a AS (SELECT tr, CAST(count(*) AS BIGINT) AS n, $sDefs
+          FROM q GROUP BY tr),
+        one AS (SELECT max(CASE WHEN tr = 1 THEN n END) AS n_tr,
+            max(CASE WHEN tr = 0 THEN n END) AS n_te, $oneDefs
+          FROM a),
+        per AS (SELECT i.dim, n_tr, n_te,
+            CAST(list_value($saList)[i.dim + 1] // n_tr AS BIGINT)
+              AS mean_tr_e6,
+            CAST(list_value($sbList)[i.dim + 1] // n_te AS BIGINT)
+              AS mean_te_e6
+          FROM (SELECT unnest(range(0, $dims)) AS dim) i CROSS JOIN one),
+        pd AS (SELECT dim, n_tr, n_te, mean_tr_e6, mean_te_e6,
+            mean_tr_e6 - mean_te_e6 AS delta_e6,
+            (mean_tr_e6 - mean_te_e6) * (mean_tr_e6 - mean_te_e6)
+              AS delta2
+          FROM per)
+        SELECT CAST(dim AS BIGINT) AS dim, n_tr, n_te, mean_tr_e6,
+          mean_te_e6, delta_e6, delta2 FROM pd
+        UNION ALL
+        SELECT -1, max(n_tr), max(n_te), 0, 0, 0,
+          CAST(sum(delta2) AS BIGINT) FROM pd
+        ORDER BY dim""")
+    }),
+
     // Embedding covariance matrix (upper triangle of the first 8 dims):
     // the whitening/PCA precursor over the embedding table. Exactness by
     // quantization-first: each float lands ONCE on the 1e-6 integer grid

@@ -2990,6 +2990,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum * 2 == rows.map(_._2).sum,
       "wins/games identity broken")
   }
+
+  test("r13 q_mmd_embedding: imperative split-mean / MMD2 replay on " +
+    "the shared Knuth split") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).take(8).map(f =>
+        new java.math.BigDecimal(f.toDouble * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+        .toArray)
+    def knuthTrain(id: Long) =
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L) % 100 < 80
+    val (tr, te) = vecs.partition(v => knuthTrain(v._1))
+    def mean(vs: Array[(Long, Array[Long])], i: Int): Long =
+      vs.map(_._2(i)).sum / vs.length // truncating, both engines
+    val deltas = (0 until 8).map(i => mean(tr, i) - mean(te, i))
+    val rows = SparkEntry.queries("q_mmd_embedding")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    (0 until 8).foreach { i =>
+      val (nTr, nTe, mTr, mTe, d, d2) = rows(i.toLong)
+      assert(nTr == tr.length && nTe == te.length, "split sizes")
+      assert(mTr == mean(tr, i) && mTe == mean(te, i), s"means dim $i")
+      assert(d == deltas(i) && d2 == deltas(i) * deltas(i), s"delta $i")
+    }
+    assert(rows(-1L)._6 == deltas.map(d => d * d).sum,
+      "certificate row must carry the summed MMD2")
+  }
 }
 
 
