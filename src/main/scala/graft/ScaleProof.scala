@@ -453,7 +453,10 @@ object ScaleProof {
       // the 11th twin: batch-mode TWS, state = |days| x k MG counters
       "q_heavyhitters_stream_twin",
       // linear MMD2: one scan + one 2-row agg; 8-row frames after
-      "q_mmd_embedding")
+      "q_mmd_embedding",
+      // CCNet buckets: the perplexity scoring pipeline + one per-lang
+      // doc-level window
+      "q_perplexity_buckets")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

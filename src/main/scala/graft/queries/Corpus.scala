@@ -14,6 +14,59 @@ import Q._
   */
 object Corpus {
 
+  /** Per-doc CCNet bigram-LM score frame (doc_id, n_bigrams, nllr, nll)
+    * SHARED by q_perplexity_filter and q_perplexity_buckets (r13) so
+    * the hard gate and the head/middle/tail mixture view score every
+    * document identically. nllr is the unrounded decimal average (the
+    * filter's 6.0 threshold compares against it, as always); nll is
+    * the 6-dp rounded export. */
+  private def nllFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toksT = documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("t"))
+    val withBi = toksT.filter(size(col("t")) >= 2)
+    val bi = withBi.select(col("doc_id"), explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> named_struct('w1', a, 'bg', concat(a, ' ', b)))"""))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val uni = toksT.select(explode(col("t")).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val v = uni.agg(countDistinct(col("w")).as("v"))
+    bi.join(c2, "bg")
+      .join(c1, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(lit(0.0) - log((col("c2") + 1.0) / (col("c1") + col("v"))), 4)
+          .as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), davg(col("t")).as("nllr"))
+      .withColumn("nll", round(col("nllr"), 6))
+  }
+
+  /** The oracle half of [[nllFrame]] — CTE chain ending in
+    * `nf(doc_id, n_bigrams, nllr, nll)`. */
+  private val nllCte: String = s"""toksT AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    bi AS (SELECT doc_id, toks[i] AS w1,
+        toks[i] || ' ' || toks[i + 1] AS bg
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+            FROM toksT WHERE len(toks) >= 2)),
+    uni AS (SELECT unnest(toks) AS w FROM toksT),
+    c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+    v AS (SELECT count(DISTINCT w) AS v FROM uni),
+    terms AS (SELECT doc_id,
+        round(0.0 - ln((c2.c2 + 1.0) / (c1.c1 + v.v)), 4) AS t
+      FROM bi JOIN c2 USING (bg) JOIN c1 ON bi.w1 = c1.w CROSS JOIN v),
+    nf AS (SELECT doc_id, count(*) AS n_bigrams,
+        ${sqlDavg("t")} AS nllr, round(${sqlDavg("t")}, 6) AS nll
+      FROM terms GROUP BY doc_id)"""
+
+
   val all: Seq[QDef] = Seq(
 
     // PageRank over the dup edge set (unblocked Jaccard ≥ 0.2, the same
@@ -518,51 +571,62 @@ object Corpus {
     // once in 5000 docs at sf0.1); the coarser per-term grid makes a
     // cross-engine flip ~100x rarer while the average keeps 6 digits.
     QDef("q_perplexity_filter",
+      (s, d) => nllFrame(s, d)
+        .select(col("doc_id"), col("n_bigrams"), col("nll"),
+          (col("nllr") <= 6.0).cast("long").as("keep"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $nllCte
+        SELECT doc_id, n_bigrams, nll,
+          CAST(nllr <= 6.0 AS BIGINT) AS keep
+        FROM nf ORDER BY doc_id""")),
+
+    // CCNet PERPLEXITY BUCKETS (r13; Wenzek et al. 2020) — the
+    // head/middle/tail mixture tool the CCNet pipeline publishes
+    // beside the hard filter: within each language, scored docs are
+    // split into perplexity TERCILES (head = best-scoring third), the
+    // form mixture plans consume ("train on head+middle, drop tail").
+    // The score frame is the SHARED q_perplexity_filter pipeline
+    // (nllFrame — the gate and its mixture view cannot drift); the
+    // bucket rule is exact integer arithmetic over the per-lang
+    // (nll, doc_id) rank: bucket = ((rank−1)·3) div n_scored — ties
+    // broken by doc_id, so both engines place every doc identically.
+    // Output per (lang, bucket): doc/bigram mass + the min/max nll
+    // boundaries (head's max IS the CCNet cutoff a production run
+    // would export). Scale: scoring is the established corpus-linear
+    // explode→hash-agg; bucketing adds ONE per-lang window over
+    // doc-level rows (never token-level).
+    QDef("q_perplexity_buckets",
       (s, d) => {
-        val toksT = documents(s, d)
-          .select(col("doc_id"),
-            filter(split(col("text"), " "), t => t =!= "").as("t"))
-        val withBi = toksT.filter(size(col("t")) >= 2)
-        val bi = withBi.select(col("doc_id"), explode(expr(
-            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
-               (a, b) -> named_struct('w1', a, 'bg', concat(a, ' ', b)))"""))
-            .as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-        val uni = toksT.select(explode(col("t")).as("w"))
-        val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-        val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-        val v = uni.agg(countDistinct(col("w")).as("v"))
-        bi.join(c2, "bg")
-          .join(c1, col("w1") === col("w"))
-          .crossJoin(broadcast(v))
-          .select(col("doc_id"),
-            round(lit(0.0) - log((col("c2") + 1.0) / (col("c1") + col("v"))), 4)
-              .as("t"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), davg(col("t")).as("nllr"))
-          .select(col("doc_id"), col("n_bigrams"),
-            round(col("nllr"), 6).as("nll"),
-            (col("nllr") <= 6.0).cast("long").as("keep"))
-          .orderBy(col("doc_id"))
+        val scored = nllFrame(s, d)
+          .join(documents(s, d).select(col("doc_id"), col("lang")),
+            "doc_id")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("nll"), col("doc_id"))
+        scored
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n_scored", count(lit(1)).over(
+            Window.partitionBy(col("lang"))))
+          .withColumn("bucket", expr("(rk - 1) * 3 div n_scored"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).as("n_bigrams"),
+            min(col("nll")).as("nll_min"), max(col("nll")).as("nll_max"))
+          .orderBy(col("lang"), col("bucket"))
       },
-      Some(s"""WITH toksT AS (SELECT doc_id,
-            list_filter(string_split(text, ' '), t -> t <> '') AS toks
-          FROM documents),
-        bi AS (SELECT doc_id, toks[i] AS w1,
-            toks[i] || ' ' || toks[i + 1] AS bg
-          FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-                FROM toksT WHERE len(toks) >= 2)),
-        uni AS (SELECT unnest(toks) AS w FROM toksT),
-        c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
-        c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
-        v AS (SELECT count(DISTINCT w) AS v FROM uni),
-        terms AS (SELECT doc_id,
-            round(0.0 - ln((c2.c2 + 1.0) / (c1.c1 + v.v)), 4) AS t
-          FROM bi JOIN c2 USING (bg) JOIN c1 ON bi.w1 = c1.w CROSS JOIN v)
-        SELECT doc_id, count(*) AS n_bigrams,
-          round(${sqlDavg("t")}, 6) AS nll,
-          CAST(${sqlDavg("t")} <= 6.0 AS BIGINT) AS keep
-        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+      Some(s"""WITH $nllCte,
+        scored AS (SELECT nf.doc_id, nf.n_bigrams, nf.nll, d.lang
+          FROM nf JOIN documents d ON nf.doc_id = d.doc_id),
+        rk AS (SELECT lang, doc_id, n_bigrams, nll,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY nll, doc_id) AS BIGINT) AS rk,
+            CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_scored
+          FROM scored)
+        SELECT lang, (rk - 1) * 3 // n_scored AS bucket,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+          min(nll) AS nll_min, max(nll) AS nll_max
+        FROM rk GROUP BY 1, 2 ORDER BY lang, bucket""")),
+
 
     // Quantile feature binning (the ML discretizer): quartile boundaries
     // estimated from a DETERMINISTIC 5% hash sample (the standard

@@ -3019,6 +3019,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows(-1L)._6 == deltas.map(d => d * d).sum,
       "certificate row must carry the summed MMD2")
   }
+
+  test("r13 q_perplexity_buckets: terciles partition the filter's " +
+    "scored docs with ordered, non-overlapping nll ranges") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    val buckets = SparkEntry.queries("q_perplexity_buckets")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    val scoredPerLang = SparkEntry.queries("q_perplexity_filter")(spark, sf)
+      .join(graft.tables.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    buckets.groupBy(_._1).foreach { case (lang, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(0L, 1L, 2L),
+        s"$lang must have exactly buckets 0/1/2")
+      assert(sorted.map(_._3).sum == scoredPerLang(lang),
+        s"$lang buckets must partition the scored docs")
+      // tercile sizes differ by at most 1 (the exact integer rule)
+      assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1L,
+        s"$lang tercile sizes unbalanced: ${sorted.map(_._3).toSeq}")
+      // head max <= middle min etc. (ranges ordered, non-overlapping)
+      sorted.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo._5 <= hi._4,
+          s"$lang bucket ${lo._2} max nll ${lo._5} > next min ${hi._4}")
+      }
+    }
+  }
 }
 
 
