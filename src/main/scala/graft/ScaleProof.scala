@@ -456,7 +456,10 @@ object ScaleProof {
       "q_mmd_embedding",
       // CCNet buckets: the perplexity scoring pipeline + one per-lang
       // doc-level window
-      "q_perplexity_buckets")
+      "q_perplexity_buckets",
+      // cartography: one token explode + the x25 scoring fan against
+      // the vocabulary-bounded jackknife model frame
+      "q_dataset_cartography")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -2148,6 +2148,173 @@ object Curation {
             AS BIGINT) AS share_ppm
         FROM pred GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // DATASET CARTOGRAPHY (r13) — the training-dynamics data map of
+    // Swayamdipta et al. 2020 ("easy-to-learn / hard-to-learn /
+    // ambiguous"), re-expressed for a one-pass engine with a
+    // JACKKNIFE-ENSEMBLE proxy for training epochs: FIVE multinomial
+    // NB models (the q_nb_quality machinery), model g trained on all
+    // docs EXCEPT fold g (fold = an independent multiplicative hash
+    // mod 5), every doc scored under ALL five — four that saw it, one
+    // that held it out — giving a 5-view confidence distribution per
+    // doc, exactly the across-epochs view cartography plots. The
+    // jackknife trick makes it ONE corpus pass: per-(fold, lang, tok)
+    // counts subtract from the global counts to form each model
+    // (c_g = c_all − c_fold_g), so no model retrains. Confidence is
+    // the exact integer MARGIN score_true − max_other (the pre-rounded
+    // e6 ln grid — both engines walk identical decision boundaries;
+    // softmax would add a transcendental per doc×model for no
+    // ranking information). Regions by declared rule: easy = min
+    // margin > 0 (every model right), hard = max < 0 (every model
+    // wrong), else ambiguous (the models disagree — cartography's
+    // high-variability band). V is the GLOBAL train vocab (declared
+    // jackknife simplification), so every doc token is in-grid and no
+    // OOV path exists. Scale: one token explode + map-side (fold,
+    // lang, tok) agg; the model ensemble is the |V|·|langs|·5 frame
+    // (vocabulary-bounded); scoring fans each distinct (doc, tok) by
+    // 25 through one equi-join; margins/regions are per-doc rollups.
+    QDef("q_dataset_cartography",
+      (s, d) => {
+        import s.implicits._
+        val foldOf = pmod(col("doc_id") * lit(3266489917L),
+          lit(4294967296L)) % 5
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            foldOf.as("fold"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val dtok = docs
+          .select(col("doc_id"), col("true_lang"), col("fold"),
+            explode(col("toks")).as("tok"))
+          .groupBy(col("doc_id"), col("true_lang"), col("fold"),
+            col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // feeds counts, vocab AND scoring
+        val cAll = dtok.groupBy(col("true_lang").as("lang"), col("tok"))
+          .agg(sum(col("cnt")).as("ca"))
+        val cF = dtok.groupBy(col("fold").as("g"),
+            col("true_lang").as("lang"), col("tok"))
+          .agg(sum(col("cnt")).as("cf"))
+        val nl = cAll.groupBy(col("lang")).agg(sum(col("ca")).as("n"))
+        val nlF = cF.groupBy(col("g"), col("lang"))
+          .agg(sum(col("cf")).as("nf"))
+        val v = dtok.select(col("tok")).distinct()
+        val nv = v.agg(count(lit(1)).as("nv"))
+        val langs = docs.select(col("true_lang").as("lang")).distinct()
+        val folds = (0L to 4L).toDF("g")
+        val sc = v.crossJoin(broadcast(langs)).crossJoin(broadcast(folds))
+          .join(cAll, Seq("lang", "tok"), "left")
+          .join(cF, Seq("g", "lang", "tok"), "left")
+          .join(broadcast(nl), "lang")
+          .join(broadcast(nlF), Seq("g", "lang"), "left")
+          .crossJoin(broadcast(nv))
+          .select(col("tok"), col("lang"), col("g"),
+            expr("CAST(round(ln((COALESCE(ca, 0) - COALESCE(cf, 0)" +
+              " + 1.0) / (n - COALESCE(nf, 0) + nv)) * 1000000, 0)" +
+              " AS BIGINT)").as("lp"))
+        val dl = docs.groupBy(col("true_lang").as("lang"))
+          .agg(count(lit(1)).as("dl"))
+        val dlF = docs.groupBy(col("fold").as("g"),
+            col("true_lang").as("lang"))
+          .agg(count(lit(1)).as("dlf"))
+        val prior = langs.crossJoin(broadcast(folds))
+          .join(broadcast(dl), "lang")
+          .join(broadcast(dlF), Seq("g", "lang"), "left")
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("dd"))))
+          .crossJoin(broadcast(docs.groupBy(col("fold").as("g2"))
+            .agg(count(lit(1)).as("ddf"))))
+          .filter(col("g") === col("g2"))
+          .select(col("lang"), col("g"),
+            expr("CAST(round(ln(CAST(dl - COALESCE(dlf, 0) AS DOUBLE)" +
+              " / (dd - ddf)) * 1000000, 0) AS BIGINT)").as("lp_pri"))
+        val scored = dtok.join(sc, "tok")
+          .groupBy(col("doc_id"), col("true_lang"), col("g"),
+            col("lang"))
+          .agg(sum(col("cnt") * col("lp")).as("s_in"))
+          .join(broadcast(prior), Seq("lang", "g"))
+          .select(col("doc_id"), col("true_lang"), col("g"),
+            col("lang"), (col("s_in") + col("lp_pri")).as("score"))
+        val margins = scored.groupBy(col("doc_id"), col("true_lang"),
+            col("g"))
+          .agg((max(when(col("lang") === col("true_lang"), col("score")))
+            - max(when(col("lang") =!= col("true_lang"), col("score"))))
+            .as("margin"))
+        margins.groupBy(col("doc_id"), col("true_lang"))
+          .agg(count(lit(1)).as("n_models"),
+            expr("sum(margin) div 5").as("margin_mean"),
+            min(col("margin")).as("margin_min"),
+            max(col("margin")).as("margin_max"))
+          .select(col("doc_id"), col("true_lang"), col("n_models"),
+            col("margin_mean"), col("margin_min"), col("margin_max"),
+            when(col("margin_min") > 0L, lit("easy"))
+              .when(col("margin_max") < 0L, lit("hard"))
+              .otherwise(lit("ambiguous")).as("region"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, lang AS true_lang,
+            (doc_id * 3266489917) % 4294967296 % 5 AS fold,
+            $tokensSql AS toks
+          FROM documents WHERE len($tokensSql) > 0),
+        dtok AS (SELECT doc_id, true_lang, fold, unnest(toks) AS tok
+          FROM docs),
+        dt AS (SELECT doc_id, true_lang, fold, tok,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM dtok GROUP BY 1, 2, 3, 4),
+        call AS (SELECT true_lang AS lang, tok,
+            CAST(sum(cnt) AS BIGINT) AS ca FROM dt GROUP BY 1, 2),
+        cf AS (SELECT fold AS g, true_lang AS lang, tok,
+            CAST(sum(cnt) AS BIGINT) AS cfv FROM dt GROUP BY 1, 2, 3),
+        nl AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS n
+          FROM call GROUP BY 1),
+        nlf AS (SELECT g, lang, CAST(sum(cfv) AS BIGINT) AS nf
+          FROM cf GROUP BY 1, 2),
+        v AS (SELECT DISTINCT tok FROM dt),
+        nv AS (SELECT count(*) AS nv FROM v),
+        langs AS (SELECT DISTINCT true_lang AS lang FROM docs),
+        folds AS (SELECT unnest(range(0, 5)) AS g),
+        sc AS (SELECT v.tok, l.lang, f.g,
+            CAST(round(ln((COALESCE(ca, 0) - COALESCE(cfv, 0) + 1.0)
+              / (nl.n - COALESCE(nlf.nf, 0) + nv.nv)) * 1000000, 0)
+              AS BIGINT) AS lp
+          FROM v CROSS JOIN langs l CROSS JOIN folds f
+          JOIN nl ON nl.lang = l.lang
+          LEFT JOIN nlf ON nlf.g = f.g AND nlf.lang = l.lang
+          CROSS JOIN nv
+          LEFT JOIN call ON call.lang = l.lang AND call.tok = v.tok
+          LEFT JOIN cf ON cf.g = f.g AND cf.lang = l.lang
+            AND cf.tok = v.tok),
+        dl AS (SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS dl
+          FROM docs GROUP BY 1),
+        dlf AS (SELECT fold AS g, true_lang AS lang,
+            CAST(count(*) AS BIGINT) AS dlf FROM docs GROUP BY 1, 2),
+        dd AS (SELECT count(*) AS dd FROM docs),
+        ddf AS (SELECT fold AS g, CAST(count(*) AS BIGINT) AS ddf
+          FROM docs GROUP BY 1),
+        pri AS (SELECT l.lang, f.g,
+            CAST(round(ln(CAST(dl.dl - COALESCE(dlf.dlf, 0) AS DOUBLE)
+              / (dd.dd - ddf.ddf)) * 1000000, 0) AS BIGINT) AS lp_pri
+          FROM langs l CROSS JOIN folds f
+          JOIN dl ON dl.lang = l.lang
+          LEFT JOIN dlf ON dlf.g = f.g AND dlf.lang = l.lang
+          CROSS JOIN dd JOIN ddf ON ddf.g = f.g),
+        scored AS (SELECT dt.doc_id, dt.true_lang, sc.g, sc.lang,
+            CAST(sum(dt.cnt * sc.lp) AS BIGINT)
+              + any_value(pri.lp_pri) AS score
+          FROM dt JOIN sc ON dt.tok = sc.tok
+          JOIN pri ON pri.lang = sc.lang AND pri.g = sc.g
+          GROUP BY 1, 2, 3, 4),
+        m AS (SELECT doc_id, true_lang, g,
+            max(CASE WHEN lang = true_lang THEN score END)
+              - max(CASE WHEN lang <> true_lang THEN score END)
+              AS margin
+          FROM scored GROUP BY 1, 2, 3)
+        SELECT doc_id, true_lang, CAST(count(*) AS BIGINT) AS n_models,
+          CAST(sum(margin) AS BIGINT) // 5 AS margin_mean,
+          CAST(min(margin) AS BIGINT) AS margin_min,
+          CAST(max(margin) AS BIGINT) AS margin_max,
+          CASE WHEN min(margin) > 0 THEN 'easy'
+            WHEN max(margin) < 0 THEN 'hard'
+            ELSE 'ambiguous' END AS region
+        FROM m GROUP BY 1, 2 ORDER BY doc_id""")),
+
     // N-GRAM DECONTAMINATION SCREEN, fractional form — the second
     // member of the decontamination family: q_contamination (Llm.scala)
     // implements the COUNT rule (≥ 5 shared 3-shingles with a doc_id%20

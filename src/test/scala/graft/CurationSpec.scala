@@ -729,4 +729,58 @@ class CurationSpec extends AnyFunSuite {
     assert(bloom == exact,
       "bloom-gated output diverged from the exact screen")
   }
+
+  test("r13 dataset cartography: imperative jackknife-ensemble margin " +
+    "replay (5 NB models from one count pass)") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(d => d._3.split(" ").exists(_.nonEmpty))
+    def foldOf(id: Long) =
+      java.lang.Math.floorMod(id * 3266489917L, 4294967296L) % 5
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    def rnd6(x: Double) = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val langs = docs.map(_._2).distinct.sorted
+    val byTok = docs.flatMap(d => toks(d._3).map(t => (d._2, foldOf(d._1), t)))
+    val cAll = byTok.groupBy(x => (x._1, x._3))
+      .map { case (k, v) => k -> v.length.toLong }
+    val cF = byTok.groupBy(x => (x._2, x._1, x._3))
+      .map { case (k, v) => k -> v.length.toLong }
+    val nlAll = byTok.groupBy(_._1).map { case (l, v) => l -> v.length.toLong }
+    val nlF = byTok.groupBy(x => (x._2, x._1))
+      .map { case (k, v) => k -> v.length.toLong }
+    val vocab = byTok.map(_._3).toSet
+    val nv = vocab.size.toLong
+    val dd = docs.length.toLong
+    val ddF = docs.groupBy(d => foldOf(d._1))
+      .map { case (g, v) => g -> v.length.toLong }
+    val dl = docs.groupBy(_._2).map { case (l, v) => l -> v.length.toLong }
+    val dlF = docs.groupBy(d => (foldOf(d._1), d._2))
+      .map { case (k, v) => k -> v.length.toLong }
+    def lp(g: Long, l: String, t: String) = rnd6(math.log(
+      (cAll.getOrElse((l, t), 0L) - cF.getOrElse((g, l, t), 0L) + 1.0) /
+        (nlAll(l) - nlF.getOrElse((g, l), 0L) + nv)))
+    def pri(g: Long, l: String) = rnd6(math.log(
+      (dl(l) - dlF.getOrElse((g, l), 0L)).toDouble / (dd - ddF(g))))
+    val expect = docs.map { case (id, trueLang, text) =>
+      val cnt = toks(text).groupBy(identity)
+        .map { case (t, v) => t -> v.length.toLong }
+      val margins = (0L to 4L).map { g =>
+        def score(l: String) =
+          pri(g, l) + cnt.map { case (t, c) => c * lp(g, l, t) }.sum
+        score(trueLang) - langs.filter(_ != trueLang).map(score).max
+      }
+      val (mn, mx) = (margins.min, margins.max)
+      val region = if (mn > 0) "easy" else if (mx < 0) "hard"
+        else "ambiguous"
+      (id, trueLang, 5L, margins.sum / 5L, mn, mx, region)
+    }.sortBy(_._1).toSeq
+    val got = run("q_dataset_cartography").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toSeq
+    assert(got == expect, "cartography jackknife replay diverged")
+    assert(got.map(_._7).toSet.subsetOf(Set("easy", "hard", "ambiguous")),
+      "regions must come from the declared set")
+  }
 }
