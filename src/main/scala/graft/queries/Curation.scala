@@ -2225,7 +2225,11 @@ object Curation {
           .select(col("lang"), col("g"),
             expr("CAST(round(ln(CAST(dl - COALESCE(dlf, 0) AS DOUBLE)" +
               " / (dd - ddf)) * 1000000, 0) AS BIGINT)").as("lp_pri"))
-        val scored = dtok.join(sc, "tok")
+        // the model ensemble is |V|·|langs|·5 rows — vocabulary-bounded
+        // at ANY corpus size, so it must ride broadcast: without the
+        // hint Spark sort-merge-joins the corpus-sized dtok side (100×:
+        // 37.7 GB mem-spill, 166.7 s → broadcast-hash 0-spill)
+        val scored = dtok.join(broadcast(sc), "tok")
           .groupBy(col("doc_id"), col("true_lang"), col("g"),
             col("lang"))
           .agg(sum(col("cnt") * col("lp")).as("s_in"))

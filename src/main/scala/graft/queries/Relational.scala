@@ -109,6 +109,148 @@ object Relational {
         WHERE p_name LIKE '%widget%'
         GROUP BY 1, 2 ORDER BY nation, o_year""")),
 
+    // TPC-H q2 shape (r13) — min-cost supplier per part within a
+    // region: the classic correlated-argmin plan. The testdata ships
+    // no partsupp, so the part↔supplier relation is the DISTINCT
+    // (l_partkey, l_suppkey) pairs lineitem actually exercised (the q9
+    // precedent), and ps_supplycost is the DECLARED surrogate
+    // 0.1·p_retailprice (exact cents → ·10³ micro) plus a
+    // deterministic per-pair integer jitter ((pk·31 + sk)·Knuth mod
+    // 2³² mod 10⁴ micro) so the argmin is non-degenerate and
+    // byte-identical in both engines. Tie rule: (cost, s_suppkey).
+    // Scale: the pair-distinct is a map-side agg over lineitem; part/
+    // supplier/nation/region ride broadcast; the per-part argmin
+    // window partitions on p_partkey over ≤|suppliers| rows per part.
+    QDef("q2_mincost_supplier",
+      (s, d) => {
+        val ps = lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val eur = supplier(s, d)
+          .join(broadcast(nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val pt = part(s, d).filter(col("p_size") <= 15)
+          .select(col("p_partkey"), col("p_brand"),
+            (expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
+              * 1000L).as("base_micro"))
+        ps.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("cost_micro", col("base_micro") +
+            pmod((col("l_partkey") * 31 + col("l_suppkey"))
+              * lit(2654435761L), lit(4294967296L)) % 10000)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("p_partkey"))
+              .orderBy(col("cost_micro"), col("l_suppkey"))))
+          .filter(col("rn") === 1)
+          .select(col("p_partkey"), col("p_brand"), col("s_name"),
+            col("n_name"), col("cost_micro"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+            FROM lineitem),
+        eur AS (SELECT s_suppkey, s_name, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        pt AS (SELECT p_partkey, p_brand,
+            CAST(round(p_retailprice * 100, 0) AS BIGINT) * 1000
+              AS base_micro
+          FROM part WHERE p_size <= 15),
+        c AS (SELECT p_partkey, p_brand, s_name, n_name,
+            base_micro + (l_partkey * 31 + l_suppkey) * 2654435761
+              % 4294967296 % 10000 AS cost_micro,
+            row_number() OVER (PARTITION BY p_partkey ORDER BY
+              base_micro + (l_partkey * 31 + l_suppkey) * 2654435761
+                % 4294967296 % 10000, l_suppkey) AS rn
+          FROM ps JOIN pt ON l_partkey = p_partkey
+          JOIN eur ON l_suppkey = s_suppkey)
+        SELECT p_partkey, p_brand, s_name, n_name, cost_micro
+        FROM c WHERE rn = 1 ORDER BY p_partkey""")),
+
+    // TPC-H q11 shape (r13) — "important stock": per-part inventory
+    // value vs a global-threshold scalar subquery (the HAVING-vs-
+    // global plan). Surrogates as in q2: avail = Σ l_quantity per
+    // (part, supplier) pair (exact — quantities are integral doubles,
+    // rounded once), value = avail · the q2 surrogate cost. A part is
+    // "important" when value·200 > Σ all values (the 0.5% rule,
+    // cleared to exact integer cross-multiplication — no division
+    // ever). Scale: one map-side (part, supp) agg + one per-part agg;
+    // the global total is a 1-row broadcast.
+    QDef("q11_important_stock",
+      (s, d) => {
+        val avail = lineitem(s, d)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(expr("CAST(round(sum(l_quantity), 0) AS BIGINT)")
+            .as("avail"))
+        val pt = part(s, d)
+          .select(col("p_partkey"),
+            (expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
+              * 1000L).as("base_micro"))
+        val pv = avail
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .withColumn("cost_micro", col("base_micro") +
+            pmod((col("l_partkey") * 31 + col("l_suppkey"))
+              * lit(2654435761L), lit(4294967296L)) % 10000)
+          .groupBy(col("p_partkey"))
+          .agg(sum(col("avail") * col("cost_micro")).as("value_micro"))
+        pv.crossJoin(broadcast(
+            pv.agg(sum(col("value_micro")).as("total_micro"))))
+          .filter(col("value_micro") * 200 > col("total_micro"))
+          .select(col("p_partkey"), col("value_micro"))
+          .orderBy(col("value_micro").desc, col("p_partkey"))
+      },
+      Some("""WITH avail AS (SELECT l_partkey, l_suppkey,
+            CAST(round(sum(l_quantity), 0) AS BIGINT) AS avail
+          FROM lineitem GROUP BY 1, 2),
+        pv AS (SELECT p_partkey,
+            CAST(sum(avail * (CAST(round(p_retailprice * 100, 0)
+              AS BIGINT) * 1000 + (l_partkey * 31 + l_suppkey)
+              * 2654435761 % 4294967296 % 10000)) AS BIGINT)
+              AS value_micro
+          FROM avail JOIN part ON l_partkey = p_partkey
+          GROUP BY 1)
+        SELECT p_partkey, value_micro FROM pv
+        WHERE value_micro * 200 > (SELECT sum(value_micro) FROM pv)
+        ORDER BY value_micro DESC, p_partkey""")),
+
+    // TPC-H q16 shape (r13) — supplier counts per (brand, type, size)
+    // with an excluded-supplier anti-join: the lineitem-derived pair
+    // relation stands in for partsupp, and the q16 complaint filter
+    // (testdata ships no s_comment) is the DECLARED exclusion s_name
+    // LIKE '%1'. count(DISTINCT suppkey) per part group — the
+    // distinct-agg-after-anti-join plan. Scale: pair-distinct map-side
+    // agg; part broadcast; the excluded-supplier frame is ≤|suppliers|
+    // rows, broadcast anti-join.
+    QDef("q16_supplier_counts",
+      (s, d) => {
+        val ps = lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excluded = supplier(s, d)
+          .filter(col("s_name").like("%1")).select(col("s_suppkey"))
+        val pt = part(s, d).filter(col("p_size") <= 25)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        ps.join(broadcast(excluded),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"),
+            col("p_type"), col("p_size"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+            FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+            WHERE s_name LIKE '%1')
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
     // TPC-H q8 shape: each supplier nation's market share of a customer
     // region's yearly revenue, in exact integer ppm. The per-(region,
     // year) total is a window sum over the already-aggregated BIGINT

@@ -135,4 +135,71 @@ class RelationalSpec extends AnyFunSuite {
       .filter(col("q") > 300.0).count()
     assert(lo.count() == expected)
   }
+
+  test("r13 TPC-H q2/q11/q16 shapes: argmin, threshold and exclusion " +
+    "invariants replay imperatively") {
+    import org.apache.spark.sql.functions._
+    // shared surrogate cost over the lineitem-derived pair relation
+    val pairs = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val price = graft.tables.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        (r.getDouble(1), r.getAs[Number](2).longValue())).toMap
+    def cost(pk: Long, sk: Long): Long =
+      new java.math.BigDecimal(price(pk)._1 * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact() *
+        1000L +
+        java.lang.Math.floorMod((pk * 31 + sk) * 2654435761L,
+          4294967296L) % 10000L
+    val eurSupp = graft.tables.Tables.supplier(spark, sf)
+      .join(graft.tables.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.tables.Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    // q2: per filtered part, the (cost, suppkey)-min European supplier
+    val expect2 = pairs.filter { case (pk, sk) =>
+      price(pk)._2 <= 15 && eurSupp(sk) }
+      .groupBy(_._1).map { case (pk, ps) =>
+        val (_, sk) = ps.minBy { case (p, s2) => (cost(p, s2), s2) }
+        pk -> (sk, cost(pk, sk))
+      }
+    val got2 = run("q2_mincost_supplier").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got2.keySet == expect2.keySet &&
+      expect2.forall { case (pk, (_, c)) => got2(pk) == c },
+      "q2 argmin replay diverged")
+    // q11: every returned part clears the cross-multiplied threshold
+    // and the returned set is exactly the clearing set
+    val qtyByPair = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val values = pairs.groupBy(_._1).map { case (pk, ps) => pk ->
+      ps.map { case (p, s2) =>
+        new java.math.BigDecimal(qtyByPair((p, s2))).setScale(0,
+          java.math.RoundingMode.HALF_UP).longValueExact() * cost(p, s2)
+      }.sum }
+    val total = values.values.sum
+    val got11 = run("q11_important_stock").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got11.map(_._1).toSet ==
+      values.filter(_._2 * 200 > total).keySet,
+      "q11 threshold set diverged")
+    got11.foreach { case (pk, v) => assert(v == values(pk),
+      s"q11 value for part $pk diverged") }
+    // q16: no excluded supplier contributes
+    val excluded = graft.tables.Tables.supplier(spark, sf)
+      .filter(col("s_name").like("%1")).select(col("s_suppkey"))
+      .collect().map(_.getLong(0)).toSet
+    assert(excluded.nonEmpty, "exclusion must bite on this corpus")
+    val cnt16 = run("q16_supplier_counts").collect()
+      .map(_.getLong(3)).max
+    assert(cnt16 <= (pairs.map(_._2).toSet -- excluded).size,
+      "q16 count exceeds the non-excluded supplier pool")
+  }
 }
