@@ -459,7 +459,9 @@ object ScaleProof {
       "q_perplexity_buckets",
       // cartography: one token explode + the x25 scoring fan against
       // the vocabulary-bounded jackknife model frame
-      "q_dataset_cartography")
+      "q_dataset_cartography",
+      // l-diversity: one left join + two hash-aggs, domain-bounded
+      "q_l_diversity")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

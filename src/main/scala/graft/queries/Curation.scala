@@ -842,6 +842,61 @@ object Curation {
           CAST(sz < 5 AS BIGINT) AS risky5
         FROM cls GROUP BY sz ORDER BY class_size""")),
 
+    // L-DIVERSITY AUDIT (r13; Machanavajjhala et al. 2007) — the
+    // second privacy gate k-anonymity alone cannot provide: a class of
+    // ≥ k records still DISCLOSES the sensitive attribute when every
+    // member shares one value (the homogeneity attack), so each
+    // quasi-identifier class must also exhibit ≥ l DISTINCT sensitive
+    // values. Same QI tuple as q_k_anonymity (nat, seg, $1000 balance
+    // band — the two audits compose); the sensitive attribute is the
+    // customer's first-order status (min_by over o_orderkey —
+    // deterministic, orderkey unique), 'NONE' for order-less customers
+    // (a declared 4th value, never silently dropped). Output: the
+    // distribution of per-class distinct-sensitive counts with the
+    // l = 2 policy flag; n_records sums true class sizes (classes with
+    // equal l differ in size). Scale: one left join + two hash-aggs
+    // (count distinct per class is bounded by the 4-value domain);
+    // output bounded by |sensitive domain|.
+    QDef("q_l_diversity",
+      (s, d) => {
+        val firstStatus = orders(s, d).groupBy(col("o_custkey"))
+          .agg(min_by(col("o_orderstatus"), col("o_orderkey"))
+            .as("sens"))
+        customer(s, d)
+          .select(col("c_custkey"),
+            col("c_nationkey").cast("long").as("nat"),
+            col("c_mktsegment").as("seg"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+              .as("bal_band"))
+          .join(firstStatus, col("c_custkey") === col("o_custkey"),
+            "left")
+          .select(col("nat"), col("seg"), col("bal_band"),
+            coalesce(col("sens"), lit("NONE")).as("sens"))
+          .groupBy(col("nat"), col("seg"), col("bal_band"))
+          .agg(countDistinct(col("sens")).as("l_value"),
+            count(lit(1)).as("sz"))
+          .groupBy(col("l_value"))
+          .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_records"))
+          .select(col("l_value"), col("n_classes"), col("n_records"),
+            (col("l_value") < 2).cast("long").as("risky2"))
+          .orderBy(col("l_value"))
+      },
+      Some("""WITH fs AS (SELECT o_custkey,
+            min_by(o_orderstatus, o_orderkey) AS sens
+          FROM orders GROUP BY 1),
+        q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+            CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+            COALESCE(fs.sens, 'NONE') AS sens
+          FROM customer LEFT JOIN fs ON c_custkey = o_custkey),
+        cls AS (SELECT nat, seg, bal_band,
+            CAST(count(DISTINCT sens) AS BIGINT) AS l_value,
+            CAST(count(*) AS BIGINT) AS sz
+          FROM q GROUP BY 1, 2, 3)
+        SELECT l_value, CAST(count(*) AS BIGINT) AS n_classes,
+          CAST(sum(sz) AS BIGINT) AS n_records,
+          CAST(l_value < 2 AS BIGINT) AS risky2
+        FROM cls GROUP BY 1 ORDER BY l_value""")),
+
     // DIFFERENTIAL-PRIVACY COUNT RELEASE (r13) — the MECHANISM beside
     // q_k_anonymity's audit (Dwork et al. 2006): per-nation customer
     // counts released with Laplace(1/ε) noise, ε = 1, sensitivity 1

@@ -783,4 +783,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got.map(_._7).toSet.subsetOf(Set("easy", "hard", "ambiguous")),
       "regions must come from the declared set")
   }
+
+  test("r13 l-diversity: imperative class replay; records partition; " +
+    "the audit composes with k-anonymity's QI") {
+    val cust = graft.tables.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        r.getString(2), r.getDouble(3)))
+    val firstStatus = graft.tables.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (c, v) => c -> v.minBy(_._2)._3 }
+    def band(b: Double) = new java.math.BigDecimal(b * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact() / 100000L
+    val classes = cust.groupBy { case (ck, nat, seg, bal) =>
+      (nat, seg, band(bal)) }.toSeq
+      .map { case (_, ms) => (ms.map(m =>
+        firstStatus.getOrElse(m._1, "NONE")).distinct.length.toLong,
+        ms.length.toLong) }
+    val expect = classes.groupBy(_._1).toSeq.map { case (l, cs) =>
+      (l, cs.length.toLong, cs.map(_._2).sum,
+        if (l < 2) 1L else 0L) }.sortBy(_._1)
+    val got = run("q_l_diversity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"l-diversity replay diverged: $got vs $expect")
+    assert(got.map(_._3).sum == cust.length.toLong,
+      "classes must partition the customer records")
+  }
 }
