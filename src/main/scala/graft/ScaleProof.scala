@@ -461,7 +461,9 @@ object ScaleProof {
       // the vocabulary-bounded jackknife model frame
       "q_dataset_cartography",
       // l-diversity: one left join + two hash-aggs, domain-bounded
-      "q_l_diversity")
+      "q_l_diversity",
+      // DRO weights: the NB pipeline + a |langs|-row tilt chain
+      "q_dro_weights")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -111,6 +111,130 @@ object Curation {
   private val bpeTrainPredSql =
     "(doc_id * 2654435761) % 4294967296 % 100 < 80"
 
+  /** Held-out NB confusion frame (true_lang, pred_lang, n_docs,
+    * share_ppm) SHARED by q_nb_quality and q_dro_weights (r13) so the
+    * classifier gate and the DRO reweighting read the identical model.
+    */
+  private def nbConfusion(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+        val docs = documents(s, d)
+        val tr = docs.filter(bpeTrainPred)
+        val ho = docs.filter(!bpeTrainPred)
+        val trTok = tr.select(col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint(true) // c_lt, n_l and V all read it
+        val clt = trTok.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val nl = trTok.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val v = trTok.select(col("tok")).distinct()
+        val nv = v.agg(count(lit(1)).as("nv"))
+        val langs = tr.select(col("lang")).distinct()
+        val sc = v.crossJoin(broadcast(langs))
+          .join(clt, Seq("tok", "lang"), "left")
+          .join(broadcast(nl), "lang")
+          .crossJoin(broadcast(nv))
+          .select(col("tok"), col("lang"),
+            expr("CAST(round(ln((COALESCE(c, 0) + 1.0) / (n + nv))" +
+              " * 1000000, 0) AS BIGINT)").as("lp"))
+        val oov = langs.join(nl, "lang").crossJoin(nv)
+          .select(col("lang"),
+            expr("CAST(round(ln(1.0 / (n + nv)) * 1000000, 0) AS BIGINT)")
+              .as("lp_oov"))
+        val prior = tr.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+          .crossJoin(tr.agg(count(lit(1)).as("dd")))
+          .select(col("lang"),
+            expr("CAST(round(ln(CAST(dl AS DOUBLE) / dd) * 1000000, 0)" +
+              " AS BIGINT)").as("lp_pri"))
+        val hoTok = ho.select(col("doc_id"), col("lang").as("true_lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("true_lang"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // scoring join + anti-join + doc list
+        val inv = hoTok.join(sc, "tok")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("cnt") * col("lp")).as("s_in"))
+        val unseen = hoTok.join(v, Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(sum(col("cnt")).as("u"))
+        val scored = hoTok.select(col("doc_id"), col("true_lang")).distinct()
+          .crossJoin(broadcast(langs))
+          .join(inv, Seq("doc_id", "lang"), "left")
+          .join(broadcast(prior), "lang")
+          .join(broadcast(oov), "lang")
+          .join(unseen, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("true_lang"), col("lang"),
+            (coalesce(col("s_in"), lit(0L)) + col("lp_pri")
+              + coalesce(col("u"), lit(0L)) * col("lp_oov")).as("score"))
+        val pred = scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("lang"))))
+          .filter(col("rn") === 1)
+        pred.groupBy(col("true_lang"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(pred.agg(count(lit(1)).as("nho"))))
+          .select(col("true_lang"), col("lang").as("pred_lang"),
+            col("n_docs"), expr("n_docs * 1000000 div nho").as("share_ppm"))
+          
+  }
+
+  /** Oracle half of [[nbConfusion]] — a full SELECT without ORDER BY;
+    * embed as a CTE body or append the ordering. */
+  private def nbConfusionSql: String = s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+          WHERE $bpeTrainPredSql),
+        ho AS (SELECT doc_id, lang, text FROM documents
+          WHERE NOT ($bpeTrainPredSql)),
+        trtok AS (SELECT lang, unnest(toks) AS tok
+          FROM (SELECT lang, $tokensSql AS toks FROM tr)),
+        clt AS (SELECT lang, tok, count(*) AS c FROM trtok GROUP BY 1, 2),
+        nl AS (SELECT lang, count(*) AS n FROM trtok GROUP BY 1),
+        v AS (SELECT DISTINCT tok FROM trtok),
+        nv AS (SELECT count(*) AS nv FROM v),
+        langs AS (SELECT DISTINCT lang FROM tr),
+        sc AS (SELECT v.tok, l.lang,
+            CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (nl.n + nv.nv))
+              * 1000000, 0) AS BIGINT) AS lp
+          FROM v CROSS JOIN langs l
+          JOIN nl ON nl.lang = l.lang CROSS JOIN nv
+          LEFT JOIN clt c ON c.tok = v.tok AND c.lang = l.lang),
+        oov AS (SELECT l.lang,
+            CAST(round(ln(1.0 / (nl.n + nv.nv)) * 1000000, 0) AS BIGINT)
+              AS lp_oov
+          FROM langs l JOIN nl ON nl.lang = l.lang CROSS JOIN nv),
+        pri AS (SELECT lang,
+            CAST(round(ln(CAST(count(*) AS DOUBLE)
+              / (SELECT count(*) FROM tr)) * 1000000, 0) AS BIGINT)
+              AS lp_pri
+          FROM tr GROUP BY lang),
+        hotok AS (SELECT doc_id, true_lang, tok,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
+            FROM (SELECT doc_id, lang, $tokensSql AS toks FROM ho))
+          GROUP BY 1, 2, 3),
+        inv AS (SELECT h.doc_id, s.lang,
+            CAST(sum(h.cnt * s.lp) AS BIGINT) AS s_in
+          FROM hotok h JOIN sc s ON h.tok = s.tok GROUP BY 1, 2),
+        unseen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS u
+          FROM hotok h
+          WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.tok = h.tok)
+          GROUP BY 1),
+        scored AS (SELECT hd.doc_id, hd.true_lang, l.lang,
+            COALESCE(i.s_in, 0) + p.lp_pri
+              + COALESCE(u.u, 0) * o.lp_oov AS score
+          FROM (SELECT DISTINCT doc_id, true_lang FROM hotok) hd
+          CROSS JOIN langs l
+          LEFT JOIN inv i ON i.doc_id = hd.doc_id AND i.lang = l.lang
+          JOIN pri p ON p.lang = l.lang
+          JOIN oov o ON o.lang = l.lang
+          LEFT JOIN unseen u ON u.doc_id = hd.doc_id),
+        pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, lang) AS rn FROM scored)
+          WHERE rn = 1)
+        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(*) * 1000000 // (SELECT count(*) FROM pred)
+            AS BIGINT) AS share_ppm
+        FROM pred GROUP BY 1, 2"""
+
+
   /** Distinct-word histogram (w, cnt) of a document subset — the
     * SentencePiece-at-scale input shape (its trainer ingests a word
     * histogram, not the corpus), and since r13 the BPE/WordPiece
@@ -2088,120 +2212,62 @@ object Curation {
     // score table; priors/OOV floors/langs ride broadcast. Held-out
     // confusion replay in CurationSpec.
     QDef("q_nb_quality",
+      (s, d) => nbConfusion(s, d)
+        .orderBy(col("true_lang"), col("pred_lang")),
+      Some(s"""$nbConfusionSql ORDER BY 1, 2""")),
+
+    // GROUP-DRO REWEIGHTING (r13; Sagawa et al. 2020's worst-group
+    // principle as a data-mixture tool) — the error-driven complement
+    // to the size-driven tilts (q_mixture_temperature's p ∝ n^0.3,
+    // q_domain_mix's inverse shares): groups where the learned
+    // classifier FAILS get upweighted, w_g ∝ exp(η·err_g) with η = 1
+    // (the exponentiated-gradient tilt, one declared step — without
+    // retraining between steps further iterations are a closed-form
+    // power, so the operator declares the single honest step). The
+    // error signal is the SHARED nbConfusion frame (q_nb_quality's own
+    // model — gate and reweighting cannot drift): err_ppm = held-out
+    // misclassification per true lang, exact integer cross-division.
+    // The one exp per group pre-rounds onto the e6 grid (class C, ≤
+    // |langs| terms); weights normalize by exact integer division.
+    // Scale: the NB pipeline + a |langs|-row tilt chain.
+    QDef("q_dro_weights",
       (s, d) => {
-        val docs = documents(s, d)
-        val tr = docs.filter(bpeTrainPred)
-        val ho = docs.filter(!bpeTrainPred)
-        val trTok = tr.select(col("lang"),
-            explode(tokens(col("text"))).as("tok"))
-          .localCheckpoint(true) // c_lt, n_l and V all read it
-        val clt = trTok.groupBy(col("lang"), col("tok"))
-          .agg(count(lit(1)).as("c"))
-        val nl = trTok.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-        val v = trTok.select(col("tok")).distinct()
-        val nv = v.agg(count(lit(1)).as("nv"))
-        val langs = tr.select(col("lang")).distinct()
-        val sc = v.crossJoin(broadcast(langs))
-          .join(clt, Seq("tok", "lang"), "left")
-          .join(broadcast(nl), "lang")
-          .crossJoin(broadcast(nv))
-          .select(col("tok"), col("lang"),
-            expr("CAST(round(ln((COALESCE(c, 0) + 1.0) / (n + nv))" +
-              " * 1000000, 0) AS BIGINT)").as("lp"))
-        val oov = langs.join(nl, "lang").crossJoin(nv)
-          .select(col("lang"),
-            expr("CAST(round(ln(1.0 / (n + nv)) * 1000000, 0) AS BIGINT)")
-              .as("lp_oov"))
-        val prior = tr.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
-          .crossJoin(tr.agg(count(lit(1)).as("dd")))
-          .select(col("lang"),
-            expr("CAST(round(ln(CAST(dl AS DOUBLE) / dd) * 1000000, 0)" +
-              " AS BIGINT)").as("lp_pri"))
-        val hoTok = ho.select(col("doc_id"), col("lang").as("true_lang"),
-            explode(tokens(col("text"))).as("tok"))
-          .groupBy(col("doc_id"), col("true_lang"), col("tok"))
-          .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true) // scoring join + anti-join + doc list
-        val inv = hoTok.join(sc, "tok")
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(sum(col("cnt") * col("lp")).as("s_in"))
-        val unseen = hoTok.join(v, Seq("tok"), "left_anti")
-          .groupBy(col("doc_id")).agg(sum(col("cnt")).as("u"))
-        val scored = hoTok.select(col("doc_id"), col("true_lang")).distinct()
-          .crossJoin(broadcast(langs))
-          .join(inv, Seq("doc_id", "lang"), "left")
-          .join(broadcast(prior), "lang")
-          .join(broadcast(oov), "lang")
-          .join(unseen, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("true_lang"), col("lang"),
-            (coalesce(col("s_in"), lit(0L)) + col("lp_pri")
-              + coalesce(col("u"), lit(0L)) * col("lp_oov")).as("score"))
-        val pred = scored.withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id"))
-              .orderBy(col("score").desc, col("lang"))))
-          .filter(col("rn") === 1)
-        pred.groupBy(col("true_lang"), col("lang"))
-          .agg(count(lit(1)).as("n_docs"))
-          .crossJoin(broadcast(pred.agg(count(lit(1)).as("nho"))))
-          .select(col("true_lang"), col("lang").as("pred_lang"),
-            col("n_docs"), expr("n_docs * 1000000 div nho").as("share_ppm"))
-          .orderBy(col("true_lang"), col("pred_lang"))
+        val conf = nbConfusion(s, d)
+        val err = conf.groupBy(col("true_lang").as("lang"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(when(col("pred_lang") === col("true_lang"),
+              col("n_docs")).otherwise(0L)).as("n_ok"))
+          .select(col("lang"), col("n_docs"),
+            expr("(n_docs - n_ok) * 1000000 div n_docs").as("err_ppm"))
+          .withColumn("tilt_e6",
+            expr("CAST(round(exp(err_ppm / 1000000.0) * 1000000, 0)" +
+              " AS BIGINT)"))
+        err.crossJoin(broadcast(
+            err.agg(sum(col("tilt_e6")).as("st"))))
+          .select(col("lang"), col("n_docs"), col("err_ppm"),
+            col("tilt_e6"),
+            expr("tilt_e6 * 1000000 div st").as("w_ppm"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("w_ppm").desc, col("lang"))).cast("long"))
+          .orderBy(col("rank"))
       },
-      Some(s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
-          WHERE $bpeTrainPredSql),
-        ho AS (SELECT doc_id, lang, text FROM documents
-          WHERE NOT ($bpeTrainPredSql)),
-        trtok AS (SELECT lang, unnest(toks) AS tok
-          FROM (SELECT lang, $tokensSql AS toks FROM tr)),
-        clt AS (SELECT lang, tok, count(*) AS c FROM trtok GROUP BY 1, 2),
-        nl AS (SELECT lang, count(*) AS n FROM trtok GROUP BY 1),
-        v AS (SELECT DISTINCT tok FROM trtok),
-        nv AS (SELECT count(*) AS nv FROM v),
-        langs AS (SELECT DISTINCT lang FROM tr),
-        sc AS (SELECT v.tok, l.lang,
-            CAST(round(ln((COALESCE(c.c, 0) + 1.0) / (nl.n + nv.nv))
-              * 1000000, 0) AS BIGINT) AS lp
-          FROM v CROSS JOIN langs l
-          JOIN nl ON nl.lang = l.lang CROSS JOIN nv
-          LEFT JOIN clt c ON c.tok = v.tok AND c.lang = l.lang),
-        oov AS (SELECT l.lang,
-            CAST(round(ln(1.0 / (nl.n + nv.nv)) * 1000000, 0) AS BIGINT)
-              AS lp_oov
-          FROM langs l JOIN nl ON nl.lang = l.lang CROSS JOIN nv),
-        pri AS (SELECT lang,
-            CAST(round(ln(CAST(count(*) AS DOUBLE)
-              / (SELECT count(*) FROM tr)) * 1000000, 0) AS BIGINT)
-              AS lp_pri
-          FROM tr GROUP BY lang),
-        hotok AS (SELECT doc_id, true_lang, tok,
-            CAST(count(*) AS BIGINT) AS cnt
-          FROM (SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
-            FROM (SELECT doc_id, lang, $tokensSql AS toks FROM ho))
-          GROUP BY 1, 2, 3),
-        inv AS (SELECT h.doc_id, s.lang,
-            CAST(sum(h.cnt * s.lp) AS BIGINT) AS s_in
-          FROM hotok h JOIN sc s ON h.tok = s.tok GROUP BY 1, 2),
-        unseen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS u
-          FROM hotok h
-          WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.tok = h.tok)
-          GROUP BY 1),
-        scored AS (SELECT hd.doc_id, hd.true_lang, l.lang,
-            COALESCE(i.s_in, 0) + p.lp_pri
-              + COALESCE(u.u, 0) * o.lp_oov AS score
-          FROM (SELECT DISTINCT doc_id, true_lang FROM hotok) hd
-          CROSS JOIN langs l
-          LEFT JOIN inv i ON i.doc_id = hd.doc_id AND i.lang = l.lang
-          JOIN pri p ON p.lang = l.lang
-          JOIN oov o ON o.lang = l.lang
-          LEFT JOIN unseen u ON u.doc_id = hd.doc_id),
-        pred AS (SELECT doc_id, true_lang, lang AS pred_lang FROM (
-            SELECT *, row_number() OVER (PARTITION BY doc_id
-              ORDER BY score DESC, lang) AS rn FROM scored)
-          WHERE rn = 1)
-        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(count(*) * 1000000 // (SELECT count(*) FROM pred)
-            AS BIGINT) AS share_ppm
-        FROM pred GROUP BY 1, 2 ORDER BY 1, 2""")),
+      Some(s"""WITH conf AS ($nbConfusionSql),
+        e AS (SELECT true_lang AS lang,
+            CAST(sum(n_docs) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN pred_lang = true_lang THEN n_docs
+              ELSE 0 END) AS BIGINT) AS n_ok
+          FROM conf GROUP BY 1),
+        t AS (SELECT lang, n_docs,
+            (n_docs - n_ok) * 1000000 // n_docs AS err_ppm,
+            CAST(round(exp(((n_docs - n_ok) * 1000000 // n_docs)
+              / 1000000.0) * 1000000, 0) AS BIGINT) AS tilt_e6
+          FROM e),
+        st AS (SELECT CAST(sum(tilt_e6) AS BIGINT) AS st FROM t)
+        SELECT lang, n_docs, err_ppm, tilt_e6,
+          CAST(tilt_e6 * 1000000 // st AS BIGINT) AS w_ppm,
+          CAST(row_number() OVER (ORDER BY tilt_e6 * 1000000 // st DESC,
+            lang) AS BIGINT) AS rank
+        FROM t CROSS JOIN st ORDER BY rank""")),
 
     // DATASET CARTOGRAPHY (r13) — the training-dynamics data map of
     // Swayamdipta et al. 2020 ("easy-to-learn / hard-to-learn /

@@ -812,4 +812,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == cust.length.toLong,
       "classes must partition the customer records")
   }
+
+  test("r13 DRO weights: exp tilt replays from the shared NB " +
+    "confusion; weights rank with error; normalization is tight") {
+    val conf = run("q_nb_quality").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val err = conf.groupBy(_._1).map { case (l, cs) =>
+      val n = cs.map(_._3).sum
+      val ok = cs.filter(c => c._2 == c._1).map(_._3).sum
+      l -> ((n, (n - ok) * 1000000L / n))
+    }
+    def tilt(ppm: Long) = new java.math.BigDecimal(
+      math.exp(ppm / 1000000.0) * 1000000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val st = err.values.map(v => tilt(v._2)).sum
+    val got = run("q_dro_weights").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    got.foreach { case (l, n, e, t, w, _) =>
+      assert((n, e) == err(l), s"error chain diverged for $l")
+      assert(t == tilt(e) && w == t * 1000000L / st,
+        s"tilt/weight chain diverged for $l")
+    }
+    // monotone: higher error never gets a lower weight
+    got.sortBy(_._3).map(_._5).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1),
+        "weights must be monotone in group error")
+    }
+    val ws = got.map(_._5).sum
+    assert(ws <= 1000000L && ws > 1000000L - got.length,
+      s"truncating normalization out of band: $ws")
+  }
 }
