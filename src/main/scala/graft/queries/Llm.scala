@@ -78,8 +78,13 @@ object Llm {
       .select(col("n_queries"),
         (col("mean_hit") >= floor).cast("long").as("floor_ok"))
 
+  // n_queries derived, not pinned (the q_ivf_recall_sweep ADVICE fix
+  // applied family-wide): 50 is an accident of the probe prefix, so a
+  // corpus with < 50 embeddings must not fail on a column that carries
+  // no contract — only floor_ok is the declared invariant.
   private val annGateSql: String =
-    "SELECT CAST(50 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS floor_ok"
+    "SELECT CAST(least(50, (SELECT count(*) FROM embeddings))" +
+      " AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS floor_ok"
 
   /** Hard-negatives recall gate support (the annRecallMean shape with the
     * label-disjoint constraint): per anchor, does the TRUE top-1
@@ -4372,8 +4377,7 @@ object Llm {
           .select(col("n_queries"),
             (col("mean_hit") >= 0.45).cast("long").as("floor_ok"))
       },
-      Some("SELECT CAST(50 AS BIGINT) AS n_queries, " +
-        "CAST(1 AS BIGINT) AS floor_ok")),
+      Some(annGateSql)),
 
     // nDCG@10 RETRIEVAL EVAL — the ranking-quality rollup beside
     // q_rank_fusion (which BUILDS a ranking) and q_hard_negatives (which
