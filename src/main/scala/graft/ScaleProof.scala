@@ -463,7 +463,11 @@ object ScaleProof {
       // l-diversity: one left join + two hash-aggs, domain-bounded
       "q_l_diversity",
       // DRO weights: the NB pipeline + a |langs|-row tilt chain
-      "q_dro_weights")
+      "q_dro_weights",
+      // TPC-H closers: pair-distinct map-side agg over the 10x fact
+      // side + broadcast dims
+      "q2_mincost_supplier", "q11_important_stock",
+      "q16_supplier_counts")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
