@@ -467,7 +467,9 @@ object ScaleProof {
       // TPC-H closers: pair-distinct map-side agg over the 10x fact
       // side + broadcast dims
       "q2_mincost_supplier", "q11_important_stock",
-      "q16_supplier_counts")
+      "q16_supplier_counts",
+      // t-closeness: two hash-aggs + the bounded class x value grid
+      "q_t_closeness")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

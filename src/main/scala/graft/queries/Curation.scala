@@ -1021,6 +1021,89 @@ object Curation {
           CAST(l_value < 2 AS BIGINT) AS risky2
         FROM cls GROUP BY 1 ORDER BY l_value""")),
 
+    // T-CLOSENESS AUDIT (r13, post-freeze; Li et al. 2007) — the third
+    // rung of the privacy ladder: l-diversity counts DISTINCT sensitive
+    // values but a class can satisfy l while its value DISTRIBUTION
+    // still leaks (the skewness attack), so each quasi-identifier
+    // class's sensitive distribution must sit within distance t of the
+    // GLOBAL one. Same QI tuple and sensitive attribute as
+    // q_k_anonymity/q_l_diversity (the three audits compose); distance
+    // is total variation over the 4-value categorical domain, kept
+    // exact-rational by cross-multiplication — tv_ppm = Σ_v
+    // |c_v·N − g_v·n| · 10⁶ div (2·n·N), no float ever exists
+    // (Long-safe to ~1.5M records per release; past that the
+    // DECIMAL(38,0)/HUGEINT widening applies). The (class × sensitive
+    // value) grid is explicit, so a value MISSING from a class
+    // contributes its full |0 − g_v·n| term instead of vanishing (the
+    // q_psi_drift contract — exactly the homogeneity leak this audit
+    // exists to price). Output per class: size, tv_ppm, the t = 0.3
+    // policy flag. Scale: two hash-aggs + a (bounded classes) ×
+    // (4-value domain) grid join; the global frame is one broadcast row
+    // per value.
+    QDef("q_t_closeness",
+      (s, d) => {
+        val firstStatus = orders(s, d).groupBy(col("o_custkey"))
+          .agg(min_by(col("o_orderstatus"), col("o_orderkey"))
+            .as("sens"))
+        val q = customer(s, d)
+          .select(col("c_custkey"),
+            col("c_nationkey").cast("long").as("nat"),
+            col("c_mktsegment").as("seg"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+              .as("bal_band"))
+          .join(firstStatus, col("c_custkey") === col("o_custkey"),
+            "left")
+          .select(col("nat"), col("seg"), col("bal_band"),
+            coalesce(col("sens"), lit("NONE")).as("sens"))
+          .localCheckpoint(true) // class counts, global counts, grid
+        val cv = q.groupBy(col("nat"), col("seg"), col("bal_band"),
+            col("sens"))
+          .agg(count(lit(1)).as("c"))
+        val cls = q.groupBy(col("nat"), col("seg"), col("bal_band"))
+          .agg(count(lit(1)).as("n"))
+        val gv = q.groupBy(col("sens")).agg(count(lit(1)).as("g"))
+        val big = q.agg(count(lit(1)).as("bign"))
+        cls.crossJoin(broadcast(gv))
+          .join(cv, Seq("nat", "seg", "bal_band", "sens"), "left")
+          .crossJoin(broadcast(big))
+          .groupBy(col("nat"), col("seg"), col("bal_band"), col("n"),
+            col("bign"))
+          .agg(sum(abs(coalesce(col("c"), lit(0L)) * col("bign")
+            - col("g") * col("n"))).as("num"))
+          .select(col("nat"), col("seg"), col("bal_band"), col("n"),
+            expr("num * 1000000 div (2 * n * bign)").as("tv_ppm"))
+          .withColumn("risky_t03",
+            (col("tv_ppm") > 300000L).cast("long"))
+          .orderBy(col("nat"), col("seg"), col("bal_band"))
+      },
+      Some("""WITH fs AS (SELECT o_custkey,
+            min_by(o_orderstatus, o_orderkey) AS sens
+          FROM orders GROUP BY 1),
+        q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+            CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+            COALESCE(fs.sens, 'NONE') AS sens
+          FROM customer LEFT JOIN fs ON c_custkey = o_custkey),
+        cv AS (SELECT nat, seg, bal_band, sens,
+            CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2, 3, 4),
+        cls AS (SELECT nat, seg, bal_band, CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY 1, 2, 3),
+        gv AS (SELECT sens, CAST(count(*) AS BIGINT) AS g
+          FROM q GROUP BY 1),
+        big AS (SELECT CAST(count(*) AS BIGINT) AS bign FROM q),
+        tv AS (SELECT cls.nat, cls.seg, cls.bal_band, cls.n, big.bign,
+            CAST(sum(abs(COALESCE(cv.c, 0) * big.bign
+              - gv.g * cls.n)) AS BIGINT) AS num
+          FROM cls CROSS JOIN gv
+          LEFT JOIN cv ON cv.nat = cls.nat AND cv.seg = cls.seg
+            AND cv.bal_band = cls.bal_band AND cv.sens = gv.sens
+          CROSS JOIN big
+          GROUP BY 1, 2, 3, 4, 5)
+        SELECT nat, seg, bal_band, n,
+          num * 1000000 // (2 * n * bign) AS tv_ppm,
+          CAST(num * 1000000 // (2 * n * bign) > 300000 AS BIGINT)
+            AS risky_t03
+        FROM tv ORDER BY nat, seg, bal_band""")),
+
     // DIFFERENTIAL-PRIVACY COUNT RELEASE (r13) — the MECHANISM beside
     // q_k_anonymity's audit (Dwork et al. 2006): per-nation customer
     // counts released with Laplace(1/ε) noise, ε = 1, sensitivity 1
