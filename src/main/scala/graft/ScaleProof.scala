@@ -469,7 +469,9 @@ object ScaleProof {
       "q2_mincost_supplier", "q11_important_stock",
       "q16_supplier_counts",
       // t-closeness: two hash-aggs + the bounded class x value grid
-      "q_t_closeness")
+      "q_t_closeness",
+      // packing ablation: one per-lang prefix-sum window + 2 rollups
+      "q_packing_ablation")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

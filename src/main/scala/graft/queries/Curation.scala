@@ -790,6 +790,80 @@ object Curation {
           CAST(sum(n_toks) AS BIGINT) AS bin_toks, min(doc_id) AS first_doc
         FROM c GROUP BY 1, 2 ORDER BY lang, bin""")),
 
+    // SEQUENCE-PACKING ABLATION (r13, post-freeze) — the accounting a
+    // pretraining pipeline publishes before choosing its packer:
+    // concat-and-chunk (q_token_packing's rule — GPT-style, docs may
+    // cross window boundaries, padding only in each shard's last
+    // window) vs pad-per-doc (every doc its own ⌈n/256⌉ windows — no
+    // boundary crossings, padding in every doc's tail). Per (lang,
+    // strategy): windows used, pad tokens, utilization loss in exact
+    // ppm, and boundary-crossing doc count (the attention-contamination
+    // cost concat packing pays for its near-zero padding; 0 by
+    // construction for pad-per-doc). All BIGINT off one doc-level scan:
+    // the concat split count reuses the SAME per-lang prefix sum the
+    // packer itself declares, so the ablation cannot drift from the
+    // packing it prices. Scale: one partitioned prefix-sum window over
+    // doc-level rows + two per-lang rollups.
+    QDef("q_packing_ablation",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val base = documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+          .withColumn("cume", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        val concat = base.groupBy(col("lang"))
+          .agg(sum(col("n_toks")).as("t"),
+            sum(when(col("n_toks") > 0L &&
+              expr("cume div 256 <> (cume + n_toks - 1) div 256"), 1L)
+              .otherwise(0L)).as("docs_split"))
+          .select(col("lang"), lit("concat_chunk").as("strategy"),
+            expr("(t + 255) div 256").as("n_windows"),
+            expr("((t + 255) div 256) * 256 - t").as("pad_tokens"),
+            col("t"), col("docs_split"))
+        val perdoc = base.groupBy(col("lang"))
+          .agg(expr("sum((n_toks + 255) div 256)").as("n_windows"),
+            sum(col("n_toks")).as("t"))
+          .select(col("lang"), lit("pad_per_doc").as("strategy"),
+            col("n_windows"),
+            (col("n_windows") * 256L - col("t")).as("pad_tokens"),
+            col("t"), lit(0L).as("docs_split"))
+        concat.unionAll(perdoc)
+          .select(col("lang"), col("strategy"), col("n_windows"),
+            col("pad_tokens"),
+            expr("pad_tokens * 1000000 div greatest(n_windows * 256, 1)")
+              .as("pad_ppm"),
+            col("docs_split"))
+          .orderBy(col("lang"), col("strategy"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+            CAST(len($tokensSql) AS BIGINT) AS n_toks FROM documents),
+        c AS (SELECT doc_id, lang, n_toks,
+            COALESCE(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cume
+          FROM t),
+        cc AS (SELECT lang, 'concat_chunk' AS strategy,
+            (sum(n_toks) + 255) // 256 AS n_windows,
+            ((sum(n_toks) + 255) // 256) * 256 - sum(n_toks)
+              AS pad_tokens,
+            sum(CASE WHEN n_toks > 0 AND cume // 256 <>
+              (cume + n_toks - 1) // 256 THEN 1 ELSE 0 END)
+              AS docs_split
+          FROM c GROUP BY 1),
+        pd AS (SELECT lang, 'pad_per_doc' AS strategy,
+            sum((n_toks + 255) // 256) AS n_windows,
+            sum((n_toks + 255) // 256) * 256 - sum(n_toks) AS pad_tokens,
+            0 AS docs_split
+          FROM c GROUP BY 1),
+        u AS (SELECT * FROM cc UNION ALL SELECT * FROM pd)
+        SELECT lang, strategy, CAST(n_windows AS BIGINT) AS n_windows,
+          CAST(pad_tokens AS BIGINT) AS pad_tokens,
+          CAST(pad_tokens * 1000000 // greatest(n_windows * 256, 1)
+            AS BIGINT) AS pad_ppm,
+          CAST(docs_split AS BIGINT) AS docs_split
+        FROM u ORDER BY lang, strategy""")),
+
     // Gopher/C4-style heuristic quality rules, integer-exact: word-count
     // band, mean-word-length band (as cross-multiplied integer
     // comparisons — never a float division), stopword presence, and

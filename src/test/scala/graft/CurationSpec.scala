@@ -878,4 +878,36 @@ class CurationSpec extends AnyFunSuite {
     assert(got.map(_._5).distinct.length > 1,
       "TV distances degenerate — audit carries no signal")
   }
+
+  test("r13 packing ablation: imperative split replay; pad-per-doc " +
+    "dominates concat in windows and padding; both conserve tokens") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    val got = run("q_packing_ablation").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val t = sorted.map(_._3).sum
+      var cume = 0L; var splits = 0L; var pdw = 0L
+      sorted.foreach { case (_, _, n) =>
+        if (n > 0 && cume / 256 != (cume + n - 1) / 256) splits += 1
+        pdw += (n + 255) / 256
+        cume += n
+      }
+      val cw = (t + 255) / 256
+      assert(got((lang, "concat_chunk")) ==
+        ((cw, cw * 256 - t, (cw * 256 - t) * 1000000L / (cw * 256),
+          splits)), s"concat row diverged for $lang")
+      assert(got((lang, "pad_per_doc")) ==
+        ((pdw, pdw * 256 - t, (pdw * 256 - t) * 1000000L / (pdw * 256),
+          0L)), s"pad-per-doc row diverged for $lang")
+      assert(pdw >= cw && pdw * 256 - t >= cw * 256 - t,
+        s"pad-per-doc must dominate concat for $lang")
+      assert(cw * 256 - t < 256, s"concat pad must be sub-window: $lang")
+    }
+  }
 }
