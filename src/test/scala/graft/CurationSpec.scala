@@ -32,7 +32,7 @@ class CurationSpec extends AnyFunSuite {
     val cur = run("q_curriculum_order").cache()
     val n = cur.count()
     assert(cur.select(col("doc_id")).distinct().count() == n)
-    assert(cur.agg(max(col("pos"))).head().getInt(0) == n
+    assert(cur.agg(max(col("pos"))).head().getLong(0) == n
       && cur.select(col("pos")).distinct().count() == n,
       "pos must be a 1..n permutation")
     // phases never interleave: max pos of phase p < min pos of phase p+1
@@ -42,7 +42,7 @@ class CurationSpec extends AnyFunSuite {
       .orderBy(col("phase")).collect()
     assert(ranges.length == 3, "all three phases must be non-empty")
     ranges.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getAs[Int]("hi") < b.getAs[Int]("lo"),
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
         "curriculum phases must not interleave")
       case _ => ()
     }
@@ -50,6 +50,20 @@ class CurationSpec extends AnyFunSuite {
     val under = cur.groupBy(col("batch_id")).agg(count(lit(1)).as("c"))
       .filter(col("c") =!= 32 && col("batch_id") =!= (n - 1) / 32).count()
     assert(under == 0, "only the final batch may be ragged")
+  }
+
+  test("curriculum order plan: every WindowExec is partitioned " +
+    "(r13 directive 1 — no corpus-scale global sort)") {
+    val plan = run("q_curriculum_order").queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "the sharded rank window must survive")
+    val unpart = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpart.isEmpty,
+      s"unpartitioned WindowExec in the curriculum plan: ${unpart.headOption}")
+    // the sharded form is a real window over (phase, shard): 48 groups
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "expected the (phase, shard)-partitioned rank window")
   }
 
   test("reservoir sample is exactly min(k, stratum) per lang and reproducible") {
