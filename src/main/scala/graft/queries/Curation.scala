@@ -2477,10 +2477,19 @@ object Curation {
     // wrong), else ambiguous (the models disagree — cartography's
     // high-variability band). V is the GLOBAL train vocab (declared
     // jackknife simplification), so every doc token is in-grid and no
-    // OOV path exists. Scale: one token explode + map-side (fold,
-    // lang, tok) agg; the model ensemble is the |V|·|langs|·5 frame
-    // (vocabulary-bounded); scoring fans each distinct (doc, tok) by
-    // 25 through one equi-join; margins/regions are per-doc rollups.
+    // OOV path exists. The prior is SMOOTHED (r13 ADVICE): ln((d_l −
+    // d_lf + 1)/(d − d_f + |langs|)) — a fold holding every doc of a
+    // small language (or of the whole corpus) stays finite in both
+    // engines instead of diverging at ln(0); ≥ 2 languages is an
+    // explicit precondition (the margin needs a best-other class).
+    // Scale (r13 VERDICT directive 2 — WIDE-FORM scoring): the 25
+    // (fold, lang) log-prob terms pivot into COLUMNS of a |V|-row
+    // broadcast frame, so scoring is each distinct (doc, tok) joined
+    // ONCE and reduced by a single map-side-combinable hash agg over
+    // 25 sum columns — the previous tall form fanned every (doc, tok)
+    // ×25 through the agg (100×: 1B-row fan, 26.4 GB mem-spill).
+    // Margins/regions are then per-ROW expressions (least/greatest
+    // over the 25 score columns), no further shuffle.
     QDef("q_dataset_cartography",
       (s, d) => {
         import s.implicits._
@@ -2508,6 +2517,12 @@ object Curation {
         val v = dtok.select(col("tok")).distinct()
         val nv = v.agg(count(lit(1)).as("nv"))
         val langs = docs.select(col("true_lang").as("lang")).distinct()
+        // the ≤|langs|-row bridge (the skew-router verdict precedent):
+        // the wide column layout needs the language list at plan time
+        val langList = langs.orderBy(col("lang")).collect()
+          .map(_.getString(0))
+        require(langList.length >= 2, "q_dataset_cartography needs " +
+          s"≥ 2 languages for a margin; corpus has ${langList.length}")
         val folds = (0L to 4L).toDF("g")
         val sc = v.crossJoin(broadcast(langs)).crossJoin(broadcast(folds))
           .join(cAll, Seq("lang", "tok"), "left")
@@ -2519,6 +2534,18 @@ object Curation {
             expr("CAST(round(ln((COALESCE(ca, 0) - COALESCE(cf, 0)" +
               " + 1.0) / (n - COALESCE(nf, 0) + nv)) * 1000000, 0)" +
               " AS BIGINT)").as("lp"))
+        // wide pivot: |V|·|langs|·5 rows → |V| rows × 25 lp columns —
+        // still vocabulary-bounded, still broadcast (the r13 lesson:
+        // the unhinted SMJ spilled 38 GB at 100×)
+        val combos = for (li <- langList.indices; g <- 0 until 5)
+          yield (li, g)
+        val scWide = sc.groupBy(col("tok"))
+          .agg(combos.map { case (li, g) =>
+            max(when(col("lang") === langList(li) && col("g") === g,
+              col("lp"))).as(s"lp_${li}_$g") }.head,
+            combos.map { case (li, g) =>
+              max(when(col("lang") === langList(li) && col("g") === g,
+                col("lp"))).as(s"lp_${li}_$g") }.tail: _*)
         val dl = docs.groupBy(col("true_lang").as("lang"))
           .agg(count(lit(1)).as("dl"))
         val dlF = docs.groupBy(col("fold").as("g"),
@@ -2530,31 +2557,48 @@ object Curation {
           .crossJoin(broadcast(docs.agg(count(lit(1)).as("dd"))))
           .crossJoin(broadcast(docs.groupBy(col("fold").as("g2"))
             .agg(count(lit(1)).as("ddf"))))
+          .crossJoin(broadcast(langs.agg(count(lit(1)).as("nl2"))))
           .filter(col("g") === col("g2"))
           .select(col("lang"), col("g"),
-            expr("CAST(round(ln(CAST(dl - COALESCE(dlf, 0) AS DOUBLE)" +
-              " / (dd - ddf)) * 1000000, 0) AS BIGINT)").as("lp_pri"))
-        // the model ensemble is |V|·|langs|·5 rows — vocabulary-bounded
-        // at ANY corpus size, so it must ride broadcast: without the
-        // hint Spark sort-merge-joins the corpus-sized dtok side (100×:
-        // 37.7 GB mem-spill, 166.7 s → broadcast-hash 0-spill)
-        val scored = dtok.join(broadcast(sc), "tok")
-          .groupBy(col("doc_id"), col("true_lang"), col("g"),
-            col("lang"))
-          .agg(sum(col("cnt") * col("lp")).as("s_in"))
-          .join(broadcast(prior), Seq("lang", "g"))
-          .select(col("doc_id"), col("true_lang"), col("g"),
-            col("lang"), (col("s_in") + col("lp_pri")).as("score"))
-        val margins = scored.groupBy(col("doc_id"), col("true_lang"),
-            col("g"))
-          .agg((max(when(col("lang") === col("true_lang"), col("score")))
-            - max(when(col("lang") =!= col("true_lang"), col("score"))))
-            .as("margin"))
-        margins.groupBy(col("doc_id"), col("true_lang"))
-          .agg(count(lit(1)).as("n_models"),
-            expr("sum(margin) div 5").as("margin_mean"),
-            min(col("margin")).as("margin_min"),
-            max(col("margin")).as("margin_max"))
+            expr("CAST(round(ln((dl - COALESCE(dlf, 0) + 1.0)" +
+              " / (dd - ddf + nl2)) * 1000000, 0) AS BIGINT)")
+              .as("lp_pri"))
+        // the 25 priors pivot to ONE broadcast row
+        val priWide = prior.groupBy()
+          .agg(combos.map { case (li, g) =>
+            max(when(col("lang") === langList(li) && col("g") === g,
+              col("lp_pri"))).as(s"pri_${li}_$g") }.head,
+            combos.map { case (li, g) =>
+              max(when(col("lang") === langList(li) && col("g") === g,
+                col("lp_pri"))).as(s"pri_${li}_$g") }.tail: _*)
+        val scored = dtok.join(broadcast(scWide), "tok")
+          .groupBy(col("doc_id"), col("true_lang"))
+          .agg(combos.map { case (li, g) =>
+            sum(col("cnt") * col(s"lp_${li}_$g")).as(s"s_${li}_$g") }.head,
+            combos.map { case (li, g) =>
+              sum(col("cnt") * col(s"lp_${li}_$g")).as(s"s_${li}_$g") }
+              .tail: _*)
+          .crossJoin(broadcast(priWide))
+        def score(li: Int, g: Int) =
+          col(s"s_${li}_$g") + col(s"pri_${li}_$g")
+        def marginG(g: Int) = {
+          val sTrue = coalesce(langList.indices.map(li =>
+            when(col("true_lang") === langList(li), score(li, g))): _*)
+          val sOther = greatest(langList.indices.map(li =>
+            when(col("true_lang") =!= langList(li), score(li, g))): _*)
+          (sTrue - sOther).as(s"m_$g")
+        }
+        val margins = (0 until 5).map(marginG)
+        scored
+          .select(col("doc_id") +: col("true_lang") +: margins: _*)
+          .select(col("doc_id"), col("true_lang"),
+            lit(5L).as("n_models"),
+            expr("(m_0 + m_1 + m_2 + m_3 + m_4) div 5")
+              .as("margin_mean"),
+            least((0 until 5).map(g => col(s"m_$g")): _*)
+              .as("margin_min"),
+            greatest((0 until 5).map(g => col(s"m_$g")): _*)
+              .as("margin_max"))
           .select(col("doc_id"), col("true_lang"), col("n_models"),
             col("margin_mean"), col("margin_min"), col("margin_max"),
             when(col("margin_min") > 0L, lit("easy"))
@@ -2601,13 +2645,15 @@ object Curation {
         dd AS (SELECT count(*) AS dd FROM docs),
         ddf AS (SELECT fold AS g, CAST(count(*) AS BIGINT) AS ddf
           FROM docs GROUP BY 1),
+        nlangs AS (SELECT count(*) AS nl2 FROM langs),
         pri AS (SELECT l.lang, f.g,
-            CAST(round(ln(CAST(dl.dl - COALESCE(dlf.dlf, 0) AS DOUBLE)
-              / (dd.dd - ddf.ddf)) * 1000000, 0) AS BIGINT) AS lp_pri
+            CAST(round(ln((dl.dl - COALESCE(dlf.dlf, 0) + 1.0)
+              / (dd.dd - ddf.ddf + nl2)) * 1000000, 0) AS BIGINT)
+              AS lp_pri
           FROM langs l CROSS JOIN folds f
           JOIN dl ON dl.lang = l.lang
           LEFT JOIN dlf ON dlf.g = f.g AND dlf.lang = l.lang
-          CROSS JOIN dd JOIN ddf ON ddf.g = f.g),
+          CROSS JOIN dd JOIN ddf ON ddf.g = f.g CROSS JOIN nlangs),
         scored AS (SELECT dt.doc_id, dt.true_lang, sc.g, sc.lang,
             CAST(sum(dt.cnt * sc.lp) AS BIGINT)
               + any_value(pri.lp_pri) AS score

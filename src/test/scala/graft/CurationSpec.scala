@@ -775,8 +775,11 @@ class CurationSpec extends AnyFunSuite {
     def lp(g: Long, l: String, t: String) = rnd6(math.log(
       (cAll.getOrElse((l, t), 0L) - cF.getOrElse((g, l, t), 0L) + 1.0) /
         (nlAll(l) - nlF.getOrElse((g, l), 0L) + nv)))
+    // smoothed prior (r13 ADVICE): finite even when a fold holds every
+    // doc of a language — matches the engine/oracle declaration
     def pri(g: Long, l: String) = rnd6(math.log(
-      (dl(l) - dlF.getOrElse((g, l), 0L)).toDouble / (dd - ddF(g))))
+      (dl(l) - dlF.getOrElse((g, l), 0L) + 1.0) /
+        (dd - ddF(g) + langs.size)))
     val expect = docs.map { case (id, trueLang, text) =>
       val cnt = toks(text).groupBy(identity)
         .map { case (t, v) => t -> v.length.toLong }
