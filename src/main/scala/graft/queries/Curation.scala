@@ -2770,14 +2770,17 @@ object Curation {
         val evalG = grams(docs.filter(!bpeTrainPred))
           .select(col("g")).distinct()
           .localCheckpoint(true) // bloom build + residual exact join
-        // expectedItems from footer stats: distinct eval grams are
-        // bounded by ~(tokens per doc) grams/doc over the 20% split —
-        // 64·|docs| oversizes safely (oversizing only wastes bits; the
-        // 8 MB cap bounds the broadcast regardless)
+        // expectedItems = the EXACT build-set size (r13 ADVICE: the old
+        // 64·|docs| heuristic undersized for corpora past ~320
+        // tokens/doc, silently raising the achieved fpp). evalG is
+        // already eagerly checkpointed for the residual join, so the
+        // count is a metadata-cheap action on the build side — the
+        // standard production sizing step, same bounded-action class as
+        // the skew router's verdict fetch. The 8 MB cap still bounds
+        // the broadcast; only fpp, never correctness, moves with size.
         val bloomBytes = buildLongBloom(
           evalG.select(xxhash64(col("g")).as("h")), "h",
-          expectedItems =
-            graft.tables.Tables.rowCount(s, d, "documents") * 64)
+          expectedItems = math.max(evalG.count(), 1L))
         val tg = grams(docs.filter(bpeTrainPred))
         val nG = tg.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"))

@@ -2583,9 +2583,14 @@ object Llm {
           .localCheckpoint(true) // recall denominator + per-config hits
         def cands(bands: Int) = {
           val rows = 16 / bands
+          // bucket key = the RAW r-long signature slice (r13 ADVICE: a
+          // 64-bit digest could, at 2^-64, admit a coarse-band candidate
+          // absent from the finer config; the raw struct makes the
+          // nested-band superset law exact, not exact-up-to-collision)
           val bandCols = (0 until bands).map { b =>
-            val hs = (0 until rows).map(r => col(s"h${b * rows + r}"))
-            struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+            val hs = (0 until rows).map(r =>
+              col(s"h${b * rows + r}").as(s"v$r"))
+            struct(lit(b).as("band"), struct(hs: _*).as("sig"))
           }
           val buckets = sig
             .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
