@@ -1411,44 +1411,7 @@ object Llm {
     // oracle-replayed with a recursive CTE. Scale: one text-hash
     // window + the memoized edge frame + CC on the survivor subgraph.
     QDef("q_dedup_cascade",
-      (s, d) => {
-        val base = documents(s, d)
-          .select(col("doc_id"),
-            size(filter(split(col("text"), " "), t => t =!= ""))
-              .cast("long").as("n_toks"),
-            md5(col("text").cast("binary")).as("h"))
-          .localCheckpoint(true) // stage-0 rollup + the keeper window
-        val k1 = base
-          .withColumn("kid", min(col("doc_id")).over(
-            Window.partitionBy(col("h"))))
-          .filter(col("doc_id") === col("kid"))
-          .select(col("doc_id"), col("n_toks"))
-          .localCheckpoint(true) // edge restriction (×2) + CC + rollup
-        val e = graft.llm.TextDedup
-          .jaccardEdgesShared(documents(s, d), "doc_id", "text",
-            threshold = 0.2, corpusKey = d)
-          .select(col("id_a"), col("id_b"))
-        val e1 = e
-          .join(k1.select(col("doc_id").as("id_a")), "id_a")
-          .join(k1.select(col("doc_id").as("id_b")), "id_b")
-          .select(col("id_a"), col("id_b"))
-        val cl = graft.llm.TextDedup
-          .clusters(k1.select(col("doc_id")), "doc_id", e1)
-        val k2 = cl.filter(col("doc_id") === col("cluster"))
-          .select(col("doc_id")).join(k1, "doc_id")
-        val stages = Seq("0_raw" -> base.select(col("doc_id"),
-          col("n_toks")), "1_exact" -> k1, "2_neardup" -> k2)
-        val w = Window.orderBy(col("stage"))
-        stages.map { case (nm, f) =>
-          f.agg(count(lit(1)).as("n_docs"), sum(col("n_toks"))
-            .as("n_tokens"))
-            .select(lit(nm).as("stage"), col("n_docs"), col("n_tokens"))
-        }.reduce(_ unionAll _)
-          .withColumn("removed_docs",
-            coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"),
-              lit(0L)))
-          .orderBy(col("stage"))
-      },
+      (s, d) => dedupCascade(s, d, sampled = false),
       Some(s"""WITH RECURSIVE base AS (SELECT doc_id,
             CAST(len(list_filter(string_split(text, ' '),
               t -> t <> '')) AS BIGINT) AS n_toks,
@@ -1481,6 +1444,55 @@ object Llm {
           CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0)
             AS BIGINT) AS removed_docs
         FROM st ORDER BY stage""")),
+
+    // SAMPLED CASCADE AUDIT TWIN (r14, VERDICT directive 3) — the
+    // cascade's bounded-cost instrument at scales where the exact
+    // pairwise edge build exceeds single-node scratch (the cascade
+    // inherits the dup-graph family's measured 100× storage
+    // exclusion): the identical raw → exact → near-dup funnel over the
+    // deterministic 1/4 doc stratum (first md5 nibble of doc_id ≤ 3 ⇒
+    // 1/16 of the pair work — the q_label_prop_sampled cadence, and
+    // the SAME memoized stratum edge frame, key "$d#nib3"). Pipeline,
+    // keeper rule, CC machinery, and rollup are shared VERBATIM via
+    // dedupCascade with only the document WHERE injected, so the audit
+    // cannot drift from the operator it bounds.
+    QDef("q_dedup_cascade_sampled",
+      (s, d) => dedupCascade(s, d, sampled = true),
+      Some {
+        val w = s" WHERE ${Llm.docSampleNibbleSql("doc_id")} <= 3"
+        s"""WITH RECURSIVE base AS (SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> t <> '')) AS BIGINT) AS n_toks,
+            md5(text) AS h
+          FROM documents$w),
+        k1 AS (SELECT doc_id, n_toks FROM (SELECT *,
+            min(doc_id) OVER (PARTITION BY h) AS kid FROM base)
+          WHERE doc_id = kid),
+        ${Llm.dupEdgesCteW("0.2", w)},
+        e1 AS (SELECT id_a, id_b FROM edges0
+          WHERE id_a IN (SELECT doc_id FROM k1)
+            AND id_b IN (SELECT doc_id FROM k1)),
+        eb AS (SELECT id_a AS a, id_b AS b FROM e1
+          UNION ALL SELECT id_b, id_a FROM e1),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM k1
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN eb e ON e.a = reach.id),
+        k2 AS (SELECT k1.doc_id, k1.n_toks
+          FROM (SELECT id, min(r) AS c FROM reach GROUP BY id) cc
+          JOIN k1 ON cc.id = k1.doc_id WHERE cc.c = cc.id),
+        st AS (
+          SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM base
+          UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT),
+            CAST(sum(n_toks) AS BIGINT) FROM k1
+          UNION ALL SELECT '2_neardup', CAST(count(*) AS BIGINT),
+            CAST(sum(n_toks) AS BIGINT) FROM k2)
+        SELECT stage, n_docs, n_tokens,
+          CAST(COALESCE(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0)
+            AS BIGINT) AS removed_docs
+        FROM st ORDER BY stage"""
+      }),
 
     // Canonical KEEPER SELECTION per dup cluster — the step after
     // clustering in a real dedup pipeline: instead of the min-id
@@ -2570,90 +2582,7 @@ object Llm {
     // all four configs; each config adds only its band-bucket
     // equi-join — the sweep costs ~the finest config, not the sum.
     QDef("q_lsh_band_sweep",
-      (s, d) => {
-        val docs = documents(s, d)
-        val sig = graft.llm.TextDedup
-          .minhashSignatures(docs, "doc_id", "text", nPerm = 16)
-          .localCheckpoint(true) // banded four ways below
-        val exact = graft.llm.TextDedup
-          .jaccardEdgesShared(docs, "doc_id", "text",
-            threshold = 0.2, corpusKey = d)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id_a"), col("id_b"))
-          .localCheckpoint(true) // recall denominator + per-config hits
-        def cands(bands: Int) = {
-          val rows = 16 / bands
-          // bucket key = the RAW r-long signature slice (r13 ADVICE: a
-          // 64-bit digest could, at 2^-64, admit a coarse-band candidate
-          // absent from the finer config; the raw struct makes the
-          // nested-band superset law exact, not exact-up-to-collision)
-          val bandCols = (0 until bands).map { b =>
-            val hs = (0 until rows).map(r =>
-              col(s"h${b * rows + r}").as(s"v$r"))
-            struct(lit(b).as("band"), struct(hs: _*).as("sig"))
-          }
-          val buckets = sig
-            .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          buckets.as("a").join(buckets.as("b"),
-              col("a.bk") === col("b.bk") &&
-                col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-            .distinct()
-        }
-        val configs = Seq(2, 4, 8, 16)
-        val cand = configs.map(b => b -> cands(b).localCheckpoint(true))
-          .toMap
-        // measured recall floors vs exact J ≥ 0.5 (AnnGateProbe
-        // cadence across sf0.001/0.01/0.1: b=2 0.88–0.93, b≥4 = 1.00 —
-        // the ≥0.5 pairs are near-identical, so bands hit; floors at
-        // the established ~2/3 margin). The nested-band law guarantees
-        // MONOTONE; the floors pin the LEVEL.
-        val floors = Map(2 -> 600000L, 4 -> 650000L, 8 -> 650000L,
-          16 -> 650000L)
-        import s.implicits._
-        val nExact = exact.agg(count(lit(1)).as("n_exact"))
-        val tagged = configs.map { b =>
-          cand(b).select(lit(b.toLong).as("n_bands"), col("id_a"),
-            col("id_b"))
-        }.reduce(_ unionAll _)
-        // left-join from the static config frame so a candidate-less
-        // config still emits its row (n_true = 0) instead of vanishing
-        val confFrame = configs.map(b => (b.toLong, (16 / b).toLong))
-          .toDF("n_bands", "rows_per_band")
-        val per = confFrame
-          .join(tagged
-            .join(exact.withColumn("hit", lit(1L)), Seq("id_a", "id_b"),
-              "left")
-            .groupBy(col("n_bands"))
-            .agg(sum(coalesce(col("hit"), lit(0L))).as("n_true")),
-            Seq("n_bands"), "left")
-          .crossJoin(broadcast(nExact))
-          .select(col("n_bands"), col("rows_per_band"),
-            coalesce(col("n_true"), lit(0L)).as("n_true"),
-            col("n_exact"))
-        // deterministic superset law: candidates(b) \ candidates(2b)
-        // must be EMPTY (nested bands) — asserted pairwise
-        val vio = Seq((2, 4), (4, 8), (8, 16)).map { case (lo, hi) =>
-          cand(lo).join(cand(hi), Seq("id_a", "id_b"), "left_anti")
-            .agg(count(lit(1)).as("v"))
-            .select(lit(hi.toLong).as("n_bands"), col("v"))
-        }.reduce(_ unionAll _)
-        val floorCol = configs.map(b =>
-          when(col("n_bands") === b.toLong,
-            col("n_true") * 1000000L >= lit(floors(b)) * col("n_exact")))
-          .reduceRight(_ otherwise _) // right-nested: one when per config
-        val w = Window.orderBy(col("n_bands"))
-        per.join(vio, Seq("n_bands"), "left")
-          .select(col("n_bands"), col("rows_per_band"), col("n_true"),
-            col("n_exact"), coalesce(col("v"), lit(0L)).as("v"))
-          .select(col("n_bands"), col("rows_per_band"),
-            col("n_exact"),
-            floorCol.cast("long").as("floor_ok"),
-            (col("v") === 0L).cast("long").as("superset_ok"),
-            coalesce(col("n_true") >= lag(col("n_true"), 1).over(w),
-              lit(true)).cast("long").as("mono_ok"))
-          .orderBy(col("n_bands"))
-      },
+      (s, d) => lshBandSweep(s, d, sampled = false),
       Some(s"""WITH $dupPairsCte,
         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pairs
           JOIN sizes sa ON id_a = sa.doc_id
@@ -2667,6 +2596,37 @@ object Llm {
           (4, 4, 1, 1, 1), (8, 2, 1, 1, 1), (16, 1, 1, 1, 1))
           t(n_bands, rows_per_band, floor_ok, superset_ok, mono_ok)
         CROSS JOIN ne ORDER BY t.n_bands""")),
+
+    // SAMPLED BAND-SWEEP AUDIT TWIN (r14, VERDICT directive 3) — the
+    // sweep's bounded instrument at scales where the exact ≥ 0.5
+    // recall denominator (the shared pairwise edge frame) exceeds
+    // single-node scratch: the identical 4-config nested-band sweep
+    // over the deterministic 1/4 doc stratum (first md5 nibble ≤ 3 ⇒
+    // 1/16 of the pair work; the shared "#nib3" stratum edge frame).
+    // Per-pair band-hit probability is a function of the pair's own
+    // signatures alone, so the stratum estimates the full sweep's
+    // recall curve unbiasedly; the superset/monotone laws hold
+    // exactly on any subset by construction. Machinery shared
+    // VERBATIM via lshBandSweep with only the document WHERE (and the
+    // stratum memo key) injected.
+    QDef("q_lsh_band_sweep_sampled",
+      (s, d) => lshBandSweep(s, d, sampled = true),
+      Some {
+        val w = s" WHERE ${Llm.docSampleNibbleSql("doc_id")} <= 3"
+        s"""WITH ${dupPairsCteW(w)},
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pairs
+          JOIN sizes sa ON id_a = sa.doc_id
+          JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
+        SELECT t.n_bands, t.rows_per_band, ne.n_exact, t.floor_ok,
+          t.superset_ok, t.mono_ok
+        FROM (VALUES
+          (CAST(2 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+          (4, 4, 1, 1, 1), (8, 2, 1, 1, 1), (16, 1, 1, 1, 1))
+          t(n_bands, rows_per_band, floor_ok, superset_ok, mono_ok)
+        CROSS JOIN ne ORDER BY t.n_bands"""
+      }),
 
     QDef("q_minhash_sig",
       (s, d) => {
@@ -4701,4 +4661,151 @@ object Llm {
         LEFT JOIN borderlab b ON p.vec_id = b.vec_id
         ORDER BY p.vec_id"""))
   )
+
+  /** Shared pipeline of q_lsh_band_sweep / q_lsh_band_sweep_sampled —
+    * one definition, so the sampled audit twin cannot drift. ONE
+    * 16-permutation signature set banded four nested ways; recall
+    * floors are pinned per mode (measured at sf0.001/0.01/0.1, the
+    * AnnGateProbe cadence, ~2/3 margin under the observed minimum). */
+  private def lshBandSweep(s: org.apache.spark.sql.SparkSession,
+      d: String, sampled: Boolean): org.apache.spark.sql.DataFrame = {
+    val docs0 = documents(s, d)
+    val docs = if (sampled)
+      docs0.filter(docSampleNibble(col("doc_id")) <= 3) else docs0
+    val sig = graft.llm.TextDedup
+      .minhashSignatures(docs, "doc_id", "text", nPerm = 16)
+      .localCheckpoint(true) // banded four ways below
+    val exact = graft.llm.TextDedup
+      .jaccardEdgesShared(docs, "doc_id", "text",
+        threshold = 0.2, corpusKey = if (sampled) s"$d#nib3" else d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // recall denominator + per-config hits
+    def cands(bands: Int) = {
+      val rows = 16 / bands
+      // bucket key = the RAW r-long signature slice (r13 ADVICE: a
+      // 64-bit digest could, at 2^-64, admit a coarse-band candidate
+      // absent from the finer config; the raw struct makes the
+      // nested-band superset law exact, not exact-up-to-collision)
+      val bandCols = (0 until bands).map { b =>
+        val hs = (0 until rows).map(r =>
+          col(s"h${b * rows + r}").as(s"v$r"))
+        struct(lit(b).as("band"), struct(hs: _*).as("sig"))
+      }
+      val buckets = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      buckets.as("a").join(buckets.as("b"),
+          col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+    }
+    val configs = Seq(2, 4, 8, 16)
+    val cand = configs.map(b => b -> cands(b).localCheckpoint(true))
+      .toMap
+    // measured recall floors vs exact J ≥ 0.5 (BandSweepProbe across
+    // sf0.001/0.01/0.1: full corpus b=2 0.88–0.93, b≥4 = 1.00; the
+    // 1/4 stratum b=2 0.50–1.00 — per-pair hit probability is
+    // signature-local so the stratum estimate is unbiased, but its
+    // tiny denominator at sf0.001 (4 pairs) widens the variance, so
+    // the sampled b=2 floor sits at the ~2/3 margin under the 0.50
+    // observed minimum). The nested-band law guarantees MONOTONE; the
+    // floors pin the LEVEL.
+    val floors =
+      if (sampled) Map(2 -> 300000L, 4 -> 650000L, 8 -> 650000L,
+        16 -> 650000L)
+      else Map(2 -> 600000L, 4 -> 650000L, 8 -> 650000L,
+        16 -> 650000L)
+    import s.implicits._
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val tagged = configs.map { b =>
+      cand(b).select(lit(b.toLong).as("n_bands"), col("id_a"),
+        col("id_b"))
+    }.reduce(_ unionAll _)
+    // left-join from the static config frame so a candidate-less
+    // config still emits its row (n_true = 0) instead of vanishing
+    val confFrame = configs.map(b => (b.toLong, (16 / b).toLong))
+      .toDF("n_bands", "rows_per_band")
+    val per = confFrame
+      .join(tagged
+        .join(exact.withColumn("hit", lit(1L)), Seq("id_a", "id_b"),
+          "left")
+        .groupBy(col("n_bands"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_true")),
+        Seq("n_bands"), "left")
+      .crossJoin(broadcast(nExact))
+      .select(col("n_bands"), col("rows_per_band"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        col("n_exact"))
+    // deterministic superset law: candidates(b) \ candidates(2b)
+    // must be EMPTY (nested bands) — asserted pairwise
+    val vio = Seq((2, 4), (4, 8), (8, 16)).map { case (lo, hi) =>
+      cand(lo).join(cand(hi), Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit(hi.toLong).as("n_bands"), col("v"))
+    }.reduce(_ unionAll _)
+    val floorCol = configs.map(b =>
+      when(col("n_bands") === b.toLong,
+        col("n_true") * 1000000L >= lit(floors(b)) * col("n_exact")))
+      .reduceRight(_ otherwise _) // right-nested: one when per config
+    val w = Window.orderBy(col("n_bands"))
+    per.join(vio, Seq("n_bands"), "left")
+      .select(col("n_bands"), col("rows_per_band"), col("n_true"),
+        col("n_exact"), coalesce(col("v"), lit(0L)).as("v"))
+      .select(col("n_bands"), col("rows_per_band"),
+        col("n_exact"),
+        floorCol.cast("long").as("floor_ok"),
+        (col("v") === 0L).cast("long").as("superset_ok"),
+        coalesce(col("n_true") >= lag(col("n_true"), 1).over(w),
+          lit(true)).cast("long").as("mono_ok"))
+      .orderBy(col("n_bands"))
+  }
+
+  /** Shared pipeline of q_dedup_cascade / q_dedup_cascade_sampled —
+    * one definition, so the sampled audit twin cannot drift from the
+    * operator it bounds. `sampled` restricts to the deterministic 1/4
+    * doc stratum (first md5 nibble ≤ 3 ⇒ 1/16 of the pair work) and
+    * memoizes the stratum's edge frame under its own corpus key. */
+  private def dedupCascade(s: org.apache.spark.sql.SparkSession,
+      d: String, sampled: Boolean): org.apache.spark.sql.DataFrame = {
+    val dset = if (sampled)
+      documents(s, d).filter(docSampleNibble(col("doc_id")) <= 3)
+    else documents(s, d)
+    val base = dset
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_toks"),
+        md5(col("text").cast("binary")).as("h"))
+      .localCheckpoint(true) // stage-0 rollup + the keeper window
+    val k1 = base
+      .withColumn("kid", min(col("doc_id")).over(
+        Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("kid"))
+      .select(col("doc_id"), col("n_toks"))
+      .localCheckpoint(true) // edge restriction (×2) + CC + rollup
+    val e = graft.llm.TextDedup
+      .jaccardEdgesShared(dset, "doc_id", "text",
+        threshold = 0.2, corpusKey = if (sampled) s"$d#nib3" else d)
+      .select(col("id_a"), col("id_b"))
+    val e1 = e
+      .join(k1.select(col("doc_id").as("id_a")), "id_a")
+      .join(k1.select(col("doc_id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+    val cl = graft.llm.TextDedup
+      .clusters(k1.select(col("doc_id")), "doc_id", e1)
+    val k2 = cl.filter(col("doc_id") === col("cluster"))
+      .select(col("doc_id")).join(k1, "doc_id")
+    val stages = Seq("0_raw" -> base.select(col("doc_id"),
+      col("n_toks")), "1_exact" -> k1, "2_neardup" -> k2)
+    val w = Window.orderBy(col("stage"))
+    stages.map { case (nm, f) =>
+      f.agg(count(lit(1)).as("n_docs"), sum(col("n_toks"))
+        .as("n_tokens"))
+        .select(lit(nm).as("stage"), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+      .withColumn("removed_docs",
+        coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"),
+          lit(0L)))
+      .orderBy(col("stage"))
+  }
 }

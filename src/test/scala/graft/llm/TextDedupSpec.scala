@@ -494,6 +494,34 @@ class TextDedupSpec extends AnyFunSuite {
       "integer-exact Lloyd must be bit-reproducible across runs")
   }
 
+  test("r14 sampled cascade/band-sweep twins: stratum-exact funnel, " +
+    "laws hold on the subset") {
+    def docNib(c: org.apache.spark.sql.Column) = conv(
+      substring(md5(c.cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("long")
+    // cascade twin: stage 0 is EXACTLY the declared 1/4 stratum, the
+    // funnel is monotone, and removed_docs reconciles the stages
+    val cas = graft.SparkEntry.queries("q_dedup_cascade_sampled")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cas.map(_._1).toSeq == Seq("0_raw", "1_exact", "2_neardup"))
+    val stratumN = graft.tables.Tables.documents(spark, TestSpark.sf0001)
+      .filter(docNib(col("doc_id")) <= 3).count()
+    assert(cas(0)._2 == stratumN, "stage 0 must equal the 1/4 stratum")
+    cas.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, "funnel must be monotone")
+      assert(b._4 == a._2 - b._2, "removed_docs must reconcile")
+      case _ => ()
+    }
+    // band-sweep twin: all three laws green on the stratum
+    val sw = graft.SparkEntry.queries("q_lsh_band_sweep_sampled")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(sw.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    assert(sw.forall(x => x._2 == 1L && x._3 == 1L && x._4 == 1L),
+      s"floor/superset/mono must all hold on the stratum: ${sw.toSeq}")
+  }
+
   test("declared corpus queries run: lang-id beats chance, fingerprints stable") {
     val langAcc = graft.SparkEntry.queries("q_lang_id")(spark, TestSpark.sf0001)
       .agg(avg(col("correct"))).as[Double].head()
