@@ -962,6 +962,44 @@ object Corpus {
             ORDER BY cnt DESC, item) AS BIGINT) AS rank
         FROM c ORDER BY day, rank""")),
 
+    // WINDOWED TOP-K WITH STATE EVICTION — the 12th stateful twin
+    // (r13 VERDICT directive 5): the Misra–Gries summary composed
+    // with a per-window LIFETIME. Keys are 7-day tumbling windows;
+    // state is one MG(k = 32) summary per OPEN window; in event-time
+    // mode each window arms a timer at its own end and, when the
+    // watermark passes it, emits a final __closed__ tombstone and
+    // CLEARS its state — so state is bounded by the watermark
+    // horizon's open-window count, never the stream length (the
+    // eviction ≡ batch proof, including the state-store row count
+    // actually dropping, is StreamingSpec's multi-batch run). The
+    // GATE runs batch-mode (one batch, TimeMode.None, nothing to
+    // evict) with the item domain below k, so the summary is provably
+    // the exact per-window count map — oracled by the exact ranked
+    // type counts per window, the q_heavyhitters_stream_twin thesis
+    // lifted from days to bounded-lifetime windows.
+    QDef("q_topk_window_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.winTop(ev).toDF()
+          .select(col("win"), col("win_start_day"), col("item"),
+            col("cnt"), col("rank"))
+          .orderBy(col("win"), col("rank"))
+      },
+      Some("""WITH c AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+              AS win,
+            event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT win, CAST(win * 7 AS BIGINT) AS win_start_day, item, cnt,
+          CAST(row_number() OVER (PARTITION BY win
+            ORDER BY cnt DESC, item) AS BIGINT) AS rank
+        FROM c ORDER BY win, rank""")),
+
     // Two-sample KOLMOGOROV–SMIRNOV drift matrix — the distribution-shift
     // test beside the KL/chi² family: for every source pair, D = max_v
     // |ECDF_a(v) − ECDF_b(v)| over the doc-length distribution, kept

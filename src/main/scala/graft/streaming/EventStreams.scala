@@ -861,4 +861,74 @@ object EventStreams {
     }.transformWithState(new MgDayProcessor(k), TimeMode.None(),
       OutputMode.Update)
   }
+
+  final case class WinTopItem(win: Long, win_start_day: Long,
+    item: String, cnt: Long, rank: Long)
+
+  /** WINDOWED TOP-K WITH STATE EVICTION (twin #12) — the per-day
+    * Misra–Gries twin composed with a per-window lifetime: keys are
+    * 7-day tumbling windows, state is one serialized MG(k) summary
+    * per OPEN window, and in event-time mode (`evict = true`) each
+    * window registers a timer at its own event-time END — when the
+    * watermark passes it, the timer fires, the processor emits a
+    * final `__closed__` tombstone carrying the summary's item count,
+    * and CLEARS the state, so total state is bounded by the number of
+    * windows still inside the watermark horizon, never by the stream
+    * length. Batch/gate mode (`evict = false`, TimeMode.None) shares
+    * the identical fold/merge/emit path with no timers — one batch,
+    * nothing to evict. The eviction ≡ batch proof (tombstone per
+    * closed window + the state store row count actually dropping)
+    * lives in StreamingSpec's multi-batch MemoryStream run. */
+  class WinTopProcessor(k: Int, winUs: Long, epochUs: Long, evict: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, WinTopItem] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("wintop",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[WinTopItem] = {
+      val batch = new graft.functions.MGSummary(k)
+      rows.foreach(r => batch.add(r.event_type))
+      val cur =
+        if (state.exists()) graft.functions.MGSummary.deserialize(state.get())
+        else new graft.functions.MGSummary(k)
+      cur.mergeIn(batch)
+      state.update(cur.serialize())
+      // re-registering the same expiry is idempotent (timers key on
+      // the timestamp), so every batch may safely re-arm it
+      if (evict) getHandle.registerTimer((epochUs + (key + 1) * winUs) / 1000L)
+      cur.counts.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+        .iterator.map { case ((t, c), i) =>
+          WinTopItem(key, key * (winUs / 86400000000L), t, c, i + 1L) }
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[WinTopItem] = {
+      val n = if (state.exists())
+        graft.functions.MGSummary.deserialize(state.get()).counts.size
+      else 0
+      state.clear()
+      Iterator.single(WinTopItem(key, key * (winUs / 86400000000L),
+        "__closed__", n.toLong, 0L))
+    }
+  }
+
+  def winTop(events: Dataset[EventRow], k: Int = 32, winDays: Long = 7L,
+      epochUs: Long = 1704067200000000L,
+      evict: Boolean = false): Dataset[WinTopItem] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val winUs = winDays * 86400000000L
+    val src = if (evict) events.withWatermark("ts", "1 hour") else events
+    src.groupByKey { r =>
+      val us = Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+        r.ts.getNanos / 1000L
+      Math.floorDiv(us - epochUs, winUs)
+    }.transformWithState(new WinTopProcessor(k, winUs, epochUs, evict),
+      if (evict) TimeMode.EventTime() else TimeMode.None(),
+      OutputMode.Update)
+  }
 }

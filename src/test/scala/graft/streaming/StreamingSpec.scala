@@ -1015,6 +1015,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("twin #12 windowed top-k: timer eviction on watermark passage — " +
+    "closed window emits tombstone, state row count drops, no resurrection") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.winTop(mem.toDS(), k = 32, winDays = 7L,
+        evict = true).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_wintop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wintop_chk").toString)
+        .start()
+      def stateRows: Long =
+        Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal)
+          .getOrElse(-1L)
+      try {
+        // window 0 = days 0–6 (2024-01-01 .. 01-07)
+        mem.addData(row(1, ts(1, 1), typ = "a"),
+          row(2, ts(2, 1), typ = "a"), row(3, ts(3, 1), typ = "b"))
+        q.processAllAvailable()
+        mem.addData(row(4, ts(5, 1), typ = "b")) // merges into window 0
+        q.processAllAvailable()
+        val openRows = stateRows
+        // far future (day 28 → window 3): watermark will pass window
+        // 0's end (day 7) once this batch's max event time registers
+        mem.addData(row(5, ts(28, 1), typ = "c"))
+        q.processAllAvailable()
+        // timers fire against the watermark set by the PREVIOUS batch
+        // — one more batch lets window 0's timer expire
+        mem.addData(row(6, ts(28, 2), typ = "c"))
+        q.processAllAvailable()
+        val afterFire = stateRows
+        // a day-1 straggler is beyond the watermark: dropped, so the
+        // closed window must NOT resurrect
+        mem.addData(row(7, ts(1, 6), typ = "a"))
+        q.processAllAvailable()
+        val out = spark.table("t_wintop")
+          .select(col("win"), col("item"), col("cnt"), col("rank"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        // final pre-close update for window 0 = exact batch counts
+        val w0 = out.filter(x => x._1 == 0L && x._2 != "__closed__")
+          .groupBy(_._2).map(_._2.maxBy(_._3)).toSeq
+          .map(x => (x._2, x._3)).sortBy(_._1)
+        assert(w0 == Seq(("a", 2L), ("b", 2L)),
+          s"window-0 counts must merge across batches: $w0")
+        // exactly ONE tombstone for window 0, carrying its item count
+        val tomb = out.filter(_._2 == "__closed__")
+        assert(tomb.count(_._1 == 0L) == 1,
+          s"window 0 must close exactly once: ${tomb.toSeq}")
+        assert(tomb.find(_._1 == 0L).get._3 == 2L,
+          "tombstone must carry the evicted summary's item count")
+        // eviction is real: the state store sheds window 0's row
+        assert(afterFire < openRows + 1,
+          s"state rows must drop after eviction: open=$openRows after=$afterFire")
+        // no window-0 update rows after the tombstone (no resurrection)
+        assert(out.count(x => x._1 == 0L && x._2 == "a") == 2,
+          "late straggler must not reopen the closed window")
+      } finally q.stop()
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
