@@ -1075,6 +1075,201 @@ object Corpus {
         GROUP BY 1, 2, 3, 4
         ORDER BY source_a, source_b""")),
 
+    // CRAMÉR'S V EFFECT SIZE (r14) — the magnitude companion to
+    // q_chi2_independence's per-cell grid: a 100 TB corpus makes every
+    // χ² "significant", so the audit a pipeline actually gates on is
+    // the EFFECT SIZE V = sqrt(χ²/(N·(min(r,c)−1))) ∈ [0, 1]. χ² is
+    // re-derived from the IDENTICAL cleared-integer per-cell
+    // expression q_chi2_independence declares (same text, so the two
+    // operators cannot drift), summed exactly as BIGINTs; the single
+    // sqrt is one transcendental chain over two already-exact
+    // integers, identical text in both engines, rounded once to the
+    // e6 grid (class C). Scale: one (lang, source) hash-agg + two
+    // marginals + a 1-row certificate.
+    QDef("q_cramers_v",
+      (s, d) => {
+        val docs = documents(s, d)
+        val cells = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rows = docs.groupBy(col("lang")).agg(count(lit(1)).as("rs"))
+        val cols_ = docs.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+        val tot = docs.agg(count(lit(1)).as("n"))
+        rows.crossJoin(broadcast(cols_))
+          .join(cells, Seq("lang", "source"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("n"),
+            expr("CAST(o*n - rs*cs AS DECIMAL(38,0))" +
+              " * (o*n - rs*cs) * 1000000" +
+              " div (CAST(n AS DECIMAL(38,0)) * rs * cs)")
+              .as("contrib_ppm"),
+            col("lang"), col("source"))
+          .groupBy(col("n"))
+          .agg(sum(col("contrib_ppm")).cast("long").as("chi2_ppm"),
+            countDistinct(col("lang")).as("n_rows"),
+            countDistinct(col("source")).as("n_cols"))
+          .select(col("n"), col("n_rows"), col("n_cols"),
+            ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+            col("chi2_ppm"),
+            expr("CAST(round(sqrt((chi2_ppm / 1000000.0)" +
+              " / (n * (least(n_rows, n_cols) - 1))) * 1000000, 0)" +
+              " AS BIGINT)").as("v_ppm"))
+      },
+      Some("""WITH cells AS (SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY 1, 2),
+          r AS (SELECT lang, count(*) AS rs FROM documents GROUP BY 1),
+          c AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1),
+          tot AS (SELECT count(*) AS n FROM documents),
+          g AS (SELECT CAST(n AS BIGINT) AS n,
+              CAST(CAST(coalesce(o, 0)*n - rs*cs AS HUGEINT)
+                * (coalesce(o, 0)*n - rs*cs) * 1000000
+                // (CAST(n AS HUGEINT) * rs * cs) AS BIGINT) AS contrib,
+              lang, source
+            FROM r CROSS JOIN c
+            LEFT JOIN cells USING (lang, source)
+            CROSS JOIN tot),
+          a AS (SELECT n, CAST(sum(contrib) AS BIGINT) AS chi2_ppm,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_cols
+            FROM g GROUP BY n)
+        SELECT n, n_rows, n_cols,
+          (n_rows - 1) * (n_cols - 1) AS dof, chi2_ppm,
+          CAST(round(sqrt((chi2_ppm / 1000000.0)
+            / (n * (least(n_rows, n_cols) - 1))) * 1000000, 0)
+            AS BIGINT) AS v_ppm
+        FROM a""")),
+
+    // JENSEN–SHANNON DIVERGENCE MATRIX (r14) — the bounded symmetric
+    // drift measure beside KS (ECDF shape) and PSI (binned ratios):
+    // JS(p‖q) = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q), over each source
+    // pair's LANGUAGE distribution. Every p/q is an exact count ratio;
+    // each KL term is ONE transcendental chain over exact integers —
+    // (ca/ta)·round(ln(2·ca·tb / (ca·tb + cb·ta)), 4) — the ln
+    // quantized to 4 dp BEFORE the product (the q_psi_drift ulp
+    // discipline), the term pre-rounded to the e6 grid per (pair,
+    // lang) and summed as BIGINTs (no float sums, no ordering hazard);
+    // zero-count terms are 0 by the KL convention. Scale: one (source,
+    // lang) hash-agg, then everything lives on the |sources|²·|langs|
+    // bounded grid.
+    QDef("q_js_divergence",
+      (s, d) => {
+        val docs = documents(s, d)
+        val cnts = docs.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // both sides of the pair grid
+        val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("t"))
+        val langs = docs.select(col("lang")).distinct()
+        val pairs = tot.select(col("source").as("source_a"),
+            col("t").as("ta"))
+          .crossJoin(broadcast(tot.select(col("source").as("source_b"),
+            col("t").as("tb"))))
+          .filter(col("source_a") < col("source_b"))
+        val grid = pairs.crossJoin(broadcast(langs))
+          .join(cnts.select(col("source").as("source_a"),
+            col("lang"), col("c").as("ca")), Seq("source_a", "lang"),
+            "left")
+          .join(cnts.select(col("source").as("source_b"),
+            col("lang"), col("c").as("cb")), Seq("source_b", "lang"),
+            "left")
+          .select(col("source_a"), col("source_b"), col("ta"), col("tb"),
+            coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+        grid
+          .select(col("source_a"), col("source_b"), col("ta"), col("tb"),
+            expr("CASE WHEN ca > 0 THEN CAST(round((ca / (ta * 1.0))" +
+              " * round(ln((2.0 * ca * tb)" +
+              " / (1.0 * ca * tb + 1.0 * cb * ta)), 4)" +
+              " * 1000000, 0) AS BIGINT) ELSE 0 END").as("tp"),
+            expr("CASE WHEN cb > 0 THEN CAST(round((cb / (tb * 1.0))" +
+              " * round(ln((2.0 * cb * ta)" +
+              " / (1.0 * ca * tb + 1.0 * cb * ta)), 4)" +
+              " * 1000000, 0) AS BIGINT) ELSE 0 END").as("tq"))
+          .groupBy(col("source_a"), col("source_b"), col("ta"), col("tb"))
+          .agg(sum(col("tp")).as("klp"), sum(col("tq")).as("klq"))
+          .select(col("source_a"), col("source_b"),
+            col("ta").as("n_a"), col("tb").as("n_b"),
+            expr("(klp + klq) div 2").as("js_e6"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH cnts AS (SELECT source, lang, count(*) AS c
+            FROM documents GROUP BY 1, 2),
+          tot AS (SELECT source, count(*) AS t FROM documents GROUP BY 1),
+          langs AS (SELECT DISTINCT lang FROM documents),
+          pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+              a.t AS ta, b.t AS tb
+            FROM tot a JOIN tot b ON a.source < b.source),
+          grid AS (SELECT p.source_a, p.source_b, p.ta, p.tb,
+              coalesce(x.c, 0) AS ca, coalesce(y.c, 0) AS cb
+            FROM pairs p CROSS JOIN langs l
+            LEFT JOIN cnts x ON x.source = p.source_a AND x.lang = l.lang
+            LEFT JOIN cnts y ON y.source = p.source_b AND y.lang = l.lang),
+          terms AS (SELECT source_a, source_b, ta, tb,
+              CASE WHEN ca > 0 THEN CAST(round((ca / (ta * 1.0))
+                * round(ln((2.0 * ca * tb)
+                  / (1.0 * ca * tb + 1.0 * cb * ta)), 4)
+                * 1000000, 0) AS BIGINT) ELSE 0 END AS tp,
+              CASE WHEN cb > 0 THEN CAST(round((cb / (tb * 1.0))
+                * round(ln((2.0 * cb * ta)
+                  / (1.0 * ca * tb + 1.0 * cb * ta)), 4)
+                * 1000000, 0) AS BIGINT) ELSE 0 END AS tq
+            FROM grid)
+        SELECT source_a, source_b,
+          CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+          CAST((sum(tp) + sum(tq)) // 2 AS BIGINT) AS js_e6
+        FROM terms GROUP BY 1, 2, ta, tb
+        ORDER BY source_a, source_b""")),
+
+    // HILL TAIL-INDEX ESTIMATOR (r14) — is the doc-length distribution
+    // heavy-tailed, and how heavy? The power-law exponent audit a
+    // pretraining pipeline runs before choosing length cutoffs (a
+    // Pareto tail means truncation budgets are dominated by a few
+    // giants). Hill (1975) over the top k = 100 order statistics:
+    // α̂ = k / Σ ln(x_i / x_ref) with x_ref the (k+1)-th largest.
+    // Selection is TakeOrdered top-(k+1) under the total order
+    // (n_chars desc, doc_id) — per-partition top-k then merge, never a
+    // global sort (the scale-safe selection Spark compiles limit+sort
+    // to); each ln term is pre-rounded to the e6 grid and summed as
+    // BIGINTs; α̂ lands by one cross-multiplied integer division.
+    QDef("q_hill_tail",
+      (s, d) => {
+        val k = 100L
+        val top = documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(k.toInt + 1)
+          .localCheckpoint(true) // 101 rows: ref row + the k terms
+        val ref = top.orderBy(col("n_chars"), col("doc_id").desc)
+          .limit(1).select(col("n_chars").as("x_ref"))
+        top.crossJoin(broadcast(ref))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(k.toInt)
+          .select(col("n_chars"), col("x_ref"))
+          .select(col("x_ref"),
+            expr("CAST(round(ln(CAST(n_chars AS DOUBLE) / x_ref)" +
+              " * 1000000, 0) AS BIGINT)").as("lt"))
+          .groupBy(col("x_ref"))
+          .agg(count(lit(1)).as("k"), sum(col("lt")).as("sum_ln_e6"))
+          .select(col("k"), col("x_ref"), col("sum_ln_e6"),
+            expr("k * 1000000000000 div greatest(sum_ln_e6, 1)")
+              .as("alpha_ppm"))
+      },
+      Some("""WITH top AS (SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 101),
+          ref AS (SELECT n_chars AS x_ref FROM top
+            ORDER BY n_chars, doc_id DESC LIMIT 1),
+          terms AS (SELECT x_ref,
+              CAST(round(ln(CAST(n_chars AS DOUBLE) / x_ref)
+                * 1000000, 0) AS BIGINT) AS lt
+            FROM (SELECT doc_id, n_chars FROM top
+              ORDER BY n_chars DESC, doc_id LIMIT 100)
+            CROSS JOIN ref)
+        SELECT CAST(count(*) AS BIGINT) AS k, x_ref,
+          CAST(sum(lt) AS BIGINT) AS sum_ln_e6,
+          CAST(count(*) * 1000000000000
+            // greatest(CAST(sum(lt) AS BIGINT), 1) AS BIGINT)
+            AS alpha_ppm
+        FROM terms GROUP BY x_ref""")),
+
     // PSI DRIFT (population stability index) — the scorecard-monitoring
     // drift metric beside q_ks_drift (KS compares CDF sup-distance
     // between source slices; PSI compares BINNED mass between the train

@@ -2824,6 +2824,173 @@ object Curation {
             THEN 'contaminated' ELSE 'clean' END AS verdict
         FROM agg ORDER BY doc_id""")),
 
+    // GOOD–TURING FREQUENCY SMOOTHING (r14) — the frequency-of-
+    // frequencies table (Good 1953) beside the Kneser–Ney family: for
+    // token counts r = 1..10, N_r (how many types occur exactly r
+    // times), the adjusted count r* = (r+1)·N_{r+1}/N_r on the e6 grid
+    // (one cross-multiplied BIGINT division — class A), and the
+    // missing-mass estimate P₀ = N₁/N the smoother exists for. The
+    // static 1..10 grid left-joins the observed N_r frame so sparse
+    // rows survive as zeros. Scale: ONE corpus wordcount agg; the
+    // freq-of-freq agg and everything after live on the ≤|distinct
+    // counts| frame.
+    QDef("q_good_turing",
+      (s, d) => {
+        import s.implicits._
+        val wc = documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("r"))
+        val nr = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+          .localCheckpoint(true) // grid join ×2 + the totals row
+        val tot = nr.agg(sum(col("r") * col("n_r")).as("n_tok"),
+          coalesce(sum(when(col("r") === 1L, col("n_r"))
+            .otherwise(0L)), lit(0L)).as("n1"))
+        (1L to 10L).toDF("r")
+          .join(nr, Seq("r"), "left")
+          .join(nr.select((col("r") - 1).as("r"),
+            col("n_r").as("n_r1")), Seq("r"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("r"),
+            coalesce(col("n_r"), lit(0L)).as("n_r"),
+            coalesce(col("n_r1"), lit(0L)).as("n_r1"))
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("n_r"), col("n_r1"),
+            expr("(r + 1) * n_r1 * 1000000 div greatest(n_r, 1)")
+              .as("r_star_e6"),
+            expr("n1 * 1000000 div n_tok").as("p0_ppm"))
+          .orderBy(col("r"))
+      },
+      Some(s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r
+            FROM (SELECT unnest($tokensSql) AS w FROM documents)
+            GROUP BY w),
+          nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+            FROM wc GROUP BY r),
+          tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tok,
+              CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END), 0)
+                AS BIGINT) AS n1
+            FROM nr),
+          grid AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS r)
+        SELECT g.r, coalesce(a.n_r, 0) AS n_r,
+          coalesce(b.n_r, 0) AS n_r1,
+          CAST((g.r + 1) * coalesce(b.n_r, 0) * 1000000
+            // greatest(coalesce(a.n_r, 0), 1) AS BIGINT) AS r_star_e6,
+          CAST(n1 * 1000000 // n_tok AS BIGINT) AS p0_ppm
+        FROM grid g LEFT JOIN nr a ON a.r = g.r
+        LEFT JOIN nr b ON b.r = g.r + 1
+        CROSS JOIN tot ORDER BY g.r""")),
+
+    // N-GRAM NOVELTY (r14) — the inverse view of the contamination
+    // screen, per language: what fraction of the HELD-OUT split's
+    // 8-gram occurrences never appear in the train split? The
+    // generation-novelty / memorization-headroom metric (a near-zero
+    // novelty language is one the model can ace by memorizing train).
+    // Same 8-gram construction as the dupspan/contamination family —
+    // one definition per engine — with the Knuth-hash split shared
+    // with the whole train-side pipeline. Scale: two gram explodes +
+    // one equi-join; the train side collapses to DISTINCT grams (the
+    // big side here, but the join is a plain hash join on the gram —
+    // at production the roles invert and the eval side broadcasts).
+    QDef("q_ngram_novelty",
+      (s, d) => {
+        val docs = documents(s, d)
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("lang"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("lang"), explode(expr(
+            """transform(sequence(1, size(toks) - 7),
+                 i -> array_join(slice(toks, i, 8), ' '))""")).as("g"))
+        val trainG = grams(docs.filter(bpeTrainPred))
+          .select(col("g")).distinct()
+        grams(docs.filter(!bpeTrainPred))
+          .join(trainG.withColumn("hit", lit(1L)), Seq("g"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+          .select(col("lang"), col("n_grams"), col("n_novel"),
+            expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH tg AS (SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(range(1, len(toks) - 6),
+                i -> array_to_string(toks[i:i+7], ' '))) AS g
+            FROM (SELECT $tokensSql AS toks FROM documents
+              WHERE $bpeTrainPredSql)
+            WHERE len(toks) >= 8)),
+        eg AS (SELECT lang, unnest(list_transform(
+              range(1, len(toks) - 6),
+              i -> array_to_string(toks[i:i+7], ' '))) AS g
+          FROM (SELECT lang, $tokensSql AS toks FROM documents
+            WHERE NOT ($bpeTrainPredSql))
+          WHERE len(toks) >= 8),
+        agg AS (SELECT e.lang, CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN t.g IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+          FROM eg e LEFT JOIN tg t ON e.g = t.g GROUP BY e.lang)
+        SELECT lang, n_grams, n_novel,
+          n_novel * 1000000 // n_grams AS novelty_ppm
+        FROM agg ORDER BY lang""")),
+
+    // BIGRAM CONDITIONAL ENTROPY (r14) — H(w₂|w₁) per language, the
+    // sequence-predictability complement of the unigram entropy/Gini
+    // diversity battery (a language with low conditional entropy is
+    // formulaic — cheap perplexity wins — independent of its unigram
+    // mix). H = −Σ (c₂/N)·ln(c₂/c₁) over observed bigrams; each term
+    // is one transcendental chain over exact counts with the inner ln
+    // quantized to 4 dp before the product (the q_psi_drift ulp
+    // discipline), pre-rounded to the e6 grid and summed as BIGINTs.
+    // Scale: one bigram explode + three hash-aggs; terms are summed
+    // map-side — nothing after the explode exceeds the distinct-
+    // bigram frame.
+    QDef("q_bigram_entropy",
+      (s, d) => {
+        val bi = documents(s, d)
+          .select(col("lang"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("lang"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> named_struct('w1', a, 'bg', concat(a, ' ', b)))"""))
+            .as("p"))
+          .select(col("lang"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+        val cb = bi.groupBy(col("lang"), col("w1"), col("bg"))
+          .agg(count(lit(1)).as("c2"))
+        val cu = bi.groupBy(col("lang"), col("w1"))
+          .agg(count(lit(1)).as("c1"))
+        val nb = bi.groupBy(col("lang")).agg(count(lit(1)).as("nb"))
+        cb.join(cu, Seq("lang", "w1"))
+          .join(broadcast(nb), Seq("lang"))
+          .select(col("lang"), col("nb"),
+            expr("CAST(round((c2 / (nb * 1.0))" +
+              " * round(ln(c2 / (c1 * 1.0)), 4)" +
+              " * 1000000, 0) AS BIGINT)").as("te"))
+          .groupBy(col("lang"))
+          .agg(max(col("nb")).as("n_bigrams"),
+            count(lit(1)).as("n_distinct"),
+            (-sum(col("te"))).as("h_cond_e6"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH t AS (SELECT lang, $tokensSql AS toks
+            FROM documents),
+          bi AS (SELECT lang, toks[i] AS w1,
+              toks[i] || ' ' || toks[i + 1] AS bg
+            FROM (SELECT lang, toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)),
+          cb AS (SELECT lang, w1, bg, CAST(count(*) AS BIGINT) AS c2
+            FROM bi GROUP BY 1, 2, 3),
+          cu AS (SELECT lang, w1, CAST(count(*) AS BIGINT) AS c1
+            FROM bi GROUP BY 1, 2),
+          nb AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb
+            FROM bi GROUP BY 1),
+          terms AS (SELECT cb.lang, nb.nb,
+              CAST(round((c2 / (nb * 1.0))
+                * round(ln(c2 / (c1 * 1.0)), 4)
+                * 1000000, 0) AS BIGINT) AS te
+            FROM cb JOIN cu USING (lang, w1)
+            JOIN nb ON nb.lang = cb.lang)
+        SELECT lang, CAST(max(nb) AS BIGINT) AS n_bigrams,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(0 - sum(te) AS BIGINT) AS h_cond_e6
+        FROM terms GROUP BY lang ORDER BY lang""")),
+
     // TEMPERATURE-SAMPLING MIXTURE WEIGHTS — the multilingual sampling
     // rule (mT5/XLM-R: p_l ∝ n_l^α with α = 0.3) beside the epoch-based
     // q_mixture_plan: per-lang token counts from one corpus scan, the

@@ -1568,6 +1568,106 @@ object EventWindows {
             AS cles
         FROM r""")),
 
+    // KRUSKAL–WALLIS H (r14) — the k-sample rank test completing the
+    // nonparametric battery (Mann–Whitney is its 2-sample special
+    // case; ANOVA-F its parametric sibling): do the event types share
+    // one value distribution? ENTIRELY integer-exact (class A): ranks
+    // use the same two-level bucketed cumulative as q_mannwhitney_u
+    // (bucket = floor(v), in-bucket windows partition by bucket — no
+    // corpus-wide sort), tied ranks via the doubled average-rank
+    // identity 2·r̄(v) = 2·below(v) + c(v) + 1, so the per-type rank
+    // sum ×2 (ranksum2) is an exact BIGINT. H = 12/(N(N+1))·ΣR²/n −
+    // 3(N+1) lands on the e6 grid by cleared-denominator DECIMAL(38)/
+    // HUGEINT arithmetic with ONE truncating division (numerator
+    // clamped at 0 — H is nonnegative; per-term truncation of Q can
+    // dip ≤ 12·|types| below, and clamping keeps truncate-vs-floor
+    // divergence out); the tie-corrected H divides by the exact
+    // (N³−N−Σ(t³−t)) factor the same way. Scale: one (v, type)
+    // hash-agg + bounded-grid windows + |types|-row frames.
+    QDef("q_kruskal_wallis",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"), col("value").as("v"))
+        val h = ev.groupBy(col("v"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val hv = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .withColumn("bkt", floor(col("v")).cast("long"))
+          .localCheckpoint(true) // bucket totals + in-bucket windows
+        val wB = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bktCum = hv.groupBy(col("bkt")).agg(sum(col("c")).as("bb"))
+          .withColumn("cum_bb", coalesce(sum(col("bb")).over(wB), lit(0L)))
+          .select(col("bkt"), col("cum_bb"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val below = hv
+          .withColumn("in_bb", coalesce(sum(col("c")).over(wIn), lit(0L)))
+          .join(broadcast(bktCum), Seq("bkt"))
+          .select(col("v"), col("c"),
+            (col("cum_bb") + col("in_bb")).as("below"))
+          .localCheckpoint(true) // rank sums + the tie certificate
+        val st = h.join(below, Seq("v"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n_t"),
+            sum(col("cnt") * (col("below") * 2 + col("c") + 1))
+              .as("ranksum2"))
+        val ties = below.agg(
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("tt"))
+        val tot = st.agg(sum(col("n_t")).as("nn"),
+          sum(expr("CAST(ranksum2 AS DECIMAL(38,0)) * ranksum2" +
+            " * 1000000 div (4 * n_t)")).as("q"))
+        st.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+          .withColumn("h_ppm",
+            expr("CAST(greatest(12 * q - 3000000 * (nn + 1)" +
+              " * (CAST(nn AS DECIMAL(38,0)) * (nn + 1)), 0)" +
+              " div (CAST(nn AS DECIMAL(38,0)) * (nn + 1)) AS BIGINT)"))
+          .select(col("event_type"), col("n_t"), col("ranksum2"),
+            col("h_ppm"),
+            expr("CAST(CAST(h_ppm AS DECIMAL(38,0))" +
+              " * (CAST(nn AS DECIMAL(38,0)) * nn * nn - nn)" +
+              " div greatest(CAST(nn AS DECIMAL(38,0)) * nn * nn" +
+              " - nn - tt, 1) AS BIGINT)").as("h_tie_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type, value AS v FROM events),
+          h AS (SELECT v, event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2),
+          hv AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+              CAST(floor(v) AS BIGINT) AS bkt
+            FROM ev GROUP BY v),
+          bc AS (SELECT bkt, CAST(COALESCE(sum(bb) OVER (ORDER BY bkt
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_bb
+            FROM (SELECT bkt, CAST(sum(c) AS BIGINT) AS bb
+                  FROM hv GROUP BY bkt)),
+          below AS (SELECT hv.v, hv.c,
+              CAST(COALESCE(sum(hv.c) OVER (PARTITION BY hv.bkt
+                ORDER BY hv.v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + bc.cum_bb AS below
+            FROM hv JOIN bc ON hv.bkt = bc.bkt),
+          st AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_t,
+              CAST(sum(cnt * (below * 2 + c + 1)) AS BIGINT) AS ranksum2
+            FROM h JOIN below USING (v) GROUP BY 1),
+          ties AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tt
+            FROM below),
+          tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS nn,
+              sum(CAST(ranksum2 AS HUGEINT) * ranksum2 * 1000000
+                // (4 * n_t)) AS q
+            FROM st),
+          hh AS (SELECT nn,
+              CAST(greatest(12 * q - 3000000 * (nn + 1)
+                  * (CAST(nn AS HUGEINT) * (nn + 1)), 0)
+                // (CAST(nn AS HUGEINT) * (nn + 1)) AS BIGINT) AS h_ppm
+            FROM tot)
+        SELECT s.event_type, s.n_t, s.ranksum2, hh.h_ppm,
+          CAST(CAST(hh.h_ppm AS HUGEINT)
+            * (CAST(nn AS HUGEINT) * nn * nn - nn)
+            // greatest(CAST(nn AS HUGEINT) * nn * nn - nn - tt, 1)
+            AS BIGINT) AS h_tie_ppm
+        FROM st s CROSS JOIN hh CROSS JOIN ties
+        ORDER BY event_type""")),
+
     // THEIL–SEN ROBUST TREND — the median-of-pairwise-slopes estimator
     // per event type over the daily count series (the outlier-immune
     // alternative to q_agg_regression's least squares: one wild day

@@ -14,6 +14,14 @@ import Q._
   */
 object Physical {
 
+  /** DuckDB twin of the engine-side 32-bit text checksum
+    * `conv(substring(md5(text), 1, 8), 16, 10)` — the md5-nibble Horner
+    * idiom (first 8 hex nibbles, most-significant first). */
+  private val textSum32Sql: String = (1 to 8)
+    .map(i => s"(strpos('0123456789abcdef', substr(md5(text), $i, 1))" +
+      s" - 1) * ${1L << (32 - 4 * i)}")
+    .mkString("(", " + ", ")")
+
   /** Throws unless the plan fragment contains zero exchanges of the named
     * kind. Checked on the PRE-output fragment (the final orderBy of a
     * declared query legitimately range-shuffles). */
@@ -243,6 +251,67 @@ object Physical {
       Some(s"""SELECT l_returnflag, count(*) AS n,
           ${sqlDsum("l_quantity")} AS sq, ${sqlDsum("l_extendedprice")} AS sp
         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // TEXT-FORMAT ROUND TRIPS (r14) — CSV and JSON join ORC on the
+    // DECLARED gate: the string-heavy documents table is written out
+    // and read back through each text codec, and a per-lang fidelity
+    // certificate (row count, byte totals, id range, and a 32-bit
+    // md5-prefix checksum over every text value — the cross-engine
+    // hash idiom) is oracle-checked against the parquet ORIGINALS, so
+    // any quoting/escaping/encoding loss anywhere in the round trip
+    // breaks the hash gate, not just a suite test. Scale: one write +
+    // one scan + a map-side agg; the checksum is per-row work.
+    QDef("q_format_csv_roundtrip",
+      (s, d) => {
+        val dir = s"/tmp/graft_csv_${graft.tables.LayoutCache.keyOf(d)}"
+        graft.tables.LayoutCache.once(dir) {
+          documents(s, d)
+            .select(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))
+            .write.mode("overwrite").option("header", "true").csv(dir)
+        }
+        s.read.option("header", "true")
+          .schema("doc_id LONG, text STRING, lang STRING, " +
+            "source STRING, n_chars LONG")
+          .csv(dir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+            sum(conv(substring(md5(col("text").cast("binary")), 1, 8),
+              16, 10).cast("long")).as("text_sum32"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id,
+          CAST(sum($textSum32Sql) AS BIGINT) AS text_sum32
+        FROM documents GROUP BY 1 ORDER BY lang""")),
+
+    QDef("q_format_json_roundtrip",
+      (s, d) => {
+        val dir = s"/tmp/graft_json_${graft.tables.LayoutCache.keyOf(d)}"
+        graft.tables.LayoutCache.once(dir) {
+          documents(s, d)
+            .select(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))
+            .write.mode("overwrite").json(dir)
+        }
+        s.read
+          .schema("doc_id LONG, text STRING, lang STRING, " +
+            "source STRING, n_chars LONG")
+          .json(dir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+            sum(conv(substring(md5(col("text").cast("binary")), 1, 8),
+              16, 10).cast("long")).as("text_sum32"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id,
+          CAST(sum($textSum32Sql) AS BIGINT) AS text_sum32
+        FROM documents GROUP BY 1 ORDER BY lang""")),
 
     // CDC merge/upsert (MERGE INTO semantics composed from a full outer
     // join + coalesce — the Delta/Iceberg upsert path expressed in plain
