@@ -2628,6 +2628,75 @@ object Llm {
         CROSS JOIN ne ORDER BY t.n_bands"""
       }),
 
+    // JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (r14) — the dimension-
+    // reduction step in front of an ANN index (64 → 16 dims cuts the
+    // distance work 4× while JL bounds the distortion): a RADEMACHER
+    // ±1 projection (Achlioptas 2003 — database-friendly: no floats
+    // in the matrix) with every sign derived from md5(i || '_' || j)
+    // nibble parity, so the matrix is a deterministic CONSTANT both
+    // engines (and any future run) reconstruct bit-identically — no
+    // RNG state, the q_split_assign idiom applied to a matrix. Inputs
+    // e6-quantized (the PCA/k-means grid); y_i = Σ_j s_ij·q_j is exact
+    // BIGINT arithmetic via zip_with/aggregate (codegen, no UDF); the
+    // per-vector certificate ratio = ‖y‖²/(k·‖q‖²) — expectation 1
+    // under ±1 signs — lands by one HUGEINT/DECIMAL(38) division.
+    // Scale: the 16×64 sign matrix is a plan-time literal (broadcast-
+    // free); the whole operator is ONE map-only pass over vectors —
+    // no shuffle at any corpus size; the final orderBy is the
+    // presentation sort the gate requires.
+    QDef("q_random_projection",
+      (s, d) => {
+        val k = 16
+        val dim = 64
+        def sign(i: Int, j: Int): Long = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val nib = (md.digest(s"${i}_$j".getBytes("UTF-8"))(0) >> 4) & 0xf
+          if (nib % 2 == 1) 1L else -1L
+        }
+        val q = embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+            " * 1000000, 0) AS BIGINT))").as("qv"))
+        val ys = (0 until k).map { i =>
+          val sgns = array((0 until dim).map(j => lit(sign(i, j))): _*)
+          aggregate(zip_with(col("qv"), sgns, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as(s"y$i")
+        }
+        val norm2 = expr(
+          "aggregate(transform(qv, x -> x * x), 0L, (a, x) -> a + x)")
+          .as("norm2")
+        q.select(col("vec_id") +: norm2 +: ys: _*)
+          .select(col("vec_id"), col("norm2"),
+            (0 until k).map(i => col(s"y$i") * col(s"y$i"))
+              .reduce(_ + _).as("proj2"))
+          .select(col("vec_id"), col("norm2"), col("proj2"),
+            expr("CAST(CAST(proj2 AS DECIMAL(38,0)) * 1000000" +
+              " div greatest(16 * norm2, 1) AS BIGINT)").as("ratio_ppm"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)
+              * 1000000, 0) AS BIGINT)) AS qv
+          FROM embeddings),
+        signs AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+            CASE WHEN (strpos('0123456789abcdef',
+                substr(md5(CAST(i AS VARCHAR) || '_'
+                  || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+              THEN 1 ELSE -1 END AS s
+          FROM range(16) t(i) CROSS JOIN range(64) u(j)),
+        y AS (SELECT q.vec_id, sg.i,
+            CAST(sum(sg.s * q.qv[CAST(sg.j + 1 AS INT)]) AS BIGINT) AS y
+          FROM q CROSS JOIN signs sg GROUP BY 1, 2),
+        p AS (SELECT vec_id, CAST(sum(y * y) AS BIGINT) AS proj2
+          FROM y GROUP BY 1),
+        n AS (SELECT vec_id,
+            CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+              AS norm2
+          FROM q)
+        SELECT n.vec_id, n.norm2, p.proj2,
+          CAST(CAST(p.proj2 AS HUGEINT) * 1000000
+            // greatest(16 * n.norm2, 1) AS BIGINT) AS ratio_ppm
+        FROM n JOIN p USING (vec_id) ORDER BY vec_id""")),
+
     QDef("q_minhash_sig",
       (s, d) => {
         import graft.functions.MinHashSigAgg.minhash_sig

@@ -140,6 +140,38 @@ class Wave14Spec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("random projection: imperative sign-matrix replay + unbiased norms") {
+    def sign(i: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val nib = (md.digest(s"${i}_$j".getBytes("UTF-8"))(0) >> 4) & 0xf
+      if (nib % 2 == 1) 1L else -1L
+    }
+    def rnd(x: Double) = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => rnd(f.toDouble)).toArray).toMap
+    val got = run("q_random_projection").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == vecs.size)
+    got.take(20).foreach { case (id, norm2, proj2, ratio) =>
+      val q = vecs(id)
+      assert(norm2 == q.map(x => x * x).sum, s"norm2 diverged for $id")
+      val p2 = (0 until 16).map { i =>
+        val y = q.indices.map(j => sign(i, j) * q(j)).sum
+        y * y
+      }.sum
+      assert(proj2 == p2, s"projection diverged for $id")
+      assert(ratio ==
+        (BigInt(p2) * 1000000 / BigInt(16L * norm2).max(1)).toLong)
+    }
+    // JL unbiasedness: the mean ratio over the corpus sits near 1e6
+    val mean = got.map(_._4).sum / got.length
+    assert(mean > 700000L && mean < 1300000L,
+      s"mean norm ratio far from 1 (ppm): $mean")
+  }
+
   test("csv/json roundtrips equal the same certificate on the originals") {
     def cert(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(col("lang"))
