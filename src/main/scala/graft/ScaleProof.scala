@@ -471,7 +471,27 @@ object ScaleProof {
       // t-closeness: two hash-aggs + the bounded class x value grid
       "q_t_closeness",
       // packing ablation: one per-lang prefix-sum window + 2 rollups
-      "q_packing_ablation")
+      "q_packing_ablation",
+      // round-14: the sampled cascade/band-sweep twins (1/16 of the
+      // pair work off the shared stratum edge frame) — the dup-graph
+      // family's bounded instruments, expected to COMPLETE at 100x
+      // where the exact builds hit the storage exclusion
+      "q_dedup_cascade_sampled", "q_lsh_band_sweep_sampled",
+      // twin #12: batch-mode TWS, state = |windows| x MG(k)
+      "q_topk_window_stream_twin",
+      // Kruskal-Wallis: one (v, type) hash-agg + bounded-grid windows
+      "q_kruskal_wallis",
+      // effect size / JS matrix / Good-Turing / bigram entropy /
+      // novelty: hash-aggs into bounded grids (the only corpus-scale
+      // stage in each is its first map-side agg or gram explode)
+      "q_cramers_v", "q_js_divergence", "q_good_turing",
+      "q_bigram_entropy", "q_ngram_novelty",
+      // Hill: TakeOrdered top-101 selection, never a global sort
+      "q_hill_tail",
+      // text-codec roundtrips: one write + one scan + map-side agg
+      "q_format_csv_roundtrip", "q_format_json_roundtrip",
+      // JL projection: one map-only pass, plan-time sign constants
+      "q_random_projection")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
