@@ -1613,12 +1613,20 @@ object EventWindows {
               .as("ranksum2"))
         val ties = below.agg(
           sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("tt"))
+        // the per-type quotient stays UNSCALED (Spark `div` is an
+        // IntegralDivide returning BIGINT, so an e6 pre-scale overflows
+        // past ~10^5 events/type — caught at the 10x ScaleProof run);
+        // scaling by 1e6 AFTER the decimal sum keeps every intermediate
+        // in range and costs < 10^-4 ppm of H (per-term truncation is
+        // <= 1 unscaled unit x |types|, amplified by 12e6/D). The
+        // quotient itself is Long-safe to ~5e18, i.e. ~3e7 events/type
+        // at this share mix — the DECIMAL widening is named past that.
         val tot = st.agg(sum(col("n_t")).as("nn"),
-          sum(expr("CAST(ranksum2 AS DECIMAL(38,0)) * ranksum2" +
-            " * 1000000 div (4 * n_t)")).as("q"))
+          sum(expr("CAST(CAST(ranksum2 AS DECIMAL(38,0)) * ranksum2" +
+            " div (4 * n_t) AS DECIMAL(38,0))")).as("q"))
         st.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
           .withColumn("h_ppm",
-            expr("CAST(greatest(12 * q - 3000000 * (nn + 1)" +
+            expr("CAST(greatest(12 * q * 1000000 - 3000000 * (nn + 1)" +
               " * (CAST(nn AS DECIMAL(38,0)) * (nn + 1)), 0)" +
               " div (CAST(nn AS DECIMAL(38,0)) * (nn + 1)) AS BIGINT)"))
           .select(col("event_type"), col("n_t"), col("ranksum2"),
@@ -1652,11 +1660,11 @@ object EventWindows {
           ties AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tt
             FROM below),
           tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS nn,
-              sum(CAST(ranksum2 AS HUGEINT) * ranksum2 * 1000000
+              sum(CAST(ranksum2 AS HUGEINT) * ranksum2
                 // (4 * n_t)) AS q
             FROM st),
           hh AS (SELECT nn,
-              CAST(greatest(12 * q - 3000000 * (nn + 1)
+              CAST(greatest(12 * q * 1000000 - 3000000 * (nn + 1)
                   * (CAST(nn AS HUGEINT) * (nn + 1)), 0)
                 // (CAST(nn AS HUGEINT) * (nn + 1)) AS BIGINT) AS h_ppm
             FROM tot)

@@ -26,9 +26,10 @@ class Wave14Spec extends AnyFunSuite {
     val nT = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val n = rows.length.toLong
     val q = s2.toSeq.map { case (t, s) =>
-      BigInt(s) * s * 1000000 / (4 * nT(t)) }.sum
+      BigInt(s) * s / (4 * nT(t)) }.sum
     val d = BigInt(n) * (n + 1)
-    val hPpm = ((12 * q - BigInt(3000000) * (n + 1) * d).max(0) / d).toLong
+    val hPpm = ((12 * q * 1000000 - BigInt(3000000) * (n + 1) * d)
+      .max(0) / d).toLong
     val tt = byV.values.map(c => BigInt(c) * c * c - c).sum
     val n3 = BigInt(n) * n * n - n
     val hTie = (BigInt(hPpm) * n3 / (n3 - tt).max(1)).toLong
