@@ -1139,6 +1139,78 @@ object Corpus {
             AS BIGINT) AS v_ppm
         FROM a""")),
 
+    // MUTUAL INFORMATION CERTIFICATE (r14) — the information-theoretic
+    // association measure beside χ²/Cramér's V over the same (lang,
+    // source) grid: I(L;S) = Σ p(l,s)·ln(p(l,s)·N/(r_l·c_s)), each
+    // term one transcendental chain over exact counts with the inner
+    // ln 4-dp-quantized (the established ulp discipline), pre-rounded
+    // to e6 and summed as BIGINTs; the marginal entropies H(L), H(S)
+    // by the same discipline; normalized MI = I/min(H_L, H_S) by one
+    // cross-multiplied integer division. Scale: one hash-agg into the
+    // bounded grid; a 1-row certificate.
+    QDef("q_mutual_information",
+      (s, d) => {
+        val docs = documents(s, d)
+        val cells = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rows = docs.groupBy(col("lang")).agg(count(lit(1)).as("rs"))
+          .localCheckpoint(true) // grid join + H(L)
+        val cols_ = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("cs"))
+          .localCheckpoint(true) // grid join + H(S)
+        val tot = docs.agg(count(lit(1)).as("n"))
+        val mi = cells.join(broadcast(rows), "lang")
+          .join(broadcast(cols_), "source")
+          .crossJoin(broadcast(tot))
+          .select(expr("CASE WHEN o > 0 THEN CAST(round((o / (n * 1.0))" +
+            " * round(ln((1.0 * o * n) / (1.0 * rs * cs)), 4)" +
+            " * 1000000, 0) AS BIGINT) ELSE 0 END").as("te"))
+          .agg(sum(col("te")).as("mi_e6"))
+        val hl = rows.crossJoin(broadcast(tot))
+          .select(expr("CAST(round((rs / (n * 1.0))" +
+            " * round(ln(rs / (n * 1.0)), 4) * 1000000, 0) AS BIGINT)")
+            .as("te"))
+          .agg((-sum(col("te"))).as("h_lang_e6"))
+        val hs = cols_.crossJoin(broadcast(tot))
+          .select(expr("CAST(round((cs / (n * 1.0))" +
+            " * round(ln(cs / (n * 1.0)), 4) * 1000000, 0) AS BIGINT)")
+            .as("te"))
+          .agg((-sum(col("te"))).as("h_source_e6"))
+        tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
+          .crossJoin(broadcast(hs))
+          .select(col("n"), col("mi_e6"), col("h_lang_e6"),
+            col("h_source_e6"),
+            expr("mi_e6 * 1000000 div greatest(least(h_lang_e6," +
+              " h_source_e6), 1)").as("nmi_ppm"))
+      },
+      Some("""WITH cells AS (SELECT lang, source,
+            CAST(count(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, CAST(count(*) AS BIGINT) AS rs
+          FROM documents GROUP BY 1),
+        c AS (SELECT source, CAST(count(*) AS BIGINT) AS cs
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        mi AS (SELECT CAST(sum(CASE WHEN o > 0 THEN
+              CAST(round((o / (n * 1.0))
+                * round(ln((1.0 * o * n) / (1.0 * rs * cs)), 4)
+                * 1000000, 0) AS BIGINT) ELSE 0 END) AS BIGINT)
+              AS mi_e6
+          FROM cells JOIN r USING (lang) JOIN c USING (source)
+          CROSS JOIN tot),
+        hl AS (SELECT CAST(0 - sum(CAST(round((rs / (n * 1.0))
+              * round(ln(rs / (n * 1.0)), 4) * 1000000, 0) AS BIGINT))
+              AS BIGINT) AS h_lang_e6
+          FROM r CROSS JOIN tot),
+        hs AS (SELECT CAST(0 - sum(CAST(round((cs / (n * 1.0))
+              * round(ln(cs / (n * 1.0)), 4) * 1000000, 0) AS BIGINT))
+              AS BIGINT) AS h_source_e6
+          FROM c CROSS JOIN tot)
+        SELECT n, mi_e6, h_lang_e6, h_source_e6,
+          mi_e6 * 1000000 // greatest(least(h_lang_e6, h_source_e6), 1)
+            AS nmi_ppm
+        FROM tot CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs""")),
+
     // JENSEN–SHANNON DIVERGENCE MATRIX (r14) — the bounded symmetric
     // drift measure beside KS (ECDF shape) and PSI (binned ratios):
     // JS(p‖q) = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q), over each source

@@ -1234,6 +1234,188 @@ object Curation {
           FROM nz ORDER BY nat"""
       }),
 
+    // DP QUANTILE RELEASE VIA THE EXPONENTIAL MECHANISM (r14) — the
+    // second DP mechanism beside q_dp_counts' Laplace (McSherry &
+    // Talwar 2007; Smith 2011 for quantiles): per event type, release
+    // a median from the bounded e2 cents grid by arg-maxing utility
+    // + seeded Gumbel noise (the Gumbel-max trick IS exponential-
+    // mechanism sampling). Utility is DOUBLED to stay integer,
+    // u(b) = −|2·cum(b) − n| (sensitivity 2 on the doubled scale ⇒
+    // score = u·ε/(2Δ) = u/4 on the e6 grid = u·250000 with ε = 1);
+    // the Gumbel comes from the q_dp_counts seed idiom — md5-Horner
+    // uniform over "dpq:<type>:<cents>", −ln(−ln(u)) as ONE
+    // transcendental chain rounded once to e6 — so the release is
+    // reproducible bit-identically in both engines and across runs.
+    // Output: per type the exact n, the true (non-private) median
+    // bin, the released bin, and its rank error. Scale: one map-side
+    // (type, cents) agg; candidates, windows, and the argmax all live
+    // on the bounded |types| × 65536 grid.
+    QDef("q_dp_quantile",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_type"),
+            expr("least(65535, greatest(0," +
+              " CAST(round(value * 100) AS BIGINT)))").as("c"))
+        val h = ev.groupBy(col("event_type"), col("c"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        val cum = h.withColumn("cum", sum(col("cnt")).over(w))
+        val nT = cum.groupBy(col("event_type")).agg(max(col("cum")).as("n"))
+        val scored = cum.join(broadcast(nT), "event_type")
+          .withColumn("util2", -abs(col("cum") * 2 - col("n")))
+          .withColumn("u_pp",
+            conv(substring(md5(concat(lit("dpq:"), col("event_type"),
+              lit(":"), col("c").cast("string")).cast("binary")), 1, 8),
+              16, 10).cast("long") % 999998L + 1L)
+          .withColumn("gumbel_e6",
+            expr("CAST(round(-ln(-ln(u_pp / 1000000.0)) * 1000000, 0)" +
+              " AS BIGINT)"))
+          .withColumn("score_e6",
+            col("util2") * 250000L + col("gumbel_e6"))
+          .localCheckpoint(true) // argmax + the true-median scan
+        val released = scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("score_e6").desc, col("c"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("c").as("released_c"),
+            col("util2").as("released_util2"))
+        val truem = scored.filter(col("cum") * 2 >= col("n"))
+          .groupBy(col("event_type")).agg(min(col("c")).as("true_p50_c"))
+        nT.join(released, "event_type").join(truem, "event_type")
+          .select(col("event_type"), col("n"), col("true_p50_c"),
+            col("released_c"),
+            expr("(0 - released_util2) div 2").as("rank_err"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val horner = (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+            s"${1L << (4 * (8 - i))}").mkString(" + ")
+        s"""WITH ev AS (SELECT event_type,
+              least(65535, greatest(0,
+                CAST(round(value * 100) AS BIGINT))) AS c
+            FROM events),
+          h0 AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2),
+          cum AS (SELECT event_type, c, cnt,
+              CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c)
+                AS BIGINT) AS cum
+            FROM h0),
+          nt AS (SELECT event_type, CAST(max(cum) AS BIGINT) AS n
+            FROM cum GROUP BY 1),
+          seeded AS (SELECT cum.event_type, cum.c, cum.cum, nt.n,
+              0 - abs(cum.cum * 2 - nt.n) AS util2,
+              md5('dpq:' || cum.event_type || ':'
+                || CAST(cum.c AS VARCHAR)) AS h
+            FROM cum JOIN nt USING (event_type)),
+          scored AS (SELECT event_type, c, cum, n, util2,
+              util2 * 250000 + CAST(round(-ln(-ln(
+                (CAST($horner AS BIGINT) % 999998 + 1) / 1000000.0))
+                * 1000000) AS BIGINT) AS score_e6
+            FROM seeded),
+          rel AS (SELECT event_type, c AS released_c,
+              util2 AS released_util2
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY score_e6 DESC, c) AS rn FROM scored)
+            WHERE rn = 1),
+          tm AS (SELECT event_type, CAST(min(c) AS BIGINT) AS true_p50_c
+            FROM scored WHERE cum * 2 >= n GROUP BY 1)
+          SELECT nt.event_type, nt.n, tm.true_p50_c, rel.released_c,
+            (0 - rel.released_util2) // 2 AS rank_err
+          FROM nt JOIN rel USING (event_type) JOIN tm USING (event_type)
+          ORDER BY event_type"""
+      }),
+
+    // CLASSIFIER QUALITY METRICS (r14) — per-class precision / recall /
+    // F1 / Matthews correlation off the SHARED nbConfusion frame
+    // (q_nb_quality's own held-out model — the gate, the DRO
+    // reweighting, and this scorecard all read the identical
+    // confusion): one-vs-rest tp/fp/fn/tn by exact conditional sums,
+    // precision/recall by cross-multiplied ppm division, F1 through
+    // the nested-division-free identity f1 = 2·tp/(2·tp + fp + fn),
+    // macro-F1 as the integer mean of the rounded per-class F1s
+    // (declared), and per-class MCC as ONE sqrt chain over exact
+    // integers with the all-four-margins-positive guard (declared
+    // MCC = 0 when any margin is empty). Scale: everything after the
+    // shared confusion lives on |langs|-bounded frames.
+    QDef("q_classifier_metrics",
+      (s, d) => {
+        val conf = nbConfusion(s, d).localCheckpoint(true)
+        val rowT = conf.groupBy(col("true_lang").as("lang"))
+          .agg(sum(col("n_docs")).as("row_n"))
+        val colT = conf.groupBy(col("pred_lang").as("lang"))
+          .agg(sum(col("n_docs")).as("col_n"))
+        val tpF = conf.filter(col("true_lang") === col("pred_lang"))
+          .select(col("true_lang").as("lang"), col("n_docs").as("tp"))
+        val nF = conf.agg(sum(col("n_docs")).as("nn"))
+        val per = rowT.join(colT, Seq("lang"), "full_outer")
+          .join(tpF, Seq("lang"), "left")
+          .crossJoin(broadcast(nF))
+          .select(col("lang"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            (coalesce(col("col_n"), lit(0L))
+              - coalesce(col("tp"), lit(0L))).as("fp"),
+            (coalesce(col("row_n"), lit(0L))
+              - coalesce(col("tp"), lit(0L))).as("fn"),
+            col("nn"))
+          .withColumn("tn",
+            col("nn") - col("tp") - col("fp") - col("fn"))
+          .withColumn("precision_ppm",
+            expr("tp * 1000000 div greatest(tp + fp, 1)"))
+          .withColumn("recall_ppm",
+            expr("tp * 1000000 div greatest(tp + fn, 1)"))
+          .withColumn("f1_ppm",
+            expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)"))
+          .withColumn("mcc_e6",
+            expr("CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0" +
+              " OR tn + fn = 0 THEN 0 ELSE" +
+              " CAST(round((tp * tn - fp * fn) /" +
+              " sqrt((tp + fp) * 1.0 * (tp + fn) * (tn + fp)" +
+              " * (tn + fn)) * 1000000, 0) AS BIGINT) END"))
+          .localCheckpoint(true) // per-class rows + the macro mean
+        per.crossJoin(broadcast(per.agg(
+            expr("sum(f1_ppm) div count(*)").as("macro_f1_ppm"))))
+          .select(col("lang"), col("tp"), col("fp"), col("fn"),
+            col("tn"), col("precision_ppm"), col("recall_ppm"),
+            col("f1_ppm"), col("mcc_e6"), col("macro_f1_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH conf AS ($nbConfusionSql),
+        rt AS (SELECT true_lang AS lang, CAST(sum(n_docs) AS BIGINT)
+            AS row_n FROM conf GROUP BY 1),
+        ct AS (SELECT pred_lang AS lang, CAST(sum(n_docs) AS BIGINT)
+            AS col_n FROM conf GROUP BY 1),
+        tpf AS (SELECT true_lang AS lang,
+            CAST(n_docs AS BIGINT) AS tp
+          FROM conf WHERE true_lang = pred_lang),
+        nf AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM conf),
+        base AS (SELECT COALESCE(rt.lang, ct.lang) AS lang,
+            COALESCE(tp, 0) AS tp,
+            COALESCE(col_n, 0) - COALESCE(tp, 0) AS fp,
+            COALESCE(row_n, 0) - COALESCE(tp, 0) AS fn, nn
+          FROM rt FULL OUTER JOIN ct ON rt.lang = ct.lang
+          LEFT JOIN tpf ON COALESCE(rt.lang, ct.lang) = tpf.lang
+          CROSS JOIN nf),
+        per AS (SELECT lang, tp, fp, fn,
+            nn - tp - fp - fn AS tn,
+            tp * 1000000 // greatest(tp + fp, 1) AS precision_ppm,
+            tp * 1000000 // greatest(tp + fn, 1) AS recall_ppm,
+            2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS f1_ppm,
+            CASE WHEN tp + fp = 0 OR tp + fn = 0
+                OR nn - tp - fp - fn + fp = 0
+                OR nn - tp - fp - fn + fn = 0 THEN 0 ELSE
+              CAST(round((tp * (nn - tp - fp - fn) - fp * fn) /
+                sqrt((tp + fp) * 1.0 * (tp + fn)
+                  * (nn - tp - fp - fn + fp)
+                  * (nn - tp - fp - fn + fn)) * 1000000, 0) AS BIGINT)
+              END AS mcc_e6
+          FROM base),
+        mac AS (SELECT CAST(sum(f1_ppm) // count(*) AS BIGINT)
+            AS macro_f1_ppm FROM per)
+        SELECT lang, tp, fp, fn, tn, precision_ppm, recall_ppm,
+          f1_ppm, mcc_e6, macro_f1_ppm
+        FROM per CROSS JOIN mac ORDER BY lang""")),
+
     // Mixture re-weighting: per-language corpus shares vs a uniform
     // target mixture, as parts-per-million INTEGER arithmetic (weight =
     // how much to over/under-sample each shard so the training mix hits

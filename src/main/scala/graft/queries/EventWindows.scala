@@ -1568,6 +1568,164 @@ object EventWindows {
             AS cles
         FROM r""")),
 
+    // WILCOXON SIGNED-RANK (r14) — the PAIRED member completing the
+    // nonparametric family (Mann–Whitney: independent two-sample;
+    // Kruskal–Wallis: k-sample): per user the pair is (Σ click value,
+    // Σ view value) in exact e6 micro-units (users with both types
+    // present; zero differences dropped — the standard rule), ranks of
+    // |d| by the SAME two-level bucketed cumulative + doubled
+    // average-rank identity as the siblings, so the signed rank sums
+    // ×2 are exact BIGINTs with the conservation s⁺ + s⁻ = n(n+1)
+    // built in; the normal-approximation z is ONE sqrt chain over
+    // exact integers rounded once to e6. Scale: one (user, type)
+    // map-side agg; ranks live on the ≤|users| distinct-|d| frame
+    // with bounded-grid windows.
+    QDef("q_wilcoxon_signed_rank",
+      (s, d) => {
+        val pu = events(s, d)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_type"),
+            expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("v"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", col("v")))
+            .as("a"),
+            sum(when(col("event_type") === "view", col("v"))).as("b"))
+          .filter(col("a").isNotNull && col("b").isNotNull)
+          .select(col("user_id"), (col("a") - col("b")).as("dd"))
+          .filter(col("dd") =!= 0L)
+          .select(col("dd"), abs(col("dd")).as("ad"))
+          .localCheckpoint(true) // |d| histogram + the rank join
+        val hv = pu.groupBy(col("ad")).agg(count(lit(1)).as("c"))
+          .withColumn("bkt", expr("ad div 1000000"))
+          .localCheckpoint(true)
+        val wB = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bktCum = hv.groupBy(col("bkt")).agg(sum(col("c")).as("bb"))
+          .withColumn("cum_bb", coalesce(sum(col("bb")).over(wB), lit(0L)))
+          .select(col("bkt"), col("cum_bb"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("ad"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val below = hv
+          .withColumn("in_bb", coalesce(sum(col("c")).over(wIn), lit(0L)))
+          .join(broadcast(bktCum), Seq("bkt"))
+          .select(col("ad"), col("c"),
+            (col("cum_bb") + col("in_bb")).as("below"))
+        pu.join(below, Seq("ad"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dd") > 0L,
+              col("below") * 2 + col("c") + 1).otherwise(0L))
+              .as("s_plus2"),
+            sum(when(col("dd") < 0L,
+              col("below") * 2 + col("c") + 1).otherwise(0L))
+              .as("s_minus2"))
+          .select(col("n_pairs"), col("s_plus2"), col("s_minus2"),
+            expr("CAST(round((s_plus2 - n_pairs * (n_pairs + 1) / 2.0)" +
+              " / (2 * sqrt(n_pairs * (n_pairs + 1.0)" +
+              " * (2 * n_pairs + 1) / 24.0)) * 1000000, 0) AS BIGINT)")
+              .as("z_e6"))
+      },
+      Some("""WITH pu AS (SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'click' THEN
+              CAST(round(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
+              AS a,
+            CAST(sum(CASE WHEN event_type = 'view' THEN
+              CAST(round(value * 1000000, 0) AS BIGINT) END) AS BIGINT)
+              AS b
+          FROM events WHERE event_type IN ('click', 'view')
+          GROUP BY user_id),
+        dset AS (SELECT a - b AS dd, abs(a - b) AS ad FROM pu
+          WHERE a IS NOT NULL AND b IS NOT NULL AND a - b <> 0),
+        hv AS (SELECT ad, CAST(count(*) AS BIGINT) AS c,
+            ad // 1000000 AS bkt
+          FROM dset GROUP BY ad),
+        bc AS (SELECT bkt, CAST(COALESCE(sum(bb) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_bb
+          FROM (SELECT bkt, CAST(sum(c) AS BIGINT) AS bb
+                FROM hv GROUP BY bkt)),
+        below AS (SELECT hv.ad, hv.c,
+            CAST(COALESCE(sum(hv.c) OVER (PARTITION BY hv.bkt
+              ORDER BY hv.ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) + bc.cum_bb AS below
+          FROM hv JOIN bc ON hv.bkt = bc.bkt),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN dd > 0 THEN below * 2 + c + 1
+              ELSE 0 END) AS BIGINT) AS s_plus2,
+            CAST(sum(CASE WHEN dd < 0 THEN below * 2 + c + 1
+              ELSE 0 END) AS BIGINT) AS s_minus2
+          FROM dset JOIN below USING (ad))
+        SELECT n_pairs, s_plus2, s_minus2,
+          CAST(round((s_plus2 - n_pairs * (n_pairs + 1) / 2.0)
+            / (2 * sqrt(n_pairs * (n_pairs + 1.0)
+            * (2 * n_pairs + 1) / 24.0)) * 1000000, 0) AS BIGINT)
+            AS z_e6
+        FROM agg""")),
+
+    // DAILY-SERIES AUTOCORRELATION (r14) — the ACF at lags 0..7 of the
+    // zero-filled daily event-count series, the memory/seasonality
+    // fingerprint beside q_seasonal_decompose (trend/weekday split)
+    // and q_cross_correlation (two-series lead/lag): exactly integer —
+    // centered products cleared by n ((n·x_t − S)(n·x_{t+k} − S)), the
+    // ratio to the lag-0 denominator by one truncating ppm division
+    // (negative-safe: both engines truncate toward zero). Scale: one
+    // map-side day agg; the dense calendar frame and the 8-lag grid
+    // are calendar-bounded at any corpus size.
+    QDef("q_acf_daily",
+      (s, d) => {
+        import s.implicits._
+        val daily = events(s, d)
+          .select(datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        val rng = daily.agg(min(col("day")).as("d0"),
+          max(col("day")).as("d1"))
+        val dense = rng
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+          .localCheckpoint(true) // both sides of the lag join + stats
+        val st = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("ss"))
+        val lags = (0L to 7L).toDF("lag")
+        val per = dense.as("a").crossJoin(broadcast(lags))
+          .join(dense.as("b"), col("b.day") === col("a.day") + col("lag"))
+          .crossJoin(broadcast(st))
+          .select(col("lag"),
+            ((col("a.x") * col("n") - col("ss"))
+              * (col("b.x") * col("n") - col("ss"))).as("prod"))
+          .groupBy(col("lag"))
+          .agg(sum(col("prod")).as("num"), count(lit(1)).as("n_terms"))
+          .localCheckpoint(true) // 8 rows; read twice (den + output)
+        val den = per.filter(col("lag") === 0L)
+          .select(col("num").as("den"))
+        per.crossJoin(broadcast(den))
+          .select(col("lag"), col("n_terms"), col("num"), col("den"),
+            expr("num * 1000000 div greatest(den, 1)").as("acf_ppm"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS day,
+            CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        dense AS (SELECT g.day, CAST(COALESCE(x, 0) AS BIGINT) AS x
+          FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng) g
+          LEFT JOIN daily USING (day)),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS ss FROM dense),
+        lags AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS lag),
+        p AS (SELECT lag,
+            CAST(sum((a.x * n - ss) * (b.x * n - ss)) AS BIGINT) AS num,
+            CAST(count(*) AS BIGINT) AS n_terms
+          FROM dense a CROSS JOIN lags
+          JOIN dense b ON b.day = a.day + lag
+          CROSS JOIN st GROUP BY lag),
+        dn AS (SELECT num AS den FROM p WHERE lag = 0)
+        SELECT lag, n_terms, num, den,
+          num * 1000000 // greatest(den, 1) AS acf_ppm
+        FROM p CROSS JOIN dn ORDER BY lag""")),
+
     // KRUSKAL–WALLIS H (r14) — the k-sample rank test completing the
     // nonparametric battery (Mann–Whitney is its 2-sample special
     // case; ANOVA-F its parametric sibling): do the event types share

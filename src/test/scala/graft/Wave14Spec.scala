@@ -173,6 +173,94 @@ class Wave14Spec extends AnyFunSuite {
       s"mean norm ratio far from 1 (ppm): $mean")
   }
 
+  test("wilcoxon signed-rank: imperative paired replay + conservation") {
+    def rnd(x: Double) = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val byUser = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), rnd(r.getDouble(2))))
+      .groupBy(_._1)
+    val ds = byUser.values.flatMap { g =>
+      val a = g.filter(_._2 == "click").map(_._3)
+      val b = g.filter(_._2 == "view").map(_._3)
+      if (a.nonEmpty && b.nonEmpty && a.sum != b.sum)
+        Some(a.sum - b.sum) else None
+    }.toSeq
+    val n = ds.length.toLong
+    val byAd = ds.map(math.abs).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val sortedAd = byAd.keys.toArray.sorted
+    val below = { var c = 0L
+      sortedAd.map { v => val b = c; c += byAd(v); v -> b }.toMap }
+    def rank2(d: Long) = 2 * below(math.abs(d)) + byAd(math.abs(d)) + 1
+    val sPlus = ds.filter(_ > 0).map(rank2).sum
+    val sMinus = ds.filter(_ < 0).map(rank2).sum
+    val got = run("q_wilcoxon_signed_rank").head()
+    assert(got.getAs[Long]("n_pairs") == n)
+    assert(got.getAs[Long]("s_plus2") == sPlus, "positive rank sum diverged")
+    assert(got.getAs[Long]("s_minus2") == sMinus)
+    assert(sPlus + sMinus == n * (n + 1), "doubled rank sums must conserve")
+  }
+
+  test("daily ACF: lag-0 is exactly 1, terms shrink by lag, bounded") {
+    val acf = run("q_acf_daily").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(acf.length == 8)
+    assert(acf.head == ((0L, acf.head._2, 1000000L)),
+      s"lag 0 must be exactly 1e6: ${acf.head}")
+    acf.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._2 - 1, "n_terms must shrink by one per lag")
+      case _ => ()
+    }
+    acf.foreach { case (_, _, v) =>
+      assert(math.abs(v) <= 1000000L, s"|acf| must be <= 1: $v") }
+  }
+
+  test("classifier metrics: margin identities, macro mean, MCC bounds") {
+    val m = run("q_classifier_metrics").collect()
+    val nTot = m.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).sum
+    m.foreach { r =>
+      val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      assert(tp + fp + fn + tn == nTot,
+        "one-vs-rest cells must partition the held-out set")
+      assert(r.getAs[Long]("f1_ppm") ==
+        2 * tp * 1000000L / math.max(2 * tp + fp + fn, 1L))
+      val mcc = r.getAs[Long]("mcc_e6")
+      assert(mcc >= -1000000L && mcc <= 1000000L, s"MCC out of range: $mcc")
+    }
+    val macroF1 = m.map(_.getAs[Long]("f1_ppm")).sum / m.length
+    assert(m.forall(_.getAs[Long]("macro_f1_ppm") == macroF1),
+      "macro F1 must be the integer mean of the per-class F1s")
+  }
+
+  test("mutual information: nonneg, bounded by the smaller entropy") {
+    val r = run("q_mutual_information").head()
+    val (mi, hl, hs) = (r.getAs[Long]("mi_e6"),
+      r.getAs[Long]("h_lang_e6"), r.getAs[Long]("h_source_e6"))
+    assert(hl >= 0L && hs >= 0L)
+    // rounding slack: each pre-rounded term can carry half a grid unit
+    assert(mi >= -100L, s"MI must be nonnegative up to grid slack: $mi")
+    assert(mi <= math.min(hl, hs) + 1000L,
+      s"MI must not exceed min entropy: $mi vs $hl/$hs")
+    val nmi = r.getAs[Long]("nmi_ppm")
+    assert(nmi >= -100L && nmi <= 1001000L, s"NMI out of [0,1]: $nmi")
+  }
+
+  test("dp quantile: deterministic release near the true median") {
+    val a = run("q_dp_quantile").collect()
+    val b = run("q_dp_quantile").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "seeded exponential mechanism must be reproducible")
+    a.foreach { r =>
+      val (n, err) = (r.getAs[Long]("n"), r.getAs[Long]("rank_err"))
+      assert(err >= 0L && err <= n / 2, s"rank error out of range: $err/$n")
+      assert(r.getAs[Long]("true_p50_c") >= 0L &&
+        r.getAs[Long]("released_c") >= 0L)
+    }
+  }
+
   test("csv/json roundtrips equal the same certificate on the originals") {
     def cert(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(col("lang"))
