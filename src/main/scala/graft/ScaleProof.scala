@@ -491,7 +491,13 @@ object ScaleProof {
       // text-codec roundtrips: one write + one scan + map-side agg
       "q_format_csv_roundtrip", "q_format_json_roundtrip",
       // JL projection: one map-only pass, plan-time sign constants
-      "q_random_projection")
+      "q_random_projection",
+      // round-14 wave 2: paired ranks on the <=|users| |d| frame; the
+      // calendar-bounded ACF grid; |langs|-bounded classifier metrics
+      // off the shared confusion; the 1-row MI certificate; the DP
+      // quantile's bounded-grid argmax
+      "q_wilcoxon_signed_rank", "q_acf_daily", "q_classifier_metrics",
+      "q_mutual_information", "q_dp_quantile")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()
