@@ -497,7 +497,15 @@ object ScaleProof {
       // off the shared confusion; the 1-row MI certificate; the DP
       // quantile's bounded-grid argmax
       "q_wilcoxon_signed_rank", "q_acf_daily", "q_classifier_metrics",
-      "q_mutual_information", "q_dp_quantile")
+      "q_mutual_information", "q_dp_quantile",
+      // round-14 wave 3: kendall/runs ride the calendar-bounded dense
+      // daily frame, friedman the (day, type) grid; wilson is one
+      // map-side lineitem agg + TakeOrdered; simpson/chao1/hellinger
+      // are hash-aggs into |sources| x |langs| / per-lang word grids;
+      // dp_gaussian is a map-side count agg + a 25x8 seeded noise grid
+      "q_kendall_tau", "q_friedman", "q_runs_test", "q_wilson_bounds",
+      "q_simpson_diversity", "q_chao1", "q_hellinger_matrix",
+      "q_dp_gaussian")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -2783,7 +2783,141 @@ object Corpus {
           round(CAST(CAST(sum(dx * dy) AS BIGINT) AS DOUBLE) /
             (sqrt(CAST(CAST(sum(dx * dx) AS BIGINT) AS DOUBLE)) *
              sqrt(CAST(CAST(sum(dy * dy) AS BIGINT) AS DOUBLE))), 6) AS rho
-        FROM j GROUP BY n"""))
+        FROM j GROUP BY n""")),
+
+    // SIMPSON DIVERSITY (r14) — the concentration view of per-source
+    // language mix beside the entropy view (q_mutual_information's
+    // marginals are corpus-global; this is the per-source scorecard a
+    // mixture curator reads): λ = Σnᵢ(nᵢ−1)/(N(N−1)) is the exact
+    // probability two draws without replacement share a language —
+    // ENTIRELY integer (class A): one ppm division per source over
+    // exact counts; the inverse (effective language count, e2) and
+    // Berger–Parker dominance (max share, ppm) ride the same 1-row-
+    // per-source frame. Scale: one (source, lang) map-side agg; the
+    // grid is |sources| × |langs| bounded at any corpus size.
+    QDef("q_simpson_diversity",
+      (s, d) => {
+        documents(s, d).groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n"),
+            sum(col("c") * (col("c") - 1)).as("ds"),
+            max(col("c")).as("cmax"),
+            count(lit(1)).as("n_langs"))
+          .select(col("source"), col("n"), col("n_langs"),
+            expr("(ds * 1000000) div greatest(n * (n - 1), 1)")
+              .as("simpson_ppm"),
+            expr("(n * (n - 1) * 100) div greatest(ds, 1)")
+              .as("inv_simpson_e2"),
+            expr("(cmax * 1000000) div n").as("berger_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH cl AS (SELECT source, lang,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(c * (c - 1)) AS BIGINT) AS ds,
+            CAST(max(c) AS BIGINT) AS cmax,
+            CAST(count(*) AS BIGINT) AS n_langs
+          FROM cl GROUP BY 1)
+        SELECT source, n, n_langs,
+          (ds * 1000000) // greatest(n * (n - 1), 1) AS simpson_ppm,
+          (n * (n - 1) * 100) // greatest(ds, 1) AS inv_simpson_e2,
+          (cmax * 1000000) // n AS berger_ppm
+        FROM st ORDER BY source""")),
+
+    // CHAO1 RICHNESS (r14) — how much vocabulary has the corpus NOT
+    // seen yet? The capture–recapture estimator (Chao 1984) over the
+    // per-lang word histogram: singletons f₁ and doubletons f₂ bound
+    // the unseen mass, Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)) (the bias-
+    // corrected form — defined even at f₂ = 0), plus the Good–Turing
+    // sample coverage 1 − f₁/N that q_good_turing's missing-mass row
+    // reads corpus-globally. ENTIRELY integer (class A): one cleared
+    // e2 division per language. The corpus-scale stage is the single
+    // (lang, word) hash-agg — map-side combinable; everything after
+    // lives on the |langs| frame.
+    QDef("q_chao1",
+      (s, d) => {
+        documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("r"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("s_obs"), sum(col("r")).as("n_tok"),
+            sum((col("r") === 1L).cast("long")).as("f1"),
+            sum((col("r") === 2L).cast("long")).as("f2"))
+          .select(col("lang"), col("s_obs"), col("n_tok"), col("f1"),
+            col("f2"),
+            expr("s_obs * 100 + (f1 * (f1 - 1) * 100) div (2 * (f2 + 1))")
+              .as("chao1_e2"),
+            expr("1000000 - (f1 * 1000000) div greatest(n_tok, 1)")
+              .as("coverage_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH h AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS r
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE w <> '' GROUP BY 1, 2),
+        st AS (SELECT lang, CAST(count(*) AS BIGINT) AS s_obs,
+            CAST(sum(r) AS BIGINT) AS n_tok,
+            CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+            CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          FROM h GROUP BY 1)
+        SELECT lang, s_obs, n_tok, f1, f2,
+          s_obs * 100 + (f1 * (f1 - 1) * 100) // (2 * (f2 + 1))
+            AS chao1_e2,
+          1000000 - (f1 * 1000000) // greatest(n_tok, 1) AS coverage_ppm
+        FROM st ORDER BY lang""")),
+
+    // HELLINGER DISTANCE MATRIX (r14) — the bounded-metric drift view
+    // beside q_js_divergence (JS is an entropy divergence; Hellinger is
+    // a true metric with √ geometry, the one mixture-weight optimizers
+    // prefer): per source pair, the Bhattacharyya coefficient
+    // BC = Σ√(pᵢqᵢ) over language distributions and H² = 1 − BC. Each
+    // √(pᵢqᵢ) = √(cₐ·c_b/(Nₐ·N_b)) is ONE sqrt over exact integer
+    // products PRE-ROUNDED to the e6 grid per cell, then summed as
+    // BIGINTs (the 4dp-quantized ln discipline applied to sqrt), so
+    // both engines sum identical integers. Missing (source, lang)
+    // cells contribute exactly 0 — the inner join drops them, which IS
+    // the √(p·0) term. Scale: one (source, lang) map-side agg; the
+    // pair × lang grid is bounded.
+    QDef("q_hellinger_matrix",
+      (s, d) => {
+        val cl = documents(s, d).groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+        val tot = cl.groupBy(col("source")).agg(sum(col("c")).as("n"))
+        val base = cl.join(tot, "source").localCheckpoint(true)
+        val a = base.select(col("source").as("src_a"), col("lang"),
+          col("c").as("ca"), col("n").as("na"))
+        val b = base.select(col("source").as("src_b"), col("lang"),
+          col("c").as("cb"), col("n").as("nb"))
+        a.join(b, Seq("lang")).filter(col("src_a") < col("src_b"))
+          .withColumn("term_e6",
+            expr("""CAST(round(sqrt(CAST(ca * cb AS DOUBLE)
+              / CAST(na * nb AS DOUBLE)) * 1000000, 0) AS BIGINT)"""))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_common"), sum(col("term_e6")).as("bc_e6"))
+          .select(col("src_a"), col("src_b"), col("n_common"),
+            col("bc_e6"), expr("greatest(1000000 - bc_e6, 0)").as("h2_e6"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH cl AS (SELECT source, lang,
+            CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+          FROM cl GROUP BY 1),
+        base AS (SELECT cl.source, cl.lang, cl.c, tot.n
+          FROM cl JOIN tot USING (source)),
+        p AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(round(sqrt(CAST(a.c * b.c AS DOUBLE)
+              / CAST(a.n * b.n AS DOUBLE)) * 1000000, 0) AS BIGINT)
+              AS term_e6
+          FROM base a JOIN base b ON a.lang = b.lang
+            AND a.source < b.source)
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_common,
+          CAST(sum(term_e6) AS BIGINT) AS bc_e6,
+          CAST(greatest(1000000 - sum(term_e6), 0) AS BIGINT) AS h2_e6
+        FROM p GROUP BY 1, 2 ORDER BY src_a, src_b"""))
   )
 
   /** (user_id, event-day) projection shared by the HLL cumulative

@@ -1326,6 +1326,109 @@ object Curation {
           ORDER BY event_type"""
       }),
 
+    // DP GAUSSIAN RELEASE (r14) — the THIRD mechanism completing the
+    // DP family (q_dp_counts: Laplace/pure ε-DP; q_dp_quantile:
+    // exponential; this: the Gaussian mechanism of (ε,δ)-DP — Dwork &
+    // Roth 2014 §A, σ = Δ√(2·ln(1.25/δ))/ε = 4.844805 for ε=1,
+    // δ=10⁻⁵, Δ=1): per-nation customer counts released with seeded
+    // Gaussian noise. The normal deviate comes from the MARSAGLIA
+    // POLAR transform — ONLY ln and sqrt in the chain (Box–Muller's
+    // cos is the one libm call whose final ulp is NOT pinned across
+    // engines; polar avoids it): per nation a fixed 8-attempt chain of
+    // md5-Horner uniform pairs (u₁,u₂ over "dpgA/dpgB:<nat>:<k>" — the
+    // q_dp_counts seed idiom), v = 2u − 1 on the exact pp grid,
+    // s_e12 = v₁² + v₂² an exact BIGINT, FIRST k with 0 < s < 1
+    // accepted (miss probability (1−π/4)⁸ ≈ 2·10⁻⁶; a full miss
+    // releases noise 0 with pick_k = 0 — deterministic in both
+    // engines, so parity holds regardless), then
+    // z = v₁·√(−2·ln(s)/s) rounded ONCE to e2 after the σ·100 scale.
+    // bound_ok pins the mechanism's hard tail cap under this grid:
+    // |v₁|/√s ≤ 1 and s ≥ 4·10⁻¹² give |noise_e2| ≤ 100·σ·√(−2·ln s)
+    // ≤ 3511 < 3600. Scale: one map-side count agg; the 8-attempt
+    // chain runs on the 25-row release frame.
+    QDef("q_dp_gaussian",
+      (s, d) => {
+        val cnt = customer(s, d)
+          .groupBy(col("c_nationkey").cast("long").as("nat"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // release frame; crossed by attempts
+        val att = s.range(1, 9).select(col("id").as("k"))
+        val grid = cnt.select(col("nat")).crossJoin(broadcast(att))
+          .withColumn("u1_pp",
+            conv(substring(md5(concat(lit("dpgA:"),
+              col("nat").cast("string"), lit(":"),
+              col("k").cast("string")).cast("binary")), 1, 8), 16, 10)
+              .cast("long") % 999998L + 1L)
+          .withColumn("u2_pp",
+            conv(substring(md5(concat(lit("dpgB:"),
+              col("nat").cast("string"), lit(":"),
+              col("k").cast("string")).cast("binary")), 1, 8), 16, 10)
+              .cast("long") % 999998L + 1L)
+          .withColumn("v1", col("u1_pp") * 2 - 1000000L)
+          .withColumn("v2", col("u2_pp") * 2 - 1000000L)
+          .withColumn("s_e12",
+            col("v1") * col("v1") + col("v2") * col("v2"))
+          .filter(col("s_e12") > 0L && col("s_e12") < 1000000000000L)
+        val pick = grid.groupBy(col("nat").as("natp"))
+          .agg(min(col("k")).as("pick_k"))
+        val z = grid.join(pick, col("nat") === col("natp")
+            && col("k") === col("pick_k"))
+          .withColumn("noise_e2",
+            expr("""CAST(round(v1 / 1000000.0
+              * sqrt(-2 * ln(s_e12 / 1000000000000.0)
+                / (s_e12 / 1000000000000.0))
+              * 4.844805 * 100, 0) AS BIGINT)"""))
+          .select(col("nat"), col("pick_k"), col("noise_e2"))
+        cnt.join(z, Seq("nat"), "left")
+          .select(col("nat"), col("n"),
+            coalesce(col("pick_k"), lit(0L)).as("pick_k"),
+            coalesce(col("noise_e2"), lit(0L)).as("noise_e2"))
+          .withColumn("released_e2", col("n") * 100L + col("noise_e2"))
+          .withColumn("bound_ok",
+            (abs(col("noise_e2")) <= 3600L).cast("long"))
+          .orderBy(col("nat"))
+      },
+      Some {
+        def horner(h: String) = (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * " +
+            s"${1L << (4 * (8 - i))}").mkString(" + ")
+        s"""WITH cnt AS (SELECT CAST(c_nationkey AS BIGINT) AS nat,
+              CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1),
+          att AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS k),
+          grid0 AS (SELECT nat, k,
+              md5('dpgA:' || CAST(nat AS VARCHAR) || ':'
+                || CAST(k AS VARCHAR)) AS ha,
+              md5('dpgB:' || CAST(nat AS VARCHAR) || ':'
+                || CAST(k AS VARCHAR)) AS hb
+            FROM cnt CROSS JOIN att),
+          grid AS (SELECT nat, k,
+              (CAST(${horner("ha")} AS BIGINT) % 999998 + 1) * 2
+                - 1000000 AS v1,
+              (CAST(${horner("hb")} AS BIGINT) % 999998 + 1) * 2
+                - 1000000 AS v2
+            FROM grid0),
+          ok AS (SELECT nat, k, v1,
+              v1 * v1 + v2 * v2 AS s_e12 FROM grid
+            WHERE v1 * v1 + v2 * v2 > 0
+              AND v1 * v1 + v2 * v2 < 1000000000000),
+          pick AS (SELECT nat, CAST(min(k) AS BIGINT) AS pick_k
+            FROM ok GROUP BY 1),
+          z AS (SELECT ok.nat, pick.pick_k,
+              CAST(round(v1 / 1000000.0
+                * sqrt(-2 * ln(s_e12 / 1000000000000.0)
+                  / (s_e12 / 1000000000000.0))
+                * 4.844805 * 100, 0) AS BIGINT) AS noise_e2
+            FROM ok JOIN pick ON ok.nat = pick.nat
+              AND ok.k = pick.pick_k)
+          SELECT cnt.nat, cnt.n, COALESCE(z.pick_k, 0) AS pick_k,
+            COALESCE(z.noise_e2, 0) AS noise_e2,
+            cnt.n * 100 + COALESCE(z.noise_e2, 0) AS released_e2,
+            CAST(abs(COALESCE(z.noise_e2, 0)) <= 3600 AS BIGINT)
+              AS bound_ok
+          FROM cnt LEFT JOIN z ON cnt.nat = z.nat ORDER BY cnt.nat"""
+      }),
+
     // CLASSIFIER QUALITY METRICS (r14) — per-class precision / recall /
     // F1 / Matthews correlation off the SHARED nbConfusion frame
     // (q_nb_quality's own held-out model — the gate, the DRO

@@ -3415,6 +3415,243 @@ object EventWindows {
             AS BIGINT) AS rank
         FROM p5 LEFT JOIN wt ON p5.i = wt.i
         ORDER BY rank"""
-      })
+      }),
+
+    // KENDALL τ-b (r14) — the concordance-based rank correlation beside
+    // q_spearman_corr (Spearman ranks the marginals; Kendall counts pair
+    // inversions — the two disagree exactly when the dependence is
+    // non-monotone in the tails): do daily click and purchase volumes
+    // co-move? Over the zero-filled dense daily (x = clicks, y =
+    // purchases) series, concordant/discordant/tied pair counts are
+    // exact BIGINTs from the calendar-bounded pair self-join (the
+    // q_theil_sen constant: days² never grows with the corpus), and
+    // τ-b = (C−D)/√((n0−tx)(n0−ty)) is ONE two-sqrt chain over exact
+    // integers rounded once to e6, 0-guarded when either margin is
+    // constant. Scale: one map-side day agg; everything downstream is
+    // calendar-bounded.
+    QDef("q_kendall_tau",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"),
+            col("event_type"))
+          .groupBy(col("day"))
+          .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+            sum((col("event_type") === "purchase").cast("long")).as("y"))
+        val rng = daily.agg(min(col("day")).as("d0"),
+          max(col("day")).as("d1"))
+        val dense = rng
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+            coalesce(col("y"), lit(0L)).as("y"))
+          .localCheckpoint(true) // both sides of the pair self-join
+        dense.as("a").join(dense.as("b"), col("a.day") < col("b.day"))
+          .agg(count(lit(1)).as("n0"),
+            sum(when((col("b.x") > col("a.x") && col("b.y") > col("a.y"))
+              || (col("b.x") < col("a.x") && col("b.y") < col("a.y")), 1L)
+              .otherwise(0L)).as("nc"),
+            sum(when((col("b.x") > col("a.x") && col("b.y") < col("a.y"))
+              || (col("b.x") < col("a.x") && col("b.y") > col("a.y")), 1L)
+              .otherwise(0L)).as("nd"),
+            sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)).as("tx"),
+            sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L)).as("ty"))
+          .select(col("n0"), col("nc"), col("nd"), col("tx"), col("ty"),
+            expr("""CASE WHEN n0 > tx AND n0 > ty THEN
+              CAST(round((nc - nd) * 1000000
+                / (sqrt(CAST(n0 - tx AS DOUBLE))
+                 * sqrt(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT)
+              ELSE 0 END""").as("tau_e6"))
+      },
+      Some("""WITH daily AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        dense AS (SELECT g.day, CAST(COALESCE(x, 0) AS BIGINT) AS x,
+            CAST(COALESCE(y, 0) AS BIGINT) AS y
+          FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng) g
+          LEFT JOIN daily USING (day)),
+        p AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+              OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc,
+            CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+              OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd,
+            CAST(sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)
+              AS BIGINT) AS tx,
+            CAST(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END)
+              AS BIGINT) AS ty
+          FROM dense a JOIN dense b ON a.day < b.day)
+        SELECT n0, nc, nd, tx, ty,
+          CASE WHEN n0 > tx AND n0 > ty THEN
+            CAST(round((nc - nd) * 1000000
+              / (sqrt(CAST(n0 - tx AS DOUBLE))
+               * sqrt(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT)
+          ELSE 0 END AS tau_e6
+        FROM p""")),
+
+    // FRIEDMAN TEST (r14) — the BLOCKED k-sample rank test completing
+    // the nonparametric battery (Kruskal–Wallis pools all observations
+    // into one ranking; Friedman ranks WITHIN each block, removing
+    // between-day level shifts — the repeated-measures design): per
+    // day (block) the k event types are ranked by their exact e2
+    // daily value sums (the q_bradley_terry per-day frame), ties by
+    // the doubled average-rank identity 2·r̄ = 2·below + c + 1 so
+    // every rank sum ×2 is an exact BIGINT with the conservation
+    // Σⱼ R2ⱼ = n·k(k+1) built in (spec-asserted). Only days with ALL
+    // k types present are kept (balanced blocks — the test's
+    // requirement). χ²_F lands on the ppm grid by the cleared-
+    // denominator identity χ² = 3(ΣR2² − n²k(k+1)²)/(nk(k+1)) with
+    // ONE truncating division (numerator ≥ 0 by Cauchy–Schwarz, so
+    // floor-vs-truncate never diverges). Scale: one (day, type)
+    // map-side agg; ranks live in per-day windows over k rows each —
+    // never a corpus-wide sort; all downstream frames are
+    // calendar × |types| bounded.
+    QDef("q_friedman",
+      (s, d) => {
+        val g = events(s, d)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v0"))
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("v0")).as("v"))
+        val kTot = g.select(col("event_type")).distinct()
+          .agg(count(lit(1)).as("k"))
+        val fullDays = g.groupBy(col("day")).agg(count(lit(1)).as("kt"))
+          .crossJoin(broadcast(kTot)).filter(col("kt") === col("k"))
+          .select(col("day"))
+        val gg = g.join(fullDays, Seq("day")).localCheckpoint(true)
+        val hv = gg.groupBy(col("day"), col("v")).agg(count(lit(1)).as("c"))
+        val wIn = Window.partitionBy(col("day")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r2 = hv
+          .withColumn("below", coalesce(sum(col("c")).over(wIn), lit(0L)))
+          .select(col("day"), col("v"),
+            (col("below") * 2 + col("c") + 1).as("rank2"))
+        val st = gg.join(r2, Seq("day", "v"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("rank2")).as("ranksum2"),
+            count(lit(1)).as("n_blocks"))
+        val tot = st.agg(count(lit(1)).as("k"),
+          max(col("n_blocks")).as("n"),
+          sum(col("ranksum2") * col("ranksum2")).as("ss"))
+        st.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_blocks"), col("ranksum2"),
+            expr("""greatest((3 * 1000000 *
+              (ss - n * n * k * (k + 1) * (k + 1)))
+              div greatest(n * k * (k + 1), 1), 0)""").as("chi2_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (SELECT CAST(ts AS DATE) AS day, event_type,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        fd AS (SELECT day FROM g GROUP BY day
+          HAVING count(*) = (SELECT count(DISTINCT event_type) FROM g)),
+        gg AS (SELECT g.* FROM g JOIN fd USING (day)),
+        hv AS (SELECT day, v, CAST(count(*) AS BIGINT) AS c
+          FROM gg GROUP BY 1, 2),
+        r2 AS (SELECT day, v,
+            CAST(2 * COALESCE(sum(c) OVER (PARTITION BY day ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS rank2
+          FROM hv),
+        st AS (SELECT event_type, CAST(sum(rank2) AS BIGINT) AS ranksum2,
+            CAST(count(*) AS BIGINT) AS n_blocks
+          FROM gg JOIN r2 USING (day, v) GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(max(n_blocks) AS BIGINT) AS n,
+            CAST(sum(ranksum2 * ranksum2) AS BIGINT) AS ss FROM st)
+        SELECT event_type, n_blocks, ranksum2,
+          CAST(greatest((3 * 1000000 *
+            (ss - n * n * k * (k + 1) * (k + 1)))
+            // greatest(n * k * (k + 1), 1), 0) AS BIGINT) AS chi2_ppm
+        FROM st CROSS JOIN tot ORDER BY event_type""")),
+
+    // WALD–WOLFOWITZ RUNS TEST (r14) — is the daily event-volume series
+    // RANDOM around its median, or does it clump (persistence) /
+    // alternate (overdispersion)? The randomness companion of
+    // q_mann_kendall (which tests monotone trend; runs catches
+    // non-monotone structure trend misses): zero-filled dense daily
+    // counts, the lower median by TYPE-1 SELECTION over the bounded
+    // calendar frame (rank (n+1)÷2 — selection of an already-computed
+    // value, no interpolation), days equal to the median dropped (the
+    // standard rule), runs counted by one lag scan ordered by day.
+    // z = (R·n − n − 2n₁n₂)·√(n−1)/√(2n₁n₂(2n₁n₂−n)) is the cleared-
+    // denominator form of (R−E)/√Var — exact integers into ONE
+    // two-sqrt chain rounded once to e6, 0-guarded for degenerate
+    // sign splits. Scale: one map-side day agg; the global-order
+    // window and lag scan run on the calendar-bounded dense frame
+    // (the audited bounded-frame Window.orderBy class), never on
+    // events.
+    QDef("q_runs_test",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        val rng = daily.agg(min(col("day")).as("d0"),
+          max(col("day")).as("d1"))
+        val dense = rng
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+          .localCheckpoint(true) // median selection + the runs scan
+        val nF = dense.agg(count(lit(1)).as("n_all"))
+        val med = dense.crossJoin(broadcast(nF))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("x"), col("day"))))
+          .filter(col("rn") === expr("(n_all + 1) div 2"))
+          .select(col("x").as("med"))
+        val signs = dense.crossJoin(broadcast(med))
+          .filter(col("x") =!= col("med"))
+          .select(col("day"), (col("x") > col("med")).cast("long").as("sgn"))
+        signs
+          .withColumn("prev", lag(col("sgn"), 1).over(
+            Window.orderBy(col("day"))))
+          .agg(sum(col("sgn")).as("n1"),
+            sum(lit(1L) - col("sgn")).as("n2"),
+            sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+              .otherwise(0L)).as("runs"))
+          .select(col("n1"), col("n2"), col("runs"),
+            expr("""CASE WHEN n1 > 0 AND n2 > 0
+                AND 2 * n1 * n2 > n1 + n2 THEN
+              CAST(round((runs * (n1 + n2) - (n1 + n2) - 2 * n1 * n2)
+                * sqrt(CAST(n1 + n2 - 1 AS DOUBLE))
+                / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                  * (2 * n1 * n2 - (n1 + n2))) * 1000000, 0) AS BIGINT)
+              ELSE 0 END""").as("z_e6"))
+      },
+      Some("""WITH daily AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        dense AS (SELECT g.day, CAST(COALESCE(x, 0) AS BIGINT) AS x
+          FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng) g
+          LEFT JOIN daily USING (day)),
+        nf AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM dense),
+        med AS (SELECT x AS med FROM (SELECT x, row_number()
+              OVER (ORDER BY x, day) AS rn FROM dense) CROSS JOIN nf
+          WHERE rn = (n_all + 1) // 2),
+        signs AS (SELECT day, CAST(x > med AS BIGINT) AS sgn
+          FROM dense CROSS JOIN med WHERE x <> med),
+        runs AS (SELECT CAST(sum(sgn) AS BIGINT) AS n1,
+            CAST(sum(1 - sgn) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1
+              ELSE 0 END) AS BIGINT) AS runs
+          FROM (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev
+                FROM signs))
+        SELECT n1, n2, runs,
+          CASE WHEN n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2 THEN
+            CAST(round((runs * (n1 + n2) - (n1 + n2) - 2 * n1 * n2)
+              * sqrt(CAST(n1 + n2 - 1 AS DOUBLE))
+              / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                * (2 * n1 * n2 - (n1 + n2))) * 1000000, 0) AS BIGINT)
+          ELSE 0 END AS z_e6
+        FROM runs"""))
   )
 }

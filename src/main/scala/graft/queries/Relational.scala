@@ -796,6 +796,53 @@ object Relational {
           CAST(sum(term_e4) AS BIGINT) AS aa_e4
         FROM nonadj JOIN deg USING (z)
         GROUP BY a, b
-        ORDER BY aa_e4 DESC, id_a, id_b LIMIT 50"""))
+        ORDER BY aa_e4 DESC, id_a, id_b LIMIT 50""")),
+
+    // WILSON SCORE BOUNDS (r14) — rank suppliers by RETURN RATE with
+    // small-sample honesty (Wilson 1927; the interval behind every
+    // "sort by rating" ranking): the naive k/n rate ranks a 2/3
+    // supplier above a 590/600 one; the Wilson lower bound shrinks
+    // toward ½ by exactly the uncertainty the sample size warrants.
+    // lb/ub = (2k + z² ∓ z·√(z² + 4k(n−k)/n)) / (2(n + z²)) with
+    // z = 1.96 (z² = 3.8416 exact decimal literals in BOTH engine
+    // texts) — exact integer (n, k) into ONE sqrt chain per bound,
+    // rounded once to e6; the naive rate ships beside it as exact ppm
+    // for the contrast. Scale: one map-side lineitem agg to the
+    // |suppliers| frame, then TakeOrdered top-25 — never a global
+    // sort.
+    QDef("q_wilson_bounds",
+      (s, d) => {
+        lineitem(s, d)
+          .groupBy(col("l_suppkey").cast("long").as("suppkey"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("l_returnflag") === "R").cast("long")).as("k"))
+          .select(col("suppkey"), col("n"), col("k"),
+            expr("(k * 1000000) div n").as("rate_ppm"),
+            expr("""CAST(round((2 * k + 3.8416
+              - 1.96 * sqrt(3.8416 + 4.0 * k * (n - k) / n))
+              / (2 * (n + 3.8416)) * 1000000, 0) AS BIGINT)""")
+              .as("wilson_lb_e6"),
+            expr("""CAST(round((2 * k + 3.8416
+              + 1.96 * sqrt(3.8416 + 4.0 * k * (n - k) / n))
+              / (2 * (n + 3.8416)) * 1000000, 0) AS BIGINT)""")
+              .as("wilson_ub_e6"))
+          .orderBy(col("wilson_lb_e6").desc, col("suppkey"))
+          .limit(25)
+      },
+      Some("""WITH st AS (SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+          FROM lineitem GROUP BY 1)
+        SELECT suppkey, n, k, (k * 1000000) // n AS rate_ppm,
+          CAST(round((2 * k + 3.8416
+            - 1.96 * sqrt(3.8416 + 4.0 * k * (n - k) / n))
+            / (2 * (n + 3.8416)) * 1000000, 0) AS BIGINT)
+            AS wilson_lb_e6,
+          CAST(round((2 * k + 3.8416
+            + 1.96 * sqrt(3.8416 + 4.0 * k * (n - k) / n))
+            / (2 * (n + 3.8416)) * 1000000, 0) AS BIGINT)
+            AS wilson_ub_e6
+        FROM st ORDER BY wilson_lb_e6 DESC, suppkey LIMIT 25"""))
   )
 }

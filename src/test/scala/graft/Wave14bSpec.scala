@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property/replay specs for the round-14 third (continuation) wave. */
+class Wave14bSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Zero-filled dense daily (clicks, purchases) series, imperatively. */
+  private lazy val dailyXY: Seq[(Long, Long, Long)] = {
+    val byDay = graft.tables.Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("day"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+    val d0 = byDay.keys.min
+    val d1 = byDay.keys.max
+    (d0 to d1).map { d =>
+      val ts = byDay.getOrElse(d, Array.empty[(Long, String)]).map(_._2)
+      (d, ts.count(_ == "click").toLong, ts.count(_ == "purchase").toLong)
+    }
+  }
+
+  test("kendall tau: imperative pair replay matches every count and tau") {
+    val pairs = for {
+      (da, xa, ya) <- dailyXY; (db, xb, yb) <- dailyXY if da < db
+    } yield (java.lang.Long.compare(xb, xa), java.lang.Long.compare(yb, ya))
+    val n0 = pairs.size.toLong
+    val nc = pairs.count { case (sx, sy) => sx * sy > 0 }.toLong
+    val nd = pairs.count { case (sx, sy) => sx * sy < 0 }.toLong
+    val tx = pairs.count(_._1 == 0).toLong
+    val ty = pairs.count(_._2 == 0).toLong
+    val tau = new java.math.BigDecimal((nc - nd) * 1000000
+      / (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val got = run("q_kendall_tau").head()
+    assert(got.getAs[Long]("n0") == n0 && got.getAs[Long]("nc") == nc &&
+      got.getAs[Long]("nd") == nd && got.getAs[Long]("tx") == tx &&
+      got.getAs[Long]("ty") == ty, "pair counts diverged from the replay")
+    assert(got.getAs[Long]("tau_e6") == tau, "tau diverged from the replay")
+    assert(nc + nd <= n0 && math.abs(tau) <= 1000000L)
+  }
+
+  test("friedman: doubled rank sums conserve and chi2 replays exactly") {
+    val rows = run("q_friedman").collect()
+    val k = rows.length.toLong
+    val n = rows.head.getAs[Long]("n_blocks")
+    assert(rows.forall(_.getAs[Long]("n_blocks") == n),
+      "balanced blocks: every type must appear in every kept day")
+    val r2s = rows.map(_.getAs[Long]("ranksum2"))
+    assert(r2s.sum == n * k * (k + 1), "doubled rank sums must conserve")
+    val ss = r2s.map(r => r * r).sum
+    val chi2 = math.max(3L * 1000000L * (ss - n * n * k * (k + 1) * (k + 1))
+      / (n * k * (k + 1)), 0L)
+    assert(rows.forall(_.getAs[Long]("chi2_ppm") == chi2),
+      "chi2 must replay from the rank sums")
+  }
+
+  test("runs test: imperative median/runs replay, run-count bounds") {
+    // recompute daily TOTAL counts (the query counts all events)
+    val byDay = graft.tables.Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("day"))
+      .collect().map(_.getLong(0)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val d0 = byDay.keys.min; val d1 = byDay.keys.max
+    val dense = (d0 to d1).map(d => (d, byDay.getOrElse(d, 0L)))
+    val med = dense.sortBy { case (d, x) => (x, d) }
+      .apply(((dense.size + 1) / 2 - 1).toInt)._2
+    val signs = dense.filter(_._2 != med).map(_._2 > med)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.count(!_).toLong
+    val runs = if (signs.isEmpty) 0L
+      else 1L + signs.sliding(2).count(w => w.size == 2 && w(0) != w(1))
+    val got = run("q_runs_test").head()
+    assert(got.getAs[Long]("n1") == n1 && got.getAs[Long]("n2") == n2,
+      "sign split diverged from the replay")
+    assert(got.getAs[Long]("runs") == runs, "run count diverged")
+    assert(runs >= 1L && runs <= n1 + n2, "run count out of bounds")
+    val n = n1 + n2
+    val z = new java.math.BigDecimal((runs * n - n - 2 * n1 * n2)
+      * math.sqrt((n - 1).toDouble)
+      / math.sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n)) * 1000000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    assert(got.getAs[Long]("z_e6") == z, "z diverged from the replay")
+  }
+
+  test("wilson bounds: lb <= naive rate <= ub, per-row chain replay") {
+    val rows = run("q_wilson_bounds").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("k"))
+      def w(sgn: Double) = new java.math.BigDecimal(
+        (2 * k + 3.8416 + sgn * 1.96 *
+          math.sqrt(3.8416 + 4.0 * k * (n - k) / n))
+          / (2 * (n + 3.8416)) * 1000000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      assert(r.getAs[Long]("wilson_lb_e6") == w(-1), "lb chain diverged")
+      assert(r.getAs[Long]("wilson_ub_e6") == w(1), "ub chain diverged")
+      // the bound brackets the naive rate (1 ulp rounding slack each side)
+      assert(r.getAs[Long]("wilson_lb_e6") <= r.getAs[Long]("rate_ppm") + 1)
+      assert(r.getAs[Long]("wilson_ub_e6") >= r.getAs[Long]("rate_ppm") - 1)
+    }
+    val lbs = rows.map(_.getAs[Long]("wilson_lb_e6"))
+    assert(lbs.sameElements(lbs.sorted.reverse), "must rank by lower bound")
+  }
+
+  test("simpson: identities against the raw (source, lang) counts") {
+    val cnts = graft.tables.Tables.documents(spark, sf)
+      .groupBy(col("source"), col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    run("q_simpson_diversity").collect().foreach { r =>
+      val cs = cnts(r.getString(0)).map(_._3)
+      val n = cs.sum; val ds = cs.map(c => c * (c - 1)).sum
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_langs") == cs.length.toLong)
+      assert(r.getAs[Long]("simpson_ppm") ==
+        ds * 1000000L / math.max(n * (n - 1), 1L))
+      assert(r.getAs[Long]("inv_simpson_e2") ==
+        n * (n - 1) * 100L / math.max(ds, 1L))
+      assert(r.getAs[Long]("berger_ppm") == cs.max * 1000000L / n)
+      // inverse Simpson is an effective count: between 1 and |langs|
+      assert(r.getAs[Long]("inv_simpson_e2") >= 100L &&
+        r.getAs[Long]("inv_simpson_e2") <= cs.length * 100L + 100L)
+    }
+  }
+
+  test("chao1: richness dominates observed, coverage replay") {
+    val hist = graft.tables.Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).count().collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    run("q_chao1").collect().foreach { r =>
+      val rs = hist(r.getString(0)).map(_._2)
+      val (sObs, nTok) = (rs.length.toLong, rs.sum)
+      val f1 = rs.count(_ == 1L).toLong; val f2 = rs.count(_ == 2L).toLong
+      assert(r.getAs[Long]("s_obs") == sObs && r.getAs[Long]("n_tok") == nTok)
+      assert(r.getAs[Long]("f1") == f1 && r.getAs[Long]("f2") == f2)
+      assert(r.getAs[Long]("chao1_e2") ==
+        sObs * 100 + f1 * (f1 - 1) * 100 / (2 * (f2 + 1)))
+      assert(r.getAs[Long]("chao1_e2") >= sObs * 100,
+        "estimated richness must dominate observed richness")
+      assert(r.getAs[Long]("coverage_ppm") ==
+        1000000L - f1 * 1000000L / math.max(nTok, 1L))
+    }
+  }
+
+  test("hellinger: complete pair matrix, BC bounds, term replay") {
+    val cnts = graft.tables.Tables.documents(spark, sf)
+      .groupBy(col("source"), col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySrc = cnts.groupBy(_._1).view
+      .mapValues(g => g.map(x => x._2 -> x._3).toMap).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val got = run("q_hellinger_matrix").collect()
+    assert(got.length == srcs.size * (srcs.size - 1) / 2,
+      "pair matrix incomplete")
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (ca, cb) = (bySrc(a), bySrc(b))
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      val bc = ca.keySet.intersect(cb.keySet).toSeq.map { l =>
+        new java.math.BigDecimal(math.sqrt(
+          (ca(l) * cb(l)).toDouble / (na * nb).toDouble) * 1000000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      }.sum
+      assert(r.getAs[Long]("bc_e6") == bc, s"BC diverged for ($a,$b)")
+      assert(r.getAs[Long]("h2_e6") == math.max(1000000L - bc, 0L))
+      // BC <= 1 up to half-unit-per-cell rounding slack
+      assert(bc <= 1000000L + r.getAs[Long]("n_common"),
+        s"BC above 1 beyond grid slack for ($a,$b)")
+    }
+  }
+
+  test("dp gaussian: reproducible, polar-transform replay, hard tail cap") {
+    val a = run("q_dp_gaussian").collect()
+    val b = run("q_dp_gaussian").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "seeded Gaussian mechanism must be reproducible")
+    def u(tag: String, nat: Long, k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$tag:$nat:$k".getBytes("UTF-8"))
+        .take(4).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 999998L + 1L
+    }
+    a.foreach { r =>
+      val nat = r.getAs[Long]("nat")
+      val attempts = (1L to 8L).map { k =>
+        val v1 = u("dpgA", nat, k) * 2 - 1000000L
+        val v2 = u("dpgB", nat, k) * 2 - 1000000L
+        (k, v1, v1 * v1 + v2 * v2)
+      }
+      attempts.find { case (_, _, s) => s > 0 && s < 1000000000000L } match {
+        case Some((k, v1, sE12)) =>
+          assert(r.getAs[Long]("pick_k") == k, s"pick diverged for $nat")
+          val sDb = sE12 / 1000000000000.0
+          val noise = new java.math.BigDecimal(v1 / 1000000.0
+            * math.sqrt(-2 * math.log(sDb) / sDb) * 4.844805 * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          assert(r.getAs[Long]("noise_e2") == noise,
+            s"polar chain diverged for $nat")
+        case None =>
+          assert(r.getAs[Long]("pick_k") == 0L &&
+            r.getAs[Long]("noise_e2") == 0L)
+      }
+      assert(r.getAs[Long]("released_e2") ==
+        r.getAs[Long]("n") * 100 + r.getAs[Long]("noise_e2"))
+      assert(r.getAs[Long]("bound_ok") == 1L,
+        "the mechanism's hard tail cap must hold under this seed grid")
+    }
+  }
+}
