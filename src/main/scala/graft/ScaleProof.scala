@@ -505,7 +505,10 @@ object ScaleProof {
       // dp_gaussian is a map-side count agg + a 25x8 seeded noise grid
       "q_kendall_tau", "q_friedman", "q_runs_test", "q_wilson_bounds",
       "q_simpson_diversity", "q_chao1", "q_hellinger_matrix",
-      "q_dp_gaussian")
+      "q_dp_gaussian",
+      // twin #13: batch-mode TWS, state = |users| x (start, last, MG);
+      // the per-key sort is bounded by one user's own history
+      "q_session_topk_stream_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -1000,6 +1000,74 @@ object Corpus {
             ORDER BY cnt DESC, item) AS BIGINT) AS rank
         FROM c ORDER BY win, rank""")),
 
+    // SESSION-WINDOW TOP-K WITH GAP EVICTION — the 13th stateful twin
+    // (r14 wave 3): twin #12's window lifetime was FIXED (a tumbling
+    // 7-day grid); a session's is DATA-DEPENDENT — it closes when the
+    // user goes quiet for the gap (1 day here, matching the corpus's
+    // ~67-events-per-user cadence: 1214 multi-event sessions at
+    // sf0.01). State per user = (session_start, last_event, MG(k=32));
+    // within a batch, (event-time, event_id)-ordered rows split on
+    // gaps inline (closed sessions emit as 'gap'); in event-time mode
+    // ONE timer per user moves to last_event + gap every batch
+    // (delete-then-register — a stale early timer would close a
+    // still-live session) and watermark passage emits 'timer' +
+    // CLEARS — state bounded by users active in the horizon. The GATE
+    // runs batch-mode where the identical walk emits the open tail as
+    // 'final', so batch output IS the full sessionization — oracled by
+    // the exact lag/cumsum session SQL with the same (count desc,
+    // item) top order; |types| = 5 < k ⇒ the MG map is provably exact.
+    // Eviction ≡ batch, exactly-once 'timer' rows, and the state-store
+    // row-count drop are StreamingSpec's multi-batch proofs.
+    QDef("q_session_topk_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.sessionTop(ev).toDF()
+          .select(col("user_id"), col("session_start_us"), col("n_events"),
+            col("n_types"), col("top_item"), col("top_cnt"),
+            col("closed_by"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+            epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS eid,
+            event_type
+          FROM events),
+        o AS (SELECT user_id, us, eid, event_type,
+            CASE WHEN lag(us) OVER (PARTITION BY user_id
+                ORDER BY us, eid) IS NULL
+              OR us - lag(us) OVER (PARTITION BY user_id
+                ORDER BY us, eid) > 86400000000
+              THEN 1 ELSE 0 END AS brk
+          FROM e),
+        sid AS (SELECT user_id, us, eid, event_type,
+            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, eid)
+              AS BIGINT) AS sess
+          FROM o),
+        ss AS (SELECT user_id, sess,
+            CAST(min(us) AS BIGINT) AS session_start_us,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+          FROM sid GROUP BY 1, 2),
+        tc AS (SELECT user_id, sess, event_type AS top_item,
+            CAST(count(*) AS BIGINT) AS top_cnt,
+            row_number() OVER (PARTITION BY user_id, sess
+              ORDER BY count(*) DESC, event_type) AS rn
+          FROM sid GROUP BY user_id, sess, event_type),
+        ls AS (SELECT user_id, CAST(max(sess) AS BIGINT) AS max_sess
+          FROM ss GROUP BY 1)
+        SELECT ss.user_id, ss.session_start_us, ss.n_events, ss.n_types,
+          tc.top_item, tc.top_cnt,
+          CASE WHEN ss.sess = ls.max_sess THEN 'final' ELSE 'gap' END
+            AS closed_by
+        FROM ss JOIN tc ON ss.user_id = tc.user_id AND ss.sess = tc.sess
+          AND tc.rn = 1
+        JOIN ls ON ss.user_id = ls.user_id
+        ORDER BY ss.user_id, ss.session_start_us""")),
+
     // Two-sample KOLMOGOROV–SMIRNOV drift matrix — the distribution-shift
     // test beside the KL/chi² family: for every source pair, D = max_v
     // |ECDF_a(v) − ECDF_b(v)| over the doc-length distribution, kept

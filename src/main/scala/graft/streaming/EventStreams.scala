@@ -931,4 +931,112 @@ object EventStreams {
       if (evict) TimeMode.EventTime() else TimeMode.None(),
       OutputMode.Update)
   }
+
+  /** One closed (or batch-final) session emitted by
+    * [[SessionTopProcessor]]: the session's exact start, its event and
+    * distinct-item mass, the top item under the deterministic
+    * (count desc, item) order, and HOW it closed — 'gap' (a later
+    * event opened the next session), 'final' (batch end), or 'timer'
+    * (event-time watermark eviction). */
+  final case class SessionTopRow(user_id: Long, session_start_us: Long,
+    n_events: Long, n_types: Long, top_item: String, top_cnt: Long,
+    closed_by: String)
+
+  /** SESSION-WINDOW TOP-K WITH GAP EVICTION (twin #13) — the
+    * Misra–Gries summary composed with the SESSIONIZER's gap logic
+    * (twin #12 gave windows a fixed lifetime; sessions have a DATA-
+    * DEPENDENT one: the window closes when the user goes quiet for
+    * `gapUs`). State per user is (session_start, last_event, MG(k)
+    * bytes). Within a batch, rows are ordered by (event-time,
+    * event_id) and gaps split sessions inline — each closed session
+    * emits immediately ('gap'); the open tail is carried in state. In
+    * event-time mode the processor moves ONE timer to
+    * last_event + gap on every batch (delete-then-register — timers
+    * key on their timestamp, so a moved deadline must delete the old
+    * one or a stale early timer would close a still-live session);
+    * when the watermark passes it, the session emits as 'timer' and
+    * the state CLEARS — total state is bounded by the count of users
+    * active inside the watermark horizon, never the stream length. In
+    * batch/gate mode (TimeMode.None) the identical walk runs once and
+    * the open tail emits as 'final', so batch output is EXACTLY the
+    * full sessionization — oracled by the lag/cumsum session SQL.
+    * The per-key sort buffers one user's batch slice — bounded by a
+    * user's own history, the declared posture of every session
+    * processor in this file. */
+  class SessionTopProcessor(k: Int, gapUs: Long, evict: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, SessionTopRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Array[Byte])] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Array[Byte])]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.BINARY), TTLConfig.NONE)
+    private def usOf(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    private def row(key: Long, start: Long,
+        mg: graft.functions.MGSummary, how: String): SessionTopRow = {
+      val cs = mg.counts.toSeq
+      val (top, cnt) = cs.minBy { case (t, c) => (-c, t) }
+      SessionTopRow(key, start, cs.map(_._2).sum, cs.size.toLong,
+        top, cnt, how)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[SessionTopRow] = {
+      val sorted = rows.toArray.sortBy(r => (usOf(r.ts), r.event_id))
+      val out = Seq.newBuilder[SessionTopRow]
+      var (start, last, mgBytes) =
+        if (state.exists()) state.get() else (-1L, -1L, null: Array[Byte])
+      var cur = if (mgBytes == null) new graft.functions.MGSummary(k)
+        else graft.functions.MGSummary.deserialize(mgBytes)
+      sorted.foreach { r =>
+        val us = usOf(r.ts)
+        if (start >= 0L && us - last > gapUs) {
+          out += row(key, start, cur, "gap")
+          cur = new graft.functions.MGSummary(k)
+          start = us
+        } else if (start < 0L) start = us
+        cur.add(r.event_type)
+        last = us
+      }
+      if (evict) {
+        state.update((start, last, cur.serialize()))
+        val it = getHandle.listTimers()
+        while (it.hasNext) getHandle.deleteTimer(it.next())
+        getHandle.registerTimer((last + gapUs) / 1000L)
+      } else {
+        out += row(key, start, cur, "final")
+        state.update((start, last, cur.serialize()))
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[SessionTopRow] = {
+      val out = if (state.exists()) {
+        val (start, _, mgBytes) = state.get()
+        Iterator.single(row(key, start,
+          graft.functions.MGSummary.deserialize(mgBytes), "timer"))
+      } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  def sessionTop(events: Dataset[EventRow], k: Int = 32,
+      gapUs: Long = 86400000000L,
+      evict: Boolean = false): Dataset[SessionTopRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val src = if (evict) events.withWatermark("ts", "1 hour") else events
+    src.groupByKey(_.user_id)
+      .transformWithState(new SessionTopProcessor(k, gapUs, evict),
+        if (evict) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Update)
+  }
 }

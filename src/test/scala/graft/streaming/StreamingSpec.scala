@@ -1077,6 +1077,122 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("twin #13 session top-k: gap closes inline, watermark timer evicts " +
+    "the quiet user, state drops, no resurrection") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.sessionTop(mem.toDS(), k = 32,
+        gapUs = 86400000000L, evict = true).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_sesstop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sesstop_chk").toString)
+        .start()
+      def stateRows: Long =
+        Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal)
+          .getOrElse(-1L)
+      def us(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      try {
+        // batch 1: user 1's session opens (3 events, gaps < 1 day)
+        mem.addData(row(1, ts(1, 1)), row(2, ts(1, 2)),
+          row(3, ts(1, 3), typ = "view"))
+        q.processAllAvailable()
+        // batch 2: user 1 extends the SAME session across the batch
+        // boundary (21 h < gap); user 3 has an INLINE gap (26 h) — its
+        // day-1 session must emit 'gap' immediately, the day-2 06:00
+        // session stays open. Batch-2 watermark = day 2 05:00, still
+        // BELOW both deadlines (day 3 01:00 / day 3 06:00): nothing
+        // may evict yet.
+        mem.addData(row(4, ts(2, 1)),
+          row(5, ts(1, 4), user = 3L, typ = "view"),
+          row(6, ts(2, 6), user = 3L))
+        q.processAllAvailable()
+        val openRows = stateRows
+        // batches 3–4: a far-future user-2 pair pushes the watermark
+        // past both deadlines — users 1 and 3 evict on their timers
+        mem.addData(row(7, ts(20, 0), user = 2L))
+        q.processAllAvailable()
+        mem.addData(row(8, ts(20, 2), user = 2L))
+        q.processAllAvailable()
+        val afterFire = stateRows
+        // batch 5: a user-1 straggler far beyond the watermark must be
+        // dropped — the evicted session must NOT resurrect
+        mem.addData(row(9, ts(1, 5)))
+        q.processAllAvailable()
+        val out = spark.table("t_sesstop")
+          .select(col("user_id"), col("session_start_us"), col("n_events"),
+            col("n_types"), col("top_item"), col("top_cnt"),
+            col("closed_by")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getLong(5), r.getString(6)))
+        // user 1: exactly ONE row, the timer-evicted merged session
+        val u1 = out.filter(_._1 == 1L)
+        assert(u1.length == 1, s"user 1 must close exactly once: ${u1.toSeq}")
+        assert(u1.head == ((1L, us(ts(1, 1)), 4L, 2L, "click", 3L, "timer")),
+          s"evicted session must merge across batches exactly: ${u1.head}")
+        // user 3: the day-1 session closed INLINE by the day-5 gap,
+        // the day-5 session closed by the watermark timer
+        val u3 = out.filter(_._1 == 3L).sortBy(_._2)
+        assert(u3.map(x => (x._2, x._3, x._5, x._7)).toSeq == Seq(
+          (us(ts(1, 4)), 1L, "view", "gap"),
+          (us(ts(2, 6)), 1L, "click", "timer")),
+          s"user 3 sessions diverged: ${u3.toSeq}")
+        // eviction is real: the store sheds the evicted users' rows
+        assert(afterFire < openRows,
+          s"state rows must drop after eviction: open=$openRows after=$afterFire")
+        // no resurrection from the dropped straggler
+        assert(out.count(_._1 == 1L) == 1,
+          "late straggler must not reopen the evicted session")
+      } finally q.stop()
+    }
+  }
+
+  test("twin #13 session top-k: multi-batch closed sessions equal the " +
+    "single-batch (gate-mode) sessionization") {
+    import spark.implicits._
+    withRocksDbSp {
+      val rows = Seq(
+        row(1, ts(1, 1)), row(2, ts(1, 2), typ = "view"),
+        row(3, ts(3, 1)), row(4, ts(3, 2)),
+        row(5, ts(1, 4), user = 2L, typ = "buy"), row(6, ts(6, 0), user = 2L),
+        row(7, ts(6, 1), user = 2L, typ = "view"))
+      // gate mode: one batch, open tails emit as 'final'
+      val batch = EventStreams.sessionTop(
+        spark.createDataset(rows), evict = false).collect()
+        .map(r => (r.user_id, r.session_start_us, r.n_events, r.top_item))
+        .toSet
+      // streamed in three batches, then a far-future watermark push so
+      // every session closes by gap or timer
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.sessionTop(mem.toDS(), evict = true).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_sess_eq")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sesseq_chk").toString)
+        .start()
+      try {
+        mem.addData(rows.take(2): _*); q.processAllAvailable()
+        mem.addData(rows.slice(2, 5): _*); q.processAllAvailable()
+        mem.addData(rows.drop(5): _*); q.processAllAvailable()
+        mem.addData(row(99, ts(25, 0), user = 9L)); q.processAllAvailable()
+        mem.addData(row(100, ts(25, 1), user = 9L)); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("t_sess_eq")
+        .select(col("user_id"), col("session_start_us"), col("n_events"),
+          col("top_item")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      // user 9's pusher session never closes (its timer is beyond the
+      // final watermark) — it appears only in the batch run's 'final's
+      val batchNoPusher = batch.filter(_._1 != 9L)
+      assert(streamed == batchNoPusher,
+        s"stream-closed sessions must equal batch sessionization:\n" +
+          s"stream=$streamed\nbatch=$batchNoPusher")
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
