@@ -508,7 +508,13 @@ object ScaleProof {
       "q_dp_gaussian",
       // twin #13: batch-mode TWS, state = |users| x (start, last, MG);
       // the per-key sort is bounded by one user's own history
-      "q_session_topk_stream_twin")
+      "q_session_topk_stream_twin",
+      // round-14 wave 4: boilerplate = gram explode -> distinct/df
+      // aggs + one gram-keyed semi-join; stable histogram = one bigram
+      // count agg + a map-only noise chain on the vocab^2 frame;
+      // pearson/DW ride the dense calendar x |types| grid
+      "q_boilerplate_ngrams", "q_dp_stable_histogram",
+      "q_pearson_matrix", "q_durbin_watson")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

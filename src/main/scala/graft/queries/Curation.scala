@@ -1429,6 +1429,147 @@ object Curation {
           FROM cnt LEFT JOIN z ON cnt.nat = z.nat ORDER BY cnt.nat"""
       }),
 
+    // STABILITY-BASED DP HISTOGRAM (r14 wave 3) — the FOURTH mechanism
+    // completing the DP family, and the one the other three can't do:
+    // releasing a histogram over an UNKNOWN domain (Korolova et al.
+    // 2009; Vadhan's "stability-based" thresholding): emitting a
+    // bigram's mere EXISTENCE leaks, so each true count gets seeded
+    // Laplace(2/ε) noise and only items whose noisy count clears
+    // τ = 1 + 2·ln(2/δ)/ε survive (ε = 1, δ = 10⁻⁵ ⇒ τ = 25.42,
+    // τ_e2 = 2542 a builder-time literal in both engines). The domain
+    // is the corpus bigram vocabulary — counts straddle τ at the gate
+    // SF (675 of 916 release at sf0.01), so the threshold genuinely
+    // bites in both directions. Noise is the q_dp_counts md5-Horner
+    // inverse-CDF chain at scale 2 ("dph:<gram>" seeds). Scale: ONE
+    // map-side bigram count agg; the noise chain is map-only over the
+    // distinct-bigram frame (vocabulary²-bounded) — no τ-prefilter
+    // exists BY CONSTRUCTION here (|noise| reaches 26.3 > τ−1, every
+    // item can flip), which is exactly why the chain must be map-only.
+    QDef("q_dp_stable_histogram",
+      (s, d) => {
+        documents(s, d)
+          .select(tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(t) - 1),
+                 i -> array_join(slice(t, i, 2), ' '))""")).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .withColumn("u_pp",
+            conv(substring(md5(concat(lit("dph:"), col("gram"))
+              .cast("binary")), 1, 8), 16, 10).cast("long")
+              % 999998L + 1L)
+          .withColumn("t0", col("u_pp") - 500000L)
+          .withColumn("arg_e6", lit(1000000L) - abs(col("t0")) * 2L)
+          .withColumn("noise_e2",
+            expr("CAST(round(-2 * sign(t0) * ln(arg_e6 / 1000000.0)" +
+              " * 100, 0) AS BIGINT)"))
+          .withColumn("released_e2", col("n") * 100L + col("noise_e2"))
+          .filter(col("released_e2") > 2542L)
+          .select(col("gram"), col("n"), col("noise_e2"),
+            col("released_e2"))
+          .orderBy(col("gram"))
+      },
+      Some {
+        val horner = (1 to 8).map(i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+            s"${1L << (4 * (8 - i))}").mkString(" + ")
+        s"""WITH bg AS (SELECT unnest(list_transform(
+              range(1, len(toks)),
+              i -> array_to_string(toks[i:i+1], ' '))) AS gram
+            FROM (SELECT $tokensSql AS toks FROM documents)
+            WHERE len(toks) >= 2),
+          cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS n
+            FROM bg GROUP BY 1),
+          seeded AS (SELECT gram, n, md5('dph:' || gram) AS h FROM cnt),
+          nz AS (SELECT gram, n,
+              CAST($horner AS BIGINT) % 999998 + 1 - 500000 AS t0
+            FROM seeded),
+          rel AS (SELECT gram, n,
+              CAST(round(-2 * sign(t0)
+                * ln((1000000 - abs(t0) * 2) / 1000000.0) * 100)
+                AS BIGINT) AS noise_e2
+            FROM nz)
+          SELECT gram, n, noise_e2,
+            n * 100 + noise_e2 AS released_e2
+          FROM rel WHERE n * 100 + noise_e2 > 2542
+          ORDER BY gram"""
+      }),
+
+    // BOILERPLATE N-GRAM SCREEN (r14 wave 3) — the template-text audit
+    // every web-scale curation pipeline runs before training (C4's
+    // line dedup, RefinedWeb's template filters): an 8-gram that
+    // recurs VERBATIM across distinct documents of one source is
+    // boilerplate suspect (headers, footers, navigation). Per source:
+    // the distinct-(doc, gram) frame (per-doc dedup — a gram repeated
+    // inside one doc is repetition, not boilerplate; q_repetition_score
+    // owns that axis), doc frequency per gram, the declared df ≥ 2
+    // blacklist, and the affected-document share via one gram-keyed
+    // semi-join back. The same gram constructor as the contamination/
+    // novelty family — one definition per engine. Scale: gram explode
+    // → map-side distinct + count aggs; the semi-join is equi-keyed on
+    // gram; every output frame is |sources|-bounded.
+    QDef("q_boilerplate_ngrams",
+      (s, d) => {
+        val g = documents(s, d)
+          .select(col("source"), col("doc_id"),
+            tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("source"), col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 7),
+                 i -> array_join(slice(toks, i, 8), ' '))""")).as("g"))
+          .distinct()
+          .localCheckpoint(true) // df agg + the affected semi-join
+        val df = g.groupBy(col("source"), col("g"))
+          .agg(count(lit(1)).as("df"))
+          .localCheckpoint(true) // gram stats + the blacklist join
+        val stats = df.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum((col("df") >= 2L).cast("long")).as("n_boiler"))
+        val affected = g.join(df.filter(col("df") >= 2L)
+            .select(col("source"), col("g")), Seq("source", "g"))
+          .select(col("source"), col("doc_id")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("affected_docs"))
+        val nd = documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        nd.join(stats, Seq("source"), "left")
+          .join(affected, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+            coalesce(col("affected_docs"), lit(0L)).as("affected_docs"))
+          .withColumn("affected_ppm",
+            expr("affected_docs * 1000000 div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH g AS (SELECT DISTINCT source, doc_id,
+            unnest(list_transform(range(1, len(toks) - 6),
+              i -> array_to_string(toks[i:i+7], ' '))) AS g
+          FROM (SELECT source, doc_id, $tokensSql AS toks
+                FROM documents)
+          WHERE len(toks) >= 8),
+        df AS (SELECT source, g, CAST(count(*) AS BIGINT) AS df
+          FROM g GROUP BY 1, 2),
+        stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_boiler
+          FROM df GROUP BY 1),
+        aff AS (SELECT source, CAST(count(*) AS BIGINT) AS affected_docs
+          FROM (SELECT DISTINCT g.source, g.doc_id
+                FROM g JOIN df ON g.source = df.source AND g.g = df.g
+                WHERE df.df >= 2)
+          GROUP BY 1),
+        nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1)
+        SELECT nd.source, nd.n_docs,
+          CAST(COALESCE(stats.n_grams, 0) AS BIGINT) AS n_grams,
+          CAST(COALESCE(stats.n_boiler, 0) AS BIGINT) AS n_boiler,
+          CAST(COALESCE(aff.affected_docs, 0) AS BIGINT) AS affected_docs,
+          CAST(COALESCE(aff.affected_docs, 0) AS BIGINT) * 1000000
+            // nd.n_docs AS affected_ppm
+        FROM nd LEFT JOIN stats ON nd.source = stats.source
+        LEFT JOIN aff ON nd.source = aff.source
+        ORDER BY nd.source""")),
+
     // CLASSIFIER QUALITY METRICS (r14) — per-class precision / recall /
     // F1 / Matthews correlation off the SHARED nbConfusion frame
     // (q_nb_quality's own held-out model — the gate, the DRO

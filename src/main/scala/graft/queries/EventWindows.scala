@@ -3652,6 +3652,174 @@ object EventWindows {
               / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
                 * (2 * n1 * n2 - (n1 + n2))) * 1000000, 0) AS BIGINT)
           ELSE 0 END AS z_e6
-        FROM runs"""))
+        FROM runs""")),
+
+    // PEARSON CORRELATION MATRIX (r14 wave 3) — the full pairwise
+    // linear-correlation matrix over the per-type daily count series,
+    // completing the correlation family (q_spearman_corr: one rank
+    // pair; q_kendall_tau: one concordance pair; q_cross_correlation:
+    // one lead/lag pair; this: ALL type pairs at lag 0 — the
+    // co-movement matrix a mixture monitor reads): counts on the
+    // zero-filled dense calendar are exact integers, so every moment
+    // (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT and
+    // r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is ONE two-sqrt
+    // chain over exact integers rounded once to e6, 0-guarded for
+    // constant series. Scale: one map-side (day, type) agg; the dense
+    // grid and the |types|² pair fan are calendar- and domain-bounded.
+    QDef("q_pearson_matrix",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"),
+            col("event_type"))
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("y"))
+        val rng = daily.agg(min(col("day")).as("d0"),
+          max(col("day")).as("d1"))
+        val types = daily.select(col("event_type")).distinct()
+        val dense = rng
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .crossJoin(broadcast(types))
+          .join(daily, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("y"), lit(0L)).as("y"))
+          .localCheckpoint(true) // both sides of the pair join
+        val a = dense.select(col("day"), col("event_type").as("type_a"),
+          col("y").as("x"))
+        val b = dense.select(col("day"), col("event_type").as("type_b"),
+          col("y").as("yy"))
+        a.join(b, Seq("day")).filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("yy")).as("sy"), sum(col("x") * col("yy")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("yy") * col("yy")).as("syy"))
+          .select(col("type_a"), col("type_b"), col("n"),
+            expr("""CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy
+              THEN CAST(round((n * sxy - sx * sy) * 1000000
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 0)
+                AS BIGINT) ELSE 0 END""").as("r_e6"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH daily AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            event_type, CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        types AS (SELECT DISTINCT event_type FROM daily),
+        dense AS (SELECT g.day, t.event_type,
+            CAST(COALESCE(daily.y, 0) AS BIGINT) AS y
+          FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng) g
+          CROSS JOIN types t
+          LEFT JOIN daily ON daily.day = g.day
+            AND daily.event_type = t.event_type),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(a.y) AS BIGINT) AS sx,
+            CAST(sum(b.y) AS BIGINT) AS sy,
+            CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+            CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+            CAST(sum(b.y * b.y) AS BIGINT) AS syy
+          FROM dense a JOIN dense b ON a.day = b.day
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n,
+          CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy
+          THEN CAST(round((n * sxy - sx * sy) * 1000000
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 0) AS BIGINT)
+          ELSE 0 END AS r_e6
+        FROM p ORDER BY type_a, type_b""")),
+
+    // DURBIN–WATSON AUTOCORRELATION OF REGRESSION RESIDUALS (r14
+    // wave 3) — the diagnostic that tells you whether the OLS trend
+    // fit (q_agg_regression's shape) can be TRUSTED: serially
+    // correlated residuals invalidate its standard errors (DW ≈ 2 ⇒
+    // independent; → 0 positive; → 4 negative autocorrelation).
+    // ENTIRELY integer (class A): for each type's zero-filled daily
+    // series, residuals are cleared by the exact OLS denominator
+    // D = nΣt² − (Σt)² — e·D = D·y − (Σy·Σt² − Σt·Σty) −
+    // (nΣty − ΣtΣy)·t is an exact BIGINT per day, and D² cancels in
+    // DW = Σ(Δe)²/Σe², leaving one truncating ppm division over
+    // DECIMAL(38)/HUGEINT squares (e·D reaches ~10⁸ on this calendar
+    // — the squares need the widening, named here, Long-safe the
+    // ratio). Residual-sum ≡ 0 is the spec-pinned exactness
+    // certificate. Scale: one map-side (type, day) agg; lag windows
+    // partition per type over the bounded calendar.
+    QDef("q_durbin_watson",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(col("event_type"), datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("t"))
+          .groupBy(col("event_type"), col("t"))
+          .agg(count(lit(1)).as("y"))
+        val rng = daily.agg(min(col("t")).as("d0"), max(col("t")).as("d1"))
+        val types = daily.select(col("event_type")).distinct()
+        val dense = rng
+          .select(explode(sequence(col("d0"), col("d1"))).as("t"))
+          .crossJoin(broadcast(types))
+          .join(daily, Seq("event_type", "t"), "left")
+          .select(col("event_type"), col("t"),
+            coalesce(col("y"), lit(0L)).as("y"))
+          .localCheckpoint(true) // moments + the residual scan
+        val m = dense.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+            sum(col("t") * col("t")).as("stt"), sum(col("y")).as("sy"),
+            sum(col("t") * col("y")).as("sty"))
+        val res = dense.join(broadcast(m), "event_type")
+          .select(col("event_type"), col("t"),
+            expr("""(n * stt - st * st) * y
+              - (sy * stt - st * sty) - (n * sty - st * sy) * t""")
+              .as("ed"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        res.withColumn("ed_prev", lag(col("ed"), 1).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("ed")).as("resid_sum"),
+            sum(expr("CAST(ed AS DECIMAL(38,0)) * ed")).as("see"),
+            sum(when(col("ed_prev").isNotNull,
+              expr("CAST(ed - ed_prev AS DECIMAL(38,0)) * (ed - ed_prev)"))
+              .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sdd"))
+          .select(col("event_type"), col("n_days"), col("resid_sum"),
+            expr("CAST(sdd * 1000000 div greatest(see, 1) AS BIGINT)")
+              .as("dw_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        rng AS (SELECT min(t) AS d0, max(t) AS d1 FROM daily),
+        types AS (SELECT DISTINCT event_type FROM daily),
+        dense AS (SELECT t.event_type, g.t,
+            CAST(COALESCE(daily.y, 0) AS BIGINT) AS y
+          FROM (SELECT unnest(range(d0, d1 + 1)) AS t FROM rng) g
+          CROSS JOIN types t
+          LEFT JOIN daily ON daily.t = g.t
+            AND daily.event_type = t.event_type),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(t) AS BIGINT) AS st,
+            CAST(sum(t * t) AS BIGINT) AS stt,
+            CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(t * y) AS BIGINT) AS sty
+          FROM dense GROUP BY 1),
+        res AS (SELECT dense.event_type, dense.t,
+            (n * stt - st * st) * y - (sy * stt - st * sty)
+              - (n * sty - st * sy) * dense.t AS ed
+          FROM dense JOIN m ON dense.event_type = m.event_type),
+        lr AS (SELECT event_type, ed,
+            lag(ed) OVER (PARTITION BY event_type ORDER BY t) AS ed_prev
+          FROM res),
+        agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(ed) AS BIGINT) AS resid_sum,
+            sum(CAST(ed AS HUGEINT) * ed) AS see,
+            sum(CASE WHEN ed_prev IS NOT NULL
+              THEN CAST(ed - ed_prev AS HUGEINT) * (ed - ed_prev)
+              ELSE CAST(0 AS HUGEINT) END) AS sdd
+          FROM lr GROUP BY 1)
+        SELECT event_type, n_days, resid_sum,
+          CAST(sdd * 1000000 // greatest(see, 1) AS BIGINT) AS dw_ppm
+        FROM agg ORDER BY event_type"""))
   )
 }

@@ -215,4 +215,110 @@ class Wave14bSpec extends AnyFunSuite {
         "the mechanism's hard tail cap must hold under this seed grid")
     }
   }
+
+  test("boilerplate ngrams: imperative df replay, share bounds") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ").filter(_.nonEmpty)))
+    val grams = docs.filter(_._3.length >= 8).flatMap { case (s0, id, t) =>
+      t.sliding(8).map(w => (s0, id, w.mkString(" "))).toSet
+    }
+    val dfMap = grams.groupBy(g => (g._1, g._3)).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val boiler = dfMap.filter(_._2 >= 2).keySet
+    val affected = grams.filter(g => boiler((g._1, g._3)))
+      .map(g => (g._1, g._2)).distinct.groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    run("q_boilerplate_ngrams").collect().foreach { r =>
+      val s0 = r.getString(0)
+      assert(r.getAs[Long]("n_grams") ==
+        dfMap.keys.count(_._1 == s0).toLong, s"gram count diverged: $s0")
+      assert(r.getAs[Long]("n_boiler") ==
+        boiler.count(_._1 == s0).toLong, s"blacklist diverged: $s0")
+      assert(r.getAs[Long]("affected_docs") ==
+        affected.getOrElse(s0, 0L), s"affected share diverged: $s0")
+      assert(r.getAs[Long]("affected_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("affected_ppm") ==
+        r.getAs[Long]("affected_docs") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("dp stable histogram: reproducible, threshold bites both ways, " +
+    "noise chain replay") {
+    val a = run("q_dp_stable_histogram").collect()
+    val b = run("q_dp_stable_histogram").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "seeded stable histogram must be reproducible")
+    a.foreach { r =>
+      assert(r.getAs[Long]("released_e2") > 2542L,
+        "every released row must clear the stability threshold")
+      assert(r.getAs[Long]("released_e2") ==
+        r.getAs[Long]("n") * 100 + r.getAs[Long]("noise_e2"))
+      assert(math.abs(r.getAs[Long]("noise_e2")) <= 2700L,
+        "Laplace(2) tail cap under the seed grid")
+    }
+    // suppression is real: some bigrams exist but are not released
+    val total = graft.tables.Tables.documents(spark, sf)
+      .select(explode(expr("""transform(sequence(1,
+        size(filter(split(text, ' '), t -> t <> '')) - 1),
+        i -> array_join(slice(filter(split(text, ' '), t -> t <> ''),
+        i, 2), ' '))""")).as("g"))
+      .select(col("g")).distinct().count()
+    assert(a.length < total,
+      s"threshold must suppress some items: released ${a.length}/$total")
+    // noise replay for the first 10 released grams
+    a.take(10).foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dph:${r.getString(0)}".getBytes("UTF-8"))
+        .take(4).map(x => f"$x%02x").mkString
+      val t0 = java.lang.Long.parseLong(hex, 16) % 999998L + 1L - 500000L
+      val noise = new java.math.BigDecimal(-2.0 * math.signum(t0.toDouble)
+        * math.log((1000000L - math.abs(t0) * 2) / 1000000.0) * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      assert(r.getAs[Long]("noise_e2") == noise,
+        s"noise chain diverged for ${r.getString(0)}")
+    }
+  }
+
+  test("pearson matrix: complete pair grid, bounds, moment replay") {
+    val got = run("q_pearson_matrix").collect()
+    val types = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    assert(got.length == types * (types - 1) / 2, "pair matrix incomplete")
+    got.foreach(r => assert(math.abs(r.getAs[Long]("r_e6")) <= 1000000L,
+      s"|r| must be <= 1: ${r.toSeq}"))
+    // imperative replay for the first pair
+    val r0 = got.head
+    val (ta, tb) = (r0.getString(0), r0.getString(1))
+    val byDay = graft.tables.Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("day"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val d0 = byDay.map(_._1).min; val d1 = byDay.map(_._1).max
+    val xs = (d0 to d1).map(d => byDay.count(e => e._1 == d && e._2 == ta).toLong)
+    val ys = (d0 to d1).map(d => byDay.count(e => e._1 == d && e._2 == tb).toLong)
+    val n = xs.length.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+    val r = new java.math.BigDecimal((n * sxy - sx * sy) * 1000000
+      / (math.sqrt((n * sxx - sx * sx).toDouble)
+        * math.sqrt((n * syy - sy * sy).toDouble)))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    assert(r0.getAs[Long]("n") == n && r0.getAs[Long]("r_e6") == r,
+      s"pearson replay diverged for ($ta,$tb): ${r0.toSeq} vs $r")
+  }
+
+  test("durbin-watson: residual sum is exactly zero, DW in [0,4]") {
+    val got = run("q_durbin_watson").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("resid_sum") == 0L,
+        "cleared OLS residuals must sum to exactly zero")
+      val dw = r.getAs[Long]("dw_ppm")
+      assert(dw >= 0L && dw <= 4000000L, s"DW out of [0,4]: $dw")
+    }
+  }
 }
