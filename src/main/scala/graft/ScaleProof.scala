@@ -514,7 +514,12 @@ object ScaleProof {
       // count agg + a map-only noise chain on the vocab^2 frame;
       // pearson/DW ride the dense calendar x |types| grid
       "q_boilerplate_ngrams", "q_dp_stable_histogram",
-      "q_pearson_matrix", "q_durbin_watson")
+      "q_pearson_matrix", "q_durbin_watson",
+      // round-14 wave 5: LB/dispersion ride the dense calendar grid;
+      // entropy rate is one per-user lead window + a |types|^2 frame;
+      // MDE is the welch moment agg + a |types|^2 pair cross
+      "q_ljung_box", "q_dispersion_index", "q_markov_entropy_rate",
+      "q_mde_power")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -3820,6 +3820,283 @@ object EventWindows {
           FROM lr GROUP BY 1)
         SELECT event_type, n_days, resid_sum,
           CAST(sdd * 1000000 // greatest(see, 1) AS BIGINT) AS dw_ppm
-        FROM agg ORDER BY event_type"""))
+        FROM agg ORDER BY event_type""")),
+
+    // LJUNG–BOX PORTMANTEAU TEST (r14 wave 5) — are the first m = 7
+    // autocorrelations JOINTLY zero? The one-number whiteness verdict
+    // over q_acf_daily's per-lag view (Ljung & Box 1978):
+    // Q = n(n+2)·Σ r_k²/(n−k) over the zero-filled daily total series.
+    // The per-lag r lands on the declared ppm grid first (the same
+    // n-cleared num/den integers as q_acf_daily, with num's e6 product
+    // DECIMAL(38)/HUGEINT-widened — the Kruskal–Wallis lesson applied
+    // PREEMPTIVELY: num alone can pass 10¹⁵ on a skewed corpus and the
+    // e6 prescale would wrap Long), then each term
+    // (n(n+2)·r_ppm²) div ((n−k)·10⁶) is one exact integer division —
+    // the statistic is DECLARED over the ppm-grid ACF, identical in
+    // both engines by construction. Scale: one map-side day agg; lag
+    // joins and the 7-term sum live on the calendar-bounded frame.
+    QDef("q_ljung_box",
+      (s, d) => {
+        import s.implicits._
+        val daily = events(s, d)
+          .select(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        val rng = daily.agg(min(col("day")).as("d0"),
+          max(col("day")).as("d1"))
+        val dense = rng
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+          .localCheckpoint(true) // both sides of the lag join + stats
+        val st = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("ss"))
+        val lags = (0L to 7L).toDF("lag")
+        val per = dense.as("a").crossJoin(broadcast(lags))
+          .join(dense.as("b"), col("b.day") === col("a.day") + col("lag"))
+          .crossJoin(broadcast(st))
+          .select(col("lag"), col("n"),
+            ((col("a.x") * col("n") - col("ss"))
+              * (col("b.x") * col("n") - col("ss"))).as("prod"))
+          .groupBy(col("lag"), col("n"))
+          .agg(sum(col("prod")).as("num"))
+          .localCheckpoint(true) // den row + the 7 term rows
+        val den = per.filter(col("lag") === 0L)
+          .select(col("num").as("den"))
+        per.filter(col("lag") >= 1L).crossJoin(broadcast(den))
+          .select(col("lag"), col("n"),
+            expr("""CAST(CAST(num AS DECIMAL(38,0)) * 1000000
+              div greatest(den, 1) AS BIGINT)""").as("r_ppm"))
+          .withColumn("term_ppm",
+            expr("""(n * (n + 2) * (r_ppm * r_ppm))
+              div ((n - lag) * 1000000)"""))
+          .groupBy(col("n"))
+          .agg(count(lit(1)).as("m"), sum(col("term_ppm")).as("q_lb_ppm"))
+          .select(col("n").as("n_days"), col("m"), col("q_lb_ppm"))
+      },
+      Some("""WITH daily AS (SELECT
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        dense AS (SELECT g.day, CAST(COALESCE(x, 0) AS BIGINT) AS x
+          FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng) g
+          LEFT JOIN daily USING (day)),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS ss FROM dense),
+        lags AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS lag),
+        p AS (SELECT lag, n,
+            CAST(sum((a.x * n - ss) * (b.x * n - ss)) AS BIGINT) AS num
+          FROM dense a CROSS JOIN lags
+          JOIN dense b ON b.day = a.day + lag
+          CROSS JOIN st GROUP BY lag, n),
+        dn AS (SELECT num AS den FROM p WHERE lag = 0),
+        r AS (SELECT lag, n,
+            CAST(CAST(num AS HUGEINT) * 1000000
+              // greatest(den, 1) AS BIGINT) AS r_ppm
+          FROM p CROSS JOIN dn WHERE lag >= 1)
+        SELECT n AS n_days, CAST(count(*) AS BIGINT) AS m,
+          CAST(sum((n * (n + 2) * (r_ppm * r_ppm))
+            // ((n - lag) * 1000000)) AS BIGINT) AS q_lb_ppm
+        FROM r GROUP BY n""")),
+
+    // INDEX OF DISPERSION / FANO FACTOR (r14 wave 5) — is daily volume
+    // Poisson (D = 1), clumped (D > 1), or regular (D < 1)? The
+    // count-data overdispersion audit beside q_burst_detect's
+    // per-window flags: per type over the zero-filled dense daily
+    // series, D = s²/x̄ = (nΣx² − S²)/((n−1)·S) — ENTIRELY integer
+    // with the e6 product DECIMAL(38)/HUGEINT-widened (nΣx² passes
+    // 10¹⁴ at 100× on this calendar; the prescale would wrap Long).
+    // The χ² certificate D·(n−1) ships beside it (the classical
+    // Poisson dispersion test statistic). Scale: one map-side
+    // (type, day) agg; everything after is calendar × |types| bounded.
+    QDef("q_dispersion_index",
+      (s, d) => {
+        val daily = events(s, d)
+          .select(col("event_type"), datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("y"))
+        val rng = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val types = daily.select(col("event_type")).distinct()
+        rng.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .crossJoin(broadcast(types))
+          .join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"),
+            coalesce(col("y"), lit(0L)).as("y"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("y")).as("n_events"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("event_type"), col("n_days"), col("n_events"),
+            expr("(n_events * 100) div n_days").as("mean_e2"),
+            expr("""CAST(CAST(n_days * syy - n_events * n_events
+              AS DECIMAL(38,0)) * 1000000
+              div greatest((n_days - 1) * n_events, 1) AS BIGINT)""")
+              .as("dispersion_ppm"))
+          .withColumn("chi2_ppm",
+            col("dispersion_ppm") * (col("n_days") - 1))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        types AS (SELECT DISTINCT event_type FROM daily),
+        dense AS (SELECT t.event_type,
+            CAST(COALESCE(daily.y, 0) AS BIGINT) AS y
+          FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng) g
+          CROSS JOIN types t
+          LEFT JOIN daily ON daily.day = g.day
+            AND daily.event_type = t.event_type),
+        st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(y) AS BIGINT) AS n_events,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM dense GROUP BY 1)
+        SELECT event_type, n_days, n_events,
+          (n_events * 100) // n_days AS mean_e2,
+          CAST(CAST(n_days * syy - n_events * n_events AS HUGEINT)
+            * 1000000 // greatest((n_days - 1) * n_events, 1)
+            AS BIGINT) AS dispersion_ppm,
+          CAST(CAST(n_days * syy - n_events * n_events AS HUGEINT)
+            * 1000000 // greatest((n_days - 1) * n_events, 1)
+            AS BIGINT) * (n_days - 1) AS chi2_ppm
+        FROM st ORDER BY event_type""")),
+
+    // MARKOV-CHAIN ENTROPY RATE (r14 wave 5) — how predictable is the
+    // user-journey PROCESS? The sequence-level complement of
+    // q_markov_transitions (which publishes the matrix; this scores
+    // it): H_rate = −Σᵢⱼ π̂ᵢ·P̂ᵢⱼ·ln P̂ᵢⱼ under the EMPIRICAL state
+    // occupancy π̂ᵢ = totᵢ/T (≡ the stationary law of the observed
+    // chain as the walk lengthens — declared weighting, no power
+    // iteration needed), so πᵢPᵢⱼ = nᵢⱼ/T and every term is one
+    // transcendental chain over exact counts with the inner ln
+    // 4-dp-quantized (the q_bigram_entropy discipline), pre-rounded
+    // to e6 and summed as BIGINTs. Per-state conditional entropies
+    // ship beside the rate. Scale: the hop frame is one lead window
+    // per user (bounded by a user's history) + a map-side pair agg;
+    // everything after lives on the |types|² grid.
+    QDef("q_markov_entropy_rate",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val hops = events(s, d)
+          .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // totals + the two term sums
+        val totals = hops.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+        val tAll = totals.agg(sum(col("tot")).as("tt"))
+        val terms = hops.join(totals, "from_type")
+          .crossJoin(broadcast(tAll))
+          .select(col("from_type"), col("tot"), col("tt"),
+            expr("""CAST(round((n / (tot * 1.0))
+              * round(ln(n / (tot * 1.0)), 4) * 1000000, 0)
+              AS BIGINT)""").as("tc"),
+            expr("""CAST(round((n / (tt * 1.0))
+              * round(ln(n / (tot * 1.0)), 4) * 1000000, 0)
+              AS BIGINT)""").as("tr"))
+        val hRate = terms.agg((-sum(col("tr"))).as("h_rate_e6"))
+        terms.groupBy(col("from_type"), col("tot"), col("tt"))
+          .agg((-sum(col("tc"))).as("h_cond_e6"))
+          .crossJoin(broadcast(hRate))
+          .select(col("from_type"), col("tot"),
+            expr("(tot * 1000000) div tt").as("pi_ppm"),
+            col("h_cond_e6"), col("h_rate_e6"))
+          .orderBy(col("from_type"))
+      },
+      Some("""WITH hops AS (SELECT from_type, to_type,
+            CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT event_type AS from_type,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS to_type
+            FROM events)
+          WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        totals AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+          FROM hops GROUP BY 1),
+        ta AS (SELECT CAST(sum(tot) AS BIGINT) AS tt FROM totals),
+        terms AS (SELECT h.from_type, t.tot, ta.tt,
+            CAST(round((n / (tot * 1.0))
+              * round(ln(n / (tot * 1.0)), 4) * 1000000, 0)
+              AS BIGINT) AS tc,
+            CAST(round((n / (tt * 1.0))
+              * round(ln(n / (tot * 1.0)), 4) * 1000000, 0)
+              AS BIGINT) AS tr
+          FROM hops h JOIN totals t USING (from_type) CROSS JOIN ta),
+        hr AS (SELECT CAST(0 - sum(tr) AS BIGINT) AS h_rate_e6
+          FROM terms)
+        SELECT from_type, tot, (tot * 1000000) // tt AS pi_ppm,
+          CAST(0 - sum(tc) AS BIGINT) AS h_cond_e6, hr.h_rate_e6
+        FROM terms CROSS JOIN hr
+        GROUP BY from_type, tot, tt, hr.h_rate_e6
+        ORDER BY from_type""")),
+
+    // MINIMUM DETECTABLE EFFECT / POWER AUDIT (r14 wave 5) — the
+    // experiment-design number the A/B battery lacks: for every type
+    // pair, the smallest mean difference this sample could detect at
+    // α = 5% two-sided with 80% power, MDE = 2.801585·SE_Welch
+    // (z_{0.975} + z_{0.8} as ONE builder-time literal in both engine
+    // texts — the Benford constant-table pattern), against the
+    // observed difference; powered = |Δ̂| ≥ MDE on the e6 grid (both
+    // sides rounded once, integer compare — no float boundary).
+    // Reuses q_welch_ttest's decimal-exact (n, Σv, Σv²) moment frame.
+    // Scale: one map-side moment agg; the pair fan is |types|²-bounded.
+    QDef("q_mde_power",
+      (s, d) => {
+        val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
+        val m = events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(Dec)).as("sv"),
+            sum((col("value") * col("value")).cast(Dec)).as("svv"))
+          .localCheckpoint(true) // both sides of the pair cross
+        val a = m.select(col("event_type").as("type_a"), col("n").as("n_a"),
+          col("sv").as("sv_a"), col("svv").as("svv_a"))
+        val b = m.select(col("event_type").as("type_b"), col("n").as("n_b"),
+          col("sv").as("sv_b"), col("svv").as("svv_b"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            expr("""CAST(round((CAST(sv_a AS DOUBLE) / n_a
+              - CAST(sv_b AS DOUBLE) / n_b) * 1000000, 0) AS BIGINT)""")
+              .as("diff_e6"),
+            expr("""CAST(round(2.801585 * sqrt(
+                (CAST(svv_a AS DOUBLE)
+                  - CAST(sv_a AS DOUBLE) * CAST(sv_a AS DOUBLE) / n_a)
+                  / (n_a - 1) / n_a
+              + (CAST(svv_b AS DOUBLE)
+                  - CAST(sv_b AS DOUBLE) * CAST(sv_b AS DOUBLE) / n_b)
+                  / (n_b - 1) / n_b) * 1000000, 0) AS BIGINT)""")
+              .as("mde_e6"))
+          .withColumn("powered",
+            (abs(col("diff_e6")) >= col("mde_e6")).cast("long"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(value AS DECIMAL(30,6))) AS sv,
+            sum(CAST(value * value AS DECIMAL(30,6))) AS svv
+          FROM events GROUP BY event_type)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          a.n AS n_a, b.n AS n_b,
+          CAST(round((CAST(a.sv AS DOUBLE) / a.n
+            - CAST(b.sv AS DOUBLE) / b.n) * 1000000, 0) AS BIGINT)
+            AS diff_e6,
+          CAST(round(2.801585 * sqrt(
+              (CAST(a.svv AS DOUBLE)
+                - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n)
+                / (a.n - 1) / a.n
+            + (CAST(b.svv AS DOUBLE)
+                - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n)
+                / (b.n - 1) / b.n) * 1000000, 0) AS BIGINT) AS mde_e6,
+          CAST(abs(CAST(round((CAST(a.sv AS DOUBLE) / a.n
+            - CAST(b.sv AS DOUBLE) / b.n) * 1000000, 0) AS BIGINT))
+            >= CAST(round(2.801585 * sqrt(
+              (CAST(a.svv AS DOUBLE)
+                - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / a.n)
+                / (a.n - 1) / a.n
+            + (CAST(b.svv AS DOUBLE)
+                - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / b.n)
+                / (b.n - 1) / b.n) * 1000000, 0) AS BIGINT)
+            AS BIGINT) AS powered
+        FROM m a JOIN m b ON a.event_type < b.event_type
+        ORDER BY type_a, type_b"""))
   )
 }

@@ -321,4 +321,89 @@ class Wave14bSpec extends AnyFunSuite {
       assert(dw >= 0L && dw <= 4000000L, s"DW out of [0,4]: $dw")
     }
   }
+
+  test("ljung-box: Q replays from the acf_daily ppm grid") {
+    val acf = run("q_acf_daily").collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("acf_ppm"))).toMap
+    val n = acf(0L)._1 // lag-0 term count = n_days
+    val q = (1L to 7L).map { k =>
+      val r = acf(k)._2
+      n * (n + 2) * (r * r) / ((n - k) * 1000000L)
+    }.sum
+    val got = run("q_ljung_box").head()
+    assert(got.getAs[Long]("n_days") == n && got.getAs[Long]("m") == 7L)
+    assert(got.getAs[Long]("q_lb_ppm") == q,
+      s"LB must replay from the shared ACF grid: ${got.getAs[Long]("q_lb_ppm")} vs $q")
+    assert(q >= 0L, "Q is a sum of squares")
+  }
+
+  test("dispersion index: replay + chi2 certificate identity") {
+    val byTd = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast("long").as("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val d0 = byTd.map(_._2).min; val d1 = byTd.map(_._2).max
+    run("q_dispersion_index").collect().foreach { r =>
+      val t = r.getString(0)
+      val xs = (d0 to d1).map(d => byTd.count(e => e == ((t, d))).toLong)
+      val n = xs.length.toLong; val s0 = xs.sum
+      val syy = xs.map(x => x * x).sum
+      val disp = (BigInt(n * syy - s0 * s0) * 1000000 /
+        BigInt((n - 1) * s0).max(1)).toLong
+      assert(r.getAs[Long]("n_days") == n && r.getAs[Long]("n_events") == s0)
+      assert(r.getAs[Long]("dispersion_ppm") == disp, s"D diverged for $t")
+      assert(r.getAs[Long]("chi2_ppm") == disp * (n - 1),
+        "chi2 certificate must be D*(n-1) exactly")
+    }
+  }
+
+  test("markov entropy rate: rate equals the pi-weighted conditional mix " +
+    "up to grid slack, bounded by ln|types|") {
+    val rows = run("q_markov_entropy_rate").collect()
+    val hRate = rows.head.getAs[Long]("h_rate_e6")
+    assert(rows.forall(_.getAs[Long]("h_rate_e6") == hRate))
+    val k = rows.length.toLong
+    assert(hRate >= 0L && hRate <= (math.log(k.toDouble) * 1e6).toLong + k * k,
+      s"entropy rate out of [0, ln k]: $hRate")
+    // pi sums to 1 on the ppm grid (truncation slack <= |types|)
+    val piSum = rows.map(_.getAs[Long]("pi_ppm")).sum
+    assert(piSum > 1000000L - k && piSum <= 1000000L,
+      s"empirical occupancy must sum to ~1e6: $piSum")
+    // the rate is the pi-weighted mix of conditionals up to the
+    // per-term rounding slack (each of the <=k^2 terms carries <=1)
+    val mix = rows.map(r => r.getAs[Long]("pi_ppm").toDouble / 1e6 *
+      r.getAs[Long]("h_cond_e6")).sum
+    assert(math.abs(mix - hRate) <= k * k + k,
+      s"rate must track the weighted conditional mix: $mix vs $hRate")
+  }
+
+  test("mde power: SE chain replay, powered flag is the integer compare") {
+    val m = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    def mom(t: String) = {
+      val vs = m(t).map(v => BigDecimal(v._2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP))
+      (vs.length.toLong, vs.sum,
+        m(t).map(v => BigDecimal(v._2 * v._2).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum)
+    }
+    run("q_mde_power").collect().foreach { r =>
+      val (na, sva, svva) = mom(r.getString(0))
+      val (nb, svb, svvb) = mom(r.getString(1))
+      def rnd(x: Double) = new java.math.BigDecimal(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      val diff = rnd(sva.toDouble / na - svb.toDouble / nb)
+      val mde = rnd(2.801585 * math.sqrt(
+        (svva.toDouble - sva.toDouble * sva.toDouble / na) / (na - 1) / na
+          + (svvb.toDouble - svb.toDouble * svb.toDouble / nb)
+          / (nb - 1) / nb))
+      assert(r.getAs[Long]("diff_e6") == diff, s"diff diverged: ${r.toSeq}")
+      assert(r.getAs[Long]("mde_e6") == mde, s"MDE diverged: ${r.toSeq}")
+      assert(r.getAs[Long]("powered") ==
+        (if (math.abs(diff) >= mde) 1L else 0L))
+      assert(mde >= 0L)
+    }
+  }
 }
