@@ -519,7 +519,12 @@ object ScaleProof {
       // entropy rate is one per-user lead window + a |types|^2 frame;
       // MDE is the welch moment agg + a |types|^2 pair cross
       "q_ljung_box", "q_dispersion_index", "q_markov_entropy_rate",
-      "q_mde_power")
+      "q_mde_power",
+      // round-14 wave 6: the fingerprint twin must show the gram
+      // shuffle shrinking vs q_boilerplate_ngrams at the same corpus;
+      // auc-pr rides the bounded score histogram; rbo is two top-50
+      // selections + a 50x50 grid
+      "q_boilerplate_fingerprint", "q_auc_pr", "q_rbo_rankings")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

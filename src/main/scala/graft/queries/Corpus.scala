@@ -2785,6 +2785,121 @@ object Corpus {
             AS auc
         FROM r""")),
 
+    // PRECISION-RECALL AUC / AVERAGE PRECISION (r14 wave 6) — the
+    // imbalanced-class companion of q_auc_roc (ROC-AUC stays high when
+    // negatives dominate; AP collapses — the metric retrieval and
+    // rare-class filters actually report): the same length-as-score
+    // ranking, AP = Σ_groups pₜ·(cumPₜ/(cumPₜ+cumNₜ))/n_pos with whole
+    // tie-groups as single steps (the deterministic tie rule — no
+    // within-group order exists), every term ONE integer division over
+    // exact cumulative counts, DECIMAL(38)/HUGEINT-widened (p·cumP·10⁶
+    // wraps Long past ~10⁹ docs). The random-ranker baseline
+    // (prevalence) ships beside it — AP is only readable against it.
+    // Scale: one map-side score histogram; the cumulative window runs
+    // over the bounded distinct-score frame (the q_auc_roc shape).
+    QDef("q_auc_pr",
+      (s, d) => {
+        val hist = documents(s, d)
+          .select(col("n_chars").as("score"),
+            (col("lang") === "en").cast("long").as("pos"))
+          .groupBy(col("score"))
+          .agg(sum(col("pos")).as("p"),
+            (count(lit(1)) - sum(col("pos"))).as("q"))
+        val w = Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist
+          .withColumn("cp", sum(col("p")).over(w))
+          .withColumn("cn", sum(col("q")).over(w))
+          .withColumn("term",
+            expr("""CAST(CAST(p AS DECIMAL(38,0)) * cp * 1000000
+              div (cp + cn) AS BIGINT)"""))
+          .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+            sum(col("term")).as("tsum"))
+          .select(col("n_pos"), col("n_neg"),
+            expr("tsum div n_pos").as("ap_ppm"),
+            expr("(n_pos * 1000000) div (n_pos + n_neg)").as("prev_ppm"))
+      },
+      Some("""WITH hist AS (SELECT n_chars AS score,
+            CAST(sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT) AS p,
+            CAST(count(*) - sum(CAST(lang = 'en' AS BIGINT)) AS BIGINT)
+              AS q
+          FROM documents GROUP BY 1),
+        r AS (SELECT p, q,
+            CAST(sum(p) OVER (ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cp,
+            CAST(sum(q) OVER (ORDER BY score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cn
+          FROM hist),
+        t AS (SELECT p, q,
+            CAST(CAST(p AS HUGEINT) * cp * 1000000 // (cp + cn)
+              AS BIGINT) AS term
+          FROM r)
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+          CAST(sum(q) AS BIGINT) AS n_neg,
+          CAST(sum(term) // sum(p) AS BIGINT) AS ap_ppm,
+          CAST(sum(p) * 1000000 // (sum(p) + sum(q)) AS BIGINT)
+            AS prev_ppm
+        FROM t""")),
+
+    // RANK-BIASED OVERLAP (r14 wave 6) — do two RANKERS agree, without
+    // relevance labels (Webber et al. 2010; the metric for comparing a
+    // cheap ranker against an expensive one before swapping it in):
+    // RBO(p = 0.9, depth 50) between the by-chars and the by-tokens
+    // document rankings. The 50 geometric weights (1−p)p^(d−1) are
+    // BUILDER-TIME e12 literals embedded in both engine texts (the
+    // Benford/Poisson constant-table pattern — no per-engine pow), the
+    // per-depth overlap counts items whose max(rank_a, rank_b) ≤ d
+    // (exact integers), and each depth contributes ONE integer
+    // division (w·overlap)/(d·10⁶). Both top-50s come from TakeOrdered
+    // selection with row_number only on the 50-row result — never a
+    // corpus-wide rank. Scale: two top-k selections + a 50×50 bounded
+    // grid.
+    QDef("q_rbo_rankings",
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("n_chars").as("sa"),
+            size(filter(split(col("text"), " "), t => t =!= ""))
+              .cast("long").as("sb"))
+          .localCheckpoint(true) // both top-50 selections
+        def top(score: String, rank: String) =
+          docs.orderBy(col(score).desc, col("doc_id")).limit(50)
+            .select(col("doc_id"), row_number().over(
+              Window.orderBy(col(score).desc, col("doc_id")))
+              .cast("long").as(rank))
+        val m = top("sa", "ra").join(top("sb", "rb"), Seq("doc_id"))
+          .select(greatest(col("ra"), col("rb")).as("m"))
+        val wts = RboW.table.toDF("dd", "w_e12")
+        wts.join(broadcast(m), col("m") <= col("dd"), "left")
+          .groupBy(col("dd"), col("w_e12"))
+          .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("ov"))
+          .agg(count(lit(1)).as("k"), max(col("ov")).as("n_common"),
+            sum(expr("(w_e12 * ov) div (dd * 1000000)")).as("rbo_ppm"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, n_chars AS sa,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> t <> '')) AS BIGINT) AS sb
+          FROM documents),
+        ta AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sa DESC,
+            doc_id) AS BIGINT) AS ra FROM docs
+          ORDER BY sa DESC, doc_id LIMIT 50),
+        tb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sb DESC,
+            doc_id) AS BIGINT) AS rb FROM docs
+          ORDER BY sb DESC, doc_id LIMIT 50),
+        m AS (SELECT greatest(ra, rb) AS m
+          FROM ta JOIN tb USING (doc_id)),
+        w AS (SELECT CAST(dd AS BIGINT) AS dd,
+            CAST(w_e12 AS BIGINT) AS w_e12
+          FROM (VALUES ${RboW.sqlValues}) t(dd, w_e12)),
+        ov AS (SELECT dd, w_e12, CAST(count(m.m) AS BIGINT) AS ov
+          FROM w LEFT JOIN m ON m.m <= w.dd GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS k,
+          CAST(max(ov) AS BIGINT) AS n_common,
+          CAST(sum((w_e12 * ov) // (dd * 1000000)) AS BIGINT) AS rbo_ppm
+        FROM ov""")),
+
     // SPEARMAN RANK CORRELATION between document length (n_chars) and
     // token count — the monotone-association twin of the Pearson-style
     // q_agg_regression: rank-transform both sides with tie-averaged
@@ -3115,4 +3230,17 @@ object Corpus {
         ${(1 to 2).map(round_).mkString(",")}"""
   }
   private lazy val labelPropCtes: String = labelPropCtesW("")
+}
+
+/** RBO geometric weight table (q_rbo_rankings): (1−p)·p^(d−1) on the
+  * e12 grid for p = 0.9, d = 1..50 — evaluated ONCE at builder time
+  * and embedded as BIGINT literals in BOTH engine plans (the
+  * Benford/Poisson constant-table pattern), so neither engine ever
+  * calls pow. */
+private[graft] object RboW {
+  private val p = 0.9
+  val table: Seq[(Long, Long)] = (1 to 50).map(dd =>
+    (dd.toLong, math.round((1 - p) * math.pow(p, dd - 1) * 1e12)))
+  val sqlValues: String =
+    table.map { case (dd, w) => s"($dd, $w)" }.mkString(", ")
 }

@@ -1570,6 +1570,95 @@ object Curation {
         LEFT JOIN aff ON nd.source = aff.source
         ORDER BY nd.source""")),
 
+    // BOILERPLATE SCREEN — FINGERPRINT SCALE TWIN (r14 wave 6) — the
+    // declared next-scale form of q_boilerplate_ngrams (the
+    // q_window_ntile_bucketed precedent: ship the production shape as
+    // its own gated query): the per-doc gram DISTINCT is the exact
+    // form's only corpus-scale shuffle, and it moves ~50-byte gram
+    // STRINGS; here every gram maps to its 48-bit md5 prefix BEFORE
+    // the shuffle (conv/Horner — cross-engine identical, the
+    // q_dp_counts seed idiom), so the distinct/df/semi-join pipeline
+    // moves 8-byte longs instead. df on fingerprints equals df on
+    // grams except on a 48-bit collision (~n²/2⁴⁹: ~10⁻⁶ at the gate
+    // corpus, ~10⁻³ at 30M grams — and IDENTICAL in both engines, so
+    // the gate is exact regardless; the twin-vs-exact equality is
+    // spec-asserted at the gate corpus). Measured at 100×: the gram
+    // shuffle drops to a third (TUNING §wave-6).
+    QDef("q_boilerplate_fingerprint",
+      (s, d) => {
+        val g = documents(s, d)
+          .select(col("source"), col("doc_id"),
+            tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("source"), col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 7),
+                 i -> CAST(conv(substring(md5(CAST(array_join(
+                   slice(toks, i, 8), ' ') AS BINARY)), 1, 12), 16, 10)
+                   AS BIGINT))""")).as("fp"))
+          .distinct()
+          .localCheckpoint(true) // df agg + the affected semi-join
+        val df = g.groupBy(col("source"), col("fp"))
+          .agg(count(lit(1)).as("df"))
+          .localCheckpoint(true)
+        val stats = df.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum((col("df") >= 2L).cast("long")).as("n_boiler"))
+        val affected = g.join(df.filter(col("df") >= 2L)
+            .select(col("source"), col("fp")), Seq("source", "fp"))
+          .select(col("source"), col("doc_id")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("affected_docs"))
+        val nd = documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        nd.join(stats, Seq("source"), "left")
+          .join(affected, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+            coalesce(col("affected_docs"), lit(0L)).as("affected_docs"))
+          .withColumn("affected_ppm",
+            expr("affected_docs * 1000000 div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val horner = (1 to 12).map(i =>
+          s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+            s"${1L << (4 * (12 - i))}").mkString(" + ")
+        s"""WITH g AS (SELECT DISTINCT source, doc_id,
+              CAST($horner AS BIGINT) AS fp
+            FROM (SELECT source, doc_id, md5(gram) AS h
+              FROM (SELECT source, doc_id,
+                  unnest(list_transform(range(1, len(toks) - 6),
+                    i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM (SELECT source, doc_id, $tokensSql AS toks
+                      FROM documents)
+                WHERE len(toks) >= 8))),
+          df AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS df
+            FROM g GROUP BY 1, 2),
+          stats AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_boiler
+            FROM df GROUP BY 1),
+          aff AS (SELECT source,
+              CAST(count(*) AS BIGINT) AS affected_docs
+            FROM (SELECT DISTINCT g.source, g.doc_id
+                  FROM g JOIN df ON g.source = df.source
+                    AND g.fp = df.fp
+                  WHERE df.df >= 2)
+            GROUP BY 1),
+          nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1)
+          SELECT nd.source, nd.n_docs,
+            CAST(COALESCE(stats.n_grams, 0) AS BIGINT) AS n_grams,
+            CAST(COALESCE(stats.n_boiler, 0) AS BIGINT) AS n_boiler,
+            CAST(COALESCE(aff.affected_docs, 0) AS BIGINT)
+              AS affected_docs,
+            CAST(COALESCE(aff.affected_docs, 0) AS BIGINT) * 1000000
+              // nd.n_docs AS affected_ppm
+          FROM nd LEFT JOIN stats ON nd.source = stats.source
+          LEFT JOIN aff ON nd.source = aff.source
+          ORDER BY nd.source"""
+      }),
+
     // CLASSIFIER QUALITY METRICS (r14) — per-class precision / recall /
     // F1 / Matthews correlation off the SHARED nbConfusion frame
     // (q_nb_quality's own held-out model — the gate, the DRO

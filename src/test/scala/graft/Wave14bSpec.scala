@@ -406,4 +406,58 @@ class Wave14bSpec extends AnyFunSuite {
       assert(mde >= 0L)
     }
   }
+
+  test("boilerplate fingerprint twin equals the exact gram form") {
+    val exact = run("q_boilerplate_ngrams").collect().map(_.toSeq).toSeq
+    val fp = run("q_boilerplate_fingerprint").collect().map(_.toSeq).toSeq
+    assert(fp == exact,
+      "48-bit fingerprint df must equal gram df at the gate corpus")
+  }
+
+  test("auc-pr: imperative average-precision replay, bounds") {
+    val rows = graft.tables.Tables.documents(spark, sf)
+      .select(col("n_chars"), (col("lang") === "en").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (_, g) => (g.map(_._2).sum, g.length - g.map(_._2).sum) }
+    var (cp, cn, tsum) = (0L, 0L, BigInt(0))
+    groups.foreach { case (p, q) =>
+      cp += p; cn += q
+      tsum += BigInt(p) * cp * 1000000 / (cp + cn)
+    }
+    val got = run("q_auc_pr").head()
+    assert(got.getAs[Long]("n_pos") == cp && got.getAs[Long]("n_neg") == cn)
+    assert(got.getAs[Long]("ap_ppm") == (tsum / cp).toLong,
+      "AP must replay from the tie-grouped cumulative walk")
+    val ap = got.getAs[Long]("ap_ppm")
+    assert(ap >= 0L && ap <= 1000000L, s"AP out of [0,1]: $ap")
+    assert(got.getAs[Long]("prev_ppm") == cp * 1000000L / (cp + cn))
+  }
+
+  test("rbo: imperative replay, bounds, weight-table mass") {
+    // the builder-time weight table carries mass 1 - 0.9^50 on e12
+    val mass = graft.queries.RboW.table.map(_._2).sum
+    val expect = math.round((1 - math.pow(0.9, 50)) * 1e12)
+    assert(math.abs(mass - expect) <= 50L, s"weight mass off: $mass")
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def top(score: ((Long, Long, Long)) => Long) = docs
+      .sortBy(x => (-score(x), x._1)).take(50).map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val (ra, rb) = (top(_._2), top(_._3))
+    val ms = ra.keySet.intersect(rb.keySet).toSeq
+      .map(id => math.max(ra(id), rb(id)))
+    val rbo = graft.queries.RboW.table.map { case (dd, w) =>
+      w * ms.count(_ <= dd) / (dd * 1000000L)
+    }.sum
+    val got = run("q_rbo_rankings").head()
+    assert(got.getAs[Long]("k") == 50L)
+    assert(got.getAs[Long]("n_common") == ms.length.toLong,
+      "top-50 intersection diverged")
+    assert(got.getAs[Long]("rbo_ppm") == rbo, "RBO diverged from replay")
+    assert(rbo >= 0L && rbo <= 1000000L)
+  }
 }
