@@ -40,6 +40,9 @@ object PlanDump {
     .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
     // JIT-assigned lambda class suffixes vary per JVM launch
     .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$x")
+    // Catalyst lambda-variable names carry a session-global counter
+    // that shifts whenever ANY query is added before this one
+    .replaceAll("\\bx_\\d+#x", "x_n#x")
     // builder-local temp dirs (kpl archive roundtrip, format codecs)
     .replaceAll("/tmp/[^,\\]\\s)]*", "/tmp/x")
     // streaming state info: per-run UUID + batch timestamp
