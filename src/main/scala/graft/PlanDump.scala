@@ -57,9 +57,17 @@ object PlanDump {
     // hashpartitioning key list, and sort attribute lists so the
     // fingerprint tracks plan SHAPE, not hash-map iteration order
     .replaceAll("gid#x = \\d+", "gid#x = n")
+    // partition COUNTS are session config (local[4] tests vs local[8]
+    // dumps vs 32-thread bench), not plan shape — blind them so the
+    // same plan fingerprints identically from any session
     .pipe(s => "hashpartitioning\\(([^()]*)\\)".r.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement("hashpartitioning(" +
-        m.group(1).split(",").map(_.trim).sorted.mkString(", ") + ")")))
+        m.group(1).split(",").map(_.trim)
+          .map(p => if (p.forall(_.isDigit)) "n" else p)
+          .sorted.mkString(", ") + ")")))
+    .replaceAll("(rangepartitioning\\([^()]*), \\d+\\)", "$1, n)")
+    .replaceAll("Partitioning\\(\\d+\\)", "Partitioning(n)")
+    .replaceAll("numPartitions = \\d+", "numPartitions = n")
     .linesIterator.map(sortAttrList).mkString("\n")
 
   private val AttrLine =
