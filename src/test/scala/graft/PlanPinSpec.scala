@@ -35,7 +35,18 @@ class PlanPinSpec extends AnyFunSuite {
     "q_acf_daily",
     // wave 6's scale twin: the fingerprint path must stay the shape
     // that earned its measured shuffle/spill win
-    "q_boilerplate_fingerprint")
+    "q_boilerplate_fingerprint",
+    // the custom-plan-node as-of join: a silent fallback to BNLJ is
+    // the regression this pin exists to catch. (q_pit_join would be
+    // the natural second pin but QueriesSpec .cache()s its result —
+    // the session cache manager then substitutes an InMemoryRelation
+    // into any later identical plan, so its fingerprint legitimately
+    // differs under full-suite order; pinning it would flap.)
+    "q_join_asof_native",
+    // the salted skew join and the bloom-pruned join: the salt fan
+    // and the probe-below-the-Exchange placement are the load-bearing
+    // shapes
+    "q_join_skew_salted", "q_join_bloom_pruned")
 
   private lazy val committed: Map[String, String] =
     scala.io.Source.fromFile(artifact)(scala.io.Codec.UTF8).getLines()
