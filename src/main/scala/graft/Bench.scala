@@ -154,15 +154,22 @@ object Bench {
     // round) — embedded verbatim so bench_vs_baseline has a denominator
     // that is not the engine's previous round. Absent file ⇒ field
     // omitted, artifact shape otherwise unchanged.
-    val duckAnchor = {
-      val p = java.nio.file.Paths.get(
-        "/root/repo/tools/duckdb_baseline_sec.json")
+    // (r15 adds the sf1 anchors: the same DuckDB battery at 10× the
+    // rows, plus Spark's own committed battery medians at sf1 — the
+    // pair that MEASURES the floor-amortization claim instead of
+    // arguing it from FloorProbe.)
+    def embed(file: String, field: String): String = {
+      val p = java.nio.file.Paths.get(s"/root/repo/tools/$file")
       if (java.nio.file.Files.isReadable(p)) {
         val raw = java.nio.file.Files.readString(p).trim
         if (raw.startsWith("{") && raw.endsWith("}"))
-          s""","baseline_duckdb_sec":$raw""" else ""
+          s""","$field":$raw""" else ""
       } else ""
     }
+    val duckAnchor =
+      embed("duckdb_baseline_sec.json", "baseline_duckdb_sec") +
+        embed("duckdb_baseline_sf1_sec.json", "baseline_duckdb_sec_sf1") +
+        embed("spark_battery_sf1.json", "spark_battery_sf1")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$minTotal,"queries":${jmap(med)},"queries_min":${jmap(mins)},"errors":$errs,"load_avg":$loadAvg,"passes":$passesJson$duckAnchor,"sf":"$sfDir"}"""
     // Stdout alone is fragile (the driver tails it and a ~6 KB line can be

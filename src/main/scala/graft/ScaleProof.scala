@@ -524,7 +524,21 @@ object ScaleProof {
       // shuffle shrinking vs q_boilerplate_ngrams at the same corpus;
       // auc-pr rides the bounded score histogram; rbo is two top-50
       // selections + a 50x50 grid
-      "q_boilerplate_fingerprint", "q_auc_pr", "q_rbo_rankings")
+      "q_boilerplate_fingerprint", "q_auc_pr", "q_rbo_rankings",
+      // round-15 wave 1: session concurrency is the sessionizer's
+      // per-user windows + a day-partitioned boundary cumsum + the
+      // bounded calendar-grid carry (never a corpus-scale window);
+      // active-users collapses the corpus to (day,user) pairs FIRST,
+      // then bounded-fanout (≤7/≤30) grid theta joins; interarrival is
+      // the per-user lag + one hash agg; readability is one map-side
+      // doc scan + a |langs|-row agg; fertility = two tokenizer apply
+      // plans over distinct-word frames; the partitioned roundtrip is
+      // one fan-out write + one discovered scan; the interval-join
+      // twin is the per-user two-sided buffered join (state bounded by
+      // each user's in-horizon rows)
+      "q_session_concurrency", "q_active_users", "q_user_interarrival",
+      "q_readability", "q_tokenizer_fertility",
+      "q_format_partitioned_roundtrip", "q_interval_join_stream_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -37,6 +37,15 @@ import org.apache.spark.unsafe.types.UTF8String
 final class MGSummary(val k: Int) extends Serializable {
   val counts = new mutable.HashMap[String, Long]()
   var n: Long = 0L
+  /** True once any decrement/subtract step has fired — from then on
+    * `counts` is an ESTIMATE (each entry ≤ true count, error ≤
+    * n/(k+1)) and `counts.size` is a lower bound on the distinct
+    * count. While false, the summary is EXACT (distinct domain never
+    * exceeded k), which is what lets the streaming twins derive exact
+    * per-key columns from it — they `require(!decremented)` so a
+    * future corpus exceeding k fails LOUDLY at the gate instead of
+    * silently drifting from the oracle. Serialized with the summary. */
+  var decremented: Boolean = false
 
   def add(x: String): Unit = {
     n += 1
@@ -44,6 +53,7 @@ final class MGSummary(val k: Int) extends Serializable {
       case Some(c) => counts.update(x, c + 1)
       case None if counts.size < k => counts.update(x, 1L)
       case None =>
+        decremented = true
         // decrement-all step: one "vote" against every held counter
         for ((key, c) <- counts.toList) {
           if (c == 1L) counts.remove(key) else counts.update(key, c - 1)
@@ -53,9 +63,11 @@ final class MGSummary(val k: Int) extends Serializable {
 
   def mergeIn(o: MGSummary): Unit = {
     n += o.n
+    decremented ||= o.decremented
     for ((key, c) <- o.counts)
       counts.update(key, counts.getOrElse(key, 0L) + c)
     if (counts.size > k) {
+      decremented = true
       // subtract the (k+1)-th largest count from everything, drop <= 0
       val sorted = counts.values.toArray.sortWith(_ > _)
       val m = sorted(k)
@@ -68,7 +80,8 @@ final class MGSummary(val k: Int) extends Serializable {
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(k); out.writeLong(n); out.writeInt(counts.size)
+    out.writeInt(k); out.writeLong(n); out.writeBoolean(decremented)
+    out.writeInt(counts.size)
     // sorted for a canonical byte form (not semantically required);
     // keys are length-prefixed raw UTF-8 (writeUTF caps at 65535 bytes
     // and this is a general string aggregate — arbitrarily long keys
@@ -86,6 +99,7 @@ object MGSummary {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val s = new MGSummary(in.readInt())
     s.n = in.readLong()
+    s.decremented = in.readBoolean()
     val sz = in.readInt()
     var i = 0
     while (i < sz) {

@@ -113,7 +113,28 @@ object TextDedup {
     // sides) — materialize it once instead of re-running the tokenize +
     // explode subtree three times (localCheckpoint: GC-reclaimed, no
     // CacheManager substitution into unrelated plans)
-    val sh = shingleTable(docs, idCol, textCol, shingleK, blockCols, maxShingleDf)
+    val shRaw = shingleTable(docs, idCol, textCol, shingleK, blockCols,
+      maxShingleDf)
+    // COMPACT THE JOIN KEY (r14 VERDICT directive 4 — the measured 100×
+    // storage exclusion is this build's checkpoint + two-sided shuffle
+    // footprint, and both carry the ~25-byte gram string per row): an
+    // 8-byte xxhash64 sid roughly halves the checkpoint AND both join-
+    // side shuffles — the q_boilerplate_fingerprint width trade applied
+    // to the edge build. EXACT, not probabilistic: one bounded driver
+    // action (a 1-row agg, the skew-router verdict-fetch precedent)
+    // verifies xxhash64 is INJECTIVE on this corpus's actual distinct
+    // grams — per-doc gram distinctness and every cross-doc equality
+    // are then provably preserved, so `inter`, `sz`, and jaccard are
+    // bit-identical to the string-keyed build. A collision (birthday
+    // bound ~3e-8 at 1e5 distinct grams; never observed) falls back to
+    // the string key: same results, just wider rows.
+    val hashed = shRaw.withColumn("sid", xxhash64(col("sh")))
+    val keyChk = hashed.agg(
+      countDistinct(col("sh")).as("nsh"),
+      countDistinct(col("sid")).as("nsid")).head()
+    val sh = (if (keyChk.getLong(0) == keyChk.getLong(1))
+        hashed.drop("sh").withColumnRenamed("sid", "sh")
+      else shRaw)
       .localCheckpoint(true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val blockCond = blockCols

@@ -907,6 +907,57 @@ object Curation {
     // dedup query groups on). The grid is explicit, so empty cells
     // report 0 instead of vanishing (the q_psi_drift contract). Scale:
     // one rule scan + one text-hash window + a 4-row rollup.
+    // READABILITY SCORECARD — the Flesch reading-ease family computed
+    // per lang on an exact integer grid, no transcendentals: syllables
+    // are approximated the standard way (maximal vowel runs per word —
+    // regexp_count('[aeiou]+'), identical non-overlapping-match
+    // semantics in both engines), sentences split on [.!?] with a
+    // whole-doc fallback (+1 — this corpus carries no sentence
+    // punctuation, so every doc counts as ONE sentence; the splitter
+    // machinery still runs and stays pinned for corpora that do).
+    // Grids: words-per-sentence and syllables-per-word on e3;
+    // flesch_e3 = 206835 − 1015·wps − 84600·spw, each product landing
+    // once on its own declared grid with one truncating division
+    // before the exact integer subtraction. Scale: one map-side doc
+    // scan + a |langs|-row hash agg.
+    QDef("q_readability",
+      (s, d) => documents(s, d)
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("w"),
+          regexp_count(col("text"), lit("[aeiou]+")).cast("long")
+            .as("sy"),
+          (regexp_count(col("text"), lit("[.!?]")) + 1).cast("long")
+            .as("se"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("w")).as("words"),
+          sum(col("sy")).as("sylls"), sum(col("se")).as("sents"))
+        .select(col("lang"), col("docs"), col("words"), col("sylls"),
+          expr("words * 1000 div greatest(sents, 1)").as("wps_e3"),
+          expr("sylls * 1000 div greatest(words, 1)").as("spw_e3"),
+          (lit(206835L)
+            - expr("1015 * words div greatest(sents, 1)")
+            - expr("84600 * sylls div greatest(words, 1)"))
+            .as("flesch_e3"))
+        .orderBy(col("lang")),
+      Some(s"""WITH pd AS (SELECT lang,
+            CAST(len($tokensSql) AS BIGINT) AS w,
+            CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+              AS sy,
+            CAST(len(regexp_extract_all(text, '[.!?]')) + 1 AS BIGINT)
+              AS se
+          FROM documents),
+        a AS (SELECT lang, count(*) AS docs,
+            CAST(sum(w) AS BIGINT) AS words,
+            CAST(sum(sy) AS BIGINT) AS sylls,
+            CAST(sum(se) AS BIGINT) AS sents
+          FROM pd GROUP BY lang)
+        SELECT lang, docs, words, sylls,
+          words * 1000 // greatest(sents, 1) AS wps_e3,
+          sylls * 1000 // greatest(words, 1) AS spw_e3,
+          206835 - (1015 * words // greatest(sents, 1))
+            - (84600 * sylls // greatest(words, 1)) AS flesch_e3
+        FROM a ORDER BY lang""")),
+
     QDef("q_filter_ablation",
       (s, d) => {
         import s.implicits._
@@ -3724,5 +3775,54 @@ object Curation {
         ORDER BY b.lang"""))
   }
 
-  val all: Seq[QDef] = base :+ tokenizerCompare(base)
+  /** TOKENIZER FERTILITY (r14 VERDICT directive 5 / NEXT candidate 3):
+    * pieces-per-word for the trained BPE and WordPiece vocabularies on
+    * the held-out split, per lang, beside the compression column the
+    * apply queries already publish. Fertility (tokens·10⁴ div words)
+    * is the standard tokenizer-quality metric reported next to
+    * compression — a tokenizer can pack chars-per-token well yet still
+    * fragment words badly, and fertility is what catches it (1.0 =
+    * every word survives whole; ≥ 1 always, since each word emits at
+    * least one piece). Rides the SAME [[heldOutTokenize]] machinery
+    * and the two declared apply SQLs verbatim (the tokenizerCompare
+    * composition pattern), with the shared Knuth-split histograms
+    * injected once, so this surface cannot drift from the surfaces it
+    * summarizes. All-integer output: class A determinism. Scale = the
+    * union of the two constituent apply plans (distinct-word merge
+    * windows + two histogram aggs — nothing corpus-global). */
+  private def tokenizerFertility(defs: Seq[QDef]): QDef = {
+    def d0(n: String) = defs.find(_.name == n).get
+    val bpeSql = d0("q_bpe_tokenize").sql.get
+    val wpSql = d0("q_wordpiece_tokenize").sql.get
+    QDef("q_tokenizer_fertility",
+      (s, d) => {
+        val trainWc = wordHist(s, d, Some(bpeTrainPred))
+          .localCheckpoint(true)
+        val heldWc = heldLangWordHist(s, d).localCheckpoint(true)
+        def fam(name: String, wp: Boolean) =
+          heldOutTokenize(s, d, wordpieceScore = wp,
+              Some(trainWc), Some(heldWc))
+            .select(lit(name).as("family"), col("lang"), col("words"),
+              col("tokens"),
+              expr("tokens * 10000 div greatest(words, 1)")
+                .as("fertility_bp"),
+              col("compression_bp"))
+        fam("bpe", wp = false).unionAll(fam("wordpiece", wp = true))
+          .orderBy(col("family"), col("lang"))
+      },
+      Some(s"""SELECT family, lang, words, tokens,
+          tokens * 10000 // greatest(words, 1) AS fertility_bp,
+          compression_bp
+        FROM (
+          SELECT 'bpe' AS family, lang, words, tokens, compression_bp
+          FROM ($bpeSql)
+          UNION ALL
+          SELECT 'wordpiece' AS family, lang, words, tokens,
+            compression_bp
+          FROM ($wpSql))
+        ORDER BY family, lang"""))
+  }
+
+  val all: Seq[QDef] =
+    base :+ tokenizerCompare(base) :+ tokenizerFertility(base)
 }

@@ -246,6 +246,177 @@ object EventWindows {
         FROM z GROUP BY user_id, sess_no
         ORDER BY user_id, sess_no""")),
 
+    // SESSION CONCURRENCY (r14 VERDICT directive 7 — the overlapping-
+    // session count, the one event-analytics shape the surface lacked):
+    // how many users have an ACTIVE session at once? Sessions are the
+    // same 1-hour-gap islands as q_sessionize_lag (shared definition —
+    // the session SQL is identical); each [start_us, end_us] interval
+    // becomes a +1/−1 boundary pair and concurrency is the running sum
+    // over all boundaries ordered by (us, delta DESC) — starts before
+    // ends at the same microsecond, so touching sessions briefly
+    // overlap and single-event (zero-length) sessions still count.
+    // SCALE: the running sum is NEVER a corpus-scale unpartitioned
+    // window — it's the sharded two-level prefix sum (the
+    // q_curriculum_order shape): an in-day cumsum partitioned by the
+    // UTC day, plus each day's carried-in concurrency from a prefix
+    // sum over the bounded calendar grid (≤ |days| rows). The daily
+    // PEAK is invariant to boundary order within (us, delta) ties
+    // (the max after a run of equal-delta boundaries doesn't depend on
+    // their relative order), so no further tiebreaker is needed.
+    // Output per day with ≥1 boundary: sessions started/ended, and the
+    // peak concurrency including the carried-in level. All-integer.
+    QDef("q_session_concurrency",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess", (col("prev_us").isNull ||
+            col("us") - col("prev_us") > 3600000000L).cast("long"))
+          .withColumn("sess_no", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        val bounds = sess.select(col("s_us").as("us"), lit(1L).as("delta"))
+          .unionAll(sess.select(col("e_us").as("us"), lit(-1L).as("delta")))
+          .withColumn("day", expr("us div 86400000000"))
+        val wd = Window.partitionBy(col("day"))
+          .orderBy(col("us"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val daily = bounds.withColumn("cum", sum(col("delta")).over(wd))
+          .groupBy(col("day"))
+          .agg(count(when(col("delta") === 1L, 1)).as("starts"),
+            count(when(col("delta") === -1L, 1)).as("ends"),
+            max(col("cum")).as("in_peak"), sum(col("delta")).as("net"))
+        val wg = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        daily
+          .withColumn("carry", coalesce(sum(col("net")).over(wg), lit(0L)))
+          .select(col("day"), col("starts"), col("ends"),
+            greatest(col("carry"), col("carry") + col("in_peak"))
+              .as("peak"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH x AS (SELECT user_id, event_id, ts,
+            epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR us - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM x),
+        z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sess_no
+          FROM y),
+        sess AS (SELECT user_id, sess_no, min(us) AS s_us, max(us) AS e_us
+          FROM z GROUP BY user_id, sess_no),
+        b AS (SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
+          UNION ALL
+          SELECT e_us, CAST(-1 AS BIGINT) FROM sess),
+        c AS (SELECT us // 86400000000 AS day, us, delta,
+            CAST(sum(delta) OVER (PARTITION BY us // 86400000000
+              ORDER BY us, delta DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS cum
+          FROM b),
+        daily AS (SELECT day,
+            CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS starts,
+            CAST(count(*) FILTER (WHERE delta = -1) AS BIGINT) AS ends,
+            max(cum) AS in_peak, CAST(sum(delta) AS BIGINT) AS net
+          FROM c GROUP BY day),
+        o AS (SELECT *, COALESCE(CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS carry FROM daily)
+        SELECT day, starts, ends,
+          greatest(carry, carry + in_peak) AS peak
+        FROM o ORDER BY day""")),
+
+    // ACTIVE-USER ROLLING REACH — DAU / WAU / MAU and the stickiness
+    // ratio (DAU·10⁴ div MAU), the product-analytics scorecard beside
+    // the funnel: for every day with events, distinct users that day,
+    // in the trailing 7 days, and in the trailing 30 days. SCALE: the
+    // rolling distincts are NOT windowed distinct-counts over the
+    // corpus — the corpus collapses FIRST to the distinct (day, user)
+    // pair frame (one hash agg, |users|·|days| bound), then each pair
+    // joins to the ≤|days| day grid via a bounded-fanout theta join
+    // (≤7 and ≤30 grid days per pair) and a count-distinct per grid
+    // day. All-integer: class A determinism.
+    QDef("q_active_users",
+      (s, d) => {
+        val du = events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("user_id")).distinct()
+          .localCheckpoint(true) // three self-joins read it
+        val grid = du.select(col("day")).distinct()
+        val dau = du.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        def rolling(days: Int, name: String) = grid.as("g")
+          .join(du.as("p"), col("p.day").between(
+            col("g.day") - (days - 1), col("g.day")))
+          .groupBy(col("g.day").as("day"))
+          .agg(countDistinct(col("user_id")).as(name))
+        dau.join(rolling(7, "wau"), Seq("day"))
+          .join(rolling(30, "mau"), Seq("day"))
+          .withColumn("stickiness_bp",
+            expr("dau * 10000 div greatest(mau, 1)"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH du AS (SELECT DISTINCT
+            epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        grid AS (SELECT DISTINCT day FROM du),
+        dau AS (SELECT day, count(DISTINCT user_id) AS dau
+          FROM du GROUP BY day),
+        wau AS (SELECT g.day, count(DISTINCT p.user_id) AS wau
+          FROM grid g JOIN du p
+            ON p.day BETWEEN g.day - 6 AND g.day GROUP BY g.day),
+        mau AS (SELECT g.day, count(DISTINCT p.user_id) AS mau
+          FROM grid g JOIN du p
+            ON p.day BETWEEN g.day - 29 AND g.day GROUP BY g.day)
+        SELECT day, dau, wau, mau,
+          dau * 10000 // greatest(mau, 1) AS stickiness_bp
+        FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        ORDER BY day""")),
+
+    // USER INTERARRIVAL PROFILE — the distribution of gaps between a
+    // user's consecutive events, bucketed by DECIMAL DIGIT COUNT of
+    // the gap in seconds (an order-of-magnitude histogram computed
+    // without logarithms: length(CAST(gap_s AS VARCHAR)) — identical
+    // integer/string semantics in both engines, no transcendentals in
+    // the gate chain). The lag runs per-user (the sessionizer's
+    // declared bounded-history posture); everything after is one
+    // hash agg. Gap of 0 s (same-second events) lands in the 1-digit
+    // bucket with "0". All-integer.
+    QDef("q_user_interarrival",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .withColumn("gap_s", expr("gap_us div 1000000"))
+          .filter(col("gap_s").isNotNull)
+          .withColumn("gap_digits",
+            length(col("gap_s").cast("string")).cast("long"))
+          .groupBy(col("gap_digits"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap_s")).as("min_gap_s"),
+            max(col("gap_s")).as("max_gap_s"))
+          .orderBy(col("gap_digits"))
+      },
+      Some(s"""WITH g AS (SELECT (epoch_us(ts) -
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) // 1000000 AS gap_s
+          FROM events)
+        SELECT CAST(length(CAST(gap_s AS VARCHAR)) AS BIGINT)
+            AS gap_digits,
+          count(*) AS n_gaps, min(gap_s) AS min_gap_s,
+          max(gap_s) AS max_gap_s
+        FROM g WHERE gap_s IS NOT NULL
+        GROUP BY 1 ORDER BY gap_digits""")),
+
     // Ordered funnel analysis: how far does each user progress through
     // view → click → purchase, where each stage must STRICTLY follow the
     // previous one in event time (first occurrence per stage)? One
@@ -798,6 +969,39 @@ object EventWindows {
           .select(col("p_id"), col("p_user"),
             unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"),
             unix_micros(col("c_ts")).as("c_ts_us"))
+          .orderBy(col("p_id"), col("c_ts_us"))
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id AS p_user,
+        epoch_us(p.ts) AS p_ts_us, p.value AS p_value, epoch_us(c.ts) AS c_ts_us
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        ORDER BY p_id, c_ts_us""")),
+
+    // STATEFUL stream-stream interval join (twin #14, r14 VERDICT
+    // directive 3): the same purchase⋈click interval join as
+    // q_stream_interval_join, but run through the EXPLICIT two-sided
+    // buffered StatefulProcessor (EventStreams.IntervalJoinProcessor)
+    // whose per-user ListStates + watermark-driven two-sided eviction
+    // are the state-bound CONTRACT the native operator only implies.
+    // Batch/gate mode runs the identical single-pass join, so output
+    // is exactly the batch interval join — same oracle SQL. The
+    // multi-batch MemoryStream proofs (pairs emitted exactly once
+    // across batch splits, state rows DROP on watermark passage, no
+    // resurrection) live in StreamingSpec.
+    QDef("q_interval_join_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.intervalJoin(ev).toDF()
+          .select(col("p_id"), col("p_user"), col("p_ts_us"),
+            col("p_value"), col("c_ts_us"))
           .orderBy(col("p_id"), col("c_ts_us"))
       },
       Some("""SELECT p.event_id AS p_id, p.user_id AS p_user,

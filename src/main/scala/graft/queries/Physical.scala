@@ -313,6 +313,44 @@ object Physical {
           CAST(sum($textSum32Sql) AS BIGINT) AS text_sum32
         FROM documents GROUP BY 1 ORDER BY lang""")),
 
+    // HIVE-PARTITIONED WRITE ROUNDTRIP — the layout every serious lake
+    // uses: documents written `partitionBy(lang)` (one directory per
+    // partition value, the column ENCODED IN THE PATH and dropped from
+    // the data files), read back through partition discovery, and
+    // checksummed per lang against the parquet ORIGINALS — so a lost
+    // or mistyped partition column, a row landing in the wrong
+    // directory, or a discovery miss breaks the hash gate. The read
+    // also proves partition PRUNING is available to every downstream
+    // lang filter (the scan's partitionFilters sit on the discovered
+    // column — asserted in PhysicalSpec). Scale: the write is one
+    // shuffle-free scan fanning to |langs| directories; the read is a
+    // normal pruned scan.
+    QDef("q_format_partitioned_roundtrip",
+      (s, d) => {
+        val dir = s"/tmp/graft_part_${graft.tables.LayoutCache.keyOf(d)}"
+        graft.tables.LayoutCache.once(dir) {
+          documents(s, d)
+            .select(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))
+            .write.mode("overwrite").partitionBy("lang").parquet(dir)
+        }
+        s.read.parquet(dir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+            sum(conv(substring(md5(col("text").cast("binary")), 1, 8),
+              16, 10).cast("long")).as("text_sum32"))
+          .select(col("lang").cast("string").as("lang"), col("n"),
+            col("sum_chars"), col("min_id"), col("max_id"),
+            col("text_sum32"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, count(*) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id,
+          CAST(sum($textSum32Sql) AS BIGINT) AS text_sum32
+        FROM documents GROUP BY 1 ORDER BY lang""")),
+
     // CDC merge/upsert (MERGE INTO semantics composed from a full outer
     // join + coalesce — the Delta/Iceberg upsert path expressed in plain
     // Spark): updates win over base, inserts append. The update and

@@ -979,10 +979,18 @@ object EventStreams {
       Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     private def row(key: Long, start: Long,
         mg: graft.functions.MGSummary, how: String): SessionTopRow = {
+      // n_events is mg.n — the EXACT stream length the summary always
+      // tracks, decrements or not. n_types (map size) and top_cnt are
+      // exact ONLY while the session's distinct domain stayed <= k; the
+      // sentinel makes a k-overflow fail LOUDLY at the gate instead of
+      // silently undercounting against the DuckDB oracle.
+      require(!mg.decremented,
+        s"SessionTopProcessor: user $key session has > $k distinct event" +
+          " types — MG decremented, n_types/top_cnt would be estimates;" +
+          " raise k or declare the query approximate")
       val cs = mg.counts.toSeq
       val (top, cnt) = cs.minBy { case (t, c) => (-c, t) }
-      SessionTopRow(key, start, cs.map(_._2).sum, cs.size.toLong,
-        top, cnt, how)
+      SessionTopRow(key, start, mg.n, cs.size.toLong, top, cnt, how)
     }
     override def handleInputRows(key: Long, rows: Iterator[EventRow],
         timers: org.apache.spark.sql.streaming.TimerValues):
@@ -1038,5 +1046,116 @@ object EventStreams {
       .transformWithState(new SessionTopProcessor(k, gapUs, evict),
         if (evict) TimeMode.EventTime() else TimeMode.None(),
         OutputMode.Update)
+  }
+
+  /** One matched (purchase, click) pair from [[IntervalJoinProcessor]]
+    * — the q_stream_interval_join output contract. */
+  final case class IntervalJoinOut(p_id: Long, p_user: Long, p_ts_us: Long,
+    p_value: Double, c_ts_us: Long)
+  /** Buffered purchase awaiting late clicks. */
+  final case class BufPurchase(id: Long, us: Long, value: Double)
+  /** Buffered click awaiting late purchases. */
+  final case class BufClick(us: Long)
+
+  /** STATEFUL STREAM-STREAM INTERVAL JOIN (twin #14) — the two-sided
+    * buffered join Spark's native stream-stream join runs internally,
+    * expressed as an explicit StatefulProcessor so the STATE BOUND is
+    * a provable contract instead of an engine internal: per user, two
+    * ListStates buffer unmatched purchases and clicks; each batch joins
+    * new purchases against (buffered + new) clicks and new clicks
+    * against buffered purchases — every qualifying pair
+    * (c ∈ [p − win, p)) emits exactly once, because a pair is emitted
+    * only when its LATER-ARRIVING side is new. In event-time mode the
+    * watermark drives TWO-SIDED eviction: a purchase at p can never
+    * match once wm > p (all future clicks have ts ≥ wm ≥ p, and the
+    * join needs c < p); a click at c can never match once
+    * wm > c + win (future purchases have p ≥ wm > c + win, and the
+    * join needs p ≤ c + win) — both prune inline per batch, and ONE
+    * re-armed timer (delete-then-register, the SessionTop pattern)
+    * sweeps IDLE users at their earliest future deadline, so total
+    * state is bounded by the rows inside the watermark horizon on
+    * each side, never the stream length. Batch/gate mode
+    * (TimeMode.None) runs the identical single-pass join — output is
+    * EXACTLY the batch interval join, oracled by the same SQL as
+    * q_stream_interval_join. The two-sided eviction ≡ no-eviction
+    * output equality and the state-store row-count drop are
+    * StreamingSpec's multi-batch proofs. */
+  class IntervalJoinProcessor(winUs: Long, evict: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, IntervalJoinOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var pbuf: org.apache.spark.sql.streaming.ListState[BufPurchase] = _
+    @transient private var cbuf: org.apache.spark.sql.streaming.ListState[BufClick] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      pbuf = getHandle.getListState[BufPurchase]("pbuf",
+        org.apache.spark.sql.Encoders.product[BufPurchase], TTLConfig.NONE)
+      cbuf = getHandle.getListState[BufClick]("cbuf",
+        org.apache.spark.sql.Encoders.product[BufClick], TTLConfig.NONE)
+    }
+    private def usOf(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    /** Drop provably-unmatchable buffered rows; returns survivors. */
+    private def prune(wmUs: Long): (Array[BufPurchase], Array[BufClick]) = {
+      val ps = pbuf.get().filter(_.us >= wmUs).toArray
+      val cs = cbuf.get().filter(_.us + winUs >= wmUs).toArray
+      // the store rejects empty list writes — clear() is the empty put
+      if (ps.isEmpty) pbuf.clear() else pbuf.put(ps)
+      if (cs.isEmpty) cbuf.clear() else cbuf.put(cs)
+      (ps, cs)
+    }
+    /** Earliest future event-time at which something becomes evictable
+      * (ms, exclusive passage → +1). */
+    private def nextDeadlineMs(ps: Array[BufPurchase],
+        cs: Array[BufClick]): Option[Long] = {
+      val cands = ps.map(_.us) ++ cs.map(_.us + winUs)
+      if (cands.isEmpty) None else Some(cands.min / 1000L + 1L)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[IntervalJoinOut] = {
+      val rs = rows.toArray
+      val np = rs.filter(_.event_type == "purchase")
+        .map(r => BufPurchase(r.event_id, usOf(r.ts), r.value))
+      val nc = rs.filter(_.event_type == "click")
+        .map(r => BufClick(usOf(r.ts)))
+      val bufP = pbuf.get().toArray
+      val bufC = cbuf.get().toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[IntervalJoinOut]
+      def matches(p: BufPurchase, c: BufClick): Boolean =
+        c.us >= p.us - winUs && c.us < p.us
+      for (p <- np; c <- bufC ++ nc if matches(p, c))
+        out += IntervalJoinOut(p.id, key, p.us, p.value, c.us)
+      for (p <- bufP; c <- nc if matches(p, c))
+        out += IntervalJoinOut(p.id, key, p.us, p.value, c.us)
+      if (np.nonEmpty) pbuf.appendList(np)
+      if (nc.nonEmpty) cbuf.appendList(nc)
+      if (evict) {
+        val (ps, cs) = prune(timers.getCurrentWatermarkInMs() * 1000L)
+        val it = getHandle.listTimers()
+        while (it.hasNext) getHandle.deleteTimer(it.next())
+        nextDeadlineMs(ps, cs).foreach(getHandle.registerTimer)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[IntervalJoinOut] = {
+      val (ps, cs) = prune(timerValues.getCurrentWatermarkInMs() * 1000L)
+      nextDeadlineMs(ps, cs).foreach(getHandle.registerTimer)
+      Iterator.empty
+    }
+  }
+
+  def intervalJoin(events: Dataset[EventRow],
+      winUs: Long = 3600000000L,
+      evict: Boolean = false): Dataset[IntervalJoinOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val src = if (evict) events.withWatermark("ts", "1 hour") else events
+    src.groupByKey(_.user_id)
+      .transformWithState(new IntervalJoinProcessor(winUs, evict),
+        if (evict) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append)
   }
 }

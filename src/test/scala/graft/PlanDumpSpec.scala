@@ -23,7 +23,8 @@ class PlanDumpSpec extends AnyFunSuite {
       "Location: InMemoryFileIndex [file:/root/testdata/sf0.001/x.parquet]",
       "graft.queries.Extras$$$Lambda$2882/0x00007f3f50de3848@1a2b3c4d",
       "state info [ checkpoint = , runId = fe8e352e-b821-4426-b9ca-" +
-        "0f08d7bbb4e3, opId = 0], 1786848855893, false",
+        "0f08d7bbb4e3, opId = 0, ver = 0, numPartitions = 8]" +
+        " stateStoreCkptIds = None, 1786848855893, false",
       "Exchange hashpartitioning(b#12, a#7, 8), ENSURE_REQUIREMENTS," +
         " [plan_id=42]").mkString("\n")
     val canon = PlanDump.canonicalize(raw)
@@ -34,5 +35,26 @@ class PlanDumpSpec extends AnyFunSuite {
       s"partition keys must be sorted: $canon")
     // idempotent: canonicalizing a canonical plan is a no-op
     assert(PlanDump.canonicalize(canon) == canon)
+  }
+
+  test("hashpartitioning blinding is paren-aware (r14 ADVICE)") {
+    // a computed exchange key with nested parens — the old [^()]* regex
+    // skipped this clause entirely, letting the raw count survive
+    val in = "Exchange hashpartitioning(pmod(xxhash64(d#x, 42), 16)," +
+      " lang#x, 200), ENSURE_REQUIREMENTS, [plan_id=x]\nrest (balanced)"
+    val out = PlanDump.blindHashPartitioning(in)
+    assert(out == "Exchange hashpartitioning(lang#x," +
+      " n, pmod(xxhash64(d#x, 42), 16)), ENSURE_REQUIREMENTS," +
+      " [plan_id=x]\nrest (balanced)", s"got: $out")
+    // no clause -> identity; text after the clause is preserved verbatim
+    assert(PlanDump.blindHashPartitioning("plain text (x, 1)") ==
+      "plain text (x, 1)")
+  }
+
+  test("epoch-ms blinding only fires in the state-info context (r14 ADVICE)") {
+    // a genuine 13-digit query literal (the e12 grid scale) must SURVIVE
+    // canonicalization so a change to it moves the fingerprint
+    val lit = "Condition : (s_e12#x < 1000000000000)"
+    assert(PlanDump.canonicalize(lit).contains("1000000000000"))
   }
 }

@@ -63,11 +63,35 @@ class MisraGriesSpec extends AnyFunSuite {
     check(left, xs)
   }
 
+  test("the decremented sentinel trips exactly when exactness is lost") {
+    // domain <= k: never decrements, counts are EXACT, sentinel stays off
+    val small = new MGSummary(4)
+    Seq("a", "b", "a", "c", "b", "a").foreach(small.add)
+    assert(!small.decremented && small.n == 6 &&
+      small.counts == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // the (k+1)-th distinct item fires the decrement-all step
+    small.add("d"); small.add("e")
+    assert(small.decremented && small.n == 8)
+    // ... and the flag survives serialization and infects merges
+    val r = MGSummary.deserialize(small.serialize())
+    assert(r.decremented)
+    val clean = new MGSummary(4); clean.add("z")
+    clean.mergeIn(r)
+    assert(clean.decremented)
+    // merge-side overflow also trips it (no pointwise add involved)
+    val m1 = new MGSummary(2); Seq("a", "b").foreach(m1.add)
+    val m2 = new MGSummary(2); Seq("c", "d").foreach(m2.add)
+    assert(!m1.decremented && !m2.decremented)
+    m1.mergeIn(m2)
+    assert(m1.decremented)
+  }
+
   test("serialize round-trips the summary exactly") {
     val xs = stream(5L, 8000, 200)
     val s = new MGSummary(32); xs.foreach(s.add)
     val r = MGSummary.deserialize(s.serialize())
-    assert(r.k == s.k && r.n == s.n && r.counts == s.counts)
+    assert(r.k == s.k && r.n == s.n && r.counts == s.counts &&
+      r.decremented == s.decremented)
     // and a deserialized partial keeps merging correctly
     val more = stream(6L, 8000, 200)
     val s2 = new MGSummary(32); more.foreach(s2.add)

@@ -1193,6 +1193,105 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("twin #14 interval join: cross-batch pairs emit exactly once, " +
+    "two-sided state evicts on watermark passage, no resurrection") {
+    import spark.implicits._
+    withRocksDbSp {
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.intervalJoin(mem.toDS(), evict = true).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("t_ivj")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ivj_chk").toString)
+        .start()
+      def stateRows: Long =
+        Option(q.lastProgress).map(_.stateOperators(0).numRowsTotal)
+          .getOrElse(-1L)
+      def us(t: Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      try {
+        // batch 1: user 1's click buffers; user 2's purchase buffers
+        mem.addData(row(1, ts(1, 1), typ = "click"),
+          row(2, ts(1, 2), user = 2L, typ = "purchase", v = 7.0))
+        q.processAllAvailable()
+        // batch 2: user 1's purchase arrives AFTER its click (joins the
+        // buffered click); user 2's click arrives LATE but above the
+        // watermark (day-1 02:00 max − 1 h = 01:00 < 01:30) and joins
+        // the buffered purchase — both directions of the buffer, one
+        // emission each
+        mem.addData(row(3, ts(1, 1, 30), typ = "purchase", v = 5.0),
+          row(4, ts(1, 1, 30), user = 2L, typ = "click"))
+        q.processAllAvailable()
+        val openRows = stateRows
+        // batches 3–4: far-future rows push the watermark past every
+        // buffered deadline; the idle users' timers fire on batch 4
+        // (timers compare against the PREVIOUS batch's watermark)
+        mem.addData(row(5, ts(20, 0), user = 9L, typ = "click"))
+        q.processAllAvailable()
+        mem.addData(row(6, ts(20, 2), user = 9L, typ = "click"))
+        q.processAllAvailable()
+        val afterFire = stateRows
+        // batch 5: a straggler purchase below the watermark is dropped
+        // — the evicted click must not produce a late pair
+        mem.addData(row(7, ts(1, 2), typ = "purchase", v = 9.0))
+        q.processAllAvailable()
+        val out = spark.table("t_ivj")
+          .select(col("p_id"), col("p_user"), col("p_ts_us"),
+            col("p_value"), col("c_ts_us")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getLong(4))).toSeq.sorted
+        assert(out == Seq(
+          (2L, 2L, us(ts(1, 2)), 7.0, us(ts(1, 1, 30))),
+          (3L, 1L, us(ts(1, 1, 30)), 5.0, us(ts(1, 1)))),
+          s"exactly the two cross-batch pairs, once each: $out")
+        assert(afterFire < openRows,
+          s"state rows must drop after eviction: open=$openRows after=$afterFire")
+      } finally q.stop()
+    }
+  }
+
+  test("twin #14 interval join: multi-batch output equals the gate-mode " +
+    "single-batch join") {
+    import spark.implicits._
+    withRocksDbSp {
+      val rows = Seq(
+        row(1, ts(1, 1), typ = "click"), row(2, ts(1, 2), typ = "purchase", v = 2.0),
+        row(3, ts(1, 2, 30), typ = "click"), row(4, ts(1, 3), typ = "purchase", v = 3.0),
+        row(5, ts(1, 1), user = 2L, typ = "purchase", v = 4.0),
+        row(6, ts(1, 1, 30), user = 2L, typ = "click"),
+        row(7, ts(1, 2), user = 2L, typ = "purchase", v = 5.0),
+        row(8, ts(2, 5), typ = "click"), row(9, ts(2, 5, 30), typ = "purchase", v = 6.0))
+      // batch (gate) mode: TimeMode.None single pass
+      val batch = EventStreams.intervalJoin(rows.toDS()).toDF()
+        .select(col("p_id"), col("c_ts_us")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // streamed in three event-time-ordered batches
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.intervalJoin(mem.toDS(), evict = true).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("t_ivj_eq")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ivj_eq_chk").toString)
+        .start()
+      try {
+        mem.addData(rows(0), rows(4), rows(5))
+        q.processAllAvailable()
+        mem.addData(rows(1), rows(2), rows(6))
+        q.processAllAvailable()
+        mem.addData(rows(3))
+        q.processAllAvailable()
+        mem.addData(rows(7), rows(8))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("t_ivj_eq")
+        .select(col("p_id"), col("c_ts_us")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"multi-batch stream must equal the single-batch join:\n" +
+          s"stream=$streamed\nbatch=$batch")
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)

@@ -3,7 +3,13 @@
 oracle's own wall-clock for the TPC-H battery, so bench_vs_baseline has
 a denominator that is not the engine's previous round.
 
-Usage: bench_duckdb.py <sfDir> <oracle_sql.json> [reps]
+Usage: bench_duckdb.py <sfDir> <oracle_sql.json> [reps] [suffix]
+
+`suffix` (e.g. "_sf1") names the output artifacts
+duckdb_baseline<suffix>.json so a scale-anchor run doesn't clobber the
+sf0.1 artifacts. <sfDir> tables may be single parquet FILES (driver
+testdata) or Spark-written DIRECTORIES (ScaleProof output) — the latter
+are registered via a /*.parquet glob.
 
 Runs each oracle SQL in DuckDB over views on <sfDir>/*.parquet, `reps`
 interleaved passes (the graft.Bench cadence: pass 1 of every query,
@@ -33,11 +39,15 @@ def main():
     sf_dir = sys.argv[1]
     oracle_path = sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    suffix = sys.argv[4] if len(sys.argv) > 4 else ""
     sql = json.load(open(oracle_path))
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     threads = con.execute("SELECT current_setting('threads')").fetchone()[0]
@@ -64,9 +74,9 @@ def main():
               "total_median": sum(med.values()),
               "total_min": sum(mins.values()),
               "queries": med, "queries_min": mins, "passes": passes}
-    with open(os.path.join(out_dir, "duckdb_baseline.json"), "w") as f:
+    with open(os.path.join(out_dir, f"duckdb_baseline{suffix}.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    with open(os.path.join(out_dir, "duckdb_baseline_sec.json"), "w") as f:
+    with open(os.path.join(out_dir, f"duckdb_baseline{suffix}_sec.json"), "w") as f:
         json.dump(med, f, sort_keys=True)
     print(json.dumps({"total_median": detail["total_median"],
                       "total_min": detail["total_min"],
