@@ -36,7 +36,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // share one in-memory columnar copy of each table across the 90+
     // queries (the warmed-cluster model; Verify still measures cold reads)
-    graft.tables.Tables.enableCache()
+    // SPARK_GRAFT_TABLE_CACHE=false compares against cold parquet scans
+    // (the in-memory columnar cache can LOSE to parquet+codegen on
+    // scan-heavy aggregates at large SFs — measured on q1 at sf10)
+    if (sys.env.getOrElse("SPARK_GRAFT_TABLE_CACHE", "true") != "false")
+      graft.tables.Tables.enableCache()
     // one warmup action so JVM/codegen startup isn't billed to the first query
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -169,7 +173,9 @@ object Bench {
     val duckAnchor =
       embed("duckdb_baseline_sec.json", "baseline_duckdb_sec") +
         embed("duckdb_baseline_sf1_sec.json", "baseline_duckdb_sec_sf1") +
-        embed("spark_battery_sf1.json", "spark_battery_sf1")
+        embed("duckdb_baseline_sf10_sec.json", "baseline_duckdb_sec_sf10") +
+        embed("spark_battery_sf1.json", "spark_battery_sf1") +
+        embed("spark_battery_sf10.json", "spark_battery_sf10")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$minTotal,"queries":${jmap(med)},"queries_min":${jmap(mins)},"errors":$errs,"load_avg":$loadAvg,"passes":$passesJson$duckAnchor,"sf":"$sfDir"}"""
     // Stdout alone is fragile (the driver tails it and a ~6 KB line can be
