@@ -538,7 +538,13 @@ object ScaleProof {
       // each user's in-horizon rows)
       "q_session_concurrency", "q_active_users", "q_user_interarrival",
       "q_readability", "q_tokenizer_fertility",
-      "q_format_partitioned_roundtrip", "q_interval_join_stream_twin")
+      "q_format_partitioned_roundtrip", "q_interval_join_stream_twin",
+      // round-15 wave 2: heatmap = one scan + a ≤168-cell agg;
+      // duration histogram = the sessionizer windows + digit buckets;
+      // engagement gini = the histogram-identity pattern (windows over
+      // the distinct-count frame, never a corpus rank)
+      "q_activity_heatmap", "q_session_duration_histogram",
+      "q_engagement_gini")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

@@ -417,6 +417,166 @@ object EventWindows {
         FROM g WHERE gap_s IS NOT NULL
         GROUP BY 1 ORDER BY gap_digits""")),
 
+    // ACTIVITY HEATMAP — the day-of-week × hour-of-day usage matrix
+    // every analytics product ships: events and distinct users per
+    // (dow, hour) cell, plus the cell's share of total traffic in
+    // basis points. Pure calendar arithmetic on epoch-µs integers
+    // (dow 0 = Thursday 1970-01-01, the raw epoch convention, declared
+    // — no timezone/locale dependency can drift between engines), one
+    // map-side scan + a ≤168-row hash agg + a broadcast 1-row total.
+    QDef("q_activity_heatmap",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            expr("unix_micros(ts) % 86400000000 div 3600000000")
+              .as("hour"), col("user_id"))
+          .withColumn("dow", expr("day % 7"))
+        val tot = ev.agg(count(lit(1)).as("total"))
+        ev.groupBy(col("dow"), col("hour"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .crossJoin(broadcast(tot))
+          .select(col("dow"), col("hour"), col("n"), col("n_users"),
+            expr("n * 10000 div total").as("share_bp"))
+          .orderBy(col("dow"), col("hour"))
+      },
+      Some(s"""WITH ev AS (SELECT
+            (epoch_us(ts) // 86400000000) % 7 AS dow,
+            epoch_us(ts) % 86400000000 // 3600000000 AS hour,
+            user_id
+          FROM events),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ev)
+        SELECT dow, hour, count(*) AS n,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          count(*) * 10000 // total AS share_bp
+        FROM ev CROSS JOIN tot
+        GROUP BY dow, hour, total ORDER BY dow, hour""")),
+
+    // SESSION DURATION HISTOGRAM — how long do sessions last, by
+    // decimal digit count of the duration in seconds (the logarithm-
+    // free order-of-magnitude bucketing of q_user_interarrival applied
+    // to the sessionizer's output): sessions are the SAME 1-hour-gap
+    // islands as q_sessionize_lag; single-event sessions land in the
+    // "0"-second 1-digit bucket (declared). All-integer.
+    QDef("q_session_duration_histogram",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess", (col("prev_us").isNull ||
+            col("us") - col("prev_us") > 3600000000L).cast("long"))
+          .withColumn("sess_no", sum(col("new_sess")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(max(col("us")).as("mx"), min(col("us")).as("mn"),
+            count(lit(1)).as("n_ev"))
+          .withColumn("dur_s", expr("(mx - mn) div 1000000"))
+          .withColumn("dur_digits",
+            length(col("dur_s").cast("string")).cast("long"))
+          .groupBy(col("dur_digits"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).as("n_events"),
+            min(col("dur_s")).as("min_dur_s"),
+            max(col("dur_s")).as("max_dur_s"))
+          .orderBy(col("dur_digits"))
+      },
+      Some(s"""WITH x AS (SELECT user_id, event_id, ts,
+            epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR us - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM x),
+        z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sess_no
+          FROM y),
+        sess AS (SELECT user_id, sess_no,
+            (max(us) - min(us)) // 1000000 AS dur_s,
+            CAST(count(*) AS BIGINT) AS n_ev
+          FROM z GROUP BY user_id, sess_no)
+        SELECT CAST(length(CAST(dur_s AS VARCHAR)) AS BIGINT)
+            AS dur_digits,
+          count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
+          min(dur_s) AS min_dur_s, max(dur_s) AS max_dur_s
+        FROM sess GROUP BY 1 ORDER BY dur_digits""")),
+
+    // ENGAGEMENT CONCENTRATION — the Gini coefficient of per-user
+    // event counts plus the top-decile traffic share: the inequality
+    // scorecard behind "10% of users generate X% of traffic". The
+    // q_gini_vocab histogram-identity pattern applied to users: Σ
+    // rank·c needs ranks under (c, user) ascending order, but within a
+    // count-group the rank SUM is fixed — so the engine windows over
+    // the count HISTOGRAM (distinct count values ≪ users ≪ corpus)
+    // and closes Σ rank·c = Σ_v c·(m·start + m(m+1)/2) exactly. The
+    // top-decile share takes u10 = n_users div 10 users from the
+    // descending-count side, splitting the boundary count-group
+    // proportionally in whole users (u10 = 0 ⇒ share 0, declared).
+    // DECIMAL(38,0)/HUGEINT moments, e6/bp grids, class A.
+    QDef("q_engagement_gini",
+      (s, d) => {
+        val cnts = events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val hist = cnts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+          .localCheckpoint(true) // two window passes + the rollup
+        val tot = hist.agg(sum(col("m")).as("n_users"))
+        val wAsc = Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wDesc = Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("cum_m", sum(col("m")).over(wAsc))
+          .withColumn("cum_desc", sum(col("m")).over(wDesc))
+          .crossJoin(broadcast(tot))
+          .withColumn("start", col("cum_m") - col("m"))
+          .withColumn("u10", expr("n_users div 10"))
+          .withColumn("take", least(col("m"),
+            greatest(lit(0L), col("u10") - (col("cum_desc") - col("m")))))
+          .agg(
+            max(col("n_users")).as("n_users"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * m")).as("total_events"),
+            sum(expr("""CAST(c AS DECIMAL(38,0)) *
+              (m * start + m * (m + 1) div 2)""")).as("s_rank_c"),
+            sum(expr("CAST(c AS DECIMAL(38,0)) * take")).as("top10_ev"))
+          .select(col("n_users"),
+            col("total_events").cast("long").as("total_events"),
+            expr("""CAST((2 * s_rank_c - (n_users + 1) * total_events)
+              * 1000000 div (CAST(n_users AS DECIMAL(38,0))
+              * total_events) AS BIGINT)""").as("gini_e6"),
+            expr("CAST(top10_ev * 10000 div total_events AS BIGINT)")
+              .as("top10_share_bp"))
+      },
+      Some(s"""WITH cnts AS (SELECT user_id,
+            CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+        hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m
+          FROM cnts GROUP BY c),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS n_users FROM hist),
+        st AS (SELECT c, m,
+            CAST(sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - m AS start,
+            CAST(sum(m) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_desc
+          FROM hist),
+        agg AS (SELECT max(n_users) AS n_users,
+            CAST(sum(CAST(c AS HUGEINT) * m) AS HUGEINT) AS total_events,
+            CAST(sum(CAST(c AS HUGEINT) *
+              (m * start + m * (m + 1) // 2)) AS HUGEINT) AS s_rank_c,
+            CAST(sum(CAST(c AS HUGEINT) * least(m,
+              greatest(0, n_users // 10 - (cum_desc - m))))
+              AS HUGEINT) AS top10_ev
+          FROM st CROSS JOIN tot)
+        SELECT n_users, CAST(total_events AS BIGINT) AS total_events,
+          CAST((2 * s_rank_c - (n_users + 1) * total_events) * 1000000
+            // (CAST(n_users AS HUGEINT) * total_events) AS BIGINT)
+            AS gini_e6,
+          CAST(top10_ev * 10000 // total_events AS BIGINT)
+            AS top10_share_bp
+        FROM agg""")),
+
     // Ordered funnel analysis: how far does each user progress through
     // view → click → purchase, where each stage must STRICTLY follow the
     // previous one in event time (first occurrence per stage)? One
