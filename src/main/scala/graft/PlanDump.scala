@@ -62,7 +62,12 @@ object PlanDump {
     // blinded genuine 13-digit query literals like the 1e12 e12-grid
     // scales, so a change to such a literal wouldn't move the
     // fingerprint)
-    .replaceAll("(stateStoreCkptIds = [^,]*, )1[0-9]{12}\\b", "$1epochms")
+    // (r15 ADVICE: the old `[^,]*` anchor assumed the field value holds
+    // no comma — a populated Some(List(id1, id2)) under state-store
+    // checkpoint format v2 would slip a raw per-run timestamp through.
+    // Anchor on the None | Some(...) shape instead.)
+    .replaceAll("(stateStoreCkptIds = (?:None|Some\\([^\\)]*\\)), )1[0-9]{12}\\b",
+      "$1epochms")
     // the multi-distinct Expand rewrite binds gid->column via a hash-
     // ordered Map (Catalyst-internal, semantically irrelevant): drop
     // the double-bracketed branch payload, keep the operator + counts

@@ -80,6 +80,12 @@ final class MGSummary(val k: Int) extends Serializable {
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    // Leading format-version byte (r15 ADVICE): the r15 `decremented`
+    // field changed the byte layout silently — persisted state from
+    // before it (a streaming checkpoint holding MGSummary bytes) would
+    // MISPARSE instead of failing. A version marker turns any future
+    // layout change into a loud, attributable error at restore time.
+    out.writeByte(MGSummary.FormatVersion)
     out.writeInt(k); out.writeLong(n); out.writeBoolean(decremented)
     out.writeInt(counts.size)
     // sorted for a canonical byte form (not semantically required);
@@ -95,8 +101,18 @@ final class MGSummary(val k: Int) extends Serializable {
 }
 
 object MGSummary {
+  /** Serialized-layout version. v2 = version byte ‖ k ‖ n ‖ decremented
+    * ‖ size ‖ (len ‖ utf8 ‖ count)*. Bump on ANY layout change; old
+    * streaming checkpoints then fail loudly here instead of misparsing. */
+  val FormatVersion: Byte = 2
+
   def deserialize(bytes: Array[Byte]): MGSummary = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val v = in.readByte()
+    require(v == FormatVersion,
+      s"MGSummary: serialized format version $v, expected $FormatVersion" +
+        " — persisted state (e.g. a streaming checkpoint) predates a" +
+        " layout change and must be reset")
     val s = new MGSummary(in.readInt())
     s.n = in.readLong()
     s.decremented = in.readBoolean()

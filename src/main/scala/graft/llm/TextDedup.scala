@@ -128,14 +128,23 @@ object TextDedup {
     // bit-identical to the string-keyed build. A collision (birthday
     // bound ~3e-8 at 1e5 distinct grams; never observed) falls back to
     // the string key: same results, just wider rows.
+    // Checkpoint BEFORE the injectivity check (r15 ADVICE): the check's
+    // countDistinct shuffle and the checkpoint each materialized the
+    // tokenize+explode subtree, so it ran twice per edge build. Now the
+    // subtree runs exactly once — the checkpoint carries both keys
+    // (string + 8-byte hash, slightly wider than hash-only) and the
+    // check scans the checkpointed rows. The join-side shuffles still
+    // carry only the projected 8-byte key on the injective path, which
+    // is where the width trade pays (two shuffle sides vs one stored
+    // frame).
     val hashed = shRaw.withColumn("sid", xxhash64(col("sh")))
+      .localCheckpoint(true)
     val keyChk = hashed.agg(
       countDistinct(col("sh")).as("nsh"),
       countDistinct(col("sid")).as("nsid")).head()
-    val sh = (if (keyChk.getLong(0) == keyChk.getLong(1))
+    val sh = if (keyChk.getLong(0) == keyChk.getLong(1))
         hashed.drop("sh").withColumnRenamed("sid", "sh")
-      else shRaw)
-      .localCheckpoint(true)
+      else hashed.drop("sid")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val blockCond = blockCols
       .map(b => col(s"a.$b") === col(s"b.$b"))

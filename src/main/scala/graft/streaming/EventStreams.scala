@@ -981,16 +981,22 @@ object EventStreams {
         mg: graft.functions.MGSummary, how: String): SessionTopRow = {
       // n_events is mg.n — the EXACT stream length the summary always
       // tracks, decrements or not. n_types (map size) and top_cnt are
-      // exact ONLY while the session's distinct domain stayed <= k; the
-      // sentinel makes a k-overflow fail LOUDLY at the gate instead of
-      // silently undercounting against the DuckDB oracle.
-      require(!mg.decremented,
+      // exact ONLY while the session's distinct domain stayed <= k.
+      // Policy (r15 ADVICE): in batch/gate mode (evict = false, where
+      // the output is hash-compared against the DuckDB oracle) a
+      // k-overflow fails LOUDLY — silently undercounting would corrupt
+      // the gate. In long-running event-time mode (evict = true) one
+      // data-dependent session must NOT kill the whole streaming query:
+      // emit the row flagged approximate ("~" suffix on `how`) so the
+      // consumer can quarantine it, and keep n_events exact.
+      if (!evict) require(!mg.decremented,
         s"SessionTopProcessor: user $key session has > $k distinct event" +
           " types — MG decremented, n_types/top_cnt would be estimates;" +
           " raise k or declare the query approximate")
       val cs = mg.counts.toSeq
       val (top, cnt) = cs.minBy { case (t, c) => (-c, t) }
-      SessionTopRow(key, start, mg.n, cs.size.toLong, top, cnt, how)
+      SessionTopRow(key, start, mg.n, cs.size.toLong, top, cnt,
+        if (mg.decremented) how + "~" else how)
     }
     override def handleInputRows(key: Long, rows: Iterator[EventRow],
         timers: org.apache.spark.sql.streaming.TimerValues):

@@ -20,9 +20,21 @@ package graft.tables
 object LayoutCache {
   private val done = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 
-  /** Collision-free filesystem/table-name token for a corpus dir (the
-    * 32-bit hashCode the first cut used can alias two dirs). */
-  def keyOf(dir: String): String = dir.replaceAll("\\W+", "_")
+  /** Collision-free filesystem/table-name token for a corpus dir,
+    * isolated per process. The readable `\W+ → _` prefix alone is LOSSY
+    * (`/data/sf0.1` and `/data/sf0_1` alias — r15 ADVICE), so a full-path
+    * md5 suffix disambiguates; and because the once-guard below is
+    * per-JVM, a concurrent Bench JVM and test JVM sharing a path could
+    * overwrite a layout the other is mid-read — the pid suffix gives
+    * each process its own directory, which is exactly the guard's
+    * session-scoped pay-once contract anyway. */
+  def keyOf(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    dir.replaceAll("\\W+", "_") + "_" + h +
+      "_p" + ProcessHandle.current().pid()
+  }
 
   /** Execute `write` the first time `key` is seen this session; block
     * concurrent same-key callers until it completes. */
