@@ -544,7 +544,16 @@ object ScaleProof {
       // engagement gini = the histogram-identity pattern (windows over
       // the distinct-count frame, never a corpus rank)
       "q_activity_heatmap", "q_session_duration_histogram",
-      "q_engagement_gini")
+      "q_engagement_gini",
+      // round-16: cascade-on-candidates — stage-1 survivors only reach
+      // banded candidate generation (the replicated all-dup cliques
+      // collapse at the exact stage), candidates verified exactly; NO
+      // corpus-wide pair fan, so the 100× row must COMPLETE where the
+      // exact cascade hit the measured scratch exclusion
+      "q_dedup_cascade_banded",
+      // twin #15: batch-mode chained TWS — per-user (start,last) state
+      // + per-day boundary buffers (2 × the day's own session count)
+      "q_session_concurrency_stream_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

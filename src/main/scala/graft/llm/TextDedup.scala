@@ -101,6 +101,35 @@ object TextDedup {
       .distinct()
   }
 
+  /** EXACT Jaccard computed ONLY for the given candidate pairs — the
+    * verification half of the production LSH cascade (generate banded
+    * candidates, verify exactly, never touch non-candidate pairs). The
+    * work is |candidates| × shingles-per-doc: the a-side shingle attach
+    * fans each pair by one doc's shingles, the b-side match is an
+    * (id, shingle) equi-join, then one hash-agg per pair — linear in
+    * candidates, with NO corpus-wide pair fan anywhere (the thing the
+    * exact edge build's measured 100× scratch exclusion is made of).
+    * Pairs sharing zero shingles simply drop out (their Jaccard is 0 —
+    * below any useful threshold). String shingle keys are kept here:
+    * the candidate-restricted fan is small enough that the xxhash64
+    * width trade (and its injectivity proof) buys nothing. */
+  def verifyCandidatePairs(docs: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleK)
+      .localCheckpoint(true) // feeds sizes + both pair-join sides
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("szb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+  }
+
   /** Exact pairwise shingle-Jaccard ≥ threshold via shingle equi-join —
     * the ground truth MinHash approximates (O(pairs-sharing-a-shingle);
     * pass `blockCols` and/or use the minhash variant at scale). */

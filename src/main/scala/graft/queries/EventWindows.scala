@@ -1172,6 +1172,70 @@ object EventWindows {
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         ORDER BY p_id, c_ts_us""")),
 
+    // STREAMING TWIN #15 (r15 VERDICT directive 5): session concurrency
+    // as an explicit two-stage StatefulProcessor chain — the per-user gap
+    // sessionizer emitting ±1 boundary rows, then the per-day sweep line
+    // buffering each day's boundaries (exactly-once under any batch
+    // split) and finalizing by watermark timer. Batch/gate mode runs the
+    // identical walk in one batch; the cross-day carry is the ≤|days|
+    // consumer rollup applied here, so the output is EXACTLY
+    // q_session_concurrency — same oracle, hash-compared. StreamingSpec
+    // proves multi-batch ≡ single-batch, watermark-driven state eviction
+    // with a strict state-store row-count drop, and no resurrection.
+    QDef("q_session_concurrency_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        val daily = graft.streaming.EventStreams
+          .sessionConcurrencyDaily(ev).toDF()
+        val wg = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        daily
+          .withColumn("carry", coalesce(sum(col("net")).over(wg), lit(0L)))
+          .select(col("day"), col("starts"), col("ends"),
+            greatest(col("carry"), col("carry") + col("in_peak"))
+              .as("peak"))
+          .orderBy(col("day"))
+      },
+      Some(s"""WITH x AS (SELECT user_id, event_id, ts,
+            epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR us - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns
+          FROM x),
+        z AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS sess_no
+          FROM y),
+        sess AS (SELECT user_id, sess_no, min(us) AS s_us, max(us) AS e_us
+          FROM z GROUP BY user_id, sess_no),
+        b AS (SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
+          UNION ALL
+          SELECT e_us, CAST(-1 AS BIGINT) FROM sess),
+        c AS (SELECT us // 86400000000 AS day, us, delta,
+            CAST(sum(delta) OVER (PARTITION BY us // 86400000000
+              ORDER BY us, delta DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS cum
+          FROM b),
+        daily AS (SELECT day,
+            CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS starts,
+            CAST(count(*) FILTER (WHERE delta = -1) AS BIGINT) AS ends,
+            max(cum) AS in_peak, CAST(sum(delta) AS BIGINT) AS net
+          FROM c GROUP BY day),
+        o AS (SELECT *, COALESCE(CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS carry FROM daily)
+        SELECT day, starts, ends,
+          greatest(carry, carry + in_peak) AS peak
+        FROM o ORDER BY day""")),
+
     // LEFT OUTER stream-stream interval join, batch twin: purchases with
     // no preceding click survive null-padded. Same exact-operator pattern
     // as q_stream_interval_join (withWatermark is a no-op on batch);

@@ -1164,4 +1164,192 @@ object EventStreams {
         if (evict) TimeMode.EventTime() else TimeMode.None(),
         OutputMode.Append)
   }
+
+  /** One session boundary from [[SessionBoundsProcessor]] — `delta` is
+    * +1 at a session start, −1 at its end; `ts` re-anchors event time
+    * so the downstream per-day stage can watermark on it. */
+  final case class SessBound(day: Long, us: Long, delta: Long,
+    ts: java.sql.Timestamp)
+  /** One finalized day from [[SweepLineProcessor]]: boundary counts +
+    * the day's internal peak and net (the cross-day carry is the
+    * consumer's ≤|days| rollup, not stream state). */
+  final case class DayConcurrency(day: Long, starts: Long, ends: Long,
+    in_peak: Long, net: Long)
+
+  /** STREAMING TWIN #15, stage 1 — the gap sessionizer emitting ±1
+    * boundary rows (the sweep-line input of q_session_concurrency).
+    * Same per-user posture as every session processor in this file:
+    * state = (start, last) per user, a re-armed idle timer at
+    * last + gap, per-batch slice sorted; cross-batch order is the
+    * watermark's contract (the declared posture of all the twins —
+    * a within-allowance straggler that would extend a session
+    * BACKWARD shifts its recorded start; the batch gate is exact).
+    *
+    * Emission discipline in event-time mode (forced by the chained-
+    * operator rule that an emitted row's event time may not lag the
+    * watermark): the +1 START boundary emits EAGERLY when the session
+    * opens (its instant is the admitting event's own time, never late),
+    * the −1 END boundary emits at close (inline gap or idle timer). The
+    * emitted `ts` is clamped to the current watermark — it only anchors
+    * downstream validity; the boundary's true instant rides in `us`,
+    * which is what the sweep sorts on. Batch/gate mode (TimeMode.None)
+    * emits start+end pairs from the single full-history walk, open tail
+    * included — exactly the batch query's boundary multiset. */
+  class SessionBoundsProcessor(gapUs: Long, evict: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, SessBound] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long)] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    private def usOf(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    /** Boundary row; `ts` clamped to watermark+1ms for the emit check. */
+    private def bound(us: Long, delta: Long, wmMs: Long): SessBound =
+      SessBound(Math.floorDiv(us, 86400000000L), us, delta,
+        new java.sql.Timestamp(math.max(us / 1000L, wmMs + 1L)))
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[SessBound] = {
+      val wm = if (evict) timers.getCurrentWatermarkInMs() else 0L
+      val sorted = rows.toArray.sortBy(r => (usOf(r.ts), r.event_id))
+      val out = Seq.newBuilder[SessBound]
+      var (start, last) =
+        if (state.exists()) state.get() else (-1L, -1L)
+      sorted.foreach { r =>
+        val us = usOf(r.ts)
+        if (start >= 0L && us - last > gapUs) {
+          if (evict) out += bound(last, -1L, wm) // close (start already out)
+          else out ++= Iterator(bound(start, 1L, wm), bound(last, -1L, wm))
+          start = us
+          if (evict) out += bound(us, 1L, wm) // eager start
+        } else if (start < 0L) {
+          start = us
+          if (evict) out += bound(us, 1L, wm) // eager start
+        }
+        last = us
+      }
+      if (evict) {
+        state.update((start, last))
+        val it = getHandle.listTimers()
+        while (it.hasNext) getHandle.deleteTimer(it.next())
+        getHandle.registerTimer((last + gapUs) / 1000L)
+      } else {
+        if (start >= 0L) // open tail: final in the single gate batch
+          out ++= Iterator(bound(start, 1L, wm), bound(last, -1L, wm))
+        state.update((start, last))
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[SessBound] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val out = if (state.exists()) {
+        val (start, last) = state.get()
+        if (start >= 0L) Iterator.single(bound(last, -1L, wm))
+        else Iterator.empty
+      } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** STREAMING TWIN #15, stage 2 — the per-day sweep line as an explicit
+    * StatefulProcessor. Exactly-once under ANY batch split: boundaries
+    * BUFFER in a per-day ListState until the day finalizes (batch/gate
+    * mode: the single batch holds the whole day; event-time mode: a
+    * per-day timer at day-end, watermark-driven), then ONE sort by
+    * (us, delta DESC — starts before ends at ties, the batch query's
+    * declared tie order), one linear sweep, one emitted row, state
+    * CLEARED. State bound: the day's own boundary count (2 × sessions
+    * touching the day) — event-driven, not corpus-scale, and freed the
+    * moment the watermark passes the day. */
+  class SweepLineProcessor(evict: Boolean, slackMs: Long = 0L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessBound, DayConcurrency] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[
+      (Long, Long)] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[(Long, Long)]("bounds",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    private def sweep(key: Long, bs: Array[(Long, Long)]): DayConcurrency = {
+      val sorted = bs.sortBy { case (us, d) => (us, -d) }
+      var cur = 0L; var peak = 0L
+      var starts = 0L; var ends = 0L
+      sorted.foreach { case (_, d) =>
+        cur += d
+        if (cur > peak) peak = cur
+        if (d == 1L) starts += 1 else ends += 1
+      }
+      DayConcurrency(key, starts, ends, peak, cur)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[SessBound],
+        timers: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[DayConcurrency] = {
+      val incoming = rows.map(b => (b.us, b.delta)).toArray
+      if (evict) {
+        incoming.foreach(b => buf.appendValue(b))
+        // one timer at day end + slack (idle-close latency: a session
+        // ENDING in this day is only detected once the watermark passes
+        // its last event + gap, so the day's −1 can arrive up to
+        // gap + allowance after day end) — re-arming is idempotent
+        val it = getHandle.listTimers()
+        while (it.hasNext) getHandle.deleteTimer(it.next())
+        getHandle.registerTimer((key + 1) * 86400000L + slackMs)
+        Iterator.empty
+      } else {
+        // batch/gate: the single batch IS the whole day
+        Iterator.single(sweep(key, incoming))
+      }
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[DayConcurrency] = {
+      val bs = buf.get().toArray
+      buf.clear()
+      if (bs.isEmpty) Iterator.empty
+      else Iterator.single(sweep(key, bs.map(r => (r._1, r._2))))
+    }
+  }
+
+  /** Twin #15 composition: sessionizer boundaries → per-day sweep line.
+    * The cross-day CARRY (running net) is deliberately NOT stream state:
+    * it is a total order over days, so the consumer applies it on the
+    * ≤|days| output frame (the gate query does exactly that) — the same
+    * division of labor as the batch query's two-level prefix sum. */
+  def sessionConcurrencyDaily(events: Dataset[EventRow],
+      gapUs: Long = 3600000000L,
+      evict: Boolean = false): Dataset[DayConcurrency] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val src = if (evict) events.withWatermark("ts", "1 hour") else events
+    // chained stateful operators: re-defining the watermark downstream is
+    // disallowed — stage 1 instead DECLARES its output event-time column
+    // ("ts", the boundary's own instant) and Spark propagates the
+    // watermark through to the day stage's timers
+    val bounds = if (evict)
+      src.groupByKey(_.user_id)
+        .transformWithState(new SessionBoundsProcessor(gapUs, evict),
+          "ts", OutputMode.Append)
+    else
+      src.groupByKey(_.user_id)
+        .transformWithState(new SessionBoundsProcessor(gapUs, evict),
+          TimeMode.None(), OutputMode.Append)
+    // slack = gap (idle-close latency) + the 1 h watermark allowance
+    bounds.groupByKey(_.day)
+      .transformWithState(
+        new SweepLineProcessor(evict, gapUs / 1000L + 3600000L + 1000L),
+        if (evict) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append)
+  }
 }

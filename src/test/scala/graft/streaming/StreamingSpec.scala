@@ -1292,6 +1292,86 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("twin #15 session concurrency: multi-batch daily sweep equals " +
+    "gate mode; day finalizes once by watermark timer; state evicts; " +
+    "no resurrection") {
+    import spark.implicits._
+    withRocksDbSp {
+      // three users, two days, sessions crossing batch boundaries:
+      // u1 day1 [01:00..02:00] (3 events over 2 batches) + [05:00..05:15]
+      // u2 day1 [01:30..01:30] singleton + day2 [03:00..03:30]
+      val live = Seq(
+        row(1, ts(1, 1)), row(2, ts(1, 1, 30), user = 2L),
+        row(3, ts(1, 1, 30)), row(4, ts(1, 2)),
+        row(5, ts(1, 5)), row(6, ts(1, 5, 15)),
+        row(7, ts(2, 3), user = 2L), row(8, ts(2, 3, 30), user = 2L))
+      // batch-mode TWS needs the state-store coordinator up + lag
+      // reporting off (the prepBatchStateStore contract the QDefs use)
+      spark.streams
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+        "false")
+      // gate mode (single batch, evict = false) on the SAME rows is the
+      // ground truth the streamed run must reproduce day-for-day
+      val batch = EventStreams.sessionConcurrencyDaily(live.toDS()).toDF()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams
+        .sessionConcurrencyDaily(mem.toDS(), evict = true).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("t_swp")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("swp_chk").toString)
+        .start()
+      def stateRows: Seq[Long] =
+        Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).toSeq).getOrElse(Seq(-1L))
+      // the trailing empty batches of a processAllAvailable already run
+      // timer evictions, so "open" state is the PEAK across the progress
+      // history, not the last snapshot
+      def statePeak: Long =
+        q.recentProgress.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max)
+      try {
+        mem.addData(live(0), live(1))
+        q.processAllAvailable()
+        mem.addData(live(2), live(3))
+        q.processAllAvailable()
+        mem.addData(live(4), live(5), live(6), live(7))
+        q.processAllAvailable()
+        val open = statePeak
+        // far-future nudges: advance the watermark past every session's
+        // idle deadline AND both day ends; chained timers need a batch
+        // per hop (session close → boundary buffered → day timer fires)
+        mem.addData(row(100, ts(20, 0), user = 9L))
+        q.processAllAvailable()
+        mem.addData(row(101, ts(20, 2), user = 9L))
+        q.processAllAvailable()
+        mem.addData(row(102, ts(20, 4), user = 9L))
+        q.processAllAvailable()
+        mem.addData(row(103, ts(20, 6), user = 9L))
+        q.processAllAvailable()
+        val after = stateRows
+        // straggler far below the watermark: dropped at the source, the
+        // finalized day must NOT re-emit
+        mem.addData(row(9, ts(1, 6)))
+        q.processAllAvailable()
+        val day20 = ts(20, 0).getTime / 86400000L
+        val streamed = spark.table("t_swp")
+          .filter(col("day") < day20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq
+        assert(streamed.toSet == batch,
+          s"streamed days must equal gate mode:\nstream=$streamed\nbatch=$batch")
+        assert(streamed.size == streamed.toSet.size,
+          s"each day must emit exactly once: $streamed")
+        assert(after.sum < open,
+          s"state rows must drop after watermark passage: peak=$open after=$after")
+      } finally q.stop()
+    }
+  }
+
   private def withRocksDbSp[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
