@@ -191,6 +191,46 @@ object PlanDump {
   private val Formatted =
     org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
+  /** Build + execute + fingerprint one exec-pinned query. For the
+    * [[PlanPins.execAqeOff]] subset (AQE build-side flip race — see
+    * PlanPins) the WHOLE build-and-execute runs with
+    * `spark.sql.adaptive.enabled=false`, fingerprinting the
+    * deterministic static physical plan; the line carries an
+    * ` aqe=off` marker so the artifact documents it. Used by BOTH the
+    * dump and the PlanPinSpec gate — one definition, no drift.
+    * Returns (fingerprint line, canonical executed plan text). */
+  def execFingerprintFor(spark: org.apache.spark.sql.SparkSession,
+      name: String, sfDir: String): (String, String) = {
+    def run(): (String, String) = {
+      // ANY cached frame in the session whose plan is a subtree of this
+      // query substitutes an InMemoryRelation into the replan (+2 ops
+      // per substitution) — including frames cached by OTHER queries or
+      // suites, which a per-query unpersist cannot reach (measured:
+      // q_cosine_ivf reads 149 ops in the dump session after the
+      // 404-query pre pass vs its true 147 in a cache-clean session).
+      // Clearing the whole cache makes dump and gate see the same
+      // substitution-free plan regardless of what ran before; caching
+      // is transparent to semantics, so later consumers just rebuild.
+      spark.sharedState.cacheManager.clearCache()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val line = execFingerprint(name, df)
+      (line, canonicalize(df.queryExecution.explainString(Formatted)))
+    }
+    if (!PlanPins.execAqeOff.contains(name)) run()
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try {
+        val (line, canon) = run()
+        (s"$line aqe=off", canon)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Fingerprint the EXECUTED (post-AQE) plan: collect() drives the
     * DataFrame's own AdaptiveSparkPlan to its final form, where
     * codegen ids are actually assigned — so the codegen_spans column
@@ -253,10 +293,9 @@ object PlanDump {
     execOut.foreach { eo =>
       val execLines = PlanPins.exec.sorted.map { name =>
         try {
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          val line = execFingerprint(name, df)
+          val (line, canon) = execFingerprintFor(spark, name, sfDir)
           dbg.foreach(p => Files.writeString(Paths.get(s"$p/EXEC_${name}.txt"),
-            canonicalize(df.queryExecution.explainString(mode))))
+            canon))
           line
         } catch {
           case e: Throwable =>

@@ -62,7 +62,13 @@ class PlanPinSpec extends AnyFunSuite {
 
   test("executed (post-AQE) fingerprints match, with real codegen spans") {
     val mismatches = PlanPins.exec.flatMap { name =>
-      val line = PlanDump.execFingerprint(name, freshDf(name))
+      // shared with the dump (one definition): clears the session cache
+      // (so no suite's cached frame substitutes an InMemoryRelation into
+      // the replan) and fingerprints the PlanPins.execAqeOff subset
+      // with AQE disabled (deterministic static plan — the AQE-final
+      // shape races on a runtime build-side flip)
+      val (line, _) =
+        PlanDump.execFingerprintFor(spark, name, TestSpark.sf0001)
       if (committedExec.get(name).contains(line)) None
       else Some(s"  expected: ${committedExec.getOrElse(name, "<missing>")}\n" +
         s"  actual:   $line")
