@@ -553,7 +553,17 @@ object ScaleProof {
       "q_dedup_cascade_banded",
       // twin #15: batch-mode chained TWS — per-user (start,last) state
       // + per-day boundary buffers (2 × the day's own session count)
-      "q_session_concurrency_stream_twin")
+      "q_session_concurrency_stream_twin",
+      // round-16 wave 2: stupid backoff = two map-side train count aggs
+      // + broadcast probe joins (the JM/KN shape minus the continuation
+      // passes); STL rides one per-day count agg, all windows on the
+      // ≤|days| daily frame; weighted Jaccard fans ONLY the shared ≥0.2
+      // candidate edges through the token-tf inner join (linear in
+      // candidates, the verifyCandidatePairs shape); RAKE's window is
+      // per-doc (prefix-sum of stop flags), word scores one
+      // vocab-bounded agg
+      "q_stupid_backoff", "q_stl_seasonal", "q_weighted_jaccard_join",
+      "q_rake_keyphrases")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

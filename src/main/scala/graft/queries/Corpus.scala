@@ -2185,6 +2185,107 @@ object Corpus {
             / (count(*) * 10000) AS nll
         FROM terms GROUP BY doc_id ORDER BY doc_id""")),
 
+    // STUPID BACKOFF held-out scoring — the web-scale smoother that
+    // completes the family beside add-one (q_heldout_perplexity),
+    // Jelinek–Mercer (…_jm), Kneser–Ney (q_kneser_ney) and modified KN
+    // (q_kn_modified): no discounting, no normalization — S(w₂|w₁) =
+    // c(w₁w₂)/c(w₁·) when the bigram was seen, else α·S(w₂) with the
+    // fixed α = 0.4 of Brants et al. 2007 ("Large Language Models in
+    // Machine Translation"), whose point is exactly that at corpus
+    // scale this unnormalized score ("stupid" by its authors' naming)
+    // matches KN-class quality at a fraction of the aggregation cost —
+    // ONE bigram count table and ONE unigram table, no count-of-counts
+    // or continuation passes, which is why it is the smoother 100 TB
+    // pipelines actually ship. The backoff unigram is add-one smoothed
+    // (c(w₂)+1)/(T+V) so OOV continuations keep S > 0. Same Knuth
+    // split; −ln terms quantized to the e4 integer grid, exact BIGINT
+    // per-doc sums, ONE unrounded final division (the JM determinism
+    // mechanism verbatim; class C only through ln's ulp). Scale: two
+    // map-side train count aggs + broadcast probe joins; the bigram
+    // denominator reuses the unigram table (c(w₁·) = c(w₁) up to the
+    // per-doc last token, declared: context counts here are TOKEN
+    // counts, the convention the add-one precedent set).
+    QDef("q_stupid_backoff",
+      (s, d) => {
+        val bucket =
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+        val toksT = documents(s, d)
+          .select(col("doc_id"), (bucket < 80).as("is_train"),
+            filter(split(col("text"), " "), t => t =!= "").as("t"))
+          .localCheckpoint(true) // train counts AND held-out scoring
+        val bi = toksT.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("is_train"), explode(expr(
+            """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+               (a, b) -> named_struct('w1', a, 'w2', b,
+                 'bg', concat(a, ' ', b)))""")).as("p"))
+          .select(col("doc_id"), col("is_train"), col("p.w1").as("w1"),
+            col("p.w2").as("w2"), col("p.bg").as("bg"))
+          .localCheckpoint(true) // train counts + held-out probe share it
+        val trainUni = toksT.filter(col("is_train"))
+          .select(explode(col("t")).as("w"))
+        val c1 = trainUni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val c2 = bi.filter(col("is_train"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        val vt = trainUni.agg(countDistinct(col("w")).as("v"),
+          count(lit(1)).as("tt"))
+        bi.filter(!col("is_train"))
+          .join(c2, Seq("bg"), "left")
+          .join(c1.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+          .join(c1.select(col("w").as("w2"), col("c1").as("cu")),
+            Seq("w2"), "left")
+          .crossJoin(broadcast(vt))
+          .select(col("doc_id"),
+            (coalesce(col("c2"), lit(0L)) === 0).cast("long").as("backoff"),
+            round((lit(0.0) - log(
+              when(coalesce(col("c2"), lit(0L)) > 0,
+                col("c2").cast("double") / col("c1"))
+                .otherwise((coalesce(col("cu"), lit(0L)) + 1.0)
+                  / (col("tt") + col("v")) * 0.4))) * 10000)
+              .cast("long").as("t_e4"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("backoff")).as("n_backoff"),
+            sum(col("t_e4")).as("nll_e4"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+            col("nll_e4"),
+            (col("nll_e4").cast("double") / (col("n_bigrams") * 10000))
+              .as("nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toksT AS (SELECT doc_id,
+            (doc_id * 2654435761) % 4294967296 % 100 < 80 AS is_train,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        bi AS (SELECT doc_id, is_train, toks[i] AS w1, toks[i + 1] AS w2,
+            toks[i] || ' ' || toks[i + 1] AS bg
+          FROM (SELECT doc_id, is_train, toks,
+                unnest(range(1, len(toks))) AS i
+                FROM toksT WHERE len(toks) >= 2)),
+        uni AS (SELECT unnest(toks) AS w FROM toksT WHERE is_train),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+          FROM uni GROUP BY w),
+        c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+          FROM bi WHERE is_train GROUP BY bg),
+        vt AS (SELECT count(DISTINCT w) AS v, count(*) AS tt FROM uni),
+        terms AS (SELECT doc_id,
+            CAST(COALESCE(c2.c2, 0) = 0 AS BIGINT) AS backoff,
+            CAST(round((0.0 - ln(
+              CASE WHEN COALESCE(c2.c2, 0) > 0
+                THEN CAST(c2.c2 AS DOUBLE) / ca.c1
+                ELSE (COALESCE(cb.c1, 0) + 1.0) / (vt.tt + vt.v) * 0.4
+              END)) * 10000) AS BIGINT) AS t_e4
+          FROM bi LEFT JOIN c2 USING (bg)
+          LEFT JOIN c1 ca ON bi.w1 = ca.w
+          LEFT JOIN c1 cb ON bi.w2 = cb.w
+          CROSS JOIN vt
+          WHERE NOT bi.is_train)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(backoff) AS BIGINT) AS n_backoff,
+          CAST(sum(t_e4) AS BIGINT) AS nll_e4,
+          CAST(CAST(sum(t_e4) AS BIGINT) AS DOUBLE)
+            / (count(*) * 10000) AS nll
+        FROM terms GROUP BY doc_id ORDER BY doc_id""")),
+
     // DELETE-ONE-GROUP JACKKNIFE — the non-parametric standard error of
     // the corpus mean under cluster (source) structure: θ₍ᵢ₎ = the mean
     // with source i deleted, computed from INTEGER sums alone

@@ -958,6 +958,99 @@ object Curation {
             - (84600 * sylls // greatest(words, 1)) AS flesch_e3
         FROM a ORDER BY lang""")),
 
+    // RAKE KEYPHRASE EXTRACTION (Rose et al. 2010, "Automatic Keyword
+    // Extraction from Individual Documents") — the classic unsupervised
+    // keyphrase scorer: candidate phrases are maximal stopword-free
+    // token runs (length ≤ 4, the common RAKE cap), each member word w
+    // gets score deg(w)/freq(w) where freq counts w's phrase
+    // occurrences and deg sums the lengths of every phrase occurrence
+    // containing w (degree on the phrase co-occurrence graph, counted
+    // with multiplicity), and a phrase scores the sum of its member
+    // word scores. The stopword list is CORPUS-DRIVEN and declared: the
+    // top-5 tokens by corpus frequency (ties → lexicographic — a total
+    // order, so the cut is deterministic in both engines). All-integer:
+    // deg and freq are exact counts, each word ratio lands ONCE on the
+    // e4 grid with one truncating division, phrase scores are exact
+    // BIGINT sums of those integers. Scale: the per-doc prefix-sum
+    // window is partitioned by doc (bounded by doc length); word scores
+    // are one vocab-bounded hash agg broadcast back; nothing
+    // corpus-wide ever enters a window.
+    QDef("q_rake_keyphrases",
+      (s, d) => {
+        val pos = documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("w"))
+        val stop5 = pos.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(5)
+          .select(col("w").as("sw"))
+        val marked = pos
+          .join(broadcast(stop5), col("w") === col("sw"), "left")
+          .select(col("doc_id"), col("pos"), col("w"),
+            col("sw").isNotNull.cast("long").as("is_stop"))
+        val wpre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val phrases = marked
+          .withColumn("pid", sum(col("is_stop")).over(wpre))
+          .filter(col("is_stop") === 0)
+          .groupBy(col("doc_id"), col("pid"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("w"))))
+            .as("ws"))
+          .select(col("doc_id"), col("pid"),
+            expr("array_join(transform(ws, x -> x.w), ' ')").as("phrase"),
+            expr("transform(ws, x -> x.w)").as("words"),
+            size(col("ws")).cast("long").as("len"))
+          .filter(col("len") <= 4)
+          .localCheckpoint(true) // word stats + phrase scoring share it
+        val wstats = phrases
+          .select(explode(col("words")).as("w"), col("len"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+          .select(col("w"), expr("deg * 10000 div freq").as("wscore_e4"))
+        val inst = phrases
+          .select(col("doc_id"), col("pid"), col("phrase"),
+            explode(col("words")).as("w"))
+          .join(wstats, "w")
+          .groupBy(col("doc_id"), col("pid"), col("phrase"))
+          .agg(sum(col("wscore_e4")).as("score_e4"))
+        inst.groupBy(col("phrase"))
+          // identical phrase text ⇒ identical member-word scores ⇒
+          // identical instance score; max() just picks that constant
+          .agg(count(lit(1)).as("n_occ"), max(col("score_e4")).as("score_e4"))
+          .orderBy(col("score_e4").desc, col("phrase"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        pos AS (SELECT doc_id, i AS pos, toks[i] AS w
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                FROM toks)),
+        stop5 AS (SELECT w FROM (SELECT w, count(*) AS c
+          FROM pos GROUP BY w ORDER BY c DESC, w LIMIT 5)),
+        marked AS (SELECT doc_id, pos, w,
+            CAST(w IN (SELECT w FROM stop5) AS BIGINT) AS is_stop
+          FROM pos),
+        pids AS (SELECT doc_id, pos, w, is_stop,
+            sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+          FROM marked),
+        phr AS (SELECT doc_id, pid,
+            string_agg(w, ' ' ORDER BY pos) AS phrase,
+            CAST(count(*) AS BIGINT) AS len
+          FROM pids WHERE is_stop = 0 GROUP BY doc_id, pid),
+        phw AS (SELECT doc_id, pid, phrase, len,
+            unnest(string_split(phrase, ' ')) AS w
+          FROM phr WHERE len <= 4),
+        ws AS (SELECT w,
+            CAST(sum(len) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+              AS wscore_e4
+          FROM phw GROUP BY w),
+        inst AS (SELECT p.doc_id, p.pid, p.phrase,
+            CAST(sum(ws.wscore_e4) AS BIGINT) AS score_e4
+          FROM phw p JOIN ws USING (w)
+          GROUP BY p.doc_id, p.pid, p.phrase)
+        SELECT phrase, count(*) AS n_occ, max(score_e4) AS score_e4
+        FROM inst GROUP BY phrase
+        ORDER BY score_e4 DESC, phrase""")),
+
     QDef("q_filter_ablation",
       (s, d) => {
         import s.implicits._

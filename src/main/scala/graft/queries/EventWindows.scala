@@ -577,6 +577,70 @@ object EventWindows {
             AS top10_share_bp
         FROM agg""")),
 
+    // SEASONAL–TREND DECOMPOSITION (STL-lite, classical additive form)
+    // of the daily event-count series — the time-series view the
+    // heatmap (q_activity_heatmap) only shows marginally: trend = the
+    // 7-day centered moving average (the classical decomposition's MA
+    // filter matched to the weekly period), seasonal(dow) = the mean
+    // detrended residual per day-of-week, both on the e2 integer grid
+    // (trend = 7-day sum × 100 div 7 — one truncating division; Spark
+    // `div` ≡ DuckDB `//` toward zero, negatives included). Edge days
+    // without a full ±3-day window are EXCLUDED from the seasonal means
+    // (the classical convention: the MA is undefined there). The daily
+    // series is densified onto the full min..max calendar grid (a
+    // missing day is a true 0, and the MA window must slide over
+    // calendar days, not observed rows). Scale: one map-side combinable
+    // count per day, then every window/mean runs on the ≤|days| daily
+    // frame — the q_session_concurrency bounded-frame discipline; the
+    // corpus-size work never reaches a window.
+    QDef("q_stl_seasonal",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, d)
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n"))
+        val bounds = daily.agg(min(col("day")).as("d0"),
+          max(col("day")).as("d1"))
+        val grid = bounds
+          .select(explode(expr("sequence(d0, d1)")).as("day"),
+            col("d0"), col("d1"))
+        val dense = grid.join(daily, Seq("day"), "left")
+          .select(col("day"), col("d0"), col("d1"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        dense
+          .withColumn("s7", sum(col("n")).over(w))
+          .filter(col("day") >= col("d0") + 3 && col("day") <= col("d1") - 3)
+          .select(col("day"), col("n"), expr("s7 * 100 div 7").as("trend_e2"))
+          .select((col("day") % 7).as("dow"),
+            (col("n") * 100 - col("trend_e2")).as("resid_e2"))
+          .groupBy(col("dow"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("resid_e2")).as("sum_resid_e2"))
+          .select(col("dow"), col("n_days"), col("sum_resid_e2"),
+            expr("sum_resid_e2 div n_days").as("seasonal_e2"))
+          .orderBy(col("dow"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        grid AS (SELECT unnest(range(d0, d1 + 1)) AS day, d0, d1
+          FROM bounds),
+        dense AS (SELECT g.day, g.d0, g.d1, COALESCE(daily.n, 0) AS n
+          FROM grid g LEFT JOIN daily ON g.day = daily.day),
+        ma AS (SELECT day, d0, d1, n,
+            sum(n) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+          FROM dense),
+        det AS (SELECT day % 7 AS dow,
+            n * 100 - s7 * 100 // 7 AS resid_e2
+          FROM ma WHERE day >= d0 + 3 AND day <= d1 - 3)
+        SELECT dow, count(*) AS n_days,
+          CAST(sum(resid_e2) AS BIGINT) AS sum_resid_e2,
+          CAST(sum(resid_e2) AS BIGINT) // count(*) AS seasonal_e2
+        FROM det GROUP BY dow ORDER BY dow""")),
+
     // Ordered funnel analysis: how far does each user progress through
     // view → click → purchase, where each stage must STRICTLY follow the
     // previous one in event time (first occurrence per stage)? One

@@ -1637,6 +1637,100 @@ object Llm {
         JOIN edges0 e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
         ORDER BY a, b, c""")),
 
+    // WEIGHTED (multiset) JACCARD over the production near-dup pairs —
+    // the dup scorer set-Jaccard under-reports: a doc that repeats
+    // "batch" 40 times and one that uses it once share the SAME shingle
+    // set weightlessly, but their token MULTISETS disagree 40:1.
+    // J_w = Σ_w min(tf_a, tf_b) / Σ_w max(tf_a, tf_b) over term
+    // frequencies, the standard weighted form; Σmax is derived as
+    // T_a + T_b − Σmin (exact identity over multisets) so only the
+    // SHARED-token inner join is ever computed. The pair set is the
+    // cascade_banded production funnel's: exact-dup KEEPERS first (the
+    // md5 window — at any replication the cliques collapse before a
+    // single pair exists), then banded MinHash-LSH candidates verified
+    // by exact set-Jaccard ≥ 0.9 — work linear in candidates, no
+    // corpus-wide pair fan anywhere (the first cut of this query rode
+    // the shared exact ≥0.2 edge frame and inherited its measured
+    // quadratic clique fan: 21 GB spill at 10×). ORACLE VALIDITY: same
+    // argument as q_dedup_cascade_banded — verification makes
+    // candidates precise and banded recall at ≥ 0.9 is 1 on this corpus
+    // (pinned by q_minhash_lsh's oracle + Wave16Spec edge-set
+    // equality), so the oracle replays DuckDB's exact ≥ 0.9 keeper
+    // pairs. All-integer: tf min-sums and totals are exact counts; the
+    // score lands once on the ppm grid with one truncating division
+    // (Spark div ≡ DuckDB //).
+    QDef("q_weighted_jaccard_join",
+      (s, d) => {
+        val docs = documents(s, d)
+        val k1 = docs
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          .withColumn("kid", min(col("doc_id")).over(
+            Window.partitionBy(col("h"))))
+          .filter(col("doc_id") === col("kid"))
+          .select(col("doc_id"))
+        val survivors = docs.join(k1, "doc_id")
+          .localCheckpoint(true) // candidates + verify + tf share it
+        val cand = graft.llm.TextDedup
+          .minhashCandidates(survivors, "doc_id", "text")
+        val pairs = graft.llm.TextDedup
+          .verifyCandidatePairs(survivors, cand, "doc_id", "text")
+          .filter(col("jaccard") >= 0.9)
+          .select(col("id_a"), col("id_b"))
+        val tf = survivors
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true) // totals + both pair-join sides
+        val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("tot"))
+        val inter = pairs
+          .join(tf.select(col("doc_id").as("id_a"), col("w"),
+            col("tf").as("tfa")), "id_a")
+          .join(tf.select(col("doc_id").as("id_b"), col("w"),
+            col("tf").as("tfb")), Seq("id_b", "w"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(sum(least(col("tfa"), col("tfb"))).as("inter_w"))
+        inter
+          .join(tot.select(col("doc_id").as("id_a"), col("tot").as("ta")),
+            "id_a")
+          .join(tot.select(col("doc_id").as("id_b"), col("tot").as("tb")),
+            "id_b")
+          .select(col("id_a"), col("id_b"), col("inter_w"),
+            (col("ta") + col("tb") - col("inter_w")).as("union_w"),
+            expr("inter_w * 1000000 div (ta + tb - inter_w)").as("wj_ppm"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, md5(text) AS h
+          FROM documents),
+        k1 AS (SELECT doc_id FROM (SELECT *,
+            min(doc_id) OVER (PARTITION BY h) AS kid FROM base)
+          WHERE doc_id = kid),
+        ${dupEdgesCte("0.9")},
+        e1 AS (SELECT id_a, id_b FROM edges0
+          WHERE id_a IN (SELECT doc_id FROM k1)
+            AND id_b IN (SELECT doc_id FROM k1)),
+        tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(list_filter(
+              string_split(text, ' '), t -> t <> '')) AS w
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM k1))
+          GROUP BY doc_id, w),
+        tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot
+          FROM tf GROUP BY doc_id),
+        iw AS (SELECT e.id_a, e.id_b,
+            CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS inter_w
+          FROM e1 e
+          JOIN tf a ON a.doc_id = e.id_a
+          JOIN tf b ON b.doc_id = e.id_b AND b.w = a.w
+          GROUP BY e.id_a, e.id_b)
+        SELECT iw.id_a, iw.id_b, iw.inter_w,
+          ta.tot + tb.tot - iw.inter_w AS union_w,
+          iw.inter_w * 1000000 // (ta.tot + tb.tot - iw.inter_w)
+            AS wj_ppm
+        FROM iw
+        JOIN tot ta ON ta.doc_id = iw.id_a
+        JOIN tot tb ON tb.doc_id = iw.id_b
+        ORDER BY id_a, id_b""")),
+
     // Local clustering coefficient over the dup graph: how clique-like
     // each document's dedup neighborhood is (coeff 1e6 = its neighbors
     // are all mutual dups — one canonical keeper suffices; low coeff =

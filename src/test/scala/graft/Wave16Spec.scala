@@ -80,4 +80,154 @@ class Wave16Spec extends AnyFunSuite {
     truth.foreach { case (p, j) =>
       assert(ver(p) == j, s"pair $p: verifier ${ver(p)} != truth $j") }
   }
+
+  // ---- wave 2: q_stupid_backoff ----
+
+  test("stupid backoff: imperative replay of the score") {
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSeq).toMap
+    val isTrain = (id: Long) => (id * 2654435761L) % 4294967296L % 100 < 80
+    val trainToks = docs.filter(k => isTrain(k._1)).values.flatten.toSeq
+    val c1 = trainToks.groupBy(identity).map { case (w, o) => w -> o.size }
+    val c2 = docs.filter(k => isTrain(k._1)).values
+      .flatMap(t => t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .toSeq.groupBy(identity).map { case (b, o) => b -> o.size }
+    val v = c1.size.toLong
+    val tt = trainToks.size.toLong
+    val expected = docs.filter(k => !isTrain(k._1)).map { case (id, t) =>
+      val terms = t.sliding(2).filter(_.size == 2).map { p =>
+        val s2 = c2.getOrElse((p(0), p(1)), 0)
+        val sc = if (s2 > 0) s2.toDouble / c1(p(0))
+          else (c1.getOrElse(p(1), 0) + 1.0) / (tt + v) * 0.4
+        (if (s2 == 0) 1L else 0L, math.round((0.0 - math.log(sc)) * 10000))
+      }.toSeq
+      id -> (terms.size.toLong, terms.map(_._1).sum, terms.map(_._2).sum)
+    }.filter(_._2._1 > 0)
+    val got = run("q_stupid_backoff").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e") }
+  }
+
+  // ---- wave 2: q_stl_seasonal ----
+
+  test("stl seasonal: imperative replay on the densified daily series") {
+    val days = graft.tables.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day")).collect()
+      .map(_.getLong(0))
+    val byDay = days.groupBy(identity).map { case (d, o) => d -> o.size.toLong }
+    val (d0, d1) = (days.min, days.max)
+    val dense = (d0 to d1).map(d => d -> byDay.getOrElse(d, 0L))
+    val expected = dense.zipWithIndex
+      .filter { case ((d, _), i) => d >= d0 + 3 && d <= d1 - 3 }
+      .map { case ((d, n), i) =>
+        val s7 = (i - 3 to i + 3).map(j => dense(j)._2).sum
+        (d % 7, n * 100 - s7 * 100 / 7)
+      }
+      .groupBy(_._1).map { case (dow, rs) =>
+        dow -> (rs.size.toLong, rs.map(_._2).sum)
+      }
+    val got = run("q_stl_seasonal").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (dow, (nd, sr)) =>
+      val (gnd, gsr, gse) = got(dow)
+      assert((gnd, gsr) == ((nd, sr)), s"dow $dow counts/resid")
+      // seasonal_e2 is the truncating division (Spark div ≡ Scala
+      // Long /, both toward zero — sr can be negative)
+      assert(gse == sr / nd, s"dow $dow seasonal")
+    }
+  }
+
+  // ---- wave 2: q_weighted_jaccard_join ----
+
+  test("weighted jaccard: imperative replay on the exact >=0.9 keeper pairs") {
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+    val txt = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact-dup keepers: min doc_id per identical text
+    val keep = txt.groupBy(_._2).values.map(_.keys.min).toSet
+    val toks = txt.view.filterKeys(keep).mapValues(
+      _.split(" ").filter(_.nonEmpty).toSeq).toMap
+    val tf = toks.map { case (id, t) =>
+      id -> t.groupBy(identity).map { case (w, o) => w -> o.size.toLong } }
+    // ground-truth pair set: exact set-Jaccard >= 0.9 among keepers —
+    // the oracle-validity identity Wave16Spec already pins for the
+    // banded+verified path on this corpus
+    val edges = graft.llm.TextDedup
+      .jaccardPairs(docs.join(
+          docs.sparkSession.createDataFrame(keep.toSeq.map(Tuple1(_)))
+            .toDF("doc_id"), "doc_id"),
+        "doc_id", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = edges.map { case (a, b) =>
+      val (fa, fb) = (tf(a), tf(b))
+      val inter = fa.keySet.intersect(fb.keySet).toSeq
+        .map(w => math.min(fa(w), fb(w))).sum
+      val union = fa.values.sum + fb.values.sum - inter
+      (a, b) -> (inter, union, inter * 1000000L / union)
+    }.toMap
+    val got = run("q_weighted_jaccard_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: missing=${(expected.keySet -- got.keySet).take(3)}")
+    expected.foreach { case (p, e) =>
+      assert(got(p) == e, s"pair $p: got ${got(p)}, expected $e") }
+  }
+
+  test("weighted jaccard: bounded by set jaccard structure") {
+    // J_w <= 1, inter <= union, and a pair of identical texts scores 1e6
+    val rows = run("q_weighted_jaccard_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+  }
+
+  // ---- wave 2: q_rake_keyphrases ----
+
+  test("rake: imperative replay of phrases, word scores, phrase scores") {
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, o) => w -> o.size }
+    val stop = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(5)
+      .map(_._1).toSet
+    // phrases: maximal stopword-free runs, capped at 4 words
+    val phrases = docs.flatMap { case (_, t) =>
+      val runs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      t.foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) runs += cur.toSeq; cur.clear() }
+        else cur += w
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs.filter(_.size <= 4)
+    }
+    val pfreq = phrases.flatten.groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val pdeg = phrases.flatMap(p => p.map(w => w -> p.size.toLong))
+      .groupBy(_._1).map { case (w, o) => w -> o.map(_._2).sum }
+    val wscore = pfreq.keys.map(w => w -> pdeg(w) * 10000L / pfreq(w)).toMap
+    val expected = phrases
+      .map(p => p.mkString(" ") -> p.map(wscore).sum)
+      .groupBy(_._1)
+      .map { case (ph, o) => ph -> (o.size.toLong, o.head._2) }
+    val got = run("q_rake_keyphrases").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet,
+      s"phrase sets differ (got ${got.size}, expected ${expected.size})")
+    expected.foreach { case (ph, e) =>
+      assert(got(ph) == e, s"phrase '$ph': got ${got(ph)}, expected $e") }
+  }
 }
