@@ -25,6 +25,16 @@ object Bench {
       // stages. SPARK_GRAFT_AQE=false to compare.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // r16: the 100 TB shuffle-parallelism knob, measured at the sf100
+      // anchor — a fixed 32-partition shuffle puts ~1-2 GB in every
+      // sort-merge partition at 600 M rows (q12: 463 s). Setting AQE's
+      // initialPartitionNum high lets the coalescer pick the partition
+      // count from DATA SIZE exactly as a real cluster would (at small
+      // SFs it coalesces straight back down, so the ladder methodology
+      // is unchanged). Default stays = cpus (the committed ladder tune);
+      // the sf100 A/B sets SPARK_GRAFT_INIT_PARTITIONS=512.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus))
       // static conf: janino's class cache defaults to 100 entries, ~17×
       // below this suite's generated-class count — PlanFloor measured 31%
       // of all compilations to be LRU-eviction recompiles (1745 → 1199 at

@@ -54,6 +54,10 @@ object PlanDump {
     .replaceAll("\\blambda ([A-Za-z]+)_\\d+#x", "lambda $1_n#x")
     // builder-local temp dirs (kpl archive roundtrip, format codecs)
     .replaceAll("/tmp/[^,\\]\\s)]*", "/tmp/x")
+    // LayoutCache tokens (bucketed TABLE names, not /tmp paths) carry a
+    // full-path md5 + the writing JVM's pid (r15 ADVICE isolation) —
+    // both vary per dump JVM with zero plan change
+    .replaceAll("_[0-9a-f]{12}_p\\d+", "_h_pn")
     // streaming state info: per-run UUID + batch timestamp
     .replaceAll("runId = [0-9a-f-]{36}", "runId = x")
     // the TransformWithState batch-timestamp operand sits right after
@@ -66,7 +70,11 @@ object PlanDump {
     // no comma — a populated Some(List(id1, id2)) under state-store
     // checkpoint format v2 would slip a raw per-run timestamp through.
     // Anchor on the None | Some(...) shape instead.)
-    .replaceAll("(stateStoreCkptIds = (?:None|Some\\([^\\)]*\\)), )1[0-9]{12}\\b",
+    // (r16: the Some(...) arm must admit one level of NESTING — the
+    // printed value is Some(List(id, ...)), whose inner ')' stopped the
+    // naive [^)]* arm and let the timestamp through; unit-tested with
+    // the populated nested-list shape.)
+    .replaceAll("(stateStoreCkptIds = (?:None|Some\\((?:[^()]|\\([^()]*\\))*\\)), )1[0-9]{12}\\b",
       "$1epochms")
     // the multi-distinct Expand rewrite binds gid->column via a hash-
     // ordered Map (Catalyst-internal, semantically irrelevant): drop

@@ -563,7 +563,16 @@ object ScaleProof {
       // per-doc (prefix-sum of stop flags), word scores one
       // vocab-bounded agg
       "q_stupid_backoff", "q_stl_seasonal", "q_weighted_jaccard_join",
-      "q_rake_keyphrases")
+      "q_rake_keyphrases",
+      // round-16 wave 3: weighted MinHash — expansion is Σtf = the
+      // corpus token count (map-side sequence+explode fused into the
+      // scan projection, no pre-agg shuffle), signature state O(16) per
+      // source; the pairs audit joins only the vocab-bounded tf frame
+      "q_weighted_minhash_sig", "q_weighted_minhash_pairs",
+      // twin #16: stage 1 = per-day count (one long per open day),
+      // stage 2 = constant-key over the ≤|days| finalized series with a
+      // ≤7-day sliding buffer — state O(1), input day-frame-sized
+      "q_stl_seasonal_stream_twin")
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .foreach { name =>
       metrics.reset()

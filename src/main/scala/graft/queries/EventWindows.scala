@@ -1300,6 +1300,54 @@ object EventWindows {
           greatest(carry, carry + in_peak) AS peak
         FROM o ORDER BY day""")),
 
+    // STREAMING TWIN #16 (r16 wave 3): the STL-lite seasonal split as a
+    // chained two-stage StatefulProcessor pipeline — stage 1 finalizes
+    // per-day counts by watermark timer (one long of state per open
+    // day), stage 2 slides the ±3 centered-MA window over the finalized
+    // daily series with a ≤7-day buffer and a forward-only frontier
+    // (arrival-driven: a stage-1 row only exists once its day is final,
+    // so an absent day ≤ maxSeen is provably the dense grid's zero).
+    // Batch/gate mode runs the identical dense-grid walk in one call;
+    // the per-dow rollup below is the consumer's ≤|days| aggregation —
+    // SAME ORACLE as q_stl_seasonal, hash-compared at 3 SFs. Multi-batch
+    // ≡ gate, exactly-once per day, and the sliding-buffer eviction are
+    // StreamingSpec's proofs.
+    QDef("q_stl_seasonal_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        prepBatchStateStore(s)
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.EventRow]
+        graft.streaming.EventStreams.stlSeasonalDaily(ev).toDF()
+          .groupBy(col("dow"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("resid_e2")).as("sum_resid_e2"))
+          .select(col("dow"), col("n_days"), col("sum_resid_e2"),
+            expr("sum_resid_e2 div n_days").as("seasonal_e2"))
+          .orderBy(col("dow"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        grid AS (SELECT unnest(range(d0, d1 + 1)) AS day, d0, d1
+          FROM bounds),
+        dense AS (SELECT g.day, g.d0, g.d1, COALESCE(daily.n, 0) AS n
+          FROM grid g LEFT JOIN daily ON g.day = daily.day),
+        ma AS (SELECT day, d0, d1, n,
+            sum(n) OVER (ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+          FROM dense),
+        det AS (SELECT day % 7 AS dow,
+            n * 100 - s7 * 100 // 7 AS resid_e2
+          FROM ma WHERE day >= d0 + 3 AND day <= d1 - 3)
+        SELECT dow, count(*) AS n_days,
+          CAST(sum(resid_e2) AS BIGINT) AS sum_resid_e2,
+          CAST(sum(resid_e2) AS BIGINT) // count(*) AS seasonal_e2
+        FROM det GROUP BY dow ORDER BY dow""")),
+
     // LEFT OUTER stream-stream interval join, batch twin: purchases with
     // no preceding click survive null-padded. Same exact-operator pattern
     // as q_stream_interval_join (withWatermark is a no-op on batch);

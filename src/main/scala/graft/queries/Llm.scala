@@ -1731,6 +1731,162 @@ object Llm {
         JOIN tot tb ON tb.doc_id = iw.id_b
         ORDER BY id_a, id_b""")),
 
+    // WEIGHTED MinHash signature (r16 wave 3) — the sketch companion to
+    // q_weighted_jaccard_join exactly as q_minhash_sig companions exact
+    // set-Jaccard: a mergeable per-source signature whose collision
+    // probability is the WEIGHTED Jaccard Σmin(tf)/Σmax(tf), not the
+    // set one. Mechanism: INTEGER EXPANSION (Haveliwala et al. 2000's
+    // multiset reduction; the exact special case of Ioffe 2010's ICWS
+    // for integer weights, chosen over ICWS because ICWS needs exp/ln
+    // draws — outside the transcendental whitelist): element universe
+    // (tok, r) for r ∈ 1..tf(tok), so set-Jaccard of expanded sets ≡
+    // weighted Jaccard of the tf multisets, and the EXISTING minhash_sig
+    // aggregate (md5-Horner base hash + 16 affine perms over M = 2³¹−1,
+    // mergeable elementwise-min state) applies verbatim to the
+    // concat(tok,'#',r) strings. Cost: expansion = Σtf = the corpus
+    // token count — LINEAR, same asymptotics as the tokenize pass
+    // itself, map-side only (sequence+explode fuses into the scan
+    // projection, no extra shuffle before the signature agg). Exactly
+    // reproducible cross-engine: min is order-free (determinism class
+    // A), the expansion is a pure function of (tok, tf).
+    QDef("q_weighted_minhash_sig",
+      (s, d) => {
+        import graft.functions.MinHashSigAgg.minhash_sig
+        documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, tf), r -> concat(tok, '#', r))"))
+            .as("el"))
+          .groupBy(col("source"))
+          .agg(minhash_sig(col("el")).as("sig"))
+          .select(col("source"), posexplode(col("sig")))
+          .select(col("source"), col("pos").cast("long").as("perm"),
+            col("col").as("sigval"))
+          .orderBy(col("source"), col("perm"))
+      },
+      Some(s"""WITH tf AS (SELECT source, tok,
+            CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT source, unnest($tokensSql) AS tok FROM documents)
+          GROUP BY source, tok),
+        expand AS (SELECT source, tok,
+            unnest(generate_series(1, tf)) AS r FROM tf),
+        els AS (SELECT source,
+            tok || '#' || CAST(r AS VARCHAR) AS tok FROM expand),
+        h AS (SELECT source,
+            CAST(${md5NibbleHorner(1)} AS BIGINT) % 2147483647 AS h0
+          FROM els),
+        perms AS (SELECT CAST(i AS BIGINT) AS i,
+            ((2 * CAST(i AS BIGINT) + 3) * 40503) % 2147483647 AS a,
+            ((CAST(i AS BIGINT) + 1) * 2654435761) % 2147483647 AS b
+          FROM range(16) t(i))
+        SELECT source, i AS perm,
+          CAST(min((a * h0 + b) % 2147483647) AS BIGINT) AS sigval
+        FROM h CROSS JOIN perms
+        GROUP BY source, i ORDER BY source, perm""")),
+
+    // Weighted-signature AGREEMENT vs exact weighted Jaccard — the
+    // estimator audit, mirroring q_minhash_sig_pairs on the WEIGHTED
+    // axis: estimate every source pair's tf-multiset Jaccard from the
+    // 16-long expanded-universe signatures alone (matches·625 bp) and
+    // put the exact Σmin/Σmax weighted Jaccard beside it with the
+    // absolute error (RSE = 1/√16 = 0.25, same estimator math — the
+    // expansion changes the universe, not the sketch). Σmax derived as
+    // T_a + T_b − Σmin so only the shared-token inner join is computed
+    // (the q_weighted_jaccard_join identity). Scale: signatures make
+    // the pair stage O(|src|²·16) on a tiny frame; the exact side is
+    // the audit, vocab-bounded joins only.
+    QDef("q_weighted_minhash_pairs",
+      (s, d) => {
+        import graft.functions.MinHashSigAgg.minhash_sig
+        val tf = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true) // signature + totals + both pair sides
+        val sigv = tf
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, tf), r -> concat(tok, '#', r))"))
+            .as("el"))
+          .groupBy(col("source"))
+          .agg(minhash_sig(col("el")).as("sig"))
+          .select(col("source"), posexplode(col("sig")))
+          .select(col("source"), col("pos").as("perm"),
+            col("col").as("sigval"))
+          .localCheckpoint(true) // 16·|sources| rows; feeds both sides
+        val matches = sigv.select(col("source").as("source_a"),
+            col("perm"), col("sigval").as("va"))
+          .join(sigv.select(col("source").as("source_b"), col("perm"),
+            col("sigval").as("vb")), Seq("perm"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(sum((col("va") === col("vb")).cast("long")).as("matches"))
+        val tot = tf.groupBy(col("source")).agg(sum(col("tf")).as("tot"))
+        val inter = tf.as("a").join(tf.as("b"),
+            col("a.tok") === col("b.tok") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(sum(least(col("a.tf"), col("b.tf"))).as("inter_w"))
+        matches
+          .join(tot.select(col("source").as("source_a"),
+            col("tot").as("ta")), Seq("source_a"))
+          .join(tot.select(col("source").as("source_b"),
+            col("tot").as("tb")), Seq("source_b"))
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .withColumn("inter_w", coalesce(col("inter_w"), lit(0L)))
+          .select(col("source_a"), col("source_b"), col("matches"),
+            (col("matches") * 625).as("est_bp"),
+            expr("inter_w * 10000 div (ta + tb - inter_w)").as("exact_bp"))
+          .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH tf AS (SELECT source, tok,
+            CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT source, unnest($tokensSql) AS tok FROM documents)
+          GROUP BY source, tok),
+        expand AS (SELECT source, tok,
+            unnest(generate_series(1, tf)) AS r FROM tf),
+        els AS (SELECT source,
+            tok || '#' || CAST(r AS VARCHAR) AS tok FROM expand),
+        h AS (SELECT source,
+            CAST(${md5NibbleHorner(1)} AS BIGINT) % 2147483647 AS h0
+          FROM els),
+        perms AS (SELECT CAST(i AS BIGINT) AS i,
+            ((2 * CAST(i AS BIGINT) + 3) * 40503) % 2147483647 AS a,
+            ((CAST(i AS BIGINT) + 1) * 2654435761) % 2147483647 AS b
+          FROM range(16) t(i)),
+        sig AS (SELECT source, i AS perm,
+            min((a * h0 + b) % 2147483647) AS sigval
+          FROM h CROSS JOIN perms GROUP BY source, i),
+        m AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(sum(CASE WHEN a.sigval = b.sigval THEN 1 ELSE 0 END)
+              AS BIGINT) AS matches
+          FROM sig a JOIN sig b ON a.perm = b.perm
+            AND a.source < b.source
+          GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS tot
+          FROM tf GROUP BY source),
+        iv AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS inter_w
+          FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT m.source_a, m.source_b, matches,
+          CAST(matches * 625 AS BIGINT) AS est_bp,
+          CAST(COALESCE(iv.inter_w, 0) * 10000
+            // (ta.tot + tb.tot - COALESCE(iv.inter_w, 0)) AS BIGINT)
+            AS exact_bp,
+          CAST(abs(matches * 625 - COALESCE(iv.inter_w, 0) * 10000
+            // (ta.tot + tb.tot - COALESCE(iv.inter_w, 0))) AS BIGINT)
+            AS err_bp
+        FROM m
+        JOIN tot ta ON m.source_a = ta.source
+        JOIN tot tb ON m.source_b = tb.source
+        LEFT JOIN iv ON iv.source_a = m.source_a
+          AND iv.source_b = m.source_b
+        ORDER BY m.source_a, m.source_b""")),
+
     // Local clustering coefficient over the dup graph: how clique-like
     // each document's dedup neighborhood is (coeff 1e6 = its neighbors
     // are all mutual dups — one canonical keeper suffices; low coeff =

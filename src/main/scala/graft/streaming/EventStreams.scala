@@ -994,7 +994,11 @@ object EventStreams {
           " types — MG decremented, n_types/top_cnt would be estimates;" +
           " raise k or declare the query approximate")
       val cs = mg.counts.toSeq
-      val (top, cnt) = cs.minBy { case (t, c) => (-c, t) }
+      // a decremented summary can be EMPTY (k=2 fed a,b,c: the third
+      // distinct type decrements every count to zero) — the approximate
+      // row still emits, with an empty top and the ~ flag
+      val (top, cnt) =
+        if (cs.isEmpty) ("", 0L) else cs.minBy { case (t, c) => (-c, t) }
       SessionTopRow(key, start, mg.n, cs.size.toLong, top, cnt,
         if (mg.decremented) how + "~" else how)
     }
@@ -1349,6 +1353,181 @@ object EventStreams {
     bounds.groupByKey(_.day)
       .transformWithState(
         new SweepLineProcessor(evict, gapUs / 1000L + 3600000L + 1000L),
+        if (evict) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append)
+  }
+
+  /** One finalized day of the event series from [[DayCountProcessor]] —
+    * `ts` re-anchors event time so the chained seasonal stage inherits
+    * the watermark. */
+  final case class DayCount(day: Long, n: Long, ts: java.sql.Timestamp)
+  /** One finalized detrended day from [[StlSeasonalProcessor]]: the
+    * centered-MA trend and residual on the e2 grid — the per-dow
+    * seasonal rollup is the consumer's ≤|days| aggregation, not stream
+    * state (the twin #15 division of labor). */
+  final case class StlResid(day: Long, dow: Long, n: Long,
+    trend_e2: Long, resid_e2: Long)
+
+  /** STREAMING TWIN #16, stage 1 — per-day event counts, finalized by
+    * watermark timer. State is ONE long per open day; a day emits
+    * exactly once, when the watermark passes its end (so every emitted
+    * count is complete under the allowance — stragglers beyond it are
+    * the watermark contract's declared drop, the posture of all the
+    * twins). Batch/gate mode (TimeMode.None): the single batch holds
+    * the whole day — emit immediately. */
+  class DayCountProcessor(evict: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, DayCount] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    private def row(day: Long, n: Long, wmMs: Long): DayCount =
+      DayCount(day, n, new java.sql.Timestamp(
+        math.max((day + 1) * 86400000L - 1L, wmMs + 1L)))
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[DayCount] = {
+      val n = rows.size.toLong
+      if (!evict) Iterator.single(row(key, n, 0L))
+      else {
+        cnt.update((if (cnt.exists()) cnt.get() else 0L) + n)
+        // idempotent re-arm at day end: fires once the watermark passes
+        val it = getHandle.listTimers()
+        while (it.hasNext) getHandle.deleteTimer(it.next())
+        getHandle.registerTimer((key + 1) * 86400000L)
+        Iterator.empty
+      }
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[DayCount] = {
+      val out = if (cnt.exists())
+        Iterator.single(row(key, cnt.get(),
+          timerValues.getCurrentWatermarkInMs()))
+      else Iterator.empty
+      cnt.clear()
+      out
+    }
+  }
+
+  /** STREAMING TWIN #16, stage 2 — the STL-lite detrender as an
+    * explicit StatefulProcessor over the finalized daily series
+    * (single grouping key: its input is the ≤|days| day frame stage 1
+    * already collapsed, never raw events — constant-key is the
+    * CORRECT scale posture here, exactly like the gate query's own
+    * bounded daily window).
+    *
+    * Emission is purely ARRIVAL-DRIVEN — no timers, no slack: a
+    * stage-1 row only exists once its day is watermark-final, and
+    * chained stateful operators deliver all of a micro-batch's
+    * upstream emissions in the same downstream batch, so when day D
+    * has arrived every event-bearing day < D has too — an absent day
+    * ≤ maxSeen is PROVABLY zero, which is exactly the densified-grid
+    * semantics of the batch query. Day d emits once d+3 ≤ maxSeen
+    * (the batch query's own edge exclusion: residuals need the full
+    * ±3 window, and the grid ends at the last OBSERVED day).
+    *
+    * State bound: a ≤7-day sliding buffer of counts (days < frontier−3
+    * pruned the moment the frontier passes), the frontier, and the
+    * grid origin — O(1), freed as it slides. Exactly-once per day: the
+    * frontier only moves forward. */
+  class StlSeasonalProcessor(evict: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayCount, StlResid] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var dayN: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var meta: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Long)] = _ // (minDay, maxSeen, frontier; frontier = -1 until first emit)
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      dayN = getHandle.getMapState[Long, Long]("dayN",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      meta = getHandle.getValueState[(Long, Long, Long)]("meta",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    }
+    /** One finalized residual day: trend = ±3-window sum ·100 div 7
+      * (one truncating division — the batch query's grid), absent
+      * window days read as 0. */
+    private def resid(d: Long): StlResid = {
+      var s7 = 0L
+      var k = d - 3
+      while (k <= d + 3) {
+        if (dayN.containsKey(k)) s7 += dayN.getValue(k)
+        k += 1
+      }
+      val n = if (dayN.containsKey(d)) dayN.getValue(d) else 0L
+      val trend = Math.floorDiv(s7 * 100L, 7L)
+      StlResid(d, d % 7, n, trend, n * 100L - trend)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[DayCount],
+        timers: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[StlResid] = {
+      if (!evict) {
+        // batch/gate: the single batch IS the whole series — replay the
+        // batch query's dense-grid walk directly
+        val all = rows.map(r => r.day -> r.n).toArray
+        all.foreach { case (d, n) => dayN.updateValue(d, n) }
+        val d0 = all.iterator.map(_._1).min
+        val d1 = all.iterator.map(_._1).max
+        // eager: the state handle is only guaranteed inside this call
+        (d0 + 3 to d1 - 3).map(resid).iterator
+      } else {
+        var (minDay, maxSeen, frontier) =
+          if (meta.exists()) meta.get() else (Long.MaxValue, Long.MinValue, -1L)
+        rows.foreach { r =>
+          dayN.updateValue(r.day, r.n)
+          if (r.day < minDay) minDay = r.day
+          if (r.day > maxSeen) maxSeen = r.day
+        }
+        val out = Seq.newBuilder[StlResid]
+        if (minDay != Long.MaxValue) {
+          if (frontier < 0L) frontier = minDay + 3
+          while (frontier + 3 <= maxSeen) {
+            out += resid(frontier)
+            frontier += 1
+          }
+          // slide the buffer: days below frontier-3 can never be read
+          val prune = dayN.keys().filter(_ < frontier - 3).toArray
+          prune.foreach(dayN.removeKey)
+        }
+        meta.update((minDay, maxSeen, frontier))
+        out.result().iterator
+      }
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[StlResid] = Iterator.empty
+  }
+
+  /** Twin #16 composition: per-day counts → STL-lite detrender. The
+    * per-dow seasonal means are the consumer's rollup over the ≤|days|
+    * residual frame (the gate query does exactly that) — same division
+    * of labor as twin #15's cross-day carry. */
+  def stlSeasonalDaily(events: Dataset[EventRow],
+      evict: Boolean = false): Dataset[StlResid] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val src = if (evict) events.withWatermark("ts", "1 hour") else events
+    def dayOf(r: EventRow): Long =
+      Math.floorDiv(Math.floorDiv(r.ts.getTime, 1000L) * 1000000L +
+        r.ts.getNanos / 1000L, 86400000000L)
+    val daily = if (evict)
+      src.groupByKey(dayOf _)
+        .transformWithState(new DayCountProcessor(evict), "ts",
+          OutputMode.Append)
+    else
+      src.groupByKey(dayOf _)
+        .transformWithState(new DayCountProcessor(evict), TimeMode.None(),
+          OutputMode.Append)
+    daily.groupByKey(_ => 0L)
+      .transformWithState(new StlSeasonalProcessor(evict),
         if (evict) TimeMode.EventTime() else TimeMode.None(),
         OutputMode.Append)
   }

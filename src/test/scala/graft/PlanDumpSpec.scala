@@ -25,12 +25,27 @@ class PlanDumpSpec extends AnyFunSuite {
       "state info [ checkpoint = , runId = fe8e352e-b821-4426-b9ca-" +
         "0f08d7bbb4e3, opId = 0, ver = 0, numPartitions = 8]" +
         " stateStoreCkptIds = None, 1786848855893, false",
+      // r15 ADVICE: a POPULATED ckpt-id value (state-store checkpoint
+      // format v2 prints Some(...) with commas) must still anchor the
+      // batch-timestamp blinding
+      "state info [ checkpoint = , runId = fe8e352e-b821-4426-b9ca-" +
+        "0f08d7bbb4e3, opId = 0, ver = 0, numPartitions = 8]" +
+        " stateStoreCkptIds = Some(List(a1b2, c3d4)), 1786848855894, false",
       "Exchange hashpartitioning(b#12, a#7, 8), ENSURE_REQUIREMENTS," +
         " [plan_id=42]").mkString("\n")
     val canon = PlanDump.canonicalize(raw)
     assert(!canon.contains("7360") && !canon.contains("#123"))
     assert(!canon.contains("0x00007f3f") && !canon.contains("@1a2b"))
     assert(!canon.contains("fe8e352e") && !canon.contains("1786848855893"))
+    assert(!canon.contains("1786848855894"),
+      "populated Some(...) ckpt-ids must not break timestamp blinding")
+    // r16: LayoutCache bucketed-table tokens (md5 + writer pid) must
+    // blind — they vary per dump JVM with zero plan change
+    val bkt = PlanDump.canonicalize(
+      "Scan parquet spark_catalog.default.lineitem_b_root_testdata" +
+        "_sf0_001_a1b2c3d4e5f6_p12345")
+    assert(!bkt.contains("a1b2c3d4e5f6") && !bkt.contains("p12345"),
+      s"LayoutCache md5+pid token must blind: $bkt")
     assert(canon.contains("hashpartitioning(a#x, b#x, n)"),
       s"partition keys must be sorted: $canon")
     // idempotent: canonicalizing a canonical plan is a no-op

@@ -108,5 +108,12 @@ class PlanPinSpec extends AnyFunSuite {
     assert(PlanPins.exec.forall(committedExec.contains),
       "exec artifact missing pinned queries — regenerate with the" +
         " execOut argument")
+    // r16: every AQE-off exec pin fingerprints the STATIC plan — the
+    // AQE-FINAL shape of those queries is only covered if each also
+    // carries a pre-exec pin, so losing one from `pre` must fail here
+    // rather than silently narrow coverage
+    assert(PlanPins.execAqeOff.forall(PlanPins.pre.contains),
+      "every execAqeOff member needs a pre-exec pin: " +
+        PlanPins.execAqeOff.filterNot(PlanPins.pre.contains).mkString(","))
   }
 }

@@ -230,4 +230,83 @@ class Wave16Spec extends AnyFunSuite {
     expected.foreach { case (ph, e) =>
       assert(got(ph) == e, s"phrase '$ph': got ${got(ph)}, expected $e") }
   }
+
+  // ---- weighted MinHash (wave 3) ----
+
+  /** tf per (source, tok) replayed imperatively — the shared fixture
+    * for both weighted-MinHash tests (whitespace tokens, non-empty). */
+  private def sourceTf(): Map[(String, String), Long] = {
+    val docs = graft.tables.Tables.table(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+    val tf = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { r =>
+      val src = r.getString(0)
+      r.getString(1).split(" ").filter(_.nonEmpty).foreach { t =>
+        val k = (src, t); tf(k) = tf.getOrElse(k, 0L) + 1L
+      }
+    }
+    tf.toMap
+  }
+
+  test("weighted minhash: signature replays the integer-expansion " +
+    "definition over (tok, 1..tf)") {
+    import graft.functions.MinHashSig
+    val mins = scala.collection.mutable.Map[String, Array[Long]]()
+    sourceTf().foreach { case ((src, tok), n) =>
+      val m = mins.getOrElseUpdate(src,
+        Array.fill(MinHashSig.P)(Long.MaxValue))
+      var r = 1L
+      while (r <= n) {
+        val h = MinHashSig.h0(s"$tok#$r")
+        var i = 0
+        while (i < MinHashSig.P) {
+          val v = MinHashSig.perm(i, h)
+          if (v < m(i)) m(i) = v
+          i += 1
+        }
+        r += 1
+      }
+    }
+    val got = run("q_weighted_minhash_sig").collect()
+    assert(got.length == mins.size * MinHashSig.P,
+      s"expected ${mins.size} sources x ${MinHashSig.P} perms")
+    got.foreach { r =>
+      val (src, perm, sv) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(mins(src)(perm.toInt) == sv,
+        s"source $src perm $perm: got $sv, expected ${mins(src)(perm.toInt)}")
+    }
+  }
+
+  test("weighted minhash pairs: exact side replays sum-min/sum-max and " +
+    "the estimator columns are internally consistent") {
+    val tf = sourceTf()
+    val sources = tf.keys.map(_._1).toSeq.distinct.sorted
+    val tot = sources.map(s =>
+      s -> tf.collect { case ((src, _), n) if src == s => n }.sum).toMap
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+    } yield {
+      val toksA = tf.collect { case ((s, t), n) if s == a => t -> n }.toMap
+      val interW = toksA.iterator.map { case (t, na) =>
+        math.min(na, tf.getOrElse((b, t), 0L)) }.sum
+      (a, b) -> (interW * 10000L / (tot(a) + tot(b) - interW))
+    }).toMap
+    val got = run("q_weighted_minhash_pairs").collect()
+    assert(got.length == expected.size,
+      s"every source pair must appear: got ${got.length}")
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (matches, est, exact, err) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(matches >= 0 && matches <= 16)
+      assert(est == matches * 625, s"$key: est_bp must be matches*625")
+      assert(exact == expected(key),
+        s"$key: exact_bp got $exact, replay ${expected(key)}")
+      assert(err == math.abs(est - exact))
+    }
+    // the sketch must carry signal: mean |err| well inside the RSE=0.25
+    // band (2500 bp) on this corpus — re-measured each round
+    val meanErr = got.map(_.getLong(5)).sum / got.length
+    assert(meanErr < 2500, s"mean err_bp $meanErr exceeds the RSE band")
+  }
 }

@@ -1193,6 +1193,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session top-k overflow policy (r15 ADVICE): gate mode fails loudly, " +
+    "event-time mode emits the ~-flagged approximate row") {
+    import spark.implicits._
+    withRocksDbSp {
+      // 3 distinct event types against k = 2 -> the MG summary must
+      // decrement (the data-dependent condition the policy splits on)
+      val rows3 = Seq(row(1, ts(1, 1), typ = "a"),
+        row(2, ts(1, 2), typ = "b"), row(3, ts(1, 3), typ = "c"))
+      // batch-mode TWS needs the state-store coordinator up + lag
+      // reporting off (the prepBatchStateStore contract the QDefs use)
+      spark.streams
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+        "false")
+      // gate/batch mode (evict = false): loud failure — a silent
+      // undercount would corrupt the hash gate
+      val e = intercept[Throwable] {
+        EventStreams.sessionTop(spark.createDataset(rows3), k = 2,
+          evict = false).collect()
+      }
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .take(8).map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(chain.exists(_.contains("distinct event")),
+        s"gate-mode overflow must carry the loud message: $chain")
+      // event-time mode (evict = true): the query SURVIVES and the row
+      // arrives with the '~' approximate marker on closed_by
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.sessionTop(mem.toDS(), k = 2,
+        gapUs = 3600000000L, evict = true).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("t_sessovf")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sessovf_chk").toString)
+        .start()
+      try {
+        mem.addData(rows3: _*); q.processAllAvailable()
+        // watermark pushers (a different user, far future) so user 1's
+        // overflowed session closes by timer instead of killing the query
+        mem.addData(row(99, ts(20, 0), user = 9L)); q.processAllAvailable()
+        mem.addData(row(100, ts(25, 0), user = 9L)); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("t_sessovf")
+        .filter(col("user_id") === 1L)
+        .select(col("n_events"), col("closed_by")).collect()
+      assert(got.length == 1, s"overflowed session must emit: ${got.toSeq}")
+      assert(got(0).getLong(0) == 3L,
+        "n_events stays EXACT through the MG decrement (mg.n)")
+      assert(got(0).getString(1).endsWith("~"),
+        s"approximate marker expected, got '${got(0).getString(1)}'")
+    }
+  }
+
   test("twin #14 interval join: cross-batch pairs emit exactly once, " +
     "two-sided state evicts on watermark passage, no resurrection") {
     import spark.implicits._
@@ -1368,6 +1420,81 @@ class StreamingSpec extends AnyFunSuite {
           s"each day must emit exactly once: $streamed")
         assert(after.sum < open,
           s"state rows must drop after watermark passage: peak=$open after=$after")
+      } finally q.stop()
+    }
+  }
+
+  test("twin #16 STL seasonal: multi-batch residual days equal gate mode " +
+    "(absent days read as the dense grid's zero); each day emits exactly " +
+    "once; the sliding buffer evicts") {
+    import spark.implicits._
+    withRocksDbSp {
+      // days 1..10 with days 4 and 9 ABSENT — their zero counts sit
+      // inside the emitted ±3 windows, so equality with gate mode
+      // proves the densified-grid semantics, not just the happy path
+      val live = Seq(
+        row(1, ts(1, 1)), row(2, ts(2, 2)), row(3, ts(2, 3)),
+        row(4, ts(3, 1)), row(5, ts(5, 4)), row(6, ts(6, 1)),
+        row(7, ts(6, 2)), row(8, ts(7, 5)), row(9, ts(8, 3)),
+        row(10, ts(10, 1)))
+      spark.streams
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+        "false")
+      val batch = EventStreams.stlSeasonalDaily(live.toDS()).toDF()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // gate emits exactly days d0+3 .. d1-3
+      val d0 = ts(1, 1).getTime / 86400000L
+      assert(batch.map(_._1) == (d0 + 3 to d0 + 6).toSet,
+        s"gate day range: ${batch.map(_._1)}")
+      val mem = MemoryStream[EventRow](spark)
+      val df = EventStreams.stlSeasonalDaily(mem.toDS(), evict = true).toDF()
+      val q = df.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("t_stl")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("stl_chk").toString)
+        .start()
+      def stateRows: Seq[Long] =
+        Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).toSeq).getOrElse(Seq(-1L))
+      def statePeak: Long =
+        q.recentProgress.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max)
+      try {
+        mem.addData(live(0), live(1), live(2))
+        q.processAllAvailable()
+        mem.addData(live(3), live(4), live(5))
+        q.processAllAvailable()
+        mem.addData(live(6), live(7), live(8), live(9))
+        q.processAllAvailable()
+        val open = statePeak
+        // far-future nudges: each watermark advance finalizes day
+        // counts (stage-1 timers) whose rows reach stage 2 in the SAME
+        // batch (chained operators); several hops drain the pipeline
+        mem.addData(row(100, ts(20, 0), user = 9L))
+        q.processAllAvailable()
+        mem.addData(row(101, ts(20, 2), user = 9L))
+        q.processAllAvailable()
+        mem.addData(row(102, ts(20, 4), user = 9L))
+        q.processAllAvailable()
+        val after = stateRows
+        // straggler far below the watermark: dropped at the source —
+        // finalized days must NOT re-emit or shift
+        mem.addData(row(11, ts(2, 6)))
+        q.processAllAvailable()
+        // the nudge day (20) legitimately extends the streamed grid past
+        // the live fixture's d1 = day 10 — compare on the live window
+        val streamedAll = spark.table("t_stl")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq
+        val streamedLive = streamedAll.filter(_._1 <= d0 + 6)
+        assert(streamedLive.toSet == batch,
+          s"streamed must equal gate mode:\nstream=$streamedLive\nbatch=$batch")
+        assert(streamedAll.map(_._1).distinct.size == streamedAll.size,
+          s"each day must emit exactly once: ${streamedAll.map(_._1)}")
+        assert(after.sum < open,
+          s"sliding buffer must evict: peak=$open after=$after")
       } finally q.stop()
     }
   }
