@@ -288,14 +288,24 @@ object TextDedup {
     while (!converged && it < maxIters) {
       val viaEdges = bidir.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.unionAll(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // Convergence detection rides the SAME aggregation (r16 opt): the
+      // current-labels branch carries its label a second time as `prev`
+      // (each id has exactly ONE labels row — labels is always a groupBy
+      // result or the initial distinct — and every viaEdges dst is a
+      // bidir src, so min(prev) over a group is exactly the old label).
+      // The old per-round convergence check was a separate
+      // next ⋈ labels equi-join (two exchanges + one more action per
+      // round, guide §2.4); now it is a filter SCAN over the frame the
+      // checkpoint just materialized — boundedReach's pattern.
+      val next = labels.select(col("id"), col("label"),
+          col("label").as("prev"))
+        .unionAll(viaEdges.select(col("id"), col("label"),
+          lit(Long.MaxValue).as("prev")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"),
+          min(col("prev")).as("prev"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
     lastClusterIters = it

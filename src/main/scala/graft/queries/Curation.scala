@@ -168,6 +168,10 @@ object Curation {
             Window.partitionBy(col("doc_id"))
               .orderBy(col("score").desc, col("lang"))))
           .filter(col("rn") === 1)
+          // one row per held-out doc, read TWICE below (confusion cells +
+          // the nho total): un-checkpointed, the scoring join + argmax
+          // window ran once per branch (guide §1.2 step 1)
+          .localCheckpoint(true)
         pred.groupBy(col("true_lang"), col("lang"))
           .agg(count(lit(1)).as("n_docs"))
           .crossJoin(broadcast(pred.agg(count(lit(1)).as("nho"))))
@@ -3089,6 +3093,11 @@ object Curation {
           .withColumn("tilt_e6",
             expr("CAST(round(exp(err_ppm / 1000000.0) * 1000000, 0)" +
               " AS BIGINT)"))
+          // ≤|langs| rows, read by BOTH crossJoin sides: without this the
+          // whole NB train+score pipeline ran twice (guide §1.2 step 1 —
+          // measured r16 opt: q_dro_weights 2.87 s min vs q_nb_quality's
+          // 2.12 for the same pipeline plus a 5-row tilt chain)
+          .localCheckpoint(true)
         err.crossJoin(broadcast(
             err.agg(sum(col("tilt_e6")).as("st"))))
           .select(col("lang"), col("n_docs"), col("err_ppm"),
