@@ -1653,16 +1653,26 @@ object Corpus {
                  i -> concat(substring(n, 1, i - 1),
                              substring(n, i + 1, length(n))))"""))))
           .as("v"))
-          .localCheckpoint(true) // feeds both sides of the candidate join
-        // verify BEFORE the pair-dedup so the distinct only shuffles
-        // true ed ≤ 1 pairs (977k candidates → 262k at sf0.1; measured
-        // equal-cost to distinct-first — the candidate join dominates —
-        // but this order also bounds the shuffle by the OUTPUT size)
-        variants.select(col("n").as("name_a"), col("v"))
-          .join(variants.select(col("n").as("name_b"), col("v")), Seq("v"))
-          .filter(col("name_a") < col("name_b") &&
-            levenshtein(col("name_a"), col("name_b")) <= 1)
-          .select(col("name_a"), col("name_b")).distinct()
+        // r16 opt (guide §2.4): candidate enumeration as ONE groupBy on
+        // the variant key + in-bucket ordered-pair explode, replacing the
+        // former variants ⋈ variants self-join — the same (name_a <
+        // name_b) candidate multiset, but one exchange of the exploded
+        // frame instead of two join-side shuffles + an eager checkpoint,
+        // and the hot-variant fan (shared deletion buckets) is generated
+        // by an array transform inside codegen instead of a join probe.
+        // Buckets are Σ(len+1)-bounded per name and ed ≤ 1 keeps bucket
+        // sizes small (names sharing a deletion variant). Verify BEFORE
+        // the pair-dedup so the distinct only shuffles true ed ≤ 1 pairs
+        // (977k candidates → 262k at sf0.1 — bounded by the OUTPUT size).
+        variants.groupBy(col("v")).agg(collect_list(col("n")).as("ns"))
+          .select(explode(expr(
+            """flatten(transform(ns, x -> transform(
+                 filter(ns, y -> x < y),
+                 y -> named_struct('name_a', x, 'name_b', y))))"""))
+            .as("p"))
+          .select(col("p.name_a"), col("p.name_b"))
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+          .distinct()
           .select(col("name_a"), col("name_b"),
             levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
           .orderBy(col("name_a"), col("name_b"))

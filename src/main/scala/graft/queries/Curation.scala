@@ -292,17 +292,26 @@ object Curation {
   private def bpeMergeStep(withNext: org.apache.spark.sql.DataFrame,
       win: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
+    // r16 opt (guide §2.4): every step below rides ONE (w, pos) sort —
+    // the former mrank/grp/min formulation partitioned by (w, m) and
+    // (w, grp), costing two extra exchanges + sorts per merge round
+    // (×12 rounds inside q_tokenizer_compare alone). Equivalence: a
+    // matched run is a maximal stretch of consecutive m=1 positions, so
+    // its start is the m=1 row whose predecessor is not m=1, and the
+    // even-offset-from-run-start parity is unchanged (the old grp =
+    // pos − mrank is constant exactly on these runs with min(pos) the
+    // same run start). Identical rows out; the spec trainer and the
+    // DuckDB apply CTEs are untouched and still agree through the gate.
     val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val wRun = wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withNext.crossJoin(broadcast(win.select(col("x"), col("y"))))
       .withColumn("m",
         (col("sym") === col("x") && col("nxt") === col("y")).cast("int"))
-      .withColumn("mrank", row_number().over(
-        Window.partitionBy(col("w"), col("m")).orderBy(col("pos"))))
-      .withColumn("grp",
-        when(col("m") === 1, col("pos") - col("mrank")))
+      .withColumn("rs", when(col("m") === 1 &&
+        coalesce(lag(col("m"), 1).over(wWord), lit(0)) =!= 1, col("pos")))
+      .withColumn("rstart", max(col("rs")).over(wRun))
       .withColumn("ms", col("m") === 1 &&
-        (col("pos") - min(col("pos")).over(
-          Window.partitionBy(col("w"), col("grp")))) % 2 === 0)
+        (col("pos") - col("rstart")) % 2 === 0)
       .withColumn("away",
         coalesce(lag(col("ms"), 1).over(wWord), lit(false)))
       .filter(!col("away"))

@@ -653,6 +653,11 @@ object Llm {
       .withColumn("sz", count(lit(1)).over(wDoc))
       .filter(col("pos") <= col("sz") - expr("(sz + 1) div 2") + 1)
       .select(col("doc_id"), col("sh"), col("sz"), col("pos"))
+      // NOT checkpointed although both candidate-join sides read it —
+      // measured r16 opt: eagerly materializing the window serializes two
+      // passes that otherwise overlap inside the candidate-join job
+      // (5.3 s vs 3.7 s min-of-3 at sf0.1); the shuffle below the window
+      // is exchange-reused, so the duplicate work is the window exec only
     // AllPairs size filter: jacc ≥ 0.5 forces min ≥ max/2, so the
     // candidate join prunes size-incompatible pairs before distinct.
     // PPJoin positional filter (Xiao et al., "Efficient Similarity Joins
@@ -726,6 +731,9 @@ object Llm {
         row_number().over(wDoc.orderBy(col("df"), col("sh"))))
       .withColumn("sz", count(lit(1)).over(wDoc))
       .select(col("doc_id"), col("sh"), col("sz"), col("pos"))
+      // NOT checkpointed (same measured inversion as setsimPrefixJoin:
+      // the two window passes overlap inside the join job; an eager
+      // checkpoint serializes them and lost ~0.7 s at sf0.1)
     // smaller-side prefix: pos ≤ sz − ⌈4·sz/5⌉ + 1 (⌈4n/5⌉ = (4n+4) div 5)
     val prefix = positioned
       .filter(col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
