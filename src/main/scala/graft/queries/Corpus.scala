@@ -2374,11 +2374,17 @@ object Corpus {
           .select(col("ia"), col("ib"))
           .localCheckpoint(true)
         for (_ <- 1 to 4) {
+          // keep is NOT checkpointed (r16 opt): its two semi-join probes
+          // build from the same canonical degree-agg exchange, which
+          // Spark reuses at runtime — the eager per-round checkpoint was
+          // one extra action ×4 rounds for work that already ran once.
+          // The edges checkpoint stays: each round references the prior
+          // round 3× (degree union ×2 + restriction), so an unrolled
+          // lineage would grow 3^k.
           val keep = edges.select(col("ia").as("u"))
             .unionAll(edges.select(col("ib").as("u")))
             .groupBy(col("u")).agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= 3).select(col("u"))
-            .localCheckpoint(true) // both edge-restriction joins read it
           edges = edges
             .join(keep.select(col("u").as("ia")), Seq("ia"), "left_semi")
             .join(keep.select(col("u").as("ib")), Seq("ib"), "left_semi")

@@ -2868,6 +2868,11 @@ object EventWindows {
             sum(when(col("side_a"), 1L)).as("na"),
             sum(when(!col("side_a"), col("value")).cast(Dec)).as("sb"),
             sum(when(!col("side_a"), 1L)).as("nb"))
+          // NOT checkpointed although self-joined below: the two sides'
+          // partial-agg exchanges are canonical-equal and runtime-reused,
+          // so the 32× md5 fan already runs once — an eager checkpoint
+          // was MEASURED slower (5.2 vs 4.7 s min-of-3 at sf0.1: it
+          // serializes a materialization that otherwise overlaps)
         val pairRep = repT.select(col("event_type").as("type_a"),
             col("rep"), col("sa").as("sa_a"), col("na").as("na_a"),
             col("sb").as("sb_a"), col("nb").as("nb_a"))

@@ -5059,28 +5059,36 @@ object Llm {
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // recall denominator + per-config hits
-    def cands(bands: Int) = {
-      val rows = 16 / bands
-      // bucket key = the RAW r-long signature slice (r13 ADVICE: a
-      // 64-bit digest could, at 2^-64, admit a coarse-band candidate
-      // absent from the finer config; the raw struct makes the
-      // nested-band superset law exact, not exact-up-to-collision)
-      val bandCols = (0 until bands).map { b =>
-        val hs = (0 until rows).map(r =>
-          col(s"h${b * rows + r}").as(s"v$r"))
-        struct(lit(b).as("band"), struct(hs: _*).as("sig"))
-      }
-      val buckets = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      buckets.as("a").join(buckets.as("b"),
-          col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-    }
     val configs = Seq(2, 4, 8, 16)
-    val cand = configs.map(b => b -> cands(b).localCheckpoint(true))
-      .toMap
+    // r16 opt (guide §2.4): ONE bucket explode + ONE self-join for all
+    // four configs — the config id rides IN the bucket key, so
+    // cross-config buckets can never match and each config's candidate
+    // set is exactly what its standalone join produced (the raw r-long
+    // signature slice stays the key — r13 ADVICE: no digest, so the
+    // nested-band superset law is exact, not exact-up-to-collision).
+    // Replaces 4 self-joins + 4 eager checkpoints (the per-config
+    // explode rows are the same 30/doc either way; the join volume is
+    // identical, the stage/action count is a quarter of it).
+    val bandRows = configs.flatMap { bands =>
+      val rows = 16 / bands
+      (0 until bands).map { b =>
+        struct(lit(bands.toLong).as("cfg"), lit(b).as("band"),
+          array((0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+            .as("sig"))
+      }
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandRows: _*)).as("bk"))
+    val tagged = buckets.as("a").join(buckets.as("b"),
+        col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bk.cfg").as("n_bands"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true) // recall tag join + the 3 superset checks
+    val cand = configs.map(b =>
+      b -> tagged.filter(col("n_bands") === b.toLong)
+        .select(col("id_a"), col("id_b"))).toMap
     // measured recall floors vs exact J ≥ 0.5 (BandSweepProbe across
     // sf0.001/0.01/0.1: full corpus b=2 0.88–0.93, b≥4 = 1.00; the
     // 1/4 stratum b=2 0.50–1.00 — per-pair hit probability is
@@ -5096,10 +5104,6 @@ object Llm {
         16 -> 650000L)
     import s.implicits._
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val tagged = configs.map { b =>
-      cand(b).select(lit(b.toLong).as("n_bands"), col("id_a"),
-        col("id_b"))
-    }.reduce(_ unionAll _)
     // left-join from the static config frame so a candidate-less
     // config still emits its row (n_true = 0) instead of vanishing
     val confFrame = configs.map(b => (b.toLong, (16 / b).toLong))
