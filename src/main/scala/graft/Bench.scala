@@ -35,13 +35,18 @@ object Bench {
       // the sf100 A/B sets SPARK_GRAFT_INIT_PARTITIONS=512.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus))
-      // static conf: janino's class cache defaults to 100 entries, ~17×
-      // below this suite's generated-class count — PlanFloor measured 31%
-      // of all compilations to be LRU-eviction recompiles (1745 → 1199 at
-      // 5000 entries). Any long-lived session serving a query mix wants
-      // this; memory cost is bounded by class bytecode (~KBs each).
+      // static conf: janino's class cache defaults to 100 entries, ~60×
+      // below this suite's generated-class count. r16 re-measure
+      // (PlanFloor, 411-query surface): one full pass generates ~6,160
+      // DISTINCT classes — at 100 entries 12,808 compilations ≈ 92 s,
+      // at the old 5000 the suite no longer fits either, so each bench
+      // pass cyclically re-evicts and recompiles the ~1,200 overflow
+      // (pass 2/3 medians pay it). 24000 holds the whole working set:
+      // passes after the first compile zero classes. Any long-lived
+      // session serving a query mix wants this; memory cost is bounded
+      // by class bytecode (~KBs each, tens of MB total).
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "24000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // share one in-memory columnar copy of each table across the 90+

@@ -94,6 +94,31 @@ object VectorIvf {
       .select(col("q_id"), col("qv"), (-col("p.ncid")).as("cid"))
   }
 
+  /** Exact rerank tail shared by the approx operators (r16 opt): per-
+    * query top-k as the BOUNDED CollectTopK aggregate instead of a
+    * row_number window — the candidate frame arrives partitioned by
+    * cell id, so the window needed a full exchange + sort of EVERY
+    * scored candidate, while the aggregate partial-merges a k-entry
+    * priority queue map-side and shuffles only ~k rows per (query,
+    * map partition). Ordering struct (sim, −c_id) descending ≡ the
+    * window's (sim desc, c_id asc); the array comes back sorted
+    * descending, so rn = position + 1 reproduces row_number exactly
+    * (ties impossible: c_id is unique per query). */
+  private[llm] def rerankTopK(scored: DataFrame, k: Int,
+      simCol: String = "sim"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge
+    def topN(e: org.apache.spark.sql.Column, n: Int) =
+      toColumn(GraftAggBridge.collectTopK(toExpression(e), n))
+    scored
+      .groupBy(col("q_id"))
+      .agg(topN(struct(col(simCol).as("s"), (-col("c_id")).as("nc")), k)
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rn"),
+        (-col("col.nc")).as("c_id"), col("col.s").as(simCol))
+  }
+
   /** Top-`k` approximate cosine neighbors per query vector, probing the
     * `nprobe` nearest cells. `queries` defaults to the whole corpus;
     * restrict it for bounded workloads. */
@@ -112,16 +137,13 @@ object VectorIvf {
       .localCheckpoint(true)
     val members = assign(v, cents) // (vid, vec, cid): the inverted lists
     val probes = probeCells(q, cents, nprobe)
-    // exact rerank of probed-cell members; row_number already emits each
-    // (q_id, rn) once, so no trailing distinct
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("c_id"))
-    probes.join(members
+    // exact rerank of probed-cell members (bounded top-k aggregate; each
+    // (q_id, rn) emitted once, so no trailing distinct)
+    val scored = probes.join(members
         .select(col("cid"), col("vid").as("c_id"), col("vec").as("cv")), "cid")
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", vec_cosine(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= k)
+    rerankTopK(scored, k)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
   }
 
@@ -146,15 +168,12 @@ object VectorIvf {
     val members = assign(v, cents).localCheckpoint(true)
     nprobes.map { np =>
       val probes = probeCells(q, cents, np)
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("c_id"))
-      np -> probes.join(members
+      val scored = probes.join(members
           .select(col("cid"), col("vid").as("c_id"), col("vec").as("cv")),
           "cid")
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("sim", vec_cosine(col("qv"), col("cv")))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= k)
+      np -> rerankTopK(scored, k)
         .select(col("q_id"), col("rn"), col("c_id"),
           round(col("sim"), 6).as("sim_r"))
     }
@@ -182,16 +201,24 @@ object VectorIvf {
     val members = assign(v, cents).join(labels, "vid")
     val probes = probeCells(q, cents, nprobe).join(
       labels.select(col("vid").as("q_id"), col("lbl").as("q_label")), "q_id")
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim_r").desc, col("c_id"))
+    // label columns ride through the bounded top-k aggregate inside the
+    // ordering struct's payload — same (sim_r desc, c_id asc) order
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge
+    def topN(e: org.apache.spark.sql.Column, n: Int) =
+      toColumn(GraftAggBridge.collectTopK(toExpression(e), n))
     probes.join(members
         .select(col("cid"), col("vid").as("c_id"), col("vec").as("cv"),
           col("lbl").as("c_label")), "cid")
       .filter(col("q_label") =!= col("c_label"))
       .withColumn("sim_r", round(vec_cosine(col("qv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("c_id"),
-        col("q_label"), col("c_label"), col("sim_r"))
+      .groupBy(col("q_id"))
+      .agg(topN(struct(col("sim_r").as("s"), (-col("c_id")).as("nc"),
+        col("q_label").as("ql"), col("c_label").as("cl")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rn"),
+        (-col("col.nc")).as("c_id"),
+        col("col.ql").as("q_label"), col("col.cl").as("c_label"),
+        col("col.s").as("sim_r"))
   }
 }

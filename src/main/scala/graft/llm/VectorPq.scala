@@ -175,8 +175,7 @@ object VectorPq {
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
     val qNorm = queryNorms(q)
     val qTable = adcTable(q, cb, m, dim)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    codes.select(col("vid").as("c_id"), col("sub"), col("code"))
+    val scored = codes.select(col("vid").as("c_id"), col("sub"), col("code"))
       .join(qTable, Seq("sub", "code"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("pdot")).as("adot"))
@@ -184,8 +183,9 @@ object VectorPq {
       .join(qNorm, "q_id")
       .join(cNorm, "c_id")
       .withColumn("sim", col("adot") / (col("q_norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topk)
+    // bounded top-k aggregate instead of a row_number window (r16 opt —
+    // see VectorIvf.rerankTopK: identical (sim desc, c_id asc) order)
+    VectorIvf.rerankTopK(scored, topk)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
   }
 
@@ -236,7 +236,6 @@ object VectorPq {
       .localCheckpoint(true)
     val cellsFull = VectorIvf.assign(v, coarse) // (vid, vec, cid)
     val probes = VectorIvf.probeCells(q, coarse, nprobe)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
 
     val adc = if (!residual) {
       val cells = cellsFull.select(col("vid"), col("cid"))
@@ -249,7 +248,7 @@ object VectorPq {
       val cNorm = codeNorms(codes, cb)
       val qNorm = queryNorms(q)
       val qTable = adcTable(q, cb, m, dim)
-      probes.select(col("q_id"), col("cid"))
+      val scored = probes.select(col("q_id"), col("cid"))
         .join(memberCodes, "cid") // only probed cells' members survive
         .join(qTable, Seq("q_id", "sub", "code"))
         .groupBy(col("q_id"), col("c_id"))
@@ -258,8 +257,7 @@ object VectorPq {
         .join(qNorm, "q_id")
         .join(cNorm, "c_id")
         .withColumn("sim", col("adot") / (col("q_norm") * col("c_norm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= innerK)
+      VectorIvf.rerankTopK(scored, innerK)
         .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
     } else {
       val coarseD = coarse.select(col("cid"),
@@ -300,7 +298,7 @@ object VectorPq {
       val qcdot = probes.join(broadcast(coarseD), "cid")
         .select(col("q_id"), col("cid"),
           dotH(transform(col("qv"), x => x.cast("double")), col("ccent")).as("qcdot"))
-      probes.select(col("q_id"), col("cid"))
+      val scored = probes.select(col("q_id"), col("cid"))
         .join(memberCodes, "cid")
         .join(broadcast(cross), Seq("cid", "sub", "code"))
         .join(qTable, Seq("q_id", "sub", "code"))
@@ -312,8 +310,7 @@ object VectorPq {
         .join(qNorm, "q_id")
         .withColumn("sim", (col("qcdot") + col("rdot")) /
           (col("q_norm") * sqrt(col("cn2") + col("rn2"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= innerK)
+      VectorIvf.rerankTopK(scored, innerK)
         .select(col("q_id"), col("rn"), col("c_id"), round(col("sim"), 6).as("sim_r"))
     }
     if (rerankFactor > 0) exactRerank(adc, q, v, topk) else adc
@@ -325,15 +322,13 @@ object VectorPq {
   private def exactRerank(cands: DataFrame, q: DataFrame, v: DataFrame,
       topk: Int): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot_any
-    val w = Window.partitionBy(col("q_id")).orderBy(col("ex").desc, col("c_id"))
-    cands.select(col("q_id"), col("c_id"))
+    val scored = cands.select(col("q_id"), col("c_id"))
       .join(q.select(col("vid").as("q_id"), col("vec").as("qvv")), "q_id")
       .join(v.select(col("vid").as("c_id"), col("vec").as("cvv")), "c_id")
       .withColumn("ex", vec_dot_any(col("qvv"), col("cvv")) /
         (sqrt(vec_dot_any(col("qvv"), col("qvv"))) *
           sqrt(vec_dot_any(col("cvv"), col("cvv")))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topk)
+    VectorIvf.rerankTopK(scored, topk, simCol = "ex")
       .select(col("q_id"), col("rn"), col("c_id"), round(col("ex"), 6).as("sim_r"))
   }
 }

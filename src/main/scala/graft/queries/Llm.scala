@@ -855,16 +855,16 @@ object Llm {
       if (sampled) baseCond &&
         (col("a.nib") + col("b.nib")) % 16 === lit(0L)
       else baseCond
-    val cand = bands.as("a")
+    // verify BEFORE the pair-dedup (r16 opt, the symspell ordering):
+    // hamming is a per-pair function, so filtering first is
+    // result-identical and the distinct shuffles only true Hamming ≤ 3
+    // pairs instead of every band-collision candidate
+    bands.as("a")
       .join(bands.as("b"), joinCond)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        expr("bit_count(fp_a ^ fp_b)").cast("long"))
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -911,20 +911,18 @@ object Llm {
         shiftright(col("fp_lo"), 16).bitwiseAND(lit(65535L)),
         col("fp_lo").bitwiseAND(lit(65535L)))))
       .toDF("doc_id", "fp_hi", "fp_lo", "band_idx", "band_val")
-    val cand = bands.as("a")
+    // verify BEFORE the pair-dedup (see simhashHammingJoin)
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.fp_hi").as("ha"), col("a.fp_lo").as("la"),
-        col("b.fp_hi").as("hb"), col("b.fp_lo").as("lb"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)")).cast("long"))
+        (expr("bit_count(a.fp_hi ^ b.fp_hi)")
+          + expr("bit_count(a.fp_lo ^ b.fp_lo)")).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -969,21 +967,17 @@ object Llm {
         posexplode(array((0 until words).map(k => col(s"fp$k")): _*)): _*)
       .toDF(("doc_id" +: (0 until words).map(k => s"fp$k")) ++
         Seq("band_idx", "band_val"): _*)
-    val cand = bands.as("a")
+    // verify BEFORE the pair-dedup (see simhashHammingJoin)
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(Seq(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")) ++
-        (0 until words).flatMap(k => Seq(
-          col(s"a.fp$k").as(s"a$k"), col(s"b.fp$k").as(s"b$k"))): _*)
-      .distinct()
-    cand
-      .withColumn("hamming",
-        (0 until words).map(k => expr(s"bit_count(a$k ^ b$k)"))
-          .reduce(_ + _).cast("long"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (0 until words).map(k => expr(s"bit_count(a.fp$k ^ b.fp$k)"))
+          .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
