@@ -204,19 +204,35 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$minTotal,"queries":${jmap(med)},"queries_min":${jmap(mins)},"errors":$errs,"load_avg":$loadAvg,"passes":$passesJson$duckAnchor,"sf":"$sfDir"}"""
     // Stdout alone is fragile (the driver tails it and a ~6 KB line can be
     // truncated away) — persist the same JSON to a file as insurance.
+    // r17: the file is named by (cpus, sf) and the record carries "cpus"
+    // so the driver's low-core scaling run can no longer clobber the
+    // main run's only per-query record (r16 What's-wrong #5).
     println(json)
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/root/repo/bench_out_c${cpus}_$sfTag.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/bench_out.json")), json)
+      java.nio.file.Paths.get(outPath),
+      json.dropRight(1) + s""","cpus":$cpus}""")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // The driver's artifact keeps only the LAST ~2000 chars of stdout, so
     // the full JSON line above loses its head (r15's BENCH artifact was
     // unparseable: pass totals truncated away). Print a SHORT headline
     // line LAST — it fits the tail whole, so the driver artifact always
-    // carries the pass totals and error list even when the full line is
-    // cut; the full record is the committed bench_rN_builder.json.
+    // carries the totals and error list even when the full line is cut.
+    // r17 (VERDICT r16 item 2): the short line now ALSO carries the ~40
+    // hottest per-query medians (3 significant figures) under the
+    // contract key "queries" — ~1.0 KB, fits the tail with margin — so
+    // the driver's per-query and scaling comparisons are non-empty
+    // again; "queries_truncated_to_top" flags that the map is the head
+    // of the distribution, not the full surface (full map: first line +
+    // the per-(cpus, sf) file above).
+    val topN = 40
+    val topQ = med.sortBy(-_._2).take(topN).map { case (k, v) =>
+      k -> new java.math.BigDecimal(v)
+        .round(new java.math.MathContext(3)).doubleValue }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$minTotal,"n_queries":${names.size},"errors":$errs,"load_avg":$loadAvg,"sf":"$sfDir","full_record":"bench_out.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$minTotal,"n_queries":${names.size},"queries":${jmap(topQ)},"queries_truncated_to_top":$topN,"errors":$errs,"load_avg":$loadAvg,"cpus":$cpus,"sf":"$sfDir","full_record":"$outPath"}""")
     spark.stop()
   }
 }

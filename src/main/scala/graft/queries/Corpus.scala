@@ -1660,17 +1660,25 @@ object Corpus {
         // frame instead of two join-side shuffles + an eager checkpoint,
         // and the hot-variant fan (shared deletion buckets) is generated
         // by an array transform inside codegen instead of a join probe.
-        // Buckets are Σ(len+1)-bounded per name and ed ≤ 1 keeps bucket
-        // sizes small (names sharing a deletion variant). Verify BEFORE
-        // the pair-dedup so the distinct only shuffles true ed ≤ 1 pairs
-        // (977k candidates → 262k at sf0.1 — bounded by the OUTPUT size).
+        // Verify BEFORE the pair-dedup so the distinct only shuffles
+        // true ed ≤ 1 pairs (977k candidates → 262k at sf0.1 — bounded
+        // by the OUTPUT size).
+        // r17 skew guard (ADVICE r16, guide §5): bucket size is
+        // data-dependent (names sharing a deletion variant), NOT bounded
+        // by the ed ≤ 1 threshold — a hot variant of b names must never
+        // materialize its O(b²) pair array inside ONE row's projection
+        // buffer. Two chained generators stream the same pair multiset
+        // with O(b) peak per row: the outer explode emits each bucket
+        // member x as its own row, the inner explode generates only
+        // x's ordered partners filter(ns, y -> x < y). Residual bound:
+        // the collect_list agg buffer itself is O(b) strings per hot
+        // variant (inherent to bucket grouping; documented in TUNING.md)
+        // and the b² verify work of a hot bucket stays in one task —
+        // the same locality a hot join key would have.
         variants.groupBy(col("v")).agg(collect_list(col("n")).as("ns"))
-          .select(explode(expr(
-            """flatten(transform(ns, x -> transform(
-                 filter(ns, y -> x < y),
-                 y -> named_struct('name_a', x, 'name_b', y))))"""))
-            .as("p"))
-          .select(col("p.name_a"), col("p.name_b"))
+          .select(explode(col("ns")).as("name_a"), col("ns"))
+          .select(col("name_a"),
+            explode(expr("filter(ns, y -> name_a < y)")).as("name_b"))
           .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
           .distinct()
           .select(col("name_a"), col("name_b"),

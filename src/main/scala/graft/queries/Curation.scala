@@ -290,7 +290,14 @@ object Curation {
     * left-to-right scan — then merged-away rows drop and positions
     * renumber. */
   private def bpeMergeStep(withNext: org.apache.spark.sql.DataFrame,
-      win: org.apache.spark.sql.DataFrame):
+      win: org.apache.spark.sql.DataFrame,
+      /** r17 opt (guide §2.4, fewer actions): callers checkpoint only
+        * every SECOND round (+ the final state) — an un-checkpointed
+        * round leaves a linear two-window lineage chain the next
+        * round's action absorbs (same-key (w) windows: extra sorts, no
+        * extra exchange), trading one whole materialization barrier per
+        * round pair for a vocabulary-sized window replay. */
+      checkpoint: Boolean = true):
       org.apache.spark.sql.DataFrame = {
     // r16 opt (guide §2.4): every step below rides ONE (w, pos) sort —
     // the former mrank/grp/min formulation partitioned by (w, m) and
@@ -304,7 +311,7 @@ object Curation {
     // DuckDB apply CTEs are untouched and still agree through the gate.
     val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
     val wRun = wWord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withNext.crossJoin(broadcast(win.select(col("x"), col("y"))))
+    val merged = withNext.crossJoin(broadcast(win.select(col("x"), col("y"))))
       .withColumn("m",
         (col("sym") === col("x") && col("nxt") === col("y")).cast("int"))
       .withColumn("rs", when(col("m") === 1 &&
@@ -321,7 +328,7 @@ object Curation {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("w")).orderBy(col("opos"))))
       .select(col("w"), col("cnt"), col("pos"), col("sym"))
-      .localCheckpoint(true)
+    if (checkpoint) merged.localCheckpoint(true) else merged
   }
 
   /** Shared BPE trainer loop (q_bpe_merges / q_bpe_vocab /
@@ -345,7 +352,7 @@ object Curation {
         org.apache.spark.sql.DataFrame) = {
     val wWord = Window.partitionBy(col("w")).orderBy(col("pos"))
     var state = bpeInitFromHist(hist)
-    val winners = (1 to rounds).map { _ =>
+    val winners = (1 to rounds).map { r =>
       val withNext = state
         .withColumn("nxt", lead(col("sym"), 1).over(wWord))
       val pairCnt = withNext.filter(col("nxt").isNotNull)
@@ -372,7 +379,10 @@ object Curation {
       } else pairCnt.orderBy(col("n").desc, col("x"), col("y")))
         .limit(1)
         .localCheckpoint(true)
-      state = bpeMergeStep(withNext, win)
+      // every 2nd round + the final state materialize; odd rounds ride
+      // as lineage into the next action (see bpeMergeStep doc)
+      state = bpeMergeStep(withNext, win,
+        checkpoint = r % 2 == 0 || r == rounds)
       win
     }
     (winners, state)
@@ -496,9 +506,10 @@ object Curation {
     // — the trained winners, not weights, drive the apply merges)
     var state = bpeInitFromHist(
       hh.groupBy(col("w")).agg(sum(col("cnt")).as("cnt")))
-    winners.foreach { win =>
+    winners.zipWithIndex.foreach { case (win, i) =>
       state = bpeMergeStep(
-        state.withColumn("nxt", lead(col("sym"), 1).over(wWord)), win)
+        state.withColumn("nxt", lead(col("sym"), 1).over(wWord)), win,
+        checkpoint = (i + 1) % 2 == 0 || i == winners.size - 1)
     }
     val perWord = state.groupBy(col("w")).agg(count(lit(1)).as("wtoks"))
     val docs = documents(s, d).filter(!bpeTrainPred)
@@ -3752,16 +3763,49 @@ object Curation {
         """transform(sequence(1, size(toks) - 7),
              i -> array_join(slice(toks, i, 8), ' '))""")))
       .toDF("doc_id", "pos0", "g")
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
-    val hot = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("gdf"))
-      .filter(col("gdf") <= 64).select(col("g"))
-    val kept = grams.join(hot, Seq("g"))
-      .localCheckpoint(true) // feeds both sides of the candidate join
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"),
+        xxhash64(col("g")).as("gid"))
+      // materialized ONCE: the tokenize + gram explode used to run
+      // twice (df-agg side + join probe side of `kept`); every
+      // downstream pass now reads this frame
+      .localCheckpoint(true)
+    // r17 opt (guide §2.3, shuffle fewer bytes — the jaccardPairs /
+    // setsim xxhash64 trade applied to the ~45-byte 8-gram strings):
+    // the df agg, the df-cap join probe, the checkpointed kept frame
+    // and BOTH candidate-join sides carry an 8-byte gid instead of the
+    // gram string. EXACT via the injectivity guard, which here rides
+    // the EXISTING df aggregation (countDistinct(g) per gid alongside
+    // gdf — no second corpus scan): max(ng) = 1 proves gid⇄g bijective
+    // over ALL grams, so the df-cap set and every cross-doc gram match
+    // are unchanged. The guard must cover pre-cap grams — a collision
+    // among dropped grams could merge two rare grams past the cap and
+    // silently LOSE result rows — hence per-gid stats, not kept-only.
+    // Collision (birthday ~1e-7 at ~1M distinct grams; never observed)
+    // falls back to the string key: same results, wider rows.
+    val gstats = grams.groupBy(col("gid"))
+      .agg(countDistinct(col("doc_id")).as("gdf"),
+        countDistinct(col("g")).as("ng"))
+      // LAZY checkpoint: the guard agg below materializes it, so guard +
+      // checkpoint cost ONE job (≤ |distinct grams| rows; cap reads it)
+      .localCheckpoint(false)
+    val injective =
+      gstats.agg(max(col("ng")).as("mx")).head().getLong(0) == 1L
+    val key = if (injective) "gid" else "g"
+    val hot =
+      if (injective) gstats.filter(col("gdf") <= 64).select(col("gid"))
+      else grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("gdf"))
+        .filter(col("gdf") <= 64).select(col("g"))
+    // NOT checkpointed: both candidate-join sides build from the same
+    // checkpointed grams ⋈ hot subtree — canonical-equal, so the
+    // runtime reuses one exchange (the kcore precedent); an eager
+    // checkpoint here would serialize a materialization instead
+    val kept = grams.select(col("doc_id"), col("pos"), col(key))
+      .join(hot, Seq(key))
     val m = kept
-      .select(col("doc_id").as("id_a"), col("pos").as("pa"), col("g"))
+      .select(col("doc_id").as("id_a"), col("pos").as("pa"), col(key))
       .join(kept.select(col("doc_id").as("id_b"), col("pos").as("pb"),
-        col("g")), Seq("g"))
+        col(key)), Seq(key))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("pa"),
         (col("pa") - col("pb")).as("diag"))

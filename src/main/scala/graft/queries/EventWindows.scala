@@ -2843,13 +2843,29 @@ object EventWindows {
       (s, d) => {
         val Dec = org.apache.spark.sql.types.DecimalType(30, 6)
         val evenNibbles = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+        // r17 restructure (guide §1.2 / §2.3, VERDICT r16 item 4): the
+        // events table is scanned exactly TWICE — once into the (value,
+        // type) histogram `vt` (which now also yields the per-type
+        // moments obsT: n = Σcnt, sv = Σ value·cnt, exact in DECIMAL
+        // arithmetic, so d_obs is bit-identical), once into the 32× md5
+        // resplit fan (oracle-mandated; map-side-combinable into ONE
+        // (type, rep) exchange). The former ev/obsT checkpoints (a third
+        // scan + two extra actions) are gone; `tot` below similarly
+        // derives from the checkpointed `cnts` histogram instead of a
+        // second documents scan.
         val ev = events(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-          .localCheckpoint(true) // perm fan + MW histogram share it
+        // MW value histogram, hoisted: obsT + both MW tag joins read it
+        val vt = ev.select(col("value").as("v"), col("event_type"))
+          .groupBy(col("v"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
         // family 1: permutation mean contrast per event-type pair
-        val obsT = ev.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("sv"))
-          .localCheckpoint(true) // pair frame + MW pair frame read it
+        // (per-type moments from the histogram: exact decimal algebra)
+        val obsT = vt.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n"),
+            sum(col("v").cast(Dec) * col("cnt")).as("sv"))
+          .localCheckpoint(true) // ≤|types| rows; 4 broadcast builds read it
         val pairObs = obsT.select(col("event_type").as("type_a"),
             col("n").as("n_a"), col("sv").as("sv_a"))
           .join(broadcast(obsT.select(col("event_type").as("type_b"),
@@ -2896,7 +2912,9 @@ object EventWindows {
         val cnts = docs.groupBy(col("source"), col("n_chars"))
           .agg(count(lit(1)).as("cnt"))
           .localCheckpoint(true) // feeds both sides of the pair fan-out
-        val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        // per-source totals from the checkpointed histogram (histogram-
+        // sized agg) instead of a second documents scan
+        val tot = cnts.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
         val pairsK = tot.select(col("source").as("source_a"),
             col("n").as("n_a"))
           .crossJoin(broadcast(tot.select(
@@ -2926,9 +2944,7 @@ object EventWindows {
             expr(ksPpmSql).as("p_ppm"))
         // family 3: Mann–Whitney per event-type pair (two-level rank
         // prefix partitioned by pair — the q_mannwhitney_u shape ×10)
-        val vt = ev.select(col("value").as("v"), col("event_type"))
-          .groupBy(col("v"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
+        // reads the hoisted `vt` histogram checkpoint
         val tpairs = obsT.select(col("event_type").as("type_a"))
           .join(broadcast(obsT.select(col("event_type").as("type_b"))),
             col("type_a") < col("type_b"))
@@ -2943,6 +2959,11 @@ object EventWindows {
           .groupBy(col("type_a"), col("type_b"), col("v"))
           .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
           .withColumn("bkt", floor(col("v")).cast("long"))
+          // KEPT checkpointed (r17 measured): dropping it costs ~1 s —
+          // the bucket-total agg keys (ta,tb,bkt) and the in-bucket
+          // window partitioning (ta,tb,bkt order v) sit on DIFFERENT
+          // exchanges than the (ta,tb,v) agg, so ReusedExchange cannot
+          // cover the two consumers and the union subtree runs twice
           .localCheckpoint(true) // bucket totals + in-bucket windows
         val wBm = Window.partitionBy(col("type_a"), col("type_b"))
           .orderBy(col("bkt"))
