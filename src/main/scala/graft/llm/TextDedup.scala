@@ -297,6 +297,14 @@ object TextDedup {
       // next ⋈ labels equi-join (two exchanges + one more action per
       // round, guide §2.4); now it is a filter SCAN over the frame the
       // checkpoint just materialized — boundedReach's pattern.
+      // r17 measured-and-REVERTED: fusing the round into ONE job (lazy
+      // localCheckpoint materialized by a full-scan convergence count)
+      // lost 5–34% across all 8 CC/BFS consumers in a 3-pass interleaved
+      // worktree A/B — the fused job pays a full count(when(...)) scan +
+      // an extra global-agg exchange every round, while this shape's
+      // isEmpty is a take(1) short-circuit over an already-materialized
+      // frame (~instant). Two jobs per round, the cheap one nearly free,
+      // beats one heavier job.
       val next = labels.select(col("id"), col("label"),
           col("label").as("prev"))
         .unionAll(viaEdges.select(col("id"), col("label"),
@@ -401,6 +409,8 @@ object TextDedup {
       val frontier = labels.filter(col("hops") === h)
       val next = frontier.join(bidir, col("id") === col("src"))
         .select(col("dst").as("id"), lit(h + 1L).as("hops"))
+      // (same measured-and-reverted single-job fusion as clusters —
+      // eager checkpoint + take(1)-short-circuit isEmpty wins)
       val merged = labels.unionAll(next)
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
         .localCheckpoint(true)
