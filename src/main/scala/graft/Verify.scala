@@ -22,6 +22,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // data-size-derived AQE seed (see graft.Bench / Tables.
+      // derivedInitPartitions): identity at the gate SFs (≤ 17.5 MB ⇒
+      // clamp to cpus), scale-adaptive on bigger corpora
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+          graft.tables.Tables.derivedInitPartitions(sfDir, cpus.toInt)
+            .toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // timestamp annotations vary by testdata regen: TIMESTAMP(NANOS)

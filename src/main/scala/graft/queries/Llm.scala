@@ -4185,6 +4185,13 @@ object Llm {
             explode(tokens(col("text"))).as("tok"))
           .groupBy(col("doc_id"), col("dl"), col("tok"))
           .agg(count(lit(1)).as("tf"))
+          // NOT checkpointed (r17 measured-and-reverted): the qterms df
+          // build and the scoring probe both read this frame, so the
+          // tokenize + tf-agg subtree plans twice — but the two passes
+          // are sequential within the one action either way (the qterms
+          // broadcast must finish before the probe starts), and an eager
+          // checkpoint only re-orders that serialization: min-of-3 was
+          // neutral-to-worse across four cold A/B runs at sf0.1
         val tot = docs
           .select(size(tokens(col("text"))).cast("long").as("dl"))
           .agg(sum(col("dl")).as("t_toks"), count(lit(1)).as("n_docs"))

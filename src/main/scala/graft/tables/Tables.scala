@@ -12,6 +12,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
+  /** Data-size-derived AQE seed partition count (guide §2: derive the
+    * shuffle parallelism from INPUT SIZE, never a constant tuned for one
+    * box): one initial partition per 8 MB of on-disk parquet under
+    * `sfDir`, clamped to [cpus, 2048]. AQE's coalescer only merges DOWN,
+    * so the seed must start high enough for the data — at the sf100
+    * anchor (~600 M rows) a cpus-sized seed left 1–2 GB per sort-merge
+    * partition (q12 463 s vs 189 s at 512, the committed r16 A/B), while
+    * at the test SFs (≤ 17.5 MB parquet) the clamp returns `cpus`
+    * unchanged, so sf0.001–sf0.1 bench/verify methodology is identical
+    * to every prior round. 8 MB parquet ≈ 25–65 MB in-memory/shuffle
+    * bytes at this data's measured compression, i.e. the coalescer's own
+    * 64 MB advisory target. */
+  def derivedInitPartitions(sfDir: String, cpus: Int): Int = {
+    val bytes =
+      try {
+        val root = java.nio.file.Paths.get(sfDir)
+        if (!java.nio.file.Files.isDirectory(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum
+          finally s.close()
+        }
+      } catch { case _: Throwable => 0L }
+    math.max(cpus, math.min(2048L, bytes / (8L << 20)).toInt)
+  }
+
   /** Opt-in columnar table cache (Bench turns it on): repeated queries
     * over the same scale factor share one in-memory columnar copy of each
     * table instead of re-reading parquet footers + pages per query — the
