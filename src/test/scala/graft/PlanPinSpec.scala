@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Drive the committed plan-fingerprint artifacts INTO the gate: re-
   * fingerprint the pinned load-bearing queries in the test session and
-  * compare byte-for-byte against the committed `PLANS_r16.txt` /
-  * `PLANS_EXEC_r16.txt` lines — a plan regression (broadcast → SMJ, a
+  * compare byte-for-byte against the committed `PLANS_r17.txt` /
+  * `PLANS_EXEC_r17.txt` lines — a plan regression (broadcast → SMJ, a
   * lost pushdown, a new Exchange, a window losing its partitioning, a
   * codegen span breaking apart) FAILS TESTS instead of waiting for
   * bench triage or review. The canonicalizer is partition-count-blind,
@@ -24,8 +24,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanPinSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
-  private val artifact = "PLANS_r16.txt"
-  private val execArtifact = "PLANS_EXEC_r16.txt"
+  private val artifact = "PLANS_r17.txt"
+  private val execArtifact = "PLANS_EXEC_r17.txt"
 
   private def load(path: String): Map[String, String] =
     scala.io.Source.fromFile(path)(scala.io.Codec.UTF8).getLines()
